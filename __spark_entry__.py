@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (mask -> standardize -> Welch
+PSD -> Simpson band power) on sf0.001.  ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2 (+ the LLM-pipeline extensions);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  Column names/aliases are kept in lock-step between
+both sides — the driver's compare hashes values under sorted column names.
+
+Signal-operator queries derive a deterministic dense signal from
+``lineitem`` using pure integer arithmetic (openseize_spark.signal), so
+both engines produce bit-identical inputs.
 """
 
 from __future__ import annotations
@@ -12,27 +17,908 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from openseize_spark.signal import SignalFrame, signal_cte, signal_from_lineitem
+from openseize_spark.dsp import design
+from openseize_spark.operators import (
+    fir as op_fir,
+    iir as op_iir,
+    relational as rel,
+    resample as op_resample,
+    segmentation as seg,
+    spectral as spec,
+    stats as op_stats,
+)
+from openseize_spark.llm import dedup, similarity, text as llm_text
+
+NCH = 4
+FS = 100.0
+
+# ---------------------------------------------------------------- helpers
+
+# Kaiser FIR used by q_fir_kaiser — designed once at import (driver-side
+# numpy, reference: filtering/fir.py:52-137); the same float64 tap
+# literals are embedded in the oracle SQL via repr() so both engines
+# compute the identical dot product.
+_FIR_SPEC = design.kaiser(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
 
 
+def _signal(spark: SparkSession, sf_dir: str) -> SignalFrame:
+    return signal_from_lineitem(spark, sf_dir, nchannels=NCH, fs=FS)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects; read nanos as long and convert to a
+    microsecond timestamp (exact — source values are microsecond)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(e.dtypes)["ts"] == "bigint":
+        e = e.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+        )
+    return e
+
+
+# ------------------------------------------------------------ entry/smoke
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: band power per channel of a masked, standardized signal
+    (the reference's flagship pipeline, paper/paper.md:68-72)."""
+    sf_dir = "/root/testdata/sf0.001"
+    sf = _signal(spark, sf_dir)
+
+    # annotation-style intervals derived from orders (artifact exclusion)
+    orders = _t(spark, sf_dir, "orders")
+    ann = orders.filter(F.col("o_orderkey") % 101 == 0).select(
+        F.lit("r0").alias("recording_id"),
+        F.lit("artifact").alias("label"),
+        ((F.col("o_orderkey") % 512) * 16 / FS).cast("double").alias("time"),
+        F.lit(64 / FS).cast("double").alias("duration"),
+    )
+    masked = rel.mask_from_annotations(sf, ann, include=False)
+    standardized = op_stats.standardize(masked)
+    psd = spec.welch_psd(standardized, nfft=128, overlap=0.5)
+    return spec.band_power(psd, lo=5.0, hi=20.0, freq_step=FS / 128).orderBy(
+        "recording_id", "channel"
+    )
 
 
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational / TPC-H-style (scan, filter, agg, join, window) ----
+    def q_pricing_summary(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.avg("l_extendedprice").alias("avg_price"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count("*").alias("count_order"),
+            )
+        )
+
+    q["pricing_summary"] = q_pricing_summary
+
+    def q_revenue_by_nation(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
+
+    q["revenue_by_nation"] = q_revenue_by_nation
+
+    def q_top_customers_by_orders(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        agg = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+        w = W.orderBy(F.desc("n_orders"), F.col("o_custkey"))
+        return (
+            agg.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 10)
+        )
+
+    q["top_customers_by_orders"] = q_top_customers_by_orders
+
+    def q_priority_exists(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    q["priority_exists"] = q_priority_exists
+
+    def q_filtered_revenue(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        )
+
+    q["filtered_revenue"] = q_filtered_revenue
+
+    def q_running_total(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("o_totalprice").over(w).alias("running_total"),
+        )
+
+    q["running_total"] = q_running_total
+
+    def q_rank_parts(spark, sf_dir):
+        p = _t(spark, sf_dir, "part")
+        w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.col("p_partkey"))
+        return (
+            p.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 3)
+            .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+        )
+
+    q["rank_parts"] = q_rank_parts
+
+    def q_event_deltas(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return e.select(
+            "event_id",
+            "user_id",
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        )
+
+    q["event_deltas"] = q_event_deltas
+
+    def q_sessionize(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        flagged = e.select(
+            "user_id", F.when(gap > 1800.0, 1).otherwise(0).alias("new_sess")
+        )
+        return flagged.groupBy("user_id").agg(
+            (F.sum("new_sess") + 1).cast("bigint").alias("n_sessions")
+        )
+
+    q["sessionize"] = q_sessionize
+
+    def q_tumbling_hour(spark, sf_dir):
+        e = _events(spark, sf_dir)
+        return (
+            e.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "event_type",
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        )
+
+    q["tumbling_hour"] = q_tumbling_hour
+
+    # --------------------- signal operators (SURVEY §2.2-2.8) ----------
+    def q_channel_select(spark, sf_dir):
+        sf = rel.select_channels(_signal(spark, sf_dir), [1, 3])
+        return sf.df.select("channel", "t", "v")
+
+    q["channel_select"] = q_channel_select
+
+    def q_time_slice(spark, sf_dir):
+        sf = rel.slice_time(_signal(spark, sf_dir), start=100, stop=5000, step=7)
+        return sf.df.select("channel", "t", "v")
+
+    q["time_slice"] = q_time_slice
+
+    def q_mask_compact(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        mask = sf.df.select(
+            "recording_id", "t", "channel", (F.col("v") >= 0.25).alias("keep")
+        )
+        # per-channel masks differ; apply per (recording, channel, t) directly
+        kept = sf.df.filter(F.col("v") >= 0.25)
+        w = W.partitionBy("recording_id", "channel").orderBy("t")
+        return kept.withColumn(
+            "t", (F.row_number().over(w) - 1).cast("bigint")
+        ).select("channel", "t", "v")
+
+    q["mask_compact"] = q_mask_compact
+
+    def q_interval_mask(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        orders = _t(spark, sf_dir, "orders")
+        ival = (
+            orders.filter(F.col("o_orderkey") % 101 == 0)
+            .select(
+                ((F.col("o_orderkey") % 512) * 16).cast("bigint").alias("lo"),
+                (((F.col("o_orderkey") % 512) * 16) + 64).cast("bigint").alias("hi"),
+            )
+            .distinct()
+        )
+        kept = sf.df.join(
+            F.broadcast(ival),
+            (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")),
+            "left_semi",
+        )
+        return kept.select("channel", "t", "v")
+
+    q["interval_mask"] = q_interval_mask
+
+    def q_signal_stats(spark, sf_dir):
+        return op_stats.channel_stats(_signal(spark, sf_dir)).select(
+            "channel", "mean", "std", "n"
+        )
+
+    q["signal_stats"] = q_signal_stats
+
+    def q_standardize(spark, sf_dir):
+        sf = op_stats.standardize(_signal(spark, sf_dir))
+        return sf.df.select("channel", "t", F.col("v").alias("vstd"))
+
+    q["standardize"] = q_standardize
+
+    def q_signal_add(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        sf2 = rel.slice_time(sf, start=10)
+        return rel.add(sf, sf2).df.select("channel", "t", "v")
+
+    q["signal_add"] = q_signal_add
+
+    def q_scalar_mult(spark, sf_dir):
+        sf = rel.multiply(_signal(spark, sf_dir), 2.5)
+        return sf.df.select("channel", "t", "v")
+
+    q["scalar_mult"] = q_scalar_mult
+
+    def q_mult_along_channel(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        coeffs = spark.range(NCH).select(
+            F.col("id").cast("int").alias("channel"),
+            ((F.col("id") + 1) * 0.5).alias("c"),
+        )
+        return rel.multiply_along_axis(sf, coeffs, "channel").df.select("channel", "t", "v")
+
+    q["mult_along_channel"] = q_mult_along_channel
+
+    def q_pad(spark, sf_dir):
+        sf = rel.pad(_signal(spark, sf_dir), 5, 5, 0.0)
+        return sf.df.select("channel", "t", "v")
+
+    q["pad"] = q_pad
+
+    def q_segment_mean(spark, sf_dir):
+        s = seg.segment_tumbling(_signal(spark, sf_dir), 128)
+        return (
+            s.groupBy("channel", "seg")
+            .agg(F.avg("v").alias("seg_mean"), F.count("*").alias("cnt"))
+            .filter(F.col("cnt") == 128)
+            .select("channel", "seg", "seg_mean")
+        )
+
+    q["segment_mean"] = q_segment_mean
+
+    def q_sliding_energy(spark, sf_dir):
+        s = seg.segment_sliding(_signal(spark, sf_dir), nfft=64, stride=32)
+        return (
+            s.groupBy("channel", "seg")
+            .agg(F.sum(F.col("v") * F.col("v")).alias("energy"), F.count("*").alias("cnt"))
+            .filter(F.col("cnt") == 64)
+            .select("channel", "seg", "energy")
+        )
+
+    q["sliding_energy"] = q_sliding_energy
+
+    def q_moving_average(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        w = W.partitionBy("recording_id", "channel").orderBy("t")
+        l2 = F.coalesce(F.lag("v", 2).over(w), F.lit(0.0))
+        l1 = F.coalesce(F.lag("v", 1).over(w), F.lit(0.0))
+        d1 = F.coalesce(F.lead("v", 1).over(w), F.lit(0.0))
+        d2 = F.coalesce(F.lead("v", 2).over(w), F.lit(0.0))
+        ma = (l2 + 2 * l1 + 3 * F.col("v") + 2 * d1 + d2) / 9.0
+        return sf.df.select("channel", "t", ma.alias("ma"))
+
+    q["moving_average"] = q_moving_average
+
+    def q_fir_kaiser(spark, sf_dir):
+        sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _FIR_SPEC, mode="same")
+        return sf.df.select("channel", "t", "v")
+
+    q["fir_kaiser"] = q_fir_kaiser
+
+    def q_decimate(spark, sf_dir):
+        sf = rel.slice_time(_signal(spark, sf_dir), start=0, step=4)
+        return sf.df.select("channel", "t", "v")
+
+    q["decimate"] = q_decimate
+
+    def q_nearest_bin(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        bins = sf.df.filter((F.col("channel") == 0) & (F.col("t") <= 100)).select(
+            (F.col("t") * 0.5).alias("freq")
+        )
+        targets = spark.createDataFrame(
+            [(10.3,), (25.7,), (40.2,)], "target double"
+        )
+        return rel.nearest_bin(bins, "freq", targets, "target")
+
+    q["nearest_bin"] = q_nearest_bin
+
+    def q_band_power(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        psd = sf.df.filter(F.col("t") <= 200).select(
+            "recording_id",
+            "channel",
+            (F.col("t") * 0.5).alias("freq"),
+            F.col("v").alias("psd"),
+        )
+        return spec.band_power(psd, lo=5.0, hi=20.0, freq_step=0.5).select(
+            "channel", "power"
+        )
+
+    q["band_power"] = q_band_power
+
+    def q_envelope(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        im = (
+            (
+                (F.col("t") * 37 + F.col("channel") * 11) % 1000
+            ).cast("double")
+            / 1000.0
+        )
+        return sf.df.select(
+            "channel",
+            "t",
+            F.sqrt(F.col("v") * F.col("v") + im * im).alias("amplitude"),
+        )
+
+    q["envelope"] = q_envelope
+
+    # ------------------------- LLM pipeline ops -------------------------
+    def q_dedup_exact(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        out = dedup.exact_dedup(docs)
+        return out.select("doc_id", "dup_count")
+
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_text_stats(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        s = llm_text.text_stats(docs)
+        return s.select("doc_id", "n_chars", "n_tokens", "avg_token_len")
+
+    q["text_stats"] = q_text_stats
+
+    def q_stopword_score_by_lang(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        norm = F.concat(
+            F.lit(" "), dedup.normalize_text(F.col("text")), F.lit(" ")
+        )
+        hits = sum(
+            llm_text.occurrence_count(norm, f" {w} ")
+            for w in ("the", "and", "of", "is")
+        )
+        return (
+            docs.select("lang", hits.alias("_h"))
+            .groupBy("lang")
+            .agg(F.avg("_h").alias("avg_en_hits"), F.count("*").alias("n_docs"))
+        )
+
+    q["stopword_score_by_lang"] = q_stopword_score_by_lang
+
+    def q_fingerprint(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.fingerprint(docs)
+
+    q["fingerprint"] = q_fingerprint
+
+    def q_token_count_by_source(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            docs.select("source", llm_text.token_count(F.col("text")).alias("_tc"))
+            .groupBy("source")
+            .agg(F.sum("_tc").cast("bigint").alias("total_tokens"), F.count("*").alias("n_docs"))
+        )
+
+    q["token_count_by_source"] = q_token_count_by_source
+
+    def q_knn_cosine(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        out = similarity.cosine_topk(corpus, queries_df, k=5)
+        return out.select("q_id", "vec_id", "cosine", F.col("rank").cast("bigint").alias("rank"))
+
+    q["knn_cosine"] = q_knn_cosine
+
+    def q_embedding_norms(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        e = similarity.with_norm(emb)
+        return e.groupBy("label").agg(
+            F.avg("_norm").alias("avg_norm"), F.count("*").alias("n_vecs")
+        )
+
+    q["embedding_norms"] = q_embedding_norms
+
+    # --------------- non-SQL-expressible (rows-only checks) -------------
+    def q_welch_psd(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        return spec.welch_psd(sf, nfft=128, overlap=0.5).select(
+            "channel", "freq", "psd", "nsegs"
+        )
+
+    q["welch_psd"] = q_welch_psd
+
+    def q_welch_psd_blocks(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        return spec.welch_psd_blocks(sf, nfft=128, overlap=0.5, segs_per_block=32).select(
+            "channel", "freq", "psd", "nsegs"
+        )
+
+    q["welch_psd_blocks"] = q_welch_psd_blocks
+
+    def q_stft(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        return spec.stft(sf, nfft=128, overlap=0.5).select(
+            "channel", "seg", "freq", "re", "im"
+        )
+
+    q["stft"] = q_stft
+
+    def q_sosfilt(spark, sf_dir):
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt(_signal(spark, sf_dir), sos)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt"] = q_sosfilt
+
+    def q_sosfiltfilt(spark, sf_dir):
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), sos)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfiltfilt"] = q_sosfiltfilt
+
+    def q_resample_poly(spark, sf_dir):
+        sf = op_resample.resample(_signal(spark, sf_dir), L=2, M=5, block_size=4096)
+        return sf.df.select("channel", "t", "v")
+
+    q["resample_poly"] = q_resample_poly
+
+    def q_fir_blocks(spark, sf_dir):
+        sf = op_fir.apply_fir_blocks(
+            _signal(spark, sf_dir), _FIR_SPEC, mode="same", block_size=4096
+        )
+        return sf.df.select("channel", "t", "v")
+
+    q["fir_blocks"] = q_fir_blocks
+
+    def q_minhash_dedup(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.minhash_dedup(docs, k=5, num_hashes=64, bands=16, threshold=0.8).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["minhash_dedup"] = q_minhash_dedup
+
+    def q_simhash(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.simhash(docs)
+
+    q["simhash"] = q_simhash
+
+    def q_lsh_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        return similarity.lsh_topk(corpus, queries_df, k=5, nbits=4, dim=64)
+
+    q["lsh_topk"] = q_lsh_topk
+
+    def q_hilbert_envelope(spark, sf_dir):
+        hspec = design.hilbert_fir(width=5.0, fs=FS)
+        analytic = op_fir.hilbert_analytic(_signal(spark, sf_dir), hspec)
+        return op_fir.envelope_phase(analytic).select(
+            "channel", "t", "amplitude", "phase"
+        )
+
+    q["hilbert_envelope"] = q_hilbert_envelope
+
+    def q_image_features(spark, sf_dir):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=64)
+        return multimodal.image_features(media, deterministic_fake=True)
+
+    q["image_features"] = q_image_features
+
+    return q
 
 
+# -------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sig = "WITH " + signal_cte(NCH)
+
+    # FIR oracle: identical float64 tap literals, same zero-padded 'same'
+    # convolution alignment as operators/fir.apply_fir_sql.
+    taps = _FIR_SPEC.taps
+    L = len(taps)
+    c = (L - 1) // 2
+    terms = []
+    for k in range(L):
+        shift = k - c
+        if shift == 0:
+            col = "v"
+        elif shift > 0:
+            col = f"coalesce(lag(v, {shift}) OVER w, 0.0)"
+        else:
+            col = f"coalesce(lead(v, {-shift}) OVER w, 0.0)"
+        terms.append(f"{col} * {taps[k]!r}")
+    fir_sum = " + ".join(terms)
+
+    o = {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_extendedprice) AS avg_price,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "top_customers_by_orders": """
+            WITH agg AS (
+              SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, n_orders,
+                   CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS BIGINT) AS rnk
+            FROM agg
+            QUALIFY rnk <= 10
+        """,
+        "priority_exists": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45
+            )
+            GROUP BY o_orderpriority
+        """,
+        "filtered_revenue": """
+            SELECT CAST(sum(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "rank_parts": """
+            SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(row_number() OVER (
+                     PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+                   ) AS BIGINT) AS rnk
+            FROM part
+            QUALIFY rnk <= 3
+        """,
+        "event_deltas": """
+            SELECT event_id, user_id,
+                   value - lag(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS delta
+            FROM events
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) > 1800.0 THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+            FROM flagged GROUP BY user_id
+        """,
+        "tumbling_hour": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n,
+                   CAST(sum(value) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "channel_select": sig
+        + "SELECT channel, t, v FROM signal WHERE channel IN (1, 3)",
+        "time_slice": sig
+        + """
+            SELECT channel, CAST((t - 100) // 7 AS BIGINT) AS t, v
+            FROM signal
+            WHERE t >= 100 AND t < 5000 AND (t - 100) % 7 = 0
+        """,
+        "mask_compact": sig
+        + """
+            SELECT channel,
+                   CAST(row_number() OVER (PARTITION BY recording_id, channel ORDER BY t) - 1
+                        AS BIGINT) AS t,
+                   v
+            FROM signal WHERE v >= 0.25
+        """,
+        "interval_mask": sig
+        + """
+            , ival AS (
+              SELECT DISTINCT CAST((o_orderkey % 512) * 16 AS BIGINT) AS lo,
+                              CAST((o_orderkey % 512) * 16 + 64 AS BIGINT) AS hi
+              FROM orders WHERE o_orderkey % 101 = 0
+            )
+            SELECT channel, t, v FROM signal s
+            WHERE EXISTS (SELECT 1 FROM ival WHERE s.t >= lo AND s.t < hi)
+        """,
+        "signal_stats": sig
+        + """
+            SELECT channel, avg(v) AS mean,
+                   sqrt(avg(v*v) - avg(v)*avg(v)) AS std,
+                   count(v) AS n
+            FROM signal GROUP BY channel
+        """,
+        "standardize": sig
+        + """
+            , st AS (
+              SELECT channel, avg(v) AS m, sqrt(avg(v*v) - avg(v)*avg(v)) AS s
+              FROM signal GROUP BY channel
+            )
+            SELECT signal.channel, t, (v - m) / s AS vstd
+            FROM signal JOIN st ON signal.channel = st.channel
+        """,
+        "signal_add": sig
+        + """
+            , s2 AS (
+              SELECT recording_id, channel, CAST(t - 10 AS BIGINT) AS t, v
+              FROM signal WHERE t >= 10
+            )
+            SELECT s.channel, s.t, s.v + s2.v AS v
+            FROM signal s
+            JOIN s2 ON s.recording_id = s2.recording_id
+                   AND s.channel = s2.channel AND s.t = s2.t
+        """,
+        "scalar_mult": sig + "SELECT channel, t, v * CAST(2.5 AS DOUBLE) AS v FROM signal",
+        "mult_along_channel": sig
+        + """
+            , coeffs AS (
+              SELECT CAST(i AS INT) AS channel, CAST((i + 1) * 0.5 AS DOUBLE) AS c
+              FROM generate_series(0, 3) AS g(i)
+            )
+            SELECT signal.channel, t, v * c AS v
+            FROM signal JOIN coeffs ON signal.channel = coeffs.channel
+        """,
+        "pad": sig
+        + """
+            , mx AS (
+              SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2
+            )
+            SELECT channel, CAST(t + 5 AS BIGINT) AS t, v FROM signal
+            UNION ALL
+            SELECT channel, CAST(g.i AS BIGINT) AS t, CAST(0.0 AS DOUBLE) AS v
+            FROM mx CROSS JOIN generate_series(0, 4) AS g(i)
+            UNION ALL
+            SELECT channel, CAST(unnest(generate_series(m + 6, m + 10)) AS BIGINT) AS t,
+                   CAST(0.0 AS DOUBLE) AS v
+            FROM mx
+        """,
+        "segment_mean": sig
+        + """
+            SELECT channel, CAST(t // 128 AS BIGINT) AS seg, avg(v) AS seg_mean
+            FROM signal
+            GROUP BY channel, t // 128
+            HAVING count(*) = 128
+        """,
+        "sliding_energy": sig
+        + """
+            , exploded AS (
+              SELECT channel,
+                     unnest(generate_series(
+                       greatest(CAST(0 AS BIGINT), (greatest(t - 63, 0) + 31) // 32),
+                       t // 32
+                     )) AS seg,
+                     v
+              FROM signal
+            )
+            SELECT channel, CAST(seg AS BIGINT) AS seg, sum(v*v) AS energy
+            FROM exploded
+            GROUP BY channel, seg
+            HAVING count(*) = 64
+        """,
+        "moving_average": sig
+        + """
+            SELECT channel, t,
+                   (coalesce(lag(v, 2) OVER w, 0.0)
+                    + 2 * coalesce(lag(v, 1) OVER w, 0.0)
+                    + 3 * v
+                    + 2 * coalesce(lead(v, 1) OVER w, 0.0)
+                    + coalesce(lead(v, 2) OVER w, 0.0)) / 9.0 AS ma
+            FROM signal
+            WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
+        """,
+        "fir_kaiser": sig
+        + f"""
+            SELECT channel, t, {fir_sum} AS v
+            FROM signal
+            WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
+        """,
+        "decimate": sig
+        + """
+            SELECT channel, CAST(t // 4 AS BIGINT) AS t, v
+            FROM signal WHERE t % 4 = 0
+        """,
+        "nearest_bin": sig
+        + """
+            , bins AS (
+              SELECT CAST(t * 0.5 AS DOUBLE) AS freq FROM signal WHERE channel = 0 AND t <= 100
+            ), targets AS (
+              SELECT CAST(unnest([10.3, 25.7, 40.2]) AS DOUBLE) AS target
+            )
+            SELECT target, arg_min(freq, abs(freq - target)) AS nearest
+            FROM bins CROSS JOIN targets
+            GROUP BY target
+        """,
+        "band_power": sig
+        + """
+            , psd AS (
+              SELECT channel, CAST(t * 0.5 AS DOUBLE) AS freq, v AS psd
+              FROM signal WHERE t <= 200
+            ), band AS (
+              SELECT channel, freq, psd,
+                     CAST(round((freq - 5.0) / 0.5) AS BIGINT) AS k
+              FROM psd WHERE freq >= 5.0 AND freq <= 20.0
+            )
+            SELECT channel,
+                   sum(psd * (CASE
+                     WHEN k = 0 OR k = 30 THEN CAST(0.5 AS DOUBLE) / 3.0
+                     WHEN k % 2 = 1 THEN 4 * CAST(0.5 AS DOUBLE) / 3.0
+                     ELSE 2 * CAST(0.5 AS DOUBLE) / 3.0 END)) AS power
+            FROM band GROUP BY channel
+        """,
+        "envelope": sig
+        + """
+            SELECT channel, t,
+                   sqrt(v * v +
+                        (CAST((t * 37 + channel * 11) % 1000 AS DOUBLE) / 1000.0)
+                        * (CAST((t * 37 + channel * 11) % 1000 AS DOUBLE) / 1000.0)
+                   ) AS amplitude
+            FROM signal
+        """,
+        "dedup_exact": """
+            WITH fp AS (
+              SELECT doc_id,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+              FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM fp GROUP BY f
+        """,
+        "text_stats": """
+            WITH norm AS (
+              SELECT doc_id, text,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN length(nt) = 0 THEN 0
+                        ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1
+                        END AS BIGINT) AS n_tokens,
+                   CAST(length(replace(nt, ' ', '')) AS DOUBLE) /
+                     greatest(CASE WHEN length(nt) = 0 THEN 0
+                              ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1 END, 1)
+                     AS avg_token_len
+            FROM norm
+        """,
+        "stopword_score_by_lang": """
+            WITH norm AS (
+              SELECT lang,
+                     ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS nt
+              FROM documents
+            )
+            SELECT lang,
+                   avg( (length(nt) - length(replace(nt, ' the ', ''))) / 5.0
+                      + (length(nt) - length(replace(nt, ' and ', ''))) / 5.0
+                      + (length(nt) - length(replace(nt, ' of ', ''))) / 4.0
+                      + (length(nt) - length(replace(nt, ' is ', ''))) / 4.0
+                   ) AS avg_en_hits,
+                   count(*) AS n_docs
+            FROM norm GROUP BY lang
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "token_count_by_source": """
+            WITH norm AS (
+              SELECT source,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              FROM documents
+            )
+            SELECT source,
+                   CAST(sum(CASE WHEN length(nt) = 0 THEN 0
+                        ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1 END)
+                        AS BIGINT) AS total_tokens,
+                   count(*) AS n_docs
+            FROM norm GROUP BY source
+        """,
+        "knn_cosine": """
+            WITH q AS (
+              SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3
+            ), c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 3
+            ), s AS (
+              SELECT q_id, vec_id,
+                     list_cosine_similarity(cv, qv) AS cosine
+              FROM c CROSS JOIN q
+            )
+            SELECT q_id, vec_id, cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 5
+        """,
+        "embedding_norms": """
+            SELECT label,
+                   avg(sqrt(list_sum(list_transform(
+                     CAST(embedding AS DOUBLE[]), x -> x * x)))) AS avg_norm,
+                   count(*) AS n_vecs
+            FROM embeddings GROUP BY label
+        """,
+    }
+    return {k: v.strip() for k, v in o.items()}

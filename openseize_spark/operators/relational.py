@@ -1,0 +1,185 @@
+"""Relational core: the SQL-expressible signal operators.
+
+Every operator here is pure DataFrame API (no Python UDFs) so Catalyst
+pushes filters to the parquet scan, prunes columns, and keeps the whole
+plan in whole-stage codegen.  Each maps a reference operator (file:line in
+docstrings) and is oracle-checked against DuckDB in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openseize_spark.signal import SignalFrame
+
+
+def select_channels(sf: SignalFrame, channels: Sequence[int]) -> SignalFrame:
+    """Channel projection (reference: file_io/edf.py:353-373).  The filter
+    is pushed into the scan by Catalyst (PushedFilters: In(channel,...))."""
+    return sf.with_df(sf.df.filter(F.col("channel").isin(list(channels))))
+
+
+def slice_time(
+    sf: SignalFrame, start: int = 0, stop: int | None = None, step: int = 1
+) -> SignalFrame:
+    """start/stop/step slice along the production axis with re-indexing —
+    the reference implements step-slicing as a mask then compacts
+    (reference: core/protools.py:428-497, mask trick at :466-470).
+
+    The compaction (dense re-index of t) is arithmetic for pure slices:
+    t' = (t - start) / step — no shuffle needed.
+    """
+    df = sf.df.filter(F.col("t") >= start)
+    if stop is not None:
+        df = df.filter(F.col("t") < stop)
+    if step != 1:
+        df = df.filter((F.col("t") - start) % step == 0)
+    df = df.withColumn("t", ((F.col("t") - start) / step).cast("bigint"))
+    return sf.with_df(df, fs=sf.fs / step)
+
+
+def apply_mask(sf: SignalFrame, mask: DataFrame) -> SignalFrame:
+    """Boolean mask + compaction (reference: core/producer.py:379-444).
+
+    ``mask`` has columns (recording_id, t, keep BOOLEAN).  Samples where
+    keep is true survive; t is re-indexed densely per channel via
+    row_number, mirroring MaskedProducer's np.take + re-chunk semantics.
+    A mask shorter than the signal truncates it (zip-stops-early,
+    reference: core/producer.py:423-427) because the inner join drops
+    unmatched samples.
+    """
+    kept = (
+        sf.df.join(mask.filter(F.col("keep")).select("recording_id", "t"),
+                   on=["recording_id", "t"], how="inner")
+    )
+    w = Window.partitionBy("recording_id", "channel").orderBy("t")
+    df = kept.withColumn("t", (F.row_number().over(w) - 1).cast("bigint"))
+    return sf.with_df(df)
+
+
+def mask_from_annotations(
+    sf: SignalFrame,
+    annotations: DataFrame,
+    include: bool = True,
+    labels: Sequence[str] | None = None,
+) -> SignalFrame:
+    """Annotation intervals -> sample mask via an interval join
+    (reference: file_io/annotations.py:130-181 as_mask; interval covers
+    [round(time*fs), round((time+duration)*fs)) ).
+
+    include=True keeps in-interval samples (left_semi); include=False
+    drops them (left_anti).  After masking, t is re-indexed densely —
+    identical compaction semantics to apply_mask.
+
+    ``annotations``: (recording_id, label, time DOUBLE, duration DOUBLE).
+    At scale, the annotation side is small -> broadcast range join.
+    """
+    ann = annotations
+    if labels is not None:
+        ann = ann.filter(F.col("label").isin(list(labels)))
+    fs = F.lit(float(sf.fs))
+    ival = ann.select(
+        F.col("recording_id").alias("a_rid"),
+        F.round(F.col("time") * fs).cast("bigint").alias("lo"),
+        F.round((F.col("time") + F.col("duration")) * fs).cast("bigint").alias("hi"),
+    ).distinct()
+    cond = (
+        (F.col("recording_id") == F.col("a_rid"))
+        & (F.col("t") >= F.col("lo"))
+        & (F.col("t") < F.col("hi"))
+    )
+    how = "left_semi" if include else "left_anti"
+    kept = sf.df.join(F.broadcast(ival), cond, how)
+    w = Window.partitionBy("recording_id", "channel").orderBy("t")
+    df = kept.withColumn("t", (F.row_number().over(w) - 1).cast("bigint"))
+    return sf.with_df(df)
+
+
+def add(sf: SignalFrame, other) -> SignalFrame:
+    """pro + scalar | pro (reference: core/protools.py:72-124).
+
+    Signal+signal aligns by position -> equi-join on (recording_id,
+    channel, t); with both sides bucketed/partitioned on the same key this
+    is a co-partitioned sort-merge join.
+    """
+    return _binop(sf, other, "+")
+
+
+def multiply(sf: SignalFrame, other) -> SignalFrame:
+    """pro * scalar | pro (reference: core/protools.py:127-179)."""
+    return _binop(sf, other, "*")
+
+
+def _binop(sf: SignalFrame, other, op: str) -> SignalFrame:
+    if isinstance(other, SignalFrame):
+        o = other.df.select(
+            "recording_id", "channel", "t", F.col("v").alias("_v2")
+        )
+        j = sf.df.join(o, on=["recording_id", "channel", "t"], how="inner")
+        expr = (F.col("v") + F.col("_v2")) if op == "+" else (F.col("v") * F.col("_v2"))
+        return sf.with_df(j.select("recording_id", "channel", "t", expr.alias("v")))
+    lit = F.lit(float(other))
+    expr = (F.col("v") + lit) if op == "+" else (F.col("v") * lit)
+    return sf.with_df(sf.df.withColumn("v", expr))
+
+
+def multiply_along_axis(sf: SignalFrame, coeffs: DataFrame, axis: str) -> SignalFrame:
+    """Multiply by a 1-D coefficient table along `channel` or `t`
+    (reference: core/protools.py:343-425).  coeffs: (channel|t, c DOUBLE).
+    Small side -> broadcast join, no shuffle of the signal."""
+    assert axis in ("channel", "t")
+    j = sf.df.join(F.broadcast(coeffs), on=axis, how="inner")
+    return sf.with_df(
+        j.select("recording_id", "channel", "t", (F.col("v") * F.col("c")).alias("v"))
+    )
+
+
+def pad(sf: SignalFrame, left: int, right: int, value: float = 0.0) -> SignalFrame:
+    """Constant padding along the production axis
+    (reference: core/protools.py:182-264): synthetic rows unioned on,
+    existing t shifted by `left`.  Generated via sequence+explode —
+    no driver-side data.
+    """
+    chans = sf.df.select("recording_id", "channel").distinct()
+    n = sf.df.groupBy("recording_id", "channel").agg(F.max("t").alias("_mx"))
+    parts = [sf.df.withColumn("t", (F.col("t") + left).cast("bigint"))]
+    if left > 0:
+        parts.append(
+            chans.select(
+                "recording_id",
+                "channel",
+                F.explode(F.sequence(F.lit(0), F.lit(left - 1))).alias("t"),
+            ).select(
+                "recording_id", "channel", F.col("t").cast("bigint"), F.lit(value).alias("v")
+            )
+        )
+    if right > 0:
+        parts.append(
+            n.select(
+                "recording_id",
+                "channel",
+                F.explode(
+                    F.sequence(F.col("_mx") + 1 + left, F.col("_mx") + left + right)
+                ).alias("t"),
+            ).select(
+                "recording_id", "channel", F.col("t").cast("bigint"), F.lit(value).alias("v")
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return sf.with_df(df)
+
+
+def nearest_bin(df: DataFrame, key_col: str, targets: DataFrame, target_col: str) -> DataFrame:
+    """For each target value, the row whose key is nearest — argmin of
+    |key - target| (reference: core/arraytools.py:165-180 nearest1D).
+    Implemented as broadcast-join + min_by (single pass, no sort)."""
+    j = df.crossJoin(F.broadcast(targets))
+    return (
+        j.groupBy(target_col)
+        .agg(F.min_by(key_col, F.abs(F.col(key_col) - F.col(target_col))).alias("nearest"))
+    )

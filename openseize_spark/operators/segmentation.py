@@ -1,0 +1,81 @@
+"""Sliding/tumbling segmentation — the heart of the spectral estimators.
+
+The reference's `_spectra_estimatives` FIFO-caches nfft samples and emits
+one segment every `stride = nfft - overlap*nfft` samples, dropping the
+trailing partial segment (reference: core/numerical.py:799-849, count
+formula :940-943).
+
+Spark-native formulation: a sample at index t belongs to segments
+``seg ∈ [max(0, ceil((t-nfft+1)/stride)), floor(t/stride)]`` — generated
+with sequence+explode (pure codegen, duckdb-oracle-checkable).  Tumbling
+(overlap=0) degenerates to ``seg = t div nfft`` with no row amplification.
+
+For large nfft/stride ratios the explode amplifies rows by nfft/stride;
+the spectral kernels therefore also have a block-based path
+(operators/spectral.py) that forms segments inside Arrow batches instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openseize_spark.signal import SignalFrame
+
+
+def segment_tumbling(sf: SignalFrame, nfft: int) -> DataFrame:
+    """Non-overlapping segments: (recording_id, channel, seg, offset, v).
+    Partial trailing segment dropped via a complete-count semi-join-free
+    window trick: max offset must equal nfft-1 — enforced by the caller
+    aggregating with HAVING count = nfft (see welch)."""
+    return sf.df.select(
+        "recording_id",
+        "channel",
+        F.expr(f"t div {nfft}").alias("seg"),
+        (F.col("t") % nfft).alias("offset"),
+        "v",
+    )
+
+
+def segment_sliding(sf: SignalFrame, nfft: int, stride: int) -> DataFrame:
+    """Overlapping segments via membership explode.
+
+    seg s covers samples [s*stride, s*stride + nfft).  Sample t is in
+    segs ceil((t-nfft+1)/stride) .. t div stride (clamped at 0).
+    Row amplification = nfft/stride.
+    """
+    # ceil((t-nfft+1)/stride) computed on non-negative operands only, so
+    # truncating vs flooring integer division agree across engines
+    lo = F.expr(f"(greatest(t - {nfft} + 1, 0) + {stride} - 1) div {stride}")
+    hi = F.expr(f"t div {stride}")
+    return (
+        sf.df.select(
+            "recording_id",
+            "channel",
+            "t",
+            "v",
+            F.explode(F.sequence(lo, hi)).alias("seg"),
+        )
+        .select(
+            "recording_id",
+            "channel",
+            F.col("seg").cast("bigint").alias("seg"),
+            (F.col("t") - F.col("seg") * stride).cast("bigint").alias("offset"),
+            "v",
+        )
+    )
+
+
+def complete_segments(segments: DataFrame, nfft: int) -> DataFrame:
+    """Keep only complete segments (drop trailing partial — reference
+    semantics, core/numerical.py:901-904)."""
+    counts = segments.groupBy("recording_id", "channel", "seg").agg(
+        F.count("*").alias("_cnt")
+    )
+    return (
+        segments.join(
+            counts.filter(F.col("_cnt") == nfft).drop("_cnt"),
+            on=["recording_id", "channel", "seg"],
+            how="left_semi",
+        )
+    )

@@ -1,0 +1,68 @@
+"""Structured Streaming analogs of the sliding-window estimators.
+
+reference mapping (SURVEY §2.10):
+- welch/stft segmentation (nfft window, stride hop)
+  -> ``window(ts, windowDuration, slideDuration)`` sliding windows;
+- carried IIR state `zi` across chunks (core/numerical.py:326-335)
+  -> ``applyInPandasWithState`` keyed by channel;
+- trailing-partial-segment drop -> emit only complete windows
+  (watermark + append mode).
+
+These run against a streaming source (rate / kafka / file).  The batch
+operators in operators/ are the primary engine; this module proves the
+same semantics stream, using a file/memory source for tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_windowed_stats(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Sliding/tumbling windowed aggregation with late-data watermark —
+    the streaming welch-segmentation analog: one row per complete window
+    per key."""
+    win = F.window(ts_col, window_dur, slide) if slide else F.window(ts_col, window_dur)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg(value_col).alias("mean_v"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("sum_v2"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            "n",
+            "mean_v",
+            "sum_v2",
+        )
+    )
+
+
+def run_batch_as_stream(spark, parquet_path: str, schema, transform, queryName="stream_out"):
+    """Drive a batch parquet directory through a streaming query
+    synchronously (memory sink) — the test harness for streaming parity."""
+    src = spark.readStream.schema(schema).parquet(parquet_path)
+    out = transform(src)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {queryName}")
