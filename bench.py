@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (full compute, no
+driver collect).  The set covers every execution strategy in the engine:
+codegen scan/agg/join, window functions, segment explode, block+halo
+Pandas kernels, LSH/dedup shuffles, and broadcast ANN.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "pricing_summary",      # codegen scan + 7-agg groupBy
+    "revenue_by_nation",    # 5-way join w/ broadcast dims
+    "running_total",        # window cumulative sum
+    "sessionize",           # lag + conditional agg
+    "sliding_energy",       # overlapping-segment explode + agg
+    "fir_kaiser",           # 25-tap codegen window FIR
+    "welch_psd_blocks",     # block+halo Arrow kernel + partial agg
+    "resample_poly",        # polyphase block kernel
+    "sosfilt",              # stateful per-channel IIR kernel
+    "dedup_exact",          # md5 fingerprint hash-groupBy
+    "text_stats",           # pure string-function scan
+    "knn_cosine",           # broadcast brute-force ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    from openseize_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -353,8 +353,7 @@ def butter_order(wp, ws, gpass: float, gstop: float) -> tuple[int, float]:
     warp = np.tan(np.pi * wp / 2)
     wars = np.tan(np.pi * ws / 2)
     if len(wp) == 1:
-        nat = np.abs(wars / warp) if wp[0] < ws[0] else np.abs(warp / wars)
-        nat = float(nat)
+        nat = float(np.abs(wars / warp)[0]) if wp[0] < ws[0] else float(np.abs(warp / wars)[0])
     else:
         if wp[0] < ws[0]:  # bandstop
             nat = float(

@@ -51,13 +51,21 @@ def streaming_windowed_stats(
     )
 
 
-def run_batch_as_stream(spark, parquet_path: str, schema, transform, queryName="stream_out"):
+def run_batch_as_stream(
+    spark, parquet_path: str, schema, transform, queryName="stream_out",
+    output_mode: str = "complete",
+):
     """Drive a batch parquet directory through a streaming query
-    synchronously (memory sink) — the test harness for streaming parity."""
+    synchronously (memory sink) — the test harness for streaming parity.
+
+    Default 'complete' mode flushes every window; 'append' emits only
+    windows already past the watermark (trailing windows held back —
+    the streaming analog of welch's trailing-partial-segment drop).
+    """
     src = spark.readStream.schema(schema).parquet(parquet_path)
     out = transform(src)
     q = (
-        out.writeStream.outputMode("append")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(queryName)
         .trigger(availableNow=True)

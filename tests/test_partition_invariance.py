@@ -1,0 +1,142 @@
+"""Partition-invariance: the single most important correctness idea from
+the reference (chunksize-invariance, tests/test_resampling.py:64-89) —
+distributed block kernels must equal whole-array numpy kernels for every
+partition/block layout."""
+
+import numpy as np
+import pytest
+
+from openseize_spark.dsp import design, kernels
+from openseize_spark.operators import fir as op_fir
+from openseize_spark.operators import iir as op_iir
+from openseize_spark.operators import resample as op_rs
+from openseize_spark.operators import spectral as op_spec
+
+from tests.conftest import collect_signal, make_signal
+
+SPEC = design.kaiser(fpass=10, fstop=20, fs=100.0, gstop=40.0)
+
+
+@pytest.fixture(scope="module")
+def arrays(signal):
+    return collect_signal(signal)
+
+
+class TestFir:
+    def test_sql_path_vs_numpy(self, signal, arrays):
+        got = {
+            (r.channel, r.t): r.v for r in op_fir.apply_fir_sql(signal, SPEC).df.collect()
+        }
+        for ch, x in arrays.items():
+            want = kernels.convolve(x, SPEC.taps, "same")
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    @pytest.mark.parametrize("block_size", [97, 512, 100000])
+    def test_blocks_any_blocksize(self, signal, arrays, block_size):
+        got = {
+            (r.channel, r.t): r.v
+            for r in op_fir.apply_fir_blocks(signal, SPEC, block_size=block_size).df.collect()
+        }
+        for ch, x in arrays.items():
+            want = kernels.convolve(x, SPEC.taps, "same")
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    def test_valid_mode(self, signal, arrays):
+        out = op_fir.apply_fir_sql(signal, SPEC, mode="valid")
+        got = {(r.channel, r.t): r.v for r in out.df.collect()}
+        L = SPEC.numtaps
+        for ch, x in arrays.items():
+            want = kernels.convolve(x, SPEC.taps, "valid")
+            have = np.array([got[(ch, t)] for t in range(len(x) - L + 1)])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    def test_repartition_invariance(self, spark):
+        sf = make_signal(spark, nchannels=2, n=3000, seed=5)
+        ref = None
+        for parts in (1, 7, 64):
+            sf2 = sf.with_df(sf.df.repartition(parts))
+            got = {
+                (r.channel, r.t): r.v
+                for r in op_fir.apply_fir_blocks(sf2, SPEC, block_size=333).df.collect()
+            }
+            if ref is None:
+                ref = got
+            else:
+                assert set(got) == set(ref)
+                assert all(abs(got[k] - ref[k]) < 1e-12 for k in ref)
+
+
+class TestIir:
+    def test_sosfilt_vs_numpy(self, signal, arrays):
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        got = {(r.channel, r.t): r.v for r in op_iir.sosfilt(signal, spec).df.collect()}
+        for ch, x in arrays.items():
+            want, _ = kernels.sosfilt(spec.sos, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    def test_sosfiltfilt_vs_numpy(self, signal, arrays):
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        got = {(r.channel, r.t): r.v for r in op_iir.sosfiltfilt(signal, spec).df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.sosfiltfilt(spec.sos, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+
+class TestResample:
+    @pytest.mark.parametrize("L,M,block", [(1, 2, 512), (2, 3, 97 * 3), (3, 2, 4096), (2, 5, 1000)])
+    def test_blocks_vs_numpy(self, signal, arrays, L, M, block):
+        out = op_rs.resample(signal, L, M, block_size=block)
+        got = {(r.channel, r.t): r.v for r in out.df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.resample_poly(x, L, M)
+            have = np.array([got[(ch, t)] for t in range(len(want))])
+            assert len([k for k in got if k[0] == ch]) == len(want)
+            np.testing.assert_allclose(have, want, atol=1e-10)
+
+    def test_fs_metadata(self, signal):
+        out = op_rs.downsample(signal, 4)
+        assert out.fs == signal.fs / 4
+
+
+class TestWelch:
+    def test_per_channel_vs_numpy(self, signal, arrays):
+        res = op_spec.welch_psd(signal, nfft=256, overlap=0.5).collect()
+        by_ch = {}
+        for r in res:
+            by_ch.setdefault(r.channel, {})[r.freq] = r.psd
+        for ch, x in arrays.items():
+            freqs, want = kernels.welch(x, 100.0, 256)
+            have = np.array([by_ch[ch][f] for f in freqs])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    @pytest.mark.parametrize("segs_per_block", [1, 3, 1000])
+    def test_block_path_equals_channel_path(self, signal, segs_per_block):
+        a = {
+            (r.channel, r.freq): (r.psd, r.nsegs)
+            for r in op_spec.welch_psd(signal, nfft=256).collect()
+        }
+        b = {
+            (r.channel, r.freq): (r.psd, r.nsegs)
+            for r in op_spec.welch_psd_blocks(
+                signal, nfft=256, segs_per_block=segs_per_block
+            ).collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert a[k][1] == b[k][1]
+            assert abs(a[k][0] - b[k][0]) < 1e-12
+
+    def test_stft_vs_numpy(self, signal, arrays):
+        rows = op_spec.stft(signal, nfft=128, overlap=0.5).collect()
+        by = {}
+        for r in rows:
+            by[(r.channel, r.seg, r.freq)] = complex(r.re, r.im)
+        for ch, x in arrays.items():
+            freqs, times, Z = kernels.stft(x, 100.0, 128, 0.5)
+            for si in range(Z.shape[0]):
+                for fi in range(0, Z.shape[1], 17):
+                    assert abs(by[(ch, si, freqs[fi])] - Z[si, fi]) < 1e-12

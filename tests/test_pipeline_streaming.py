@@ -1,0 +1,80 @@
+"""Pipeline composition contract + streaming parity."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openseize_spark.operators import resample as op_rs
+from openseize_spark.operators import spectral as op_spec
+from openseize_spark.plans import Pipeline
+from openseize_spark.streaming import windows as sw
+from tests.conftest import make_signal
+
+
+class TestPipeline:
+    def test_compose(self, spark):
+        sf = make_signal(spark, nchannels=2, n=4000, seed=20)
+        pipe = Pipeline()
+        pipe.append(op_rs.downsample, M=2)
+        pipe.append(op_spec.welch_psd, nfft=128)
+        out = pipe(sf)
+        rows = out.collect()
+        assert len(rows) == 2 * 65  # 2 channels x (128/2+1) freqs
+        assert op_rs.downsample in pipe
+        assert op_spec.welch_psd in pipe
+
+    def test_rejects_wrong_binding(self):
+        pipe = Pipeline()
+        with pytest.raises(TypeError):
+            pipe.append(op_rs.resample)  # L and M unbound -> 3 unbound args
+
+    def test_matches_direct_call(self, spark):
+        sf = make_signal(spark, nchannels=1, n=3000, seed=21)
+        pipe = Pipeline()
+        pipe.append(op_rs.downsample, M=2)
+        a = pipe(sf).df.orderBy("t").toPandas()
+        b = op_rs.downsample(sf, 2).df.orderBy("t").toPandas()
+        np.testing.assert_allclose(a.v.to_numpy(), b.v.to_numpy())
+
+
+class TestStreaming:
+    def test_windowed_stats_match_batch(self, spark, tmp_path):
+        # write a small events slice as the streaming source
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        n = 500
+        ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            np.sort(rng.integers(0, 3600 * 6, n)), unit="s"
+        )
+        pdf = pd.DataFrame(
+            {
+                "ts": ts,
+                "event_type": [["a", "b", "c"][i] for i in rng.integers(0, 3, n)],
+                "value": rng.normal(size=n),
+            }
+        )
+        src = str(tmp_path / "events_src")
+        batch = spark.createDataFrame(pdf)
+        batch.write.mode("overwrite").parquet(src)
+
+        out = sw.run_batch_as_stream(
+            spark,
+            src,
+            batch.schema,
+            lambda df: sw.streaming_windowed_stats(df, "1 hour", None, "10 minutes"),
+            queryName="t_stream",
+        ).collect()
+        want = (
+            batch.groupBy(
+                F.date_trunc("hour", "ts").alias("win_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.avg("value").alias("mean_v"))
+            .collect()
+        )
+        got = {(r.win_start, r.event_type): (r.n, r.mean_v) for r in out}
+        assert len(got) == len(want)
+        for r in want:
+            n_, m_ = got[(r.win_start, r.event_type)]
+            assert n_ == r.n
+            assert m_ == pytest.approx(r.mean_v, rel=1e-9)

@@ -1,0 +1,134 @@
+"""Relational operator semantics vs in-memory numpy/pandas oracles —
+mirrors the reference's producer/protools tests
+(tests/test_producer.py, tests/test_protools.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from openseize_spark.operators import relational as rel
+from openseize_spark.operators import stats as st
+from tests.conftest import collect_signal, make_signal
+
+
+class TestSliceMask:
+    def test_slice_step(self, signal):
+        arrays = collect_signal(signal)
+        out = collect_signal(rel.slice_time(signal, 100, 2000, 7))
+        for ch, x in arrays.items():
+            np.testing.assert_array_equal(out[ch], x[100:2000:7])
+
+    def test_mask_compaction_and_short_mask(self, spark):
+        """Mask shorter than signal truncates (zip-stops-early,
+        reference: core/producer.py:423-427)."""
+        sf = make_signal(spark, nchannels=2, n=1000, seed=3)
+        arrays = collect_signal(sf)
+        rng = np.random.default_rng(7)
+        keep = rng.random(800) < 0.5  # shorter than signal
+        mask_df = spark.createDataFrame(
+            pd.DataFrame({"recording_id": "r0", "t": np.arange(800), "keep": keep}),
+            schema="recording_id string, t bigint, keep boolean",
+        )
+        out = collect_signal(rel.apply_mask(sf, mask_df))
+        for ch, x in arrays.items():
+            np.testing.assert_array_equal(out[ch], x[:800][keep])
+
+    def test_annotation_mask_include_exclude(self, spark):
+        sf = make_signal(spark, nchannels=1, n=1000, seed=4, fs=100.0)
+        x = collect_signal(sf)[0]
+        ann = spark.createDataFrame(
+            [("r0", "a", 1.0, 0.5), ("r0", "b", 5.0, 1.0)],
+            "recording_id string, label string, time double, duration double",
+        )
+        # intervals: [100,150) and [500,600) samples at fs=100
+        m = np.zeros(1000, dtype=bool)
+        m[100:150] = True
+        m[500:600] = True
+        inc = collect_signal(rel.mask_from_annotations(sf, ann, include=True))[0]
+        exc = collect_signal(rel.mask_from_annotations(sf, ann, include=False))[0]
+        np.testing.assert_array_equal(inc, x[m])
+        np.testing.assert_array_equal(exc, x[~m])
+        # label filter
+        only_a = collect_signal(
+            rel.mask_from_annotations(sf, ann, include=True, labels=["a"])
+        )[0]
+        np.testing.assert_array_equal(only_a, x[100:150])
+
+
+class TestArithmeticPad:
+    def test_add_scalar_and_signal(self, spark):
+        sf = make_signal(spark, nchannels=2, n=500, seed=8)
+        arrays = collect_signal(sf)
+        plus2 = collect_signal(rel.add(sf, 2.0))
+        for ch, x in arrays.items():
+            np.testing.assert_allclose(plus2[ch], x + 2.0)
+        both = collect_signal(rel.add(sf, sf))
+        for ch, x in arrays.items():
+            np.testing.assert_allclose(both[ch], 2 * x)
+
+    def test_pad(self, spark):
+        sf = make_signal(spark, nchannels=2, n=300, seed=9)
+        arrays = collect_signal(sf)
+        out = collect_signal(rel.pad(sf, 3, 4, value=0.0))
+        for ch, x in arrays.items():
+            want = np.concatenate([np.zeros(3), x, np.zeros(4)])
+            np.testing.assert_array_equal(out[ch], want)
+
+    def test_multiply_along_channel(self, spark):
+        sf = make_signal(spark, nchannels=3, n=200, seed=10)
+        arrays = collect_signal(sf)
+        coeffs = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, 3.0)], "channel int, c double"
+        )
+        out = collect_signal(rel.multiply_along_axis(sf, coeffs, "channel"))
+        for ch, x in arrays.items():
+            np.testing.assert_allclose(out[ch], x * (ch + 1.0))
+
+
+class TestStats:
+    def test_mean_std_nan_aware(self, spark):
+        """nan-aware stats (reference: core/protools.py:526)."""
+        sf = make_signal(spark, nchannels=2, n=2000, seed=11, nan_frac=0.1)
+        arrays = collect_signal(sf)
+        rows = {r.channel: r for r in st.channel_stats(sf, ignore_nan=True).collect()}
+        for ch, x in arrays.items():
+            assert rows[ch].mean == pytest.approx(np.nanmean(x), rel=1e-9)
+            assert rows[ch].std == pytest.approx(np.nanstd(x), rel=1e-6)
+            assert rows[ch].n == np.count_nonzero(~np.isnan(x))
+
+    def test_standardize(self, spark):
+        sf = make_signal(spark, nchannels=2, n=1500, seed=12)
+        arrays = collect_signal(sf)
+        out = collect_signal(st.standardize(sf))
+        for ch, x in arrays.items():
+            want = (x - x.mean()) / x.std()
+            np.testing.assert_allclose(out[ch], want, atol=1e-9)
+
+
+class TestPlans:
+    def test_filter_pushdown_in_scan(self, spark):
+        """Channel selection must reach the parquet scan as a pushed
+        filter (the datasource-pushdown analog, SURVEY §4)."""
+        df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            df.filter(F.col("l_orderkey") % 4 == 0)
+            .select("l_orderkey", "l_quantity")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ReadSchema" in plan
+        # only the two needed columns are read
+        assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+    def test_broadcast_join_for_small_dim(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        n = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        plan = (
+            li.join(F.broadcast(n), li.l_suppkey == n.n_nationkey)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
