@@ -44,6 +44,10 @@ FS = 100.0
 # compute the identical dot product.
 _FIR_SPEC = design.kaiser(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
 
+from openseize_spark.dsp import design_iir as design2  # noqa: E402
+
+_REMEZ_SPEC = design2.remez_fir(fpass=10, fstop=20, fs=FS, gpass=0.5, gstop=40.0)
+
 
 def _signal(spark: SparkSession, sf_dir: str) -> SignalFrame:
     return signal_from_lineitem(spark, sf_dir, nchannels=NCH, fs=FS)
@@ -354,6 +358,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fir_kaiser"] = q_fir_kaiser
 
+    def q_fir_remez(spark, sf_dir):
+        sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _REMEZ_SPEC, mode="same")
+        return sf.df.select("channel", "t", "v")
+
+    q["fir_remez"] = q_fir_remez
+
+    def q_extend_even(spark, sf_dir):
+        sf = rel.extend(_signal(spark, sf_dir), 4, how="even")
+        return sf.df.select("channel", "t", "v")
+
+    q["extend_even"] = q_extend_even
+
+    def q_extend_edge(spark, sf_dir):
+        sf = rel.extend(_signal(spark, sf_dir), 4, how="edge")
+        return sf.df.select("channel", "t", "v")
+
+    q["extend_edge"] = q_extend_edge
+
+    def q_expand_upsample(spark, sf_dir):
+        sf = rel.expand_along_axis(_signal(spark, sf_dir), 3, 0.0)
+        return sf.df.select("channel", "t", "v")
+
+    q["expand_upsample"] = q_expand_upsample
+
+    def q_event_window_avg(spark, sf_dir):
+        from openseize_spark.operators import coupling
+
+        sf = _signal(spark, sf_dir)
+        events = spark.createDataFrame(
+            [("r0", ch, 1000 + 1111 * j) for ch in range(NCH) for j in range(8)],
+            "recording_id string, channel int, event_t bigint",
+        )
+        return coupling.pac_estimate(sf.df, events, window=64).select(
+            "channel", "offset", "mean_sq_amp", "n_events"
+        )
+
+    q["event_window_avg"] = q_event_window_avg
+
     def q_decimate(spark, sf_dir):
         sf = rel.slice_time(_signal(spark, sf_dir), start=0, step=4)
         return sf.df.select("channel", "t", "v")
@@ -390,9 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sf = _signal(spark, sf_dir)
         im = (
             (
-                (F.col("t") * 37 + F.col("channel") * 11) % 1000
+                (F.col("t") * 37 + F.col("channel") * 11) % 1024
             ).cast("double")
-            / 1000.0
+            / 1024.0
         )
         return sf.df.select(
             "channel",
@@ -523,6 +565,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fir_blocks"] = q_fir_blocks
 
+    def q_sosfilt_cheby1(spark, sf_dir):
+        spec = design2.cheby1(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt_cheby1"] = q_sosfilt_cheby1
+
+    def q_lfilter(spark, sf_dir):
+        import numpy as np
+
+        spec = design.butter(fpass=10, fstop=20, fs=FS)
+        b, a = np.array([1.0]), np.array([1.0])
+        for s in spec.sos:
+            b = np.convolve(b, s[:3])
+            a = np.convolve(a, s[3:])
+        sf = op_iir.lfilter(_signal(spark, sf_dir), b, a)
+        return sf.df.select("channel", "t", "v")
+
+    q["lfilter"] = q_lfilter
+
+    def q_pac(spark, sf_dir):
+        from openseize_spark.operators import coupling
+
+        hspec = design.hilbert_fir(width=5.0, fs=FS)
+        sf = _signal(spark, sf_dir)
+        analytic = op_fir.hilbert_analytic(sf, hspec)
+        ph = op_fir.envelope_phase(analytic)
+        events = coupling.phase_events(
+            ph.select("recording_id", "channel", "t", "phase"), target=0.5, tol=0.05
+        )
+        amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
+        return coupling.pac_estimate(amp, events, window=32).select(
+            "channel", "offset", "mean_sq_amp", "n_events"
+        )
+
+    q["pac"] = q_pac
+
     def q_minhash_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.minhash_dedup(docs, k=5, num_hashes=64, bands=16, threshold=0.8).select(
@@ -571,22 +650,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     sig = "WITH " + signal_cte(NCH)
 
-    # FIR oracle: identical float64 tap literals, same zero-padded 'same'
+    # FIR oracles: identical float64 tap literals, same zero-padded 'same'
     # convolution alignment as operators/fir.apply_fir_sql.
-    taps = _FIR_SPEC.taps
-    L = len(taps)
-    c = (L - 1) // 2
-    terms = []
-    for k in range(L):
-        shift = k - c
-        if shift == 0:
-            col = "v"
-        elif shift > 0:
-            col = f"coalesce(lag(v, {shift}) OVER w, 0.0)"
-        else:
-            col = f"coalesce(lead(v, {-shift}) OVER w, 0.0)"
-        terms.append(f"{col} * {taps[k]!r}")
-    fir_sum = " + ".join(terms)
+    def fir_sum_sql(taps) -> str:
+        L = len(taps)
+        c = (L - 1) // 2
+        terms = []
+        for k in range(L):
+            shift = k - c
+            if shift == 0:
+                col = "v"
+            elif shift > 0:
+                col = f"coalesce(lag(v, {shift}) OVER w, 0.0)"
+            else:
+                col = f"coalesce(lead(v, {-shift}) OVER w, 0.0)"
+            terms.append(f"{col} * {taps[k]!r}")
+        return " + ".join(terms)
+
+    fir_sum = fir_sum_sql(_FIR_SPEC.taps)
+    remez_sum = fir_sum_sql(_REMEZ_SPEC.taps)
 
     o = {
         "pricing_summary": """
@@ -793,6 +875,66 @@ def oracle_sql() -> dict[str, str]:
             FROM signal
             WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
         """,
+        "fir_remez": sig
+        + f"""
+            SELECT channel, t, {remez_sum} AS v
+            FROM signal
+            WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
+        """,
+        "extend_even": sig
+        + """
+            , mx AS (SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2)
+            SELECT channel, CAST(t + 4 AS BIGINT) AS t, v FROM signal
+            UNION ALL
+            SELECT channel, CAST(4 - t AS BIGINT) AS t, v
+            FROM signal WHERE t >= 1 AND t <= 4
+            UNION ALL
+            SELECT s.channel, CAST(2 * m - t + 4 AS BIGINT) AS t, v
+            FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
+            WHERE t >= m - 4 AND t <= m - 1
+        """,
+        "extend_edge": sig
+        + """
+            , mx AS (SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2)
+            SELECT channel, CAST(t + 4 AS BIGINT) AS t, v FROM signal
+            UNION ALL
+            SELECT channel, CAST(g.i AS BIGINT) AS t, v
+            FROM signal CROSS JOIN generate_series(0, 3) AS g(i) WHERE t = 0
+            UNION ALL
+            SELECT s.channel, CAST(unnest(generate_series(m + 5, m + 8)) AS BIGINT) AS t, v
+            FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
+            WHERE t = m
+        """,
+        "expand_upsample": sig
+        + """
+            SELECT channel, CAST(t * 3 AS BIGINT) AS t, v FROM signal
+            UNION ALL
+            SELECT channel, CAST(t * 3 + g.i AS BIGINT) AS t, CAST(0.0 AS DOUBLE) AS v
+            FROM signal CROSS JOIN generate_series(1, 2) AS g(i)
+        """,
+        "event_window_avg": sig
+        + """
+            , events AS (
+              SELECT ch AS channel, CAST(1000 + 1111 * j AS BIGINT) AS event_t
+              FROM generate_series(0, 3) AS c(ch)
+              CROSS JOIN generate_series(0, 7) AS g(j)
+            ), gathered AS (
+              SELECT s.channel, e.event_t,
+                     CAST(s.t - (e.event_t - 32) AS BIGINT) AS offset, s.v
+              FROM signal s
+              JOIN events e ON s.channel = e.channel
+                AND s.t >= e.event_t - 32 AND s.t < e.event_t + 32
+            ), complete AS (
+              SELECT channel, event_t FROM gathered
+              GROUP BY channel, event_t HAVING count(*) = 64
+            )
+            SELECT g.channel, g.offset,
+                   avg(g.v * g.v) AS mean_sq_amp,
+                   count(*) AS n_events
+            FROM gathered g
+            JOIN complete c ON g.channel = c.channel AND g.event_t = c.event_t
+            GROUP BY g.channel, g.offset
+        """,
         "decimate": sig
         + """
             SELECT channel, CAST(t // 4 AS BIGINT) AS t, v
@@ -830,8 +972,8 @@ def oracle_sql() -> dict[str, str]:
         + """
             SELECT channel, t,
                    sqrt(v * v +
-                        (CAST((t * 37 + channel * 11) % 1000 AS DOUBLE) / 1000.0)
-                        * (CAST((t * 37 + channel * 11) % 1000 AS DOUBLE) / 1000.0)
+                        (CAST((t * 37 + channel * 11) % 1024 AS DOUBLE) / 1024.0)
+                        * (CAST((t * 37 + channel * 11) % 1024 AS DOUBLE) / 1024.0)
                    ) AS amplitude
             FROM signal
         """,

@@ -353,3 +353,36 @@ def band_power(freqs: np.ndarray, psd: np.ndarray, lo: float, hi: float) -> floa
         return 0.0
     w = simpson_weights(len(f), dx=float(f[1] - f[0]))
     return float(np.sum(w * psd[sl]))
+
+
+def lfilter_zi(b: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Steady-state DF2T state for lfilter under a unit step (the ba-form
+    analog of sosfilt_zi), solved as the linear fixed point of the state
+    recurrence."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    n = max(len(a), len(b))
+    b = np.pad(b, (0, n - len(b)))
+    a = np.pad(a, (0, n - len(a)))
+    if n == 1:
+        return np.zeros(0)
+    # steady state: y = H(1), z_j = b_{j+1} - a_{j+1} y + z_{j+1}
+    y = np.sum(b) / np.sum(a)
+    z = np.zeros(n - 1)
+    acc = 0.0
+    for j in range(n - 2, -1, -1):
+        acc += b[j + 1] - a[j + 1] * y
+        z[j] = acc
+    return z
+
+
+def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Zero-phase forward-backward ba-form filter, padtype=None
+    (reference: core/numerical.py:449-520)."""
+    zi = lfilter_zi(b, a)
+    y, _ = lfilter(b, a, x, zi * x[0])
+    y = y[::-1]
+    y, _ = lfilter(b, a, y, zi * y[0])
+    return y[::-1]

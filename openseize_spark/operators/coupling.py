@@ -1,0 +1,142 @@
+"""Phase-amplitude coupling (PAC) — the reference's experimental estimator
+rebuilt on relational primitives.
+
+reference: experimental/coupling/estimators.py (PhaseLock),
+experimental/coupling/transforms.py (analytic signal, phases).
+
+Pipeline:
+1. analytic signal of the phase-band filtered signal -> phase column
+   (operators/fir.hilbert_analytic + envelope_phase);
+2. ``phase_events``: sample indices where phase crosses a target value
+   within tolerance (reference: estimators.py:172-179);
+3. ``event_window_gather``: for each event, collect samples in
+   [idx - w/2, idx + w/2) — a **range join** between the amplitude series
+   and the (small, broadcast) event table, grouped by within-window
+   offset (reference: estimators.py:200-230 _avg);  windows shorter than
+   w (stream edges) are discarded via HAVING count = nevents-complete;
+4. ``pac_estimate``: mean squared amplitude per offset, normalized —
+   the phase-locked amplitude modulation curve.
+5. Surrogates: circular-shift the amplitude series by seeded random
+   offsets via a crossJoin with a shift table — replaces the reference's
+   multiprocessing fan-out (estimators.py:391-408) with partition
+   parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def phase_events(
+    analytic_phase: DataFrame, target: float, tol: float = 0.05
+) -> DataFrame:
+    """Samples where phase is within tol of target (rising alignment).
+
+    analytic_phase: (recording_id, channel, t, phase).  Keeps the first
+    sample of each contiguous within-tolerance run (the crossing), via a
+    lag on the in-tolerance flag."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("recording_id", "channel").orderBy("t")
+    inside = (F.abs(F.col("phase") - target) <= tol)
+    df = analytic_phase.withColumn("_in", inside)
+    first = df.withColumn("_prev", F.lag("_in", 1, False).over(w)).filter(
+        F.col("_in") & ~F.col("_prev")
+    )
+    return first.select("recording_id", "channel", F.col("t").alias("event_t"))
+
+
+def event_window_gather(
+    samples: DataFrame, events: DataFrame, window: int
+) -> DataFrame:
+    """Range join: samples within [event_t - w/2, event_t + w/2) per event.
+
+    Returns (recording_id, channel, event_t, offset, v).  Events are tiny
+    relative to samples -> broadcast range join; Spark turns the band
+    predicate into a BroadcastNestedLoopJoin with a pushed filter, which
+    is the right plan when |events| is small.
+    """
+    half = window // 2
+    e = events.select(
+        F.col("recording_id").alias("e_rid"),
+        F.col("channel").alias("e_ch"),
+        "event_t",
+    )
+    cond = (
+        (F.col("recording_id") == F.col("e_rid"))
+        & (F.col("channel") == F.col("e_ch"))
+        & (F.col("t") >= F.col("event_t") - half)
+        & (F.col("t") < F.col("event_t") + half)
+    )
+    return (
+        samples.join(F.broadcast(e), cond)
+        .select(
+            "recording_id",
+            "channel",
+            "event_t",
+            (F.col("t") - (F.col("event_t") - half)).cast("bigint").alias("offset"),
+            "v",
+        )
+    )
+
+
+def pac_estimate(
+    amplitude: DataFrame, events: DataFrame, window: int
+) -> DataFrame:
+    """Phase-locked mean squared amplitude per within-window offset
+    (reference: estimators.py:200-230).  Windows clipped by stream edges
+    are discarded (reference discards short windows)."""
+    g = event_window_gather(amplitude, events, window)
+    complete = (
+        g.groupBy("recording_id", "channel", "event_t")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") == window)
+        .drop("_n")
+    )
+    gc = g.join(complete, on=["recording_id", "channel", "event_t"], how="left_semi")
+    return (
+        gc.groupBy("recording_id", "channel", "offset")
+        .agg(
+            F.avg(F.col("v") * F.col("v")).alias("mean_sq_amp"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def surrogate_shifts(spark, n_surrogates: int, n_samples: int, seed: int = 0) -> DataFrame:
+    """Seeded circular-shift table for surrogate PAC distributions
+    (replaces mp.Pool fan-out, reference: estimators.py:391-408)."""
+    rng = np.random.default_rng(seed)
+    shifts = rng.integers(n_samples // 4, 3 * n_samples // 4, size=n_surrogates)
+    return spark.createDataFrame(
+        [(int(i), int(s)) for i, s in enumerate(shifts)], "surrogate_id int, shift bigint"
+    )
+
+
+def pac_surrogates(
+    amplitude: DataFrame,
+    events: DataFrame,
+    window: int,
+    shifts: DataFrame,
+    n_samples: int,
+) -> DataFrame:
+    """PAC under circularly-shifted amplitude for each surrogate:
+    crossJoin the (tiny) shift table, shift t modulo n, re-gather.
+    One distributed job evaluates every surrogate in parallel."""
+    shifted = (
+        amplitude.crossJoin(F.broadcast(shifts))
+        .select(
+            "recording_id",
+            "channel",
+            "surrogate_id",
+            ((F.col("t") + F.col("shift")) % n_samples).alias("t"),
+            "v",
+        )
+    )
+    g = event_window_gather(shifted, events, window)
+    return (
+        g.groupBy("recording_id", "channel", "surrogate_id", "offset")
+        .agg(F.avg(F.col("v") * F.col("v")).alias("mean_sq_amp"))
+    )

@@ -63,3 +63,38 @@ def apply_iir(sf: SignalFrame, spec: SosSpec) -> SignalFrame:
     """Reference IIR.__call__: dephase -> filtfilt else filt
     (reference: filtering/bases.py:185-213)."""
     return sosfiltfilt(sf, spec) if spec.dephase else sosfilt(sf, spec)
+
+
+def lfilter(sf: SignalFrame, b: np.ndarray, a: np.ndarray) -> SignalFrame:
+    """Causal transfer-function filter per channel
+    (reference: core/numerical.py:414-446)."""
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        y, _ = kernels.lfilter(b, a, pdf["v"].to_numpy())
+        return pdf.assign(v=y)
+
+    return sf.with_df(sf.df.groupBy("recording_id", "channel").applyInPandas(_f, _SCHEMA))
+
+
+def filtfilt(sf: SignalFrame, b: np.ndarray, a: np.ndarray) -> SignalFrame:
+    """Zero-phase ba-form filter, padtype=None semantics
+    (reference: core/numerical.py:449-520)."""
+
+    def _f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t")
+        y = kernels.filtfilt(b, a, pdf["v"].to_numpy())
+        return pdf.assign(v=y)
+
+    return sf.with_df(sf.df.groupBy("recording_id", "channel").applyInPandas(_f, _SCHEMA))
+
+
+def sosfilt_chunked_scan(x_chunks, sos):
+    """Reference-exact chunked sosfilt: a generator consuming ndarray
+    chunks and carrying zi (reference: core/numerical.py:301-335) — the
+    longer-than-memory fallback documented in SURVEY §7; used by the
+    streaming stateful variant (streaming/stateful.py)."""
+    z = None
+    for chunk in x_chunks:
+        y, z = kernels.sosfilt(sos, chunk, z)
+        yield y

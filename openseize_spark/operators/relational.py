@@ -183,3 +183,122 @@ def nearest_bin(df: DataFrame, key_col: str, targets: DataFrame, target_col: str
         j.groupBy(target_col)
         .agg(F.min_by(key_col, F.abs(F.col(key_col) - F.col(target_col))).alias("nearest"))
     )
+
+
+def extend(sf: SignalFrame, n: int, how: str = "zero") -> SignalFrame:
+    """Boundary extensions along the production axis
+    (reference: core/arraytools.py:183-312 zero/edge/even/odd extend):
+
+    - zero: constant 0 rows (== pad);
+    - edge: replicate the first/last sample;
+    - even: mirror about the edges (t' = -t and 2N-2-t reflections);
+    - odd:  mirrored and negated about the edge value.
+
+    All generated-row unions with reflected t expressions — no kernel.
+    Output t is re-based so the first extended sample is t = 0.
+    """
+    if how == "zero":
+        return pad(sf, n, n, 0.0)
+    df = sf.df
+    bounds = df.groupBy("recording_id", "channel").agg(
+        F.max("t").alias("_mx")
+    )
+    withb = df.join(bounds, on=["recording_id", "channel"])
+    base = df.withColumn("t", (F.col("t") + n).cast("bigint"))
+
+    if how == "edge":
+        first = withb.filter(F.col("t") == 0).select(
+            "recording_id",
+            "channel",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("t"),
+            "v",
+        ).select("recording_id", "channel", F.col("t").cast("bigint"), "v")
+        last = withb.filter(F.col("t") == F.col("_mx")).select(
+            "recording_id",
+            "channel",
+            F.explode(
+                F.sequence(F.col("_mx") + n + 1, F.col("_mx") + 2 * n)
+            ).alias("t"),
+            "v",
+        ).select("recording_id", "channel", F.col("t").cast("bigint"), "v")
+        return sf.with_df(base.unionByName(first).unionByName(last))
+
+    sign = 1.0 if how == "even" else -1.0
+    # left reflection: sample at original index i (1..n) lands at t = n - i
+    left_src = withb.filter((F.col("t") >= 1) & (F.col("t") <= n))
+    # for odd: v' = 2*v[0] - v[i]
+    if how == "odd":
+        v0 = withb.filter(F.col("t") == 0).select(
+            "recording_id", "channel", F.col("v").alias("_v0")
+        )
+        left_src = left_src.join(v0, on=["recording_id", "channel"])
+        left = left_src.select(
+            "recording_id",
+            "channel",
+            (F.lit(n) - F.col("t")).cast("bigint").alias("t"),
+            (2 * F.col("_v0") - F.col("v")).alias("v"),
+        )
+        vN = withb.filter(F.col("t") == F.col("_mx")).select(
+            "recording_id", "channel", F.col("v").alias("_vN")
+        )
+        right_src = withb.filter(
+            (F.col("t") >= F.col("_mx") - n) & (F.col("t") <= F.col("_mx") - 1)
+        ).join(vN, on=["recording_id", "channel"])
+        right = right_src.select(
+            "recording_id",
+            "channel",
+            (2 * F.col("_mx") - F.col("t") + n).cast("bigint").alias("t"),
+            (2 * F.col("_vN") - F.col("v")).alias("v"),
+        )
+    else:  # even
+        left = left_src.select(
+            "recording_id",
+            "channel",
+            (F.lit(n) - F.col("t")).cast("bigint").alias("t"),
+            "v",
+        )
+        right = withb.filter(
+            (F.col("t") >= F.col("_mx") - n) & (F.col("t") <= F.col("_mx") - 1)
+        ).select(
+            "recording_id",
+            "channel",
+            (2 * F.col("_mx") - F.col("t") + n).cast("bigint").alias("t"),
+            "v",
+        )
+    return sf.with_df(base.unionByName(left).unionByName(right))
+
+
+def expand_along_axis(sf: SignalFrame, L: int, value: float = 0.0) -> SignalFrame:
+    """Insert L-1 constant samples between consecutive samples
+    (upsampling expansion, reference: core/arraytools.py:85-115):
+    t' = t*L for originals plus generated filler rows."""
+    if L == 1:
+        return sf
+    orig = sf.df.withColumn("t", (F.col("t") * L).cast("bigint"))
+    filler = sf.df.select(
+        "recording_id",
+        "channel",
+        F.explode(F.sequence(F.lit(1), F.lit(L - 1))).alias("_k"),
+        (F.col("t") * L).alias("_base"),
+    ).select(
+        "recording_id",
+        "channel",
+        (F.col("_base") + F.col("_k")).cast("bigint").alias("t"),
+        F.lit(value).alias("v"),
+    )
+    return sf.with_df(orig.unionByName(filler), fs=sf.fs * L)
+
+
+def squeeze(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Drop constant (length-1 axis) key columns — the schema analog of
+    producer squeeze (reference: core/protools.py:18-69)."""
+    return df.drop(*cols)
+
+
+def expand_dims(df: DataFrame, **new_cols) -> DataFrame:
+    """Insert singleton key columns (reference: core/protools.py:267-338):
+    each kwarg adds a constant column, the schema analog of a length-1
+    axis."""
+    for name, val in new_cols.items():
+        df = df.withColumn(name, F.lit(val))
+    return df

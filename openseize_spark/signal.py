@@ -72,7 +72,11 @@ def signal_from_lineitem(
         t       = row_number() over (partition by channel
                                      order by l_orderkey, l_linenumber,
                                               l_partkey, l_suppkey) - 1
-        v       = ((l_partkey*7 + l_linenumber*13 + l_suppkey*3) % 1000)/1000
+        v       = ((l_partkey*7 + l_linenumber*13 + l_suppkey*3) % 1024)/1024
+
+    v is a dyadic rational (k/2^10): sums and power-of-two divisions of
+    dyadics are EXACT in float64, so aggregates match across engines
+    bit-for-bit regardless of summation order.
 
     (l_orderkey, l_linenumber) alone is NOT unique in the driver data; the
     extended key makes v a pure function of the sort key, so any residual
@@ -91,9 +95,9 @@ def signal_from_lineitem(
             (
                 (
                     (F.col("l_partkey") * 7 + F.col("l_linenumber") * 13 + F.col("l_suppkey") * 3)
-                    % 1000
+                    % 1024
                 ).cast("double")
-                / 1000.0
+                / 1024.0
             ).alias("v"),
         )
     )
@@ -109,7 +113,7 @@ signal AS (
          CAST(row_number() OVER (PARTITION BY l_orderkey % {nch}
                                  ORDER BY l_orderkey, l_linenumber,
                                           l_partkey, l_suppkey) - 1 AS BIGINT) AS t,
-         CAST((l_partkey*7 + l_linenumber*13 + l_suppkey*3) % 1000 AS DOUBLE) / 1000.0 AS v
+         CAST((l_partkey*7 + l_linenumber*13 + l_suppkey*3) % 1024 AS DOUBLE) / 1024.0 AS v
   FROM lineitem
 )
 """
