@@ -229,6 +229,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tumbling_hour"] = q_tumbling_hour
 
+    def q_rollup_revenue(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "sum_qty",
+                "n",
+            )
+        )
+
+    q["rollup_revenue"] = q_rollup_revenue
+
+    def q_pivot_status(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .agg(F.sum("l_quantity"))
+            .select(
+                "l_returnflag",
+                F.col("O").alias("qty_o"),
+                F.col("F").alias("qty_f"),
+            )
+        )
+
+    q["pivot_status"] = q_pivot_status
+
+    def q_set_ops(spark, sf_dir):
+        o = _t(spark, sf_dir, "orders")
+        hi = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
+        urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+        both = hi.intersect(urgent)
+        only_hi = hi.distinct().exceptAll(both)
+        return both.withColumn("kind", F.lit("both")).unionByName(
+            only_hi.withColumn("kind", F.lit("only_hi"))
+        )
+
+    q["set_ops"] = q_set_ops
+
+    def q_distinct_pairs(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem")
+        return li.select("l_returnflag", "l_linestatus").distinct()
+
+    q["distinct_pairs"] = q_distinct_pairs
+
+    def q_detrend_linear(spark, sf_dir):
+        """Per-channel linear detrend via explicit moment formulas —
+        identical expression trees in both engines (stats builtins use
+        different streaming algorithms and drift in the last ulp)."""
+        sf = _signal(spark, sf_dir)
+        w = W.partitionBy("recording_id", "channel")
+        td = F.col("t").cast("double")
+        mt = F.avg(td).over(w)
+        mv = F.avg("v").over(w)
+        mtv = F.avg(td * F.col("v")).over(w)
+        mtt = F.avg(td * td).over(w)
+        slope = (mtv - mt * mv) / (mtt - mt * mt)
+        resid = F.col("v") - (mv + slope * (td - mt))
+        return sf.df.select("channel", "t", resid.alias("resid"))
+
+    q["detrend_linear"] = q_detrend_linear
+
     # --------------------- signal operators (SURVEY §2.2-2.8) ----------
     def q_channel_select(spark, sf_dir):
         sf = rel.select_channels(_signal(spark, sf_dir), [1, 3])
@@ -591,7 +656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hspec = design.hilbert_fir(width=5.0, fs=FS)
         sf = _signal(spark, sf_dir)
         analytic = op_fir.hilbert_analytic(sf, hspec)
-        ph = op_fir.envelope_phase(analytic)
+        # persist the shared analytic subtree: events and amplitudes both
+        # derive from it and would otherwise recompute the FIR window
+        ph = op_fir.envelope_phase(analytic).persist()
         events = coupling.phase_events(
             ph.select("recording_id", "channel", "t", "phase"), target=0.5, tol=0.05
         )
@@ -757,6 +824,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(value) AS DOUBLE) AS sum_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS DOUBLE) AS qty_o,
+                   CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS DOUBLE) AS qty_f
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000),
+                 urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+                 both_k AS (SELECT DISTINCT o_custkey FROM hi INTERSECT SELECT o_custkey FROM urgent)
+            SELECT o_custkey, 'both' AS kind FROM both_k
+            UNION ALL
+            SELECT o_custkey, 'only_hi' AS kind
+            FROM (SELECT DISTINCT o_custkey FROM hi EXCEPT SELECT o_custkey FROM both_k)
+        """,
+        "distinct_pairs": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "detrend_linear": sig
+        + """
+            , m AS (
+              SELECT channel,
+                     avg(CAST(t AS DOUBLE)) AS mt, avg(v) AS mv,
+                     avg(CAST(t AS DOUBLE) * v) AS mtv,
+                     avg(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) AS mtt
+              FROM signal GROUP BY channel
+            )
+            SELECT s.channel, t,
+                   v - (mv + ((mtv - mt * mv) / (mtt - mt * mt))
+                        * (CAST(t AS DOUBLE) - mt)) AS resid
+            FROM signal s JOIN m ON s.channel = m.channel
         """,
         "channel_select": sig
         + "SELECT channel, t, v FROM signal WHERE channel IN (1, 3)",

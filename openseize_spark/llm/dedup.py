@@ -51,6 +51,18 @@ def _shingle_expr(text_norm, k: int):
     )
 
 
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(num_hashes: int, seed: int = 13):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes)
+    b = rng.integers(0, _MERSENNE, size=num_hashes)
+    return a, b
+
+
 def minhash_signatures(
     docs: DataFrame,
     k: int = 5,
@@ -60,21 +72,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: (id, sig ARRAY<INT>[num_hashes]).
 
-    Permutation j's hash = murmur3(shingle, seed=j); min over the doc's
-    shingle set.  All array ops are JVM-side higher-order functions — no
-    Python in the loop.
+    One murmur3 base hash per shingle, then ``num_hashes`` universal-hash
+    permutations h_j(x) = (a_j*x + b_j) mod (2^31-1) as plain min
+    aggregations — fully codegen'd with map-side partial min, one shuffle
+    keyed by doc id.  (The naive per-permutation re-hash builds a huge
+    interpreted expression tree and is ~50x slower.)
     """
+    a, b = _perm_params(num_hashes)
     norm = normalize_text(F.col(text_col))
-    sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
-        "_shingles", _shingle_expr(F.col("_txt"), k)
-    ).filter(F.size("_shingles") > 0)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(F.col("_shingles"), lambda s: F.hash(s, j))
-        ),
+    sh = (
+        docs.select(F.col(id_col), norm.alias("_txt"))
+        .withColumn("_shingles", _shingle_expr(F.col("_txt"), k))
+        .filter(F.size("_shingles") > 0)
+        .select(id_col, F.explode("_shingles").alias("_s"))
+        .select(
+            id_col,
+            (F.hash("_s").cast("bigint").bitwiseAND(F.lit(0x7FFFFFFF))).alias("_x"),
+        )
     )
-    return sh.select(id_col, sig.alias("sig"))
+    aggs = [
+        F.min((F.col("_x") * int(a[j]) + int(b[j])) % _MERSENNE)
+        .cast("int")
+        .alias(f"_h{j}")
+        for j in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*aggs)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"_h{j}") for j in range(num_hashes)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(

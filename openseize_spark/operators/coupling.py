@@ -59,19 +59,35 @@ def event_window_gather(
     is the right plan when |events| is small.
     """
     half = window // 2
+    # Bucketize the range join: every window of length `window` spans at
+    # most 3 buckets of size `window`; events explode to their covered
+    # buckets and the join becomes a broadcast HASH join on
+    # (recording, channel, bucket) + a residual range filter — no
+    # nested-loop scan of the 100-TB side.
     e = events.select(
         F.col("recording_id").alias("e_rid"),
         F.col("channel").alias("e_ch"),
         "event_t",
+        F.explode(
+            F.sequence(
+                F.expr(f"(event_t - {half}) div {window}"),
+                F.expr(f"(event_t + {half} - 1) div {window}"),
+            )
+        ).alias("bucket"),
     )
+    s = samples.withColumn("bucket", F.expr(f"t div {window}"))
     cond = (
         (F.col("recording_id") == F.col("e_rid"))
         & (F.col("channel") == F.col("e_ch"))
+        & (F.col("bucket") == F.col("e_bucket"))
         & (F.col("t") >= F.col("event_t") - half)
         & (F.col("t") < F.col("event_t") + half)
     )
     return (
-        samples.join(F.broadcast(e), cond)
+        s.join(
+            F.broadcast(e.withColumnRenamed("bucket", "e_bucket")),
+            cond,
+        )
         .select(
             "recording_id",
             "channel",
@@ -88,14 +104,15 @@ def pac_estimate(
     """Phase-locked mean squared amplitude per within-window offset
     (reference: estimators.py:200-230).  Windows clipped by stream edges
     are discarded (reference discards short windows)."""
+    from pyspark.sql import Window
+
     g = event_window_gather(amplitude, events, window)
-    complete = (
-        g.groupBy("recording_id", "channel", "event_t")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") == window)
-        .drop("_n")
+    # completeness via an analytic count — one pass over the gathered
+    # rows instead of a groupBy + semi-join re-derivation of the subtree
+    wn = Window.partitionBy("recording_id", "channel", "event_t")
+    gc = g.withColumn("_n", F.count("*").over(wn)).filter(
+        F.col("_n") == window
     )
-    gc = g.join(complete, on=["recording_id", "channel", "event_t"], how="left_semi")
     return (
         gc.groupBy("recording_id", "channel", "offset")
         .agg(

@@ -136,12 +136,35 @@ def hilbert_analytic(sf: SignalFrame, spec: FirSpec) -> DataFrame:
     experimental/coupling/transforms.py:186-192).
 
     Returns (recording_id, channel, t, re, im) — complex as a struct-free
-    pair since Spark has no complex type.
+    pair since Spark has no complex type.  For the SQL path, re and im are
+    computed in ONE window projection (no join, one shuffle total).
     """
-    im = apply_fir_sql(sf, spec, mode="same") if spec.numtaps <= 128 else apply_fir_blocks(
-        sf, spec, mode="same"
-    )
-    imdf = im.df.select("recording_id", "channel", "t", F.col("v").alias("im"))
+    taps = spec.taps
+    L = len(taps)
+    if L <= 192:
+        c = (L - 1) // 2
+        w = Window.partitionBy("recording_id", "channel").orderBy("t")
+        terms = []
+        for k in range(L):
+            if abs(taps[k]) == 0.0:  # type-III Hilbert: half the taps are 0
+                continue
+            shift = k - c
+            col = (
+                F.col("v")
+                if shift == 0
+                else F.lag("v", shift).over(w)
+                if shift > 0
+                else F.lead("v", -shift).over(w)
+            )
+            terms.append(F.coalesce(col, F.lit(0.0)) * F.lit(float(taps[k])))
+        im = terms[0]
+        for tm in terms[1:]:
+            im = im + tm
+        return sf.df.select(
+            "recording_id", "channel", "t", F.col("v").alias("re"), im.alias("im")
+        )
+    im_sf = apply_fir_blocks(sf, spec, mode="same")
+    imdf = im_sf.df.select("recording_id", "channel", "t", F.col("v").alias("im"))
     return (
         sf.df.select("recording_id", "channel", "t", F.col("v").alias("re"))
         .join(imdf, on=["recording_id", "channel", "t"], how="inner")
