@@ -509,6 +509,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["envelope"] = q_envelope
 
+    def q_synth_signal(spark, sf_dir):
+        from openseize_spark.sources.generator import dyadic_signal
+
+        sf = dyadic_signal(spark, nchannels=3, nsamples=5000)
+        return sf.df.select("channel", "t", "v")
+
+    q["synth_signal"] = q_synth_signal
+
+    def q_psd_ci(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        psd = sf.df.filter(F.col("t") <= 200).select(
+            "recording_id",
+            "channel",
+            (F.col("t") * 0.5).alias("freq"),
+            F.col("v").alias("psd"),
+            F.lit(20).cast("long").alias("nsegs"),
+        )
+        out = spec.confidence_interval(psd, alpha=0.05)
+        return out.select("channel", "freq", "psd", "ci_lower", "ci_upper")
+
+    q["psd_ci"] = q_psd_ci
+
+    def q_sosfiltfilt_ellip(spark, sf_dir):
+        spec_e = design2.ellip(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), spec_e)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfiltfilt_ellip"] = q_sosfiltfilt_ellip
+
     # ------------------------- LLM pipeline ops -------------------------
     def q_dedup_exact(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
@@ -736,6 +765,16 @@ def oracle_sql() -> dict[str, str]:
 
     fir_sum = fir_sum_sql(_FIR_SPEC.taps)
     remez_sum = fir_sum_sql(_REMEZ_SPEC.taps)
+
+    # Wilson-Hilferty chi2 quantile (same closed form as
+    # operators/spectral.confidence_interval, z literals embedded)
+    from openseize_spark.operators.spectral import _norm_ppf
+
+    z_lo = _norm_ppf(0.025)
+    z_hi = _norm_ppf(0.975)
+
+    def chi2_sql(z: float) -> str:
+        return f"(40 * pow(1 - 2/(9*40.0) + ({z!r}) * sqrt(2/(9*40.0)), 3))"
 
     o = {
         "pricing_summary": """
@@ -1083,6 +1122,20 @@ def oracle_sql() -> dict[str, str]:
                         * (CAST((t * 37 + channel * 11) % 1024 AS DOUBLE) / 1024.0)
                    ) AS amplitude
             FROM signal
+        """,
+        "synth_signal": """
+            SELECT CAST(c.i AS INT) AS channel,
+                   CAST(t.i AS BIGINT) AS t,
+                   CAST((t.i * 2654435761 + c.i * 40503) % 1024 AS DOUBLE) / 1024.0 AS v
+            FROM generate_series(0, 4999) AS t(i)
+            CROSS JOIN generate_series(0, 2) AS c(i)
+        """,
+        "psd_ci": sig
+        + f"""
+            SELECT channel, CAST(t * 0.5 AS DOUBLE) AS freq, v AS psd,
+                   40 * v / {chi2_sql(z_hi)} AS ci_lower,
+                   40 * v / {chi2_sql(z_lo)} AS ci_upper
+            FROM signal WHERE t <= 200
         """,
         "dedup_exact": """
             WITH fp AS (

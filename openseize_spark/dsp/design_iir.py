@@ -1,10 +1,10 @@
 """Chebyshev type I/II IIR design + Remez-exchange FIR design, pure numpy.
 
 Extends dsp/design.py with the remaining reference filter families
-(reference: filtering/iir.py:123-274 Cheby1/Cheby2,
-filtering/fir.py:483-664 Remez).  Elliptic (filtering/iir.py:277-351)
-requires Jacobi elliptic functions — deferred (documented TODO); Butter,
-Cheby1, Cheby2, Notch cover the standard use cases.
+(reference: filtering/iir.py:123-274 Cheby1/Cheby2, :277-351 Ellip,
+filtering/fir.py:483-664 Remez).  Elliptic design includes the Jacobi
+elliptic machinery (AGM amplitude algorithm, theta-function nome for the
+degree equation) in pure numpy.
 
 All public textbook algorithms: Chebyshev analog prototypes ->
 lowpass-band transform -> bilinear -> sos (shared machinery from
@@ -219,3 +219,160 @@ def remez_fir(fpass, fstop, fs: float, gpass: float = 0.5, gstop: float = 40.0) 
         weight = [ds / dp, 1, ds / dp]
     taps = remez(numtaps, bands, desired, fs=fs, weight=weight)
     return FirSpec(taps=taps, fs=fs, btype=btype, fpass=tuple(fpass_a), fstop=tuple(fstop_a))
+
+
+# ------------------------------------------------------------- elliptic
+# Jacobi elliptic machinery (AGM + Landen + theta-function nome), enough
+# for the classic ellipap pole/zero construction (reference:
+# filtering/iir.py:277-351 delegates to scipy's equivalent).
+
+def _ellipk(m: float) -> float:
+    """Complete elliptic integral K(m) via AGM (m = k^2)."""
+    if m >= 1.0:
+        return float("inf")
+    a, b = 1.0, math.sqrt(1.0 - m)
+    while abs(a - b) > 1e-15 * a:
+        a, b = (a + b) / 2.0, math.sqrt(a * b)
+    return math.pi / (2.0 * a)
+
+
+def _ellipj(u: float, m: float):
+    """sn, cn, dn via the AGM amplitude algorithm (A&S 16.4, real u,
+    0 <= m < 1)."""
+    if m < 1e-14:
+        return math.sin(u), math.cos(u), 1.0
+    if m > 1 - 1e-14:
+        sn = math.tanh(u)
+        return sn, 1 / math.cosh(u), 1 / math.cosh(u)
+    a, b, c = 1.0, math.sqrt(1.0 - m), math.sqrt(m)
+    a_list, c_list = [a], [c]
+    n = 0
+    while abs(c) > 1e-16 * a and n < 60:
+        a, b, c = (a + b) / 2.0, math.sqrt(a * b), (a - b) / 2.0
+        a_list.append(a)
+        c_list.append(c)
+        n += 1
+    phi = (2.0**n) * a_list[n] * u
+    for i in range(n, 0, -1):
+        phi = (phi + math.asin(
+            max(-1.0, min(1.0, c_list[i] / a_list[i] * math.sin(phi)))
+        )) / 2.0
+    sn = math.sin(phi)
+    cn = math.cos(phi)
+    dn = math.sqrt(max(1 - m * sn * sn, 0.0))
+    return sn, cn, dn
+
+
+def _ellipF(phi: float, m: float) -> float:
+    """Incomplete elliptic integral F(phi, m) by adaptive Simpson."""
+    n = 2048
+    theta = np.linspace(0.0, phi, n + 1)
+    integrand = 1.0 / np.sqrt(1.0 - m * np.sin(theta) ** 2)
+    w = np.ones(n + 1)
+    w[1:-1:2] = 4.0
+    w[2:-1:2] = 2.0
+    return float((phi / n) / 3.0 * np.sum(w * integrand))
+
+
+def _ellipdeg(n: int, k1: float) -> float:
+    """Solve the degree equation for k (modulus) given order n and k1 —
+    theta-function/nome method (standard ellipdeg)."""
+    K1 = _ellipk(k1 * k1)
+    K1p = _ellipk(1 - k1 * k1)
+    q1 = math.exp(-math.pi * K1p / K1)
+    q = q1 ** (1.0 / n)
+    num = sum(q ** (i * (i + 1)) for i in range(8))
+    den = 1 + 2 * sum(q ** (i * i) for i in range(1, 8))
+    return 4 * math.sqrt(q) * (num / den) ** 2  # k
+
+
+def ellip_order(wp: float, ws: float, gpass: float, gstop: float) -> int:
+    """Minimal elliptic order (lowpass-prototype normalized freqs)."""
+    k = wp / ws  # selectivity
+    eps_p = math.sqrt(10 ** (0.1 * gpass) - 1)
+    eps_s = math.sqrt(10 ** (0.1 * gstop) - 1)
+    k1 = eps_p / eps_s
+    n = (_ellipk(k * k) * _ellipk(1 - k1 * k1)) / (
+        _ellipk(1 - k * k) * _ellipk(k1 * k1)
+    )
+    return max(int(math.ceil(n)), 1)
+
+
+def _ellipap(n: int, rp: float, rs: float):
+    """Analog elliptic prototype zeros/poles/gain (ellipap work-alike):
+    passband edge at 1 rad/s, rp dB ripple, rs dB stopband."""
+    eps = math.sqrt(10 ** (0.1 * rp) - 1)
+    k1 = eps / math.sqrt(10 ** (0.1 * rs) - 1)
+    m = _ellipdeg(n, k1) ** 2  # k^2
+    K = _ellipk(m)
+
+    jvec = np.arange(1 - n % 2, n, 2)
+    z = []
+    for j in jvec:
+        s, c, d = _ellipj(j * K / n, m)
+        if abs(s) > 1e-12:
+            z.append(1j / (math.sqrt(m) * s))
+    z = np.array(z)
+    z = np.concatenate([z, np.conj(z)])
+
+    # v0 = K/(n*K1) * Im(asn(j/eps, k1^2));  asn(j t, m) = j F(atan(t), 1-m)
+    K1 = _ellipk(k1 * k1)
+    v0 = (K / (n * K1)) * _ellipF(math.atan(1.0 / eps), 1 - k1 * k1)
+    sv, cv, dv = _ellipj(v0, 1 - m)
+    p = []
+    for j in jvec:
+        s, c, d = _ellipj(j * K / n, m)
+        denom = 1.0 - (d * sv) ** 2
+        pj = -(c * d * sv * cv + 1j * s * dv) / denom
+        p.append(pj)
+    p = np.array(p)
+    # conjugate pairs for complex poles (j>0 yields distinct conjugates)
+    if n % 2 == 1:
+        real_mask = np.abs(p.imag) < 1e-10
+        pc = p[~real_mask]
+        p = np.concatenate([p, np.conj(pc)])
+    else:
+        p = np.concatenate([p, np.conj(p)])
+    k0 = np.real(np.prod(-p) / np.prod(-z))
+    if n % 2 == 0:
+        k0 /= math.sqrt(1 + eps * eps)
+    return z, p, k0
+
+
+def ellip(fpass, fstop, fs: float, gpass: float = 1.0, gstop: float = 40.0) -> SosSpec:
+    """Elliptic (Cauer) minimal-order design
+    (reference: filtering/iir.py:277-351)."""
+    fpass_a = np.atleast_1d(np.asarray(fpass, dtype=float))
+    fstop_a = np.atleast_1d(np.asarray(fstop, dtype=float))
+    btype = _btype(fpass_a, fstop_a)
+    nyq = fs / 2.0
+    wp, ws = fpass_a / nyq, fstop_a / nyq
+    warp_p = np.tan(np.pi * wp / 2)
+    warp_s = np.tan(np.pi * ws / 2)
+    if btype in ("lowpass", "highpass"):
+        sel = (
+            warp_p[0] / warp_s[0] if btype == "lowpass" else warp_s[0] / warp_p[0]
+        )
+        order = ellip_order(sel, 1.0, gpass, gstop)
+    else:
+        if btype == "bandpass":
+            nat = np.min(
+                np.abs((warp_s**2 - warp_p[0] * warp_p[1]) / (warp_s * (warp_p[1] - warp_p[0])))
+            )
+        else:
+            nat = np.min(
+                np.abs((warp_s * (warp_p[0] - warp_p[1])) / (warp_s**2 - warp_p[0] * warp_p[1]))
+            )
+        order = ellip_order(1.0 / float(nat), 1.0, gpass, gstop)
+    z, p, k = _ellipap(order, gpass, gstop)
+    if btype in ("lowpass", "highpass"):
+        wo = float(warp_p[0]) * 2 * fs
+        zt, pt, kt = _zpk_lp_transform(z, p, k, wo, btype)
+    else:
+        e = np.sort(warp_p) * 2 * fs
+        wo = float(np.sqrt(e[0] * e[1]))
+        bw = float(e[1] - e[0])
+        zt, pt, kt = _zpk_lp_transform(z, p, k, wo, btype, bw)
+    zd, pd, kd = _bilinear_zpk(zt, pt, kt, fs)
+    sos = _zpk_to_sos(zd, pd, kd)
+    return SosSpec(sos=sos, fs=fs, btype=btype, order=order)

@@ -403,3 +403,36 @@ def register_edf_source(spark) -> bool:
         spark.dataSource.register(EdfDataSource)
         return True
     return False
+
+
+def write_edf_from_df(
+    df,
+    path: str,
+    fs: dict[int, float] | float,
+    physical_range: tuple[float, float] | None = None,
+    record_duration: float = 1.0,
+) -> EdfHeader:
+    """EDF sink for a long-format signal DataFrame.
+
+    EDF is a sequential record-interleaved container, so the final write
+    is single-writer (as in the reference, file_io/edf.py:643-697); the
+    heavy lifting (sort, channel grouping) happens distributed and
+    results stream to the writer via toLocalIterator — driver memory is
+    O(one channel), not O(file).
+
+    For cluster-scale exports prefer parquet (columnar, splittable); this
+    sink exists for interop with EDF tooling.
+    """
+    from pyspark.sql import functions as F
+
+    chans = sorted(r[0] for r in df.select("channel").distinct().collect())
+    data = {}
+    for ch in chans:
+        it = (
+            df.filter(F.col("channel") == ch)
+            .orderBy("t")
+            .select("v")
+            .toLocalIterator()
+        )
+        data[ch] = np.fromiter((r[0] for r in it), dtype=np.float64)
+    return write_edf(path, data, fs, physical_range, record_duration)

@@ -85,3 +85,37 @@ class TestHilbert:
         want = -np.cos(2 * np.pi * 10 * t)  # hilbert(sin) = -cos
         mid = slice(500, 3500)
         assert np.max(np.abs(y[mid] - want[mid])) < 0.02
+
+
+class TestEllip:
+    def test_jacobi_identities(self):
+        import math
+
+        for m in (0.3, 0.5, 0.8):
+            K = design_iir._ellipk(m)
+            s, c, d = design_iir._ellipj(K, m)
+            assert s == pytest.approx(1.0, abs=1e-12)
+            assert c == pytest.approx(0.0, abs=1e-12)
+            assert d == pytest.approx(math.sqrt(1 - m), abs=1e-12)
+
+    @pytest.mark.parametrize(
+        "kw,passf,stopf",
+        [
+            (dict(fpass=10, fstop=20), [1, 5, 9.9], [20, 30, 45]),
+            (dict(fpass=30, fstop=20), [31, 40, 45], [20, 10, 5]),
+            (dict(fpass=[15, 25], fstop=[10, 30]), [16, 20, 24], [9, 31, 5, 45]),
+        ],
+    )
+    def test_meets_spec(self, kw, passf, stopf):
+        spec = design_iir.ellip(fs=100, gpass=1.0, gstop=40.0, **kw)
+        Hp = sos_mag(spec.sos, passf, 100)
+        Hs = sos_mag(spec.sos, stopf, 100)
+        assert np.all(20 * np.log10(Hp) >= -1.05)
+        assert np.all(20 * np.log10(Hp) <= 0.05)
+        assert np.all(20 * np.log10(Hs) <= -39.9)
+
+    def test_lower_order_than_butter(self):
+        """The whole point of elliptic: minimal order for a given spec."""
+        e = design_iir.ellip(fpass=10, fstop=13, fs=100, gpass=1.0, gstop=50.0)
+        b = design.butter(fpass=10, fstop=13, fs=100, gpass=1.0, gstop=50.0)
+        assert e.order < b.order

@@ -110,3 +110,23 @@ class TestDataSource:
         parts = reader.partitions()
         assert len(parts) == 2  # records 5 and 6 only
         assert parts[0].rec_start == 5 and parts[-1].rec_stop == 7
+
+
+class TestDataFrameSink:
+    def test_df_roundtrip_via_datasource(self, spark, tmp_path):
+        from openseize_spark.sources.generator import dyadic_signal
+
+        sf = dyadic_signal(spark, nchannels=2, nsamples=1000, fs=100.0)
+        path = str(tmp_path / "sink.edf")
+        hdr = edf.write_edf_from_df(sf.df, path, fs=100.0)
+        assert hdr.num_records == 10
+        edf.register_edf_source(spark)
+        back = (
+            spark.read.format("edf").option("path", path).load()
+            .orderBy("channel", "t")
+            .toPandas()
+        )
+        orig = sf.df.orderBy("channel", "t").toPandas()
+        assert len(back) == len(orig)
+        slope = (hdr.physical_max[0] - hdr.physical_min[0]) / 65535.0
+        assert np.max(np.abs(back.v.to_numpy() - orig.v.to_numpy())) <= slope * 0.5 + 1e-9

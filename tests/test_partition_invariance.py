@@ -140,3 +140,22 @@ class TestWelch:
             for si in range(Z.shape[0]):
                 for fi in range(0, Z.shape[1], 17):
                     assert abs(by[(ch, si, freqs[fi])] - Z[si, fi]) < 1e-12
+
+
+class TestPacSignal:
+    def test_welch_finds_construction_peaks(self, spark):
+        """The PAC demo signal has spectral peaks at fp and fa by
+        construction (reference: demos/signals.py:7-117) — the end-to-end
+        generator -> Welch pipeline must find them."""
+        from openseize_spark.sources.generator import pac_signal
+
+        sf = pac_signal(spark, fs=500.0, duration=8.0, fp=8.0, fa=40.0, seed=3)
+        rows = op_spec.welch_psd(sf, nfft=1000, overlap=0.5).collect()
+        freqs = np.array([r.freq for r in rows])
+        psd = np.array([r.psd for r in rows])
+        # strongest peak at the phase frequency
+        assert freqs[np.argmax(psd)] == pytest.approx(8.0, abs=0.5)
+        # amplitude carrier peak present and prominent vs its neighborhood
+        at40 = psd[np.argmin(np.abs(freqs - 40.0))]
+        near = psd[(freqs > 44) & (freqs < 49)].mean()
+        assert at40 > 10 * near
