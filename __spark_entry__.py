@@ -493,6 +493,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["band_power"] = q_band_power
 
+
+    def q_power_norm(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        psd = sf.df.filter(F.col("t") <= 200).select(
+            "recording_id",
+            "channel",
+            (F.col("t") * 0.5).alias("freq"),
+            F.col("v").alias("psd"),
+        )
+        return spec.power_norm(psd).select("channel", "freq", "psd_norm")
+
+    q["power_norm"] = q_power_norm
+
     def q_envelope(spark, sf_dir):
         sf = _signal(spark, sf_dir)
         im = (
@@ -730,6 +743,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["hilbert_envelope"] = q_hilbert_envelope
+
+
+    def q_quality_score(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.quality_score(docs)
+
+    q["quality_score"] = q_quality_score
+
+    def q_language_id(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.language_id(docs)
+
+    q["language_id"] = q_language_id
+
+    def q_audio_features(spark, sf_dir):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=64)
+        return multimodal.audio_features(media, deterministic_fake=True)
+
+    q["audio_features"] = q_audio_features
+
+    def q_frame_sample(spark, sf_dir):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=64)
+        return multimodal.frame_sample(media, every_n=2, deterministic_fake=True)
+
+    q["frame_sample"] = q_frame_sample
 
     def q_image_features(spark, sf_dir):
         from openseize_spark.llm import multimodal
@@ -1113,6 +1155,17 @@ def oracle_sql() -> dict[str, str]:
                      WHEN k % 2 = 1 THEN 4 * CAST(0.5 AS DOUBLE) / 3.0
                      ELSE 2 * CAST(0.5 AS DOUBLE) / 3.0 END)) AS power
             FROM band GROUP BY channel
+        """,
+        "power_norm": sig
+        + """
+            , psd AS (
+              SELECT channel, CAST(t * 0.5 AS DOUBLE) AS freq, v AS psd
+              FROM signal WHERE t <= 200
+            ), tot AS (
+              SELECT channel, sum(psd) AS s FROM psd GROUP BY channel
+            )
+            SELECT psd.channel, freq, psd / s AS psd_norm
+            FROM psd JOIN tot ON psd.channel = tot.channel
         """,
         "envelope": sig
         + """

@@ -148,3 +148,52 @@ def frame_sample(
             )
 
     return media.mapInPandas(_frames, schema)
+
+
+def audio_features(
+    media: DataFrame,
+    fs: float = 16000.0,
+    nfft: int = 256,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Decode audio payloads (stubbed) -> Welch band energies via the
+    numpy spectral kernels — the multimodal-to-DSP bridge.
+
+    Returns (media_id, rms double, low_band double, high_band double):
+    rms plus Welch power integrated below/above fs/8.
+    """
+    from openseize_spark.dsp import kernels
+
+    schema = "media_id long, rms double, low_band double, high_band double"
+
+    def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                if not deterministic_fake:
+                    raise DecodeUnavailable("no audio decoder in this environment")
+                # fake decode: payload bytes tiled to a 1-s waveform in [-1,1]
+                arr = np.frombuffer(row.payload, dtype=np.uint8).astype(np.float64)
+                wave = np.tile(arr / 127.5 - 1.0, int(np.ceil(fs / len(arr))))[: int(fs)]
+                freqs, psd = kernels.welch(wave, fs, nfft=nfft)
+                cut = fs / 8
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "rms": float(np.sqrt(np.mean(wave**2))),
+                        "low_band": float(np.trapz(psd[freqs <= cut], freqs[freqs <= cut])),
+                        "high_band": float(np.trapz(psd[freqs > cut], freqs[freqs > cut])),
+                    }
+                )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "rms": [],
+                    "low_band": [],
+                    "high_band": [],
+                }
+            )
+
+    return media.mapInPandas(_feat, schema)

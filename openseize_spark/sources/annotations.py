@@ -60,9 +60,9 @@ def read_pinnacle(
         F.col("Annotation").alias("label"),
         F.col("Time From Start").cast("double").alias("time"),
         (
-            F.unix_timestamp(F.col("End Time"), "MM/dd/yy HH:mm:ss.SSSS")
-            - F.unix_timestamp(F.col("Start Time"), "MM/dd/yy HH:mm:ss.SSSS")
-        ).cast("double").alias("duration"),
+            F.to_timestamp(F.col("End Time"), "MM/dd/yy HH:mm:ss.SSSS").cast("double")
+            - F.to_timestamp(F.col("Start Time"), "MM/dd/yy HH:mm:ss.SSSS").cast("double")
+        ).alias("duration"),
         F.col("Channel").alias("channel"),
     )
     if labels:
@@ -83,9 +83,12 @@ def write_pinnacle_fixture(path: str, annotations: list[tuple]) -> None:
         for i, (label, time, duration, channel) in enumerate(annotations):
             st = t0 + dt.timedelta(seconds=time)
             en = t0 + dt.timedelta(seconds=time + duration)
-            fmt = "%m/%d/%y %H:%M:%S.0000"
+
+            def stamp(d):
+                return d.strftime("%m/%d/%y %H:%M:%S") + f".{d.microsecond // 100:04d}"
+
             f.write(
-                f"{i}\t{st.strftime(fmt)}\t{en.strftime(fmt)}\t{time}\t{channel}\t{label}\n"
+                f"{i}\t{stamp(st)}\t{stamp(en)}\t{time}\t{channel}\t{label}\n"
             )
 
 
