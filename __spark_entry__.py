@@ -441,6 +441,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extend_edge"] = q_extend_edge
 
+    def q_extend_odd(spark, sf_dir):
+        sf = rel.extend(_signal(spark, sf_dir), 4, how="odd")
+        return sf.df.select("channel", "t", "v")
+
+    q["extend_odd"] = q_extend_odd
+
     def q_expand_upsample(spark, sf_dir):
         sf = rel.expand_along_axis(_signal(spark, sf_dir), 3, 0.0)
         return sf.df.select("channel", "t", "v")
@@ -599,6 +605,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count_by_source"] = q_token_count_by_source
 
+    def _doc_paths(spark, sf_dir):
+        from openseize_spark.sources import annotations as ann_src
+
+        docs = _t(spark, sf_dir, "documents")
+        a = docs.select(
+            F.concat(
+                F.lit("data/"), F.col("source"), F.lit("/rec_"),
+                F.col("doc_id"), F.lit(".edf"),
+            ).alias("path_a")
+        )
+        b = docs.filter(F.col("doc_id") % 3 != 0).select(
+            F.concat(
+                F.lit("ann/rec_"), F.col("doc_id"), F.lit("_annotations.txt")
+            ).alias("path_b")
+        )
+        return ann_src, a, b
+
+    def q_path_pairing(spark, sf_dir):
+        ann_src, a, b = _doc_paths(spark, sf_dir)
+        return ann_src.pair_paths(a, b, r"rec_([0-9]+)[_.]")
+
+    q["path_pairing"] = q_path_pairing
+
+    def q_path_mismatched(spark, sf_dir):
+        ann_src, a, b = _doc_paths(spark, sf_dir)
+        return ann_src.mismatched_paths(a, b, r"rec_([0-9]+)[_.]")
+
+    q["path_mismatched"] = q_path_mismatched
+
     def q_knn_cosine(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 3).select(
@@ -618,6 +653,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["embedding_norms"] = q_embedding_norms
+
+    def q_ngram_jaccard(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+        d = docs.select("doc_id", "lang")
+        pairs = (
+            d.withColumnRenamed("doc_id", "a")
+            .join(d.withColumnRenamed("doc_id", "b"), on="lang")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        return dedup.jaccard_verify(docs, pairs, k=5, threshold=0.25)
+
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_embedding_dedup(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        base = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+        )
+        dup = base.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.concat(
+                F.array(F.element_at("v", 1) + F.lit(0.05)), F.slice("v", 2, 63)
+            ).alias("v"),
+            "label",
+        )
+        allv = base.unionByName(dup)
+        return similarity.cosine_near_dup(
+            allv, threshold=0.99, block_col="label", vec_col="v"
+        )
+
+    q["embedding_dedup"] = q_embedding_dedup
+
+    def q_ivf_topk(spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        centroids = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 11)).select(
+            (F.col("vec_id") - 3).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        return similarity.ivf_topk(corpus, queries_df, centroids, k=5, nprobe=2)
+
+    q["ivf_topk"] = q_ivf_topk
 
     # --------------- non-SQL-expressible (rows-only checks) -------------
     def q_welch_psd(spark, sf_dir):
@@ -691,6 +772,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sf.df.select("channel", "t", "v")
 
     q["lfilter"] = q_lfilter
+
+    def q_filtfilt(spark, sf_dir):
+        import numpy as np
+
+        spec = design.butter(fpass=10, fstop=20, fs=FS)
+        b, a = np.array([1.0]), np.array([1.0])
+        for s in spec.sos:
+            b = np.convolve(b, s[:3])
+            a = np.convolve(a, s[3:])
+        sf = op_iir.filtfilt(_signal(spark, sf_dir), b, a)
+        return sf.df.select("channel", "t", "v")
+
+    q["filtfilt"] = q_filtfilt
+
+    def q_notch(spark, sf_dir):
+        spec = design.notch(fstop=15.0, width=4.0, fs=FS)
+        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        return sf.df.select("channel", "t", "v")
+
+    q["notch"] = q_notch
 
     def q_pac(spark, sf_dir):
         from openseize_spark.operators import coupling
@@ -772,6 +873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.frame_sample(media, every_n=2, deterministic_fake=True)
 
     q["frame_sample"] = q_frame_sample
+
+    def q_resize_images(spark, sf_dir):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=64)
+        small = multimodal.resize_images(media, 32, 24, deterministic_fake=True)
+        return multimodal.image_features(small, deterministic_fake=True)
+
+    q["resize_images"] = q_resize_images
 
     def q_image_features(spark, sf_dir):
         from openseize_spark.llm import multimodal
@@ -1081,6 +1191,27 @@ def oracle_sql() -> dict[str, str]:
             FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
             WHERE t >= m - 4 AND t <= m - 1
         """,
+        "extend_odd": sig
+        + """
+            , mx AS (SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2),
+            v0 AS (SELECT recording_id, channel, v AS v_first FROM signal WHERE t = 0),
+            vn AS (
+              SELECT s.recording_id, s.channel, s.v AS v_last
+              FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
+              WHERE t = m
+            )
+            SELECT channel, CAST(t + 4 AS BIGINT) AS t, v FROM signal
+            UNION ALL
+            SELECT s.channel, CAST(4 - t AS BIGINT) AS t, 2 * v_first - s.v AS v
+            FROM signal s JOIN v0 ON s.recording_id = v0.recording_id AND s.channel = v0.channel
+            WHERE t >= 1 AND t <= 4
+            UNION ALL
+            SELECT s.channel, CAST(2 * m - t + 4 AS BIGINT) AS t, 2 * v_last - s.v AS v
+            FROM signal s
+            JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
+            JOIN vn ON s.recording_id = vn.recording_id AND s.channel = vn.channel
+            WHERE t >= m - 4 AND t <= m - 1
+        """,
         "extend_edge": sig
         + """
             , mx AS (SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2)
@@ -1248,6 +1379,190 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_tokens,
                    count(*) AS n_docs
             FROM norm GROUP BY source
+        """,
+        "ivf_topk": """
+            WITH cent AS (
+              SELECT CAST(vec_id - 3 AS INT) AS cell_id,
+                     CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= 3 AND vec_id < 11
+            ), corpus AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id >= 3
+            ), assigned AS (
+              SELECT vec_id, cell_id, v FROM (
+                SELECT c.vec_id, ct.cell_id, c.v,
+                       row_number() OVER (
+                         PARTITION BY c.vec_id
+                         ORDER BY list_dot_product(c.v, c.v)
+                                  - 2 * list_dot_product(c.v, ct.cv)
+                                  + list_dot_product(ct.cv, ct.cv),
+                                  ct.cell_id
+                       ) AS rk
+                FROM corpus c CROSS JOIN cent ct
+              ) WHERE rk = 1
+            ), q AS (
+              SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 3
+            ), probes AS (
+              SELECT q_id, cell_id, qv FROM (
+                SELECT q.q_id, ct.cell_id, q.qv,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY list_dot_product(q.qv, q.qv)
+                                  - 2 * list_dot_product(q.qv, ct.cv)
+                                  + list_dot_product(ct.cv, ct.cv),
+                                  ct.cell_id
+                       ) AS rk
+                FROM q CROSS JOIN cent ct
+              ) WHERE rk <= 2
+            ), s AS (
+              SELECT p.q_id, a.vec_id,
+                     list_cosine_similarity(a.v, p.qv) AS cosine
+              FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+            )
+            SELECT q_id, vec_id, cosine,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id ORDER BY cosine DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM s
+            QUALIFY rank <= 5
+        """,
+        "ngram_jaccard": """
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              FROM documents WHERE doc_id < 80
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(nt, i, 5) AS s
+              FROM norm, unnest(generate_series(1, greatest(length(nt) - 4, 1))) AS u(i)
+            ), sz AS (
+              SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM norm x JOIN norm y ON x.lang = y.lang AND x.doc_id < y.doc_id
+            ), inter AS (
+              SELECT p.a, p.b, count(*) AS i
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.a
+              JOIN sh sb ON sb.doc_id = p.b AND sa.s = sb.s
+              GROUP BY p.a, p.b
+            )
+            SELECT i.a, i.b, CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jaccard
+            FROM inter i
+            JOIN sz za ON za.doc_id = i.a
+            JOIN sz zb ON zb.doc_id = i.b
+            WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.25
+        """,
+        "embedding_dedup": """
+            WITH base AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+            ), dup AS (
+              SELECT vec_id + 10000 AS vec_id,
+                     list_concat([v[1] + CAST(0.05 AS DOUBLE)], v[2:64]) AS v, label
+              FROM base WHERE vec_id < 50
+            ), allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM dup
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+                   AS cosine
+            FROM allv x JOIN allv y ON x.label = y.label AND x.vec_id < y.vec_id
+            WHERE list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+                  >= 0.99
+        """,
+        "path_pairing": """
+            WITH a AS (
+              SELECT 'data/' || source || '/rec_' || doc_id || '.edf' AS path_a,
+                     regexp_extract('rec_' || doc_id || '.', 'rec_([0-9]+)[_.]', 1) AS key
+              FROM documents
+            ), b AS (
+              SELECT 'ann/rec_' || doc_id || '_annotations.txt' AS path_b,
+                     regexp_extract('rec_' || doc_id || '_', 'rec_([0-9]+)[_.]', 1) AS key
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT a.key AS key, path_a, path_b FROM a JOIN b ON a.key = b.key
+        """,
+        "path_mismatched": """
+            WITH a AS (
+              SELECT 'data/' || source || '/rec_' || doc_id || '.edf' AS path_a,
+                     regexp_extract('rec_' || doc_id || '.', 'rec_([0-9]+)[_.]', 1) AS key
+              FROM documents
+            ), b AS (
+              SELECT 'ann/rec_' || doc_id || '_annotations.txt' AS path_b,
+                     regexp_extract('rec_' || doc_id || '_', 'rec_([0-9]+)[_.]', 1) AS key
+              FROM documents WHERE doc_id % 3 <> 0
+            )
+            SELECT coalesce(a.key, b.key) AS key, path_a, path_b
+            FROM a FULL OUTER JOIN b ON a.key = b.key
+            WHERE path_a IS NULL OR path_b IS NULL
+        """,
+        "quality_score": """
+            WITH norm AS (
+              SELECT doc_id, text,
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+              FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(CASE WHEN length(nt) = 0 THEN 0
+                          ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1
+                          END AS DOUBLE) AS n_tokens,
+                     ( (length(text) - length(replace(text, '.', ''))) * 1.0
+                     + (length(text) - length(replace(text, ',', '')))
+                     + (length(text) - length(replace(text, '!', '')))
+                     + (length(text) - length(replace(text, '?', '')))
+                     + (length(text) - length(replace(text, ';', '')))
+                     + (length(text) - length(replace(text, ':', ''))) ) AS punct,
+                     ( (length(nt) - length(replace(nt, ' the ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' and ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' of ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' to ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' in ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' is ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' that ', ''))) / 6.0
+                     + (length(nt) - length(replace(nt, ' for ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' with ', ''))) / 6.0
+                     + (length(nt) - length(replace(nt, ' as ', ''))) / 4.0 ) AS stop_hits
+              FROM norm
+            )
+            SELECT doc_id,
+                   ( least(n_chars / 500.0, 1.0) * 0.5
+                   + least(stop_hits / greatest(n_tokens, 1) * 4.0, 1.0) * 0.5 )
+                   * (CASE WHEN punct / greatest(n_chars, 1) > 0.1
+                      THEN 0.5 ELSE 1.0 END) AS quality
+            FROM feats
+        """,
+        "language_id": """
+            WITH norm AS (
+              SELECT doc_id,
+                     ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') || ' ' AS nt
+              FROM documents
+            ), scored AS (
+              SELECT doc_id,
+                     ( (length(nt) - length(replace(nt, ' the ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' and ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' is ', ''))) / 4.0 ) AS s_en,
+                     ( (length(nt) - length(replace(nt, ' der ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' und ', ''))) / 5.0
+                     + (length(nt) - length(replace(nt, ' ist ', ''))) / 5.0 ) AS s_de,
+                     ( (length(nt) - length(replace(nt, ' le ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' et ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' est ', ''))) / 5.0 ) AS s_fr,
+                     ( (length(nt) - length(replace(nt, ' el ', ''))) / 4.0
+                     + (length(nt) - length(replace(nt, ' y ', ''))) / 3.0
+                     + (length(nt) - length(replace(nt, ' es ', ''))) / 4.0 ) AS s_es
+              FROM norm
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unk'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   greatest(s_en, s_de, s_fr, s_es) AS score
+            FROM scored
         """,
         "knn_cosine": """
             WITH q AS (

@@ -150,6 +150,65 @@ def frame_sample(
     return media.mapInPandas(_frames, schema)
 
 
+def resize_images(
+    media: DataFrame,
+    out_width: int = 32,
+    out_height: int = 24,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode to raw bytes.
+
+    Real decode is stubbed (DecodeUnavailable); the fake path runs the
+    actual resize math on the fake-decoded array so payload sizes, meta
+    propagation, and Arrow batch shapes are production-shaped.  Returns
+    the media schema with resized payload + updated meta, so resize
+    composes with image_features / frame_sample downstream.
+    """
+    schema = (
+        "media_id long, kind string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+    )
+
+    def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "image":
+                    continue
+                if not deterministic_fake:
+                    raise DecodeUnavailable("no image decoder in this environment")
+                w, h = row.meta["width"], row.meta["height"]
+                img = _fake_decode(row.payload, w, h)
+                # nearest-neighbor index maps (floor sampling, endpoint-safe)
+                yi = np.minimum((np.arange(out_height) * h) // out_height, h - 1)
+                xi = np.minimum((np.arange(out_width) * w) // out_width, w - 1)
+                small = img[np.ix_(yi, xi)]
+                payload = np.round(small * 255.0).astype(np.uint8).tobytes()
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "kind": row.kind,
+                        "payload": payload,
+                        "meta": {
+                            "width": out_width,
+                            "height": out_height,
+                            "sample_rate": row.meta["sample_rate"],
+                            "n_frames": row.meta["n_frames"],
+                        },
+                    }
+                )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "kind": pd.Series(dtype="object"),
+                    "payload": pd.Series(dtype="object"),
+                    "meta": pd.Series(dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema)
+
+
 def audio_features(
     media: DataFrame,
     fs: float = 16000.0,

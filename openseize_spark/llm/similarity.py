@@ -184,3 +184,117 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
+
+
+def cosine_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    block_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cosine) with a < b
+    and cosine >= threshold, candidate pairs blocked by `block_col` (a
+    coarse-quantizer cell / cluster id) so the join is an equi-join on
+    the block key, never corpus-quadratic.  For unclustered corpora use
+    lsh_buckets() to derive the block column first.
+    """
+    e = emb.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = e.select(
+        "_blk", F.col(id_col).alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = e.select(
+        "_blk", F.col(id_col).alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_id_col: str = "cell_id",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantizer of an
+    IVF index).  Centroids are tiny and broadcast; distance is squared L2
+    via the dot-product identity d2 = <v,v> - 2<v,c> + <c,c> so both the
+    Spark and the SQL-oracle sides accumulate in identical order.
+    Returns the input plus (cell_id, _v, _n) columns."""
+    e = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
+    c = centroids.select(
+        F.col(cell_id_col), F.col(cvec_col).cast("array<double>").alias("_c")
+    )
+    j = e.crossJoin(F.broadcast(c)).withColumn(
+        "_d2",
+        _dot(F.col("_v"), F.col("_v"))
+        - 2 * _dot(F.col("_v"), F.col("_c"))
+        + _dot(F.col("_c"), F.col("_c")),
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", cell_id_col)
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_d2", "_c")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF approximate nearest neighbors: corpus vectors are bucketed by
+    nearest centroid once (the inverted file); each query probes its
+    `nprobe` nearest cells and re-ranks exactly by cosine within them.
+
+    The corpus↔query match is an equi-join on cell_id (shuffle on a
+    small int key; the probe side is broadcast), never corpus-quadratic —
+    the standard IVF trade: recall vs nprobe/ncells.  Returns
+    (q_id, vec_id, cosine, rank).
+    """
+    inv = ivf_assign(emb, centroids, vec_col, id_col).select(
+        "cell_id", F.col(id_col), "_v"
+    ).withColumn("_n", _norm(F.col("_v")))
+
+    qe = queries.withColumn("_qv", F.col(q_vec_col).cast("array<double>"))
+    c = centroids.select("cell_id", F.col("cvec").cast("array<double>").alias("_c"))
+    qj = qe.crossJoin(F.broadcast(c)).withColumn(
+        "_d2",
+        _dot(F.col("_qv"), F.col("_qv"))
+        - 2 * _dot(F.col("_qv"), F.col("_c"))
+        + _dot(F.col("_c"), F.col("_c")),
+    )
+    wq = Window.partitionBy(q_id_col).orderBy("_d2", "cell_id")
+    probes = (
+        qj.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("cell_id", F.col(q_id_col), "_qv")
+        .withColumn("_qn", _norm(F.col("_qv")))
+    )
+    j = inv.join(F.broadcast(probes), on="cell_id").withColumn(
+        "cosine", _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

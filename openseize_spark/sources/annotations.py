@@ -106,31 +106,40 @@ def path_metadata(df: DataFrame, **patterns: str) -> DataFrame:
     return out.drop("_path")
 
 
+def pair_paths(a: DataFrame, b: DataFrame, pattern: str) -> DataFrame:
+    """Pair data/annotation path DataFrames (`path_a` / `path_b` columns)
+    by a shared regex stem (reference: file_io/path_utils.py:16-76
+    re_match): equi-join on the extracted key.  At catalog scale one side
+    (annotation listings) is small — Spark broadcasts it under AQE."""
+    ka = a.withColumn("key", F.regexp_extract("path_a", pattern, 1))
+    kb = b.withColumn("key", F.regexp_extract("path_b", pattern, 1))
+    return ka.join(kb, on="key", how="inner").select("key", "path_a", "path_b")
+
+
 def pair_files(
     spark: SparkSession, paths_a: list[str], paths_b: list[str], pattern: str
 ) -> DataFrame:
-    """Pair data/annotation files by a shared regex stem
-    (reference: file_io/path_utils.py:16-76 re_match): self-join on the
-    extracted key."""
-    a = spark.createDataFrame([(p,) for p in paths_a], "path_a string").withColumn(
-        "key", F.regexp_extract("path_a", pattern, 1)
+    """List convenience wrapper over pair_paths."""
+    a = spark.createDataFrame([(p,) for p in paths_a], "path_a string")
+    b = spark.createDataFrame([(p,) for p in paths_b], "path_b string")
+    return pair_paths(a, b, pattern)
+
+
+def mismatched_paths(a: DataFrame, b: DataFrame, pattern: str) -> DataFrame:
+    """Paths without a partner (reference: path_utils.py:78-101) —
+    full-outer join on the extracted stem where one side is null."""
+    ka = a.withColumn("key", F.regexp_extract("path_a", pattern, 1))
+    kb = b.withColumn("key", F.regexp_extract("path_b", pattern, 1))
+    j = ka.join(kb, on="key", how="full_outer")
+    return j.filter(F.col("path_a").isNull() | F.col("path_b").isNull()).select(
+        "key", "path_a", "path_b"
     )
-    b = spark.createDataFrame([(p,) for p in paths_b], "path_b string").withColumn(
-        "key", F.regexp_extract("path_b", pattern, 1)
-    )
-    return a.join(b, on="key", how="inner").select("key", "path_a", "path_b")
 
 
 def mismatched(
     spark: SparkSession, paths_a: list[str], paths_b: list[str], pattern: str
 ) -> DataFrame:
-    """Files without a partner (reference: path_utils.py:78-101) —
-    full-outer join where one side is null."""
-    a = spark.createDataFrame([(p,) for p in paths_a], "path_a string").withColumn(
-        "key", F.regexp_extract("path_a", pattern, 1)
-    )
-    b = spark.createDataFrame([(p,) for p in paths_b], "path_b string").withColumn(
-        "key", F.regexp_extract("path_b", pattern, 1)
-    )
-    j = a.join(b, on="key", how="full_outer")
-    return j.filter(F.col("path_a").isNull() | F.col("path_b").isNull())
+    """List convenience wrapper over mismatched_paths."""
+    a = spark.createDataFrame([(p,) for p in paths_a], "path_a string")
+    b = spark.createDataFrame([(p,) for p in paths_b], "path_b string")
+    return mismatched_paths(a, b, pattern)

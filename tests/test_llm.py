@@ -165,3 +165,33 @@ class TestMultimodal:
         vids = {r.media_id for r in out}
         assert all(mid % 3 == 2 for mid in vids)
         assert {r.frame_idx for r in out} == {0, 2, 4, 6, 8}
+
+    def test_resize_images_composes(self, spark):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=12)
+        small = multimodal.resize_images(media, 32, 24)
+        rows = small.collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert r.meta.width == 32 and r.meta.height == 24
+            assert len(r.payload) == 32 * 24
+        # composes with image_features on the resized payloads
+        feats = multimodal.image_features(small).collect()
+        assert len(feats) == 4
+        assert all(0 <= r.mean <= 1 for r in feats)
+
+    def test_resize_nearest_neighbor_values(self, spark):
+        import numpy as np
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=3)
+        got = {r.media_id: r for r in multimodal.resize_images(media, 16, 12).collect()}
+        src = {r.media_id: r for r in media.collect() if r.kind == "image"}
+        for mid, r in got.items():
+            img = multimodal._fake_decode(src[mid].payload, 64, 48)
+            yi = np.minimum((np.arange(12) * 48) // 12, 47)
+            xi = np.minimum((np.arange(16) * 64) // 16, 63)
+            want = np.round(img[np.ix_(yi, xi)] * 255.0).astype(np.uint8)
+            have = np.frombuffer(r.payload, dtype=np.uint8).reshape(12, 16)
+            np.testing.assert_array_equal(have, want)

@@ -85,6 +85,26 @@ class TestIir:
             have = np.array([got[(ch, t)] for t in range(len(x))])
             np.testing.assert_allclose(have, want, atol=1e-12)
 
+    def test_filtfilt_ba_vs_numpy(self, signal, arrays):
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        b, a = np.array([1.0]), np.array([1.0])
+        for s in spec.sos:
+            b = np.convolve(b, s[:3])
+            a = np.convolve(a, s[3:])
+        got = {(r.channel, r.t): r.v for r in op_iir.filtfilt(signal, b, a).df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.filtfilt(b, a, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+    def test_notch_sosfilt_vs_numpy(self, signal, arrays):
+        spec = design.notch(fstop=15.0, width=4.0, fs=100.0)
+        got = {(r.channel, r.t): r.v for r in op_iir.sosfilt(signal, spec).df.collect()}
+        for ch, x in arrays.items():
+            want, _ = kernels.sosfilt(spec.sos, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
 
 class TestResample:
     @pytest.mark.parametrize("L,M,block", [(1, 2, 512), (2, 3, 97 * 3), (3, 2, 4096), (2, 5, 1000)])
