@@ -48,6 +48,8 @@ from openseize_spark.dsp import design_iir as design2  # noqa: E402
 
 _REMEZ_SPEC = design2.remez_fir(fpass=10, fstop=20, fs=FS, gpass=0.5, gstop=40.0)
 
+_HAMMING_SPEC = design.general_cosine_fir("hamming", fpass=10, fstop=20, fs=FS)
+
 
 def _signal(spark: SparkSession, sf_dir: str) -> SignalFrame:
     return signal_from_lineitem(spark, sf_dir, nchannels=NCH, fs=FS)
@@ -377,6 +379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mult_along_channel"] = q_mult_along_channel
 
+    def q_mult_along_time(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        coeffs = spark.range(2000).select(
+            F.col("id").cast("bigint").alias("t"),
+            ((F.col("id") % 8).cast("double") / 8.0).alias("c"),
+        )
+        return rel.multiply_along_axis(sf, coeffs, "t").df.select("channel", "t", "v")
+
+    q["mult_along_time"] = q_mult_along_time
+
     def q_pad(spark, sf_dir):
         sf = rel.pad(_signal(spark, sf_dir), 5, 5, 0.0)
         return sf.df.select("channel", "t", "v")
@@ -428,6 +440,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sf.df.select("channel", "t", "v")
 
     q["fir_remez"] = q_fir_remez
+
+    def q_fir_hamming(spark, sf_dir):
+        sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _HAMMING_SPEC, mode="same")
+        return sf.df.select("channel", "t", "v")
+
+    q["fir_hamming"] = q_fir_hamming
 
     def q_extend_even(spark, sf_dir):
         sf = rel.extend(_signal(spark, sf_dir), 4, how="even")
@@ -745,6 +763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resample_poly"] = q_resample_poly
 
+    def q_upsample(spark, sf_dir):
+        sf = op_resample.upsample(_signal(spark, sf_dir), L=3, block_size=4096)
+        return sf.df.select("channel", "t", "v")
+
+    q["upsample"] = q_upsample
+
     def q_fir_blocks(spark, sf_dir):
         sf = op_fir.apply_fir_blocks(
             _signal(spark, sf_dir), _FIR_SPEC, mode="same", block_size=4096
@@ -917,6 +941,7 @@ def oracle_sql() -> dict[str, str]:
 
     fir_sum = fir_sum_sql(_FIR_SPEC.taps)
     remez_sum = fir_sum_sql(_REMEZ_SPEC.taps)
+    hamming_sum = fir_sum_sql(_HAMMING_SPEC.taps)
 
     # Wilson-Hilferty chi2 quantile (same closed form as
     # operators/spectral.confidence_interval, z literals embedded)
@@ -1179,6 +1204,12 @@ def oracle_sql() -> dict[str, str]:
             FROM signal
             WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
         """,
+        "fir_hamming": sig
+        + f"""
+            SELECT channel, t, {hamming_sum} AS v
+            FROM signal
+            WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
+        """,
         "extend_even": sig
         + """
             , mx AS (SELECT recording_id, channel, max(t) AS m FROM signal GROUP BY 1, 2)
@@ -1190,6 +1221,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.channel, CAST(2 * m - t + 4 AS BIGINT) AS t, v
             FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
             WHERE t >= m - 4 AND t <= m - 1
+        """,
+        "mult_along_time": sig
+        + """
+            , coeffs AS (
+              SELECT CAST(i AS BIGINT) AS ct, CAST(i % 8 AS DOUBLE) / 8.0 AS c
+              FROM unnest(generate_series(0, 1999)) AS u(i)
+            )
+            SELECT channel, t, v * c AS v
+            FROM signal JOIN coeffs ON signal.t = coeffs.ct
         """,
         "extend_odd": sig
         + """

@@ -43,7 +43,20 @@ def main() -> None:
     from openseize_spark.session import get_spark
 
     spark = get_spark("bench")
-    spark.range(10_000).selectExpr("sum(id)").collect()  # JVM warmup
+    # Warm fixed one-time machinery so per-query numbers measure the
+    # queries, not JVM init: codegen, the parquet reader, the broadcast
+    # path, and the Arrow python-UDF worker pool.
+    spark.range(10_000).selectExpr("sum(id)").collect()
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.join(region.hint("broadcast"), nation.n_regionkey == region.r_regionkey).count()
+
+    def _noop_batches(it):
+        yield from it
+
+    spark.range(64).selectExpr("id", "cast(id as double) x").mapInPandas(
+        _noop_batches, "id long, x double"
+    ).write.mode("overwrite").format("noop").save()
 
     import __spark_entry__ as entrymod
 

@@ -107,7 +107,10 @@ class TestIir:
 
 
 class TestResample:
-    @pytest.mark.parametrize("L,M,block", [(1, 2, 512), (2, 3, 97 * 3), (3, 2, 4096), (2, 5, 1000)])
+    @pytest.mark.parametrize(
+        "L,M,block",
+        [(1, 2, 512), (2, 3, 97 * 3), (3, 2, 4096), (2, 5, 1000), (3, 1, 512)],
+    )
     def test_blocks_vs_numpy(self, signal, arrays, L, M, block):
         out = op_rs.resample(signal, L, M, block_size=block)
         got = {(r.channel, r.t): r.v for r in out.df.collect()}
