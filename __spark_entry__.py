@@ -797,6 +797,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lfilter"] = q_lfilter
 
+    def q_sosfilt_cheby2(spark, sf_dir):
+        spec = design2.cheby2(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt_cheby2"] = q_sosfilt_cheby2
+
     def q_filtfilt(spark, sf_dir):
         import numpy as np
 
