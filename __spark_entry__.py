@@ -867,6 +867,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lsh_topk"] = q_lsh_topk
 
+    def q_pac_surrogates(spark, sf_dir):
+        from openseize_spark.operators import coupling
+
+        hspec = design.hilbert_fir(width=5.0, fs=FS)
+        sf = _signal(spark, sf_dir)
+        analytic = op_fir.hilbert_analytic(sf, hspec)
+        ph = op_fir.envelope_phase(analytic).persist()
+        events = coupling.phase_events(
+            ph.select("recording_id", "channel", "t", "phase"), target=0.5, tol=0.05
+        )
+        amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
+        # circular shift within the shortest channel length (channels are
+        # near-equal; min keeps every shifted t in-range on all channels)
+        n = (
+            sf.df.groupBy("channel")
+            .agg(F.count("*").alias("c"))
+            .agg(F.min("c").alias("n"))
+            .collect()[0][0]
+        )
+        shifts = coupling.surrogate_shifts(spark, n_surrogates=4, n_samples=n, seed=3)
+        return coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
+            "channel", "surrogate_id", "offset", "mean_sq_amp"
+        )
+
+    q["pac_surrogates"] = q_pac_surrogates
+
     def q_hilbert_envelope(spark, sf_dir):
         hspec = design.hilbert_fir(width=5.0, fs=FS)
         analytic = op_fir.hilbert_analytic(_signal(spark, sf_dir), hspec)

@@ -49,7 +49,7 @@ def phase_events(
 
 
 def event_window_gather(
-    samples: DataFrame, events: DataFrame, window: int
+    samples: DataFrame, events: DataFrame, window: int, extra_cols: tuple = ()
 ) -> DataFrame:
     """Range join: samples within [event_t - w/2, event_t + w/2) per event.
 
@@ -94,6 +94,7 @@ def event_window_gather(
             "event_t",
             (F.col("t") - (F.col("event_t") - half)).cast("bigint").alias("offset"),
             "v",
+            *extra_cols,
         )
     )
 
@@ -152,7 +153,7 @@ def pac_surrogates(
             "v",
         )
     )
-    g = event_window_gather(shifted, events, window)
+    g = event_window_gather(shifted, events, window, extra_cols=("surrogate_id",))
     return (
         g.groupBy("recording_id", "channel", "surrogate_id", "offset")
         .agg(F.avg(F.col("v") * F.col("v")).alias("mean_sq_amp"))
