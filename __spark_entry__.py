@@ -465,6 +465,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["extend_odd"] = q_extend_odd
 
+    def q_squeeze_expand(spark, sf_dir):
+        sf = _signal(spark, sf_dir)
+        # expand: add a singleton epoch axis; squeeze: drop the constant
+        # recording axis — pure schema ops, verifiable relationally
+        df = rel.expand_dims(sf.df, epoch=0)
+        return rel.squeeze(df, ["recording_id"]).select("epoch", "channel", "t", "v")
+
+    q["squeeze_expand"] = q_squeeze_expand
+
     def q_expand_upsample(spark, sf_dir):
         sf = rel.expand_along_axis(_signal(spark, sf_dir), 3, 0.0)
         return sf.df.select("channel", "t", "v")
@@ -1296,6 +1305,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.channel, CAST(unnest(generate_series(m + 5, m + 8)) AS BIGINT) AS t, v
             FROM signal s JOIN mx ON s.recording_id = mx.recording_id AND s.channel = mx.channel
             WHERE t = m
+        """,
+        "squeeze_expand": sig
+        + """
+            SELECT 0 AS epoch, channel, t, v FROM signal
         """,
         "expand_upsample": sig
         + """

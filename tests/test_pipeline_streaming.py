@@ -78,3 +78,49 @@ class TestStreaming:
             n_, m_ = got[(r.win_start, r.event_type)]
             assert n_ == r.n
             assert m_ == pytest.approx(r.mean_v, rel=1e-9)
+
+    def test_sliding_segmentation_matches_welch_segments(self, spark, tmp_path):
+        """Sliding window(ts, nfft/fs, stride/fs) == the batch welch
+        segmentation grid (reference: core/numerical.py:816-849) — one
+        row per complete segment, same per-segment sums."""
+        import pandas as pd
+
+        fs, nfft, stride, n = 100.0, 64, 32, 1000
+        x = np.array([((t * 11 + 5) % 128) / 128.0 for t in range(n)])
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta((np.arange(n) / fs * 1e6).astype(int), unit="us"),
+                "channel": 0,
+                "v": x,
+            }
+        )
+        src = str(tmp_path / "sig_src")
+        batch = spark.createDataFrame(pdf)
+        batch.write.mode("overwrite").parquet(src)
+
+        def seg_transform(df):
+            return (
+                df.withWatermark("ts", "10 seconds")
+                .groupBy(
+                    F.window("ts", f"{int(nfft / fs * 1000)} milliseconds",
+                             f"{int(stride / fs * 1000)} milliseconds").alias("win"),
+                    "channel",
+                )
+                .agg(F.count("*").alias("cnt"), F.sum("v").alias("seg_sum"))
+            )
+
+        out = sw.run_batch_as_stream(
+            spark, src, batch.schema, seg_transform, queryName="t_segs"
+        ).filter(F.col("cnt") == nfft).collect()
+
+        t0 = pd.Timestamp("2024-01-01")
+        got = {
+            round((r.win.start - t0).total_seconds() * fs) // stride: r.seg_sum
+            for r in out
+        }
+        nsegs = (n - nfft) // stride + 1
+        assert len(got) == nsegs
+        for s in range(nsegs):
+            want = x[s * stride : s * stride + nfft].sum()
+            assert got[s] == pytest.approx(want, abs=1e-12)

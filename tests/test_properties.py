@@ -1,0 +1,101 @@
+"""Property-based invariants (hypothesis) — the randomized-testing analog
+of the reference's seeded sweeps (reference: tests/test_producer.py:303-368,
+tests/test_protools.py:19-56).  Small inputs, few examples: each example
+runs real Spark jobs."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from openseize_spark.operators import fir as op_fir
+from openseize_spark.operators import relational as rel
+from openseize_spark.dsp import design, kernels
+from openseize_spark.signal import SignalFrame
+
+N = 200
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _sf(spark, x):
+    rows = [("r0", 0, int(t), float(v)) for t, v in enumerate(x)]
+    df = spark.createDataFrame(
+        rows, "recording_id string, channel int, t bigint, v double"
+    )
+    return SignalFrame(df=df, fs=100.0)
+
+
+def _vals(sf):
+    out = sf.df.orderBy("t").collect()
+    assert [r.t for r in out] == list(range(len(out))), "t must be re-indexed dense"
+    return np.array([r.v for r in out])
+
+
+@st.composite
+def signal_arrays(draw):
+    n = draw(st.integers(min_value=20, max_value=N))
+    seed = draw(st.integers(min_value=0, max_value=2**31 - 1))
+    return np.random.default_rng(seed).normal(size=n)
+
+
+class TestSliceProperty:
+    @given(x=signal_arrays(), data=st.data())
+    @settings(**SETTINGS)
+    def test_slice_equals_numpy(self, spark, x, data):
+        n = len(x)
+        start = data.draw(st.integers(0, n - 1))
+        stop = data.draw(st.integers(start + 1, n))
+        step = data.draw(st.integers(1, 7))
+        out = rel.slice_time(_sf(spark, x), start=start, stop=stop, step=step)
+        np.testing.assert_allclose(_vals(out), x[start:stop:step], atol=0)
+
+
+class TestMaskProperty:
+    @given(x=signal_arrays(), data=st.data())
+    @settings(**SETTINGS)
+    def test_mask_equals_numpy(self, spark, x, data):
+        import pandas as pd
+
+        n = len(x)
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        keep = np.random.default_rng(seed).random(n) < data.draw(
+            st.floats(0.1, 0.9)
+        )
+        sf = _sf(spark, x)
+        mask = spark.createDataFrame(
+            pd.DataFrame({"recording_id": "r0", "t": np.arange(n), "keep": keep})
+        )
+        out = rel.apply_mask(sf, mask)
+        np.testing.assert_allclose(_vals(out), x[keep], atol=0)
+
+
+class TestPadProperty:
+    @given(x=signal_arrays(), data=st.data())
+    @settings(**SETTINGS)
+    def test_pad_then_interior_slice_roundtrips(self, spark, x, data):
+        left = data.draw(st.integers(0, 10))
+        right = data.draw(st.integers(0, 10))
+        padded = rel.pad(_sf(spark, x), left, right, 0.0)
+        back = rel.slice_time(padded, start=left, stop=left + len(x), step=1)
+        np.testing.assert_allclose(_vals(back), x, atol=0)
+        assert padded.df.count() == len(x) + left + right
+
+
+class TestFirProperty:
+    @given(x=signal_arrays(), data=st.data())
+    @settings(**SETTINGS)
+    def test_sql_fir_equals_numpy_any_taps(self, spark, x, data):
+        ntaps = data.draw(st.integers(1, 6)) * 2 + 1  # odd, 3..13
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        taps = np.random.default_rng(seed).normal(size=ntaps)
+        spec = design.FirSpec(
+            taps=taps, fs=100.0, btype="custom", fpass=(), fstop=()
+        )
+        out = op_fir.apply_fir_sql(_sf(spark, x), spec, mode="same")
+        want = kernels.convolve(x, taps, "same")
+        np.testing.assert_allclose(_vals(out), want, atol=1e-10)
