@@ -772,6 +772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["resample_poly"] = q_resample_poly
 
+    def q_downsample(spark, sf_dir):
+        sf = op_resample.downsample(_signal(spark, sf_dir), M=4, block_size=4096)
+        return sf.df.select("channel", "t", "v")
+
+    q["downsample"] = q_downsample
+
     def q_upsample(spark, sf_dir):
         sf = op_resample.upsample(_signal(spark, sf_dir), L=3, block_size=4096)
         return sf.df.select("channel", "t", "v")

@@ -80,14 +80,41 @@ def minhash_signatures(
     """
     a, b = _perm_params(num_hashes)
     norm = normalize_text(F.col(text_col))
+    # Repartition BEFORE the shingle explode: a compact documents scan
+    # (one file / few row groups) otherwise leaves the ~text_len×
+    # row-amplified explode and the 64 min-aggregations in a handful of
+    # tasks.  The count must be explicit — AQE sizes partitions by the
+    # pre-explode bytes (tiny) and would coalesce right back to one task.
+    # Keying by id makes the groupBy's partial agg the final agg
+    # (rows for one doc never split), so the explode output itself never
+    # shuffles.  The null filter must be this cheap column test: a
+    # size(shingles) > 0 predicate gets pushed below the repartition and
+    # re-runs the whole shingle build single-task.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.filter(F.col(text_col).isNotNull()).repartition(
+        n_part, F.col(id_col)
+    )
+    # Shingles as explode(index range) + substring-per-row: no per-doc
+    # array materialization, no array_distinct — MIN over duplicate
+    # shingle hashes equals MIN over the distinct set.
     sh = (
         docs.select(F.col(id_col), norm.alias("_txt"))
-        .withColumn("_shingles", _shingle_expr(F.col("_txt"), k))
-        .filter(F.size("_shingles") > 0)
-        .select(id_col, F.explode("_shingles").alias("_s"))
         .select(
             id_col,
-            (F.hash("_s").cast("bigint").bitwiseAND(F.lit(0x7FFFFFFF))).alias("_x"),
+            "_txt",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_txt") - (k - 1), F.lit(1))
+                )
+            ).alias("_i"),
+        )
+        .select(
+            id_col,
+            (
+                F.hash(F.col("_txt").substr(F.col("_i"), F.lit(k)))
+                .cast("bigint")
+                .bitwiseAND(F.lit(0x7FFFFFFF))
+            ).alias("_x"),
         )
     )
     aggs = [
@@ -104,13 +131,16 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     signatures: DataFrame,
-    bands: int = 16,
+    bands: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns distinct (a, b) with a < b.
 
-    With num_hashes = bands*rows, collision prob ≈ 1-(1-J^rows)^bands.
+    With num_hashes = bands*rows, collision prob ≈ 1-(1-J^rows)^bands;
+    the default 8 bands × 8 rows targets the ~0.8-Jaccard knee
+    ((1/b)^(1/r) ≈ 0.77) — 16×4 banding admits ~half of all J=0.5
+    pairs as candidates, which goes quadratic on self-similar corpora.
     The join is an equi-join on (band, band_sig) — shuffle on short keys,
     never quadratic in corpus size.
     """
@@ -151,6 +181,11 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard)."""
     norm = normalize_text(F.col(text_col))
+    # fan the per-doc shingle-set build out of the compact scan's few
+    # input partitions (same rationale as minhash_signatures)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
         "sh", _shingle_expr(F.col("_txt"), k)
     ).select(id_col, "sh")
@@ -171,7 +206,7 @@ def minhash_dedup(
     docs: DataFrame,
     k: int = 5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -196,6 +231,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     verification would follow the same candidate-join pattern as LSH.
     """
     norm = normalize_text(F.col(text_col))
+    # same compact-scan fan-out as minhash_signatures: spread the token
+    # explode + 32 sum-aggregations across tasks, partial agg == final
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
     toks = docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")).filter(
         F.length("tok") > 0
     )

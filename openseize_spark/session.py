@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # MinHash signatures aggregate 64 universal-hash min() columns in
+        # one pass; default maxFields=100 silently drops that stage out of
+        # whole-stage codegen (interpreted row-at-a-time aggregation)
+        .config("spark.sql.codegen.maxFields", "256")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "4g")
