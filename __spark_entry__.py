@@ -860,15 +860,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_minhash_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
-        return dedup.minhash_dedup(docs, k=5, num_hashes=64, bands=16, threshold=0.8).select(
-            "doc_id", "lang", "source"
-        )
+        return dedup.minhash_dedup(
+            docs, k=5, num_hashes=64, bands=8, threshold=0.8, portable=True
+        ).select("doc_id", "lang", "source")
 
     q["minhash_dedup"] = q_minhash_dedup
 
+    def q_minhash_sigs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        return sigs.select("doc_id", F.posexplode("sig").alias("j", "h"))
+
+    q["minhash_sigs"] = q_minhash_sigs
+
     def q_simhash(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
-        return dedup.simhash(docs)
+        return dedup.simhash(docs, portable=True)
 
     q["simhash"] = q_simhash
 
@@ -1683,4 +1690,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
         """,
     }
+    # generated portable-hash oracles for the MinHash/SimHash dedup family
+    from openseize_spark.llm import dedup as _dedup
+
+    o["minhash_sigs"] = _dedup.minhash_signatures_oracle_sql(k=5, num_hashes=64)
+    o["minhash_dedup"] = _dedup.minhash_dedup_oracle_sql(
+        k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["simhash"] = _dedup.simhash_oracle_sql(bits=32)
     return {k: v.strip() for k, v in o.items()}

@@ -54,6 +54,15 @@ def _shingle_expr(text_norm, k: int):
 _MERSENNE = (1 << 31) - 1
 
 
+def _portable_hash32(col):
+    """32-bit hash computable identically in Spark and ANSI-SQL engines:
+    first 8 hex digits of md5, parsed as an unsigned integer.  Slower than
+    murmur3 (md5 + string slice) but lets the DuckDB oracle replay the
+    whole dedup pipeline bit-for-bit; use ``portable=True`` on the dedup
+    entry points to select it."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
 def _perm_params(num_hashes: int, seed: int = 13):
     import numpy as np
 
@@ -69,6 +78,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per doc: (id, sig ARRAY<INT>[num_hashes]).
 
@@ -97,6 +107,10 @@ def minhash_signatures(
     # Shingles as explode(index range) + substring-per-row: no per-doc
     # array materialization, no array_distinct — MIN over duplicate
     # shingle hashes equals MIN over the distinct set.
+    shingle = F.col("_txt").substr(F.col("_i"), F.lit(k))
+    base_hash = (
+        _portable_hash32(shingle) if portable else F.hash(shingle).cast("bigint")
+    ).bitwiseAND(F.lit(0x7FFFFFFF))
     sh = (
         docs.select(F.col(id_col), norm.alias("_txt"))
         .select(
@@ -108,14 +122,7 @@ def minhash_signatures(
                 )
             ).alias("_i"),
         )
-        .select(
-            id_col,
-            (
-                F.hash(F.col("_txt").substr(F.col("_i"), F.lit(k)))
-                .cast("bigint")
-                .bitwiseAND(F.lit(0x7FFFFFFF))
-            ).alias("_x"),
-        )
+        .select(id_col, base_hash.alias("_x"))
     )
     aggs = [
         F.min((F.col("_x") * int(a[j]) + int(b[j])) % _MERSENNE)
@@ -133,6 +140,7 @@ def minhash_lsh_pairs(
     signatures: DataFrame,
     bands: int = 8,
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     bucket.  Returns distinct (a, b) with a < b.
@@ -144,20 +152,24 @@ def minhash_lsh_pairs(
     The join is an equi-join on (band, band_sig) — shuffle on short keys,
     never quadratic in corpus size.
     """
-    nh = None  # inferred from sig length at runtime via slice arithmetic
     sigs = signatures
     r = F.floor(F.size("sig") / bands).cast("int")
+
+    def _band_sig(b):
+        sl = F.slice(F.col("sig"), b * r + 1, r)
+        if portable:
+            # md5 over the comma-joined decimal values — replayable in
+            # any SQL engine, same join key semantics (no collisions
+            # across bands thanks to the band column in the join key)
+            return F.md5(F.concat_ws(",", sl.cast("array<string>")))
+        return F.hash(sl.cast("array<int>"), F.lit(42))
+
     banded = sigs.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.hash(
-                        F.slice(F.col("sig"), b * r + 1, r).cast("array<int>"), F.lit(42)
-                    ).alias("bsig"),
-                ),
+                lambda b: F.struct(b.alias("band"), _band_sig(b).alias("bsig")),
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bsig")
@@ -210,21 +222,28 @@ def minhash_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> Jaccard
     verify -> keep the smallest id of each connected pair-cluster
     (single-link via min-propagation is approximated by one round of
     min(a) per b — exact for pair clusters, documented approximation for
     longer chains)."""
-    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col)
-    cand = minhash_lsh_pairs(sigs, bands, id_col)
+    sigs = minhash_signatures(docs, k, num_hashes, text_col, id_col, portable)
+    cand = minhash_lsh_pairs(sigs, bands, id_col, portable)
     dup = jaccard_verify(docs, cand, k, threshold, text_col, id_col)
     # survivors: docs never appearing as the larger id of a verified pair
     losers = dup.select(F.col("b").alias(id_col)).distinct()
     return docs.join(losers, on=id_col, how="left_anti")
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    portable: bool = False,
+) -> DataFrame:
     """SimHash over whitespace tokens: sign-sum of per-token hash bits.
 
     (id, simhash BIGINT).  Near-dups share buckets; Hamming distance
@@ -239,7 +258,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     toks = docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")).filter(
         F.length("tok") > 0
     )
-    toks = toks.withColumn("h", F.hash("tok").cast("bigint"))
+    tok_hash = _portable_hash32(F.col("tok")) if portable else F.hash("tok").cast("bigint")
+    toks = toks.withColumn("h", tok_hash)
     # bit b contributes +1 if set else -1; sum over tokens; sign -> bit
     bit_cols = [
         F.sum(
@@ -253,3 +273,111 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle-SQL generators (portable-hash replay of the pipelines above)
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_HASH32_SQL = "(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+def _sig_ctes(k: int, num_hashes: int) -> str:
+    """Shared CTE prefix: normalized text -> shingle hashes -> wide
+    minhash signature columns h0..h{n-1} (same permutation constants as
+    ``minhash_signatures``)."""
+    a, b = _perm_params(num_hashes)
+    shingle_hash = _HASH32_SQL.format(expr=f"substring(txt, u.i, {k})")
+    mins = ",\n             ".join(
+        f"CAST(MIN((x * {int(a[j])} + {int(b[j])}) % {_MERSENNE}) AS INTEGER) AS h{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS txt FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+          SELECT doc_id, ({shingle_hash} & {0x7FFFFFFF}) AS x
+          FROM norm, unnest(generate_series(1, greatest(length(txt) - {k - 1}, 1))) AS u(i)
+        ), sig AS (
+          SELECT doc_id,
+             {mins}
+          FROM sh GROUP BY doc_id
+        )"""
+
+
+def minhash_signatures_oracle_sql(k: int = 5, num_hashes: int = 64) -> str:
+    """DuckDB SQL equal to minhash_signatures(portable=True), exploded to
+    one (doc_id, j, h) row per signature slot."""
+    arms = "\n          UNION ALL ".join(
+        f"SELECT doc_id, CAST({j} AS INTEGER) AS j, h{j} AS h FROM sig"
+        for j in range(num_hashes)
+    )
+    return _sig_ctes(k, num_hashes) + f"\n        {arms}"
+
+
+def minhash_dedup_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB SQL equal to minhash_dedup(portable=True): LSH banding,
+    exact-Jaccard verification, then survivors (doc_id, lang, source)."""
+    r = num_hashes // bands
+    band_arms = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bsig FROM sig".format(
+            b=b,
+            cols=", ".join(f"h{b * r + j}::VARCHAR" for j in range(r)),
+        )
+        for b in range(bands)
+    )
+    return (
+        _sig_ctes(k, num_hashes)
+        + f""", banded AS (
+          {band_arms}
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM banded x JOIN banded y
+            ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+        ), shd AS (
+          SELECT DISTINCT doc_id, substring(txt, u.i, {k}) AS s
+          FROM norm, unnest(generate_series(1, greatest(length(txt) - {k - 1}, 1))) AS u(i)
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+        ), inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand c
+          JOIN shd sa ON sa.doc_id = c.a
+          JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
+          GROUP BY c.a, c.b
+        ), losers AS (
+          SELECT DISTINCT i.b
+          FROM inter i
+          JOIN sz za ON za.doc_id = i.a
+          JOIN sz zb ON zb.doc_id = i.b
+          WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= {threshold}
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT b FROM losers)"""
+    )
+
+
+def simhash_oracle_sql(bits: int = 32) -> str:
+    """DuckDB SQL equal to simhash(portable=True)."""
+    tok_hash = _HASH32_SQL.format(expr="u.tok")
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS txt FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+          SELECT doc_id, {tok_hash} AS h
+          FROM norm, unnest(string_split(txt, ' ')) AS u(tok)
+          WHERE length(u.tok) > 0
+        ), bs AS (
+          SELECT doc_id, u.b AS b,
+                 SUM(CASE WHEN ((h >> u.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks, unnest(generate_series(0, {bits - 1})) AS u(b)
+          GROUP BY doc_id, u.b
+        )
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                 AS simhash
+        FROM bs GROUP BY doc_id"""
