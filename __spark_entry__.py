@@ -50,6 +50,10 @@ _REMEZ_SPEC = design2.remez_fir(fpass=10, fstop=20, fs=FS, gpass=0.5, gstop=40.0
 
 _HAMMING_SPEC = design.general_cosine_fir("hamming", fpass=10, fstop=20, fs=FS)
 
+# deterministic circular-shift fractions (a, b) -> shift = (n*a)//b used by
+# q_pac_surrogates and replayed by its DuckDB oracle
+_SURROGATE_FRACS = [(3, 10), (9, 20), (11, 20), (7, 10)]
+
 
 def _signal(spark: SparkSession, sf_dir: str) -> SignalFrame:
     return signal_from_lineitem(spark, sf_dir, nchannels=NCH, fs=FS)
@@ -746,8 +750,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_stft(spark, sf_dir):
         sf = _signal(spark, sf_dir)
+        # round(12): FFT-vs-naive-DFT oracle divergence is ~1e-15 absolute;
+        # 12-decimal rounding on both sides collapses sum-order junk in
+        # near-zero bins without masking real divergence
         return spec.stft(sf, nfft=128, overlap=0.5).select(
-            "channel", "seg", "freq", "re", "im"
+            "channel",
+            "seg",
+            "freq",
+            F.round("re", 12).alias("re"),
+            F.round("im", 12).alias("im"),
         )
 
     q["stft"] = q_stft
@@ -768,19 +779,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_resample_poly(spark, sf_dir):
         sf = op_resample.resample(_signal(spark, sf_dir), L=2, M=5, block_size=4096)
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
 
     q["resample_poly"] = q_resample_poly
 
     def q_downsample(spark, sf_dir):
         sf = op_resample.downsample(_signal(spark, sf_dir), M=4, block_size=4096)
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
 
     q["downsample"] = q_downsample
 
     def q_upsample(spark, sf_dir):
         sf = op_resample.upsample(_signal(spark, sf_dir), L=3, block_size=4096)
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
 
     q["upsample"] = q_upsample
 
@@ -901,14 +912,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
         # circular shift within the shortest channel length (channels are
-        # near-equal; min keeps every shifted t in-range on all channels)
+        # near-equal; min keeps every shifted t in-range on all channels).
+        # Shifts are deterministic integer fractions of n (not seeded rng)
+        # so the DuckDB oracle can derive the identical shift table in SQL.
         n = (
             sf.df.groupBy("channel")
             .agg(F.count("*").alias("c"))
             .agg(F.min("c").alias("n"))
             .collect()[0][0]
         )
-        shifts = coupling.surrogate_shifts(spark, n_surrogates=4, n_samples=n, seed=3)
+        shifts = spark.createDataFrame(
+            [(i, (n * a) // b) for i, (a, b) in enumerate(_SURROGATE_FRACS)],
+            "surrogate_id int, shift bigint",
+        )
         return coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
             "channel", "surrogate_id", "offset", "mean_sq_amp"
         )
@@ -1698,4 +1714,61 @@ def oracle_sql() -> dict[str, str]:
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["simhash"] = _dedup.simhash_oracle_sql(bits=32)
+
+    # generated DSP oracles: naive-DFT replay of welch/stft, polyphase
+    # definition replay of the resampling family, bit-exact lag/lead
+    # replay of the Hilbert analytic signal (plans/oracles.py)
+    from openseize_spark.plans import oracles as _orc
+
+    o["fir_blocks"] = o["fir_kaiser"]  # same result, block-kernel path
+    o["welch_psd"] = _orc.welch_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
+    o["welch_psd_blocks"] = o["welch_psd"]  # same result, block-kernel path
+    o["stft"] = _orc.stft_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
+    o["downsample"] = _orc.resample_oracle_sql(sig, L=1, M=4)
+    o["upsample"] = _orc.resample_oracle_sql(sig, L=3, M=1)
+    o["resample_poly"] = _orc.resample_oracle_sql(sig, L=2, M=5)
+    # lsh_topk: same seeded hyperplanes inlined as DuckDB list literals;
+    # bucket = sum of sign bits * 2^b, exact re-rank within the bucket
+    import numpy as _np
+
+    _planes = _np.random.default_rng(7).standard_normal((4, 64))
+    _plane_sql = [
+        "[" + ", ".join(repr(float(x)) for x in _planes[b]) + "]" for b in range(4)
+    ]
+    _bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql[b]}) >= 0 "
+        f"THEN {2 ** b} ELSE 0 END)"
+        for b in range(4)
+    )
+    o["lsh_topk"] = f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), bucketed AS (
+          SELECT vec_id, v, {_bucket_sql} AS bucket FROM base
+        ), q AS (
+          SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < 3
+        ), c AS (
+          SELECT vec_id, v AS cv, bucket FROM bucketed WHERE vec_id >= 3
+        ), s AS (
+          SELECT q.q_id, c.vec_id,
+                 list_dot_product(c.cv, q.qv)
+                 / (sqrt(list_dot_product(c.cv, c.cv))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+          FROM c JOIN q ON c.bucket = q.bucket
+        )
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY cosine DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM s
+        QUALIFY rank <= 5
+    """
+
+    _hilb_taps = design.hilbert_fir(width=5.0, fs=FS).taps
+    o["hilbert_envelope"] = _orc.hilbert_oracle_sql(sig, _hilb_taps)
+    o["pac"] = _orc.pac_oracle_sql(sig, _hilb_taps, target=0.5, tol=0.05, window=32)
+    o["pac_surrogates"] = _orc.pac_surrogates_oracle_sql(
+        sig, _hilb_taps, target=0.5, tol=0.05, window=32,
+        shift_fracs=_SURROGATE_FRACS,
+    )
     return {k: v.strip() for k, v in o.items()}

@@ -1,0 +1,360 @@
+"""ANSI-SQL oracle generators for the DSP operator family.
+
+These emit DuckDB SQL that replays the Spark DSP pipelines from first
+principles so the driver's relational correctness gate can hash-match
+operators that would otherwise be rows-only checks:
+
+- Welch PSD / STFT: the FFT kernel is replayed as a naive O(nfft^2) DFT
+  (sum of cos/sin products) over an exploded (segment, offset) grid.
+  FFT-vs-DFT float divergence is ~1e-15 relative, far below the gate's
+  6-significant-digit compare.
+- Polyphase resampling: y[o] = sum_s x[s] * (h*L)[half + o*M - s*L]
+  directly from the polyphase definition (reference:
+  core/numerical.py:523-632), as a range join against an inlined tap
+  table.
+- Hilbert analytic signal: the same lag/lead dot product the Spark path
+  uses, with identical float64 tap literals and identical left-fold
+  order, making re/im bit-exact; amplitude (IEEE sqrt) is bit-exact and
+  the phase wrap branch follows sign(im) so it cannot diverge.
+
+All float constants are embedded via repr() so both engines consume
+identical float64 literals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from openseize_spark.dsp import kernels
+
+
+def _window_values_cte(window: str, nfft: int) -> tuple[str, float]:
+    w = kernels.get_window(window, nfft)
+    vals = ", ".join(f"({n}, {float(w[n])!r})" for n in range(nfft))
+    return f"win(wn, w) AS (VALUES {vals})", float(np.sum(w**2))
+
+
+def _segment_dft_ctes(
+    nfft: int, stride: int, *, boundary_pad: int, tail_pad: bool
+) -> str:
+    """CTE chain len -> segs -> grid -> samp for the sliding segmentation.
+
+    boundary_pad > 0 and tail_pad=True reproduce the STFT padding rules
+    (center-pad nfft//2 zeros, zero-pad tail to whole strides); both off
+    reproduce Welch's drop-trailing-partial rule
+    (reference: core/numerical.py:799-849, 1039-1051).
+    """
+    if boundary_pad or tail_pad:
+        # padded length n + 2*bp (+ tail): nseg-1 = (n + p) // stride
+        segs = f"""
+        , par AS (
+          SELECT channel, n,
+                 (({stride} - (n % {stride})) % {stride}) AS p
+          FROM len
+        ), segs AS (
+          SELECT par.channel, u.s
+          FROM par, unnest(generate_series(0, (par.n + par.p) // {stride})) AS u(s)
+        )"""
+        t_expr = f"g.s * {stride} + g.n - {boundary_pad}"
+        join = f"""
+        , samp AS (
+          SELECT g.channel, g.s, g.n, COALESCE(sig.v, 0.0) AS v
+          FROM grid g LEFT JOIN signal sig
+            ON sig.channel = g.channel AND sig.t = {t_expr}
+        )"""
+    else:
+        segs = f"""
+        , segs AS (
+          SELECT len.channel, u.s
+          FROM len, unnest(generate_series(0, (len.n - {nfft}) // {stride})) AS u(s)
+          WHERE len.n >= {nfft}
+        )"""
+        join = f"""
+        , samp AS (
+          SELECT g.channel, g.s, g.n, sig.v
+          FROM grid g JOIN signal sig
+            ON sig.channel = g.channel AND sig.t = g.s * {stride} + g.n
+        )"""
+    return (
+        """
+        , len AS (SELECT channel, count(*) AS n FROM signal GROUP BY channel)"""
+        + segs
+        + f"""
+        , grid AS (
+          SELECT segs.channel, segs.s, u.n
+          FROM segs, unnest(generate_series(0, {nfft - 1})) AS u(n)
+        )"""
+        + join
+    )
+
+
+def _windowed_dft_ctes(nfft: int, fs: float, window: str) -> tuple[str, float]:
+    """CTEs mu -> y -> X: per-segment constant detrend, window taper, and
+    the naive real DFT X[k] = sum_n y[n] e^(-2*pi*i*k*n/nfft)."""
+    win_cte, sumw2 = _window_values_cte(window, nfft)
+    ctes = f"""
+        , {win_cte}
+        , mu AS (SELECT channel, s, avg(v) AS m FROM samp GROUP BY channel, s)
+        , y AS (
+          SELECT sa.channel, sa.s, sa.n, (sa.v - mu.m) * win.w AS y
+          FROM samp sa
+          JOIN mu ON mu.channel = sa.channel AND mu.s = sa.s
+          JOIN win ON win.wn = sa.n
+        )
+        , X AS (
+          SELECT y.channel, y.s, u.k AS k,
+                 SUM(y.y * cos(2 * pi() * u.k * y.n / {float(nfft)!r})) AS re,
+                 SUM(-y.y * sin(2 * pi() * u.k * y.n / {float(nfft)!r})) AS im
+          FROM y, unnest(generate_series(0, {nfft // 2})) AS u(k)
+          GROUP BY y.channel, y.s, u.k
+        )"""
+    return ctes, sumw2
+
+
+def welch_oracle_sql(
+    sig_prefix: str, nfft: int, fs: float, overlap: float = 0.5, window: str = "hann"
+) -> str:
+    """DuckDB SQL equal to operators/spectral.welch_psd (density scaling,
+    constant detrend): (channel, freq, psd, nsegs)."""
+    stride = int(nfft - overlap * nfft)
+    seg_ctes = _segment_dft_ctes(nfft, stride, boundary_pad=0, tail_pad=False)
+    dft_ctes, sumw2 = _windowed_dft_ctes(nfft, fs, window)
+    return (
+        sig_prefix
+        + seg_ctes
+        + dft_ctes
+        + f"""
+        , p AS (
+          SELECT channel, s, k,
+                 (re * re + im * im) / ({float(fs)!r} * {sumw2!r})
+                 * (CASE WHEN k = 0 OR k = {nfft // 2} THEN 1.0 ELSE 2.0 END) AS p
+          FROM X
+        )
+        SELECT channel, CAST(k AS DOUBLE) * {float(fs)!r} / {nfft} AS freq,
+               avg(p) AS psd, count(*) AS nsegs
+        FROM p GROUP BY channel, k"""
+    )
+
+
+def stft_oracle_sql(
+    sig_prefix: str, nfft: int, fs: float, overlap: float = 0.5, window: str = "hann"
+) -> str:
+    """DuckDB SQL equal to operators/spectral.stft with boundary=True,
+    padded=True, density scaling: (channel, seg, freq, re, im)."""
+    stride = int(nfft - overlap * nfft)
+    seg_ctes = _segment_dft_ctes(
+        nfft, stride, boundary_pad=nfft // 2, tail_pad=True
+    )
+    dft_ctes, sumw2 = _windowed_dft_ctes(nfft, fs, window)
+    denom = float(np.sqrt(fs * sumw2))
+    return (
+        sig_prefix
+        + seg_ctes
+        + dft_ctes
+        + f"""
+        SELECT channel, s AS seg, CAST(k AS DOUBLE) * {float(fs)!r} / {nfft} AS freq,
+               round(re / {denom!r}, 12) AS re,
+               CASE WHEN k = 0 OR k = {nfft // 2} THEN 0.0
+                    ELSE round(im / {denom!r}, 12) END AS im
+        FROM X"""
+    )
+
+
+def resample_oracle_sql(
+    sig_prefix: str, L: int, M: int, h: np.ndarray | None = None
+) -> str:
+    """DuckDB SQL equal to operators/resample.resample(L, M):
+    y[o] = sum_s x[s] * (h*L)[half + o*M - s*L], o in [0, ceil(n*L/M)),
+    x zero-padded outside its support: (channel, t, v)."""
+    from math import gcd
+
+    g = gcd(L, M)
+    L, M = L // g, M // g
+    if h is None:
+        h = kernels.default_resample_filter(L, M)
+    h = np.asarray(h, dtype=np.float64)
+    half = (len(h) - 1) // 2
+    hL = h * L
+    taps = ", ".join(f"({j}, {float(hL[j])!r})" for j in range(len(hL)))
+    return (
+        sig_prefix
+        + f"""
+        , len AS (SELECT channel, count(*) AS n FROM signal GROUP BY channel)
+        , grid AS (
+          SELECT len.channel, u.o
+          FROM len, unnest(generate_series(
+            0, CAST(ceil(len.n * {L} / CAST({M} AS DOUBLE)) AS BIGINT) - 1)) AS u(o)
+        )
+        , taps(j, h) AS (VALUES {taps})
+        , contrib AS (
+          SELECT g.channel, g.o, SUM(s.v * tp.h) AS v
+          FROM grid g
+          JOIN signal s
+            ON s.channel = g.channel
+           AND s.t * {L} BETWEEN {half} + g.o * {M} - {len(h) - 1}
+                             AND {half} + g.o * {M}
+          JOIN taps tp ON tp.j = {half} + g.o * {M} - s.t * {L}
+          GROUP BY g.channel, g.o
+        )
+        SELECT g.channel, g.o AS t, round(COALESCE(c.v, 0.0), 12) AS v
+        FROM grid g LEFT JOIN contrib c
+          ON c.channel = g.channel AND c.o = g.o"""
+    )
+
+
+def _envelope_phase_ctes(taps: np.ndarray) -> str:
+    """CTEs an -> ph: analytic signal via the exact nonzero-tap left-fold
+    order of the Spark window expression (bit-identical dot product), then
+    amplitude (IEEE sqrt, bit-exact) and phase wrapped to [0, 2*pi) —
+    the wrap branch follows sign(im) so it cannot diverge across engines."""
+    L = len(taps)
+    c = (L - 1) // 2
+    terms = []
+    for k in range(L):
+        if abs(float(taps[k])) == 0.0:
+            continue
+        shift = k - c
+        if shift == 0:
+            col = "v"
+        elif shift > 0:
+            col = f"coalesce(lag(v, {shift}) OVER w, 0.0)"
+        else:
+            col = f"coalesce(lead(v, {-shift}) OVER w, 0.0)"
+        terms.append(f"{col} * {float(taps[k])!r}")
+    im_sum = " + ".join(terms)
+    two_pi = float(2 * np.pi)
+    return f"""
+        , an AS (
+          SELECT channel, t, v AS re, {im_sum} AS im
+          FROM signal
+          WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
+        )
+        , ph AS (
+          SELECT channel, t, sqrt(re * re + im * im) AS amplitude,
+                 CASE WHEN atan2(im, re) < 0
+                      THEN atan2(im, re) + {two_pi!r}
+                      ELSE atan2(im, re) END AS phase
+          FROM an
+        )"""
+
+
+def hilbert_oracle_sql(sig_prefix: str, taps: np.ndarray) -> str:
+    """DuckDB SQL equal to operators/fir.hilbert_analytic + envelope_phase:
+    (channel, t, amplitude, phase)."""
+    return (
+        sig_prefix
+        + _envelope_phase_ctes(taps)
+        + """
+        SELECT channel, t, amplitude, phase FROM ph"""
+    )
+
+
+def _pac_event_ctes(taps: np.ndarray, target: float, tol: float, window: int) -> str:
+    """CTEs ev -> gath: phase-crossing events (first sample of each
+    contiguous within-tolerance run, reference: estimators.py:172-179)
+    and the event-window amplitude gather (range join, offset within
+    window; reference: estimators.py:200-230)."""
+    half = window // 2
+    return (
+        _envelope_phase_ctes(taps)
+        + f"""
+        , flags AS (
+          SELECT channel, t, amplitude,
+                 (abs(phase - {float(target)!r}) <= {float(tol)!r}) AS _in
+          FROM ph
+          WINDOW w AS (PARTITION BY channel ORDER BY t)
+        )
+        , ev AS (
+          SELECT channel, t AS event_t
+          FROM (
+            SELECT channel, t, _in,
+                   COALESCE(lag(_in) OVER (PARTITION BY channel ORDER BY t),
+                            false) AS _prev
+            FROM flags
+          )
+          WHERE _in AND NOT _prev
+        )
+        , gath AS (
+          SELECT a.channel, e.event_t,
+                 CAST(a.t - (e.event_t - {half}) AS BIGINT) AS "offset",
+                 a.amplitude AS v
+          FROM flags a
+          JOIN ev e ON e.channel = a.channel
+                   AND a.t >= e.event_t - {half}
+                   AND a.t < e.event_t + {half}
+        )"""
+    )
+
+
+def pac_oracle_sql(
+    sig_prefix: str,
+    taps: np.ndarray,
+    target: float,
+    tol: float,
+    window: int,
+) -> str:
+    """DuckDB SQL equal to the full PAC pipeline (hilbert ->
+    envelope/phase -> phase events -> event-window gather -> per-offset
+    mean squared amplitude, complete windows only):
+    (channel, offset, mean_sq_amp, n_events)."""
+    return (
+        sig_prefix
+        + _pac_event_ctes(taps, target, tol, window)
+        + f"""
+        , complete AS (
+          SELECT channel, event_t, "offset", v,
+                 count(*) OVER (PARTITION BY channel, event_t) AS _n
+          FROM gath
+        )
+        SELECT channel, "offset", avg(v * v) AS mean_sq_amp,
+               count(*) AS n_events
+        FROM complete WHERE _n = {window}
+        GROUP BY channel, "offset" """
+    )
+
+
+def pac_surrogates_oracle_sql(
+    sig_prefix: str,
+    taps: np.ndarray,
+    target: float,
+    tol: float,
+    window: int,
+    shift_fracs: list[tuple[int, int]],
+) -> str:
+    """DuckDB SQL equal to the surrogate-PAC pipeline with deterministic
+    circular shifts floor(n * a/b) of the min channel length:
+    (channel, surrogate_id, offset, mean_sq_amp)."""
+    half = window // 2
+    shift_arms = "\n          UNION ALL ".join(
+        f"SELECT {i} AS surrogate_id, (n * {a}) // {b} AS shift, n FROM nmin"
+        for i, (a, b) in enumerate(shift_fracs)
+    )
+    return (
+        sig_prefix
+        + _pac_event_ctes(taps, target, tol, window)
+        + f"""
+        , nmin AS (
+          SELECT min(cnt) AS n
+          FROM (SELECT channel, count(*) AS cnt FROM signal GROUP BY channel)
+        )
+        , shifts AS (
+          {shift_arms}
+        )
+        , shifted AS (
+          SELECT f.channel, s.surrogate_id,
+                 (f.t + s.shift) % s.n AS t, f.amplitude AS v
+          FROM flags f CROSS JOIN shifts s
+        )
+        , sgath AS (
+          SELECT a.channel, a.surrogate_id, e.event_t,
+                 CAST(a.t - (e.event_t - {half}) AS BIGINT) AS "offset",
+                 a.v
+          FROM shifted a
+          JOIN ev e ON e.channel = a.channel
+                   AND a.t >= e.event_t - {half}
+                   AND a.t < e.event_t + {half}
+        )
+        SELECT channel, surrogate_id, "offset", avg(v * v) AS mean_sq_amp
+        FROM sgath
+        GROUP BY channel, surrogate_id, "offset" """
+    )
