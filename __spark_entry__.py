@@ -770,6 +770,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sosfilt"] = q_sosfilt
 
+    def q_sosfilt_blocks(spark, sf_dir):
+        # parallel-in-time state-scan IIR (operators/iir.sosfilt_blocks) —
+        # rows-only check (float superposition ~1e-12; exactness covered by
+        # tests/test_partition_invariance.py vs the whole-array kernel)
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt_blocks"] = q_sosfilt_blocks
+
     def q_sosfiltfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), sos)

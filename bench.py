@@ -30,6 +30,7 @@ HEADLINE = [
     "welch_psd_blocks",     # block+halo Arrow kernel + partial agg
     "resample_poly",        # polyphase block kernel
     "sosfilt",              # stateful per-channel IIR kernel
+    "sosfilt_blocks",       # parallel-in-time state-scan IIR
     "dedup_exact",          # md5 fingerprint hash-groupBy
     "text_stats",           # pure string-function scan
     "knn_cosine",           # broadcast brute-force ANN

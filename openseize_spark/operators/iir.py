@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from openseize_spark.dsp import kernels
 from openseize_spark.dsp.design import SosSpec
+from openseize_spark.operators import blocks as B
 from openseize_spark.signal import SignalFrame
 
 _SCHEMA = "recording_id string, channel int, t long, v double"
@@ -87,6 +88,116 @@ def filtfilt(sf: SignalFrame, b: np.ndarray, a: np.ndarray) -> SignalFrame:
         return pdf.assign(v=y)
 
     return sf.with_df(sf.df.groupBy("recording_id", "channel").applyInPandas(_f, _SCHEMA))
+
+
+def sosfilt_blocks(
+    sf: SignalFrame, spec: SosSpec | np.ndarray, block_size: int = 65536
+) -> SignalFrame:
+    """Parallel-in-time causal IIR — the 100-TB path for channels too long
+    to filter as one pandas group.
+
+    The DF2T recurrence is linear in (state, input), so over an n-sample
+    block z_out = T^n @ z_in + c, where c is the block's zero-state final
+    state and T the one-sample zero-input transition
+    (dsp/kernels.sos_state_transition).  Three stages:
+
+    1. map (parallel over blocks): zero-state filter, keep only the final
+       state c per block — tiny (nsec*2 doubles) rows;
+    2. per-channel scan over the c rows (applyInPandas on ~n/block_size
+       rows, microseconds each): z_in(b) via the affine recurrence —
+       the only sequential step, O(#blocks), data volume ~bytes/block;
+    3. map (parallel over blocks): re-filter each block seeded with its
+       exact incoming state z_in(b).
+
+    Wall-clock becomes O(n / #executors) instead of O(n) per channel; the
+    price is 2x kernel compute.  Superposition in float introduces
+    ~1e-15-relative state error that decays with the filter's impulse
+    response (tested vs the whole-array kernel across block sizes).
+
+    reference: core/numerical.py:301-335 carries zi sequentially chunk to
+    chunk; this distributes that same state carry as an associative scan.
+    """
+    sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
+    ns = sos.shape[0]
+    T = kernels.sos_state_transition(sos)
+
+    bdf = B.to_blocks(sf.df, block_size)
+
+    st_schema = "recording_id string, channel int, t0 long, n int, c array<double>"
+
+    def _zero_state(it):
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                x = np.asarray(row.vs, dtype=np.float64)
+                _, zf = kernels.sosfilt(sos, x, None)
+                rows.append(
+                    {
+                        "recording_id": row.recording_id,
+                        "channel": row.channel,
+                        "t0": row.t0,
+                        "n": len(x),
+                        "c": zf.ravel(),
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"recording_id": [], "channel": [], "t0": [], "n": [], "c": []}
+            )
+
+    states = bdf.mapInPandas(_zero_state, st_schema)
+
+    scan_schema = "recording_id string, channel int, t0 long, zin array<double>"
+
+    def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("t0")
+        z = np.zeros(2 * ns)
+        zins, apow = [], {}
+        for r in pdf.itertuples(index=False):
+            zins.append(z.copy())
+            n = int(r.n)
+            A = apow.get(n)
+            if A is None:
+                A = np.linalg.matrix_power(T, n)
+                apow[n] = A
+            z = A @ z + np.asarray(r.c, dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "recording_id": pdf["recording_id"].to_numpy(),
+                "channel": pdf["channel"].to_numpy(),
+                "t0": pdf["t0"].to_numpy(),
+                "zin": zins,
+            }
+        )
+
+    zin = states.groupBy("recording_id", "channel").applyInPandas(_scan, scan_schema)
+
+    out_schema = "recording_id string, channel int, t0 long, vs array<double>"
+    # zin is one tiny row per block -> broadcast so the block arrays are
+    # never shuffled for this join (their only shuffle is to_blocks)
+    j = bdf.join(F.broadcast(zin), on=["recording_id", "channel", "t0"])
+
+    def _seeded(it):
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                zi = np.asarray(row.zin, dtype=np.float64).reshape(ns, 2)
+                y, _ = kernels.sosfilt(
+                    sos, np.asarray(row.vs, dtype=np.float64), zi
+                )
+                rows.append(
+                    {
+                        "recording_id": row.recording_id,
+                        "channel": row.channel,
+                        "t0": row.t0,
+                        "vs": y,
+                    }
+                )
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {"recording_id": [], "channel": [], "t0": [], "vs": []}
+            )
+
+    out = j.mapInPandas(_seeded, out_schema)
+    return sf.with_df(B.from_blocks(out))
 
 
 def sosfilt_chunked_scan(x_chunks, sos):

@@ -77,6 +77,21 @@ class TestIir:
             have = np.array([got[(ch, t)] for t in range(len(x))])
             np.testing.assert_allclose(have, want, atol=1e-12)
 
+    @pytest.mark.parametrize("block_size", [97, 512, 4096])
+    def test_sosfilt_blocks_any_blocksize(self, signal, arrays, block_size):
+        # parallel-in-time state-scan path must match the sequential
+        # whole-array kernel for every block layout (superposition error
+        # decays with the impulse response)
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        got = {
+            (r.channel, r.t): r.v
+            for r in op_iir.sosfilt_blocks(signal, spec, block_size=block_size).df.collect()
+        }
+        for ch, x in arrays.items():
+            want, _ = kernels.sosfilt(spec.sos, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-10)
+
     def test_sosfiltfilt_vs_numpy(self, signal, arrays):
         spec = design.butter(fpass=10, fstop=20, fs=100.0)
         got = {(r.channel, r.t): r.v for r in op_iir.sosfiltfilt(signal, spec).df.collect()}
