@@ -411,13 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["segment_mean"] = q_segment_mean
 
     def q_sliding_energy(spark, sf_dir):
-        s = seg.segment_sliding(_signal(spark, sf_dir), nfft=64, stride=32)
-        return (
-            s.groupBy("channel", "seg")
-            .agg(F.sum(F.col("v") * F.col("v")).alias("energy"), F.count("*").alias("cnt"))
-            .filter(F.col("cnt") == 64)
-            .select("channel", "seg", "energy")
-        )
+        # prefix-sum-difference plan: one window shuffle, no explode row
+        # amplification; exact here because v*v are dyadic rationals
+        # (hash-matches the same group-by oracle SQL)
+        return seg.sliding_agg_prefix(
+            _signal(spark, sf_dir), nfft=64, stride=32
+        ).select("channel", "seg", "energy")
 
     q["sliding_energy"] = q_sliding_energy
 

@@ -66,6 +66,49 @@ def segment_sliding(sf: SignalFrame, nfft: int, stride: int) -> DataFrame:
     )
 
 
+def sliding_agg_prefix(
+    sf: SignalFrame, nfft: int, stride: int, value=None, agg_name: str = "energy"
+) -> DataFrame:
+    """Sliding-window SUM aggregate as a prefix-sum difference — the
+    shuffle-lean physical plan for ``sum over segment`` queries.
+
+    Instead of the membership explode (row amplification nfft/stride) +
+    groupBy shuffle, this computes one running cumulative sum per channel
+    and differences it at stride boundaries:
+
+        energy(seg) = cum[seg*stride + nfft - 1] - cum[seg*stride - 1]
+                    = lead(cum, nfft-1) - cum + value        (at row t = seg*stride)
+
+    One window (one shuffle keyed by channel), zero row amplification;
+    incomplete trailing segments fall out via the NULL lead.  Equals the
+    explode+groupBy plan exactly when `value` sums without cancellation
+    error (the driver signal's v*v are dyadic rationals, so sums are
+    exact in any order); for general data prefer the explode form, which
+    has no O(n)-magnitude intermediate.
+
+    reference: the welch segment-count/stride semantics
+    (core/numerical.py:799-849); this is the sum-aggregate specialization.
+    """
+    from pyspark.sql import Window
+
+    value = F.col("v") * F.col("v") if value is None else value
+    w = Window.partitionBy("recording_id", "channel").orderBy("t")
+    cum = F.sum(value).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    df = (
+        sf.df.withColumn("_val", value)
+        .withColumn("_cum", cum)
+        .withColumn("_end", F.lead("_cum", nfft - 1).over(w))
+        .filter((F.col("t") % stride == 0) & F.col("_end").isNotNull())
+        .select(
+            "recording_id",
+            "channel",
+            F.expr(f"t div {stride}").alias("seg"),
+            (F.col("_end") - F.col("_cum") + F.col("_val")).alias(agg_name),
+        )
+    )
+    return df
+
+
 def complete_segments(segments: DataFrame, nfft: int) -> DataFrame:
     """Keep only complete segments (drop trailing partial — reference
     semantics, core/numerical.py:901-904)."""
