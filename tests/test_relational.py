@@ -132,3 +132,32 @@ class TestPlans:
             .toString()
         )
         assert "BroadcastHashJoin" in plan
+
+    def test_sosfilt_blocks_broadcasts_state_join(self, signal):
+        """The tiny per-block state table must broadcast so the block
+        arrays are never shuffled for the seed join (operators/iir)."""
+        from openseize_spark.dsp import design
+        from openseize_spark.operators import iir as op_iir
+
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        plan = (
+            op_iir.sosfilt_blocks(signal, spec, block_size=512)
+            .df._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+    def test_sliding_prefix_plan_has_no_explode(self, signal):
+        """sliding_agg_prefix must be a pure window plan — no generator
+        (explode) row amplification, exactly one window shuffle."""
+        from openseize_spark.operators import segmentation as seg
+
+        plan = (
+            seg.sliding_agg_prefix(signal, nfft=64, stride=32)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Generate" not in plan  # Spark's explode operator
+        assert "Window" in plan
