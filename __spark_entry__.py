@@ -878,6 +878,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pac"] = q_pac
 
+    def q_supplier_topbal(spark, sf_dir):
+        # top-1-per-group via rank window + broadcast dim join, with
+        # analytic aggregates computed in the same window pass
+        from pyspark.sql import Window as W
+
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        w = W.partitionBy("n_name")
+        wo = W.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.col("s_suppkey"))
+        return (
+            j.withColumn("rn", F.row_number().over(wo))
+            .withColumn("avg_bal", F.avg("s_acctbal").over(w))
+            .withColumn("n_suppliers", F.count("*").over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "n_name",
+                F.col("s_name").alias("top_supplier"),
+                F.col("s_acctbal").alias("top_bal"),
+                "avg_bal",
+                "n_suppliers",
+            )
+        )
+
+    q["supplier_topbal"] = q_supplier_topbal
+
     def q_minhash_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.minhash_dedup(
@@ -1715,6 +1741,17 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings GROUP BY label
         """,
     }
+    o["supplier_topbal"] = """
+        SELECT n_name,
+               s_name AS top_supplier,
+               s_acctbal AS top_bal,
+               avg(s_acctbal) OVER (PARTITION BY n_name) AS avg_bal,
+               count(*) OVER (PARTITION BY n_name) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        QUALIFY row_number() OVER (
+          PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) = 1
+    """
+
     # generated portable-hash oracles for the MinHash/SimHash dedup family
     from openseize_spark.llm import dedup as _dedup
 
