@@ -779,6 +779,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sosfilt_blocks"] = q_sosfilt_blocks
 
+    def q_sosfiltfilt_blocks(spark, sf_dir):
+        # zero-phase parallel-in-time: forward + time-reversed backward
+        # state-scan passes (rows-only; IIR has no SQL form)
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfiltfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfiltfilt_blocks"] = q_sosfiltfilt_blocks
+
     def q_sosfiltfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), sos)

@@ -91,7 +91,10 @@ def filtfilt(sf: SignalFrame, b: np.ndarray, a: np.ndarray) -> SignalFrame:
 
 
 def sosfilt_blocks(
-    sf: SignalFrame, spec: SosSpec | np.ndarray, block_size: int = 65536
+    sf: SignalFrame,
+    spec: SosSpec | np.ndarray,
+    block_size: int = 65536,
+    zi_unit: np.ndarray | None = None,
 ) -> SignalFrame:
     """Parallel-in-time causal IIR — the 100-TB path for channels too long
     to filter as one pandas group.
@@ -116,14 +119,22 @@ def sosfilt_blocks(
 
     reference: core/numerical.py:301-335 carries zi sequentially chunk to
     chunk; this distributes that same state carry as an associative scan.
+
+    ``zi_unit`` (shape (nsec, 2)): optional per-unit initial conditions —
+    the channel's starting state is zi_unit * first_sample (the
+    Gustafsson-style convention kernels.sosfiltfilt uses), enabling the
+    zero-phase two-pass variant ``sosfiltfilt_blocks``.
     """
     sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
     ns = sos.shape[0]
     T = kernels.sos_state_transition(sos)
+    zi_flat = None if zi_unit is None else np.asarray(zi_unit, dtype=np.float64).ravel()
 
     bdf = B.to_blocks(sf.df, block_size)
 
-    st_schema = "recording_id string, channel int, t0 long, n int, c array<double>"
+    st_schema = (
+        "recording_id string, channel int, t0 long, n int, c array<double>, x0 double"
+    )
 
     def _zero_state(it):
         for pdf in it:
@@ -138,10 +149,11 @@ def sosfilt_blocks(
                         "t0": row.t0,
                         "n": len(x),
                         "c": zf.ravel(),
+                        "x0": float(x[0]) if len(x) else 0.0,
                     }
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {"recording_id": [], "channel": [], "t0": [], "n": [], "c": []}
+                {"recording_id": [], "channel": [], "t0": [], "n": [], "c": [], "x0": []}
             )
 
     states = bdf.mapInPandas(_zero_state, st_schema)
@@ -151,6 +163,8 @@ def sosfilt_blocks(
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t0")
         z = np.zeros(2 * ns)
+        if zi_flat is not None and len(pdf):
+            z = zi_flat * float(pdf["x0"].iloc[0])
         zins, apow = [], {}
         for r in pdf.itertuples(index=False):
             zins.append(z.copy())
@@ -198,6 +212,40 @@ def sosfilt_blocks(
 
     out = j.mapInPandas(_seeded, out_schema)
     return sf.with_df(B.from_blocks(out))
+
+
+def sosfiltfilt_blocks(
+    sf: SignalFrame, spec: SosSpec | np.ndarray, block_size: int = 65536
+) -> SignalFrame:
+    """Zero-phase forward-backward IIR, parallel in time.
+
+    The reference needs one-chunk-lookahead machinery to derive reverse
+    initial conditions when chunked (core/numerical.py:384-411); here the
+    backward pass is simply ``sosfilt_blocks`` on the time-reversed
+    forward output (t -> n-1-t via a broadcast join of channel lengths),
+    with the same Gustafsson-style zi*first_sample seeding the scan —
+    the reversed stream's first sample is the forward output's last, so
+    the state scan picks it up with no lookahead.  Four parallel passes
+    total; per-channel wall-clock O(n/#executors).
+    """
+    sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
+    zi = kernels.sosfilt_zi(sos)
+
+    def _reverse(df):
+        lens = B.channel_lengths(df)
+        return (
+            df.join(F.broadcast(lens), on=["recording_id", "channel"])
+            .select(
+                "recording_id",
+                "channel",
+                (F.col("n") - 1 - F.col("t")).cast("bigint").alias("t"),
+                "v",
+            )
+        )
+
+    fwd = sosfilt_blocks(sf, sos, block_size, zi_unit=zi)
+    bwd = sosfilt_blocks(sf.with_df(_reverse(fwd.df)), sos, block_size, zi_unit=zi)
+    return sf.with_df(_reverse(bwd.df))
 
 
 def sosfilt_chunked_scan(x_chunks, sos):

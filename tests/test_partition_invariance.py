@@ -92,6 +92,21 @@ class TestIir:
             have = np.array([got[(ch, t)] for t in range(len(x))])
             np.testing.assert_allclose(have, want, atol=1e-10)
 
+    @pytest.mark.parametrize("block_size", [97, 512, 4096])
+    def test_sosfiltfilt_blocks_any_blocksize(self, signal, arrays, block_size):
+        # zero-phase two-pass parallel path vs whole-array kernel
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        got = {
+            (r.channel, r.t): r.v
+            for r in op_iir.sosfiltfilt_blocks(
+                signal, spec, block_size=block_size
+            ).df.collect()
+        }
+        for ch, x in arrays.items():
+            want = kernels.sosfiltfilt(spec.sos, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-9)
+
     def test_sosfiltfilt_vs_numpy(self, signal, arrays):
         spec = design.butter(fpass=10, fstop=20, fs=100.0)
         got = {(r.channel, r.t): r.v for r in op_iir.sosfiltfilt(signal, spec).df.collect()}
