@@ -127,9 +127,42 @@ def sosfilt_blocks(
     """
     sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
     ns = sos.shape[0]
+
+    def filt(x, zflat):
+        z = None if zflat is None else np.asarray(zflat, dtype=np.float64).reshape(ns, 2)
+        y, zf = kernels.sosfilt(sos, x, z)
+        return y, zf.ravel()
+
     T = kernels.sos_state_transition(sos)
     zi_flat = None if zi_unit is None else np.asarray(zi_unit, dtype=np.float64).ravel()
+    return _blocks_state_scan(sf, block_size, filt, 2 * ns, T, zi_flat)
 
+
+def _state_transition(filt, d: int) -> np.ndarray:
+    """One-sample zero-input transition matrix for any linear filter given
+    as filt(x, z_flat) -> (y, z_flat'), probed from unit basis states."""
+    T = np.empty((d, d))
+    zero = np.zeros(1)
+    for j in range(d):
+        e = np.zeros(d)
+        e[j] = 1.0
+        _, zf = filt(zero, e)
+        T[:, j] = np.asarray(zf, dtype=np.float64).ravel()
+    return T
+
+
+def _blocks_state_scan(
+    sf: SignalFrame,
+    block_size: int,
+    filt,
+    d: int,
+    T: np.ndarray,
+    zi_flat: np.ndarray | None,
+) -> SignalFrame:
+    """Shared 3-stage parallel-in-time engine (see sosfilt_blocks):
+    zero-state filter per block -> per-channel affine state scan ->
+    seeded re-filter.  ``filt(x, z_flat|None) -> (y, z_flat')`` must be
+    linear in (state, input); ``d`` is the flat state dimension."""
     bdf = B.to_blocks(sf.df, block_size)
 
     st_schema = (
@@ -141,14 +174,14 @@ def sosfilt_blocks(
             rows = []
             for row in pdf.itertuples(index=False):
                 x = np.asarray(row.vs, dtype=np.float64)
-                _, zf = kernels.sosfilt(sos, x, None)
+                _, zf = filt(x, None)
                 rows.append(
                     {
                         "recording_id": row.recording_id,
                         "channel": row.channel,
                         "t0": row.t0,
                         "n": len(x),
-                        "c": zf.ravel(),
+                        "c": np.asarray(zf, dtype=np.float64).ravel(),
                         "x0": float(x[0]) if len(x) else 0.0,
                     }
                 )
@@ -162,7 +195,7 @@ def sosfilt_blocks(
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t0")
-        z = np.zeros(2 * ns)
+        z = np.zeros(d)
         if zi_flat is not None and len(pdf):
             z = zi_flat * float(pdf["x0"].iloc[0])
         zins, apow = [], {}
@@ -194,9 +227,9 @@ def sosfilt_blocks(
         for pdf in it:
             rows = []
             for row in pdf.itertuples(index=False):
-                zi = np.asarray(row.zin, dtype=np.float64).reshape(ns, 2)
-                y, _ = kernels.sosfilt(
-                    sos, np.asarray(row.vs, dtype=np.float64), zi
+                y, _ = filt(
+                    np.asarray(row.vs, dtype=np.float64),
+                    np.asarray(row.zin, dtype=np.float64),
                 )
                 rows.append(
                     {
@@ -212,6 +245,41 @@ def sosfilt_blocks(
 
     out = j.mapInPandas(_seeded, out_schema)
     return sf.with_df(B.from_blocks(out))
+
+
+def lfilter_blocks(
+    sf: SignalFrame,
+    b: np.ndarray,
+    a: np.ndarray,
+    block_size: int = 65536,
+    zi_unit: np.ndarray | None = None,
+) -> SignalFrame:
+    """Parallel-in-time causal ba-form filter (lfilter analog of
+    sosfilt_blocks; reference: core/numerical.py:414-446)."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    d = max(len(a), len(b)) - 1
+
+    def filt(x, zflat):
+        return kernels.lfilter(b, a, x, zflat)
+
+    T = _state_transition(filt, d)
+    zi_flat = None if zi_unit is None else np.asarray(zi_unit, dtype=np.float64).ravel()
+    return _blocks_state_scan(sf, block_size, filt, d, T, zi_flat)
+
+
+def filtfilt_blocks(
+    sf: SignalFrame, b: np.ndarray, a: np.ndarray, block_size: int = 65536
+) -> SignalFrame:
+    """Zero-phase ba-form filter, parallel in time (forward + reversed
+    lfilter_blocks passes, lfilter_zi * first-sample seeding — the ba
+    analog of sosfiltfilt_blocks)."""
+    zi = kernels.lfilter_zi(b, a)
+    fwd = lfilter_blocks(sf, b, a, block_size, zi_unit=zi)
+    bwd = lfilter_blocks(
+        sf.with_df(_reverse_time(fwd.df)), b, a, block_size, zi_unit=zi
+    )
+    return sf.with_df(_reverse_time(bwd.df))
 
 
 def sosfiltfilt_blocks(
@@ -230,22 +298,23 @@ def sosfiltfilt_blocks(
     """
     sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
     zi = kernels.sosfilt_zi(sos)
-
-    def _reverse(df):
-        lens = B.channel_lengths(df)
-        return (
-            df.join(F.broadcast(lens), on=["recording_id", "channel"])
-            .select(
-                "recording_id",
-                "channel",
-                (F.col("n") - 1 - F.col("t")).cast("bigint").alias("t"),
-                "v",
-            )
-        )
-
     fwd = sosfilt_blocks(sf, sos, block_size, zi_unit=zi)
-    bwd = sosfilt_blocks(sf.with_df(_reverse(fwd.df)), sos, block_size, zi_unit=zi)
-    return sf.with_df(_reverse(bwd.df))
+    bwd = sosfilt_blocks(sf.with_df(_reverse_time(fwd.df)), sos, block_size, zi_unit=zi)
+    return sf.with_df(_reverse_time(bwd.df))
+
+
+def _reverse_time(df):
+    """t -> n-1-t per channel via a broadcast join of channel lengths."""
+    lens = B.channel_lengths(df)
+    return (
+        df.join(F.broadcast(lens), on=["recording_id", "channel"])
+        .select(
+            "recording_id",
+            "channel",
+            (F.col("n") - 1 - F.col("t")).cast("bigint").alias("t"),
+            "v",
+        )
+    )
 
 
 def sosfilt_chunked_scan(x_chunks, sos):

@@ -107,6 +107,30 @@ class TestIir:
             have = np.array([got[(ch, t)] for t in range(len(x))])
             np.testing.assert_allclose(have, want, atol=1e-9)
 
+    @pytest.mark.parametrize("block_size", [512, 4096])
+    def test_lfilter_filtfilt_blocks_any_blocksize(self, signal, arrays, block_size):
+        # ba-form parallel-in-time paths vs whole-array kernels
+        spec = design.butter(fpass=10, fstop=20, fs=100.0)
+        b, a = np.array([1.0]), np.array([1.0])
+        for s in spec.sos:
+            b = np.convolve(b, s[:3])
+            a = np.convolve(a, s[3:])
+        got = {
+            (r.channel, r.t): r.v
+            for r in op_iir.lfilter_blocks(signal, b, a, block_size=block_size).df.collect()
+        }
+        gotz = {
+            (r.channel, r.t): r.v
+            for r in op_iir.filtfilt_blocks(signal, b, a, block_size=block_size).df.collect()
+        }
+        for ch, x in arrays.items():
+            want, _ = kernels.lfilter(b, a, x)
+            have = np.array([got[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(have, want, atol=1e-9)
+            wantz = kernels.filtfilt(b, a, x)
+            havez = np.array([gotz[(ch, t)] for t in range(len(x))])
+            np.testing.assert_allclose(havez, wantz, atol=1e-8)
+
     def test_sosfiltfilt_vs_numpy(self, signal, arrays):
         spec = design.butter(fpass=10, fstop=20, fs=100.0)
         got = {(r.channel, r.t): r.v for r in op_iir.sosfiltfilt(signal, spec).df.collect()}
