@@ -124,3 +124,59 @@ class TestStreaming:
         for s in range(nsegs):
             want = x[s * stride : s * stride + nfft].sum()
             assert got[s] == pytest.approx(want, abs=1e-12)
+
+    def test_completeness_policies_drop_vs_pad(self, spark, tmp_path):
+        """SURVEY §2.10: welch drops the trailing partial segment; stft
+        'padded' zero-fills it.  Streaming analogs: filter cnt == nfft
+        (drop) vs keep partial windows (zero-pad is a no-op for sum
+        aggregates).  Both derived from ONE windowed aggregation."""
+        import pandas as pd
+
+        fs, nfft, stride, n = 100.0, 64, 32, 990  # 990 -> trailing partial
+        x = np.array([((t * 7 + 3) % 64) / 64.0 for t in range(n)])
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta((np.arange(n) / fs * 1e6).astype(int), unit="us"),
+                "channel": 0,
+                "v": x,
+            }
+        )
+        src = str(tmp_path / "pol_src")
+        batch = spark.createDataFrame(pdf)
+        batch.write.mode("overwrite").parquet(src)
+
+        def seg_transform(df):
+            return (
+                df.withWatermark("ts", "10 seconds")
+                .groupBy(
+                    F.window(
+                        "ts",
+                        f"{int(nfft / fs * 1000)} milliseconds",
+                        f"{int(stride / fs * 1000)} milliseconds",
+                    ).alias("win"),
+                    "channel",
+                )
+                .agg(F.count("*").alias("cnt"), F.sum("v").alias("seg_sum"))
+            )
+
+        allw = sw.run_batch_as_stream(
+            spark, src, batch.schema, seg_transform, queryName="t_pol"
+        ).collect()
+        t0 = pd.Timestamp("2024-01-01")
+        seg_of = lambda r: round((r.win.start - t0).total_seconds() * fs) // stride
+
+        complete = {seg_of(r) for r in allw if r.cnt == nfft and seg_of(r) >= 0}
+        # stft 'padded' pads the tail to a whole number of strides: the
+        # last emitted segment misses < stride samples -> the streaming
+        # analog keeps windows with cnt > nfft - stride
+        padded = {seg_of(r) for r in allw if r.cnt > nfft - stride and seg_of(r) >= 0}
+        n_complete = (n - nfft) // stride + 1
+        n_padded = -(-(n - nfft) // stride) + 1  # ceil: partial tail kept
+        assert len(complete) == n_complete
+        assert len(padded) == n_padded
+        # the padded-policy extra segment carries the zero-padded sum
+        extra = max(padded - complete)
+        tail = next(r for r in allw if seg_of(r) == extra)
+        want = x[extra * stride :].sum()  # zero padding adds nothing
+        assert tail.seg_sum == pytest.approx(want, abs=1e-12)
