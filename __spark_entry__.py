@@ -802,6 +802,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lfilter_blocks"] = q_lfilter_blocks
 
+    def q_filtfilt_blocks(spark, sf_dir):
+        # zero-phase ba-form parallel-in-time (rows-only; IIR recursion)
+        import numpy as np
+
+        spec = design.butter(fpass=10, fstop=20, fs=FS)
+        b, a = np.array([1.0]), np.array([1.0])
+        for s in spec.sos:
+            b = np.convolve(b, s[:3])
+            a = np.convolve(a, s[3:])
+        sf = op_iir.filtfilt_blocks(_signal(spark, sf_dir), b, a, block_size=8192)
+        return sf.df.select("channel", "t", "v")
+
+    q["filtfilt_blocks"] = q_filtfilt_blocks
+
     def q_sosfiltfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), sos)
