@@ -962,6 +962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash"] = q_simhash
 
+    def q_simhash_pairs(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.simhash_pairs(docs, max_hamming=6, portable=True)
+
+    q["simhash_pairs"] = q_simhash_pairs
+
     def q_lsh_topk(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 3).select(
@@ -1797,6 +1803,7 @@ def oracle_sql() -> dict[str, str]:
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["simhash"] = _dedup.simhash_oracle_sql(bits=32)
+    o["simhash_pairs"] = _dedup.simhash_pairs_oracle_sql(max_hamming=6, bits=32)
 
     # generated DSP oracles: naive-DFT replay of welch/stft, polyphase
     # definition replay of the resampling family, bit-exact lag/lead

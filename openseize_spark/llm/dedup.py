@@ -275,6 +275,59 @@ def simhash(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the ``bits``-bit simhash into
+    ``max_hamming + 1`` bands; any pair within distance d must agree
+    exactly on >= 1 band, so candidates come from an equi-join on
+    (band, band_bits) — shuffle on short keys, never O(n²) — then exact
+    verification via bit_count(xor).  Returns (a, b, hamming), a < b.
+    """
+    nb = max_hamming + 1
+    width = bits // nb
+    sh = simhash(docs, text_col, id_col, bits, portable)
+
+    def _band(b):
+        w = width + (bits % nb if b == nb - 1 else 0)  # last band takes the remainder
+        return F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << w) - 1))
+            .alias("bb"),
+        )
+
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(F.array(*[_band(b) for b in range(nb)])).alias("bd"),
+    ).select(id_col, "simhash", "bd.band", "bd.bb")
+    x = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "bb"
+    )
+    y = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "bb"
+    )
+    return (
+        x.join(y, on=["band", "bb"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle-SQL generators (portable-hash replay of the pipelines above)
 # ---------------------------------------------------------------------------
@@ -361,8 +414,8 @@ def minhash_dedup_oracle_sql(
     )
 
 
-def simhash_oracle_sql(bits: int = 32) -> str:
-    """DuckDB SQL equal to simhash(portable=True)."""
+def _simhash_ctes(bits: int) -> str:
+    """CTE chain norm -> toks -> bs -> sh replaying simhash(portable=True)."""
     tok_hash = _HASH32_SQL.format(expr="u.tok")
     return f"""
         WITH norm AS (
@@ -376,8 +429,42 @@ def simhash_oracle_sql(bits: int = 32) -> str:
                  SUM(CASE WHEN ((h >> u.b) & 1) = 1 THEN 1 ELSE -1 END) AS s
           FROM toks, unnest(generate_series(0, {bits - 1})) AS u(b)
           GROUP BY doc_id, u.b
+        ), sh AS (
+          SELECT doc_id,
+                 CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                   AS simhash
+          FROM bs GROUP BY doc_id
+        )"""
+
+
+def simhash_oracle_sql(bits: int = 32) -> str:
+    """DuckDB SQL equal to simhash(portable=True)."""
+    return _simhash_ctes(bits) + "\n        SELECT doc_id, simhash FROM sh"
+
+
+def simhash_pairs_oracle_sql(max_hamming: int = 3, bits: int = 32) -> str:
+    """DuckDB SQL equal to simhash_pairs(portable=True): pigeonhole band
+    join + exact Hamming verification."""
+    nb = max_hamming + 1
+    width = bits // nb
+    arms = "\n          UNION ALL ".join(
+        "SELECT doc_id, simhash, {b} AS band, "
+        "(simhash >> {sh}) & {mask} AS bb FROM sh".format(
+            b=b,
+            sh=b * width,
+            mask=(1 << (width + (bits % nb if b == nb - 1 else 0))) - 1,
         )
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
-                 AS simhash
-        FROM bs GROUP BY doc_id"""
+        for b in range(nb)
+    )
+    return (
+        _simhash_ctes(bits)
+        + f"""
+        , banded AS (
+          {arms}
+        )
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+        FROM banded x
+        JOIN banded y ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
+    )

@@ -62,6 +62,27 @@ class TestDedup:
 
         assert ham(out[0], out[101]) < ham(out[0], out[102])
 
+    @pytest.mark.parametrize("portable", [False, True])
+    def test_simhash_pairs_pigeonhole_complete(self, docs, portable):
+        """Band join must find EVERY pair within max_hamming (pigeonhole
+        guarantee) — compare against brute force over all simhashes."""
+        d = 8
+        hashes = {
+            r.doc_id: r.simhash
+            for r in dedup.simhash(docs, portable=portable).collect()
+        }
+        want = {
+            (a, b): bin(hashes[a] ^ hashes[b]).count("1")
+            for a in hashes
+            for b in hashes
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= d
+        }
+        got = {
+            (r.a, r.b): r.hamming
+            for r in dedup.simhash_pairs(docs, max_hamming=d, portable=portable).collect()
+        }
+        assert got == want
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
