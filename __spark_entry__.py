@@ -55,8 +55,38 @@ _HAMMING_SPEC = design.general_cosine_fir("hamming", fpass=10, fstop=20, fs=FS)
 _SURROGATE_FRACS = [(3, 10), (9, 20), (11, 20), (7, 10)]
 
 
+def _compose_ba():
+    """Single-stage (b, a) from the default butter SOS cascade — shared by
+    the lfilter/filtfilt queries and their recursion-replay oracles so both
+    sides consume identical float64 coefficients."""
+    import numpy as np
+
+    spec = design.butter(fpass=10, fstop=20, fs=FS)
+    b, a = np.array([1.0]), np.array([1.0])
+    for s in spec.sos:
+        b = np.convolve(b, s[:3])
+        a = np.convolve(a, s[3:])
+    return b, a
+
+
+_BA_SPEC = _compose_ba()
+
+
 def _signal(spark: SparkSession, sf_dir: str) -> SignalFrame:
     return signal_from_lineitem(spark, sf_dir, nchannels=NCH, fs=FS)
+
+
+# The IIR gate queries run on the first IIR_SLICE samples per channel so
+# their DuckDB oracles (recursive-CTE replays of the exact DF2T recursion,
+# plans/oracles.iir_oracle_sql) stay cheap: the recursive term re-executes
+# per sample, so oracle cost is O(slice * nch), not O(full signal).
+# Full-length variants (*_full, rows-only) exist for bench throughput.
+IIR_SLICE = 2048
+
+
+def _signal_sliced(spark: SparkSession, sf_dir: str) -> SignalFrame:
+    sf = _signal(spark, sf_dir)
+    return sf.with_df(sf.df.filter(F.col("t") < IIR_SLICE))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -582,7 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_sosfiltfilt_ellip(spark, sf_dir):
         spec_e = design2.ellip(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), spec_e)
+        sf = op_iir.sosfiltfilt(_signal_sliced(spark, sf_dir), spec_e)
         return sf.df.select("channel", "t", "v")
 
     q["sosfiltfilt_ellip"] = q_sosfiltfilt_ellip
@@ -764,61 +794,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_sosfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfilt(_signal(spark, sf_dir), sos)
+        sf = op_iir.sosfilt(_signal_sliced(spark, sf_dir), sos)
         return sf.df.select("channel", "t", "v")
 
     q["sosfilt"] = q_sosfilt
 
     def q_sosfilt_blocks(spark, sf_dir):
-        # parallel-in-time state-scan IIR (operators/iir.sosfilt_blocks) —
-        # rows-only check (float superposition ~1e-12; exactness covered by
-        # tests/test_partition_invariance.py vs the whole-array kernel)
+        # parallel-in-time state-scan IIR (operators/iir.sosfilt_blocks).
+        # Oracled against the plain-recursion replay: superposition state
+        # error underflows below 1 ulp for SOS cascades (measured 0.0 on
+        # this signal), but round(7) on both sides keeps the compare robust.
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
-        return sf.df.select("channel", "t", "v")
+        sf = op_iir.sosfilt_blocks(_signal_sliced(spark, sf_dir), sos, block_size=512)
+        return sf.df.select("channel", "t", F.round("v", 7).alias("v"))
 
     q["sosfilt_blocks"] = q_sosfilt_blocks
 
     def q_sosfiltfilt_blocks(spark, sf_dir):
         # zero-phase parallel-in-time: forward + time-reversed backward
-        # state-scan passes (rows-only; IIR has no SQL form)
+        # state-scan passes
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfiltfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
-        return sf.df.select("channel", "t", "v")
+        sf = op_iir.sosfiltfilt_blocks(_signal_sliced(spark, sf_dir), sos, block_size=512)
+        return sf.df.select("channel", "t", F.round("v", 7).alias("v"))
 
     q["sosfiltfilt_blocks"] = q_sosfiltfilt_blocks
 
     def q_lfilter_blocks(spark, sf_dir):
-        # ba-form parallel-in-time state scan (rows-only; IIR recursion)
-        import numpy as np
-
-        spec = design.butter(fpass=10, fstop=20, fs=FS)
-        b, a = np.array([1.0]), np.array([1.0])
-        for s in spec.sos:
-            b = np.convolve(b, s[:3])
-            a = np.convolve(a, s[3:])
-        sf = op_iir.lfilter_blocks(_signal(spark, sf_dir), b, a, block_size=8192)
-        return sf.df.select("channel", "t", "v")
+        # ba-form parallel-in-time state scan (blocks-vs-plain float noise
+        # <=6e-14 on this signal; round(7) both sides)
+        b, a = _BA_SPEC
+        sf = op_iir.lfilter_blocks(_signal_sliced(spark, sf_dir), b, a, block_size=512)
+        return sf.df.select("channel", "t", F.round("v", 7).alias("v"))
 
     q["lfilter_blocks"] = q_lfilter_blocks
 
     def q_filtfilt_blocks(spark, sf_dir):
-        # zero-phase ba-form parallel-in-time (rows-only; IIR recursion)
-        import numpy as np
-
-        spec = design.butter(fpass=10, fstop=20, fs=FS)
-        b, a = np.array([1.0]), np.array([1.0])
-        for s in spec.sos:
-            b = np.convolve(b, s[:3])
-            a = np.convolve(a, s[3:])
-        sf = op_iir.filtfilt_blocks(_signal(spark, sf_dir), b, a, block_size=8192)
-        return sf.df.select("channel", "t", "v")
+        # zero-phase ba-form parallel-in-time
+        b, a = _BA_SPEC
+        sf = op_iir.filtfilt_blocks(_signal_sliced(spark, sf_dir), b, a, block_size=512)
+        return sf.df.select("channel", "t", F.round("v", 7).alias("v"))
 
     q["filtfilt_blocks"] = q_filtfilt_blocks
 
     def q_sosfiltfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfiltfilt(_signal(spark, sf_dir), sos)
+        sf = op_iir.sosfiltfilt(_signal_sliced(spark, sf_dir), sos)
         return sf.df.select("channel", "t", "v")
 
     q["sosfiltfilt"] = q_sosfiltfilt
@@ -851,47 +871,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_sosfilt_cheby1(spark, sf_dir):
         spec = design2.cheby1(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        sf = op_iir.sosfilt(_signal_sliced(spark, sf_dir), spec)
         return sf.df.select("channel", "t", "v")
 
     q["sosfilt_cheby1"] = q_sosfilt_cheby1
 
     def q_lfilter(spark, sf_dir):
-        import numpy as np
-
-        spec = design.butter(fpass=10, fstop=20, fs=FS)
-        b, a = np.array([1.0]), np.array([1.0])
-        for s in spec.sos:
-            b = np.convolve(b, s[:3])
-            a = np.convolve(a, s[3:])
-        sf = op_iir.lfilter(_signal(spark, sf_dir), b, a)
+        b, a = _BA_SPEC
+        sf = op_iir.lfilter(_signal_sliced(spark, sf_dir), b, a)
         return sf.df.select("channel", "t", "v")
 
     q["lfilter"] = q_lfilter
 
     def q_sosfilt_cheby2(spark, sf_dir):
         spec = design2.cheby2(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
-        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        sf = op_iir.sosfilt(_signal_sliced(spark, sf_dir), spec)
         return sf.df.select("channel", "t", "v")
 
     q["sosfilt_cheby2"] = q_sosfilt_cheby2
 
     def q_filtfilt(spark, sf_dir):
-        import numpy as np
-
-        spec = design.butter(fpass=10, fstop=20, fs=FS)
-        b, a = np.array([1.0]), np.array([1.0])
-        for s in spec.sos:
-            b = np.convolve(b, s[:3])
-            a = np.convolve(a, s[3:])
-        sf = op_iir.filtfilt(_signal(spark, sf_dir), b, a)
+        b, a = _BA_SPEC
+        sf = op_iir.filtfilt(_signal_sliced(spark, sf_dir), b, a)
         return sf.df.select("channel", "t", "v")
 
     q["filtfilt"] = q_filtfilt
 
     def q_notch(spark, sf_dir):
         spec = design.notch(fstop=15.0, width=4.0, fs=FS)
-        sf = op_iir.sosfilt(_signal(spark, sf_dir), spec)
+        sf = op_iir.sosfilt(_signal_sliced(spark, sf_dir), spec)
         return sf.df.select("channel", "t", "v")
 
     q["notch"] = q_notch
@@ -1063,6 +1071,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.image_features(media, deterministic_fake=True)
 
     q["image_features"] = q_image_features
+
+    # ---- full-length IIR bench variants (rows-only; the oracled gate
+    # ---- queries above run on the first IIR_SLICE samples so their
+    # ---- recursive-CTE oracles stay cheap — these keep bench.py honest)
+    def q_sosfilt_full(spark, sf_dir):
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt(_signal(spark, sf_dir), sos)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt_full"] = q_sosfilt_full
+
+    def q_sosfilt_blocks_full(spark, sf_dir):
+        sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sf = op_iir.sosfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
+        return sf.df.select("channel", "t", "v")
+
+    q["sosfilt_blocks_full"] = q_sosfilt_blocks_full
 
     return q
 
@@ -1861,4 +1886,35 @@ def oracle_sql() -> dict[str, str]:
         sig, _hilb_taps, target=0.5, tol=0.05, window=32,
         shift_fracs=_SURROGATE_FRACS,
     )
+
+    # ---- IIR family: recursive-CTE replays of the exact DF2T recursion
+    # (plans/oracles.iir_oracle_sql).  Plain kernels are bit-exact; the
+    # parallel-in-time *_blocks variants round(7) on both sides (their
+    # blocks-vs-plain float noise is <=6e-14 on this signal).
+    scte = signal_cte(NCH)
+    _butter = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0).sos
+    _ch1 = design2.cheby1(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0).sos
+    _ch2 = design2.cheby2(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0).sos
+    _ell = design2.ellip(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0).sos
+    _ntc = design.notch(fstop=15.0, width=4.0, fs=FS).sos
+
+    def _iir(sos=None, ba=None, zero_phase=False, round_digits=None):
+        return _orc.iir_oracle_sql(
+            scte, sos=sos, ba=ba, zero_phase=zero_phase,
+            slice_n=IIR_SLICE, round_digits=round_digits,
+        )
+
+    o["sosfilt"] = _iir(sos=_butter)
+    o["sosfilt_cheby1"] = _iir(sos=_ch1)
+    o["sosfilt_cheby2"] = _iir(sos=_ch2)
+    o["notch"] = _iir(sos=_ntc)
+    o["sosfiltfilt"] = _iir(sos=_butter, zero_phase=True)
+    o["sosfiltfilt_ellip"] = _iir(sos=_ell, zero_phase=True)
+    o["lfilter"] = _iir(ba=_BA_SPEC)
+    o["filtfilt"] = _iir(ba=_BA_SPEC, zero_phase=True)
+    o["sosfilt_blocks"] = _iir(sos=_butter, round_digits=7)
+    o["sosfiltfilt_blocks"] = _iir(sos=_butter, zero_phase=True, round_digits=7)
+    o["lfilter_blocks"] = _iir(ba=_BA_SPEC, round_digits=7)
+    o["filtfilt_blocks"] = _iir(ba=_BA_SPEC, zero_phase=True, round_digits=7)
+
     return {k: v.strip() for k, v in o.items()}

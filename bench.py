@@ -29,8 +29,8 @@ HEADLINE = [
     "fir_kaiser",           # 25-tap codegen window FIR
     "welch_psd_blocks",     # block+halo Arrow kernel + partial agg
     "resample_poly",        # polyphase block kernel
-    "sosfilt",              # stateful per-channel IIR kernel
-    "sosfilt_blocks",       # parallel-in-time state-scan IIR
+    "sosfilt_full",         # stateful per-channel IIR kernel (full length)
+    "sosfilt_blocks_full",  # parallel-in-time state-scan IIR (full length)
     "dedup_exact",          # md5 fingerprint hash-groupBy
     "text_stats",           # pure string-function scan
     "knn_cosine",           # broadcast brute-force ANN

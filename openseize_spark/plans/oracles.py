@@ -358,3 +358,156 @@ def pac_surrogates_oracle_sql(
         FROM sgath
         GROUP BY channel, surrogate_id, "offset" """
     )
+
+
+# --------------------------------------------------------------- IIR replay
+def _sos_rec_cte(recname: str, signame: str, sos: np.ndarray, zi: np.ndarray | None) -> str:
+    """Recursive-CTE fragment replaying dsp/kernels.sosfilt bit-exactly.
+
+    The DF2T per-sample update is three IEEE binary64 ops per section with
+    a fixed fold order; writing the identical expression tree in SQL makes
+    DuckDB produce bit-identical doubles (same trick as the FIR lag/lead
+    folds).  Processing section-by-section over the whole array (the numpy
+    kernel's loop order) and sample-by-sample through the cascade (this
+    recursion's order) perform the exact same float ops per (section,
+    sample) pair, so the results are bit-equal.
+
+    ``zi`` (nsec, 2): Gustafsson-style unit state; the base case seeds
+    z = zi * x[0] exactly like kernels.sosfiltfilt.
+    """
+    sos = np.asarray(sos, dtype=np.float64)
+    S = sos.shape[0]
+    flat = [c for s in range(S) for c in (f"z0_{s}", f"z1_{s}")]
+    if zi is None:
+        base_z = ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in flat)
+        base_src = f"(SELECT DISTINCT channel FROM {signame})"
+    else:
+        base_z = ", ".join(
+            f"{float(zi[s, 0])!r} * v0 AS z0_{s}, {float(zi[s, 1])!r} * v0 AS z1_{s}"
+            for s in range(S)
+        )
+        base_src = f"(SELECT channel, v AS v0 FROM {signame} WHERE t = 0)"
+    inner = (
+        "SELECT r.channel AS channel, r.t+1 AS t, s.v AS xi, "
+        + ", ".join(f"r.{c} AS p{c}" for c in flat)
+        + f" FROM {recname} r JOIN {signame} s ON s.channel = r.channel AND s.t = r.t + 1"
+    )
+    terms, xin = [], "xi"
+    for s in range(S):
+        b0, b1, b2, _, a1, a2 = (float(v) for v in sos[s])
+        y = f"y{s + 1}"
+        terms.append(f"{b0!r} * {xin} + pz0_{s} AS {y}")
+        terms.append(f"{b1!r} * {xin} - {a1!r} * {y} + pz1_{s} AS nz0_{s}")
+        terms.append(f"{b2!r} * {xin} - {a2!r} * {y} AS nz1_{s}")
+        xin = y
+    mid = f"SELECT *, {', '.join(terms)} FROM ({inner})"
+    step = (
+        f"SELECT channel, t, y{S} AS v, "
+        + ", ".join(f"nz0_{s} AS z0_{s}, nz1_{s} AS z1_{s}" for s in range(S))
+        + f" FROM ({mid})"
+    )
+    return (
+        f"{recname} AS (\n"
+        f"  SELECT channel, CAST(-1 AS BIGINT) AS t, CAST(0.0 AS DOUBLE) AS v, {base_z}\n"
+        f"  FROM {base_src}\n  UNION ALL\n  {step}\n)"
+    )
+
+
+def _ba_rec_cte(recname: str, signame: str, b: np.ndarray, a: np.ndarray, zi: np.ndarray | None) -> str:
+    """Recursive-CTE fragment replaying dsp/kernels.lfilter bit-exactly
+    (same a[0]-normalization and DF2T fold order as the kernel)."""
+    b = np.asarray(b, dtype=np.float64)
+    a = np.asarray(a, dtype=np.float64)
+    b = b / a[0]
+    a = a / a[0]
+    n = max(len(a), len(b))
+    b = np.pad(b, (0, n - len(b)))
+    a = np.pad(a, (0, n - len(a)))
+    d = n - 1
+    zc = [f"z{j}" for j in range(d)]
+    if zi is None:
+        base_z = ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in zc)
+        base_src = f"(SELECT DISTINCT channel FROM {signame})"
+    else:
+        base_z = ", ".join(f"{float(zi[j])!r} * v0 AS z{j}" for j in range(d))
+        base_src = f"(SELECT channel, v AS v0 FROM {signame} WHERE t = 0)"
+    inner = (
+        "SELECT r.channel AS channel, r.t+1 AS t, s.v AS xi, "
+        + ", ".join(f"r.{c} AS p{c}" for c in zc)
+        + f" FROM {recname} r JOIN {signame} s ON s.channel = r.channel AND s.t = r.t + 1"
+    )
+    terms = [f"{float(b[0])!r} * xi + pz0 AS yy"]
+    for j in range(d - 1):
+        terms.append(
+            f"{float(b[j + 1])!r} * xi + pz{j + 1} - {float(a[j + 1])!r} * yy AS nz{j}"
+        )
+    terms.append(f"{float(b[n - 1])!r} * xi - {float(a[n - 1])!r} * yy AS nz{d - 1}")
+    mid = f"SELECT *, {', '.join(terms)} FROM ({inner})"
+    step = (
+        "SELECT channel, t, yy AS v, "
+        + ", ".join(f"nz{j} AS z{j}" for j in range(d))
+        + f" FROM ({mid})"
+    )
+    return (
+        f"{recname} AS (\n"
+        f"  SELECT channel, CAST(-1 AS BIGINT) AS t, CAST(0.0 AS DOUBLE) AS v, {base_z}\n"
+        f"  FROM {base_src}\n  UNION ALL\n  {step}\n)"
+    )
+
+
+def iir_oracle_sql(
+    signal_cte_body: str,
+    *,
+    sos: np.ndarray | None = None,
+    ba: tuple[np.ndarray, np.ndarray] | None = None,
+    zero_phase: bool = False,
+    slice_n: int = 2048,
+    round_digits: int | None = None,
+) -> str:
+    """Full-query DuckDB oracle for the IIR family: replays the causal
+    recursion (and the reverse pass for zero-phase) as recursive CTEs over
+    the first ``slice_n`` samples per channel.
+
+    Plain per-channel kernels match BIT-EXACTLY (no tolerance).  The
+    parallel-in-time ``*_blocks`` operators differ from the plain
+    recursion only by state-superposition float noise (measured <=6e-14
+    on the gate signal; the SOS variants underflow to bit-exact), so
+    callers pass ``round_digits=7`` for those and round the Spark side
+    identically.
+
+    ``signal_cte_body``: the output of signal.signal_cte(nch).
+    """
+    from openseize_spark.dsp import kernels as _k
+
+    if (sos is None) == (ba is None):
+        raise ValueError("exactly one of sos / ba")
+    if sos is not None:
+        sos = np.asarray(sos, dtype=np.float64)
+        zi = _k.sosfilt_zi(sos) if zero_phase else None
+        mk = lambda rec, sig, z: _sos_rec_cte(rec, sig, sos, z)  # noqa: E731
+    else:
+        b, a = ba
+        zi = _k.lfilter_zi(b, a) if zero_phase else None
+        mk = lambda rec, sig, z: _ba_rec_cte(rec, sig, b, a, z)  # noqa: E731
+
+    vexpr = "v" if round_digits is None else f"round(v, {round_digits}) AS v"
+    parts = [
+        "WITH RECURSIVE " + signal_cte_body.strip().removeprefix("WITH").strip(),
+        f"sig AS MATERIALIZED (SELECT channel, t, v FROM signal WHERE t < {slice_n})",
+        mk("fwd", "sig", zi),
+    ]
+    if not zero_phase:
+        final = f"SELECT channel, t, {vexpr} FROM fwd WHERE t >= 0"
+    else:
+        parts += [
+            "nlen AS MATERIALIZED (SELECT channel, count(*) AS n FROM sig GROUP BY channel)",
+            "frev AS MATERIALIZED (SELECT f.channel, l.n - 1 - f.t AS t, f.v"
+            " FROM fwd f JOIN nlen l ON f.channel = l.channel WHERE f.t >= 0)",
+            mk("bwd", "frev", zi),
+        ]
+        final = (
+            "SELECT b.channel, CAST(l.n - 1 - b.t AS BIGINT) AS t, "
+            + ("b.v" if round_digits is None else f"round(b.v, {round_digits}) AS v")
+            + " FROM bwd b JOIN nlen l ON b.channel = l.channel WHERE b.t >= 0"
+        )
+    return ",\n".join(parts) + "\n" + final
