@@ -792,6 +792,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stft"] = q_stft
 
+    def q_stft_blocks(spark, sf_dir):
+        # bounded-memory STFT (stride-aligned blocks + right halo); tested
+        # bit-exact vs the whole-channel path, shares its DFT oracle
+        sf = _signal(spark, sf_dir)
+        return spec.stft_blocks(sf, nfft=128, overlap=0.5, segs_per_block=64).select(
+            "channel",
+            "seg",
+            "freq",
+            F.round("re", 12).alias("re"),
+            F.round("im", 12).alias("im"),
+        )
+
+    q["stft_blocks"] = q_stft_blocks
+
     def q_sosfilt(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfilt(_signal_sliced(spark, sf_dir), sos)
@@ -1874,6 +1888,7 @@ def oracle_sql() -> dict[str, str]:
     o["welch_psd"] = _orc.welch_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
     o["welch_psd_blocks"] = o["welch_psd"]  # same result, block-kernel path
     o["stft"] = _orc.stft_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
+    o["stft_blocks"] = o["stft"]  # same result, block-kernel path
     o["downsample"] = _orc.resample_oracle_sql(sig, L=1, M=4)
     o["upsample"] = _orc.resample_oracle_sql(sig, L=3, M=1)
     o["resample_poly"] = _orc.resample_oracle_sql(sig, L=2, M=5)

@@ -188,6 +188,110 @@ def stft(
     return sf.df.groupBy("recording_id", "channel").applyInPandas(_stft, _STFT_SCHEMA)
 
 
+def stft_blocks(
+    sf: SignalFrame,
+    nfft: int,
+    overlap: float = 0.5,
+    window: str = "hann",
+    detrend: str = "constant",
+    scaling: str = "density",
+    boundary: bool = True,
+    padded: bool = True,
+    segs_per_block: int = 256,
+) -> DataFrame:
+    """Scale-out STFT: bounded memory per task regardless of channel length
+    — the block twin of ``stft`` (same result, tested bit-exact), closing
+    the one scale gap the round-1 review flagged.
+
+    Segment starts live on the *padded* axis (boundary pad nfft//2, tail
+    pad to whole strides; reference: core/numerical.py:1039-1051); mapped
+    to the original axis they sit at o = s*stride - P.  Each stride-aligned
+    block owns the starts falling inside it (block 0 additionally owns the
+    negative boundary starts; the channel's last block owns any phantom
+    tail starts beyond the data, which read pure pad zeros), and a right
+    halo of nfft samples covers every owned segment's span, so each
+    segment is computed exactly once with no aggregation.  Per-task memory
+    is O(block), one shuffle (to_blocks) + one broadcast (channel
+    lengths).
+    """
+    fs = float(sf.fs)
+    stride = int(nfft - overlap * nfft)
+    P = nfft // 2 if boundary else 0
+    block = segs_per_block * stride
+    if block < nfft:
+        raise ValueError("segs_per_block * stride must be >= nfft")
+
+    bdf = B.to_blocks(sf.df, block)
+    bdf = B.with_halos(bdf, 0, min(nfft, block))
+    bdf = bdf.join(F.broadcast(B.channel_lengths(sf.df)), on=["recording_id", "channel"])
+
+    win = kernels.get_window(window, nfft)
+    denom = float(np.sqrt(fs * np.sum(win**2))) if scaling == "density" else float(np.sum(win))
+    freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
+
+    def _block_stft(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                t0, n = int(row.t0), int(row.n)
+                x_ext = np.concatenate(
+                    [np.asarray(row.vs, dtype=np.float64), np.asarray(row.right, dtype=np.float64)]
+                )
+                nvs = len(row.vs)
+                # global padded length -> last start on the original axis
+                total = n + 2 * P
+                if padded and (total - nfft) % stride != 0:
+                    total += stride - (total - nfft) % stride
+                o_last = total - nfft - P
+                # starts owned by this block
+                lo = -P if t0 == 0 else t0 + ((-P - t0) % stride)
+                hi = o_last if t0 + nvs >= n else t0 + nvs - 1
+                hi = min(hi, o_last)
+                if hi < lo:
+                    continue
+                nstarts = (hi - lo) // stride + 1
+                # local array covering [lo, hi + nfft) with pad zeros
+                left_pad = max(t0 - lo, 0)
+                right_pad = max((hi + nfft) - (t0 + len(x_ext)), 0)
+                xloc = np.concatenate([np.zeros(left_pad), x_ext, np.zeros(right_pad)])
+                segs = kernels.sliding_segments(xloc[lo - t0 + left_pad :], nfft, stride)[
+                    :nstarts
+                ]
+                xs = kernels.detrend(segs, detrend) * win
+                spec = np.fft.rfft(xs, axis=-1) / denom
+                s0 = (lo + P) // stride
+                s_idx = s0 + np.arange(nstarts)
+                nfreq = len(freqs)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "recording_id": row.recording_id,
+                            "channel": row.channel,
+                            "seg": np.repeat(s_idx, nfreq),
+                            "time": np.repeat(
+                                (s_idx * stride + nfft / 2 - P) / fs, nfreq
+                            ),
+                            "freq": np.tile(freqs, nstarts),
+                            "re": spec.real.ravel(),
+                            "im": spec.imag.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {
+                    "recording_id": pd.Series([], dtype=str),
+                    "channel": [],
+                    "seg": [],
+                    "time": [],
+                    "freq": [],
+                    "re": [],
+                    "im": [],
+                }
+            )
+
+    return bdf.mapInPandas(_block_stft, _STFT_SCHEMA)
+
+
 def band_power(
     psd: DataFrame, lo: float, hi: float, freq_step: float
 ) -> DataFrame:

@@ -218,6 +218,39 @@ class TestWelch:
                 for fi in range(0, Z.shape[1], 17):
                     assert abs(by[(ch, si, freqs[fi])] - Z[si, fi]) < 1e-12
 
+    @pytest.mark.parametrize(
+        "nfft,overlap,boundary,padded,segs_per_block",
+        [
+            (128, 0.5, True, True, 3),
+            (128, 0.5, True, True, 1000),
+            # overlap<0.5 -> phantom tail segments beyond the data, owned
+            # by the last block
+            (96, 0.25, True, True, 5),
+            (64, 0.5, False, False, 9),
+        ],
+    )
+    def test_stft_blocks_bitexact(
+        self, signal, nfft, overlap, boundary, padded, segs_per_block
+    ):
+        a = {
+            (r.channel, r.seg, r.freq): (r.re, r.im, r.time)
+            for r in op_spec.stft(
+                signal, nfft=nfft, overlap=overlap, boundary=boundary, padded=padded
+            ).collect()
+        }
+        b = {
+            (r.channel, r.seg, r.freq): (r.re, r.im, r.time)
+            for r in op_spec.stft_blocks(
+                signal,
+                nfft=nfft,
+                overlap=overlap,
+                boundary=boundary,
+                padded=padded,
+                segs_per_block=segs_per_block,
+            ).collect()
+        }
+        assert a == b  # bit-exact: identical segment floats -> identical FFT
+
 
 class TestPacSignal:
     def test_welch_finds_construction_peaks(self, spark):
