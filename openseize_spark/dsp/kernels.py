@@ -167,14 +167,72 @@ def lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
 
 
 # ------------------------------------------------------------- resampling
+def polyphase_apply(
+    hL: np.ndarray,
+    x: np.ndarray,
+    L: int,
+    M: int,
+    j_start: int,
+    j_end: int,
+    x_origin: int = 0,
+    half: int | None = None,
+) -> np.ndarray:
+    """True polyphase evaluation of y[j] = sum_s x_g[s] * hL[half + j*M - s*L]
+    for global output indices j in [j_start, j_end), where ``x`` covers
+    global input samples [x_origin, x_origin + len(x)) and x_g is zero
+    outside.
+
+    This is the strided-upfirdn decomposition: for fixed j the tap index
+    half + j*M - s*L stays in one residue class mod L, so output phase
+    r = j % L uses only the phase filter hL[p_r::L] — each output costs
+    len(hL)/L multiply-adds and the L*x zero-stuffed array is never
+    materialized (memory O(len(x) + n_out), not O(len(x)*L)).
+
+    reference semantics: core/numerical.py:523-632 (the reference
+    zero-stuffs per chunk; this computes the identical sums directly).
+    """
+    hL = np.asarray(hL, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    if half is None:
+        half = (len(hL) - 1) // 2
+    n_out = j_end - j_start
+    if n_out <= 0:
+        return np.zeros(0)
+    y = np.empty(n_out)
+    # phase sub-filters and the local window bounds they need
+    plans = []
+    lo_needed, hi_needed = 0, len(x)
+    for r in range(min(L, n_out)):
+        jf = j_start + r
+        count = (j_end - jf + L - 1) // L
+        p = (half + jf * M) % L
+        hr = hL[p::L]
+        K = len(hr)
+        if K == 0:
+            y[r::L] = 0.0
+            continue
+        s0 = (half + jf * M - p) // L  # newest input sample entering y[jf]
+        ls = s0 - K + 1 - x_origin  # local index of the window start
+        plans.append((jf, count, hr[::-1].copy(), K, ls))
+        lo_needed = min(lo_needed, ls)
+        hi_needed = max(hi_needed, ls + K + (count - 1) * M)
+    lpad = max(0, -lo_needed)
+    rpad = max(0, hi_needed - len(x))
+    xp = np.concatenate([np.zeros(lpad), x, np.zeros(rpad)]) if lpad or rpad else x
+    for jf, count, hr_rev, K, ls in plans:
+        rows = np.lib.stride_tricks.sliding_window_view(xp, K)[ls + lpad :: M][:count]
+        y[jf - j_start :: L] = rows @ hr_rev
+    return y
+
+
 def upfirdn(h: np.ndarray, x: np.ndarray, up: int, down: int) -> np.ndarray:
-    """Zero-stuff by `up`, FIR filter, take every `down`-th sample."""
+    """Zero-stuff by `up`, FIR filter, take every `down`-th sample —
+    computed via the strided polyphase core (no L*x expansion)."""
     x = np.asarray(x, dtype=np.float64)
     h = np.asarray(h, dtype=np.float64)
-    expanded = np.zeros(len(x) * up)
-    expanded[::up] = x
-    y = convolve_full(expanded, h)
-    return y[::down]
+    n_full = len(x) * up + len(h) - 1
+    n_out = -(-n_full // down)
+    return polyphase_apply(h, x, up, down, 0, n_out, x_origin=0, half=0)
 
 
 def resample_poly(x: np.ndarray, up: int, down: int, h: np.ndarray | None = None) -> np.ndarray:
@@ -195,13 +253,7 @@ def resample_poly(x: np.ndarray, up: int, down: int, h: np.ndarray | None = None
     if h is None:
         h = default_resample_filter(up, down)
     n_out = int(np.ceil(len(x) * up / down))
-    # group delay of the (odd-length) filter in upsampled coordinates
-    half = (len(h) - 1) // 2
-    expanded = np.zeros(len(x) * up)
-    expanded[::up] = x
-    y = convolve_full(expanded, h * up)
-    y = y[half : half + len(x) * up : down]
-    return y[:n_out]
+    return polyphase_apply(h * up, x, up, down, 0, n_out)
 
 
 def default_resample_filter(up: int, down: int) -> np.ndarray:

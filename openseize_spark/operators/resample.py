@@ -93,13 +93,11 @@ def resample(
                 j_end = min(-(-b * L // M), n_out)
                 if j_end <= j_start:
                     continue
-                # local expanded position of global sample (a - halo) is 0
-                expanded = np.zeros(len(x) * L)
-                expanded[::L] = x
-                y = kernels.convolve_full(expanded, hL)
-                # yfull[j] = conv[half + j*M - (a-halo)*L]
-                idx = half + np.arange(j_start, j_end) * M - (a - halo) * L
-                vals = y[idx]
+                # strided polyphase (no L*x zero-stuffed array): x covers
+                # global samples [a - halo, ...) after the left pad
+                vals = kernels.polyphase_apply(
+                    hL, x, L, M, j_start, j_end, x_origin=a - halo, half=half
+                )
                 rows.append(
                     {
                         "recording_id": row.recording_id,
