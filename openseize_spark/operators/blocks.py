@@ -54,34 +54,48 @@ def with_halos(
     halo_left: int,
     halo_right: int,
     keys: tuple[str, ...] = ("recording_id", "channel"),
+    block_size: int | None = None,
 ) -> DataFrame:
     """Attach neighbor overlap arrays via lag/lead window functions.
 
     ``left``/``right`` are empty at stream edges (kernels zero-pad there,
     matching whole-array convolution semantics).
+
+    A halo wider than one block (e.g. a resample filter half-width
+    exceeding an M-aligned block, or FIR taps > block_size) chains
+    ceil(halo / block_size) lags/leads so the overlap never silently
+    truncates mid-stream; pass ``block_size`` to enable that — without it
+    a halo is limited to one neighboring block and asserted against
+    nothing, so callers with data-dependent halos should always pass it.
     """
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("block_id")
+    empty = F.array().cast("array<double>")
+
+    def _reach(halo: int) -> int:
+        if block_size is None:
+            return 1
+        return max(1, -(-halo // block_size))
+
     out = blocks
     if halo_left > 0:
+        k = _reach(halo_left)
+        arr = F.concat(
+            *[F.coalesce(F.lag("vs", i).over(w), empty) for i in range(k, 0, -1)]
+        )
         out = out.withColumn(
             "left",
-            F.coalesce(
-                F.slice(F.lag("vs", 1).over(w), -halo_left, halo_left),
-                F.array().cast("array<double>"),
-            ),
+            F.when(F.size(arr) >= halo_left, F.slice(arr, -halo_left, halo_left)).otherwise(arr),
         )
     else:
-        out = out.withColumn("left", F.array().cast("array<double>"))
+        out = out.withColumn("left", empty)
     if halo_right > 0:
-        out = out.withColumn(
-            "right",
-            F.coalesce(
-                F.slice(F.lead("vs", 1).over(w), 1, halo_right),
-                F.array().cast("array<double>"),
-            ),
+        k = _reach(halo_right)
+        arr = F.concat(
+            *[F.coalesce(F.lead("vs", i).over(w), empty) for i in range(1, k + 1)]
         )
+        out = out.withColumn("right", F.slice(arr, 1, halo_right))
     else:
-        out = out.withColumn("right", F.array().cast("array<double>"))
+        out = out.withColumn("right", empty)
     return out
 
 

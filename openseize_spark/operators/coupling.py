@@ -109,10 +109,15 @@ def pac_estimate(
 
     g = event_window_gather(amplitude, events, window)
     # completeness via an analytic count — one pass over the gathered
-    # rows instead of a groupBy + semi-join re-derivation of the subtree
+    # rows instead of a groupBy + semi-join re-derivation of the subtree.
+    # event_window_gather spans [event_t - window//2, event_t + window//2),
+    # which holds 2*(window//2) samples — for odd window that is window-1,
+    # so the filter must use the span size, not `window`, or every odd-
+    # window estimate would be discarded as incomplete.
+    full_span = 2 * (window // 2)
     wn = Window.partitionBy("recording_id", "channel", "event_t")
     gc = g.withColumn("_n", F.count("*").over(wn)).filter(
-        F.col("_n") == window
+        F.col("_n") == full_span
     )
     return (
         gc.groupBy("recording_id", "channel", "offset")

@@ -166,7 +166,8 @@ def _blocks_state_scan(
     bdf = B.to_blocks(sf.df, block_size)
 
     st_schema = (
-        "recording_id string, channel int, t0 long, n int, c array<double>, x0 double"
+        "recording_id string, channel int, block_id long, t0 long, n int, "
+        "c array<double>, x0 double"
     )
 
     def _zero_state(it):
@@ -179,6 +180,7 @@ def _blocks_state_scan(
                     {
                         "recording_id": row.recording_id,
                         "channel": row.channel,
+                        "block_id": row.block_id,
                         "t0": row.t0,
                         "n": len(x),
                         "c": np.asarray(zf, dtype=np.float64).ravel(),
@@ -186,12 +188,15 @@ def _blocks_state_scan(
                     }
                 )
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {"recording_id": [], "channel": [], "t0": [], "n": [], "c": [], "x0": []}
+                {
+                    "recording_id": [], "channel": [], "block_id": [],
+                    "t0": [], "n": [], "c": [], "x0": [],
+                }
             )
 
     states = bdf.mapInPandas(_zero_state, st_schema)
 
-    scan_schema = "recording_id string, channel int, t0 long, zin array<double>"
+    scan_schema = "recording_id string, channel int, block_id long, zin array<double>"
 
     def _scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("t0")
@@ -211,7 +216,7 @@ def _blocks_state_scan(
             {
                 "recording_id": pdf["recording_id"].to_numpy(),
                 "channel": pdf["channel"].to_numpy(),
-                "t0": pdf["t0"].to_numpy(),
+                "block_id": pdf["block_id"].to_numpy(),
                 "zin": zins,
             }
         )
@@ -219,9 +224,14 @@ def _blocks_state_scan(
     zin = states.groupBy("recording_id", "channel").applyInPandas(_scan, scan_schema)
 
     out_schema = "recording_id string, channel int, t0 long, vs array<double>"
-    # zin is one tiny row per block -> broadcast so the block arrays are
-    # never shuffled for this join (their only shuffle is to_blocks)
-    j = bdf.join(F.broadcast(zin), on=["recording_id", "channel", "t0"])
+    # zin is one tiny row per block.  Join on the to_blocks grouping keys
+    # (recording_id, channel, block_id) with no hint: AQE broadcasts zin
+    # while it fits (the common case) and falls back to a shuffle join at
+    # block counts where a broadcast would fail (the 100-TB path, where
+    # #blocks outgrows the broadcast limit).  Matching the join keys to
+    # bdf's groupBy output partitioning lets Catalyst reuse that
+    # partitioning in the fallback, so only the tiny zin rows move.
+    j = bdf.join(zin, on=["recording_id", "channel", "block_id"])
 
     def _seeded(it):
         for pdf in it:
@@ -304,14 +314,20 @@ def sosfiltfilt_blocks(
 
 
 def _reverse_time(df):
-    """t -> n-1-t per channel via a broadcast join of channel lengths."""
-    lens = B.channel_lengths(df)
+    """t -> (min_t + max_t) - t per channel via a broadcast join of the
+    per-channel span.  Span-based (not n-1-t) so a signal whose t does not
+    start at 0 reverses in place instead of silently shifting to 0 —
+    sources are expected to keep t dense-from-0, but this degrades safely
+    if one does not."""
+    span = df.groupBy("recording_id", "channel").agg(
+        (F.min("t") + F.max("t")).cast("bigint").alias("_tsum")
+    )
     return (
-        df.join(F.broadcast(lens), on=["recording_id", "channel"])
+        df.join(F.broadcast(span), on=["recording_id", "channel"])
         .select(
             "recording_id",
             "channel",
-            (F.col("n") - 1 - F.col("t")).cast("bigint").alias("t"),
+            (F.col("_tsum") - F.col("t")).cast("bigint").alias("t"),
             "v",
         )
     )

@@ -66,7 +66,7 @@ def resample(
     halo = max(halo, int(np.ceil((half / L + 1) / M)) * M)
 
     lens = B.channel_lengths(sf.df)
-    bdf = B.with_halos(B.to_blocks(sf.df, block), halo, halo)
+    bdf = B.with_halos(B.to_blocks(sf.df, block), halo, halo, block_size=block)
     bdf = bdf.join(F.broadcast(lens), on=["recording_id", "channel"])
 
     schema = "recording_id string, channel int, t0 long, vs array<double>"

@@ -96,7 +96,7 @@ def welch_psd_blocks(
     halo = max(nfft - stride, 0)
 
     bdf = B.to_blocks(sf.df, block)
-    bdf = B.with_halos(bdf, 0, halo)
+    bdf = B.with_halos(bdf, 0, halo, block_size=block)
 
     out_schema = (
         "recording_id string, channel int, freq double, psum double, nsegs long"
@@ -222,7 +222,7 @@ def stft_blocks(
         raise ValueError("segs_per_block * stride must be >= nfft")
 
     bdf = B.to_blocks(sf.df, block)
-    bdf = B.with_halos(bdf, 0, min(nfft, block))
+    bdf = B.with_halos(bdf, 0, min(nfft, block), block_size=block)
     bdf = bdf.join(F.broadcast(B.channel_lengths(sf.df)), on=["recording_id", "channel"])
 
     win = kernels.get_window(window, nfft)

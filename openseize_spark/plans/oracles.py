@@ -308,7 +308,7 @@ def pac_oracle_sql(
         )
         SELECT channel, "offset", avg(v * v) AS mean_sq_amp,
                count(*) AS n_events
-        FROM complete WHERE _n = {window}
+        FROM complete WHERE _n = {2 * (window // 2)}
         GROUP BY channel, "offset" """
     )
 

@@ -267,13 +267,19 @@ def write_edf(
     )
     slope = (pmax - pmin) / (dmax - dmin)
     offset = pmin - slope * dmin
+    # A partial final record pads with physical 0 when 0 is inside
+    # [pmin, pmax] (so a round-trip read decodes the pad as 0), else with
+    # pmin.  Readers counting samples from the header (spr * num_records,
+    # as the reference does) ingest the pad values — callers should trim
+    # to the true per-channel length when it matters.
+    pad_value = 0.0 if pmin <= 0.0 <= pmax else pmin
     with open(path, "wb") as f:
         write_header(f, hdr)
         for r in range(num_records):
             for ch, s in zip(chans, spr):
                 x = data[ch][r * s : (r + 1) * s]
-                if len(x) < s:  # zero-pad the final partial record
-                    x = np.concatenate([x, np.full(s - len(x), pmin)])
+                if len(x) < s:  # pad the final partial record
+                    x = np.concatenate([x, np.full(s - len(x), pad_value)])
                 d = np.rint((x - offset) / slope).clip(dmin, dmax).astype("<i2")
                 f.write(d.tobytes())
     return hdr
@@ -356,7 +362,10 @@ try:
                 t0 = partition.rec_start * spr
                 t = np.arange(t0, t0 + len(phys[ch]), dtype=np.int64)
                 v = phys[ch]
-                # per-channel sample-range pushdown (channel rate-aware)
+                # per-channel sample-range pushdown (channel rate-aware);
+                # t is re-based to 0 at `start` so the engine-wide
+                # dense-from-0 invariant holds for every downstream
+                # operator (reverse passes, block alignment, segmentation)
                 if self.start or self.stop is not None:
                     ch_fs_ratio = spr / max(hdr.samples_per_record)
                     lo = int(self.start * ch_fs_ratio)
@@ -364,7 +373,7 @@ try:
                     m = t >= lo
                     if hi is not None:
                         m &= t < hi
-                    t, v = t[m], v[m]
+                    t, v = t[m] - lo, v[m]
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array([rid] * len(t), pa.string()),

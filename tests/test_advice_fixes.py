@@ -1,0 +1,119 @@
+"""Regressions for the round-1 review findings (ADVICE.md):
+
+1. with_halos chains multiple lags/leads when halo > block_size, so wide
+   filters over small blocks no longer silently truncate the overlap.
+2. _reverse_time reverses in place for signals whose t does not start at
+   0 (span-based, not n-1-t), and the EDF start-pushdown re-bases t.
+3. pac_estimate's completeness filter uses the gathered span size
+   2*(window//2), so odd windows are not all discarded.
+4. write_edf pads a partial final record with a value that decodes to 0
+   (when 0 is in [pmin, pmax]), not physical_min.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openseize_spark.dsp import design, kernels
+from openseize_spark.operators import fir as op_fir
+from openseize_spark.operators import iir as op_iir
+from openseize_spark.operators import resample as op_rs
+
+from tests.conftest import collect_signal, make_signal
+
+
+class TestWideHalo:
+    def test_resample_halo_wider_than_block(self, spark):
+        # M=8 -> default filter half-width 10*8 -> halo 160 samples; block
+        # 64 (< halo) forces the 3-neighbor chained halo path
+        sf = make_signal(spark, nchannels=2, n=2000, seed=3)
+        arrays = collect_signal(sf)
+        out = op_rs.resample(sf, 1, 8, block_size=64)
+        got = {(r.channel, r.t): r.v for r in out.df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.resample_poly(x, 1, 8)
+            assert len([k for k in got if k[0] == ch]) == len(want)
+            have = np.array([got[(ch, t)] for t in range(len(want))])
+            np.testing.assert_allclose(have, want, atol=1e-10)
+
+    def test_fir_taps_wider_than_block(self, spark):
+        sf = make_signal(spark, nchannels=2, n=1000, seed=4)
+        arrays = collect_signal(sf)
+        spec = design.kaiser(fpass=10, fstop=20, fs=100.0, gpass=1.0, gstop=40.0)
+        assert len(spec.taps) > 16  # 25 taps > block 16
+        out = op_fir.apply_fir_blocks(sf, spec, mode="same", block_size=16)
+        got = {(r.channel, r.t): r.v for r in out.df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.convolve(x, spec.taps, mode="same")
+            have = np.array([got[(ch, t)] for t in range(len(want))])
+            np.testing.assert_allclose(have, want, atol=1e-12)
+
+
+class TestReverseNonZeroBase:
+    def test_sosfiltfilt_blocks_shifted_t(self, spark):
+        """A channel whose t starts at 1000 (e.g. EDF read with start
+        pushdown before the rebase fix) must filter identically to the
+        same samples at t=0..n-1, just shifted."""
+        sf0 = make_signal(spark, nchannels=1, n=1500, seed=5)
+        sos = design.butter(fpass=10, fstop=20, fs=100.0, gpass=1.0, gstop=40.0)
+        base = {
+            r.t: r.v
+            for r in op_iir.sosfiltfilt_blocks(sf0, sos, block_size=256).df.collect()
+        }
+        shifted = sf0.with_df(
+            sf0.df.select(
+                "recording_id", "channel", (F.col("t") + 1000).alias("t"), "v"
+            )
+        )
+        got = {
+            r.t: r.v
+            for r in op_iir.sosfiltfilt_blocks(shifted, sos, block_size=256).df.collect()
+        }
+        assert set(got) == {t + 1000 for t in base}
+        for t, v in base.items():
+            assert got[t + 1000] == pytest.approx(v, abs=1e-9)
+
+
+class TestPacOddWindow:
+    def test_odd_window_not_all_discarded(self, spark):
+        from openseize_spark.operators import coupling
+
+        sf = make_signal(spark, nchannels=1, n=3000, seed=6)
+        amp = sf.df.select(
+            "recording_id", "channel", "t", F.abs("v").alias("v")
+        )
+        events = (
+            sf.df.filter(F.col("t") % 250 == 100)
+            .select("recording_id", "channel", F.col("t").alias("event_t"))
+        )
+        even = coupling.pac_estimate(amp, events, window=32).collect()
+        odd = coupling.pac_estimate(amp, events, window=33).collect()
+        assert len(odd) > 0
+        # window=33 has the same half-width (16) as window=32 -> identical
+        assert {(r.offset, r.mean_sq_amp) for r in odd} == {
+            (r.offset, r.mean_sq_amp) for r in even
+        }
+
+
+class TestEdfPadValue:
+    def test_partial_record_pads_to_zero(self, tmp_path):
+        from openseize_spark.sources import edf
+
+        fs = {0: 10.0}
+        data = {0: np.linspace(-1.0, 1.0, 25)}  # 2.5 records at spr=10
+        path = str(tmp_path / "pad.edf")
+        edf.write_edf(
+            path, data, fs, physical_range=(-8192.0, 8192.0), record_duration=1.0
+        )
+        hdr = edf.read_header(path)
+        raw = edf.read_records(path, hdr, 0, hdr.num_records)
+        phys = edf.decode_records(raw, hdr, [0])[0]
+        assert len(phys) == 30
+        # int16 quantization step = 16384/65535 ~ 0.25; the pad decodes to
+        # the representable value nearest 0 (was pmin = -8192 before the
+        # fix), and data round-trips to within half a step
+        step = 16384.0 / 65535.0
+        np.testing.assert_allclose(phys[25:], 0.0, atol=step / 2 + 1e-9)
+        np.testing.assert_allclose(phys[:25], data[0], atol=step / 2 + 1e-9)

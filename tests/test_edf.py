@@ -97,7 +97,10 @@ class TestDataSource:
         )
         pdf = df.orderBy("t").toPandas()
         assert pdf.channel.unique().tolist() == [2]
-        assert pdf.t.min() == 1000 and pdf.t.max() == 2499
+        # t is re-based to 0 at `start` so the slice satisfies the
+        # engine-wide dense-from-0 invariant (reverse passes, block
+        # alignment); values still come from the absolute range
+        assert pdf.t.min() == 0 and pdf.t.max() == 1499
         assert np.max(np.abs(pdf.v.to_numpy() - data[2][1000:2500])) < 0.01
 
     def test_partition_count_respects_range(self, spark, edf_file):
