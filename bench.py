@@ -31,9 +31,13 @@ HEADLINE = [
     "resample_poly",        # polyphase block kernel
     "sosfilt_full",         # stateful per-channel IIR kernel (full length)
     "sosfilt_blocks_full",  # parallel-in-time state-scan IIR (full length)
+    "stft_blocks",          # bounded-memory STFT (block+halo, no agg)
     "dedup_exact",          # md5 fingerprint hash-groupBy
+    "minhash_dedup",        # shingle explode + min-agg + LSH band join
     "text_stats",           # pure string-function scan
     "knn_cosine",           # broadcast brute-force ANN
+    "ivf_topk",             # cell-probed ANN (broadcast centroids)
+    "pac",                  # hilbert window FIR + range-join gather
 ]
 
 

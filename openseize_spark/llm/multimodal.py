@@ -5,6 +5,18 @@ per the build constraints) behind ``DecodeUnavailable`` with a
 deterministic fake for tests — but all Spark-side plumbing is real:
 schemas, Arrow batch shapes, mapInPandas signatures, partitioning.
 
+Every operator accepts an injectable ``decode_fn`` so a real decoder
+(PIL/cv2/ffmpeg wrapper) drops in without touching schemas, queries, or
+batch plumbing — the callable is closed over by the Arrow UDF and must be
+cloudpickle-serializable:
+
+    image ops:  decode_fn(payload: bytes, meta: dict) -> float ndarray (H, W)
+    video ops:  decode_fn(payload, meta, frame_idx: int) -> float ndarray (H, W)
+    audio ops:  decode_fn(payload, meta) -> float 1-D waveform
+
+Resolution order: explicit ``decode_fn`` > deterministic fake
+(``deterministic_fake=True``) > raise ``DecodeUnavailable``.
+
 Design: a media table is
     (media_id BIGINT, kind STRING, payload BINARY,
      meta STRUCT<width INT, height INT, sample_rate INT, n_frames INT>)
@@ -14,7 +26,7 @@ payload never needs to fit more than once in memory.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -24,7 +36,23 @@ from pyspark.sql import types as T
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by real decoders; tests use deterministic_fake=True."""
+    """Raised when no decoder is injected and the fake is disabled."""
+
+
+def _resolve_decoder(
+    decode_fn: Callable | None, deterministic_fake: bool, fake: Callable, what: str
+) -> Callable:
+    if decode_fn is not None:
+        return decode_fn
+    if deterministic_fake:
+        return fake
+
+    def _unavailable(*a, **k):
+        raise DecodeUnavailable(
+            f"no {what} decoder in this environment — inject decode_fn"
+        )
+
+    return _unavailable
 
 
 MEDIA_SCHEMA = T.StructType(
@@ -76,16 +104,24 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     )
 
 
+def _fake_image_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    return _fake_decode(payload, meta["width"], meta["height"])
+
+
 def image_features(
-    media: DataFrame, deterministic_fake: bool = True
+    media: DataFrame,
+    deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
 ) -> DataFrame:
     """Decode -> per-image feature vector (mean/std/edge-energy).
 
-    Real decode raises DecodeUnavailable (no PIL/cv2 in container); the
-    fake path exercises identical batch shapes and schema.
+    ``decode_fn(payload, meta) -> (H, W) float array`` injects a real
+    decoder; otherwise the deterministic fake (or DecodeUnavailable)
+    exercises identical batch shapes and schema.
     Returns (media_id, mean double, std double, edge_energy double).
     """
     schema = "media_id long, mean double, std double, edge_energy double"
+    decoder = _resolve_decoder(decode_fn, deterministic_fake, _fake_image_decoder, "image")
 
     def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -93,9 +129,7 @@ def image_features(
             for row in pdf.itertuples(index=False):
                 if row.kind != "image":
                     continue
-                if not deterministic_fake:
-                    raise DecodeUnavailable("no image decoder in this environment")
-                img = _fake_decode(row.payload, row.meta["width"], row.meta["height"])
+                img = np.asarray(decoder(row.payload, dict(row.meta)), dtype=np.float64)
                 gx = np.diff(img, axis=1)
                 out.append(
                     {
@@ -112,14 +146,25 @@ def image_features(
     return media.mapInPandas(_feat, schema)
 
 
+def _fake_frame_decoder(payload: bytes, meta: dict, frame_idx: int) -> np.ndarray:
+    return _fake_decode(
+        payload[frame_idx:] + payload[:frame_idx], meta["width"], meta["height"]
+    )
+
+
 def frame_sample(
-    media: DataFrame, every_n: int = 2, deterministic_fake: bool = True
+    media: DataFrame,
+    every_n: int = 2,
+    deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
 ) -> DataFrame:
     """Video frame sampling: one output row per kept frame
-    (media_id, frame_idx, frame_mean).  Real decode is stubbed; row
+    (media_id, frame_idx, frame_mean).  ``decode_fn(payload, meta,
+    frame_idx) -> (H, W) float array`` injects a real decoder; row
     explosion happens Spark-side so downstream ops shuffle frames, not
     videos."""
     schema = "media_id long, frame_idx int, frame_mean double"
+    decoder = _resolve_decoder(decode_fn, deterministic_fake, _fake_frame_decoder, "video")
 
     def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -127,14 +172,10 @@ def frame_sample(
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
-                if not deterministic_fake:
-                    raise DecodeUnavailable("no video decoder in this environment")
                 nf = row.meta["n_frames"]
                 for fi in range(0, nf, every_n):
-                    img = _fake_decode(
-                        row.payload[fi:] + row.payload[:fi],
-                        row.meta["width"],
-                        row.meta["height"],
+                    img = np.asarray(
+                        decoder(row.payload, dict(row.meta), fi), dtype=np.float64
                     )
                     out.append(
                         {"media_id": row.media_id, "frame_idx": fi, "frame_mean": float(img.mean())}
@@ -155,19 +196,21 @@ def resize_images(
     out_width: int = 32,
     out_height: int = 24,
     deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
 ) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-encode to raw bytes.
 
-    Real decode is stubbed (DecodeUnavailable); the fake path runs the
-    actual resize math on the fake-decoded array so payload sizes, meta
-    propagation, and Arrow batch shapes are production-shaped.  Returns
-    the media schema with resized payload + updated meta, so resize
-    composes with image_features / frame_sample downstream.
+    ``decode_fn(payload, meta) -> (H, W) float array`` injects a real
+    decoder; the resize math, payload sizes, meta propagation, and Arrow
+    batch shapes are identical either way.  Returns the media schema with
+    resized payload + updated meta, so resize composes with
+    image_features / frame_sample downstream.
     """
     schema = (
         "media_id long, kind string, payload binary, "
         "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
     )
+    decoder = _resolve_decoder(decode_fn, deterministic_fake, _fake_image_decoder, "image")
 
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -175,10 +218,8 @@ def resize_images(
             for row in pdf.itertuples(index=False):
                 if row.kind != "image":
                     continue
-                if not deterministic_fake:
-                    raise DecodeUnavailable("no image decoder in this environment")
                 w, h = row.meta["width"], row.meta["height"]
-                img = _fake_decode(row.payload, w, h)
+                img = np.asarray(decoder(row.payload, dict(row.meta)), dtype=np.float64)
                 # nearest-neighbor index maps (floor sampling, endpoint-safe)
                 yi = np.minimum((np.arange(out_height) * h) // out_height, h - 1)
                 xi = np.minimum((np.arange(out_width) * w) // out_width, w - 1)
@@ -209,14 +250,23 @@ def resize_images(
     return media.mapInPandas(_resize, schema)
 
 
+def _fake_audio_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """Payload bytes tiled to a 1-s waveform in [-1, 1]."""
+    fs = float(meta.get("sample_rate") or 16000)
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    return np.tile(arr / 127.5 - 1.0, int(np.ceil(fs / len(arr))))[: int(fs)]
+
+
 def audio_features(
     media: DataFrame,
     fs: float = 16000.0,
     nfft: int = 256,
     deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
 ) -> DataFrame:
-    """Decode audio payloads (stubbed) -> Welch band energies via the
-    numpy spectral kernels — the multimodal-to-DSP bridge.
+    """Decode audio payloads -> Welch band energies via the numpy spectral
+    kernels — the multimodal-to-DSP bridge.  ``decode_fn(payload, meta) ->
+    1-D float waveform`` injects a real decoder.
 
     Returns (media_id, rms double, low_band double, high_band double):
     rms plus Welch power integrated below/above fs/8.
@@ -224,6 +274,7 @@ def audio_features(
     from openseize_spark.dsp import kernels
 
     schema = "media_id long, rms double, low_band double, high_band double"
+    decoder = _resolve_decoder(decode_fn, deterministic_fake, _fake_audio_decoder, "audio")
 
     def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -231,11 +282,7 @@ def audio_features(
             for row in pdf.itertuples(index=False):
                 if row.kind != "audio":
                     continue
-                if not deterministic_fake:
-                    raise DecodeUnavailable("no audio decoder in this environment")
-                # fake decode: payload bytes tiled to a 1-s waveform in [-1,1]
-                arr = np.frombuffer(row.payload, dtype=np.uint8).astype(np.float64)
-                wave = np.tile(arr / 127.5 - 1.0, int(np.ceil(fs / len(arr))))[: int(fs)]
+                wave = np.asarray(decoder(row.payload, dict(row.meta)), dtype=np.float64)
                 freqs, psd = kernels.welch(wave, fs, nfft=nfft)
                 cut = fs / 8
                 out.append(

@@ -135,9 +135,16 @@ def lsh_buckets(
     """Random-hyperplane LSH bucket id per vector (sign bits of nbits
     fixed seeded Gaussian projections).  Hyperplanes are generated
     driver-side (tiny) and inlined as array literals -> codegen dot
-    products, deterministic across runs."""
+    products, deterministic across runs.
+
+    ``dim`` is required: inferring it would need a driver-side action
+    (a .first() scan) inside a builder — at scale the embedding dimension
+    is schema metadata the caller already knows."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_buckets requires dim (the embedding dimension); inferring "
+            "it would run a driver-side job inside the plan builder"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((nbits, dim))
     v = F.col(vec_col).cast("array<double>")

@@ -216,3 +216,36 @@ class TestMultimodal:
             want = np.round(img[np.ix_(yi, xi)] * 255.0).astype(np.uint8)
             have = np.frombuffer(r.payload, dtype=np.uint8).reshape(12, 16)
             np.testing.assert_array_equal(have, want)
+
+
+class TestDecoderSeam:
+    def test_injected_decoder_zero_plumbing_changes(self, spark):
+        """A real decoder drops in via decode_fn with identical schema and
+        batch plumbing — the fake is never consulted."""
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=12)
+
+        def flat_decoder(payload, meta):
+            import numpy as np
+
+            return np.full((meta["height"], meta["width"]), 0.5)
+
+        out = multimodal.image_features(
+            media, deterministic_fake=False, decode_fn=flat_decoder
+        )
+        rows = out.collect()
+        assert out.columns == ["media_id", "mean", "std", "edge_energy"]
+        assert len(rows) == 4  # every 3rd synthetic row is an image
+        for r in rows:
+            assert r.mean == 0.5 and r.std == 0.0 and r.edge_energy == 0.0
+
+    def test_no_decoder_raises(self, spark):
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media(spark, n=3)
+        out = multimodal.image_features(media, deterministic_fake=False)
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="inject decode_fn"):
+            out.collect()
