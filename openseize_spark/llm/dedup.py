@@ -149,8 +149,15 @@ def minhash_lsh_pairs(
     the default 8 bands × 8 rows targets the ~0.8-Jaccard knee
     ((1/b)^(1/r) ≈ 0.77) — 16×4 banding admits ~half of all J=0.5
     pairs as candidates, which goes quadratic on self-similar corpora.
-    The join is an equi-join on (band, band_sig) — shuffle on short keys,
-    never quadratic in corpus size.
+
+    Pairing is a single groupBy on (band, band_sig) followed by
+    in-bucket pair generation, NOT a banded-self-join: a self-join
+    re-executes the entire upstream signature subtree per join side
+    (differing output aliases defeat ReusedExchange) and shuffles it
+    twice.  Bucket gather holds one ids array per bucket — bytes per
+    member — while the quadratic term (m²/2 pairs from an m-doc bucket)
+    is identical in both formulations and is handled downstream by
+    exact verification.
     """
     sigs = signatures
     r = F.floor(F.size("sig") / bands).cast("int")
@@ -173,12 +180,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bsig")
-    a = banded.select(F.col(id_col).alias("a"), "band", "bsig")
-    b = banded.select(F.col(id_col).alias("b"), "band", "bsig")
     return (
-        a.join(b, on=["band", "bsig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        banded.groupBy("band", "bsig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                # ascending ids -> every generated pair already has a < b
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .distinct()
     )
 
@@ -193,6 +209,16 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard)."""
     norm = normalize_text(F.col(text_col))
+    # Restrict the shingle-set build to docs that appear in a candidate
+    # pair BEFORE building arrays: candidates << corpus at scale, and
+    # this subtree executes once per join side below — filtering makes
+    # the recompute trivial instead of two full-corpus shingle passes.
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(cand_ids, on=id_col, how="left_semi")
     # fan the per-doc shingle-set build out of the compact scan's few
     # input partitions (same rationale as minhash_signatures)
     docs = docs.repartition(
@@ -287,9 +313,12 @@ def simhash_pairs(
 
     Pigeonhole banding: split the ``bits``-bit simhash into
     ``max_hamming + 1`` bands; any pair within distance d must agree
-    exactly on >= 1 band, so candidates come from an equi-join on
-    (band, band_bits) — shuffle on short keys, never O(n²) — then exact
-    verification via bit_count(xor).  Returns (a, b, hamming), a < b.
+    exactly on >= 1 band, so candidates come from one groupBy on
+    (band, band_bits) with in-bucket pair generation — never O(n²), and
+    the simhash subtree (token explode + ``bits`` sum-aggs) executes
+    exactly once, where a banded self-join would run it per join side —
+    then exact verification via bit_count(xor).  Returns
+    (a, b, hamming), a < b.
     """
     nb = max_hamming + 1
     width = bits // nb
@@ -309,19 +338,30 @@ def simhash_pairs(
         "simhash",
         F.explode(F.array(*[_band(b) for b in range(nb)])).alias("bd"),
     ).select(id_col, "simhash", "bd.band", "bd.bb")
-    x = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band", "bb"
-    )
-    y = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band", "bb"
-    )
     return (
-        x.join(y, on=["band", "bb"])
-        .filter(F.col("a") < F.col("b"))
+        banded.groupBy("band", "bb")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh"))
+                )
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
         .select(
-            "a",
-            "b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+            F.explode(
+                # sort is by (id, sh); ids are unique so pairs have a < b
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x.id AS a, y.id AS b, x.sh AS sha, y.sh AS shb))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            "p.a",
+            "p.b",
+            F.bit_count(F.col("p.sha").bitwiseXOR(F.col("p.shb"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
