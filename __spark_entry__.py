@@ -665,6 +665,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_count_by_source"] = q_token_count_by_source
 
+    def q_repetition_stats(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.repetition_stats(docs, n=3)
+
+    q["repetition_stats"] = q_repetition_stats
+
+    def q_pii_scan(spark, sf_dir):
+        # The synthetic corpus contains no PII-shaped strings, so the scan
+        # runs over text deterministically augmented from doc_id — the
+        # regex match/redact paths are exercised for real and the DuckDB
+        # oracle mirrors the same injection.
+        docs = _t(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        aug = F.concat(
+            F.col("text"),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" see https://data.example.org/doc/"), did.cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".17")),
+            ).otherwise(F.lit("")),
+            F.when(did % 13 == 0, F.lit(" call +1-555-0142")).otherwise(F.lit("")),
+        )
+        return llm_text.pii_scan(docs.withColumn("text", aug))
+
+    q["pii_scan"] = q_pii_scan
+
     def _doc_paths(spark, sf_dir):
         from openseize_spark.sources import annotations as ann_src
 
@@ -1053,18 +1086,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["language_id"] = q_language_id
 
+    # ---- multimodal queries run on the SQL-replayable media table
+    # ---- (synthetic_media_sqlgen: md5-chain payloads) so the fake-decode
+    # ---- byte math is hash-checkable in DuckDB, not rows-only.
     def q_audio_features(spark, sf_dir):
         from openseize_spark.llm import multimodal
 
-        media = multimodal.synthetic_media(spark, n=64)
-        return multimodal.audio_features(media, deterministic_fake=True)
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
+
+        # injected decoder: tile the 256 payload bytes 8x -> a 2048-sample
+        # wave, short enough that the DuckDB naive-DFT welch replay stays
+        # cheap; also exercises the decode_fn seam on the gate path.
+        def _short_wave(payload, meta):
+            import numpy as np
+
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            return np.tile(arr / 127.5 - 1.0, 8)
+
+        return multimodal.audio_features(
+            media, fs=2048.0, nfft=64, decode_fn=_short_wave
+        )
 
     q["audio_features"] = q_audio_features
 
     def q_frame_sample(spark, sf_dir):
         from openseize_spark.llm import multimodal
 
-        media = multimodal.synthetic_media(spark, n=64)
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
         return multimodal.frame_sample(media, every_n=2, deterministic_fake=True)
 
     q["frame_sample"] = q_frame_sample
@@ -1072,7 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_resize_images(spark, sf_dir):
         from openseize_spark.llm import multimodal
 
-        media = multimodal.synthetic_media(spark, n=64)
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
         small = multimodal.resize_images(media, 32, 24, deterministic_fake=True)
         return multimodal.image_features(small, deterministic_fake=True)
 
@@ -1081,7 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_image_features(spark, sf_dir):
         from openseize_spark.llm import multimodal
 
-        media = multimodal.synthetic_media(spark, n=64)
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
         return multimodal.image_features(media, deterministic_fake=True)
 
     q["image_features"] = q_image_features
@@ -1129,10 +1177,12 @@ _GATE_PRIORITY = [
     "sosfiltfilt", "sosfiltfilt_ellip", "lfilter", "filtfilt",
     "sosfilt_blocks", "sosfiltfilt_blocks", "lfilter_blocks",
     "filtfilt_blocks",
+    # -- new round-2 oracled queries (text quality + multimodal replays)
+    "repetition_stats", "pii_scan", "image_features", "frame_sample",
+    "resize_images", "audio_features",
     # -- representative round-1 passes (regression anchors)
-    "pricing_summary", "revenue_by_nation", "sessionize", "detrend_linear",
-    "mask_compact", "sliding_energy", "fir_kaiser", "band_power",
-    "decimate", "dedup_exact", "text_stats",
+    "pricing_summary", "revenue_by_nation", "sliding_energy", "fir_kaiser",
+    "dedup_exact",
 ]
 
 
@@ -1647,6 +1697,67 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs
             FROM norm GROUP BY source
         """,
+        "repetition_stats": r"""
+            WITH norm AS (
+              SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+              FROM documents
+            ), words AS (
+              SELECT doc_id,
+                     CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(nt, ' ') END AS ws
+              FROM norm
+            ), rep AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) >= 3 THEN
+                       list_transform(generate_series(1, len(ws) - 2),
+                                      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+                     ELSE CAST([] AS VARCHAR[]) END AS ngs
+              FROM words
+            )
+            SELECT doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(greatest(len(ws) - 2, 0) AS BIGINT) AS n_ngrams,
+                   CASE WHEN len(ws) > 0
+                        THEN 1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN len(ngs) > 0
+                        THEN 1.0 - CAST(len(list_distinct(ngs)) AS DOUBLE) / len(ngs)
+                        ELSE 0.0 END AS dup_ngram_frac
+            FROM rep
+        """,
+        "pii_scan": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-0142' ELSE '' END
+                       AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t, 'https?://[A-Za-z0-9./_%-]+')) AS BIGINT) AS n_urls,
+                   CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(t, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   CAST(length(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g'),
+                         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                       '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')
+                   ) AS BIGINT) AS redacted_len
+            FROM aug
+        """,
         "ivf_topk": """
             WITH cent AS (
               SELECT CAST(vec_id - 3 AS INT) AS cell_id,
@@ -1878,6 +1989,15 @@ def oracle_sql() -> dict[str, str]:
     )
     o["simhash"] = _dedup.simhash_oracle_sql(bits=32)
     o["simhash_pairs"] = _dedup.simhash_pairs_oracle_sql(max_hamming=6, bits=32)
+
+    # multimodal: fake-decode byte math replayed over the md5-chain
+    # payloads of synthetic_media_sqlgen (llm/multimodal.py)
+    from openseize_spark.llm import multimodal as _mm
+
+    o["image_features"] = _mm.image_features_oracle_sql(n=24)
+    o["frame_sample"] = _mm.frame_sample_oracle_sql(n=24)
+    o["resize_images"] = _mm.resize_features_oracle_sql(n=24)
+    o["audio_features"] = _mm.audio_features_oracle_sql(n=24)
 
     # generated DSP oracles: naive-DFT replay of welch/stft, polyphase
     # definition replay of the resampling family, bit-exact lag/lead

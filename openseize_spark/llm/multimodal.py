@@ -93,6 +93,49 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 0) -> DataFram
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_media_sqlgen(
+    spark: SparkSession,
+    n: int = 24,
+    width: int = 60,
+    height: int = 44,
+    sample_rate: int = 16000,
+    n_frames: int = 10,
+) -> DataFrame:
+    """Media table whose payloads any ANSI-SQL engine can replay: the 256
+    payload bytes are unhex(concat_{j<16} md5(media_id || ':' || j)), so
+    byte i is ('0x' || substr(hexchain, 2*i+1, 2))::INT.  This makes the
+    deterministic-fake decode paths (byte tiling / rotation) expressible
+    as SQL over generate_series, turning the multimodal feature queries
+    into hash-checkable oracle rows instead of rows-only checks.
+
+    Built distributedly from spark.range — no driver-side payload loop.
+    width*height deliberately defaults to 2640 (not a multiple of 256) so
+    frame rotations change frame means.
+    """
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    hexchain = F.concat(
+        *[
+            F.md5(F.concat(F.col("media_id").cast("string"), F.lit(f":{j}")))
+            for j in range(16)
+        ]
+    )
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("media_id") % 3 + 1).cast("int"),
+    )
+    return base.select(
+        "media_id",
+        kind.alias("kind"),
+        F.unhex(hexchain).alias("payload"),
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit(sample_rate).cast("int").alias("sample_rate"),
+            F.lit(n_frames).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic stand-in for a real image decoder: tile payload bytes
     into a (height, width) float array in [0,1]."""
@@ -303,3 +346,188 @@ def audio_features(
             )
 
     return media.mapInPandas(_feat, schema)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle-SQL generators: replay the deterministic fake decodes over
+# synthetic_media_sqlgen's md5-chain payloads.  byte i of a payload is
+# ('0x' || substr(hexchain, 2*i+1, 2))::INT, so every fake decode (tile /
+# rotate / resize / tile-to-wave) is plain arithmetic over generate_series.
+# ---------------------------------------------------------------------------
+
+
+def _hx_cte(n: int) -> str:
+    chain = " || ".join(f"md5(media_id::VARCHAR || ':{j}')" for j in range(16))
+    return f"""
+        WITH ids AS (
+          SELECT unnest(generate_series(0, {n - 1})) AS media_id
+        ), hx AS (
+          SELECT media_id, {chain} AS hs FROM ids
+        )"""
+
+
+def _byte(i_expr: str) -> str:
+    return f"(('0x' || substr(hs, 2 * ({i_expr}) + 1, 2))::INT)"
+
+
+def image_features_oracle_sql(n: int = 24, width: int = 60, height: int = 44) -> str:
+    """DuckDB SQL equal to image_features(synthetic_media_sqlgen(n), fake):
+    tiled-byte image; mean, two-pass population std, |d/dx| mean."""
+    npx = width * height
+    return (
+        _hx_cte(n)
+        + f"""
+        , px AS (
+          SELECT media_id, u.i,
+                 {_byte("u.i % 256")} / 255.0 AS v,
+                 {_byte("(u.i + 1) % 256")} / 255.0 AS vn
+          FROM hx, unnest(generate_series(0, {npx - 1})) AS u(i)
+          WHERE media_id % 3 = 0
+        ), mo AS (
+          SELECT media_id, avg(v) AS mean FROM px GROUP BY media_id
+        ), so AS (
+          SELECT p.media_id, sqrt(avg((p.v - mean) * (p.v - mean))) AS std
+          FROM px p JOIN mo USING (media_id) GROUP BY p.media_id
+        ), eo AS (
+          SELECT media_id, avg(abs(vn - v)) AS edge_energy
+          FROM px WHERE (i % {width}) < {width - 1} GROUP BY media_id
+        )
+        SELECT mo.media_id, mo.mean, so.std, eo.edge_energy
+        FROM mo JOIN so USING (media_id) JOIN eo USING (media_id)"""
+    )
+
+
+def frame_sample_oracle_sql(
+    n: int = 24,
+    width: int = 60,
+    height: int = 44,
+    every_n: int = 2,
+    n_frames: int = 10,
+) -> str:
+    """DuckDB SQL equal to frame_sample(synthetic_media_sqlgen(n), every_n):
+    frame fi decodes the payload rotated by fi bytes, so pixel p of frame
+    fi is byte (fi + p%256) % 256."""
+    npx = width * height
+    fis = ", ".join(str(f) for f in range(0, n_frames, every_n))
+    return (
+        _hx_cte(n)
+        + f"""
+        , fr AS (
+          SELECT media_id, hs, u.fi
+          FROM hx, unnest([{fis}]) AS u(fi)
+          WHERE media_id % 3 = 2
+        ), fpx AS (
+          SELECT media_id, fi,
+                 {_byte("(fi + (u.p % 256)) % 256")} / 255.0 AS v
+          FROM fr, unnest(generate_series(0, {npx - 1})) AS u(p)
+        )
+        SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+               avg(v) AS frame_mean
+        FROM fpx GROUP BY media_id, fi"""
+    )
+
+
+def resize_features_oracle_sql(
+    n: int = 24,
+    in_w: int = 60,
+    in_h: int = 44,
+    out_w: int = 32,
+    out_h: int = 24,
+) -> str:
+    """DuckDB SQL equal to image_features(resize_images(sqlgen media)):
+    nearest-neighbor index maps yi = min((y*in_h)//out_h, in_h-1) (same
+    for x); the re-encoded byte round-trips exactly, so the resized pixel
+    is the source byte at (yi*in_w + xi) % 256."""
+    return (
+        _hx_cte(n)
+        + f"""
+        , rp AS (
+          SELECT media_id, hs, u.y, w.x,
+                 least((u.y * {in_h}) // {out_h}, {in_h - 1}) AS yi,
+                 least((w.x * {in_w}) // {out_w}, {in_w - 1}) AS xi
+          FROM hx,
+               unnest(generate_series(0, {out_h - 1})) AS u(y),
+               unnest(generate_series(0, {out_w - 1})) AS w(x)
+          WHERE media_id % 3 = 0
+        ), rv AS (
+          SELECT media_id, y, x,
+                 {_byte(f"(yi * {in_w} + xi) % 256")} / 255.0 AS v
+          FROM rp
+        ), m2 AS (
+          SELECT media_id, avg(v) AS mean FROM rv GROUP BY media_id
+        ), s2 AS (
+          SELECT r.media_id, sqrt(avg((r.v - mean) * (r.v - mean))) AS std
+          FROM rv r JOIN m2 USING (media_id) GROUP BY r.media_id
+        ), e2 AS (
+          SELECT a.media_id, avg(abs(b.v - a.v)) AS edge_energy
+          FROM rv a JOIN rv b
+            ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
+          GROUP BY a.media_id
+        )
+        SELECT m2.media_id, m2.mean, s2.std, e2.edge_energy
+        FROM m2 JOIN s2 USING (media_id) JOIN e2 USING (media_id)"""
+    )
+
+
+def audio_features_oracle_sql(
+    n: int = 24, fs: float = 2048.0, nfft: int = 64, wave_reps: int = 8
+) -> str:
+    """DuckDB SQL equal to audio_features(sqlgen media, fs=2048, nfft=64,
+    decode_fn=8x-tiled wave): rms plus trapezoid-integrated Welch power
+    below/above fs/8, with the PSD replayed by the naive-DFT welch oracle.
+
+    Requires fs/nfft such that the frequency grid values are exact
+    doubles (integers here: df = 32.0), because the trapezoid pairing
+    joins on freq equality.
+    """
+    from openseize_spark.plans.oracles import welch_oracle_sql
+
+    nsamp = wave_reps * 256
+    cut = float(fs / 8)
+    df = float(fs / nfft)
+    sig_prefix = (
+        _hx_cte(n)
+        + f"""
+        , signal AS (
+          SELECT media_id AS channel, u.t AS t,
+                 {_byte("u.t % 256")} / 127.5 - 1.0 AS v
+          FROM hx, unnest(generate_series(0, {nsamp - 1})) AS u(t)
+          WHERE media_id % 3 = 1
+        )"""
+    )
+    welch = welch_oracle_sql(sig_prefix, nfft=nfft, fs=fs, overlap=0.5)
+    wave_v = _byte("u.t % 256") + " / 127.5 - 1.0"
+    return f"""
+        WITH psd AS (
+          SELECT * FROM ({welch})
+        ), pl AS (
+          SELECT channel, freq, psd FROM psd WHERE freq <= {cut!r}
+        ), low AS (
+          SELECT a.channel,
+                 sum((a.psd + b.psd) / 2.0 * (b.freq - a.freq)) AS low_band
+          FROM pl a JOIN pl b
+            ON b.channel = a.channel AND b.freq = a.freq + {df!r}
+          GROUP BY a.channel
+        ), ph AS (
+          SELECT channel, freq, psd FROM psd WHERE freq > {cut!r}
+        ), high AS (
+          SELECT a.channel,
+                 sum((a.psd + b.psd) / 2.0 * (b.freq - a.freq)) AS high_band
+          FROM ph a JOIN ph b
+            ON b.channel = a.channel AND b.freq = a.freq + {df!r}
+          GROUP BY a.channel
+        ), ids2 AS (
+          SELECT unnest(generate_series(0, {n - 1})) AS media_id
+        ), hx2 AS (
+          SELECT media_id, {" || ".join(f"md5(media_id::VARCHAR || ':{j}')" for j in range(16))} AS hs
+          FROM ids2
+        ), rms AS (
+          SELECT media_id AS channel, sqrt(avg(({wave_v}) * ({wave_v}))) AS rms
+          FROM hx2, unnest(generate_series(0, {nsamp - 1})) AS u(t)
+          WHERE media_id % 3 = 1
+          GROUP BY media_id
+        )
+        SELECT r.channel AS media_id, r.rms, low.low_band, high.high_band
+        FROM rms r
+        JOIN low ON low.channel = r.channel
+        JOIN high ON high.channel = r.channel"""

@@ -104,6 +104,88 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("score"))
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    (id, n_words, n_ngrams, dup_word_frac, dup_ngram_frac) where
+    dup_*_frac = 1 - distinct/total: the fraction of word (resp. word
+    n-gram) occurrences that are repeats of an earlier occurrence — the
+    standard cheap filter for looping/spammy documents in LLM corpora.
+
+    Entirely array built-ins inside whole-stage codegen: words and
+    n-grams are per-row arrays, never exploded, so the hot path is a
+    projection — no shuffle at all.
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    nw = F.size(words)
+    ngrams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(ngrams)
+    dup_word = F.when(
+        nw > 0, 1.0 - F.size(F.array_distinct(words)) / nw.cast("double")
+    ).otherwise(F.lit(0.0))
+    dup_ngram = F.when(
+        ng > 0, 1.0 - F.size(F.array_distinct(ngrams)) / ng.cast("double")
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        ng.cast("long").alias("n_ngrams"),
+        dup_word.alias("dup_word_frac"),
+        dup_ngram.alias("dup_ngram_frac"),
+    )
+
+
+# RE2-safe patterns (no lookaround) so Spark (Java regex) and any
+# SQL oracle engine (RE2) match the exact same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[A-Za-z0-9./_%-]+"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII / link surface scan per document: match counts for emails,
+    URLs, IPv4s, and phone-shaped strings, plus the length after
+    redacting each span with a typed token (<EMAIL>, <URL>, <IP>,
+    <PHONE> — applied in that fixed order, since an IPv4 can sit inside
+    a URL).  Pure regexp built-ins, codegen, zero shuffle."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_urls = F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+            ),
+            IPV4_RE,
+            "<IP>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_urls.cast("long").alias("n_urls"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text (exact-dedup
     key; engine-portable since md5 is standardized)."""

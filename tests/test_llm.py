@@ -249,3 +249,46 @@ class TestDecoderSeam:
 
         with _pytest.raises(Exception, match="inject decode_fn"):
             out.collect()
+
+
+class TestTextQuality:
+    def test_repetition_stats_known(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "x y z w")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in text.repetition_stats(df, n=3).collect()}
+        # doc1: 6 words / 2 distinct; ngrams 'a b a','b a b' x2 -> 4 / 2 distinct
+        assert rows[1].n_words == 6 and rows[1].n_ngrams == 4
+        assert abs(rows[1].dup_word_frac - (1 - 2 / 6)) < 1e-12
+        assert abs(rows[1].dup_ngram_frac - 0.5) < 1e-12
+        assert rows[2].dup_word_frac == 0.0
+        assert rows[2].n_ngrams == 2 and rows[2].dup_ngram_frac == 0.0
+
+    def test_pii_scan_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail bob@x.io or https://x.io/a from 10.0.0.1 call +1-555-0100"),
+                (2, "clean text"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in text.pii_scan(df).collect()}
+        r1 = rows[1]
+        assert (r1.n_emails, r1.n_urls, r1.n_ips, r1.n_phones) == (1, 1, 1, 1)
+        redacted = "mail <EMAIL> or <URL> from <IP> call <PHONE>"
+        assert r1.redacted_len == len(redacted)
+        assert rows[2].n_emails == 0 and rows[2].redacted_len == len("clean text")
+
+
+class TestSqlgenMedia:
+    def test_payload_is_md5_chain(self, spark):
+        import hashlib
+
+        from openseize_spark.llm import multimodal
+
+        m = multimodal.synthetic_media_sqlgen(spark, n=6)
+        rows = sorted(m.collect(), key=lambda r: r.media_id)
+        assert [r.kind for r in rows] == ["image", "audio", "video"] * 2
+        expect = b"".join(hashlib.md5(f"3:{j}".encode()).digest() for j in range(16))
+        assert bytes(rows[3].payload) == expect
+        assert rows[0].meta.width == 60 and rows[0].meta.height == 44
