@@ -1151,6 +1151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sosfilt_blocks_full"] = q_sosfilt_blocks_full
 
+    def q_minhash_dedup_prod(spark, sf_dir):
+        # production configuration: murmur3 shingle hash (JVM codegen)
+        # instead of the md5-based portable hash that exists only so the
+        # DuckDB oracle can replay the pipeline.  Same plan shape as the
+        # oracled `minhash_dedup`; this is the variant bench.py times.
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.minhash_dedup(
+            docs, k=5, num_hashes=64, bands=8, threshold=0.8, portable=False
+        ).select("doc_id", "lang", "source")
+
+    q["minhash_dedup_prod"] = q_minhash_dedup_prod
+
     return _gate_order(q)
 
 

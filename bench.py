@@ -33,7 +33,7 @@ HEADLINE = [
     "sosfilt_blocks_full",  # parallel-in-time state-scan IIR (full length)
     "stft_blocks",          # bounded-memory STFT (block+halo, no agg)
     "dedup_exact",          # md5 fingerprint hash-groupBy
-    "minhash_dedup",        # shingle explode + min-agg + LSH band join
+    "minhash_dedup_prod",   # shingle explode + min-agg + LSH band join (murmur3)
     "text_stats",           # pure string-function scan
     "knn_cosine",           # broadcast brute-force ANN
     "ivf_topk",             # cell-probed ANN (broadcast centroids)

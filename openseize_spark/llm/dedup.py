@@ -209,6 +209,17 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard)."""
     norm = normalize_text(F.col(text_col))
+    # `pairs` feeds THREE consumers below (the semi-join id list twice —
+    # once under sh_a, once under sh_b — plus the verify join itself).
+    # Without a persist each consumer re-executes the entire upstream
+    # candidate pipeline (shingle explode + 64 min-aggs + banding: the
+    # dominant pass, 3x at any scale — observed 8 parquet scans and zero
+    # ReusedExchange in the physical plan).  Candidates are tiny relative
+    # to the corpus, so MEMORY_AND_DISK is safe; the first stage to touch
+    # it materializes, the rest read cache within the same action.
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     # Restrict the shingle-set build to docs that appear in a candidate
     # pair BEFORE building arrays: candidates << corpus at scale, and
     # this subtree executes once per join side below — filtering makes
