@@ -285,11 +285,12 @@ def filtfilt_blocks(
     lfilter_blocks passes, lfilter_zi * first-sample seeding — the ba
     analog of sosfiltfilt_blocks)."""
     zi = kernels.lfilter_zi(b, a)
+    span = _channel_span(sf.df)
     fwd = lfilter_blocks(sf, b, a, block_size, zi_unit=zi)
     bwd = lfilter_blocks(
-        sf.with_df(_reverse_time(fwd.df)), b, a, block_size, zi_unit=zi
+        sf.with_df(_reverse_time(fwd.df, span)), b, a, block_size, zi_unit=zi
     )
-    return sf.with_df(_reverse_time(bwd.df))
+    return sf.with_df(_reverse_time(bwd.df, span))
 
 
 def sosfiltfilt_blocks(
@@ -308,20 +309,36 @@ def sosfiltfilt_blocks(
     """
     sos = spec.sos if isinstance(spec, SosSpec) else np.asarray(spec, dtype=float)
     zi = kernels.sosfilt_zi(sos)
+    span = _channel_span(sf.df)
     fwd = sosfilt_blocks(sf, sos, block_size, zi_unit=zi)
-    bwd = sosfilt_blocks(sf.with_df(_reverse_time(fwd.df)), sos, block_size, zi_unit=zi)
-    return sf.with_df(_reverse_time(bwd.df))
+    bwd = sosfilt_blocks(
+        sf.with_df(_reverse_time(fwd.df, span)), sos, block_size, zi_unit=zi
+    )
+    return sf.with_df(_reverse_time(bwd.df, span))
 
 
-def _reverse_time(df):
+def _channel_span(df):
+    """Per-channel (min_t + max_t) aggregated from ``df`` — pass this to
+    ``_reverse_time`` when reversing a *derived* signal whose t-domain is
+    unchanged from ``df`` (filtering preserves timestamps).  Computing the
+    span from the cheap upstream relation instead of the filter output
+    matters: a filter pass ends in mapInPandas with no exchange at its
+    output, so an aggregation over it re-executes the entire seeded
+    re-filter a second time just to read min/max t."""
+    return df.groupBy("recording_id", "channel").agg(
+        (F.min("t") + F.max("t")).cast("bigint").alias("_tsum")
+    )
+
+
+def _reverse_time(df, span=None):
     """t -> (min_t + max_t) - t per channel via a broadcast join of the
     per-channel span.  Span-based (not n-1-t) so a signal whose t does not
     start at 0 reverses in place instead of silently shifting to 0 —
     sources are expected to keep t dense-from-0, but this degrades safely
-    if one does not."""
-    span = df.groupBy("recording_id", "channel").agg(
-        (F.min("t") + F.max("t")).cast("bigint").alias("_tsum")
-    )
+    if one does not.  ``span``: optional precomputed ``_channel_span`` of
+    a t-domain-equal relation (see there for why callers should pass it)."""
+    if span is None:
+        span = _channel_span(df)
     return (
         df.join(F.broadcast(span), on=["recording_id", "channel"])
         .select(
