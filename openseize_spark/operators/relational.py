@@ -194,78 +194,66 @@ def extend(sf: SignalFrame, n: int, how: str = "zero") -> SignalFrame:
     - even: mirror about the edges (t' = -t and 2N-2-t reflections);
     - odd:  mirrored and negated about the edge value.
 
-    All generated-row unions with reflected t expressions — no kernel.
+    Single pass: each input row conditionally emits its reflected twin(s)
+    alongside its shifted self via one conditional-array explode, joined
+    against a tiny broadcast per-channel aggregate carrying the last index
+    and the two edge values.  (The natural filtered-union formulation
+    consumes the input relation six times — ruinous when the signal is a
+    derived subtree rather than a pushdown-friendly scan.)
     Output t is re-based so the first extended sample is t = 0.
     """
     if how == "zero":
         return pad(sf, n, n, 0.0)
     df = sf.df
     bounds = df.groupBy("recording_id", "channel").agg(
-        F.max("t").alias("_mx")
+        F.max("t").alias("_mx"),
+        F.min_by("v", "t").alias("_v0"),
+        F.max_by("v", "t").alias("_vN"),
     )
-    withb = df.join(bounds, on=["recording_id", "channel"])
-    base = df.withColumn("t", (F.col("t") + n).cast("bigint"))
+    withb = df.join(F.broadcast(bounds), on=["recording_id", "channel"])
+    t, v = F.col("t"), F.col("v")
+    mx, v0, vN = F.col("_mx"), F.col("_v0"), F.col("_vN")
 
+    def entry(tcol, vcol):
+        return F.struct(
+            tcol.cast("bigint").alias("t"), vcol.cast("double").alias("v")
+        )
+
+    empty = F.array().cast("array<struct<t:bigint,v:double>>")
+    base = F.array(entry(t + n, v))
     if how == "edge":
-        first = withb.filter(F.col("t") == 0).select(
-            "recording_id",
-            "channel",
-            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("t"),
-            "v",
-        ).select("recording_id", "channel", F.col("t").cast("bigint"), "v")
-        last = withb.filter(F.col("t") == F.col("_mx")).select(
-            "recording_id",
-            "channel",
-            F.explode(
-                F.sequence(F.col("_mx") + n + 1, F.col("_mx") + 2 * n)
-            ).alias("t"),
-            "v",
-        ).select("recording_id", "channel", F.col("t").cast("bigint"), "v")
-        return sf.with_df(base.unionByName(first).unionByName(last))
-
-    sign = 1.0 if how == "even" else -1.0
-    # left reflection: sample at original index i (1..n) lands at t = n - i
-    left_src = withb.filter((F.col("t") >= 1) & (F.col("t") <= n))
-    # for odd: v' = 2*v[0] - v[i]
-    if how == "odd":
-        v0 = withb.filter(F.col("t") == 0).select(
-            "recording_id", "channel", F.col("v").alias("_v0")
-        )
-        left_src = left_src.join(v0, on=["recording_id", "channel"])
-        left = left_src.select(
-            "recording_id",
-            "channel",
-            (F.lit(n) - F.col("t")).cast("bigint").alias("t"),
-            (2 * F.col("_v0") - F.col("v")).alias("v"),
-        )
-        vN = withb.filter(F.col("t") == F.col("_mx")).select(
-            "recording_id", "channel", F.col("v").alias("_vN")
-        )
-        right_src = withb.filter(
-            (F.col("t") >= F.col("_mx") - n) & (F.col("t") <= F.col("_mx") - 1)
-        ).join(vN, on=["recording_id", "channel"])
-        right = right_src.select(
-            "recording_id",
-            "channel",
-            (2 * F.col("_mx") - F.col("t") + n).cast("bigint").alias("t"),
-            (2 * F.col("_vN") - F.col("v")).alias("v"),
-        )
-    else:  # even
-        left = left_src.select(
-            "recording_id",
-            "channel",
-            (F.lit(n) - F.col("t")).cast("bigint").alias("t"),
-            "v",
-        )
-        right = withb.filter(
-            (F.col("t") >= F.col("_mx") - n) & (F.col("t") <= F.col("_mx") - 1)
-        ).select(
-            "recording_id",
-            "channel",
-            (2 * F.col("_mx") - F.col("t") + n).cast("bigint").alias("t"),
-            "v",
-        )
-    return sf.with_df(base.unionByName(left).unionByName(right))
+        left = F.when(
+            t == 0,
+            F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: entry(i, v)),
+        ).otherwise(empty)
+        right = F.when(
+            t == mx,
+            F.transform(
+                F.sequence(mx + n + 1, mx + 2 * n), lambda i: entry(i, v)
+            ),
+        ).otherwise(empty)
+    else:
+        # left reflection: original index i (1..n) lands at t = n - i;
+        # odd negates about the edge value (v' = 2*v_edge - v)
+        lv = v if how == "even" else 2 * v0 - v
+        rv = v if how == "even" else 2 * vN - v
+        left = F.when(
+            (t >= 1) & (t <= n), F.array(entry(F.lit(n) - t, lv))
+        ).otherwise(empty)
+        right = F.when(
+            (t >= mx - n) & (t <= mx - 1), F.array(entry(2 * mx - t + n, rv))
+        ).otherwise(empty)
+    out = withb.select(
+        "recording_id",
+        "channel",
+        F.explode(F.concat(base, left, right)).alias("_p"),
+    ).select(
+        "recording_id",
+        "channel",
+        F.col("_p.t").alias("t"),
+        F.col("_p.v").alias("v"),
+    )
+    return sf.with_df(out)
 
 
 def expand_along_axis(sf: SignalFrame, L: int, value: float = 0.0) -> SignalFrame:
