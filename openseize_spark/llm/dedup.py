@@ -274,6 +274,65 @@ def minhash_dedup(
     return docs.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Exact connected components of the undirected graph given as
+    (a, b) pairs: (id, component) for every node appearing in a pair,
+    component = the minimum node id in its component.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — one shuffle join + one
+    groupBy per round, converging in O(component diameter) rounds (dup
+    clusters are shallow; pathological chains are bounded by
+    ``max_iter``).  Per round the label table is ``localCheckpoint``-ed:
+    without lineage truncation the plan doubles every iteration and
+    planning cost explodes by round ~15.  The driver-side loop is control
+    flow only — the convergence test moves a single count, never rows.
+
+    This upgrades ``minhash_dedup``'s one-round min-propagation (exact
+    for pair clusters, approximate for chains a~b~c discovered as
+    (a,c),(b,c)) to exact single-linkage clusters.
+    """
+    from pyspark import StorageLevel
+
+    edges = (
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("x").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.y == labels.id)
+            .groupBy("x")
+            .agg(F.min("comp").alias("_nc"))
+        )
+        upd = (
+            labels.join(nbr, labels.id == nbr.x, "left")
+            .select(
+                labels.id,
+                F.col("comp").alias("_old"),
+                F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = upd.filter(F.col("comp") != F.col("_old")).count()
+        labels = upd.select("id", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",
@@ -420,11 +479,11 @@ def minhash_signatures_oracle_sql(k: int = 5, num_hashes: int = 64) -> str:
     return _sig_ctes(k, num_hashes) + f"\n        {arms}"
 
 
-def minhash_dedup_oracle_sql(
+def _vpairs_ctes(
     k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
 ) -> str:
-    """DuckDB SQL equal to minhash_dedup(portable=True): LSH banding,
-    exact-Jaccard verification, then survivors (doc_id, lang, source)."""
+    """CTE chain through verified near-dup pairs ``vp(a, b)``: signatures
+    -> LSH banding -> candidates -> exact-Jaccard verification."""
     r = num_hashes // bands
     band_arms = "\n          UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bsig FROM sig".format(
@@ -452,17 +511,50 @@ def minhash_dedup_oracle_sql(
           JOIN shd sa ON sa.doc_id = c.a
           JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
           GROUP BY c.a, c.b
-        ), losers AS (
-          SELECT DISTINCT i.b
+        ), vp AS (
+          SELECT i.a, i.b
           FROM inter i
           JOIN sz za ON za.doc_id = i.a
           JOIN sz zb ON zb.doc_id = i.b
           WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= {threshold}
-        )
+        )"""
+    )
+
+
+def minhash_dedup_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB SQL equal to minhash_dedup(portable=True): LSH banding,
+    exact-Jaccard verification, then survivors (doc_id, lang, source)."""
+    return (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + """
         SELECT d.doc_id, d.lang, d.source
         FROM documents d
-        WHERE d.doc_id NOT IN (SELECT b FROM losers)"""
+        WHERE d.doc_id NOT IN (SELECT b FROM vp)"""
     )
+
+
+def dedup_clusters_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB SQL equal to connected_components over the verified pair
+    graph: recursive transitive closure, then min reachable id per node.
+    (The Spark side iterates min-label propagation to a fixpoint; the
+    oracle materializes full reachability — fine at oracle scale, and the
+    two agree exactly because both compute min-id-in-component.)"""
+    sql = (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + """, und AS (
+          SELECT a AS x, b AS y FROM vp UNION SELECT b AS x, a AS y FROM vp
+        ), reach(id, comp) AS (
+          SELECT x, x FROM und
+          UNION
+          SELECT u.x, r.comp FROM reach r JOIN und u ON u.y = r.id
+        )
+        SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id"""
+    )
+    return sql.replace("WITH norm", "WITH RECURSIVE norm", 1)
 
 
 def _simhash_ctes(bits: int) -> str:

@@ -292,3 +292,26 @@ class TestSqlgenMedia:
         expect = b"".join(hashlib.md5(f"3:{j}".encode()).digest() for j in range(16))
         assert bytes(rows[3].payload) == expect
         assert rows[0].meta.width == 60 and rows[0].meta.height == 44
+
+
+class TestConnectedComponents:
+    def test_chain_exact_vs_one_round(self, spark):
+        # chain 1~5, 5~3, 3~9, plus isolated pair 7~8: one-round
+        # min-propagation would leave 5 labeled min(1,3)=1 but 9 labeled
+        # min(3)=3; the fixpoint labels the whole chain 1.
+        pairs = spark.createDataFrame(
+            [(1, 5), (5, 3), (3, 9), (7, 8)], "a long, b long"
+        )
+        got = {
+            r.id: r.component for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 5: 1, 3: 1, 9: 1, 7: 7, 8: 7}
+
+    def test_two_cliques(self, spark):
+        pairs = spark.createDataFrame(
+            [(10, 11), (11, 12), (10, 12), (20, 21)], "a long, b long"
+        )
+        got = {
+            r.id: r.component for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
