@@ -793,6 +793,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk"] = q_ivf_topk
 
+    def q_kmeans_assign(spark, sf_dir):
+        # Lloyd's k-means fit (deterministic first-k seeding, 4 fixed
+        # rounds), assignments under the final centroids
+        emb = _t(spark, sf_dir, "embeddings")
+        assign, _cents = similarity.kmeans_fit(emb, k=8, n_iter=4)
+        return assign.select(F.col("id").alias("vec_id"), "cell_id")
+
+    q["kmeans_assign"] = q_kmeans_assign
+
     # --------------- non-SQL-expressible (rows-only checks) -------------
     def q_welch_psd(spark, sf_dir):
         sf = _signal(spark, sf_dir)
@@ -1192,7 +1201,7 @@ _GATE_PRIORITY = [
     "welch_psd", "welch_psd_blocks", "stft", "stft_blocks",
     "resample_poly", "downsample", "upsample", "fir_blocks",
     "minhash_sigs", "minhash_dedup", "dedup_clusters", "simhash", "simhash_pairs",
-    "lsh_topk", "knn_cosine", "ivf_topk", "embedding_dedup",
+    "lsh_topk", "knn_cosine", "ivf_topk", "kmeans_assign", "embedding_dedup",
     "embedding_norms", "ngram_jaccard", "hilbert_envelope", "pac",
     "pac_surrogates", "supplier_topbal", "path_pairing", "path_mismatched",
     "token_count_by_source", "quality_score", "language_id",
@@ -1205,8 +1214,9 @@ _GATE_PRIORITY = [
     "repetition_stats", "pii_scan", "image_features", "frame_sample",
     "resize_images", "audio_features",
     # -- representative round-1 passes (regression anchors; dedup_exact
-    # -- ceded its slot to dedup_clusters — it keeps its r01 evidence)
-    "pricing_summary", "revenue_by_nation", "sliding_energy", "fir_kaiser",
+    # -- and fir_kaiser ceded slots to dedup_clusters/kmeans_assign —
+    # -- both keep their r01 evidence, and fir_blocks covers the family)
+    "pricing_summary", "revenue_by_nation", "sliding_energy",
 ]
 
 
@@ -2052,6 +2062,10 @@ def oracle_sql() -> dict[str, str]:
         f"THEN {2 ** b} ELSE 0 END)"
         for b in range(4)
     )
+    from openseize_spark.llm import similarity as _sim
+
+    o["kmeans_assign"] = _sim.kmeans_assign_oracle_sql(k=8, n_iter=4)
+
     o["lsh_topk"] = f"""
         WITH base AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -305,3 +305,142 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column, DataFrame-native.
+
+    Returns ``(assignments, centroids)``: ``(id, cell_id)`` for every
+    corpus vector under the final centroids, and ``(cell_id, cvec)``.
+
+    Deterministic and SQL-replayable by construction: initial centroids
+    are the ``k`` vectors with the smallest ids (cell_id = their rank),
+    and the iteration count is fixed, so the DuckDB oracle can unroll
+    the same ``n_iter`` assign/re-average rounds as a CTE chain.
+
+    Scale shape: centroids live as plan literals (k x dim doubles — the
+    same trick as FIR tap literals), so ASSIGNMENT is a pure projection:
+    an ``aggregate`` argmin over the centroid array per row — no join, no
+    k-fold row amplification, no shuffle.  Re-averaging is one
+    posexplode + two-level groupBy whose map-side partial agg bounds the
+    shuffle at k*dim rows per task.  Per iteration: one scan, one
+    shuffle, one k*dim-size driver collect (control flow only — the same
+    bytes a cluster-mode broadcast would move).  A cell that loses all
+    members drops out (standard Lloyd's behavior, mirrored by the
+    oracle's inner join).
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed = e.orderBy("id").limit(k).collect()
+    cents = [(i, list(r.v)) for i, r in enumerate(seed)]
+
+    def _assign(cents):
+        carr = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        init = F.struct(
+            F.lit(-1).alias("cell"), F.lit(float("inf")).alias("d")
+        )
+
+        def step(acc, s):
+            d2 = F.aggregate(
+                F.zip_with(F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a2, x: a2 + x,
+            )
+            better = d2 < acc["d"]
+            return F.struct(
+                F.when(better, s["cell"]).otherwise(acc["cell"]).alias("cell"),
+                F.when(better, d2).otherwise(acc["d"]).alias("d"),
+            )
+
+        return e.withColumn("_b", F.aggregate(carr, init, step)).select(
+            "id", "v", F.col("_b.cell").alias("cell_id")
+        )
+
+    for _ in range(n_iter):
+        a = _assign(cents)
+        newc = (
+            a.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("val"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("cvec")
+            )
+        )
+        cents = sorted(
+            ((r.cell_id, list(r.cvec)) for r in newc.collect()), key=lambda t: t[0]
+        )
+
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cell_id int, cvec array<double>"
+    )
+    assignments = _assign(cents).select("id", "cell_id")
+    return assignments, cdf
+
+
+def kmeans_assign_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
+    """DuckDB SQL equal to kmeans_fit(...)[0]: the same deterministic
+    seeding and fixed iteration count, unrolled as a CTE chain."""
+    ctes = [
+        """corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), c0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+                 v AS cv
+          FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT {k})
+        )""".format(k=k)
+    ]
+    for t in range(n_iter):
+        ctes.append(
+            """a{t} AS (
+          SELECT vec_id, cell_id, v FROM (
+            SELECT c.vec_id, ct.cell_id, c.v,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(c.v, ct.cv)
+                              + list_dot_product(ct.cv, ct.cv),
+                              ct.cell_id
+                   ) AS rk
+            FROM corpus c CROSS JOIN c{t} ct
+          ) WHERE rk = 1
+        ), cf{t} AS (
+          SELECT cell_id, u.i AS pos, AVG(v[u.i]) AS val
+          FROM a{t}, unnest(generate_series(1, length(v))) AS u(i)
+          GROUP BY cell_id, u.i
+        ), c{t1} AS (
+          SELECT cell_id, list(val ORDER BY pos) AS cv FROM cf{t} GROUP BY cell_id
+        )""".format(t=t, t1=t + 1)
+        )
+    final = """
+        SELECT vec_id, cell_id FROM (
+          SELECT c.vec_id, ct.cell_id,
+                 row_number() OVER (
+                   PARTITION BY c.vec_id
+                   ORDER BY list_dot_product(c.v, c.v)
+                            - 2 * list_dot_product(c.v, ct.cv)
+                            + list_dot_product(ct.cv, ct.cv),
+                            ct.cell_id
+                 ) AS rk
+          FROM corpus c CROSS JOIN c{n} ct
+        ) WHERE rk = 1""".format(n=n_iter)
+    return "WITH " + ",\n        ".join(ctes) + final

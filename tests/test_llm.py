@@ -315,3 +315,40 @@ class TestConnectedComponents:
             r.id: r.component for r in dedup.connected_components(pairs).collect()
         }
         assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+class TestKmeans:
+    def test_separated_clusters(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(0, 0.05, (10, 4)) + np.array([1, 0, 0, 0])
+        b = rng.normal(0, 0.05, (10, 4)) + np.array([0, 0, 3, 0])
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([a, b]))]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        assign, cents = similarity.kmeans_fit(emb, k=2, n_iter=5)
+        got = {r.id: r.cell_id for r in assign.collect()}
+        # the two geometric clusters must be assigned to distinct cells
+        cells_a = {got[i] for i in range(10)}
+        cells_b = {got[i] for i in range(10, 20)}
+        assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+        cvs = {r.cell_id: np.array(r.cvec) for r in cents.collect()}
+        ca = cvs[cells_a.pop()]
+        assert abs(ca[0] - 1.0) < 0.05 and abs(ca[2]) < 0.05
+
+    def test_centroids_feed_ivf(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = [
+            (i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(40)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        _assign, cents = similarity.kmeans_fit(emb, k=4, n_iter=3)
+        queries = emb.limit(2).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        out = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=4)
+        got = {r.q_id: r for r in out.filter(F.col("rank") == 1).collect()}
+        # nprobe = all cells makes IVF exact: top-1 is the query itself
+        assert all(got[q].vec_id == q for q in got) and len(got) == 2
