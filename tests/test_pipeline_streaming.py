@@ -180,3 +180,76 @@ class TestStreaming:
         tail = next(r for r in allw if seg_of(r) == extra)
         want = x[extra * stride :].sum()  # zero padding adds nothing
         assert tail.seg_sum == pytest.approx(want, abs=1e-12)
+
+
+class TestStreamingDedup:
+    def test_exact_dedup_matches_batch(self, spark, tmp_path):
+        import pandas as pd
+
+        from openseize_spark.llm import dedup as bdedup
+        from openseize_spark.streaming import dedup as sdedup
+
+        texts = ["alpha beta", "gamma", "Alpha  beta", "delta", "gamma", "eps"]
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(range(len(texts)), unit="m"),
+                "doc_id": range(len(texts)),
+                "text": texts,
+            }
+        )
+        src = str(tmp_path / "docs_src")
+        batch = spark.createDataFrame(pdf)
+        batch.write.mode("overwrite").parquet(src)
+
+        got = sw.run_batch_as_stream(
+            spark,
+            src,
+            batch.schema,
+            lambda s: sdedup.streaming_exact_dedup(s, watermark="1 hour"),
+            queryName="sdedup",
+            output_mode="append",
+        )
+        # one survivor per distinct normalized text (WHICH one survives
+        # within a single micro-batch is arbitrary — batch row order is
+        # not event-time order), matching the batch operator's grouping
+        surv = got.collect()
+        norm = {
+            r.text.lower().strip().replace("  ", " ") for r in surv
+        }
+        assert len(surv) == 4 and norm == {"alpha beta", "gamma", "delta", "eps"}
+        bsurv = bdedup.exact_dedup(batch.select("doc_id", "text")).collect()
+        assert len(bsurv) == len(surv)
+
+    def test_sessionize_gap_split(self, spark, tmp_path):
+        import pandas as pd
+
+        from openseize_spark.streaming import dedup as sdedup
+
+        # two bursts separated by > gap for key 'a'; one burst for 'b'
+        t0 = pd.Timestamp("2024-01-01")
+        rows = [
+            (t0, "a", 1.0),
+            (t0 + pd.Timedelta("5 min"), "a", 2.0),
+            (t0 + pd.Timedelta("2 hours"), "a", 4.0),
+            (t0 + pd.Timedelta("1 min"), "b", 8.0),
+        ]
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        src = str(tmp_path / "sess_src")
+        batch = spark.createDataFrame(pdf)
+        batch.write.mode("overwrite").parquet(src)
+
+        got = sw.run_batch_as_stream(
+            spark,
+            src,
+            batch.schema,
+            lambda s: sdedup.streaming_sessionize(s, gap="30 minutes"),
+            queryName="ssess",
+            output_mode="complete",
+        ).collect()
+        by_key = {}
+        for r in got:
+            by_key.setdefault(r.event_type, []).append(r)
+        assert len(by_key["a"]) == 2 and len(by_key["b"]) == 1
+        sums = sorted(r.sum_value for r in by_key["a"])
+        assert sums == [3.0, 4.0]
