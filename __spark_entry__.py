@@ -1107,6 +1107,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["language_id"] = q_language_id
 
+    def q_top_ngrams(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.top_ngrams(docs, n=3, k=10, by_col="lang")
+
+    q["top_ngrams"] = q_top_ngrams
+
     # ---- multimodal queries run on the SQL-replayable media table
     # ---- (synthetic_media_sqlgen: md5-chain payloads) so the fake-decode
     # ---- byte math is hash-checkable in DuckDB, not rows-only.
@@ -2024,6 +2030,25 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
+    o["top_ngrams"] = f"""
+        WITH norm AS (
+          SELECT lang, {_dedup._NORM_SQL} AS txt FROM documents WHERE text IS NOT NULL
+        ), words AS (
+          SELECT lang, list_filter(string_split(txt, ' '), x -> length(x) > 0) AS w
+          FROM norm
+        ), grams AS (
+          SELECT lang, concat_ws(' ', w[u.i], w[u.i + 1], w[u.i + 2]) AS ngram
+          FROM words, unnest(generate_series(1, len(w) - 2)) AS u(i)
+          WHERE len(w) >= 3
+        ), counts AS (
+          SELECT lang, ngram, count(*) AS cnt FROM grams GROUP BY lang, ngram
+        )
+        SELECT lang, ngram, cnt,
+               CAST(row_number() OVER (
+                 PARTITION BY lang ORDER BY cnt DESC, ngram
+               ) AS BIGINT) AS rank
+        FROM counts
+        QUALIFY rank <= 10"""
     o["simhash"] = _dedup.simhash_oracle_sql(bits=32)
     o["simhash_pairs"] = _dedup.simhash_pairs_oracle_sql(max_hamming=6, bits=32)
 

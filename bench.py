@@ -37,6 +37,8 @@ HEADLINE = [
     "text_stats",           # pure string-function scan
     "knn_cosine",           # broadcast brute-force ANN
     "ivf_topk",             # cell-probed ANN (broadcast centroids)
+    "kmeans_assign",        # iterative Lloyd's fit (literal-centroid argmin)
+    "dedup_clusters",       # LSH pairs + iterative connected components
     "pac",                  # hilbert window FIR + range-join gather
 ]
 

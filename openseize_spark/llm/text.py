@@ -9,7 +9,7 @@ bit-for-bit (see __spark_entry__.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from openseize_spark.llm.dedup import normalize_text
@@ -191,4 +191,44 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     key; engine-portable since md5 is standardized)."""
     return docs.select(
         F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 10,
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams per group — the heavy-hitter corpus-statistics
+    pattern: explode n-grams, two-level aggregation (map-side partial
+    combine bounds the shuffle at distinct-ngram cardinality per task),
+    rank window over the per-group counts.  Returns
+    (group, ngram, cnt, rank).  Exact, not sketched: at 100 TB the
+    partial agg is the load-bearing step and the window only sees the
+    aggregated (group, ngram) space.
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = docs.select(
+        F.col(by_col).alias("grp"),
+        F.filter(F.split(norm, " "), lambda s: F.length(s) > 0).alias("_w"),
+    )
+    # guard: sequence(1, 0) is DESCENDING in Spark, not empty — docs with
+    # fewer than n words must emit no grams, not truncated ones
+    idx = F.when(
+        F.size("_w") >= n, F.sequence(F.lit(1), F.size("_w") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "grp",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
+        ).alias("ngram"),
+    )
+    counts = grams.groupBy("grp", "ngram").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.col("ngram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(by_col), "ngram", "cnt", "rank")
     )

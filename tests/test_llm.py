@@ -352,3 +352,21 @@ class TestKmeans:
         got = {r.q_id: r for r in out.filter(F.col("rank") == 1).collect()}
         # nprobe = all cells makes IVF exact: top-1 is the query itself
         assert all(got[q].vec_id == q for q in got) and len(got) == 2
+
+
+class TestTopNgrams:
+    def test_counts_and_short_doc_guard(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "en", "a b c a b c"),
+                (2, "en", "a b"),          # < n words: must emit nothing
+                (3, "fr", "x y z"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        got = {(r.lang, r.ngram): (r.cnt, r.rank) for r in
+               text.top_ngrams(df, n=3, k=2).collect()}
+        assert got[("en", "a b c")] == (2, 1)
+        assert got[("fr", "x y z")] == (1, 1)
+        # doc 2 contributes no grams; en has exactly 2 ranked rows max
+        assert all(r <= 2 for _, r in got.values())
