@@ -161,3 +161,36 @@ class TestPlans:
         )
         assert "Generate" not in plan  # Spark's explode operator
         assert "Window" in plan
+
+    def test_kmeans_assignment_is_pure_projection(self, spark):
+        """kmeans_fit assignment must stay a projection: literal
+        centroids, no join, no explode, no shuffle before the scan
+        output (llm/similarity.kmeans_fit)."""
+        from openseize_spark.llm import similarity
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        assign, _c = similarity.kmeans_fit(emb, k=2, n_iter=1)
+        plan = assign._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Generate" not in plan
+        assert "Exchange" not in plan
+
+    def test_top_ngrams_partial_agg_before_shuffle(self, spark):
+        """top_ngrams must partial-aggregate the exploded gram space
+        map-side (two HashAggregates around one exchange), and the rank
+        window must only see the aggregated rows."""
+        from openseize_spark.llm import text
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b c d")], "doc_id long, lang string, text string"
+        )
+        plan = (
+            text.top_ngrams(docs, n=3, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("HashAggregate") >= 2
+        assert "Window" in plan
