@@ -671,12 +671,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["repetition_stats"] = q_repetition_stats
 
-    def q_pii_scan(spark, sf_dir):
-        # The synthetic corpus contains no PII-shaped strings, so the scan
-        # runs over text deterministically augmented from doc_id — the
-        # regex match/redact paths are exercised for real and the DuckDB
-        # oracle mirrors the same injection.
-        docs = _t(spark, sf_dir, "documents")
+    def _augment_pii(docs):
+        # The synthetic corpus contains no PII-shaped strings, so PII
+        # queries run over text deterministically augmented from doc_id —
+        # the regex match/redact paths are exercised for real and the
+        # DuckDB oracles mirror the same injection (the `aug` CTE).
         did = F.col("doc_id")
         aug = F.concat(
             F.col("text"),
@@ -694,7 +693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.lit("")),
             F.when(did % 13 == 0, F.lit(" call +1-555-0142")).otherwise(F.lit("")),
         )
-        return llm_text.pii_scan(docs.withColumn("text", aug))
+        return docs.withColumn("text", aug)
+
+    def q_pii_scan(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.pii_scan(_augment_pii(docs))
 
     q["pii_scan"] = q_pii_scan
 
@@ -1112,6 +1115,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return llm_text.top_ngrams(docs, n=3, k=10, by_col="lang")
 
     q["top_ngrams"] = q_top_ngrams
+
+    def q_quality_filter(spark, sf_dir):
+        # run on the PII-augmented corpus so the PII leg of the composed
+        # filter actually rejects rows (see _augment_pii)
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.quality_filter(
+            _augment_pii(docs), min_quality=0.5, max_dup_ngram_frac=0.3, max_pii=2
+        )
+
+    q["quality_filter"] = q_quality_filter
 
     # ---- multimodal queries run on the SQL-replayable media table
     # ---- (synthetic_media_sqlgen: md5-chain payloads) so the fake-decode
@@ -2030,6 +2043,37 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
+    # composed C4-style filter: reuse the three scorer replays verbatim
+    # as subqueries (DuckDB allows WITH inside a derived table).  The
+    # Spark query runs on the PII-augmented corpus, so the quality and
+    # repetition legs substitute the same augmented derived table the
+    # pii_scan replay builds internally.
+    _aug_tbl = """(
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                      THEN ' see https://data.example.org/doc/' || CAST(doc_id AS VARCHAR)
+                      ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                      THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                      ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-0142' ELSE '' END
+                   AS text
+          FROM documents) AS documents"""
+    o["quality_filter"] = f"""
+        SELECT q.doc_id, q.quality, r.dup_ngram_frac,
+               CAST(p.n_emails + p.n_urls + p.n_ips + p.n_phones AS BIGINT)
+                 AS n_pii
+        FROM ({o['quality_score'].replace('FROM documents', 'FROM ' + _aug_tbl)}) q
+        JOIN ({o['repetition_stats'].replace('FROM documents', 'FROM ' + _aug_tbl)}) r
+          ON r.doc_id = q.doc_id
+        JOIN ({o['pii_scan']}) p ON p.doc_id = q.doc_id
+        WHERE q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3
+          AND p.n_emails + p.n_urls + p.n_ips + p.n_phones <= 2"""
+
     o["top_ngrams"] = f"""
         WITH norm AS (
           SELECT lang, {_dedup._NORM_SQL} AS txt FROM documents WHERE text IS NOT NULL

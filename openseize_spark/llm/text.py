@@ -232,3 +232,42 @@ def top_ngrams(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(by_col), "ngram", "cnt", "rank")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_dup_ngram_frac: float = 0.3,
+    max_pii: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style composed pre-filter: keep documents that pass the quality
+    heuristic AND are not repetition-dominated AND carry little PII.
+
+    Composition stays one pass: the three scorers are projections over
+    the same scan, joined on the id key — with all three being
+    shuffle-free projections Catalyst collapses the joins into one
+    pipeline per partition when the id is the scan order, and at worst
+    this is three shuffle-free column families co-keyed on the id.
+    Returns the surviving (id, quality, dup_ngram_frac, n_pii) rows.
+    """
+    q = quality_score(docs, text_col, id_col)
+    r = repetition_stats(docs, n=3, text_col=text_col, id_col=id_col).select(
+        id_col, "dup_ngram_frac"
+    )
+    p = pii_scan(docs, text_col, id_col).select(
+        id_col,
+        (F.col("n_emails") + F.col("n_urls") + F.col("n_ips") + F.col("n_phones"))
+        .cast("long")
+        .alias("n_pii"),
+    )
+    return (
+        q.join(r, on=id_col)
+        .join(p, on=id_col)
+        .filter(
+            (F.col("quality") >= min_quality)
+            & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+            & (F.col("n_pii") <= max_pii)
+        )
+    )
