@@ -100,9 +100,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(e.dtypes)["ts"] == "bigint":
-        e = e.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-        )
+        # integer division: `/` goes through DOUBLE, and epoch nanos
+        # (~1.7e18) exceed 2^53 — float rounding shifts timestamps by
+        # +-1 microsecond (positive epochs, so div == floor here)
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return e
 
 
@@ -1126,6 +1127,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter"] = q_quality_filter
 
+    def q_click_attribution(spark, sf_dir):
+        # as-of join: each purchase attributed to the user's most recent
+        # click at-or-before it (tagged-union + window carry — one
+        # shuffle, no range probe; operators/relational.asof_join)
+        ev = _events(spark, sf_dir)
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        return rel.asof_join(
+            purchases,
+            clicks,
+            on="user_id",
+            left_t="ts",
+            right_t="ts",
+            payload=["event_id", "value"],
+            suffix="_click",
+        )
+
+    q["click_attribution"] = q_click_attribution
+
     # ---- multimodal queries run on the SQL-replayable media table
     # ---- (synthetic_media_sqlgen: md5-chain payloads) so the fake-decode
     # ---- byte math is hash-checkable in DuckDB, not rows-only.
@@ -1232,10 +1256,12 @@ _GATE_PRIORITY = [
     # -- new round-2 oracled queries (text quality + multimodal replays)
     "repetition_stats", "pii_scan", "image_features", "frame_sample",
     "resize_images", "audio_features",
-    # -- representative round-1 passes (regression anchors; dedup_exact
-    # -- and fir_kaiser ceded slots to dedup_clusters/kmeans_assign —
-    # -- both keep their r01 evidence, and fir_blocks covers the family)
-    "pricing_summary", "revenue_by_nation", "sliding_energy",
+    # -- round-2 relational additions
+    "click_attribution",
+    # -- representative round-1 passes (regression anchors; dedup_exact,
+    # -- fir_kaiser and pricing_summary ceded slots to round-2 queries —
+    # -- all keep their r01 evidence)
+    "revenue_by_nation", "sliding_energy",
 ]
 
 
@@ -2073,6 +2099,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o['pii_scan']}) p ON p.doc_id = q.doc_id
         WHERE q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3
           AND p.n_emails + p.n_urls + p.n_ips + p.n_phones <= 2"""
+
+    # DuckDB has a native ASOF JOIN — the perfect independent oracle for
+    # the tagged-union/window formulation
+    o["click_attribution"] = """
+        SELECT p.user_id, p.event_id, p.ts, p.value,
+               c.event_id AS event_id_click, c.value AS value_click,
+               c.ts AS ts_click
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""
 
     o["top_ngrams"] = f"""
         WITH norm AS (

@@ -290,3 +290,83 @@ def expand_dims(df: DataFrame, **new_cols) -> DataFrame:
     for name, val in new_cols.items():
         df = df.withColumn(name, F.lit(val))
     return df
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_t: str = "t",
+    right_t: str = "t",
+    payload: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: attach to each left row the most recent right row at or
+    before its time (``backward``; ``forward`` = earliest at-or-after).
+
+    The scale-right formulation is a tagged union + one window pass:
+    left and right rows interleave in (key, time) order and
+    ``last(..., ignorenulls=True)`` carries the latest right payload onto
+    each left row — ONE shuffle on the key and a sort, where the naive
+    range join probes every left row against a time interval (quadratic
+    in bucket size) and Spark has no native asof operator.
+
+    Right rows at exactly the left time match (inclusive), ordered before
+    the left row via the side tag.  ``tolerance`` (in the time column's
+    units after a double cast; seconds for timestamps) nulls out matches
+    farther away, preserving left rows — left-outer semantics throughout.
+    Returns all left columns plus each ``payload`` column and the matched
+    right time, ``suffix``-renamed.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    pay = list(payload)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    lcols = [c for c in left.columns if c not in keys]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    mt_col = right_t + suffix
+
+    # project _t FIRST on the right side: the left columns are nulled
+    # below and may share names with right_t (e.g. both sides use "ts"),
+    # which would shadow the real right timestamps with nulls
+    lt = left.select(
+        *keys,
+        F.col(left_t).alias("_t"),
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(rtypes[p]).alias(p + suffix) for p in pay],
+        F.lit(None).cast(rtypes[right_t]).alias(mt_col),
+    )
+    rt = right.select(
+        *keys,
+        F.col(right_t).cast(ltypes[left_t]).alias("_t"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
+        F.lit(0).alias("_side"),
+        *[F.col(p).alias(p + suffix) for p in pay],
+        F.col(right_t).alias(mt_col),
+    )
+
+    u = lt.unionByName(rt)
+    tcol = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    w = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(tcol, F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for p in pay:
+        u = u.withColumn(p + suffix, F.last(p + suffix, ignorenulls=True).over(w))
+    u = u.withColumn(mt_col, F.last(mt_col, ignorenulls=True).over(w))
+    out = u.filter(F.col("_side") == 1).drop("_side", "_t")
+    if tolerance is not None:
+        d = F.col(left_t).cast("double") - F.col(mt_col).cast("double")
+        if direction == "forward":
+            d = -d
+        ok = d <= tolerance
+        for p in pay:
+            out = out.withColumn(p + suffix, F.when(ok, F.col(p + suffix)))
+        out = out.withColumn(mt_col, F.when(ok, F.col(mt_col)))
+    return out

@@ -194,3 +194,63 @@ class TestPlans:
         )
         assert plan.count("HashAggregate") >= 2
         assert "Window" in plan
+
+
+class TestAsofJoin:
+    def _mk(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")],
+            "k long, t long, name string",
+        )
+        right = spark.createDataFrame(
+            [(1, 8, 100.0), (1, 10, 200.0), (1, 15, 300.0), (2, 9, 400.0)],
+            "k long, t long, val double",
+        )
+        return left, right
+
+    def test_backward_inclusive(self, spark):
+        from openseize_spark.operators.relational import asof_join
+
+        left, right = self._mk(spark)
+        out = {
+            r.name: (r.val_r, r.t_r)
+            for r in asof_join(
+                left, right, on="k", payload=["val"], suffix="_r"
+            ).collect()
+        }
+        # t=10 matches the right row AT 10 (inclusive), not 8
+        assert out["p1"] == (200.0, 10)
+        assert out["p2"] == (300.0, 15)
+        assert out["p3"] == (None, None)  # right at t=9 is after t=5
+
+    def test_forward_and_tolerance(self, spark):
+        from openseize_spark.operators.relational import asof_join
+
+        left, right = self._mk(spark)
+        fwd = {
+            r.name: r.t_r
+            for r in asof_join(
+                left, right, on="k", payload=["val"], direction="forward"
+            ).collect()
+        }
+        assert fwd == {"p1": 10, "p2": None, "p3": 9}
+        tol = {
+            r.name: r.t_r
+            for r in asof_join(
+                left, right, on="k", payload=["val"], tolerance=2.0
+            ).collect()
+        }
+        # p2 at t=20: nearest click t=15 is 5 > tolerance -> nulled
+        assert tol == {"p1": 10, "p2": None, "p3": None}
+
+    def test_one_shuffle_no_join(self, spark):
+        from openseize_spark.operators.relational import asof_join
+
+        left, right = self._mk(spark)
+        plan = (
+            asof_join(left, right, on="k", payload=["val"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # union + window, never a join operator
