@@ -1150,6 +1150,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["click_attribution"] = q_click_attribution
 
+    def q_multires_rollup(spark, sf_dir):
+        # hypertable-style continuous-aggregate cascade: minute partials
+        # feed the hour grain, hour feeds day — coarser resolutions
+        # re-aggregate the finer level's (n, sum) partials and never
+        # rescan raw events (sum/count re-aggregate losslessly).  The
+        # minute exchange is reused across its two consumers by AQE.
+        ev = _events(spark, sf_dir)
+
+        def up(df, grain):
+            return df.groupBy(
+                F.date_trunc(grain, "bucket").alias("bucket"), "event_type"
+            ).agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+
+        minute = ev.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+        ).agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        hour = up(minute, "hour")
+        day = up(hour, "day")
+
+        def tag(df, res):
+            return df.select(
+                F.lit(res).alias("resolution"), "bucket", "event_type", "n", "sum_value"
+            )
+
+        return tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(
+            tag(day, "day")
+        )
+
+    q["multires_rollup"] = q_multires_rollup
+
     # ---- multimodal queries run on the SQL-replayable media table
     # ---- (synthetic_media_sqlgen: md5-chain payloads) so the fake-decode
     # ---- byte math is hash-checkable in DuckDB, not rows-only.
@@ -2099,6 +2129,26 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o['pii_scan']}) p ON p.doc_id = q.doc_id
         WHERE q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3
           AND p.n_emails + p.n_urls + p.n_ips + p.n_phones <= 2"""
+
+    o["multires_rollup"] = """
+        WITH minute AS (
+          SELECT date_trunc('minute', ts) AS bucket, event_type,
+                 count(*) AS n, sum(value) AS sum_value
+          FROM events GROUP BY 1, 2
+        ), hour AS (
+          SELECT date_trunc('hour', bucket) AS bucket, event_type,
+                 sum(n) AS n, sum(sum_value) AS sum_value
+          FROM minute GROUP BY 1, 2
+        ), day AS (
+          SELECT date_trunc('day', bucket) AS bucket, event_type,
+                 sum(n) AS n, sum(sum_value) AS sum_value
+          FROM hour GROUP BY 1, 2
+        )
+        SELECT 'minute' AS resolution, bucket, event_type, n, sum_value FROM minute
+        UNION ALL
+        SELECT 'hour', bucket, event_type, n, sum_value FROM hour
+        UNION ALL
+        SELECT 'day', bucket, event_type, n, sum_value FROM day"""
 
     # DuckDB has a native ASOF JOIN — the perfect independent oracle for
     # the tagged-union/window formulation
