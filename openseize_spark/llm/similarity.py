@@ -324,52 +324,49 @@ def kmeans_fit(
     and the iteration count is fixed, so the DuckDB oracle can unroll
     the same ``n_iter`` assign/re-average rounds as a CTE chain.
 
-    Scale shape: centroids live as plan literals (k x dim doubles — the
-    same trick as FIR tap literals), so ASSIGNMENT is a pure projection:
-    an ``aggregate`` argmin over the centroid array per row — no join, no
-    k-fold row amplification, no shuffle.  Re-averaging is one
-    posexplode + two-level groupBy whose map-side partial agg bounds the
-    shuffle at k*dim rows per task.  Per iteration: one scan, one
-    shuffle, one k*dim-size driver collect (control flow only — the same
-    bytes a cluster-mode broadcast would move).  A cell that loses all
-    members drops out (standard Lloyd's behavior, mirrored by the
-    oracle's inner join).
+    Scale shape: centroids ship in the UDF closure (k x dim doubles —
+    the same bytes a cluster-mode broadcast would move), so ASSIGNMENT
+    is a pure projection: one Arrow-batched BLAS argmin over
+    ||x||^2 - 2 x.C^T + ||c||^2 per batch — no join, no k-fold row
+    amplification, no shuffle.  (An earlier version built the centroids
+    as k*dim literal expressions and ran an interpreted higher-order-
+    function argmin per row; Catalyst re-analyzes that expression tree
+    every iteration and HOFs never enter codegen, which made plan
+    compile — not data — the dominant cost.  The batched BLAS form is
+    the documented wide-vector fast path, cf. ``cosine_topk_pandas``.)
+    Re-averaging is one posexplode + two-level groupBy whose map-side
+    partial agg bounds the shuffle at k*dim rows per task.  Per
+    iteration: one scan, one shuffle, one k*dim-size driver collect
+    (control flow only).  The working set (id, v) is persisted across
+    the n_iter scans — the standard iterative-algorithm pattern; at
+    cluster scale this is MEMORY_AND_DISK and bounded by the corpus
+    projection, not the full table.  A cell that loses all members
+    drops out (standard Lloyd's behavior, mirrored by the oracle's
+    inner join).
     """
     e = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).persist()
     seed = e.orderBy("id").limit(k).collect()
     cents = [(i, list(r.v)) for i, r in enumerate(seed)]
 
     def _assign(cents):
-        carr = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cell"),
-                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
-                )
-                for cid, vec in cents
-            ]
-        )
-        init = F.struct(
-            F.lit(-1).alias("cell"), F.lit(float("inf")).alias("d")
-        )
+        cells = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.array([vec for _, vec in cents], dtype=np.float64)
+        cnorm = (C * C).sum(axis=1)
 
-        def step(acc, s):
-            d2 = F.aggregate(
-                F.zip_with(F.col("v"), s["c"], lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda a2, x: a2 + x,
-            )
-            better = d2 < acc["d"]
-            return F.struct(
-                F.when(better, s["cell"]).otherwise(acc["cell"]).alias("cell"),
-                F.when(better, d2).otherwise(acc["d"]).alias("d"),
-            )
+        @F.pandas_udf("int")
+        def _cell(s: pd.Series) -> pd.Series:
+            if not len(s):
+                return pd.Series(np.zeros(0, dtype=np.int32))
+            X = np.stack(s.to_numpy()).astype(np.float64)
+            # same expanded form the SQL oracle uses; argmin takes the
+            # first (= lowest cell_id) on exact ties, matching the
+            # oracle's (distance, cell_id) ordering
+            d = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + cnorm[None, :]
+            return pd.Series(cells[np.argmin(d, axis=1)].astype(np.int32))
 
-        return e.withColumn("_b", F.aggregate(carr, init, step)).select(
-            "id", "v", F.col("_b.cell").alias("cell_id")
-        )
+        return e.select("id", "v", _cell("v").alias("cell_id"))
 
     for _ in range(n_iter):
         a = _assign(cents)
@@ -394,6 +391,10 @@ def kmeans_fit(
         [(cid, vec) for cid, vec in cents], "cell_id int, cvec array<double>"
     )
     assignments = _assign(cents).select("id", "cell_id")
+    # cache blocks served the n_iter re-averaging jobs; the final lazy
+    # assignment recomputes from source (one scan) rather than pinning
+    # executor memory for the caller's lifetime
+    e.unpersist(blocking=False)
     return assignments, cdf
 
 
