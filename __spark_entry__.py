@@ -31,7 +31,7 @@ from openseize_spark.operators import (
     spectral as spec,
     stats as op_stats,
 )
-from openseize_spark.llm import dedup, similarity, text as llm_text
+from openseize_spark.llm import dedup, sampling, similarity, text as llm_text
 
 NCH = 4
 FS = 100.0
@@ -1127,6 +1127,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter"] = q_quality_filter
 
+    # ---- deterministic sampling / splitting / shuffling (llm/sampling) ----
+    def q_hash_sample(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.bernoulli_sample(docs, rate=0.25, seed="s0").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
+    q["hash_sample"] = q_hash_sample
+
+    def q_split_assign(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        out = sampling.split_assign(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+        )
+        return out.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+    q["split_assign"] = q_split_assign
+
+    def q_stratified_sample(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.stratified_sample(
+            docs, group_col="source", k=10, seed="strat"
+        ).select("doc_id", "lang", "source")
+
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_corpus_shuffle(spark, sf_dir):
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.corpus_shuffle(docs, seed="shuf", num_buckets=64).select(
+            "doc_id", "shuffle_pos"
+        )
+
+    q["corpus_shuffle"] = q_corpus_shuffle
+
     def q_click_attribution(spark, sf_dir):
         # as-of join: each purchase attributed to the user's most recent
         # click at-or-before it (tagged-union + window carry — one
@@ -2129,6 +2166,15 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o['pii_scan']}) p ON p.doc_id = q.doc_id
         WHERE q.quality >= 0.5 AND r.dup_ngram_frac <= 0.3
           AND p.n_emails + p.n_urls + p.n_ips + p.n_phones <= 2"""
+
+    o["hash_sample"] = sampling.bernoulli_sample_oracle_sql(rate=0.25, seed="s0")
+    o["split_assign"] = sampling.split_assign_oracle_sql(
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    o["stratified_sample"] = sampling.stratified_sample_oracle_sql(
+        group_col="source", k=10, seed="strat"
+    )
+    o["corpus_shuffle"] = sampling.corpus_shuffle_oracle_sql(seed="shuf")
 
     o["multires_rollup"] = """
         WITH minute AS (

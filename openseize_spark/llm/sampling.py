@@ -1,0 +1,197 @@
+"""Deterministic sampling / splitting / shuffling for training corpora.
+
+Every operator keys off a *portable salted hash* — the first 8 hex digits
+of md5(seed || key) parsed as an unsigned 32-bit integer — so (a) results
+are reproducible across runs, engines, cluster sizes, and partitionings
+(nothing depends on Spark's task layout or RNG), and (b) every query is
+replayable in ANSI SQL for the DuckDB oracle gate.
+
+Scale notes (100 TB):
+- ``bernoulli_sample`` / ``split_assign`` are pure codegen projections +
+  filters: no shuffle, pushdown-friendly, cost = one md5 per row.
+- ``stratified_sample`` shuffles once on the stratum key (the per-group
+  top-k-by-hash window sees only its group).
+- ``corpus_shuffle`` produces a *global* deterministic permutation
+  without a single-partition window: rows get a hash bucket (bounded
+  cardinality), positions are row_number within bucket plus a broadcast
+  cumulative bucket-offset table — the classic two-level zipWithIndex,
+  all declarative, no driver action.
+
+Reference parity: the reference exposes no sampler (its producers are
+deterministic scans); these are the LLM-pipeline extensions the task
+brief asks for, shaped like the samplers in public corpus pipelines
+(C4/Gopher/RefinedWeb reservoir & hash splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HASH_SPACE = 1 << 32  # md5-prefix hash range [0, 2^32)
+
+
+def salted_hash(col, seed: str):
+    """Portable 32-bit salted hash: uniform on [0, 2^32), identical in
+    Spark and DuckDB (``('0x' || substr(md5(...),1,8))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def salted_hash_sql(expr: str, seed: str) -> str:
+    """DuckDB replay of :func:`salted_hash` for oracle SQL."""
+    return (
+        f"(('0x' || substr(md5('{seed}:' || CAST({expr} AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+
+
+def bernoulli_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose salted key hash
+    falls below ``rate`` of the hash space.  Exactly reproducible and
+    stable under re-partitioning (unlike ``df.sample``, whose output
+    depends on task split layout)."""
+    cut = int(rate * HASH_SPACE)
+    return df.filter(salted_hash(F.col(key_col), seed) < cut)
+
+
+def split_assign(
+    df: DataFrame,
+    fracs: dict[str, float],
+    key_col: str = "doc_id",
+    seed: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split (train/val/test...) by hash range.
+
+    ``fracs`` maps split name -> fraction; fractions must sum to <= 1 and
+    any remainder falls in the *last* split.  A pure projection — rows
+    never move, and a document keeps its split forever even as the corpus
+    grows (the property hash-splits are chosen for)."""
+    h = salted_hash(F.col(key_col), seed)
+    names = list(fracs)
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fracs[name]
+        edges.append((name, int(acc * HASH_SPACE)))
+    expr = F.lit(names[-1])
+    for name, edge in reversed(edges):
+        expr = F.when(h < edge, name).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    key_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic per-stratum sample: the k rows with the smallest
+    salted hash in each group (a reproducible stand-in for per-group
+    reservoir sampling).  One shuffle on the stratum key; ties broken by
+    the key itself so the output is a pure function of the data."""
+    h = salted_hash(F.col(key_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "shuf",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic global permutation of the corpus (training-order
+    shuffle): adds ``shuffle_pos`` = the row's rank under the salted key
+    hash (ties by key).
+
+    Two-level rank so no window ever sees more than ~n/num_buckets rows:
+    row_number within a hash bucket + a cumulative-count offset per
+    bucket (num_buckets rows, broadcast).  The bucket is a *range* bucket
+    (high bits of the hash), so bucket-major order equals global hash
+    order.  At 100 TB this is one shuffle on the bucket id; the offset
+    table is bytes."""
+    h = salted_hash(F.col(key_col), seed)
+    bucket = F.floor(h / (HASH_SPACE // num_buckets)).alias("_bkt")
+    rows = df.withColumn("_h", h).withColumn("_bkt", bucket)
+    wb = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    rows = rows.withColumn("_rn", F.row_number().over(wb))
+    offsets = (
+        rows.groupBy("_bkt")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+    return (
+        rows.join(F.broadcast(offsets), on="_bkt")
+        .withColumn("shuffle_pos", (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
+        .drop("_bkt", "_h", "_rn", "_off")
+    )
+
+
+# ------------------------------------------------------------ oracle SQL
+
+
+def bernoulli_sample_oracle_sql(rate: float, seed: str = "s0") -> str:
+    cut = int(rate * HASH_SPACE)
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE {h} < {cut}"""
+
+
+def split_assign_oracle_sql(fracs: dict[str, float], seed: str = "split") -> str:
+    h = salted_hash_sql("doc_id", seed)
+    names = list(fracs)
+    acc = 0.0
+    arms = []
+    for name in names[:-1]:
+        acc += fracs[name]
+        arms.append(f"WHEN {h} < {int(acc * HASH_SPACE)} THEN '{name}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
+    return f"""
+        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+        FROM (SELECT n_chars, {case} AS split FROM documents)
+        GROUP BY split"""
+
+
+def stratified_sample_oracle_sql(
+    group_col: str = "source", k: int = 10, seed: str = "strat"
+) -> str:
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        SELECT doc_id, lang, source
+        FROM (
+          SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY {group_col}
+                                    ORDER BY {h} ASC, doc_id ASC) AS rn
+          FROM documents
+        ) WHERE rn <= {k}"""
+
+
+def corpus_shuffle_oracle_sql(seed: str = "shuf") -> str:
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1 AS BIGINT)
+                 AS shuffle_pos
+        FROM documents"""

@@ -1,0 +1,94 @@
+"""Deterministic sampling / splitting / shuffling (llm/sampling).
+
+The load-bearing properties: reproducibility (pure function of the
+data, independent of partitioning), hash-split stability under corpus
+growth, and the two-level shuffle rank agreeing with a single global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openseize_spark.llm import sampling
+
+
+def _docs(spark, n=200, parts=1):
+    rows = [(i, f"doc text {i}", "en", f"src{i % 3}", 10 + i) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(parts)
+
+
+class TestBernoulli:
+    def test_partition_invariant_and_rate(self, spark):
+        a = sampling.bernoulli_sample(_docs(spark, parts=1), 0.3)
+        b = sampling.bernoulli_sample(_docs(spark, parts=7), 0.3)
+        ids_a = sorted(r.doc_id for r in a.collect())
+        ids_b = sorted(r.doc_id for r in b.collect())
+        assert ids_a == ids_b
+        # uniform hash: rate holds within a loose binomial bound
+        assert 0.15 < len(ids_a) / 200 < 0.45
+
+    def test_seed_changes_sample(self, spark):
+        d = _docs(spark)
+        a = {r.doc_id for r in sampling.bernoulli_sample(d, 0.3, seed="x").collect()}
+        b = {r.doc_id for r in sampling.bernoulli_sample(d, 0.3, seed="y").collect()}
+        assert a != b
+
+
+class TestSplitAssign:
+    def test_partition_and_growth_stability(self, spark):
+        small = sampling.split_assign(_docs(spark, 100), {"train": 0.8, "val": 0.2})
+        big = sampling.split_assign(_docs(spark, 200, parts=5), {"train": 0.8, "val": 0.2})
+        small_map = {r.doc_id: r.split for r in small.collect()}
+        big_map = {r.doc_id: r.split for r in big.collect()}
+        # a doc's split never changes when the corpus doubles
+        assert all(big_map[k] == v for k, v in small_map.items())
+        assert set(big_map.values()) == {"train", "val"}
+
+    def test_remainder_goes_to_last(self, spark):
+        out = sampling.split_assign(_docs(spark), {"a": 0.5, "b": 0.25})
+        counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+        assert counts["a"] + counts["b"] == 200 and counts["b"] > 0
+
+
+class TestStratified:
+    def test_k_per_group_and_determinism(self, spark):
+        out1 = sampling.stratified_sample(_docs(spark, parts=2), "source", k=5)
+        out2 = sampling.stratified_sample(_docs(spark, parts=9), "source", k=5)
+        r1 = sorted((r.source, r.doc_id) for r in out1.collect())
+        r2 = sorted((r.source, r.doc_id) for r in out2.collect())
+        assert r1 == r2
+        per = out1.groupBy("source").count().collect()
+        assert all(r["count"] == 5 for r in per) and len(per) == 3
+
+
+class TestShuffle:
+    def test_matches_global_sort(self, spark):
+        d = _docs(spark, 300, parts=6)
+        out = sampling.corpus_shuffle(d, num_buckets=16)
+        got = [
+            r.doc_id
+            for r in out.orderBy("shuffle_pos").select("doc_id").collect()
+        ]
+        expect = [
+            r.doc_id
+            for r in d.select(
+                "doc_id", sampling.salted_hash(F.col("doc_id"), "shuf").alias("_h")
+            )
+            .orderBy("_h", "doc_id")
+            .collect()
+        ]
+        assert got == expect
+        pos = sorted(r.shuffle_pos for r in out.collect())
+        assert pos == list(range(300))  # a permutation: dense 0..n-1
+
+    def test_no_single_partition_window(self, spark):
+        plan = sampling.corpus_shuffle(
+            _docs(spark, 50), num_buckets=8
+        )._jdf.queryExecution().executedPlan().toString()
+        # every window partitions by the bucket column; a global
+        # order-only window would show 'Window [...] [partitionBy=[]]'
+        # or a SinglePartition exchange ahead of it
+        assert "SinglePartition" not in plan
