@@ -94,16 +94,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; read nanos as long and convert to a
-    microsecond timestamp (exact — source values are microsecond)."""
+    """events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
+    build this surfaces as bigint (legacy nanosAsLong) or natively as
+    TIMESTAMP_NTZ; normalize both to a microsecond TimestampType so
+    every downstream query sees one schema. Session tz is pinned to UTC
+    so the NTZ->timestamp cast is epoch-identical to DuckDB's naive
+    interpretation."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(e.dtypes)["ts"] == "bigint":
+    dt = dict(e.dtypes)["ts"]
+    if dt == "bigint":
         # integer division: `/` goes through DOUBLE, and epoch nanos
         # (~1.7e18) exceed 2^53 — float rounding shifts timestamps by
         # +-1 microsecond (positive epochs, so div == floor here)
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 

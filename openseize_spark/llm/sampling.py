@@ -125,21 +125,18 @@ def corpus_shuffle(
     rows = df.withColumn("_h", h).withColumn("_bkt", bucket)
     wb = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(), F.col(key_col).asc())
     rows = rows.withColumn("_rn", F.row_number().over(wb))
+    # Cumulative bucket offsets WITHOUT a global (SinglePartition) window:
+    # broadcast inequality self-join over the num_buckets-row aggregate.
+    # O(num_buckets^2) comparisons on <=1024 rows — bytes of work — and
+    # every exchange in the plan stays hash-partitioned or broadcast.
+    # Persisted: both join sides read the same full-corpus aggregate, and
+    # caching the bounded counts keeps that scan single-execution.
+    counts = rows.groupBy("_bkt").agg(F.count("*").alias("_cnt")).persist()
     offsets = (
-        rows.groupBy("_bkt")
-        .agg(F.count("*").alias("_cnt"))
-        .withColumn(
-            "_off",
-            F.coalesce(
-                F.sum("_cnt").over(
-                    Window.orderBy("_bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("_bkt", "_off")
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
     )
     return (
         rows.join(F.broadcast(offsets), on="_bkt")

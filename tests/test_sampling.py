@@ -85,8 +85,10 @@ class TestShuffle:
         assert pos == list(range(300))  # a permutation: dense 0..n-1
 
     def test_no_single_partition_window(self, spark):
+        # parts=4: the fixture's own repartition(1) would plan an
+        # 'Exchange SinglePartition' unrelated to the operator under test
         plan = sampling.corpus_shuffle(
-            _docs(spark, 50), num_buckets=8
+            _docs(spark, 50, parts=4), num_buckets=8
         )._jdf.queryExecution().executedPlan().toString()
         # every window partitions by the bucket column; a global
         # order-only window would show 'Window [...] [partitionBy=[]]'
