@@ -472,19 +472,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fir_kaiser(spark, sf_dir):
         sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _FIR_SPEC, mode="same")
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 9).alias("v"))
 
     q["fir_kaiser"] = q_fir_kaiser
 
     def q_fir_remez(spark, sf_dir):
         sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _REMEZ_SPEC, mode="same")
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 9).alias("v"))
 
     q["fir_remez"] = q_fir_remez
 
     def q_fir_hamming(spark, sf_dir):
         sf = op_fir.apply_fir_sql(_signal(spark, sf_dir), _HAMMING_SPEC, mode="same")
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 9).alias("v"))
 
     q["fir_hamming"] = q_fir_hamming
 
@@ -817,7 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_welch_psd(spark, sf_dir):
         sf = _signal(spark, sf_dir)
         return spec.welch_psd(sf, nfft=128, overlap=0.5).select(
-            "channel", "freq", "psd", "nsegs"
+            "channel", "freq", F.round("psd", 12).alias("psd"), "nsegs"
         )
 
     q["welch_psd"] = q_welch_psd
@@ -825,22 +825,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_welch_psd_blocks(spark, sf_dir):
         sf = _signal(spark, sf_dir)
         return spec.welch_psd_blocks(sf, nfft=128, overlap=0.5, segs_per_block=32).select(
-            "channel", "freq", "psd", "nsegs"
+            "channel", "freq", F.round("psd", 12).alias("psd"), "nsegs"
         )
 
     q["welch_psd_blocks"] = q_welch_psd_blocks
 
     def q_stft(spark, sf_dir):
         sf = _signal(spark, sf_dir)
-        # round(12): FFT-vs-naive-DFT oracle divergence is ~1e-15 absolute;
-        # 12-decimal rounding on both sides collapses sum-order junk in
-        # near-zero bins without masking real divergence
+        # round(9): FFT-vs-naive-DFT oracle divergence is ~1e-16 absolute,
+        # which straddles a 1e-12 rounding grid on a handful of rows —
+        # 9 decimals puts straddle probability at ~1e-7 per value while
+        # still verifying 7+ significant digits of the transform
         return spec.stft(sf, nfft=128, overlap=0.5).select(
             "channel",
             "seg",
             "freq",
-            F.round("re", 12).alias("re"),
-            F.round("im", 12).alias("im"),
+            F.round("re", 9).alias("re"),
+            F.round("im", 9).alias("im"),
         )
 
     q["stft"] = q_stft
@@ -853,8 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "channel",
             "seg",
             "freq",
-            F.round("re", 12).alias("re"),
-            F.round("im", 12).alias("im"),
+            F.round("re", 9).alias("re"),
+            F.round("im", 9).alias("im"),
         )
 
     q["stft_blocks"] = q_stft_blocks
@@ -912,19 +913,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_resample_poly(spark, sf_dir):
         sf = op_resample.resample(_signal(spark, sf_dir), L=2, M=5, block_size=4096)
-        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
+        return sf.df.select("channel", "t", "v")
 
     q["resample_poly"] = q_resample_poly
 
     def q_downsample(spark, sf_dir):
         sf = op_resample.downsample(_signal(spark, sf_dir), M=4, block_size=4096)
-        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
+        return sf.df.select("channel", "t", "v")
 
     q["downsample"] = q_downsample
 
     def q_upsample(spark, sf_dir):
         sf = op_resample.upsample(_signal(spark, sf_dir), L=3, block_size=4096)
-        return sf.df.select("channel", "t", F.round("v", 12).alias("v"))
+        return sf.df.select("channel", "t", "v")
 
     q["upsample"] = q_upsample
 
@@ -932,7 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sf = op_fir.apply_fir_blocks(
             _signal(spark, sf_dir), _FIR_SPEC, mode="same", block_size=4096
         )
-        return sf.df.select("channel", "t", "v")
+        return sf.df.select("channel", "t", F.round("v", 9).alias("v"))
 
     q["fir_blocks"] = q_fir_blocks
 
@@ -1100,7 +1101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hspec = design.hilbert_fir(width=5.0, fs=FS)
         analytic = op_fir.hilbert_analytic(_signal(spark, sf_dir), hspec)
         return op_fir.envelope_phase(analytic).select(
-            "channel", "t", "amplitude", "phase"
+            "channel",
+            "t",
+            F.round("amplitude", 9).alias("amplitude"),
+            F.round("phase", 9).alias("phase"),
         )
 
     q["hilbert_envelope"] = q_hilbert_envelope
@@ -1243,6 +1247,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return multimodal.audio_features(
             media, fs=2048.0, nfft=64, decode_fn=_short_wave
+        ).select(
+            "media_id",
+            F.round("rms", 6).alias("rms"),
+            F.round("low_band", 6).alias("low_band"),
+            F.round("high_band", 6).alias("high_band"),
         )
 
     q["audio_features"] = q_audio_features
@@ -1251,7 +1260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from openseize_spark.llm import multimodal
 
         media = multimodal.synthetic_media_sqlgen(spark, n=24)
-        return multimodal.frame_sample(media, every_n=2, deterministic_fake=True)
+        return multimodal.frame_sample(
+            media, every_n=2, deterministic_fake=True
+        ).select(
+            "media_id", "frame_idx", F.round("frame_mean", 9).alias("frame_mean")
+        )
 
     q["frame_sample"] = q_frame_sample
 
@@ -1260,7 +1273,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         media = multimodal.synthetic_media_sqlgen(spark, n=24)
         small = multimodal.resize_images(media, 32, 24, deterministic_fake=True)
-        return multimodal.image_features(small, deterministic_fake=True)
+        return multimodal.image_features(small, deterministic_fake=True).select(
+            "media_id",
+            F.round("mean", 9).alias("mean"),
+            F.round("std", 9).alias("std"),
+            F.round("edge_energy", 9).alias("edge_energy"),
+        )
 
     q["resize_images"] = q_resize_images
 
@@ -1268,7 +1286,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from openseize_spark.llm import multimodal
 
         media = multimodal.synthetic_media_sqlgen(spark, n=24)
-        return multimodal.image_features(media, deterministic_fake=True)
+        return multimodal.image_features(media, deterministic_fake=True).select(
+            "media_id",
+            F.round("mean", 9).alias("mean"),
+            F.round("std", 9).alias("std"),
+            F.round("edge_energy", 9).alias("edge_energy"),
+        )
 
     q["image_features"] = q_image_features
 
@@ -1620,19 +1643,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fir_kaiser": sig
         + f"""
-            SELECT channel, t, {fir_sum} AS v
+            SELECT channel, t, round({fir_sum}, 9) AS v
             FROM signal
             WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
         """,
         "fir_remez": sig
         + f"""
-            SELECT channel, t, {remez_sum} AS v
+            SELECT channel, t, round({remez_sum}, 9) AS v
             FROM signal
             WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
         """,
         "fir_hamming": sig
         + f"""
-            SELECT channel, t, {hamming_sum} AS v
+            SELECT channel, t, round({hamming_sum}, 9) AS v
             FROM signal
             WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)
         """,

@@ -220,8 +220,19 @@ def polyphase_apply(
     rpad = max(0, hi_needed - len(x))
     xp = np.concatenate([np.zeros(lpad), x, np.zeros(rpad)]) if lpad or rpad else x
     for jf, count, hr_rev, K, ls in plans:
-        rows = np.lib.stride_tricks.sliding_window_view(xp, K)[ls + lpad :: M][:count]
-        y[jf - j_start :: L] = rows @ hr_rev
+        # Serial left-fold over taps in ascending input-sample order
+        # (k = 0..K-1 <=> s ascending), vectorized across outputs. NOT a
+        # BLAS dot on purpose: BLAS uses pairwise/SIMD-blocked summation
+        # whose order is implementation-defined, while this fold is
+        # bit-reproducible and replayed exactly by the SQL oracle
+        # (plans/oracles.py resample_oracle_sql: list_reduce over terms
+        # ORDER BY s). Padded-zero terms are exact no-ops, so the oracle
+        # summing only real samples in the same order stays bit-identical.
+        base = ls + lpad
+        acc = np.zeros(count)
+        for k in range(K):
+            acc += hr_rev[k] * xp[base + k : base + k + (count - 1) * M + 1 : M]
+        y[jf - j_start :: L] = acc
     return y
 
 

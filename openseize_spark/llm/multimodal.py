@@ -392,7 +392,9 @@ def image_features_oracle_sql(n: int = 24, width: int = 60, height: int = 44) ->
           SELECT media_id, avg(abs(vn - v)) AS edge_energy
           FROM px WHERE (i % {width}) < {width - 1} GROUP BY media_id
         )
-        SELECT mo.media_id, mo.mean, so.std, eo.edge_energy
+        SELECT mo.media_id, round(mo.mean, 9) AS mean,
+               round(so.std, 9) AS std,
+               round(eo.edge_energy, 9) AS edge_energy
         FROM mo JOIN so USING (media_id) JOIN eo USING (media_id)"""
     )
 
@@ -422,7 +424,7 @@ def frame_sample_oracle_sql(
           FROM fr, unnest(generate_series(0, {npx - 1})) AS u(p)
         )
         SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
-               avg(v) AS frame_mean
+               round(avg(v), 9) AS frame_mean
         FROM fpx GROUP BY media_id, fi"""
     )
 
@@ -464,7 +466,9 @@ def resize_features_oracle_sql(
             ON b.media_id = a.media_id AND b.y = a.y AND b.x = a.x + 1
           GROUP BY a.media_id
         )
-        SELECT m2.media_id, m2.mean, s2.std, e2.edge_energy
+        SELECT m2.media_id, round(m2.mean, 9) AS mean,
+               round(s2.std, 9) AS std,
+               round(e2.edge_energy, 9) AS edge_energy
         FROM m2 JOIN s2 USING (media_id) JOIN e2 USING (media_id)"""
     )
 
@@ -527,7 +531,9 @@ def audio_features_oracle_sql(
           WHERE media_id % 3 = 1
           GROUP BY media_id
         )
-        SELECT r.channel AS media_id, r.rms, low.low_band, high.high_band
+        SELECT r.channel AS media_id, round(r.rms, 6) AS rms,
+               round(low.low_band, 6) AS low_band,
+               round(high.high_band, 6) AS high_band
         FROM rms r
         JOIN low ON low.channel = r.channel
         JOIN high ON high.channel = r.channel"""

@@ -17,20 +17,38 @@ operators that would otherwise be rows-only checks:
   order, making re/im bit-exact; amplitude (IEEE sqrt) is bit-exact and
   the phase wrap branch follows sign(im) so it cannot diverge.
 
-All float constants are embedded via repr() so both engines consume
-identical float64 literals.
+All float constants are embedded via ``dlit`` so both engines consume
+identical float64 literals: a bare 17-digit literal like
+``1.0006061735537775`` parses in DuckDB as DECIMAL(17,16) first, and the
+DECIMAL->DOUBLE conversion can land 1 ulp away from Python's float —
+appending ``e0`` forces a direct double parse (verified bit-exact).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
 from openseize_spark.dsp import kernels
 
 
+def dlit(x) -> str:
+    """Exact DOUBLE literal for DuckDB: repr round-trips the float64, and
+    a trailing exponent keeps the parser out of the DECIMAL path (whose
+    conversion to double misrounds some 17-digit values by 1 ulp)."""
+    x = float(x)
+    if math.isnan(x):
+        return "(CAST('nan' AS DOUBLE))"
+    if math.isinf(x):
+        return f"(CAST('{'-' if x < 0 else ''}inf' AS DOUBLE))"
+    r = repr(x)
+    return r if ("e" in r or "E" in r) else f"{r}e0"
+
+
 def _window_values_cte(window: str, nfft: int) -> tuple[str, float]:
     w = kernels.get_window(window, nfft)
-    vals = ", ".join(f"({n}, {float(w[n])!r})" for n in range(nfft))
+    vals = ", ".join(f"({n}, {dlit(w[n])})" for n in range(nfft))
     return f"win(wn, w) AS (VALUES {vals})", float(np.sum(w**2))
 
 
@@ -103,8 +121,8 @@ def _windowed_dft_ctes(nfft: int, fs: float, window: str) -> tuple[str, float]:
         )
         , X AS (
           SELECT y.channel, y.s, u.k AS k,
-                 SUM(y.y * cos(2 * pi() * u.k * y.n / {float(nfft)!r})) AS re,
-                 SUM(-y.y * sin(2 * pi() * u.k * y.n / {float(nfft)!r})) AS im
+                 SUM(y.y * cos(2 * pi() * u.k * y.n / {dlit(nfft)})) AS re,
+                 SUM(-y.y * sin(2 * pi() * u.k * y.n / {dlit(nfft)})) AS im
           FROM y, unnest(generate_series(0, {nfft // 2})) AS u(k)
           GROUP BY y.channel, y.s, u.k
         )"""
@@ -126,12 +144,12 @@ def welch_oracle_sql(
         + f"""
         , p AS (
           SELECT channel, s, k,
-                 (re * re + im * im) / ({float(fs)!r} * {sumw2!r})
+                 (re * re + im * im) / ({dlit(fs)} * {dlit(sumw2)})
                  * (CASE WHEN k = 0 OR k = {nfft // 2} THEN 1.0 ELSE 2.0 END) AS p
           FROM X
         )
-        SELECT channel, CAST(k AS DOUBLE) * {float(fs)!r} / {nfft} AS freq,
-               avg(p) AS psd, count(*) AS nsegs
+        SELECT channel, CAST(k AS DOUBLE) * {dlit(fs)} / {nfft} AS freq,
+               round(avg(p), 12) AS psd, count(*) AS nsegs
         FROM p GROUP BY channel, k"""
     )
 
@@ -152,10 +170,10 @@ def stft_oracle_sql(
         + seg_ctes
         + dft_ctes
         + f"""
-        SELECT channel, s AS seg, CAST(k AS DOUBLE) * {float(fs)!r} / {nfft} AS freq,
-               round(re / {denom!r}, 12) AS re,
+        SELECT channel, s AS seg, CAST(k AS DOUBLE) * {dlit(fs)} / {nfft} AS freq,
+               round(re / {dlit(denom)}, 9) AS re,
                CASE WHEN k = 0 OR k = {nfft // 2} THEN 0.0
-                    ELSE round(im / {denom!r}, 12) END AS im
+                    ELSE round(im / {dlit(denom)}, 9) END AS im
         FROM X"""
     )
 
@@ -175,7 +193,7 @@ def resample_oracle_sql(
     h = np.asarray(h, dtype=np.float64)
     half = (len(h) - 1) // 2
     hL = h * L
-    taps = ", ".join(f"({j}, {float(hL[j])!r})" for j in range(len(hL)))
+    taps = ", ".join(f"({j}, {dlit(hL[j])})" for j in range(len(hL)))
     return (
         sig_prefix
         + f"""
@@ -187,7 +205,15 @@ def resample_oracle_sql(
         )
         , taps(j, h) AS (VALUES {taps})
         , contrib AS (
-          SELECT g.channel, g.o, SUM(s.v * tp.h) AS v
+          -- ordered left-fold over terms by ascending input sample s:
+          -- bit-identical to the Spark kernel's serial per-phase
+          -- accumulation (dsp/kernels.py polyphase_apply), which folds
+          -- in the same s-ascending order; an unordered SUM() would
+          -- diverge by summation order at the round(…,12) boundary
+          SELECT g.channel, g.o,
+                 list_reduce(
+                   list(s.v * CAST(tp.h AS DOUBLE) ORDER BY s.t ASC),
+                   (a, b) -> a + b) AS v
           FROM grid g
           JOIN signal s
             ON s.channel = g.channel
@@ -196,7 +222,7 @@ def resample_oracle_sql(
           JOIN taps tp ON tp.j = {half} + g.o * {M} - s.t * {L}
           GROUP BY g.channel, g.o
         )
-        SELECT g.channel, g.o AS t, round(COALESCE(c.v, 0.0), 12) AS v
+        SELECT g.channel, g.o AS t, COALESCE(c.v, 0.0) AS v
         FROM grid g LEFT JOIN contrib c
           ON c.channel = g.channel AND c.o = g.o"""
     )
@@ -220,7 +246,7 @@ def _envelope_phase_ctes(taps: np.ndarray) -> str:
             col = f"coalesce(lag(v, {shift}) OVER w, 0.0)"
         else:
             col = f"coalesce(lead(v, {-shift}) OVER w, 0.0)"
-        terms.append(f"{col} * {float(taps[k])!r}")
+        terms.append(f"{col} * {dlit(taps[k])}")
     im_sum = " + ".join(terms)
     two_pi = float(2 * np.pi)
     return f"""
@@ -232,7 +258,7 @@ def _envelope_phase_ctes(taps: np.ndarray) -> str:
         , ph AS (
           SELECT channel, t, sqrt(re * re + im * im) AS amplitude,
                  CASE WHEN atan2(im, re) < 0
-                      THEN atan2(im, re) + {two_pi!r}
+                      THEN atan2(im, re) + {dlit(two_pi)}
                       ELSE atan2(im, re) END AS phase
           FROM an
         )"""
@@ -245,7 +271,8 @@ def hilbert_oracle_sql(sig_prefix: str, taps: np.ndarray) -> str:
         sig_prefix
         + _envelope_phase_ctes(taps)
         + """
-        SELECT channel, t, amplitude, phase FROM ph"""
+        SELECT channel, t, round(amplitude, 9) AS amplitude,
+               round(phase, 9) AS phase FROM ph"""
     )
 
 
@@ -260,7 +287,7 @@ def _pac_event_ctes(taps: np.ndarray, target: float, tol: float, window: int) ->
         + f"""
         , flags AS (
           SELECT channel, t, amplitude,
-                 (abs(phase - {float(target)!r}) <= {float(tol)!r}) AS _in
+                 (abs(phase - {dlit(target)}) <= {dlit(tol)}) AS _in
           FROM ph
           WINDOW w AS (PARTITION BY channel ORDER BY t)
         )
@@ -383,7 +410,7 @@ def _sos_rec_cte(recname: str, signame: str, sos: np.ndarray, zi: np.ndarray | N
         base_src = f"(SELECT DISTINCT channel FROM {signame})"
     else:
         base_z = ", ".join(
-            f"{float(zi[s, 0])!r} * v0 AS z0_{s}, {float(zi[s, 1])!r} * v0 AS z1_{s}"
+            f"{dlit(zi[s, 0])} * v0 AS z0_{s}, {dlit(zi[s, 1])} * v0 AS z1_{s}"
             for s in range(S)
         )
         base_src = f"(SELECT channel, v AS v0 FROM {signame} WHERE t = 0)"
@@ -396,9 +423,9 @@ def _sos_rec_cte(recname: str, signame: str, sos: np.ndarray, zi: np.ndarray | N
     for s in range(S):
         b0, b1, b2, _, a1, a2 = (float(v) for v in sos[s])
         y = f"y{s + 1}"
-        terms.append(f"{b0!r} * {xin} + pz0_{s} AS {y}")
-        terms.append(f"{b1!r} * {xin} - {a1!r} * {y} + pz1_{s} AS nz0_{s}")
-        terms.append(f"{b2!r} * {xin} - {a2!r} * {y} AS nz1_{s}")
+        terms.append(f"{dlit(b0)} * {xin} + pz0_{s} AS {y}")
+        terms.append(f"{dlit(b1)} * {xin} - {dlit(a1)} * {y} + pz1_{s} AS nz0_{s}")
+        terms.append(f"{dlit(b2)} * {xin} - {dlit(a2)} * {y} AS nz1_{s}")
         xin = y
     mid = f"SELECT *, {', '.join(terms)} FROM ({inner})"
     step = (
@@ -429,19 +456,19 @@ def _ba_rec_cte(recname: str, signame: str, b: np.ndarray, a: np.ndarray, zi: np
         base_z = ", ".join(f"CAST(0.0 AS DOUBLE) AS {c}" for c in zc)
         base_src = f"(SELECT DISTINCT channel FROM {signame})"
     else:
-        base_z = ", ".join(f"{float(zi[j])!r} * v0 AS z{j}" for j in range(d))
+        base_z = ", ".join(f"{dlit(zi[j])} * v0 AS z{j}" for j in range(d))
         base_src = f"(SELECT channel, v AS v0 FROM {signame} WHERE t = 0)"
     inner = (
         "SELECT r.channel AS channel, r.t+1 AS t, s.v AS xi, "
         + ", ".join(f"r.{c} AS p{c}" for c in zc)
         + f" FROM {recname} r JOIN {signame} s ON s.channel = r.channel AND s.t = r.t + 1"
     )
-    terms = [f"{float(b[0])!r} * xi + pz0 AS yy"]
+    terms = [f"{dlit(b[0])} * xi + pz0 AS yy"]
     for j in range(d - 1):
         terms.append(
-            f"{float(b[j + 1])!r} * xi + pz{j + 1} - {float(a[j + 1])!r} * yy AS nz{j}"
+            f"{dlit(b[j + 1])} * xi + pz{j + 1} - {dlit(a[j + 1])} * yy AS nz{j}"
         )
-    terms.append(f"{float(b[n - 1])!r} * xi - {float(a[n - 1])!r} * yy AS nz{d - 1}")
+    terms.append(f"{dlit(b[n - 1])} * xi - {dlit(a[n - 1])} * yy AS nz{d - 1}")
     mid = f"SELECT *, {', '.join(terms)} FROM ({inner})"
     step = (
         "SELECT channel, t, yy AS v, "

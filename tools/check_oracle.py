@@ -26,7 +26,12 @@ def norm_cell(x):
             return "NaN"
         if x == 0:
             return "0"
-        return f"{x:.6g}"
+        # 12 significant digits: the driver's hash caught an upsample
+        # summation-order divergence at the 12th digit that the previous
+        # 6-sig-digit normalization masked, while driver-green queries
+        # (fir/welch DFT replays) carry ~1-ulp (16th-digit) noise — so the
+        # local replica normalizes between those two magnitudes
+        return f"{x:.12g}"
     if isinstance(x, bool):
         return str(int(x))
     return str(x)
