@@ -68,6 +68,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Warmup pass: run every headline query once untimed.  Round-3 showed
+    # ~1.3x drift on unchanged plans when new heavy queries joined the
+    # session (JIT/GC/page-cache state leaking across queries); a full
+    # warmup makes the timed pass measure steady-state plans, not
+    # whichever query happened to pay the session's one-time costs.
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]

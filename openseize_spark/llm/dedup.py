@@ -284,53 +284,87 @@ def connected_components(
     (a, b) pairs: (id, component) for every node appearing in a pair,
     component = the minimum node id in its component.
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels — one shuffle join + one
-    groupBy per round, converging in O(component diameter) rounds (dup
-    clusters are shallow; pathological chains are bounded by
-    ``max_iter``).  Per round the label table is ``localCheckpoint``-ed:
-    without lineage truncation the plan doubles every iteration and
-    planning cost explodes by round ~15.  The driver-side loop is control
-    flow only — the convergence test moves a single count, never rows.
-
-    This upgrades ``minhash_dedup``'s one-round min-propagation (exact
-    for pair clusters, approximate for chains a~b~c discovered as
-    (a,c),(b,c)) to exact single-linkage clusters.
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round rewires
+    every node's larger neighbors (large-star) then its not-larger
+    neighbors (small-star) to the local minimum, converging to
+    per-component stars in O(log d) rounds instead of the O(d) of plain
+    min-label propagation — the difference between 4 and 40 shuffles on
+    the long chains a 100-TB corpus's transitive near-dup clusters can
+    form.  Each half-round is one groupBy-min plus one re-join of the
+    edge list (both shuffles on the node id, broadcast-free).  The edge
+    list is ``localCheckpoint``-ed per round so the plan does not double;
+    convergence moves one (count, hash) row to the driver, never edges.
     """
-    from pyspark import StorageLevel
-
-    edges = (
-        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-        .union(pairs.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # canonical representation: every edge stored once as (x, y), x > y —
+    # the symmetric view needed for neighborhood minima is a free narrow
+    # union of the two projections, and each star emits canonical rows
+    # directly, so no round ever doubles-and-distincts a mirrored copy
+    big, small = F.greatest(F.col(a_col), F.col(b_col)), F.least(
+        F.col(a_col), F.col(b_col)
     )
-    labels = edges.select(F.col("x").alias("id")).distinct().select(
-        "id", F.col("id").alias("comp")
-    ).localCheckpoint()
-    for _ in range(max_iter):
+    edges = (
+        pairs.select(big.alias("x"), small.alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(e: DataFrame):
+        return tuple(
+            e.agg(
+                F.count("*"),
+                F.coalesce(F.expr("bit_xor(xxhash64(x, y))"), F.lit(0)),
+            ).first()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min(N(u) ∪ {u}); connect every strictly-larger neighbor
+        # v of u to m(u).  Larger neighbors of u are exactly the rows of
+        # the canonical set with y = u, and x > u >= m keeps the output
+        # canonical with no self-loops.
+        adj = e.union(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        mins = adj.groupBy("x").agg(F.min("y").alias("_mn"))
+        mins = mins.select(
+            F.col("x").alias("_u"), F.least(F.col("x"), F.col("_mn")).alias("_m")
+        )
+        return (
+            e.join(mins, e.y == mins._u)
+            .select("x", F.col("_m").alias("y"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # over the not-larger neighborhood of u (canonical rows x = u):
+        # connect every member and u itself to its minimum m; y >= m and
+        # u > m keep the output canonical.
+        mins = e.groupBy("x").agg(F.min("y").alias("_m"))
         nbr = (
-            edges.join(labels, edges.y == labels.id)
-            .groupBy("x")
-            .agg(F.min("comp").alias("_nc"))
+            e.join(mins, "x")
+            .filter(F.col("y") != F.col("_m"))
+            .select(F.col("y").alias("x"), F.col("_m").alias("y"))
         )
-        upd = (
-            labels.join(nbr, labels.id == nbr.x, "left")
-            .select(
-                labels.id,
-                F.col("comp").alias("_old"),
-                F.least(F.col("comp"), F.coalesce(F.col("_nc"), F.col("comp"))).alias(
-                    "comp"
-                ),
-            )
-            .localCheckpoint()
-        )
-        changed = upd.filter(F.col("comp") != F.col("_old")).count()
-        labels = upd.select("id", "comp")
-        if changed == 0:
+        self_e = mins.select("x", F.col("_m").alias("y"))
+        return nbr.union(self_e).distinct()
+
+    sig = _signature(edges)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nsig = _signature(nxt)
+        edges = nxt
+        if nsig == sig:
             break
-    edges.unpersist()
-    return labels.select("id", F.col("comp").alias("component"))
+        sig = nsig
+    # converged: every component is a star centered at its minimum, so the
+    # canonical rows ARE the (node -> component) labels for non-centers
+    down = edges.select(F.col("x").alias("id"), F.col("y").alias("comp")).distinct()
+    centers = (
+        edges.select(F.col("y").alias("id"))
+        .distinct()
+        .join(down.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return down.union(centers).select("id", F.col("comp").alias("component"))
 
 
 def simhash(

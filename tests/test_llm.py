@@ -316,6 +316,41 @@ class TestConnectedComponents:
         }
         assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
+    def test_long_chain_and_random_vs_union_find(self, spark):
+        # star contraction must agree with a driver-side union-find on a
+        # 60-node chain (worst case for plain label propagation) plus a
+        # random sparse graph
+        import random
+
+        rng = random.Random(11)
+        edges = [(i, i + 1) for i in range(60)]
+        nodes = list(range(100, 160))
+        edges += [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+
+        def find(u):
+            parent.setdefault(u, u)
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {u: find(u) for u in parent}
+
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.id: r.component for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == want
+
 
 class TestKmeans:
     def test_separated_clusters(self, spark):
