@@ -218,10 +218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_running_total(spark, sf_dir):
         o = _t(spark, sf_dir, "orders")
         w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        # round(4): windowed cumsum associates differently across engines
+        # (sequential vs segment-tree) — ~1e-9 absolute drift on long
+        # prefixes; 4 decimals on money values is engine-invariant
         return o.select(
             "o_custkey",
             "o_orderkey",
-            F.sum("o_totalprice").over(w).alias("running_total"),
+            F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
         )
 
     q["running_total"] = q_running_total
@@ -614,7 +617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(20).cast("long").alias("nsegs"),
         )
         out = spec.confidence_interval(psd, alpha=0.05)
-        return out.select("channel", "freq", "psd", "ci_lower", "ci_upper")
+        return out.select(
+            "channel",
+            "freq",
+            "psd",
+            F.round("ci_lower", 9).alias("ci_lower"),
+            F.round("ci_upper", 9).alias("ci_upper"),
+        )
 
     q["psd_ci"] = q_psd_ci
 
@@ -986,7 +995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
         return coupling.pac_estimate(amp, events, window=32).select(
-            "channel", "offset", "mean_sq_amp", "n_events"
+            "channel",
+            "offset",
+            F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
+            "n_events",
         )
 
     q["pac"] = q_pac
@@ -1092,7 +1104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "surrogate_id int, shift bigint",
         )
         return coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
-            "channel", "surrogate_id", "offset", "mean_sq_amp"
+            "channel",
+            "surrogate_id",
+            "offset",
+            F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
         )
 
     q["pac_surrogates"] = q_pac_surrogates
@@ -1222,9 +1237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(res).alias("resolution"), "bucket", "event_type", "n", "sum_value"
             )
 
-        return tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(
+        out = tag(minute, "minute").unionByName(tag(hour, "hour")).unionByName(
             tag(day, "day")
         )
+        # round(9): partial-agg summation order differs across engines
+        # (~1e-12 absolute on day-grain sums); identical rounding on both
+        # sides makes the compare engine-invariant
+        return out.withColumn("sum_value", F.round("sum_value", 9))
 
     q["multires_rollup"] = q_multires_rollup
 
@@ -1578,9 +1597,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "running_total": """
             SELECT o_custkey, o_orderkey,
-                   CAST(sum(o_totalprice) OVER (
+                   round(CAST(sum(o_totalprice) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ) AS DOUBLE) AS running_total
+                   ) AS DOUBLE), 4) AS running_total
             FROM orders
         """,
         "rank_parts": """
@@ -1936,8 +1955,8 @@ def oracle_sql() -> dict[str, str]:
         "psd_ci": sig
         + f"""
             SELECT channel, CAST(t * 0.5 AS DOUBLE) AS freq, v AS psd,
-                   40 * v / {chi2_sql(z_hi)} AS ci_lower,
-                   40 * v / {chi2_sql(z_lo)} AS ci_upper
+                   round(40 * v / {chi2_sql(z_hi)}, 9) AS ci_lower,
+                   round(40 * v / {chi2_sql(z_lo)}, 9) AS ci_upper
             FROM signal WHERE t <= 200
         """,
         "dedup_exact": """
@@ -2346,11 +2365,12 @@ def oracle_sql() -> dict[str, str]:
                  sum(n) AS n, sum(sum_value) AS sum_value
           FROM hour GROUP BY 1, 2
         )
-        SELECT 'minute' AS resolution, bucket, event_type, n, sum_value FROM minute
+        SELECT 'minute' AS resolution, bucket, event_type, n,
+               round(sum_value, 9) AS sum_value FROM minute
         UNION ALL
-        SELECT 'hour', bucket, event_type, n, sum_value FROM hour
+        SELECT 'hour', bucket, event_type, n, round(sum_value, 9) FROM hour
         UNION ALL
-        SELECT 'day', bucket, event_type, n, sum_value FROM day"""
+        SELECT 'day', bucket, event_type, n, round(sum_value, 9) FROM day"""
 
     # DuckDB has a native ASOF JOIN — the perfect independent oracle for
     # the tagged-union/window formulation

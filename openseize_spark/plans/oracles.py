@@ -333,7 +333,7 @@ def pac_oracle_sql(
                  count(*) OVER (PARTITION BY channel, event_t) AS _n
           FROM gath
         )
-        SELECT channel, "offset", avg(v * v) AS mean_sq_amp,
+        SELECT channel, "offset", round(avg(v * v), 9) AS mean_sq_amp,
                count(*) AS n_events
         FROM complete WHERE _n = {2 * (window // 2)}
         GROUP BY channel, "offset" """
@@ -381,7 +381,8 @@ def pac_surrogates_oracle_sql(
                    AND a.t >= e.event_t - {half}
                    AND a.t < e.event_t + {half}
         )
-        SELECT channel, surrogate_id, "offset", avg(v * v) AS mean_sq_amp
+        SELECT channel, surrogate_id, "offset",
+               round(avg(v * v), 9) AS mean_sq_amp
         FROM sgath
         GROUP BY channel, surrogate_id, "offset" """
     )
