@@ -1451,6 +1451,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_hour"] = q_streaming_hour
 
+    def q_pack_sequences(spark, sf_dir):
+        """Sequence packing for training: concat-and-cut at 2048 tokens
+        over the deterministically shuffled corpus — two-level integer
+        prefix sum, one shuffle + one broadcast (llm/sampling.py)."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        toks = docs.select(
+            "doc_id", llm_text.token_count(F.col("text")).alias("n_tokens")
+        )
+        return sampling.pack_sequences(toks, capacity=2048).select(
+            "doc_id", "n_tokens", "tok_offset", "seq_id", "seq_offset"
+        )
+
+    q["pack_sequences"] = q_pack_sequences
+
+    def q_temperature_sample(spark, sf_dir):
+        """Temperature-based rebalancing over the skewed lang column
+        (T=2): keep rate n_s^(1/T-1) normalized so the smallest group
+        keeps everything, deterministic salted-hash membership."""
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.temperature_sample(
+            docs, temperature=2.0, group_col="lang"
+        ).select("doc_id", "lang", F.round("keep_rate", 9).alias("keep_rate"))
+
+    q["temperature_sample"] = q_temperature_sample
+
     return _gate_order(q)
 
 
@@ -2504,6 +2529,18 @@ def oracle_sql() -> dict[str, str]:
     o["sosfiltfilt_blocks"] = _iir(sos=_butter, zero_phase=True, round_digits=7)
     o["lfilter_blocks"] = _iir(ba=_BA_SPEC, round_digits=7)
     o["filtfilt_blocks"] = _iir(ba=_BA_SPEC, zero_phase=True, round_digits=7)
+
+    o["pack_sequences"] = sampling.pack_sequences_oracle_sql(
+        capacity=2048,
+        token_expr="""CASE WHEN length(regexp_replace(lower(trim(text)),
+                 '\\s+', ' ', 'g')) = 0 THEN 0
+            ELSE (length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                  - length(replace(regexp_replace(lower(trim(text)),
+                      '\\s+', ' ', 'g'), ' ', ''))) + 1 END""",
+    )
+    o["temperature_sample"] = sampling.temperature_sample_oracle_sql(
+        temperature=2.0, group_col="lang"
+    )
 
     # edf_decode: replay p = slope*d + offset with the exact float64
     # slope/offset a reader derives from the synthesized header (one

@@ -145,6 +145,100 @@ def corpus_shuffle(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: str = "pack",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in deterministic
+    shuffled order and cut every ``capacity`` tokens.  Adds
+
+    - ``tok_offset``: the document's first token's position in the
+      global concatenated token stream;
+    - ``seq_id``: tok_offset div capacity — the training sequence this
+      document starts in;
+    - ``seq_offset``: tok_offset % capacity — where in that sequence.
+
+    Documents may straddle sequence boundaries (the concat-and-chunk
+    regime); a loader derives the spans from (seq_id, seq_offset,
+    n_tokens).  All arithmetic is integer-exact.
+
+    Scale shape (100 TB): the global token-prefix sum uses the same
+    two-level trick as :func:`corpus_shuffle` — per-bucket cumulative
+    sums plus a broadcast bucket-offset table — so no window ever sees
+    more than ~n/num_buckets rows and the plan has one shuffle on the
+    bucket id plus one broadcast join."""
+    h = salted_hash(F.col(key_col), seed)
+    bucket = F.floor(h / (HASH_SPACE // num_buckets)).alias("_bkt")
+    rows = df.withColumn("_h", h).withColumn("_bkt", bucket)
+    wb = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col("_h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rows = rows.withColumn(
+        "_pre", F.coalesce(F.sum(token_col).over(wb), F.lit(0)).cast("bigint")
+    )
+    counts = rows.groupBy("_bkt").agg(
+        F.sum(token_col).cast("bigint").alias("_cnt")
+    ).persist()
+    offsets = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
+        .groupBy(F.col("a._bkt").alias("_bkt"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("bigint").alias("_off"))
+    )
+    out = (
+        rows.join(F.broadcast(offsets), on="_bkt")
+        .withColumn("tok_offset", (F.col("_off") + F.col("_pre")).cast("bigint"))
+        .withColumn("seq_id", F.expr(f"tok_offset div {capacity}").cast("bigint"))
+        .withColumn("seq_offset", (F.col("tok_offset") % capacity).cast("bigint"))
+        .drop("_bkt", "_h", "_pre", "_off")
+    )
+    return out
+
+
+def temperature_sample(
+    df: DataFrame,
+    temperature: float = 2.0,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based source rebalancing (multilingual-training style):
+    target share q_s ∝ p_s^(1/T), realized by pure down-sampling with
+    per-source keep rate r_s ∝ n_s^(1/T - 1), normalized so the largest
+    rate is 1.  T > 1 flattens the source distribution toward uniform;
+    T = 1 keeps everything.
+
+    Deterministic per-document decision: salted hash < r_s · 2^32, so
+    membership is a pure function of (doc_id, source sizes) — stable
+    under re-partitioning and re-runs.  The rate table is one row per
+    source (broadcast); the filter is a codegen projection.  Adds
+    ``keep_rate``."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    expo = 1.0 / temperature - 1.0
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
+    wmax = counts.agg(F.max(F.pow(F.col("_n"), expo)).alias("_wm"))
+    rates = counts.crossJoin(F.broadcast(wmax)).select(
+        group_col,
+        (F.pow(F.col("_n"), expo) / F.col("_wm")).alias("keep_rate"),
+        (F.pow(F.col("_n"), expo) / F.col("_wm") * HASH_SPACE)
+        .cast("bigint")
+        .alias("_cut"),
+    )
+    h = salted_hash(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(h < F.col("_cut"))
+        .drop("_cut")
+    )
+
+
 # ------------------------------------------------------------ oracle SQL
 
 
@@ -192,3 +286,49 @@ def corpus_shuffle_oracle_sql(seed: str = "shuf") -> str:
                CAST(row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1 AS BIGINT)
                  AS shuffle_pos
         FROM documents"""
+
+
+def pack_sequences_oracle_sql(
+    capacity: int, token_expr: str, seed: str = "pack"
+) -> str:
+    """Replay of :func:`pack_sequences` over documents with a SQL token
+    expression (integer-exact, so the global window here equals the
+    two-level distributed prefix sum)."""
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, CAST({token_expr} AS BIGINT) AS n_tokens,
+                 {h} AS _h
+          FROM documents WHERE text IS NOT NULL
+        ), pre AS (
+          SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY _h ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS tok_offset
+          FROM toks
+        )
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(tok_offset // {capacity} AS BIGINT) AS seq_id,
+               CAST(tok_offset % {capacity} AS BIGINT) AS seq_offset
+        FROM pre"""
+
+
+def temperature_sample_oracle_sql(
+    temperature: float, group_col: str = "source", seed: str = "temp"
+) -> str:
+    expo = 1.0 / temperature - 1.0
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        WITH counts AS (
+          SELECT {group_col}, count(*) AS n FROM documents GROUP BY 1
+        ), rates AS (
+          SELECT {group_col},
+                 pow(n, {expo!r}) / (SELECT max(pow(n, {expo!r})) FROM counts)
+                   AS keep_rate
+          FROM counts
+        )
+        SELECT d.doc_id, d.{group_col},
+               round(r.keep_rate, 9) AS keep_rate
+        FROM documents d JOIN rates r USING ({group_col})
+        WHERE {h} < CAST(floor(r.keep_rate * {HASH_SPACE}) AS BIGINT)"""

@@ -94,3 +94,60 @@ class TestShuffle:
         # order-only window would show 'Window [...] [partitionBy=[]]'
         # or a SinglePartition exchange ahead of it
         assert "SinglePartition" not in plan
+
+
+class TestPackSequences:
+    def test_dense_offsets_and_partition_invariance(self, spark):
+        base = _docs(spark, 120).select(
+            "doc_id", (F.col("doc_id") % 37 + 1).alias("n_tokens")
+        )
+        cap = 64
+        a = sampling.pack_sequences(base.repartition(1), cap).collect()
+        b = sampling.pack_sequences(base.repartition(7), cap).collect()
+        key = lambda rows: sorted(
+            (r.doc_id, r.tok_offset, r.seq_id, r.seq_offset) for r in rows
+        )
+        assert key(a) == key(b)  # pure function of the data
+        # offsets are the prefix sums of n_tokens in shuffle-hash order:
+        # sorted offsets are dense (each next = prev + its n_tokens)
+        rows = sorted(a, key=lambda r: r.tok_offset)
+        acc = 0
+        for r in rows:
+            assert r.tok_offset == acc
+            assert r.seq_id == acc // cap
+            assert r.seq_offset == acc % cap
+            acc += r.n_tokens
+
+    def test_capacity_bounds(self, spark):
+        base = _docs(spark, 50).select(
+            "doc_id", (F.col("doc_id") % 9 + 1).alias("n_tokens")
+        )
+        out = sampling.pack_sequences(base, 32).collect()
+        assert all(0 <= r.seq_offset < 32 for r in out)
+
+
+class TestTemperatureSample:
+    def test_t1_keeps_everything(self, spark):
+        d = _docs(spark, 90)
+        out = sampling.temperature_sample(d, temperature=1.0)
+        assert out.count() == 90
+        assert out.select("keep_rate").distinct().collect()[0][0] == 1.0
+
+    def test_flattens_skew_deterministically(self, spark):
+        # skewed groups: src0 twice the others (doc_id % 3 gives near-equal;
+        # build explicit skew instead)
+        rows = [(i, f"t{i}", "en", "big" if i < 300 else "small", 10)
+                for i in range(400)]
+        d = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        a = sampling.temperature_sample(d.repartition(1), 2.0).collect()
+        b = sampling.temperature_sample(d.repartition(5), 2.0).collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+        by_src = {}
+        for r in a:
+            by_src.setdefault(r.source, []).append(r)
+        # smallest group keeps everything (rate 1); big group downsampled
+        # toward sqrt ratio: r_big = sqrt(100/300) ~ 0.577
+        assert len(by_src["small"]) == 100
+        assert 0.45 * 300 < len(by_src["big"]) < 0.7 * 300
