@@ -1465,6 +1465,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = q_pack_sequences
 
+    def q_streaming_sessionize(spark, sf_dir):
+        """Native session_window streaming aggregation (SURVEY §2.10):
+        per-user 30-minute-gap sessions over the events stream must
+        produce the same per-user session counts as the batch lag-based
+        sessionize oracle."""
+        import os
+        import tempfile
+
+        from openseize_spark.streaming.dedup import streaming_sessionize
+        from openseize_spark.streaming.windows import run_batch_as_stream
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(raw.dtypes)["ts"]
+
+        src = os.path.realpath(f"{sf_dir}/events.parquet")
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "os_spark_stream_" + os.path.basename(os.path.dirname(src)),
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+        def transform(s_df):
+            e = s_df
+            if ts_type == "bigint":
+                e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+            return streaming_sessionize(
+                e,
+                gap="30 minutes",
+                watermark="0 seconds",
+                key_col="user_id",
+                value_col="value",
+            )
+
+        out = run_batch_as_stream(
+            spark,
+            d,
+            raw.schema,
+            transform,
+            queryName="gate_streaming_sessionize",
+            output_mode="complete",
+        )
+        return out.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_sessions")
+        )
+
+    q["streaming_sessionize"] = q_streaming_sessionize
+
     def q_temperature_sample(spark, sf_dir):
         """Temperature-based rebalancing over the skewed lang column
         (T=2): keep rate n_s^(1/T-1) normalized so the smallest group
@@ -2541,6 +2596,20 @@ def oracle_sql() -> dict[str, str]:
     o["temperature_sample"] = sampling.temperature_sample_oracle_sql(
         temperature=2.0, group_col="lang"
     )
+
+    # streaming_sessionize: native session_window == batch lag-gap count
+    # (strict-vs-closed boundary at exactly gap never occurs on
+    # microsecond-random timestamps)
+    o["streaming_sessionize"] = """
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) >= 1800.0 THEN 1 ELSE 0 END AS new_sess
+          FROM events
+        )
+        SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+        FROM flagged GROUP BY user_id"""
 
     # edf_decode: replay p = slope*d + offset with the exact float64
     # slope/offset a reader derives from the synthesized header (one
