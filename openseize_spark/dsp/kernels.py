@@ -167,6 +167,12 @@ def lfilter(b: np.ndarray, a: np.ndarray, x: np.ndarray, zi=None):
 
 
 # ------------------------------------------------------------- resampling
+# Per-phase tap-count ceiling for the bit-reproducible serial fold in
+# polyphase_apply; above it the BLAS matvec takes over (the gate queries'
+# filters sit far below this, so every oracled query stays fold-exact).
+_FOLD_MAX_TAPS = 1024
+
+
 def polyphase_apply(
     hL: np.ndarray,
     x: np.ndarray,
@@ -220,19 +226,30 @@ def polyphase_apply(
     rpad = max(0, hi_needed - len(x))
     xp = np.concatenate([np.zeros(lpad), x, np.zeros(rpad)]) if lpad or rpad else x
     for jf, count, hr_rev, K, ls in plans:
-        # Serial left-fold over taps in ascending input-sample order
-        # (k = 0..K-1 <=> s ascending), vectorized across outputs. NOT a
-        # BLAS dot on purpose: BLAS uses pairwise/SIMD-blocked summation
-        # whose order is implementation-defined, while this fold is
-        # bit-reproducible and replayed exactly by the SQL oracle
-        # (plans/oracles.py resample_oracle_sql: list_reduce over terms
-        # ORDER BY s). Padded-zero terms are exact no-ops, so the oracle
-        # summing only real samples in the same order stays bit-identical.
         base = ls + lpad
-        acc = np.zeros(count)
-        for k in range(K):
-            acc += hr_rev[k] * xp[base + k : base + k + (count - 1) * M + 1 : M]
-        y[jf - j_start :: L] = acc
+        if K <= _FOLD_MAX_TAPS:
+            # Serial left-fold over taps in ascending input-sample order
+            # (k = 0..K-1 <=> s ascending), vectorized across outputs.
+            # NOT a BLAS dot on purpose: BLAS uses pairwise/SIMD-blocked
+            # summation whose order is implementation-defined, while this
+            # fold is bit-reproducible and replayed exactly by the SQL
+            # oracle (plans/oracles.py resample_oracle_sql: list_reduce
+            # over terms ORDER BY s).  Padded-zero terms are exact no-ops,
+            # so the oracle summing only real samples in the same order
+            # stays bit-identical.
+            acc = np.zeros(count)
+            for k in range(K):
+                acc += hr_rev[k] * xp[base + k : base + k + (count - 1) * M + 1 : M]
+            y[jf - j_start :: L] = acc
+        else:
+            # Huge per-phase tap counts (e.g. downsample with M ~ 1000:
+            # K = len(h) since L = 1) would make the K-step fold
+            # Python-overhead-bound; fall back to the BLAS matvec.  K
+            # depends only on (h, L), never on blocking, so block and
+            # whole-array paths always pick the same branch and stay
+            # bit-identical to each other.
+            rows = np.lib.stride_tricks.sliding_window_view(xp, K)[base::M][:count]
+            y[jf - j_start :: L] = rows @ hr_rev
     return y
 
 

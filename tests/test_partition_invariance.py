@@ -178,6 +178,19 @@ class TestResample:
         out = op_rs.downsample(signal, 4)
         assert out.fs == signal.fs / 4
 
+    def test_large_m_blas_branch_invariance(self, signal, arrays):
+        # M=64 -> default Kaiser filter has 20*64+1 = 1281 taps > the
+        # 1024-tap fold ceiling, exercising polyphase_apply's BLAS branch;
+        # block and whole-array paths must still agree exactly because K
+        # depends only on (h, L), never on blocking
+        out = op_rs.downsample(signal, 64, block_size=512)
+        got = {(r.channel, r.t): r.v for r in out.df.collect()}
+        for ch, x in arrays.items():
+            want = kernels.resample_poly(x, 1, 64)
+            have = np.array([got[(ch, t)] for t in range(len(want))])
+            assert len([k for k in got if k[0] == ch]) == len(want)
+            np.testing.assert_array_equal(have, want)
+
 
 class TestWelch:
     def test_per_channel_vs_numpy(self, signal, arrays):
