@@ -63,18 +63,29 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def quality_expr(text_col: str = "text"):
+    """Column expression for the composite quality score (same arithmetic
+    as :func:`quality_score`'s output — shared so the one-pass composed
+    filter cannot drift from the standalone scorer)."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    n_chars = F.length(t).cast("long")
+    n_tokens = token_count(t)
+    punct = sum(occurrence_count(t, p) for p in (".", ",", "!", "?", ";", ":"))
+    stop_hits = sum(occurrence_count(norm, f" {w} ") for w in STOPWORDS)
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    len_score = F.least(n_chars / 500.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio * 4.0, F.lit(1.0))
+    punct_pen = F.when(punct_ratio > 0.1, 0.5).otherwise(1.0)
+    return (len_score * 0.5 + stop_score * 0.5) * punct_pen
+
+
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite heuristic quality score in [0,1]: favors documents with
     reasonable length, stopword presence, and moderate punctuation —
     the standard cheap pre-filter for LLM training corpora."""
-    s = text_stats(docs, text_col, id_col)
-    len_score = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
-    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
-    punct_pen = F.when(F.col("punct_ratio") > 0.1, 0.5).otherwise(1.0)
-    return s.select(
-        id_col,
-        ((len_score * 0.5 + stop_score * 0.5) * punct_pen).alias("quality"),
-    )
+    return docs.select(F.col(id_col), quality_expr(text_col).alias("quality"))
 
 
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -102,6 +113,38 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     for l in reversed(langs):
         pred = F.when((best > 0) & (F.col(f"_s_{l}") == best), l).otherwise(pred)
     return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("score"))
+
+
+def dup_ngram_frac_expr(text_col: str = "text", n: int = 3):
+    """Column expression for the duplicate word-n-gram fraction (the
+    repetition_stats column the composed filter thresholds on)."""
+    norm = normalize_text(F.col(text_col))
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    nw = F.size(words)
+    ngrams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(ngrams)
+    return F.when(
+        ng > 0, 1.0 - F.size(F.array_distinct(ngrams)) / ng.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def pii_count_expr(text_col: str = "text"):
+    """Column expression for the total PII match count."""
+    t = F.col(text_col)
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(URL_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        + F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    ).cast("long")
 
 
 def repetition_stats(
@@ -245,29 +288,21 @@ def quality_filter(
     """C4-style composed pre-filter: keep documents that pass the quality
     heuristic AND are not repetition-dominated AND carry little PII.
 
-    Composition stays one pass: the three scorers are projections over
-    the same scan, joined on the id key — with all three being
-    shuffle-free projections Catalyst collapses the joins into one
-    pipeline per partition when the id is the scan order, and at worst
-    this is three shuffle-free column families co-keyed on the id.
+    Composition is literally one pass: the three scorers share column
+    expression builders (quality_expr / dup_ngram_frac_expr /
+    pii_count_expr) with their standalone DataFrame forms, so the whole
+    filter is a single shuffle-free codegen projection over one scan —
+    no joins, which at 100 TB would each shuffle the full corpus.
     Returns the surviving (id, quality, dup_ngram_frac, n_pii) rows.
     """
-    q = quality_score(docs, text_col, id_col)
-    r = repetition_stats(docs, n=3, text_col=text_col, id_col=id_col).select(
-        id_col, "dup_ngram_frac"
+    out = docs.select(
+        F.col(id_col),
+        quality_expr(text_col).alias("quality"),
+        dup_ngram_frac_expr(text_col, n=3).alias("dup_ngram_frac"),
+        pii_count_expr(text_col).alias("n_pii"),
     )
-    p = pii_scan(docs, text_col, id_col).select(
-        id_col,
-        (F.col("n_emails") + F.col("n_urls") + F.col("n_ips") + F.col("n_phones"))
-        .cast("long")
-        .alias("n_pii"),
-    )
-    return (
-        q.join(r, on=id_col)
-        .join(p, on=id_col)
-        .filter(
-            (F.col("quality") >= min_quality)
-            & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
-            & (F.col("n_pii") <= max_pii)
-        )
+    return out.filter(
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
+        & (F.col("n_pii") <= max_pii)
     )
