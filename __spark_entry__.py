@@ -1531,6 +1531,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_sample"] = q_temperature_sample
 
+    def q_decontaminate(spark, sf_dir):
+        """Exact test-set decontamination: a benchmark carved from the
+        corpus (doc_id % 7 == 0) is removed from the rest by a broadcast
+        anti join on the normalized-text md5 fingerprint."""
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        return dedup.decontaminate(corpus, bench).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["decontaminate"] = q_decontaminate
+
+    def q_length_quantiles(spark, sf_dir):
+        """Corpus length distribution per language: exact interpolated
+        quartiles/p90 of n_chars (engine-native sort-based percentile)."""
+        docs = _t(spark, sf_dir, "documents")
+        pct = F.percentile(F.col("n_chars"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.9)]))
+        return docs.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.round(pct[0], 6).alias("p25"),
+            F.round(pct[1], 6).alias("p50"),
+            F.round(pct[2], 6).alias("p75"),
+            F.round(pct[3], 6).alias("p90"),
+        )
+
+    q["length_quantiles"] = q_length_quantiles
+
     return _gate_order(q)
 
 
@@ -2596,6 +2624,31 @@ def oracle_sql() -> dict[str, str]:
     o["temperature_sample"] = sampling.temperature_sample_oracle_sql(
         temperature=2.0, group_col="lang"
     )
+
+    # decontaminate: NOT EXISTS over the same md5 fingerprint carve-out
+    o["decontaminate"] = """
+        WITH bench AS (
+          SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+            AS bfp
+          FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id % 7 <> 0
+          AND NOT EXISTS (
+            SELECT 1 FROM bench b
+            WHERE b.bfp = md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+          )"""
+
+    # length_quantiles: Spark's exact percentile and DuckDB's
+    # quantile_cont both linearly interpolate on the sorted values
+    o["length_quantiles"] = """
+        SELECT lang, count(*) AS n_docs,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75,
+               round(quantile_cont(n_chars, 0.9), 6) AS p90
+        FROM documents GROUP BY lang"""
 
     # streaming_sessionize: native session_window == batch lag-gap count
     # (strict-vs-closed boundary at exactly gap never occurs on

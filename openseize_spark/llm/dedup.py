@@ -27,6 +27,39 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: drop every document whose normalized
+    text fingerprint appears in the benchmark set — the standard exact
+    pre-training hygiene pass (fuzzy containment belongs to the MinHash
+    pipeline: run ``minhash_lsh_pairs`` over docs ∪ benchmark and drop
+    the doc side of cross pairs).
+
+    One left-anti join on a 16-byte md5 key.  Benchmarks are tiny next
+    to a 100-TB corpus, so the default broadcasts the fingerprint set
+    and the corpus never shuffles; pass ``broadcast_benchmark=False``
+    for a benchmark too large to broadcast (falls back to a shuffled
+    anti join on the hash key).
+    """
+    bcol = bench_text_col or text_col
+    fps = benchmark.select(
+        F.md5(normalize_text(F.col(bcol))).alias("_bfp")
+    ).distinct()
+    if broadcast_benchmark:
+        fps = F.broadcast(fps)
+    fp = F.md5(normalize_text(F.col(text_col)))
+    return (
+        docs.withColumn("_fp", fp)
+        .join(fps, F.col("_fp") == F.col("_bfp"), "left_anti")
+        .drop("_fp")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct normalized text (smallest id wins).
     Returns the surviving rows with a `dup_count` column."""

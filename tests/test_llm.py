@@ -405,3 +405,39 @@ class TestTopNgrams:
         assert got[("fr", "x y z")] == (1, 1)
         # doc 2 contributes no grams; en has exactly 2 ranked rows max
         assert all(r <= 2 for _, r in got.values())
+
+
+class TestDecontaminate:
+    def test_removes_benchmark_matches_only(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox"),
+                (2, "some unique document"),
+                (3, "The  Quick   Brown Fox"),  # normalizes to doc 1 == benchmark
+                (4, "another clean doc"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox")], "doc_id long, text string"
+        )
+        kept = sorted(
+            r.doc_id for r in dedup.decontaminate(docs, bench).collect()
+        )
+        assert kept == [2, 4]  # 1 exact hit, 3 normalized hit, both dropped
+
+    def test_shuffled_fallback_agrees(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 5}") for i in range(40)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(0, "text 0"), (1, "text 3")], "doc_id long, text string"
+        )
+        a = sorted(r.doc_id for r in dedup.decontaminate(docs, bench).collect())
+        b = sorted(
+            r.doc_id
+            for r in dedup.decontaminate(
+                docs, bench, broadcast_benchmark=False
+            ).collect()
+        )
+        assert a == b and len(a) == 24  # %5 in {1,2,4} -> 3 of 5 classes
