@@ -2466,11 +2466,11 @@ def oracle_sql() -> dict[str, str]:
           FROM events GROUP BY 1, 2
         ), hour AS (
           SELECT date_trunc('hour', bucket) AS bucket, event_type,
-                 sum(n) AS n, sum(sum_value) AS sum_value
+                 CAST(sum(n) AS BIGINT) AS n, sum(sum_value) AS sum_value
           FROM minute GROUP BY 1, 2
         ), day AS (
           SELECT date_trunc('day', bucket) AS bucket, event_type,
-                 sum(n) AS n, sum(sum_value) AS sum_value
+                 CAST(sum(n) AS BIGINT) AS n, sum(sum_value) AS sum_value
           FROM hour GROUP BY 1, 2
         )
         SELECT 'minute' AS resolution, bucket, event_type, n,

@@ -314,8 +314,13 @@ def connected_components(
     max_iter: int = 50,
 ) -> DataFrame:
     """Exact connected components of the undirected graph given as
-    (a, b) pairs: (id, component) for every node appearing in a pair,
-    component = the minimum node id in its component.
+    (a, b) pairs: (id, component) for every node appearing in a pair
+    (including nodes that only appear in self-pairs a == b, which are
+    their own singleton components), component = the minimum node id in
+    its component.  Raises if the contraction has not reached its fixed
+    point within ``max_iter`` rounds — the star-extraction step below is
+    only valid at the fixed point, so a truncated run would silently
+    emit multiple labels per node.
 
     Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"): each round rewires
@@ -381,13 +386,23 @@ def connected_components(
         return nbr.union(self_e).distinct()
 
     sig = _signature(edges)
+    converged = False
     for _ in range(max_iter):
         nxt = _small_star(_large_star(edges)).localCheckpoint()
         nsig = _signature(nxt)
         edges = nxt
         if nsig == sig:
+            converged = True
             break
         sig = nsig
+    if not converged:
+        # O(log d) rounds means max_iter=50 covers any graph that fits
+        # on disk; hitting this indicates a bug, not a big input.
+        raise RuntimeError(
+            f"connected_components: star contraction did not reach its "
+            f"fixed point in {max_iter} rounds; labels extracted from a "
+            f"truncated run would not be unique per node"
+        )
     # converged: every component is a star centered at its minimum, so the
     # canonical rows ARE the (node -> component) labels for non-centers
     down = edges.select(F.col("x").alias("id"), F.col("y").alias("comp")).distinct()
@@ -397,7 +412,20 @@ def connected_components(
         .join(down.select("id"), "id", "left_anti")
         .select("id", F.col("id").alias("comp"))
     )
-    return down.union(centers).select("id", F.col("comp").alias("component"))
+    labeled = down.union(centers)
+    # nodes that only ever appear as self-pairs (a == b) never enter the
+    # canonical edge set; label them as their own singleton components so
+    # the contract above holds for every node appearing in a pair.  This
+    # branch re-reads ``pairs`` lazily — callers passing an expensive
+    # un-persisted pair plan should persist it (jaccard_verify does)
+    lone = (
+        pairs.filter(F.col(a_col) == F.col(b_col))
+        .select(F.col(a_col).alias("id"))
+        .distinct()
+        .join(labeled.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return labeled.union(lone).select("id", F.col("comp").alias("component"))
 
 
 def simhash(

@@ -104,6 +104,26 @@ def stratified_sample(
     )
 
 
+def _bucket_offsets(counts: DataFrame, cnt_col: str = "_cnt") -> DataFrame:
+    """Exclusive prefix sum over the bounded per-bucket count table.
+
+    ``counts`` has at most ``num_buckets`` (<= 1024) rows of two ints —
+    bytes of data.  Materializing it on the driver is bounded control
+    flow (same category as k-means centroids): the corpus aggregate
+    executes exactly once, nothing needs ``persist()`` for a second
+    join-side read (round-4 leaked those cached partitions across long
+    sessions), and the O(B^2) broadcast inequality self-join becomes a
+    linear driver-side cumulative sum.  The result is re-broadcast as a
+    literal table for the position join."""
+    spark = counts.sparkSession
+    rows = sorted(counts.collect(), key=lambda r: r["_bkt"])
+    data, acc = [], 0
+    for r in rows:
+        data.append((r["_bkt"], acc))
+        acc += r[cnt_col] or 0
+    return spark.createDataFrame(data, "_bkt bigint, _off bigint")
+
+
 def corpus_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -125,19 +145,11 @@ def corpus_shuffle(
     rows = df.withColumn("_h", h).withColumn("_bkt", bucket)
     wb = Window.partitionBy("_bkt").orderBy(F.col("_h").asc(), F.col(key_col).asc())
     rows = rows.withColumn("_rn", F.row_number().over(wb))
-    # Cumulative bucket offsets WITHOUT a global (SinglePartition) window:
-    # broadcast inequality self-join over the num_buckets-row aggregate.
-    # O(num_buckets^2) comparisons on <=1024 rows — bytes of work — and
-    # every exchange in the plan stays hash-partitioned or broadcast.
-    # Persisted: both join sides read the same full-corpus aggregate, and
-    # caching the bounded counts keeps that scan single-execution.
-    counts = rows.groupBy("_bkt").agg(F.count("*").alias("_cnt")).persist()
-    offsets = (
-        counts.alias("a")
-        .join(F.broadcast(counts.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
-    )
+    # Cumulative bucket offsets WITHOUT a global (SinglePartition)
+    # window: one bounded aggregate job, exclusive prefix sum on the
+    # driver (<= num_buckets rows), re-broadcast as a literal table.
+    counts = rows.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    offsets = _bucket_offsets(counts)
     return (
         rows.join(F.broadcast(offsets), on="_bkt")
         .withColumn("shuffle_pos", (F.col("_off") + F.col("_rn") - 1).cast("bigint"))
@@ -184,13 +196,8 @@ def pack_sequences(
     )
     counts = rows.groupBy("_bkt").agg(
         F.sum(token_col).cast("bigint").alias("_cnt")
-    ).persist()
-    offsets = (
-        counts.alias("a")
-        .join(F.broadcast(counts.alias("b")), F.col("b._bkt") < F.col("a._bkt"), "left")
-        .groupBy(F.col("a._bkt").alias("_bkt"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).cast("bigint").alias("_off"))
     )
+    offsets = _bucket_offsets(counts)
     out = (
         rows.join(F.broadcast(offsets), on="_bkt")
         .withColumn("tok_offset", (F.col("_off") + F.col("_pre")).cast("bigint"))
@@ -218,18 +225,24 @@ def temperature_sample(
     membership is a pure function of (doc_id, source sizes) — stable
     under re-partitioning and re-runs.  The rate table is one row per
     source (broadcast); the filter is a codegen projection.  Adds
-    ``keep_rate``."""
+    ``keep_rate``.
+
+    The rate is quantized to 9 decimals *before* the integer cut is
+    derived (identically in the SQL oracle), so a 1-ulp libm/Math.pow
+    divergence between engines can no longer straddle the floor boundary
+    and flip a document's membership — the residual risk moves from the
+    cut boundary (~2^-21 per group) to the far rarer round-half
+    boundary of the quantization itself."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
     expo = 1.0 / temperature - 1.0
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     wmax = counts.agg(F.max(F.pow(F.col("_n"), expo)).alias("_wm"))
+    rate = F.round(F.pow(F.col("_n"), expo) / F.col("_wm"), 9)
     rates = counts.crossJoin(F.broadcast(wmax)).select(
         group_col,
-        (F.pow(F.col("_n"), expo) / F.col("_wm")).alias("keep_rate"),
-        (F.pow(F.col("_n"), expo) / F.col("_wm") * HASH_SPACE)
-        .cast("bigint")
-        .alias("_cut"),
+        rate.alias("keep_rate"),
+        F.floor(rate * HASH_SPACE).cast("bigint").alias("_cut"),
     )
     h = salted_hash(F.col(key_col), seed)
     return (
@@ -260,7 +273,8 @@ def split_assign_oracle_sql(fracs: dict[str, float], seed: str = "split") -> str
         arms.append(f"WHEN {h} < {int(acc * HASH_SPACE)} THEN '{name}'")
     case = "CASE " + " ".join(arms) + f" ELSE '{names[-1]}' END"
     return f"""
-        SELECT split, count(*) AS n_docs, sum(n_chars) AS total_chars
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM (SELECT n_chars, {case} AS split FROM documents)
         GROUP BY split"""
 
@@ -324,11 +338,11 @@ def temperature_sample_oracle_sql(
           SELECT {group_col}, count(*) AS n FROM documents GROUP BY 1
         ), rates AS (
           SELECT {group_col},
-                 pow(n, {expo!r}) / (SELECT max(pow(n, {expo!r})) FROM counts)
+                 round(pow(n, {expo!r})
+                       / (SELECT max(pow(n, {expo!r})) FROM counts), 9)
                    AS keep_rate
           FROM counts
         )
-        SELECT d.doc_id, d.{group_col},
-               round(r.keep_rate, 9) AS keep_rate
+        SELECT d.doc_id, d.{group_col}, r.keep_rate
         FROM documents d JOIN rates r USING ({group_col})
         WHERE {h} < CAST(floor(r.keep_rate * {HASH_SPACE}) AS BIGINT)"""

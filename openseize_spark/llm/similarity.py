@@ -67,7 +67,7 @@ def cosine_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
@@ -119,7 +119,7 @@ def cosine_topk_pandas(
     partial = emb.select(id_col, vec_col).mapInPandas(_topk, schema)
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return (
-        partial.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
 
@@ -187,7 +187,7 @@ def lsh_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )
@@ -301,7 +301,7 @@ def ivf_topk(
     )
     w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
     return (
-        j.withColumn("rank", F.row_number().over(w))
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(q_id_col, id_col, "cosine", "rank")
     )

@@ -271,7 +271,7 @@ def top_ngrams(
     counts = grams.groupBy("grp", "ngram").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.col("ngram"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(by_col), "ngram", "cnt", "rank")
     )
