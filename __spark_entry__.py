@@ -1559,6 +1559,125 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["length_quantiles"] = q_length_quantiles
 
+    def q_edf_roundtrip(spark, sf_dir):
+        """EDF write -> split -> read identity (reference Writer
+        file_io/edf.py:591-777, splitter :780-808): the gate signal —
+        closed-form digital samples decoded at the shared write range —
+        is written to one irregular-rate EDF through the DataFrame sink
+        (sources/edf.py:417, single sequential writer as in the
+        reference, distributed upstream), split into two channel-subset
+        EDFs (sources/edf.py:288), and both splits are read back through
+        the distributed DataSource.  The writer's encode
+        d = rint((v - offset)/slope) recovers the closed-form digital
+        samples exactly (v IS slope*d + offset and the float round-trip
+        error sits orders of magnitude under the 0.5 rint threshold), as
+        does the splitter's decode->re-encode at the same header range,
+        so the union of the split reads must equal the closed form
+        bit-for-bit — the edf_decode oracle shape at the write range."""
+        import os
+        import tempfile
+        from functools import reduce
+
+        from openseize_spark.sources import edf as edfmod
+
+        outdir = os.path.join(tempfile.gettempdir(), "openseize_spark_gate_rt")
+        os.makedirs(outdir, exist_ok=True)
+        base = os.path.join(outdir, "base.edf")
+        spr, nrec = _EDF_GATE_SPR, _EDF_GATE_NREC
+
+        parts = []
+        for ch, s in enumerate(spr):
+            parts.append(
+                spark.range(s * nrec).select(
+                    F.lit("rt").alias("recording_id"),
+                    F.lit(ch).cast("int").alias("channel"),
+                    F.col("id").alias("t"),
+                    (
+                        F.lit(_EDF_RT_SLOPE)
+                        * (((F.lit(1009) * F.col("id") + F.lit(7919 * ch)) % 65536)
+                           - 32768)
+                        + F.lit(_EDF_RT_OFFSET)
+                    ).alias("v"),
+                )
+            )
+        sig = reduce(DataFrame.unionAll, parts)
+        fs = {ch: float(s) for ch, s in enumerate(spr)}
+        edfmod.write_edf_from_df(
+            sig, base, fs, physical_range=(_EDF_RT_PMIN, _EDF_RT_PMAX)
+        )
+        mapping = {"even": [0, 2], "odd": [1, 3]}
+        edfmod.split_edf(base, mapping, outdir)
+        edfmod.register_edf_source(spark)
+        reads = []
+        for name, chans in mapping.items():
+            pdf = (
+                spark.read.format("edf")
+                .option("path", os.path.join(outdir, f"{name}.edf"))
+                .load()
+            )
+            # split files number their channels positionally; map back to
+            # the original channel ids for the union
+            remap = F.element_at(
+                F.array(*[F.lit(c) for c in chans]), F.col("channel") + 1
+            )
+            reads.append(pdf.select(remap.cast("int").alias("channel"), "t", "v"))
+        return reduce(DataFrame.unionAll, reads)
+
+    q["edf_roundtrip"] = q_edf_roundtrip
+
+    def q_streaming_sosfilt(spark, sf_dir):
+        """Carried-zi streaming IIR (SURVEY §2.10; reference chunked
+        state carry core/numerical.py:326-335): the sliced gate signal is
+        staged as three sequential t-range parquet files, streamed with
+        maxFilesPerTrigger=1 through applyInPandasWithState keyed on
+        (recording_id, channel) with the flattened (nsections, 2) zi as
+        GroupState (streaming/stateful.py:58), and flushed to a memory
+        sink.  State carry across micro-batch boundaries is exact, so
+        the stream must equal the batch sosfilt — the oracle is the same
+        recursive-CTE replay the batch query uses."""
+        import os
+        import shutil
+        import tempfile
+
+        from openseize_spark.streaming.stateful import streaming_sosfilt
+
+        sosd = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
+        sig = _signal_sliced(spark, sf_dir).df.select(
+            "recording_id", "channel", "t", "v"
+        )
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "os_spark_stream_sosfilt_"
+            + os.path.basename(os.path.normpath(sf_dir)),
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        cuts = (0, 700, 1500, IIR_SLICE)
+        for i in range(3):
+            (
+                sig.filter((F.col("t") >= cuts[i]) & (F.col("t") < cuts[i + 1]))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(d, f"batch_{i}"))
+            )
+        stream = (
+            spark.readStream.schema(sig.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_sosfilt(stream, sosd.sos)
+        qname = "gate_streaming_sosfilt"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(f"SELECT channel, t, v FROM {qname}")
+
+    q["streaming_sosfilt"] = q_streaming_sosfilt
+
     return _gate_order(q)
 
 
@@ -1567,6 +1686,13 @@ _EDF_GATE_SPR = (64, 64, 32, 16)
 _EDF_GATE_NREC = 50
 _EDF_GATE_PMIN = (-500.0, -200.0, 0.0, -1.0)
 _EDF_GATE_PMAX = (500.0, 300.0, 100.0, 1.0)
+
+# edf_roundtrip shares one write range across channels (the writer uses a
+# single physical range); both bounds survive the 8-char header field
+# exactly, so the reader re-derives this exact slope/offset pair
+_EDF_RT_PMIN, _EDF_RT_PMAX = -500.0, 500.0
+_EDF_RT_SLOPE = (_EDF_RT_PMAX - _EDF_RT_PMIN) / (32767.0 - (-32768.0))
+_EDF_RT_OFFSET = _EDF_RT_PMIN - _EDF_RT_SLOPE * (-32768.0)
 
 
 def _edf_gate_digital(ch: int, t):
@@ -1577,39 +1703,38 @@ def _edf_gate_digital(ch: int, t):
 
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (each CORRECTNESS_rNN.json = exactly the first 50 in registration
-# order), so registration order is evidence allocation.  Rounds 1+3
-# covered 97/107; this round the window leads with the 10 queries no
-# driver window has ever checked, the 2 new registrations (edf_decode,
-# streaming_hour), the repaired upsample family, and every query whose
-# code or oracle changed this round (events-schema normalization, the
-# bit-exact fold rewrite, the dlit literal fix, the rounding policy).
-# The tail slots refresh version-sensitive anchors (libm- and
-# window-sum-heavy) because the container's Spark build changed since
-# r03 ran.  Everything else keeps its r01/r03 evidence.
+# order), so registration order is evidence allocation.  r01 ∪ r03 ∪ r04
+# covered 109/114; round 5's window leads with the 7 queries that have
+# never had a driver row (the 5 round-4 registrations that landed after
+# slot 50 of the r4 window, plus this round's edf_roundtrip and
+# streaming_sosfilt), then the 2 r4 red rows (HUGEINT oracle-type
+# artifact, both oracles now cast to BIGINT), then every query whose
+# code or oracle changed this round (rank->bigint casts, the
+# temperature_sample cut quantization, the bucket-offset prefix-sum
+# rewrite, the connected-components self-pair contract).  The 35 tail
+# slots refresh the stalest anchors — queries whose only driver evidence
+# is round 1, two Spark-build drifts ago.  Deferred to round 6: the
+# three least version-sensitive r01 relational queries (set_ops,
+# distinct_pairs, pivot_status) and the r03/r04-green remainder.
 _GATE_PRIORITY = [
-    # -- never driver-checked (10: sampling family, text, rollup, prod
-    # -- minhash, full-length IIR rows-only pair)
-    "corpus_shuffle", "hash_sample", "split_assign", "stratified_sample",
-    "top_ngrams", "quality_filter", "multires_rollup", "minhash_dedup_prod",
-    "sosfilt_full", "sosfilt_blocks_full",
-    # -- new registrations this round (2)
-    "edf_decode", "streaming_hour",
-    # -- the r03 red row, fixed bit-exact, plus its family (3)
-    "upsample", "resample_poly", "downsample",
-    # -- changed this round: events schema normalization (4)
-    "sessionize", "event_deltas", "tumbling_hour", "click_attribution",
-    # -- changed this round: oracle fold/literal/rounding rewrites (14)
-    "stft", "stft_blocks", "welch_psd", "welch_psd_blocks",
-    "fir_kaiser", "fir_remez", "fir_hamming", "fir_blocks",
-    "hilbert_envelope", "image_features", "frame_sample", "resize_images",
-    "audio_features", "envelope",
-    # -- version-sensitive anchors (libm/window-sum heavy) re-checked on
-    # -- the new Spark build (17)
-    "pac", "pac_surrogates", "psd_ci", "sosfilt", "sosfiltfilt",
-    "sosfilt_blocks", "lfilter", "filtfilt",
-    "minhash_sigs", "minhash_dedup", "dedup_clusters", "simhash",
-    "simhash_pairs", "knn_cosine", "ivf_topk", "kmeans_assign",
-    "dedup_exact",
+    # -- never driver-checked (7)
+    "pack_sequences", "streaming_sessionize", "temperature_sample",
+    "decontaminate", "length_quantiles", "edf_roundtrip", "streaming_sosfilt",
+    # -- r4 red rows, oracle sums now cast to BIGINT (2)
+    "split_assign", "multires_rollup",
+    # -- code/oracle changed this round (6)
+    "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
+    "lsh_topk", "knn_cosine",
+    # -- stalest anchors: r01-only evidence (35)
+    "pricing_summary", "top_customers_by_orders", "priority_exists",
+    "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
+    "detrend_linear", "channel_select", "time_slice", "mask_compact",
+    "interval_mask", "signal_stats", "standardize", "signal_add",
+    "scalar_mult", "mult_along_channel", "mult_along_time", "pad",
+    "segment_mean", "moving_average", "extend_even", "extend_edge",
+    "extend_odd", "squeeze_expand", "expand_upsample", "event_window_avg",
+    "decimate", "nearest_bin", "band_power", "power_norm", "synth_signal",
+    "text_stats", "stopword_score_by_lang", "fingerprint",
 ]
 
 
@@ -2686,6 +2811,27 @@ def oracle_sql() -> dict[str, str]:
                ch.slope * (((1009 * u.t + 7919 * ch.channel) % 65536) - 32768)
                  + ch.off AS v
         FROM ch, unnest(generate_series(0, ch.n - 1)) AS u(t)"""
+
+    # edf_roundtrip: write -> split -> read is the identity on the gate
+    # signal (encode rint() recovers the closed-form digital samples
+    # exactly; see q_edf_roundtrip), so the oracle is the decode replay at
+    # the single shared write range
+    _n_by_ch = ", ".join(
+        f"({_ch}, {_s * _EDF_GATE_NREC})" for _ch, _s in enumerate(_EDF_GATE_SPR)
+    )
+    o["edf_roundtrip"] = f"""
+        WITH ch(channel, n) AS (VALUES {_n_by_ch})
+        SELECT CAST(ch.channel AS INTEGER) AS channel,
+               CAST(u.t AS BIGINT) AS t,
+               {_orc.dlit(_EDF_RT_SLOPE)}
+                 * (((1009 * u.t + 7919 * ch.channel) % 65536) - 32768)
+                 + {_orc.dlit(_EDF_RT_OFFSET)} AS v
+        FROM ch, unnest(generate_series(0, ch.n - 1)) AS u(t)"""
+
+    # streaming_sosfilt: exact zi carry across micro-batches means the
+    # stream equals the batch filter, whose recursive-CTE replay is
+    # already the sosfilt oracle
+    o["streaming_sosfilt"] = o["sosfilt"]
 
     # streaming_hour: the batch GROUP BY the streaming pipeline must equal
     o["streaming_hour"] = """
