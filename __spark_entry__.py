@@ -1678,6 +1678,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sosfilt"] = q_streaming_sosfilt
 
+    def q_pipeline_chain(spark, sf_dir):
+        """Pipeline.append chaining (reference tools/pipeline.py:16-124):
+        decimate -> standardize -> FIR appended with kwargs bound and
+        exactly one unbound SignalFrame argument each; the composed
+        result is still a single lazy plan (each step a plan extension,
+        nothing executes until the action).  The oracle composes the
+        same three stages as nested CTEs over the signal CTE."""
+        from openseize_spark.plans.pipeline import Pipeline
+
+        pipe = Pipeline()
+        pipe.append(rel.slice_time, start=0, step=4)
+        pipe.append(op_stats.standardize)
+        pipe.append(op_fir.apply_fir_sql, spec=_FIR_SPEC, mode="same")
+        sf = pipe(_signal(spark, sf_dir))
+        return sf.df.select("channel", "t", F.round("v", 9).alias("v"))
+
+    q["pipeline_chain"] = q_pipeline_chain
+
+    def q_annotations_mask(spark, sf_dir):
+        """Annotations ABC end-to-end (reference file_io/annotations.py:
+        42-127 Pinnacle reader, bases.py:364-395 label filter,
+        annotations.py:130-181 as_mask): a deterministic Pinnacle
+        tab-CSV fixture (6 preamble rows + header) is written, read back
+        through read_pinnacle with a label filter, and turned into a
+        sample mask over the gate signal via the broadcast interval join
+        with dense t re-indexing.  The fixture's times/durations are
+        pure integers, so the round(time*fs) interval bounds are exact
+        and the oracle replays them as literal VALUES."""
+        import os
+        import tempfile
+
+        from openseize_spark.sources import annotations as ann
+
+        path = os.path.join(
+            tempfile.gettempdir(), "openseize_spark_gate_pinnacle.csv"
+        )
+        ann.write_pinnacle_fixture(path, _ANN_GATE_FIXTURE)
+        a = ann.read_pinnacle(
+            spark, path, labels=["seizure", "artifact"], recording_id="r0"
+        )
+        sf = rel.mask_from_annotations(_signal(spark, sf_dir), a)
+        return sf.df.select("channel", "t", "v")
+
+    q["annotations_mask"] = q_annotations_mask
+
     return _gate_order(q)
 
 
@@ -1693,6 +1738,17 @@ _EDF_GATE_PMAX = (500.0, 300.0, 100.0, 1.0)
 _EDF_RT_PMIN, _EDF_RT_PMAX = -500.0, 500.0
 _EDF_RT_SLOPE = (_EDF_RT_PMAX - _EDF_RT_PMIN) / (32767.0 - (-32768.0))
 _EDF_RT_OFFSET = _EDF_RT_PMIN - _EDF_RT_SLOPE * (-32768.0)
+
+# annotations_mask fixture: (label, time_s, duration_s, channel) with
+# integer times so interval bounds round(time*fs) are exact; "rest" is
+# excluded by the reader's label filter
+_ANN_GATE_FIXTURE = [
+    ("seizure", 3, 2, "ALL"),
+    ("artifact", 10, 1, "ALL"),
+    ("seizure", 20, 4, "ALL"),
+    ("rest", 30, 5, "ALL"),
+    ("seizure", 47, 3, "ALL"),
+]
 
 
 def _edf_gate_digital(ch: int, t):
@@ -1717,22 +1773,24 @@ def _edf_gate_digital(ch: int, t):
 # three least version-sensitive r01 relational queries (set_ops,
 # distinct_pairs, pivot_status) and the r03/r04-green remainder.
 _GATE_PRIORITY = [
-    # -- never driver-checked (7)
+    # -- never driver-checked (9)
     "pack_sequences", "streaming_sessionize", "temperature_sample",
     "decontaminate", "length_quantiles", "edf_roundtrip", "streaming_sosfilt",
+    "pipeline_chain", "annotations_mask",
     # -- r4 red rows, oracle sums now cast to BIGINT (2)
     "split_assign", "multires_rollup",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
-    # -- stalest anchors: r01-only evidence (35)
+    # -- stalest anchors: r01-only evidence (33; extend_even/extend_odd
+    # -- defer to round 6 with extend_edge holding the family's slot)
     "pricing_summary", "top_customers_by_orders", "priority_exists",
     "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
     "detrend_linear", "channel_select", "time_slice", "mask_compact",
     "interval_mask", "signal_stats", "standardize", "signal_add",
     "scalar_mult", "mult_along_channel", "mult_along_time", "pad",
-    "segment_mean", "moving_average", "extend_even", "extend_edge",
-    "extend_odd", "squeeze_expand", "expand_upsample", "event_window_avg",
+    "segment_mean", "moving_average", "extend_edge",
+    "squeeze_expand", "expand_upsample", "event_window_avg",
     "decimate", "nearest_bin", "band_power", "power_norm", "synth_signal",
     "text_stats", "stopword_score_by_lang", "fingerprint",
 ]
@@ -2832,6 +2890,47 @@ def oracle_sql() -> dict[str, str]:
     # stream equals the batch filter, whose recursive-CTE replay is
     # already the sosfilt oracle
     o["streaming_sosfilt"] = o["sosfilt"]
+
+    # pipeline_chain: the three appended stages composed as nested CTEs —
+    # decimate (pure slice re-index), per-channel standardize (dyadic
+    # aggregates, so m/s are engine-exact), then the identical FIR
+    # expression chain; both sides round the filtered output to 9
+    o["pipeline_chain"] = sig + f"""
+        , dec AS (
+          SELECT recording_id, channel, CAST(t // 4 AS BIGINT) AS t, v
+          FROM signal WHERE t % 4 = 0
+        ), st AS (
+          SELECT channel, avg(v) AS m,
+                 sqrt(avg(v*v) - avg(v)*avg(v)) AS s
+          FROM dec GROUP BY channel
+        ), std AS (
+          SELECT dec.recording_id, dec.channel, dec.t, (v - m) / s AS v
+          FROM dec JOIN st ON dec.channel = st.channel
+        )
+        SELECT channel, t, round({fir_sum}, 9) AS v
+        FROM std
+        WINDOW w AS (PARTITION BY recording_id, channel ORDER BY t)"""
+
+    # annotations_mask: the fixture's integer-second intervals at fs=100,
+    # "rest" excluded by the reader's label filter; kept samples re-index
+    # t densely per channel (the compaction contract)
+    _ival = ", ".join(
+        f"({int(t * FS)}, {int((t + dur) * FS)})"
+        for lbl, t, dur, _ch in _ANN_GATE_FIXTURE
+        if lbl in ("seizure", "artifact")
+    )
+    o["annotations_mask"] = sig + f"""
+        , ival(lo, hi) AS (VALUES {_ival}),
+        kept AS (
+          SELECT channel, t, v FROM signal s
+          WHERE EXISTS (SELECT 1 FROM ival
+                        WHERE s.t >= ival.lo AND s.t < ival.hi)
+        )
+        SELECT channel,
+               CAST(row_number() OVER (PARTITION BY channel ORDER BY t) - 1
+                    AS BIGINT) AS t,
+               v
+        FROM kept"""
 
     # streaming_hour: the batch GROUP BY the streaming pipeline must equal
     o["streaming_hour"] = """
