@@ -76,14 +76,23 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.time() - t0, 3)
+    # Three timed passes per query; report the median (steady-state
+    # estimate) plus per-query [min, max] so sub-second wobbles on a
+    # shared box are visible as variance, not mistaken for regressions.
+    REPS = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
+            fn = qs[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            samples[name].append(round(time.time() - t0, 3))
 
+    times = {name: sorted(s)[len(s) // 2] for name, s in samples.items()}
+    minmax = {
+        name: [min(s), max(s)] for name, s in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -93,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reps": REPS,
+                "query_minmax": minmax,
             }
         )
     )

@@ -351,6 +351,28 @@ class TestConnectedComponents:
         }
         assert got == want
 
+    def test_self_pairs_label_as_singletons(self, spark):
+        # nodes appearing only as (a, a) never enter the canonical edge
+        # set but must still be labeled (their own component); a node in
+        # both a self-pair and a real edge keeps its component label
+        pairs = spark.createDataFrame(
+            [(1, 2), (3, 3), (1, 1)], "a long, b long"
+        )
+        got = {
+            r.id: r.component for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 3}
+
+    def test_max_iter_exhaustion_raises(self, spark):
+        import pytest as _pytest
+
+        # a 6-node chain cannot reach the star fixed point in one round
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "a long, b long"
+        )
+        with _pytest.raises(RuntimeError, match="fixed point"):
+            dedup.connected_components(pairs, max_iter=1).collect()
+
 
 class TestKmeans:
     def test_separated_clusters(self, spark):
