@@ -1723,6 +1723,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["annotations_mask"] = q_annotations_mask
 
+    def q_streaming_policies(spark, sf_dir):
+        """Drop-partial vs pad-to-complete (SURVEY §2.10): the reference
+        welch drops a trailing partial segment while stft 'padded'
+        zero-fills it; the streaming analog derives BOTH policies from
+        ONE sliding-window aggregation as count filters — cnt == nfft is
+        the drop policy, cnt > nfft - stride keeps the zero-padded tail
+        (zero padding is a no-op for sums).  The gate signal (dyadic v,
+        so window sums are engine-exact) is timestamped at fs=100
+        (10 ms/sample), streamed through a watermarked 640 ms / 320 ms
+        sliding count+sum, and returned as the padded-policy window set
+        with an is_complete flag; the oracle replays the overlapping
+        segmentation by exploding each sample into its two windows."""
+        import os
+        import shutil
+        import tempfile
+
+        sig = rel.slice_time(_signal(spark, sf_dir), start=0, stop=2000).df.select(
+            "recording_id", "channel", "t", "v"
+        )
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "os_spark_stream_pol_" + os.path.basename(os.path.normpath(sf_dir)),
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        sig.write.parquet(d)
+
+        from openseize_spark.streaming.windows import run_batch_as_stream
+
+        def transform(src):
+            e = src.withColumn("ts", F.timestamp_micros(F.col("t") * 10_000))
+            return (
+                e.withWatermark("ts", "10 seconds")
+                .groupBy(
+                    F.window("ts", "640 milliseconds", "320 milliseconds").alias(
+                        "win"
+                    ),
+                    "channel",
+                )
+                .agg(
+                    F.count("*").alias("cnt"),
+                    F.sum("v").alias("seg_sum"),
+                )
+            )
+
+        out = run_batch_as_stream(
+            spark,
+            d,
+            sig.schema,
+            transform,
+            queryName="gate_streaming_policies",
+            output_mode="complete",
+        )
+        stride_us = 320_000
+        return (
+            out.withColumn(
+                "seg",
+                (F.unix_micros(F.col("win.start")) / stride_us).cast("bigint"),
+            )
+            .filter(F.col("cnt") > 32)
+            .select(
+                "channel",
+                "seg",
+                "cnt",
+                "seg_sum",
+                (F.col("cnt") == 64).alias("is_complete"),
+            )
+        )
+
+    q["streaming_policies"] = q_streaming_policies
+
     return _gate_order(q)
 
 
@@ -1773,17 +1843,18 @@ def _edf_gate_digital(ch: int, t):
 # three least version-sensitive r01 relational queries (set_ops,
 # distinct_pairs, pivot_status) and the r03/r04-green remainder.
 _GATE_PRIORITY = [
-    # -- never driver-checked (9)
+    # -- never driver-checked (10)
     "pack_sequences", "streaming_sessionize", "temperature_sample",
     "decontaminate", "length_quantiles", "edf_roundtrip", "streaming_sosfilt",
-    "pipeline_chain", "annotations_mask",
+    "pipeline_chain", "annotations_mask", "streaming_policies",
     # -- r4 red rows, oracle sums now cast to BIGINT (2)
     "split_assign", "multires_rollup",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
-    # -- stalest anchors: r01-only evidence (33; extend_even/extend_odd
-    # -- defer to round 6 with extend_edge holding the family's slot)
+    # -- stalest anchors: r01-only evidence (32; extend_even/extend_odd
+    # -- defer to round 6 with extend_edge holding the family's slot,
+    # -- power_norm with band_power holding spectral integration's)
     "pricing_summary", "top_customers_by_orders", "priority_exists",
     "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
     "detrend_linear", "channel_select", "time_slice", "mask_compact",
@@ -1791,7 +1862,7 @@ _GATE_PRIORITY = [
     "scalar_mult", "mult_along_channel", "mult_along_time", "pad",
     "segment_mean", "moving_average", "extend_edge",
     "squeeze_expand", "expand_upsample", "event_window_avg",
-    "decimate", "nearest_bin", "band_power", "power_norm", "synth_signal",
+    "decimate", "nearest_bin", "band_power", "synth_signal",
     "text_stats", "stopword_score_by_lang", "fingerprint",
 ]
 
@@ -2931,6 +3002,25 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS t,
                v
         FROM kept"""
+
+    # streaming_policies: replay the 64/32 sliding segmentation by
+    # exploding each sample into its two covering windows; v is dyadic so
+    # seg_sum is engine-exact; cnt > 32 is the padded policy, cnt = 64
+    # flags the drop policy
+    o["streaming_policies"] = sig + """
+        , sl AS (
+          SELECT channel, t, v FROM signal WHERE t < 2000
+        ), exploded AS (
+          SELECT channel, v, u.k
+          FROM sl, unnest([t // 32, t // 32 - 1]) AS u(k)
+          WHERE u.k >= 0
+        )
+        SELECT channel, CAST(k AS BIGINT) AS seg,
+               count(*) AS cnt, sum(v) AS seg_sum,
+               count(*) = 64 AS is_complete
+        FROM exploded
+        GROUP BY channel, k
+        HAVING count(*) > 32"""
 
     # streaming_hour: the batch GROUP BY the streaming pipeline must equal
     o["streaming_hour"] = """
