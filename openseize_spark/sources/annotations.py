@@ -35,12 +35,19 @@ def read_pinnacle(
     (reference: annotations.py:116-122).
     """
     # skip the metadata preamble spark-side: read as text, drop rows
-    # before the header row, re-parse as csv
+    # before the header row, re-parse as csv.  The row-number window is
+    # partitioned per source file (annotations are small metadata, but
+    # this keeps the plan free of SinglePartition exchanges and scales
+    # to a many-file annotation directory); within a file,
+    # monotonically_increasing_id orders by (partition, offset) = file
+    # order for text reads.
     raw = spark.read.text(path)
     from pyspark.sql.window import Window
 
     idx = F.row_number().over(
-        Window.partitionBy(F.lit(1)).orderBy(F.monotonically_increasing_id())
+        Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
     )
     body = (
         raw.withColumn("_i", idx)
