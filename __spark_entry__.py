@@ -1793,6 +1793,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_policies"] = q_streaming_policies
 
+    def q_streaming_dedup(spark, sf_dir):
+        """Streaming exact dedup (streaming/dedup.py:21):
+        dropDuplicatesWithinWatermark over the batch operator's
+        normalized-text md5 fingerprint, state bounded by the watermark
+        horizon.  Documents get a synthetic event time (1 s per doc_id)
+        and stream through the dedup; the result projects ONLY the
+        fingerprint — which duplicate row survives is batch-order
+        dependent, but the distinct fingerprint set is deterministic and
+        equals the batch SELECT DISTINCT.  Registered after the round-5
+        window (local evidence this round); lead the round-6 window with
+        it."""
+        import os
+        import shutil
+        import tempfile
+
+        from openseize_spark.streaming.dedup import streaming_exact_dedup
+
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        # one day past the epoch: a ts equal to the initial watermark
+        # value (epoch 0) is classified late and silently dropped
+        staged = docs.select(
+            "doc_id",
+            "text",
+            F.timestamp_micros((F.col("doc_id") + 86_400) * 1_000_000).alias(
+                "ts"
+            ),
+        )
+        d = os.path.join(
+            tempfile.gettempdir(),
+            "os_spark_stream_dedup_" + os.path.basename(os.path.normpath(sf_dir)),
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        staged.write.parquet(d)
+
+        stream = spark.readStream.schema(staged.schema).parquet(d)
+        out = streaming_exact_dedup(stream, watermark="30 days")
+        qname = "gate_streaming_dedup"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(f"SELECT text FROM {qname}").select(
+            F.md5(dedup.normalize_text(F.col("text"))).alias("fp")
+        )
+
+    q["streaming_dedup"] = q_streaming_dedup
+
     return _gate_order(q)
 
 
@@ -3007,6 +3058,13 @@ def oracle_sql() -> dict[str, str]:
     # exploding each sample into its two covering windows; v is dyadic so
     # seg_sum is engine-exact; cnt > 32 is the padded policy, cnt = 64
     # flags the drop policy
+    # streaming_dedup: the surviving-row choice is nondeterministic but
+    # the distinct fingerprint set is not
+    o["streaming_dedup"] = r"""
+        SELECT DISTINCT
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents WHERE text IS NOT NULL"""
+
     o["streaming_policies"] = sig + """
         , sl AS (
           SELECT channel, t, v FROM signal WHERE t < 2000
