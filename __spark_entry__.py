@@ -1844,6 +1844,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_dedup"] = q_streaming_dedup
 
+    def q_decontaminate_ngram(spark, sf_dir):
+        """GPT-3-style n-gram decontamination (llm/dedup.py
+        ngram_decontaminate): the benchmark carve (doc_id % 7 == 0)
+        contributes its distinct normalized word 8-gram fingerprints
+        (broadcast); any remaining document sharing one is dropped.
+        Catches partial containment the exact-fingerprint
+        `decontaminate` misses.  Registered after the round-5 window
+        (local evidence this round); round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0)
+        return dedup.ngram_decontaminate(corpus, bench, n=8).select(
+            "doc_id", "lang", "source"
+        )
+
+    q["decontaminate_ngram"] = q_decontaminate_ngram
+
     return _gate_order(q)
 
 
@@ -3064,6 +3081,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT
                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         FROM documents WHERE text IS NOT NULL"""
+
+    # decontaminate_ngram: same normalization/split as the engine; DuckDB
+    # list slices are 1-based inclusive so w[i : i+n-1] is the n-gram
+    o["decontaminate_ngram"] = r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '
+                 ) AS w
+          FROM documents WHERE text IS NOT NULL
+        ), bgrams AS (
+          SELECT DISTINCT md5(array_to_string(w[u.i : u.i + 7], ' ')) AS g
+          FROM norm, unnest(generate_series(1, len(w) - 7)) AS u(i)
+          WHERE doc_id % 7 = 0
+        ), cont AS (
+          SELECT DISTINCT n2.doc_id
+          FROM norm n2, unnest(generate_series(1, len(n2.w) - 7)) AS u(i)
+          WHERE n2.doc_id % 7 != 0
+            AND md5(array_to_string(n2.w[u.i : u.i + 7], ' '))
+                  IN (SELECT g FROM bgrams)
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id % 7 != 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)"""
 
     o["streaming_policies"] = sig + """
         , sl AS (

@@ -60,6 +60,61 @@ def decontaminate(
     )
 
 
+def _word_gram_fps(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram-md5) pairs: every normalized word n-gram of every doc.
+    Normalization collapses whitespace to single spaces, so the split is
+    exact and the gram string is replayable in SQL."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+    )
+    return base.select(
+        "_id",
+        F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i"),
+        "_w",
+    ).select("_id", F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _i, {n})"))).alias("_g"))
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """GPT-3-style n-gram decontamination: drop every corpus document
+    that shares at least one normalized word ``n``-gram with the
+    benchmark — catches partial containment (a test question quoted
+    inside a larger page) that exact-fingerprint :func:`decontaminate`
+    misses.
+
+    Scale shape: the benchmark's distinct gram fingerprints are
+    broadcast (a test set is small by definition — GPT-3 used 13-grams
+    over tens of MB of eval data against hundreds of GB of corpus); the
+    corpus explodes to grams in place and semi-joins the broadcast set
+    with no shuffle, the surviving contaminated id set (bounded by the
+    corpus row count, usually far smaller) aggregates in one shuffle,
+    and the final anti-join keys on the id.  Documents with NULL text
+    have no grams and are kept."""
+    bcol = bench_text_col or text_col
+    bench_grams = _word_gram_fps(benchmark, bcol, id_col, n).select("_g").distinct()
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    contaminated = (
+        _word_gram_fps(docs, text_col, id_col, n)
+        .join(bench_grams, "_g", "left_semi")
+        .select("_id")
+        .distinct()
+    )
+    return docs.join(
+        contaminated.withColumnRenamed("_id", id_col), id_col, "left_anti"
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct normalized text (smallest id wins).
     Returns the surviving rows with a `dup_count` column."""

@@ -429,6 +429,48 @@ class TestTopNgrams:
         assert all(r <= 2 for _, r in got.values())
 
 
+class TestNgramDecontaminate:
+    def test_partial_containment_dropped(self, spark):
+        # doc 1 quotes the benchmark's 3-gram inside a longer page (exact
+        # decontaminate would keep it); doc 2 shares no 3-gram; doc 3 has
+        # NULL text (no grams -> kept); doc 4 shares words but never 3
+        # in a row
+        docs = spark.createDataFrame(
+            [
+                (1, "intro words the quick brown fox outro words"),
+                (2, "completely unrelated content here"),
+                (3, None),
+                (4, "quick the fox brown the quick"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox")], "doc_id long, text string"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup.ngram_decontaminate(docs, bench, n=3).collect()
+        )
+        assert kept == [2, 3, 4]
+        exact_kept = sorted(
+            r.doc_id for r in dedup.decontaminate(docs, bench).collect()
+        )
+        assert 1 in exact_kept  # the exact pass misses the containment
+
+    def test_short_docs_have_no_grams(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two"), (2, "one two three")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(9, "one two three")], "doc_id long, text string"
+        )
+        kept = sorted(
+            r.doc_id
+            for r in dedup.ngram_decontaminate(docs, bench, n=3).collect()
+        )
+        assert kept == [1]  # doc 1 is shorter than n, cannot match
+
+
 class TestDecontaminate:
     def test_removes_benchmark_matches_only(self, spark):
         docs = spark.createDataFrame(
