@@ -1861,6 +1861,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_ngram"] = q_decontaminate_ngram
 
+    def q_shard_assign(spark, sf_dir):
+        """Training-shard assignment (llm/sampling.py shard_assign):
+        hash-shuffled corpus cut into 100-row shards, returned as the
+        per-shard summary (all-integer).  Registered after the round-5
+        window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        s = sampling.shard_assign(docs, rows_per_shard=100)
+        return s.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+    q["shard_assign"] = q_shard_assign
+
     return _gate_order(q)
 
 
@@ -2780,6 +2794,7 @@ def oracle_sql() -> dict[str, str]:
         group_col="source", k=10, seed="strat"
     )
     o["corpus_shuffle"] = sampling.corpus_shuffle_oracle_sql(seed="shuf")
+    o["shard_assign"] = sampling.shard_assign_oracle_sql(rows_per_shard=100)
 
     o["multires_rollup"] = """
         WITH minute AS (

@@ -157,6 +157,32 @@ def corpus_shuffle(
     )
 
 
+def shard_assign(
+    df: DataFrame,
+    rows_per_shard: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic training-shard assignment (WebDataset/TFRecord
+    style): documents in hash-shuffled order are cut into shards of
+    ``rows_per_shard``; adds ``shard_id`` (= shuffle_pos div size) and
+    ``shard_pos`` (position within the shard).  A writer then
+    ``partitionBy("shard_id")`` for balanced output files — the missing
+    step between a shuffled corpus and a shard layout on object
+    storage.  Same two-level rank machinery as :func:`corpus_shuffle`
+    (one shuffle on the hash bucket + broadcast offsets); assignment is
+    a pure function of the data, stable under any partitioning."""
+    if rows_per_shard <= 0:
+        raise ValueError("rows_per_shard must be > 0")
+    out = corpus_shuffle(df, key_col=key_col, seed=seed, num_buckets=num_buckets)
+    return out.withColumn(
+        "shard_id", F.expr(f"shuffle_pos div {rows_per_shard}").cast("bigint")
+    ).withColumn(
+        "shard_pos", (F.col("shuffle_pos") % rows_per_shard).cast("bigint")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,
@@ -300,6 +326,21 @@ def corpus_shuffle_oracle_sql(seed: str = "shuf") -> str:
                CAST(row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1 AS BIGINT)
                  AS shuffle_pos
         FROM documents"""
+
+
+def shard_assign_oracle_sql(rows_per_shard: int, seed: str = "shard") -> str:
+    """Per-shard summary replay of :func:`shard_assign` (all-integer)."""
+    h = salted_hash_sql("doc_id", seed)
+    return f"""
+        WITH pos AS (
+          SELECT doc_id, n_chars,
+                 row_number() OVER (ORDER BY {h} ASC, doc_id ASC) - 1 AS p
+          FROM documents
+        )
+        SELECT CAST(p // {rows_per_shard} AS BIGINT) AS shard_id,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM pos GROUP BY 1"""
 
 
 def pack_sequences_oracle_sql(

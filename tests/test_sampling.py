@@ -96,6 +96,30 @@ class TestShuffle:
         assert "SinglePartition" not in plan
 
 
+class TestShardAssign:
+    def test_balanced_and_partition_invariant(self, spark):
+        base = _docs(spark, 130)
+        a = sampling.shard_assign(base.repartition(1), 25).collect()
+        b = sampling.shard_assign(base.repartition(7), 25).collect()
+        key = lambda rows: sorted((r.doc_id, r.shard_id, r.shard_pos) for r in rows)
+        assert key(a) == key(b)  # pure function of the data
+        # shards are full except the last; positions dense within a shard
+        from collections import Counter
+
+        sizes = Counter(r.shard_id for r in a)
+        assert sorted(sizes) == list(range(6))  # 130/25 -> shards 0..5
+        assert all(sizes[s] == 25 for s in range(5)) and sizes[5] == 5
+        for s in sizes:
+            got = sorted(r.shard_pos for r in a if r.shard_id == s)
+            assert got == list(range(sizes[s]))
+
+    def test_rejects_nonpositive_size(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sampling.shard_assign(_docs(spark, 10), 0)
+
+
 class TestPackSequences:
     def test_dense_offsets_and_partition_invariance(self, spark):
         base = _docs(spark, 120).select(
