@@ -1875,6 +1875,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["shard_assign"] = q_shard_assign
 
+    def q_quality_prune(spark, sf_dir):
+        """FineWeb-style per-language quality pruning (llm/text.py
+        quality_prune): keep the top 1/5 of documents per lang by
+        composite quality, rational keep fraction so the cut is integer
+        arithmetic.  Registered after the round-5 window; round-6
+        window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.quality_prune(docs, keep_num=1, keep_den=5).select(
+            "doc_id", "lang", "quality"
+        )
+
+    q["quality_prune"] = q_quality_prune
+
+    def q_token_budget_subset(spark, sf_dir):
+        """Deterministic 8000-token corpus slice (llm/sampling.py
+        token_budget_subset): documents in hash-shuffled order while the
+        running token total stays under budget.  Registered after the
+        round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        toks = docs.select(
+            "doc_id", llm_text.token_count(F.col("text")).alias("n_tokens")
+        )
+        return sampling.token_budget_subset(toks, budget=8000).select(
+            "doc_id", "n_tokens", "tok_offset"
+        )
+
+    q["token_budget_subset"] = q_token_budget_subset
+
     return _gate_order(q)
 
 
@@ -2796,6 +2824,22 @@ def oracle_sql() -> dict[str, str]:
     o["corpus_shuffle"] = sampling.corpus_shuffle_oracle_sql(seed="shuf")
     o["shard_assign"] = sampling.shard_assign_oracle_sql(rows_per_shard=100)
 
+    # quality_prune: rank per lang over the (bit-exact) quality CTE; the
+    # rational keep cut (rn*den <= cnt*num) is pure integer arithmetic
+    o["quality_prune"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        j AS (
+          SELECT q.doc_id, d.lang, q.quality
+          FROM q JOIN documents d USING (doc_id)
+        ), r AS (
+          SELECT doc_id, lang, quality,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+          FROM j
+        )
+        SELECT doc_id, lang, quality FROM r WHERE rn * 5 <= cnt * 1"""
+
     o["multires_rollup"] = """
         WITH minute AS (
           SELECT date_trunc('minute', ts) AS bucket, event_type,
@@ -2950,13 +2994,16 @@ def oracle_sql() -> dict[str, str]:
     o["lfilter_blocks"] = _iir(ba=_BA_SPEC, round_digits=7)
     o["filtfilt_blocks"] = _iir(ba=_BA_SPEC, zero_phase=True, round_digits=7)
 
-    o["pack_sequences"] = sampling.pack_sequences_oracle_sql(
-        capacity=2048,
-        token_expr="""CASE WHEN length(regexp_replace(lower(trim(text)),
+    _token_expr_sql = """CASE WHEN length(regexp_replace(lower(trim(text)),
                  '\\s+', ' ', 'g')) = 0 THEN 0
             ELSE (length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                   - length(replace(regexp_replace(lower(trim(text)),
-                      '\\s+', ' ', 'g'), ' ', ''))) + 1 END""",
+                      '\\s+', ' ', 'g'), ' ', ''))) + 1 END"""
+    o["pack_sequences"] = sampling.pack_sequences_oracle_sql(
+        capacity=2048, token_expr=_token_expr_sql
+    )
+    o["token_budget_subset"] = sampling.token_budget_subset_oracle_sql(
+        budget=8000, token_expr=_token_expr_sql
     )
     o["temperature_sample"] = sampling.temperature_sample_oracle_sql(
         temperature=2.0, group_col="lang"

@@ -234,6 +234,37 @@ def pack_sequences(
     return out
 
 
+def token_budget_subset(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: str = "budget",
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic token-budget subset ("give me a 10B-token slice"):
+    documents in hash-shuffled order are kept while the running token
+    total stays under ``budget`` — a document is included iff its
+    starting offset in the concatenated stream is below the budget
+    (concat-and-cut inclusion: the last kept document may straddle the
+    boundary; trim downstream if exact budgets matter).  Same two-level
+    integer prefix sum as :func:`pack_sequences`; membership is a pure
+    function of the data."""
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    packed = pack_sequences(
+        df,
+        capacity=budget,
+        token_col=token_col,
+        key_col=key_col,
+        seed=seed,
+        num_buckets=num_buckets,
+    )
+    return packed.filter(F.col("tok_offset") < budget).drop(
+        "seq_id", "seq_offset"
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     temperature: float = 2.0,
@@ -367,6 +398,18 @@ def pack_sequences_oracle_sql(
                CAST(tok_offset // {capacity} AS BIGINT) AS seq_id,
                CAST(tok_offset % {capacity} AS BIGINT) AS seq_offset
         FROM pre"""
+
+
+def token_budget_subset_oracle_sql(
+    budget: int, token_expr: str, seed: str = "budget"
+) -> str:
+    """Replay of :func:`token_budget_subset`: the pack prefix sum at
+    capacity=budget filtered to offsets below the budget."""
+    inner = pack_sequences_oracle_sql(budget, token_expr, seed)
+    return f"""
+        SELECT doc_id, n_tokens, tok_offset
+        FROM ({inner})
+        WHERE tok_offset < {budget}"""
 
 
 def temperature_sample_oracle_sql(

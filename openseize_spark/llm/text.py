@@ -88,6 +88,37 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     return docs.select(F.col(id_col), quality_expr(text_col).alias("quality"))
 
 
+def quality_prune(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 5,
+    by_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FineWeb-style quality pruning: keep the top ``keep_num/keep_den``
+    fraction of documents per group by composite quality score
+    (deterministic tie-break on the id).  The fraction is a RATIONAL so
+    the keep cut is pure integer arithmetic (rank*den <= count*num,
+    floor semantics) — a float ``ceil(frac*n)`` can flip at
+    representation error (0.2*435 = 87.000...01) and diverge between
+    engines.  One shuffle on the group key; the per-group rank window
+    never sees more than one group."""
+    if keep_num <= 0 or keep_den <= 0:
+        raise ValueError("keep_num and keep_den must be > 0")
+    scored = docs.select(
+        F.col(id_col), F.col(by_col), quality_expr(text_col).alias("quality")
+    )
+    w = Window.partitionBy(by_col).orderBy(F.desc("quality"), F.col(id_col))
+    wg = Window.partitionBy(by_col)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count("*").over(wg))
+        .filter(F.col("_rn") * keep_den <= F.col("_cnt") * keep_num)
+        .drop("_rn", "_cnt")
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword language heuristic over a fixed marker table.
 

@@ -251,6 +251,34 @@ class TestDecoderSeam:
             out.collect()
 
 
+class TestQualityPrune:
+    def test_keeps_rational_fraction_per_group(self, spark):
+        # 10 docs in one group, keep 3/10: exactly 3 survive and they are
+        # the top-quality ones (ties broken by doc_id)
+        rows = [
+            (i, "en", "word " * (20 + 40 * i) + "the and of to in is that")
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        kept = text.quality_prune(docs, keep_num=3, keep_den=10).collect()
+        assert len(kept) == 3
+        scores = {
+            r.doc_id: r.quality for r in text.quality_score(docs).collect()
+        }
+        cut = sorted(scores.values(), reverse=True)[2]
+        assert all(r.quality >= cut for r in kept)
+
+    def test_integer_cut_no_float_creep(self, spark):
+        # 435 docs at 1/5: exactly floor(435/5)=87 kept — the float path
+        # (ceil(0.2*435)=ceil(87.0000...1)=88) would keep one extra
+        docs = spark.createDataFrame(
+            [(i, "g", "text " * (i % 50 + 5)) for i in range(435)],
+            "doc_id long, lang string, text string",
+        )
+        kept = text.quality_prune(docs, keep_num=1, keep_den=5, by_col="lang")
+        assert kept.count() == 87
+
+
 class TestTextQuality:
     def test_repetition_stats_known(self, spark):
         df = spark.createDataFrame(

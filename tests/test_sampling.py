@@ -120,6 +120,29 @@ class TestShardAssign:
             sampling.shard_assign(_docs(spark, 10), 0)
 
 
+class TestTokenBudgetSubset:
+    def test_prefix_property_and_invariance(self, spark):
+        base = _docs(spark, 100).select(
+            "doc_id", (F.col("doc_id") % 13 + 1).alias("n_tokens")
+        )
+        budget = 150
+        a = sampling.token_budget_subset(base.repartition(1), budget).collect()
+        b = sampling.token_budget_subset(base.repartition(5), budget).collect()
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+        # every kept doc starts under the budget, and the kept set is a
+        # prefix of the shuffled order: max kept offset + its tokens
+        # covers the budget boundary
+        assert all(r.tok_offset < budget for r in a)
+        last = max(a, key=lambda r: r.tok_offset)
+        assert last.tok_offset + last.n_tokens >= budget or len(a) == 100
+
+    def test_rejects_nonpositive_budget(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            sampling.token_budget_subset(_docs(spark, 5), 0)
+
+
 class TestPackSequences:
     def test_dense_offsets_and_partition_invariance(self, spark):
         base = _docs(spark, 120).select(
