@@ -1903,6 +1903,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_budget_subset"] = q_token_budget_subset
 
+    def q_random_projection(spark, sf_dir):
+        """Sign-matrix random projection 64 -> 16 (llm/similarity.py
+        random_projection): literal-inlined portable sign matrix, pure
+        per-row codegen fold, serial-order sum replayed by the oracle.
+        Registered after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        return similarity.random_projection(emb, out_dim=16, dim=64)
+
+    q["random_projection"] = q_random_projection
+
     return _gate_order(q)
 
 
@@ -2823,6 +2833,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["corpus_shuffle"] = sampling.corpus_shuffle_oracle_sql(seed="shuf")
     o["shard_assign"] = sampling.shard_assign_oracle_sql(rows_per_shard=100)
+    o["random_projection"] = similarity.random_projection_oracle_sql(
+        out_dim=16, dim=64
+    )
 
     # quality_prune: rank per lang over the (bit-exact) quality CTE; the
     # rational keep cut (rn*den <= cnt*num) is pure integer arithmetic

@@ -158,6 +158,86 @@ def lsh_buckets(
     return emb.withColumn("bucket", bucket)
 
 
+def _rp_signs(out_dim: int, dim: int, seed: str) -> list[list[float]]:
+    """±1 sign matrix from a portable md5 parity — identical on any
+    engine/driver, no stored state."""
+    import hashlib
+
+    return [
+        [
+            float(
+                (int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16) % 2)
+                * 2
+                - 1
+            )
+            for d in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    dim: int,
+    seed: str = "rp",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic sign-matrix random projection (Achlioptas-style):
+    output component j is sum_d s(j,d) * v[d] / sqrt(out_dim) with
+    s(j,d) in {+1,-1} from a portable md5 parity, inlined as literal
+    arrays (like the LSH hyperplanes) so the plan is a pure per-row
+    codegen projection — no shuffle, no UDF, no stored matrix.  The
+    standard cheap dimensionality reduction in front of ANN/clustering
+    at corpus scale; distances are preserved within the usual JL
+    distortion.  The per-component sum is a serial index-order fold,
+    replayed exactly by the SQL oracle.
+
+    Returns (id, j, y) — one row per output component."""
+    signs = _rp_signs(out_dim, dim, seed)
+    scale = float(np.sqrt(out_dim))
+    v = F.col(vec_col).cast("array<double>")
+    comps = []
+    for j in range(out_dim):
+        s = F.array(*[F.lit(x) for x in signs[j]])
+        y = F.aggregate(
+            F.zip_with(v, s, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.lit(scale)
+        comps.append(F.struct(F.lit(j).cast("int").alias("j"), y.alias("y")))
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*comps)).alias("_c")
+    ).select(id_col, F.col("_c.j").alias("j"), F.col("_c.y").alias("y"))
+
+
+def random_projection_oracle_sql(
+    out_dim: int, dim: int, seed: str = "rp"
+) -> str:
+    """DuckDB replay: identical sign literals, identical 0.0-seeded
+    index-ascending fold (list_prepend mirrors Spark's aggregate init)."""
+    from openseize_spark.plans.oracles import dlit
+
+    signs = _rp_signs(out_dim, dim, seed)
+    rows = ", ".join(
+        "({}, [{}])".format(j, ", ".join(str(x) for x in signs[j]))
+        for j in range(out_dim)
+    )
+    scale = float(np.sqrt(out_dim))
+    return f"""
+        WITH sgn(j, s) AS (VALUES {rows}),
+        v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+        )
+        SELECT vec_id, CAST(sgn.j AS INTEGER) AS j,
+               list_reduce(
+                 list_prepend(0.0,
+                   [ev[i] * s[i] for i in generate_series(1, {dim})]),
+                 (a, b) -> a + b) / {dlit(scale)} AS y
+        FROM v, sgn"""
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -402,6 +402,50 @@ class TestConnectedComponents:
             dedup.connected_components(pairs, max_iter=1).collect()
 
 
+class TestRandomProjection:
+    def test_deterministic_and_shape(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        a = similarity.random_projection(emb, out_dim=4, dim=8).collect()
+        b = similarity.random_projection(emb, out_dim=4, dim=8).collect()
+        key = lambda rows: sorted((r.vec_id, r.j, r.y) for r in rows)
+        assert key(a) == key(b) and len(a) == 20 * 4
+        # replays the driver-side sign fold exactly
+        signs = similarity._rp_signs(4, 8, "rp")
+        want = {}
+        for i, v in vecs:
+            for j in range(4):
+                acc = 0.0
+                for d in range(8):
+                    acc = acc + signs[j][d] * v[d]
+                want[(i, j)] = acc / np.sqrt(4.0)
+        assert all(want[(r.vec_id, r.j)] == r.y for r in a)
+
+    def test_distance_preservation_rough(self, spark):
+        # JL sanity: squared-distance ratios stay within a loose band
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        vecs = [(i, [float(x) for x in rng.normal(size=64)]) for i in range(30)]
+        emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        out = similarity.random_projection(emb, out_dim=16, dim=64).collect()
+        proj = {}
+        for r in out:
+            proj.setdefault(r.vec_id, [0.0] * 16)[r.j] = r.y
+        orig = dict(vecs)
+        ratios = []
+        for i in range(0, 20, 2):
+            a, b = i, i + 1
+            d0 = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d1 = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            ratios.append(d1 / d0)
+        m = sum(ratios) / len(ratios)
+        assert 0.5 < m < 1.5  # unbiased up to JL distortion at k=16
+
+
 class TestKmeans:
     def test_separated_clusters(self, spark):
         import numpy as np
