@@ -89,6 +89,22 @@ def _signal_sliced(spark: SparkSession, sf_dir: str) -> SignalFrame:
     return sf.with_df(sf.df.filter(F.col("t") < IIR_SLICE))
 
 
+
+def _gate_tmp(spark, name: str) -> str:
+    """Session-scoped gate staging path.  The applicationId suffix keeps
+    concurrent local sessions (a bench run next to an oracle check on
+    one box) from clobbering each other's fixture files mid-write; it is
+    stable within a session, so repeated invocations of the same query
+    stay idempotent."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"os_gate_{name}_{spark.sparkContext.applicationId}",
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -1360,9 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from openseize_spark.sources import edf as edfmod
 
-        path = os.path.join(
-            tempfile.gettempdir(), "openseize_spark_gate_decode.edf"
-        )
+        path = _gate_tmp(spark, "decode") + ".edf"
         spr, nrec = _EDF_GATE_SPR, _EDF_GATE_NREC
         pmin, pmax = _EDF_GATE_PMIN, _EDF_GATE_PMAX
         hdr = edfmod.EdfHeader(
@@ -1412,9 +1426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file streaming sources need a directory; stage a symlink dir
         # pointing at this sf_dir's events file
         src = os.path.realpath(f"{sf_dir}/events.parquet")
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "os_spark_stream_" + os.path.basename(os.path.dirname(src)),
+        d = _gate_tmp(
+            spark, "stream_" + os.path.basename(os.path.dirname(src))
         )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
@@ -1481,9 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ts_type = dict(raw.dtypes)["ts"]
 
         src = os.path.realpath(f"{sf_dir}/events.parquet")
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "os_spark_stream_" + os.path.basename(os.path.dirname(src)),
+        d = _gate_tmp(
+            spark, "stream_" + os.path.basename(os.path.dirname(src))
         )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
@@ -1580,7 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from openseize_spark.sources import edf as edfmod
 
-        outdir = os.path.join(tempfile.gettempdir(), "openseize_spark_gate_rt")
+        outdir = _gate_tmp(spark, "rt")
         os.makedirs(outdir, exist_ok=True)
         base = os.path.join(outdir, "base.edf")
         spr, nrec = _EDF_GATE_SPR, _EDF_GATE_NREC
@@ -1645,10 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = _signal_sliced(spark, sf_dir).df.select(
             "recording_id", "channel", "t", "v"
         )
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "os_spark_stream_sosfilt_"
-            + os.path.basename(os.path.normpath(sf_dir)),
+        d = _gate_tmp(
+            spark, "sosfilt_" + os.path.basename(os.path.normpath(sf_dir))
         )
         shutil.rmtree(d, ignore_errors=True)
         cuts = (0, 700, 1500, IIR_SLICE)
@@ -1711,9 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         from openseize_spark.sources import annotations as ann
 
-        path = os.path.join(
-            tempfile.gettempdir(), "openseize_spark_gate_pinnacle.csv"
-        )
+        path = _gate_tmp(spark, "pinnacle") + ".csv"
         ann.write_pinnacle_fixture(path, _ANN_GATE_FIXTURE)
         a = ann.read_pinnacle(
             spark, path, labels=["seizure", "artifact"], recording_id="r0"
@@ -1742,9 +1750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sig = rel.slice_time(_signal(spark, sf_dir), start=0, stop=2000).df.select(
             "recording_id", "channel", "t", "v"
         )
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "os_spark_stream_pol_" + os.path.basename(os.path.normpath(sf_dir)),
+        d = _gate_tmp(
+            spark, "pol_" + os.path.basename(os.path.normpath(sf_dir))
         )
         shutil.rmtree(d, ignore_errors=True)
         sig.write.parquet(d)
@@ -1820,9 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "ts"
             ),
         )
-        d = os.path.join(
-            tempfile.gettempdir(),
-            "os_spark_stream_dedup_" + os.path.basename(os.path.normpath(sf_dir)),
+        d = _gate_tmp(
+            spark, "dedup_" + os.path.basename(os.path.normpath(sf_dir))
         )
         shutil.rmtree(d, ignore_errors=True)
         staged.write.parquet(d)
