@@ -1060,7 +1060,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
         cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
         dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
-        cc = dedup.connected_components(dup.select("a", "b"))
+        # LSH pairs are structurally a < b: skip the self-pair pass
+        cc = dedup.connected_components(
+            dup.select("a", "b"), include_self_pairs=False
+        )
         return cc.select(F.col("id").alias("doc_id"), "component")
 
     q["dedup_clusters"] = q_dedup_clusters

@@ -367,6 +367,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    include_self_pairs: bool = True,
 ) -> DataFrame:
     """Exact connected components of the undirected graph given as
     (a, b) pairs: (id, component) for every node appearing in a pair
@@ -376,6 +377,10 @@ def connected_components(
     point within ``max_iter`` rounds — the star-extraction step below is
     only valid at the fixed point, so a truncated run would silently
     emit multiple labels per node.
+
+    ``include_self_pairs=False`` skips the singleton-labeling pass (one
+    extra read of ``pairs``) — pass it when the pair source structurally
+    guarantees a < b (LSH banding, jaccard_verify output).
 
     Alternating large-star / small-star contraction (Kiveris et al.,
     "Connected Components in MapReduce and Beyond"): each round rewires
@@ -468,6 +473,8 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
     )
     labeled = down.union(centers)
+    if not include_self_pairs:
+        return labeled.select("id", F.col("comp").alias("component"))
     # nodes that only ever appear as self-pairs (a == b) never enter the
     # canonical edge set; label them as their own singleton components so
     # the contract above holds for every node appearing in a pair.  This
