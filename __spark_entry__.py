@@ -1922,6 +1922,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["random_projection"] = q_random_projection
 
+    def q_chunk_dedup(spark, sf_dir):
+        """CCNet-style cross-document span dedup (llm/dedup.py
+        chunk_dedup): tumbling 10-word chunks, chunks appearing in >1
+        distinct documents dropped corpus-wide, documents reassembled
+        from survivors in order.  Registered after the round-5 window;
+        round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.chunk_dedup(docs, chunk_words=10, max_docs=1)
+
+    q["chunk_dedup"] = q_chunk_dedup
+
+    def q_unigram_logprob(spark, sf_dir):
+        """CCNet-style perplexity-proxy quality score (llm/text.py
+        unigram_logprob): corpus-derived unigram LM, per-doc mean
+        negative logprob, per-word logprob quantized to 9 decimals on
+        both engines before the weighted sum.  Registered after the
+        round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.unigram_logprob(docs)
+
+    q["unigram_logprob"] = q_unigram_logprob
+
+    def q_semantic_dedup(spark, sf_dir):
+        """SemDeDup-style semantic dedup (llm/similarity.py
+        semantic_dedup): nearest-centroid cells (centroids = corpus
+        vec_ids 3..10, same fixture as ivf_topk), then inside each cell
+        drop every vector cosine-dominated (>= 0.2) by a lower id.
+        Registered after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        centroids = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 11)).select(
+            (F.col("vec_id") - 3).cast("int").alias("cell_id"),
+            F.col("embedding").alias("cvec"),
+        )
+        return similarity.semantic_dedup(emb, centroids, threshold=0.2)
+
+    q["semantic_dedup"] = q_semantic_dedup
+
     return _gate_order(q)
 
 
@@ -2845,6 +2882,41 @@ def oracle_sql() -> dict[str, str]:
     o["random_projection"] = similarity.random_projection_oracle_sql(
         out_dim=16, dim=64
     )
+
+    o["chunk_dedup"] = dedup.chunk_dedup_oracle_sql(chunk_words=10, max_docs=1)
+
+    o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
+
+    # semantic_dedup: same centroid fixture as ivf_topk (corpus vec_ids
+    # 3..10), identical expanded-L2 argmin assignment, then NOT EXISTS
+    # over the within-cell dominating-pair predicate.
+    o["semantic_dedup"] = """
+        WITH cent AS (
+          SELECT CAST(vec_id - 3 AS INT) AS cell_id,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 3 AND vec_id < 11
+        ), corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), assigned AS (
+          SELECT vec_id, cell_id, v FROM (
+            SELECT c.vec_id, ct.cell_id, c.v,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.v, c.v)
+                              - 2 * list_dot_product(c.v, ct.cv)
+                              + list_dot_product(ct.cv, ct.cv),
+                              ct.cell_id
+                   ) AS rk
+            FROM corpus c CROSS JOIN cent ct
+          ) WHERE rk = 1
+        )
+        SELECT b.vec_id, b.cell_id
+        FROM assigned b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM assigned a
+          WHERE a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.v, b.v) >= 0.2
+        )"""
 
     # quality_prune: rank per lang over the (bit-exact) quality CTE; the
     # rational keep cut (rn*den <= cnt*num) is pure integer arithmetic

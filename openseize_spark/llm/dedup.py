@@ -129,6 +129,128 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_words: int = 10,
+    max_docs: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-document span deduplication: split every
+    document into tumbling ``chunk_words``-word chunks of the normalized
+    text, drop every chunk whose fingerprint occurs in more than
+    ``max_docs`` distinct documents (boilerplate — headers, footers,
+    license blocks, navigation text), and reassemble each document from
+    its surviving chunks in order.
+
+    CCNet does this at paragraph grain over Common Crawl; the corpus
+    here carries no line structure, so fixed word windows stand in for
+    paragraphs — the operator shape (fingerprint -> corpus-wide count ->
+    filter -> reassemble) is identical.
+
+    Scale shape: chunks are per-row arrays (no explode until the count),
+    the frequency table aggregates on a 16-byte md5 with map-side
+    partial combine, the chunk->frequency match is an equi-join on that
+    hash, and the reassembly groups by the id — three shuffles total,
+    each on a short uniform key.  Documents whose every chunk is
+    boilerplate drop out (CCNet drops empty documents too).
+
+    Returns (id, text_deduped, n_kept, n_chunks).
+    """
+    if chunk_words <= 0:
+        raise ValueError("chunk_words must be > 0")
+    norm = normalize_text(F.col(text_col))
+    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+    nw = F.size(words)
+    # tumbling windows: chunk i covers words [i*c+1, i*c+c], 0-indexed count
+    nchunks = F.ceil(nw / F.lit(float(chunk_words))).cast("int")
+    idx = F.when(nw > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * chunk_words + 1, chunk_words)
+        ),
+    )
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(chunks).alias("_i", "_chunk"),
+        )
+        .withColumn("_fp", F.md5(F.col("_chunk")))
+    )
+    freq = exploded.groupBy("_fp").agg(
+        F.count_distinct("_id").alias("_ndocs")
+    )
+    kept = exploded.join(freq, on="_fp").filter(F.col("_ndocs") <= max_docs)
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "_chunk"))),
+                    lambda s: s["_chunk"],
+                ),
+            ).alias("text_deduped"),
+            F.count("*").cast("bigint").alias("n_kept"),
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("_id"),
+                F.coalesce(nchunks.cast("bigint"), F.lit(0)).alias("n_chunks"),
+            ),
+            on="_id",
+        )
+        .select(
+            F.col("_id").alias(id_col), "text_deduped", "n_kept", "n_chunks"
+        )
+    )
+
+
+def chunk_dedup_oracle_sql(
+    chunk_words: int = 10, max_docs: int = 1
+) -> str:
+    """DuckDB SQL equal to chunk_dedup: same normalization, tumbling
+    windows, md5 chunk fingerprints, distinct-doc counts, and ordered
+    reassembly."""
+    c = chunk_words
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), sized AS (
+          SELECT doc_id, wl,
+                 CASE WHEN len(wl) = 1 AND wl[1] = '' THEN 0
+                      ELSE CAST(ceil(len(wl) / {float(c)}) AS INT) END AS nchunks
+          FROM w
+        ), chunks AS (
+          SELECT doc_id, nchunks, u.i AS idx,
+                 array_to_string(wl[(u.i * {c} + 1):(u.i * {c} + {c})], ' ')
+                   AS chunk
+          FROM sized, unnest(generate_series(0, nchunks - 1)) AS u(i)
+          WHERE nchunks > 0
+        ), fp AS (
+          SELECT doc_id, nchunks, idx, chunk, md5(chunk) AS h FROM chunks
+        ), freq AS (
+          SELECT h, count(DISTINCT doc_id) AS ndocs FROM fp GROUP BY h
+        ), kept AS (
+          SELECT fp.* FROM fp JOIN freq USING (h) WHERE ndocs <= {max_docs}
+        )
+        SELECT doc_id,
+               string_agg(chunk, ' ' ORDER BY idx) AS text_deduped,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(any_value(nchunks) AS BIGINT) AS n_chunks
+        FROM kept GROUP BY doc_id"""
+
+
 def _shingle_expr(text_norm, k: int):
     n = F.length(text_norm)
     return F.array_distinct(

@@ -387,6 +387,60 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): assign
+    every vector to its nearest centroid (the coarse k-means step), then
+    inside each cell drop any vector whose cosine to a LOWER-id cell-mate
+    is >= ``threshold`` — keeping exactly one representative (the
+    smallest id) per semantic near-duplicate group.
+
+    Scale shape: assignment is the broadcast-centroid argmin projection
+    (see :func:`ivf_assign` — no shuffle beyond the scan); the pair
+    search is an equi-join on cell_id, so the quadratic term is bounded
+    by the largest cell, never the corpus.  The survivor filter is a
+    LEFT ANTI join on the dominated ids — at 100 TB both shuffles key on
+    (cell_id) / (id), no skew beyond cluster imbalance, which the
+    centroid count controls.
+
+    Returns the surviving (id, cell_id) rows.
+    """
+    assigned = ivf_assign(emb, centroids, vec_col, id_col).select(
+        "cell_id", F.col(id_col), "_v"
+    ).withColumn("_n", _norm(F.col("_v")))
+    a = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dominated = (
+        a.join(b, on="cell_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, on=id_col, how="left_anti").select(
+        id_col, "cell_id"
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

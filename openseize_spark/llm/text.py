@@ -260,6 +260,102 @@ def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score from a corpus-derived
+    unigram language model: score(doc) = -(1/n) * sum_w log p(w), where
+    p(w) = corpus_count(w) / corpus_tokens.  Documents full of common
+    words score low (fluent), rare-token soup scores high — the cheap
+    stand-in for the KenLM perplexity bucket CCNet uses to split corpora
+    into head/middle/tail quality tiers.
+
+    Scale shape: doc-word counts aggregate first (bounded by per-doc
+    vocabulary, far below token count), the corpus unigram table
+    aggregates from those partials on the word key, the one-row token
+    total rides a broadcast cross join, and the score join keys on the
+    word — every shuffle is a partial-aggregated short-key exchange; no
+    UDFs, no driver collects.
+
+    Both engines compute ln() through their own libm, so the per-word
+    logprob is quantized to an INTEGER number of 10^-round_digits units
+    before the weighted sum — the sum is then exact int64 arithmetic
+    (associativity-free, like pack_sequences' prefix sums), and only
+    the final division re-enters floats, identically on both engines.
+    A per-word float round() is NOT enough: round(x, 9) is not a binary
+    multiple of 1e-9, so a hundred-term float sum still diverges at
+    1e-10 and the final rounding straddles.
+
+    Returns (id, n_tokens, score).
+    """
+    scale = float(10**round_digits)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    doc_words = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("_w"))
+        .groupBy("_id", "_w")
+        .agg(F.count("*").alias("_k"))
+    )
+    vocab = doc_words.groupBy("_w").agg(F.sum("_k").alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_tot"))
+    lp_units = F.round(
+        F.log(F.col("_cnt").cast("double") / F.col("_tot").cast("double"))
+        * scale,
+        0,
+    ).cast("bigint")
+    scored = (
+        doc_words.join(vocab, on="_w")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_lp9", lp_units)
+        .groupBy("_id")
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("_k") * F.col("_lp9")).cast("double")
+                / (F.lit(scale) * F.sum("_k")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_tokens", "score")
+
+
+def unigram_logprob_oracle_sql(round_digits: int = 9) -> str:
+    """DuckDB SQL equal to unigram_logprob: identical normalization,
+    tokenization, integer logprob quantization, and final rounding."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS w
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, w, count(*) AS k FROM toks GROUP BY doc_id, w
+        ), vocab AS (
+          SELECT w, sum(k) AS cnt FROM dw GROUP BY w
+        ), tot AS (SELECT sum(cnt) AS t FROM vocab)
+        SELECT dw.doc_id,
+               CAST(sum(dw.k) AS BIGINT) AS n_tokens,
+               round(
+                 -CAST(sum(dw.k * CAST(round(
+                     ln(CAST(vocab.cnt AS DOUBLE) / CAST(tot.t AS DOUBLE))
+                     * {scale}) AS BIGINT)) AS DOUBLE)
+                   / ({scale} * sum(dw.k)),
+                 {round_digits}) AS score
+        FROM dw JOIN vocab USING (w) CROSS JOIN tot
+        GROUP BY dw.doc_id"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text (exact-dedup
     key; engine-portable since md5 is standardized)."""

@@ -577,3 +577,112 @@ class TestDecontaminate:
             ).collect()
         )
         assert a == b and len(a) == 24  # %5 in {1,2,4} -> 3 of 5 classes
+
+
+class TestChunkDedup:
+    def test_boilerplate_chunk_removed(self, spark):
+        # a shared 3-word chunk across two docs is boilerplate; unique
+        # chunks survive and reassemble in order
+        df = spark.createDataFrame(
+            [
+                (1, "common header text alpha beta gamma"),
+                (2, "common header text delta epsilon zeta"),
+                (3, "entirely unique document body here now"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup.chunk_dedup(df, chunk_words=3, max_docs=1).collect()
+        }
+        assert out[1].text_deduped == "alpha beta gamma"
+        assert out[2].text_deduped == "delta epsilon zeta"
+        assert out[1].n_kept == 1 and out[1].n_chunks == 2
+        # doc 3: both chunks unique (6 words -> 2 chunks)
+        assert out[3].n_kept == 2 and out[3].n_chunks == 2
+        assert out[3].text_deduped == "entirely unique document body here now"
+
+    def test_fully_boilerplate_doc_drops(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same text here"), (2, "same text here"), (3, "other words")],
+            "doc_id long, text string",
+        )
+        out = dedup.chunk_dedup(df, chunk_words=3, max_docs=1)
+        ids = sorted(r.doc_id for r in out.collect())
+        assert ids == [3]
+
+    def test_ragged_tail_chunk(self, spark):
+        # 5 words with chunk_words=3 -> chunks of 3 and 2 words
+        df = spark.createDataFrame(
+            [(1, "one two three four five")], "doc_id long, text string"
+        )
+        r = dedup.chunk_dedup(df, chunk_words=3, max_docs=1).collect()[0]
+        assert r.n_chunks == 2 and r.n_kept == 2
+        assert r.text_deduped == "one two three four five"
+
+    def test_max_docs_threshold(self, spark):
+        df = spark.createDataFrame(
+            [(i, "shared chunk words") for i in range(3)],
+            "doc_id long, text string",
+        )
+        # allow up to 3 docs -> nothing removed
+        out = dedup.chunk_dedup(df, chunk_words=3, max_docs=3)
+        assert out.count() == 3
+
+
+class TestUnigramLogprob:
+    def test_matches_python_lm(self, spark):
+        rows = [(1, "a a b"), (2, "a b c"), (3, "c c c c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.unigram_logprob(df).collect()}
+        import math
+
+        counts = {"a": 3, "b": 2, "c": 5}
+        tot = 10
+        for doc_id, t in rows:
+            ws = t.split()
+            exp = -sum(
+                round(math.log(counts[w] / tot) * 1e9) for w in ws
+            ) / (1e9 * len(ws))
+            assert abs(got[doc_id].score - round(exp, 9)) < 1e-12
+            assert got[doc_id].n_tokens == len(ws)
+
+    def test_common_words_score_lower(self, spark):
+        rows = [(i, "the the the the") for i in range(9)] + [(99, "zyzzyx")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in text.unigram_logprob(df).collect()}
+        assert got[0] < got[99]  # fluent (frequent) < rare-token soup
+
+
+class TestSemanticDedup:
+    def test_near_dup_in_cell_dropped(self, spark):
+        # two tight groups around orthogonal axes; centroids = one per axis
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0, 0.0, 0.0]),
+                (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+                (2, [0.0, 0.0, 1.0, 0.0]),
+                (3, [0.0, 0.01, 0.999, 0.0]),   # near-dup of 2
+                (4, [0.0, 0.0, -1.0, 0.0]),     # same cell as nothing close
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0]),
+             (2, [0.0, 0.0, -1.0, 0.0])],
+            "cell_id int, cvec array<double>",
+        )
+        out = similarity.semantic_dedup(emb, cents, threshold=0.95)
+        kept = sorted((r.vec_id, r.cell_id) for r in out.collect())
+        assert kept == [(0, 0), (2, 1), (4, 2)]
+
+    def test_threshold_one_keeps_all_distinct(self, spark):
+        emb = spark.createDataFrame(
+            [(i, [float(i + 1), 1.0]) for i in range(4)],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(0, [1.0, 1.0])], "cell_id int, cvec array<double>"
+        )
+        out = similarity.semantic_dedup(emb, cents, threshold=1.1)
+        assert out.count() == 4
