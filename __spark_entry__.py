@@ -1936,9 +1936,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_unigram_logprob(spark, sf_dir):
         """CCNet-style perplexity-proxy quality score (llm/text.py
         unigram_logprob): corpus-derived unigram LM, per-doc mean
-        negative logprob, per-word logprob quantized to 9 decimals on
-        both engines before the weighted sum.  Registered after the
-        round-5 window; round-6 window material."""
+        negative logprob, per-word logprob quantized to integer 1e-9
+        units on both engines so the weighted sum is exact int64.
+        Registered after the round-5 window; round-6 window material."""
         docs = _t(spark, sf_dir, "documents")
         return llm_text.unigram_logprob(docs)
 
@@ -1958,6 +1958,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.semantic_dedup(emb, centroids, threshold=0.2)
 
     q["semantic_dedup"] = q_semantic_dedup
+
+    def _pq_codebooks(emb):
+        # codebooks = subvectors of corpus vec_ids 3..10 (same fixture
+        # family as ivf_topk's centroids): 4 subspaces x 16 dims, 8 codes
+        subs = F.array(*[
+            F.struct(
+                F.lit(m).cast("int").alias("sub_id"),
+                F.slice(
+                    F.col("embedding").cast("array<double>"), m * 16 + 1, 16
+                ).alias("cvec"),
+            )
+            for m in range(4)
+        ])
+        return (
+            emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 11))
+            .select(
+                (F.col("vec_id") - 3).cast("int").alias("code"),
+                F.explode(subs).alias("_s"),
+            )
+            .select("_s.sub_id", "code", "_s.cvec")
+        )
+
+    def q_pq_encode(spark, sf_dir):
+        """Product-quantization encoding (llm/similarity.py pq_encode):
+        dim-64 corpus split into 4x16-dim subspaces, each subvector
+        replaced by its nearest of 8 sub-codewords — the compact-code
+        representation that makes a 100 TB ANN index fit in memory.
+        Registered after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        return similarity.pq_encode(
+            corpus, _pq_codebooks(emb), n_sub=4, sub_dim=16
+        )
+
+    q["pq_encode"] = q_pq_encode
+
+    def q_pq_adc_topk(spark, sf_dir):
+        """Asymmetric-distance top-k over PQ codes (llm/similarity.py
+        pq_adc_topk): per-query (sub_id, code) lookup table quantized to
+        integer 1e-9 units so the 4-way distance sum is exact int64.
+        Registered after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return similarity.pq_adc_topk(
+            corpus, queries_df, _pq_codebooks(emb), n_sub=4, sub_dim=16, k=5
+        )
+
+    q["pq_adc_topk"] = q_pq_adc_topk
 
     return _gate_order(q)
 
@@ -2884,6 +2935,10 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["chunk_dedup"] = dedup.chunk_dedup_oracle_sql(chunk_words=10, max_docs=1)
+
+    o["pq_encode"] = similarity.pq_encode_oracle_sql(n_sub=4, sub_dim=16)
+
+    o["pq_adc_topk"] = similarity.pq_adc_topk_oracle_sql(n_sub=4, sub_dim=16, k=5)
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
 

@@ -441,6 +441,220 @@ def semantic_dedup(
     )
 
 
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., PQ for ANN): split
+    each vector into ``n_sub`` contiguous ``sub_dim``-wide subvectors
+    and replace each with the id of its nearest sub-codeword.  A
+    dim-1536 float corpus compresses to ``n_sub`` small ints per vector
+    — at 100 TB this is the difference between an index that fits in
+    cluster memory and one that doesn't.
+
+    ``codebooks`` is (sub_id, code, cvec: array<double>) — k codewords
+    per subspace, tiny, broadcast.  Distances use the expanded
+    d2 = <v,v> - 2<v,c> + <c,c> form so the SQL oracle accumulates in
+    the same order; ties break on the lower code.
+
+    Scale shape: one explode to (vector, subspace) rows (n_sub-fold,
+    bounded), a broadcast equi-join on sub_id, a per-(id, sub_id) argmin
+    window — no corpus-wide shuffle other than the window's hash
+    exchange on the (id, sub_id) key space.
+
+    Returns (id, sub_id, code).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[
+        F.struct(
+            F.lit(m).cast("int").alias("sub_id"),
+            F.slice(v, m * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        for m in range(n_sub)
+    ])
+    e = emb.select(F.col(id_col), F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.sub_id").alias("sub_id"), F.col("_s.sv").alias("_sv")
+    )
+    c = codebooks.select(
+        "sub_id", "code", F.col("cvec").cast("array<double>").alias("_c")
+    )
+    j = e.join(F.broadcast(c), on="sub_id").withColumn(
+        "_d2",
+        _dot(F.col("_sv"), F.col("_sv"))
+        - 2 * _dot(F.col("_sv"), F.col("_c"))
+        + _dot(F.col("_c"), F.col("_c")),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy("_d2", "code")
+    return (
+        j.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col, "sub_id", "code")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    represented only by its codes; each query precomputes a
+    (sub_id, code) -> partial-d2 lookup table against the codebooks,
+    and a candidate's approximate distance is the sum of n_sub table
+    entries.  The classic memory/recall trade of IVF-PQ indexes, here
+    as pure DataFrame ops.
+
+    Scale shape: codes are (corpus × n_sub) narrow rows; the lookup
+    table is (queries × n_sub × k) — broadcast; the join keys on
+    (sub_id, code) so the per-row work is a hash probe, and the
+    per-(q, vec) distance is one groupBy sum over exactly n_sub rows.
+    Returns (q_id, vec_id, approx_d2, rank).
+    """
+    codes = pq_encode(emb, codebooks, n_sub, sub_dim, vec_col, id_col)
+    qv = F.col(q_vec_col).cast("array<double>")
+    qsubs = F.array(*[
+        F.struct(
+            F.lit(m).cast("int").alias("sub_id"),
+            F.slice(qv, m * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        for m in range(n_sub)
+    ])
+    qe = queries.select(F.col(q_id_col), F.explode(qsubs).alias("_s")).select(
+        q_id_col, F.col("_s.sub_id").alias("sub_id"), F.col("_s.sv").alias("_qsv")
+    )
+    c = codebooks.select(
+        "sub_id", "code", F.col("cvec").cast("array<double>").alias("_c")
+    )
+    # partial distances quantized to integer 1e-9 units so the n_sub-way
+    # sum is exact int64 — float summation order cannot reorder ranks
+    lut = qe.join(F.broadcast(c), on="sub_id").select(
+        q_id_col,
+        "sub_id",
+        "code",
+        F.round(
+            (
+                _dot(F.col("_qsv"), F.col("_qsv"))
+                - 2 * _dot(F.col("_qsv"), F.col("_c"))
+                + _dot(F.col("_c"), F.col("_c"))
+            )
+            * 1e9,
+            0,
+        )
+        .cast("bigint")
+        .alias("_pd2u"),
+    )
+    j = codes.join(F.broadcast(lut), on=["sub_id", "code"])
+    d = j.groupBy(q_id_col, id_col).agg(
+        (F.sum("_pd2u").cast("double") / F.lit(1e9)).alias("approx_d2"),
+        F.count("*").alias("_nparts"),
+    )
+    # a row with fewer than n_sub parts would mean a missing LUT entry
+    w = Window.partitionBy(q_id_col).orderBy("approx_d2", F.col(id_col))
+    return (
+        d.filter(F.col("_nparts") == n_sub)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "approx_d2", "rank")
+    )
+
+
+def _sql_sdot(a: str, b: str, dim: int) -> str:
+    """DuckDB serial-fold dot product, bit-identical to Spark's
+    aggregate(zip_with(...), 0.0, acc + x): 0.0-seeded left fold in
+    index order (cf. random_projection_oracle_sql)."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"[{a}[i] * {b}[i] for i in generate_series(1, {dim})]), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _pq_ctes(n_sub: int, sub_dim: int) -> str:
+    """Shared CTE chain: corpus subvectors, codebooks from corpus
+    vec_ids 3..10, and the per-(vector, subspace) nearest-code
+    assignment — d2 in the same expanded serial-fold form as Spark."""
+    subs = ", ".join(str(m) for m in range(n_sub))
+    d2 = (
+        _sql_sdot("s.sv", "s.sv", sub_dim)
+        + " - 2 * " + _sql_sdot("s.sv", "cb.cv", sub_dim)
+        + " + " + _sql_sdot("cb.cv", "cb.cv", sub_dim)
+    )
+    return f"""
+        WITH corpus AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), sub AS (
+          SELECT vec_id, CAST(m.m AS INT) AS sub_id,
+                 v[(m.m * {sub_dim} + 1):(m.m * {sub_dim} + {sub_dim})] AS sv
+          FROM corpus, unnest([{subs}]) AS m(m)
+          WHERE vec_id >= 3
+        ), cb AS (
+          SELECT sub_id, CAST(vec_id - 3 AS INT) AS code, sv AS cv
+          FROM sub WHERE vec_id >= 3 AND vec_id < 11
+        ), enc AS (
+          SELECT vec_id, sub_id, code FROM (
+            SELECT s.vec_id, s.sub_id, cb.code,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.sub_id
+                     ORDER BY {d2}, cb.code
+                   ) AS rk
+            FROM sub s JOIN cb USING (sub_id)
+          ) WHERE rk = 1
+        )"""
+
+
+def pq_encode_oracle_sql(n_sub: int, sub_dim: int) -> str:
+    """DuckDB SQL equal to the pq_encode gate query (codebooks = corpus
+    vec_ids 3..10, corpus = vec_id >= 3)."""
+    return _pq_ctes(n_sub, sub_dim) + "\n        SELECT vec_id, sub_id, code FROM enc"
+
+
+def pq_adc_topk_oracle_sql(n_sub: int, sub_dim: int, k: int) -> str:
+    """DuckDB SQL equal to the pq_adc_topk gate query: LUT partial
+    distances quantized to integer 1e-9 units, exact int64 sum, rank
+    over the deterministic approx distance."""
+    subs = ", ".join(str(m) for m in range(n_sub))
+    qd2 = (
+        _sql_sdot("q.sv", "q.sv", sub_dim)
+        + " - 2 * " + _sql_sdot("q.sv", "cb.cv", sub_dim)
+        + " + " + _sql_sdot("cb.cv", "cb.cv", sub_dim)
+    )
+    return _pq_ctes(n_sub, sub_dim) + f""", qsub AS (
+          SELECT vec_id AS q_id, CAST(m.m AS INT) AS sub_id,
+                 v[(m.m * {sub_dim} + 1):(m.m * {sub_dim} + {sub_dim})] AS sv
+          FROM corpus, unnest([{subs}]) AS m(m)
+          WHERE vec_id < 3
+        ), lut AS (
+          SELECT q.q_id, q.sub_id, cb.code,
+                 CAST(round(({qd2}) * 1e9) AS BIGINT) AS pd2u
+          FROM qsub q JOIN cb USING (sub_id)
+        ), d AS (
+          SELECT lut.q_id, enc.vec_id,
+                 CAST(CAST(sum(lut.pd2u) AS BIGINT) AS DOUBLE) / 1e9
+                   AS approx_d2
+          FROM enc JOIN lut ON enc.sub_id = lut.sub_id
+                           AND enc.code = lut.code
+          GROUP BY lut.q_id, enc.vec_id
+          HAVING count(*) = {n_sub}
+        )
+        SELECT q_id, vec_id, approx_d2,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY approx_d2, vec_id
+               ) AS BIGINT) AS rank
+        FROM d
+        QUALIFY rank <= {k}"""
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int = 8,

@@ -686,3 +686,86 @@ class TestSemanticDedup:
         )
         out = similarity.semantic_dedup(emb, cents, threshold=1.1)
         assert out.count() == 4
+
+
+class TestProductQuantization:
+    @pytest.fixture()
+    def pq_fixture(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(0, 1, (20, 8))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        # codebooks: 2 subspaces x 4 dims, 4 codewords each from rows 0-3
+        cb_rows = []
+        for code in range(4):
+            for m in range(2):
+                cb_rows.append((m, code, [float(x) for x in vecs[code, m * 4:(m + 1) * 4]]))
+        cb = spark.createDataFrame(
+            cb_rows, "sub_id int, code int, cvec array<double>"
+        )
+        return emb, cb, vecs
+
+    def test_encode_matches_numpy_argmin(self, spark, pq_fixture):
+        import numpy as np
+
+        emb, cb, vecs = pq_fixture
+        got = {
+            (r.vec_id, r.sub_id): r.code
+            for r in similarity.pq_encode(emb, cb, n_sub=2, sub_dim=4).collect()
+        }
+        for i in range(20):
+            for m in range(2):
+                sv = vecs[i, m * 4:(m + 1) * 4]
+                cws = vecs[:4, m * 4:(m + 1) * 4]
+                exp = int(np.argmin(((cws - sv) ** 2).sum(axis=1)))
+                assert got[(i, m)] == exp, (i, m)
+
+    def test_codeword_vectors_encode_to_themselves(self, spark, pq_fixture):
+        emb, cb, _ = pq_fixture
+        got = {
+            (r.vec_id, r.sub_id): r.code
+            for r in similarity.pq_encode(
+                emb.filter(F.col("vec_id") < 4), cb, n_sub=2, sub_dim=4
+            ).collect()
+        }
+        for i in range(4):
+            for m in range(2):
+                assert got[(i, m)] == i
+
+    def test_adc_topk_matches_numpy_adc(self, spark, pq_fixture):
+        import numpy as np
+
+        emb, cb, vecs = pq_fixture
+        queries = spark.createDataFrame(
+            [(100, [float(x) for x in vecs[7] + 0.01])],
+            "q_id long, q_vec array<double>",
+        )
+        out = similarity.pq_adc_topk(
+            emb, queries, cb, n_sub=2, sub_dim=4, k=3
+        ).collect()
+        assert len(out) == 3 and all(r.q_id == 100 for r in out)
+        # numpy replay: encode corpus, LUT-quantized distance, top-3
+        q = vecs[7] + 0.01
+        codes = np.zeros((20, 2), dtype=int)
+        for i in range(20):
+            for m in range(2):
+                sv = vecs[i, m * 4:(m + 1) * 4]
+                cws = vecs[:4, m * 4:(m + 1) * 4]
+                codes[i, m] = int(np.argmin(((cws - sv) ** 2).sum(axis=1)))
+        lut = np.zeros((2, 4), dtype=np.int64)
+        for m in range(2):
+            qs = q[m * 4:(m + 1) * 4]
+            for code in range(4):
+                cw = vecs[code, m * 4:(m + 1) * 4]
+                d2 = qs @ qs - 2 * (qs @ cw) + cw @ cw
+                lut[m, code] = round(d2 * 1e9)
+        d = np.array([lut[0, codes[i, 0]] + lut[1, codes[i, 1]] for i in range(20)])
+        order = np.lexsort((np.arange(20), d))[:3]
+        got_ids = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+        assert got_ids == [int(i) for i in order]
+        for r in out:
+            assert abs(r.approx_d2 - d[r.vec_id] / 1e9) < 1e-12
