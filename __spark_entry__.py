@@ -2010,6 +2010,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_adc_topk"] = q_pq_adc_topk
 
+    def q_mixture_sample(spark, sf_dir):
+        """Training-mixture realization (llm/sampling.py mixture_sample):
+        down-sample the 20 sources to integer target weights 1..4 with
+        the limiting source kept whole; membership is the salted-hash
+        cut in exact DECIMAL/HUGEINT arithmetic.  Registered after the
+        round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        weights = {f"src{i}": 1 + i % 4 for i in range(20)}
+        return sampling.mixture_sample(docs, weights).select(
+            "doc_id", "source", "keep_rate"
+        )
+
+    q["mixture_sample"] = q_mixture_sample
+
     return _gate_order(q)
 
 
@@ -2939,6 +2953,10 @@ def oracle_sql() -> dict[str, str]:
     o["pq_encode"] = similarity.pq_encode_oracle_sql(n_sub=4, sub_dim=16)
 
     o["pq_adc_topk"] = similarity.pq_adc_topk_oracle_sql(n_sub=4, sub_dim=16, k=5)
+
+    o["mixture_sample"] = sampling.mixture_sample_oracle_sql(
+        weights={f"src{i}": 1 + i % 4 for i in range(20)}
+    )
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
 

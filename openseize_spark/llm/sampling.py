@@ -84,6 +84,108 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Data-mixture realization: down-sample each group so the kept
+    corpus matches integer target ``weights`` (kept_g ∝ w_g in
+    expectation) while using as much data as possible — the per-source
+    blending step of a training-data recipe (e.g. "web 70 / code 20 /
+    books 10").  Groups absent from ``weights`` are dropped.
+
+    The limiting group m minimizes n_g / w_g (it is kept whole); every
+    other group keeps the rational fraction (w_g * n_m) / (w_m * n_g).
+    Membership is the salted-hash cut evaluated in EXACT integer
+    arithmetic — keep iff h * w_m * n_g < w_g * n_m * 2^32, computed in
+    DECIMAL(38,0) (HUGEINT in the oracle) so no float rounding can flip
+    a row at any corpus size.  The argmin ratio n_g/w_g is a single
+    IEEE division (bit-identical across engines), tie-broken on the
+    group name.
+
+    Scale shape: one count aggregate over the group key (tiny result),
+    a broadcast one-row limiting-group table, and a broadcast rate-table
+    join — the corpus itself never shuffles; the filter is a codegen
+    projection.  Adds ``keep_rate``.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(g, int(w)) for g, w in weights.items()], f"{group_col} string, _w bigint"
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("_n"))
+        .join(F.broadcast(wdf), on=group_col)
+    )
+    lim = counts.agg(
+        F.min(
+            F.struct(
+                (F.col("_n").cast("double") / F.col("_w")).alias("r"),
+                F.col(group_col).alias("g"),
+                F.col("_n").alias("nm"),
+                F.col("_w").alias("wm"),
+            )
+        ).alias("_m")
+    ).select(F.col("_m.nm").alias("_nm"), F.col("_m.wm").alias("_wm"))
+    dec = "decimal(38,0)"
+    rates = counts.crossJoin(F.broadcast(lim)).select(
+        group_col,
+        "_n",
+        "_w",
+        "_nm",
+        "_wm",
+        (
+            (F.col("_w") * F.col("_nm")).cast("double")
+            / (F.col("_wm") * F.col("_n")).cast("double")
+        ).alias("keep_rate"),
+    )
+    h = salted_hash(F.col(key_col), seed)
+    return (
+        df.join(F.broadcast(rates), on=group_col)
+        .filter(
+            h.cast(dec) * (F.col("_wm") * F.col("_n")).cast(dec)
+            < (F.col("_w") * F.col("_nm")).cast(dec) * F.lit(HASH_SPACE).cast(dec)
+        )
+        .drop("_n", "_w", "_nm", "_wm")
+    )
+
+
+def mixture_sample_oracle_sql(
+    weights: dict[str, int],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "mix",
+    select_cols: str = "d.doc_id, d.source",
+) -> str:
+    """DuckDB replay of :func:`mixture_sample`: same counts, same
+    single-division ratio argmin, same HUGEINT-exact membership cut."""
+    h = salted_hash_sql(f"d.{key_col}", seed)
+    vals = ", ".join(f"('{g}', {int(w)})" for g, w in weights.items())
+    return f"""
+        WITH wt({group_col}, w) AS (VALUES {vals}),
+        cnt AS (
+          SELECT d.{group_col}, CAST(count(*) AS BIGINT) AS n, CAST(w AS BIGINT) AS w
+          FROM documents d JOIN wt USING ({group_col})
+          GROUP BY d.{group_col}, w
+        ), lim AS (
+          SELECT n AS nm, w AS wm FROM cnt
+          ORDER BY CAST(n AS DOUBLE) / w, {group_col} LIMIT 1
+        ), rates AS (
+          SELECT cnt.{group_col}, n, w, nm, wm,
+                 CAST(w * nm AS DOUBLE) / CAST(wm * n AS DOUBLE) AS keep_rate
+          FROM cnt CROSS JOIN lim
+        )
+        SELECT {select_cols}, r.keep_rate
+        FROM documents d JOIN rates r USING ({group_col})
+        WHERE CAST({h} AS HUGEINT) * CAST(r.wm * r.n AS HUGEINT)
+            < CAST(r.w * r.nm AS HUGEINT) * CAST({1 << 32} AS HUGEINT)"""
+
+
 def stratified_sample(
     df: DataFrame,
     group_col: str = "source",

@@ -198,3 +198,61 @@ class TestTemperatureSample:
         # toward sqrt ratio: r_big = sqrt(100/300) ~ 0.577
         assert len(by_src["small"]) == 100
         assert 0.45 * 300 < len(by_src["big"]) < 0.7 * 300
+
+
+class TestMixtureSample:
+    def test_limiting_group_kept_whole_and_proportions(self, spark):
+        from openseize_spark.llm import sampling
+
+        rows = []
+        # a: 400 rows weight 1; b: 100 rows weight 1 (limiting);
+        # c: 300 rows weight 2
+        for i in range(400):
+            rows.append((i, "a"))
+        for i in range(400, 500):
+            rows.append((i, "b"))
+        for i in range(500, 800):
+            rows.append((i, "c"))
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.mixture_sample(
+            df, {"a": 1, "b": 1, "c": 2}, group_col="source"
+        )
+        got = {
+            r.source: r.cnt
+            for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+        }
+        # limiting group = argmin n/w = b (100/1); kept whole
+        assert got["b"] == 100
+        # a targets 100*1/1 = 100 rows, c targets 100*2/1 = 200 (hash noise)
+        assert abs(got["a"] - 100) < 35
+        assert abs(got["c"] - 200) < 45
+        rates = {r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()}
+        assert rates["b"] == 1.0
+        assert abs(rates["a"] - 0.25) < 1e-15
+        assert abs(rates["c"] - 2.0 / 3.0) < 1e-15
+
+    def test_unweighted_groups_dropped_and_deterministic(self, spark):
+        from openseize_spark.llm import sampling
+
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "z") for i in range(100)],
+            "doc_id long, source string",
+        )
+        out1 = sampling.mixture_sample(df, {"a": 1})
+        assert out1.filter(F.col("source") == "z").count() == 0
+        a = sorted(r.doc_id for r in out1.collect())
+        b = sorted(
+            r.doc_id
+            for r in sampling.mixture_sample(df.repartition(7), {"a": 1}).collect()
+        )
+        assert a == b  # partition-invariant
+
+    def test_rejects_bad_weights(self, spark):
+        from openseize_spark.llm import sampling
+        import pytest as _pytest
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+        with _pytest.raises(ValueError):
+            sampling.mixture_sample(df, {})
+        with _pytest.raises(ValueError):
+            sampling.mixture_sample(df, {"a": 0})
