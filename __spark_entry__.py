@@ -2024,6 +2024,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_sample"] = q_mixture_sample
 
+    def q_vocab_stats(spark, sf_dir):
+        """Corpus vocabulary / Zipf table (llm/text.py vocab_stats):
+        top-100 words with exact counts, rank, and cumulative coverage;
+        rank + running sum via the broadcast inequality self-join over
+        the top-k survivors, never a vocabulary-wide window.  Registered
+        after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.vocab_stats(docs, top_k=100)
+
+    q["vocab_stats"] = q_vocab_stats
+
+    def q_dup_span_detect(spark, sf_dir):
+        """Cross-document span-duplication diagnostic (llm/dedup.py
+        dup_span_detect): per-doc fraction of word 8-gram occurrences
+        shared with another document.  Registered after the round-5
+        window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.dup_span_detect(docs, n=8)
+
+    q["dup_span_detect"] = q_dup_span_detect
+
     return _gate_order(q)
 
 
@@ -2957,6 +2978,10 @@ def oracle_sql() -> dict[str, str]:
     o["mixture_sample"] = sampling.mixture_sample_oracle_sql(
         weights={f"src{i}": 1 + i % 4 for i in range(20)}
     )
+
+    o["vocab_stats"] = llm_text.vocab_stats_oracle_sql(top_k=100)
+
+    o["dup_span_detect"] = dedup.dup_span_detect_oracle_sql(n=8)
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
 

@@ -251,6 +251,81 @@ def chunk_dedup_oracle_sql(
         FROM kept GROUP BY doc_id"""
 
 
+def dup_span_detect(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplication diagnostic (the analysis behind
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al.): for every document, the fraction of its word ``n``-gram
+    occurrences that also appear in at least one OTHER document.  High
+    ``dup_frac`` documents are near-copies or template spam even when no
+    exact-dup fingerprint matches; the column is the standard input to a
+    "remove docs with >80% duplicated spans" policy.
+
+    Scale shape: the gram explode is the only row amplification
+    (n-fold, same as ngram_decontaminate); the per-gram distinct-doc
+    count aggregates on a 16-byte md5 with partial combine; the
+    gram->count match is an equi-join on that hash; the per-doc rollup
+    keys on the id.  All-integer until the final division (same
+    operands both engines).
+
+    Returns (id, n_grams, n_dup_grams, dup_frac); documents with fewer
+    than ``n`` words have no grams and are omitted.
+    """
+    grams = _word_gram_fps(docs, text_col, id_col, n)
+    gdocs = grams.groupBy("_g").agg(F.count_distinct("_id").alias("_nd"))
+    return (
+        grams.join(gdocs, on="_g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def dup_span_detect_oracle_sql(n: int = 8) -> str:
+    """DuckDB SQL equal to dup_span_detect: same normalization, gram
+    positions, md5 fingerprints, distinct-doc counts, and rollup."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id,
+                 md5(array_to_string(wl[u.i:(u.i + {n} - 1)], ' ')) AS g
+          FROM w, unnest(generate_series(1, len(wl) - {n} + 1)) AS u(i)
+          WHERE len(wl) >= {n}
+        ), gd AS (
+          SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_grams,
+               CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS dup_frac
+        FROM grams JOIN gd USING (g)
+        GROUP BY doc_id"""
+
+
 def _shingle_expr(text_norm, k: int):
     n = F.length(text_norm)
     return F.array_distinct(

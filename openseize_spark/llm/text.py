@@ -356,6 +356,91 @@ def unigram_logprob_oracle_sql(round_digits: int = 9) -> str:
         GROUP BY dw.doc_id"""
 
 
+def vocab_stats(
+    docs: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary table (the Zipf curve): per-word total count,
+    frequency rank, and cumulative coverage — what fraction of all token
+    occurrences the top-``rank`` words account for.  The standard first
+    look at a new corpus (tokenizer fit, stopword choice, junk check).
+
+    Scale shape: explode -> two-level count aggregate (map-side partial
+    combine bounds the shuffle at distinct-vocabulary size), a
+    deterministic ``orderBy().limit(top_k)`` (TakeOrderedAndProject:
+    per-partition top-k, never a vocabulary-wide single-partition sort),
+    then rank and cumulative sum via a broadcast inequality self-join
+    over the <= top_k survivors (the corpus_shuffle pattern — a global
+    row_number window here would funnel the whole vocabulary through
+    one task).  The cumulative sum is int64-exact; only the final
+    coverage division is float (same operands both engines).
+
+    Returns the top_k rows of (word, cnt, rank, coverage).
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    vocab = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = vocab.agg(F.sum("cnt").alias("_tot"))
+    top = vocab.orderBy(F.desc("cnt"), F.col("word")).limit(top_k)
+    a = top.select(F.col("word"), F.col("cnt"))
+    b = top.select(F.col("word").alias("_bw"), F.col("cnt").alias("_bc"))
+    at_or_before = (F.col("_bc") > F.col("cnt")) | (
+        (F.col("_bc") == F.col("cnt")) & (F.col("_bw") <= F.col("word"))
+    )
+    return (
+        a.join(F.broadcast(b), at_or_before)
+        .groupBy("word", "cnt")
+        .agg(
+            F.count("*").cast("bigint").alias("rank"),
+            F.sum("_bc").alias("_cum"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            "rank",
+            (F.col("_cum").cast("double") / F.col("_tot").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+def vocab_stats_oracle_sql(top_k: int = 100) -> str:
+    """DuckDB SQL equal to vocab_stats."""
+    return f"""
+        WITH toks AS (
+          SELECT u.w AS word
+          FROM (
+            SELECT string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+        ), tot AS (SELECT sum(cnt) AS t FROM vocab),
+        ranked AS (
+          SELECT word, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+                   AS rank,
+                 CAST(sum(cnt) OVER (
+                   ORDER BY cnt DESC, word
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum
+          FROM vocab
+        )
+        SELECT word, cnt, rank,
+               CAST(cum AS DOUBLE) / CAST(tot.t AS DOUBLE) AS coverage
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= {top_k}"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text (exact-dedup
     key; engine-portable since md5 is standardized)."""

@@ -769,3 +769,54 @@ class TestProductQuantization:
         assert got_ids == [int(i) for i in order]
         for r in out:
             assert abs(r.approx_d2 - d[r.vec_id] / 1e9) < 1e-12
+
+
+class TestVocabStats:
+    def test_zipf_table(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a b b c"), (2, "a b")], "doc_id long, text string"
+        )
+        rows = {r.word: r for r in text.vocab_stats(df, top_k=10).collect()}
+        # counts: a=4, b=3, c=1; total 8
+        assert rows["a"].cnt == 4 and rows["a"].rank == 1
+        assert rows["b"].cnt == 3 and rows["b"].rank == 2
+        assert rows["c"].cnt == 1 and rows["c"].rank == 3
+        assert abs(rows["a"].coverage - 4 / 8) < 1e-15
+        assert abs(rows["b"].coverage - 7 / 8) < 1e-15
+        assert abs(rows["c"].coverage - 1.0) < 1e-15
+
+    def test_tie_break_and_top_k_cut(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y z")], "doc_id long, text string"
+        )
+        out = text.vocab_stats(df, top_k=2).collect()
+        got = sorted((r.rank, r.word) for r in out)
+        # x and y tie at 2; alphabetical tie-break; z (cnt 1) cut by top_k
+        assert got == [(1, "x"), (2, "y")]
+
+
+class TestDupSpanDetect:
+    def test_shared_and_unique_spans(self, spark):
+        # doc 1 and 2 share their first 3-gram; doc 3 is disjoint
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "alpha beta gamma omega"),
+                (3, "one two three four five"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in dedup.dup_span_detect(df, n=3).collect()}
+        # doc1 grams: [abg, bgd]; abg shared -> 1/2
+        assert out[1].n_grams == 2 and out[1].n_dup_grams == 1
+        assert abs(out[1].dup_frac - 0.5) < 1e-15
+        assert out[2].n_dup_grams == 1
+        assert out[3].n_dup_grams == 0 and out[3].n_grams == 3
+
+    def test_short_docs_omitted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, "a b c d e f g h i")],
+            "doc_id long, text string",
+        )
+        out = dedup.dup_span_detect(df, n=8)
+        assert [r.doc_id for r in out.collect()] == [2]
