@@ -2045,6 +2045,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_span_detect"] = q_dup_span_detect
 
+    def q_bpe_pair_counts(spark, sf_dir):
+        """First BPE training iteration (llm/text.py bpe_pair_counts):
+        corpus-wide adjacent char-pair counts weighted by word
+        frequency, top-50 with rank via the broadcast self-join.
+        Registered after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bpe_pair_counts(docs, top_k=50)
+
+    q["bpe_pair_counts"] = q_bpe_pair_counts
+
+    def q_source_divergence(spark, sf_dir):
+        """Per-source KL divergence from the corpus unigram distribution
+        (llm/text.py source_divergence): integer-quantized log ratios so
+        the weighted sums are exact int64.  Registered after the round-5
+        window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.source_divergence(docs)
+
+    q["source_divergence"] = q_source_divergence
+
     return _gate_order(q)
 
 
@@ -2982,6 +3002,10 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_stats"] = llm_text.vocab_stats_oracle_sql(top_k=100)
 
     o["dup_span_detect"] = dedup.dup_span_detect_oracle_sql(n=8)
+
+    o["bpe_pair_counts"] = llm_text.bpe_pair_counts_oracle_sql(top_k=50)
+
+    o["source_divergence"] = llm_text.source_divergence_oracle_sql()
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
 

@@ -441,6 +441,178 @@ def vocab_stats_oracle_sql(top_k: int = 100) -> str:
         WHERE rank <= {top_k}"""
 
 
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide counts
+    of adjacent symbol (character) pairs inside words, weighted by word
+    frequency — the statistic whose argmax becomes the first merge rule.
+    Subsequent iterations re-run over re-segmented words; this operator
+    is the distributed inner loop.
+
+    Scale shape: the corpus collapses to its word-frequency table first
+    (the explode amplification is bounded by distinct vocabulary, not
+    token count — a word occurring a billion times contributes its
+    character pairs once, weighted), then each word explodes to its
+    adjacent char pairs and the pair counts aggregate with map-side
+    partial combine.  Top-k selection is TakeOrdered + the broadcast
+    rank self-join (cf. vocab_stats), never a global window.
+
+    Returns (pair, cnt, rank) for the top_k pairs.
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    vocab = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("_wc"))
+        .filter(F.length("word") >= 2)
+    )
+    pair_idx = F.sequence(F.lit(1), F.length("word") - 1)
+    pairs = vocab.select(
+        F.explode(
+            F.transform(pair_idx, lambda i: F.substring(F.col("word"), i, 2))
+        ).alias("pair"),
+        F.col("_wc"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("_wc").cast("bigint").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.col("pair")).limit(top_k)
+    a = top.select("pair", "cnt")
+    b = top.select(F.col("pair").alias("_bp"), F.col("cnt").alias("_bc"))
+    at_or_before = (F.col("_bc") > F.col("cnt")) | (
+        (F.col("_bc") == F.col("cnt")) & (F.col("_bp") <= F.col("pair"))
+    )
+    return (
+        a.join(F.broadcast(b), at_or_before)
+        .groupBy("pair", "cnt")
+        .agg(F.count("*").cast("bigint").alias("rank"))
+        .select("pair", "cnt", "rank")
+    )
+
+
+def bpe_pair_counts_oracle_sql(top_k: int = 50) -> str:
+    """DuckDB SQL equal to bpe_pair_counts."""
+    return f"""
+        WITH toks AS (
+          SELECT u.w AS word
+          FROM (
+            SELECT string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), vocab AS (
+          SELECT word, count(*) AS wc FROM toks
+          GROUP BY word HAVING length(word) >= 2
+        ), pairs AS (
+          SELECT substring(word, u.i, 2) AS pair, wc
+          FROM vocab, unnest(generate_series(1, length(word) - 1)) AS u(i)
+        ), cnts AS (
+          SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM pairs GROUP BY pair
+        ), ranked AS (
+          SELECT pair, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+                   AS rank
+          FROM cnts
+        )
+        SELECT pair, cnt, rank FROM ranked WHERE rank <= {top_k}"""
+
+
+def source_divergence(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    from the whole-corpus distribution: KL(p_s || p) =
+    sum_w p_s(w) * ln(p_s(w) / p(w)).  The standard drift/outlier check
+    on a mixed training corpus — a source whose KL spikes is from a
+    different domain (or broken extraction) and deserves a look before
+    it trains.
+
+    Same exactness discipline as unigram_logprob: every per-word log
+    ratio is quantized to an integer number of 10^-round_digits units
+    (the log argument is a chain of single IEEE divisions — identical
+    on both engines), the weighted sum is exact int64, and only the
+    final division re-enters floats.
+
+    Scale shape: (source, word) counts aggregate with partial combine,
+    the word-marginal table joins on the word key, and the tiny
+    source-marginal and corpus-total tables broadcast — no shuffle
+    beyond the two count aggregations.
+
+    Returns (group, n_tokens, kl).
+    """
+    scale = float(10**round_digits)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    sw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(group_col).alias("_grp"), F.explode(words).alias("_w"))
+        .groupBy("_grp", "_w")
+        .agg(F.count("*").alias("_k"))
+    )
+    wtot = sw.groupBy("_w").agg(F.sum("_k").alias("_kw"))
+    stot = sw.groupBy("_grp").agg(F.sum("_k").alias("_ns"))
+    ctot = sw.agg(F.sum("_k").alias("_n"))
+    ratio = (F.col("_k").cast("double") / F.col("_ns").cast("double")) / (
+        F.col("_kw").cast("double") / F.col("_n").cast("double")
+    )
+    term = F.round(F.log(ratio) * scale, 0).cast("bigint")
+    return (
+        sw.join(wtot, on="_w")
+        .join(F.broadcast(stot), on="_grp")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn("_t", term)
+        .groupBy("_grp")
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(F.col("_k") * F.col("_t")).cast("double")
+                / (F.lit(scale) * F.sum("_k"))
+            ).alias("kl"),
+        )
+        .select(F.col("_grp").alias(group_col), "n_tokens", "kl")
+    )
+
+
+def source_divergence_oracle_sql(
+    group_col: str = "source", round_digits: int = 9
+) -> str:
+    """DuckDB SQL equal to source_divergence."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH toks AS (
+          SELECT {group_col} AS grp, u.w AS w
+          FROM (
+            SELECT {group_col},
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), sw AS (
+          SELECT grp, w, count(*) AS k FROM toks GROUP BY grp, w
+        ), wtot AS (
+          SELECT w, sum(k) AS kw FROM sw GROUP BY w
+        ), stot AS (
+          SELECT grp, sum(k) AS ns FROM sw GROUP BY grp
+        ), ctot AS (SELECT sum(k) AS n FROM sw)
+        SELECT sw.grp AS {group_col},
+               CAST(sum(sw.k) AS BIGINT) AS n_tokens,
+               CAST(CAST(sum(sw.k * CAST(round(
+                   ln((CAST(sw.k AS DOUBLE) / CAST(stot.ns AS DOUBLE))
+                      / (CAST(wtot.kw AS DOUBLE) / CAST(ctot.n AS DOUBLE)))
+                   * {scale}) AS BIGINT)) AS BIGINT) AS DOUBLE)
+                 / ({scale} * sum(sw.k)) AS kl
+        FROM sw JOIN wtot USING (w) JOIN stot USING (grp) CROSS JOIN ctot
+        GROUP BY sw.grp"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text (exact-dedup
     key; engine-portable since md5 is standardized)."""

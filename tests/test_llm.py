@@ -820,3 +820,40 @@ class TestDupSpanDetect:
         )
         out = dedup.dup_span_detect(df, n=8)
         assert [r.doc_id for r in out.collect()] == [2]
+
+
+class TestBpePairCounts:
+    def test_weighted_pair_counts(self, spark):
+        # "ab" appears 3x (in 'ab' twice via wc=2? no: word 'abc' once,
+        # 'ab' twice) -> pairs: abc gives ab,bc; ab gives ab
+        df = spark.createDataFrame(
+            [(1, "abc ab ab"), (2, "xy")], "doc_id long, text string"
+        )
+        rows = {r.pair: r for r in text.bpe_pair_counts(df, top_k=10).collect()}
+        assert rows["ab"].cnt == 3  # 1 from abc + 2 from ab
+        assert rows["bc"].cnt == 1
+        assert rows["xy"].cnt == 1
+        assert rows["ab"].rank == 1
+
+    def test_repeated_pair_within_word(self, spark):
+        df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+        rows = {r.pair: r.cnt for r in text.bpe_pair_counts(df, top_k=5).collect()}
+        assert rows == {"aa": 2}  # positions 1-2 and 2-3
+
+
+class TestSourceDivergence:
+    def test_identical_sources_zero_kl(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "a b c", "s2")],
+            "doc_id long, text string, source string",
+        )
+        out = {r.source: r.kl for r in text.source_divergence(df).collect()}
+        assert abs(out["s1"]) < 1e-12 and abs(out["s2"]) < 1e-12
+
+    def test_divergent_source_scores_higher(self, spark):
+        rows = [(i, "common words here", "web") for i in range(8)]
+        rows.append((100, "zyx qwv jkl", "weird"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.source: r.kl for r in text.source_divergence(df).collect()}
+        assert out["weird"] > out["web"]
+        assert out["weird"] > 0.5  # disjoint vocab -> large divergence
