@@ -2065,6 +2065,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_divergence"] = q_source_divergence
 
+    def q_corpus_pipeline(spark, sf_dir):
+        """End-to-end corpus preparation composed from oracled pieces:
+        exact dedup -> quality filter (same quality_expr as the
+        standalone scorer) -> hash split assignment -> per-split stats.
+        Every stage is a driver-gated operator on its own; this query
+        pins the COMPOSITION (the common failure mode being column
+        collisions / re-computed nondeterminism between stages).
+        Registered after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        surv = dedup.exact_dedup(docs)
+        filt = surv.filter(llm_text.quality_expr("text") >= 0.5)
+        split = sampling.split_assign(
+            filt, {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+        )
+        return split.groupBy("split").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+
+    q["corpus_pipeline"] = q_corpus_pipeline
+
     return _gate_order(q)
 
 
@@ -3006,6 +3027,37 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_pair_counts"] = llm_text.bpe_pair_counts_oracle_sql(top_k=50)
 
     o["source_divergence"] = llm_text.source_divergence_oracle_sql()
+
+    # corpus_pipeline: the composed stages replayed as a CTE chain —
+    # the quality CTE is the standalone quality_score oracle verbatim,
+    # the split edges are the same int(acc * 2^32) literals Python
+    # computes inside split_assign
+    _cp_acc = 0.8
+    _cp_e1 = int(_cp_acc * (1 << 32))
+    _cp_e2 = int((_cp_acc + 0.1) * (1 << 32))
+    _cp_h = sampling.salted_hash_sql("k.doc_id", "split")
+    o["corpus_pipeline"] = f"""
+        WITH q AS ({o["quality_score"]}),
+        fp AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM documents
+        ), surv AS (
+          SELECT min(doc_id) AS doc_id FROM fp GROUP BY f
+        ), kept AS (
+          SELECT d.doc_id, d.n_chars
+          FROM documents d JOIN surv USING (doc_id) JOIN q USING (doc_id)
+          WHERE q.quality >= 0.5
+        ), lab AS (
+          SELECT k.doc_id, k.n_chars,
+                 CASE WHEN {_cp_h} < {_cp_e1} THEN 'train'
+                      WHEN {_cp_h} < {_cp_e2} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM kept k
+        )
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM lab GROUP BY split"""
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
 
