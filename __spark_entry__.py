@@ -2086,6 +2086,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corpus_pipeline"] = q_corpus_pipeline
 
+    def q_pq_refine_topk(spark, sf_dir):
+        """Two-stage retrieval (llm/similarity.py pq_refine_topk):
+        PQ/ADC shortlist of 20 then exact cosine re-rank to top-5 —
+        the standard recall-recovery pattern over a compressed index.
+        Registered after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        return similarity.pq_refine_topk(
+            corpus, queries_df, _pq_codebooks(emb),
+            n_sub=4, sub_dim=16, k=5, shortlist=20,
+        )
+
+    q["pq_refine_topk"] = q_pq_refine_topk
+
     return _gate_order(q)
 
 
@@ -3015,6 +3032,10 @@ def oracle_sql() -> dict[str, str]:
     o["pq_encode"] = similarity.pq_encode_oracle_sql(n_sub=4, sub_dim=16)
 
     o["pq_adc_topk"] = similarity.pq_adc_topk_oracle_sql(n_sub=4, sub_dim=16, k=5)
+
+    o["pq_refine_topk"] = similarity.pq_refine_topk_oracle_sql(
+        n_sub=4, sub_dim=16, k=5, shortlist=20
+    )
 
     o["mixture_sample"] = sampling.mixture_sample_oracle_sql(
         weights={f"src{i}": 1 + i % 4 for i in range(20)}

@@ -569,6 +569,55 @@ def pq_adc_topk(
     )
 
 
+def pq_refine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    k: int = 5,
+    shortlist: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Two-stage retrieval: PQ/ADC shortlist, exact re-rank — the
+    standard recall-recovery pattern over a compressed index.  Stage 1
+    (:func:`pq_adc_topk`) touches only the codes; stage 2 fetches full
+    vectors for ``shortlist`` candidates per query (a semi-join-sized
+    read, not a scan) and re-ranks them by exact cosine.
+
+    Scale shape: the expensive exact math runs on queries x shortlist
+    rows only; the candidate fetch is an equi-join on the vector id.
+    Returns (q_id, vec_id, cosine, rank).
+    """
+    cand = pq_adc_topk(
+        emb, queries, codebooks, n_sub, sub_dim, k=shortlist,
+        vec_col=vec_col, id_col=id_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    ).select(q_id_col, id_col)
+    e = emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
+    qv = queries.select(
+        F.col(q_id_col), F.col(q_vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = (
+        cand.join(e, on=id_col)
+        .join(F.broadcast(qv), on=q_id_col)
+        .withColumn(
+            "cosine",
+            _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn")),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
 def _sql_sdot(a: str, b: str, dim: int) -> str:
     """DuckDB serial-fold dot product, bit-identical to Spark's
     aggregate(zip_with(...), 0.0, acc + x): 0.0-seeded left fold in
@@ -617,6 +666,31 @@ def pq_encode_oracle_sql(n_sub: int, sub_dim: int) -> str:
     """DuckDB SQL equal to the pq_encode gate query (codebooks = corpus
     vec_ids 3..10, corpus = vec_id >= 3)."""
     return _pq_ctes(n_sub, sub_dim) + "\n        SELECT vec_id, sub_id, code FROM enc"
+
+
+def pq_refine_topk_oracle_sql(
+    n_sub: int, sub_dim: int, k: int, shortlist: int
+) -> str:
+    """DuckDB SQL equal to the pq_refine_topk gate query: the ADC
+    shortlist replay wrapped as a CTE, then exact cosine re-rank."""
+    inner = pq_adc_topk_oracle_sql(n_sub, sub_dim, shortlist)
+    return f"""
+        WITH cand AS ({inner})
+        SELECT q_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY cosine DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM (
+          SELECT c.q_id, c.vec_id,
+                 list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]),
+                   CAST(qe.embedding AS DOUBLE[])
+                 ) AS cosine
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN embeddings qe ON qe.vec_id = c.q_id
+        )
+        QUALIFY rank <= {k}"""
 
 
 def pq_adc_topk_oracle_sql(n_sub: int, sub_dim: int, k: int) -> str:

@@ -857,3 +857,64 @@ class TestSourceDivergence:
         out = {r.source: r.kl for r in text.source_divergence(df).collect()}
         assert out["weird"] > out["web"]
         assert out["weird"] > 0.5  # disjoint vocab -> large divergence
+
+
+class TestPqRefineTopk:
+    def test_refine_recovers_exact_top1(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vecs = rng.normal(0, 1, (30, 8))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cb_rows = []
+        for code in range(4):
+            for m in range(2):
+                cb_rows.append(
+                    (m, code, [float(x) for x in vecs[code, m * 4:(m + 1) * 4]])
+                )
+        cb = spark.createDataFrame(cb_rows, "sub_id int, code int, cvec array<double>")
+        # query = a corpus vector: exact re-rank over a wide shortlist
+        # must put it at rank 1 even if ADC alone would not
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[17]])], "q_id long, q_vec array<double>"
+        )
+        out = similarity.pq_refine_topk(
+            emb, queries, cb, n_sub=2, sub_dim=4, k=3, shortlist=30
+        ).collect()
+        top = [r for r in out if r.rank == 1][0]
+        assert top.vec_id == 17 and abs(top.cosine - 1.0) < 1e-12
+
+    def test_partition_invariant(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        vecs = rng.normal(0, 1, (24, 8))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+        cb_rows = [
+            (m, c, [float(x) for x in vecs[c, m * 4:(m + 1) * 4]])
+            for c in range(4)
+            for m in range(2)
+        ]
+        cb = spark.createDataFrame(cb_rows, "sub_id int, code int, cvec array<double>")
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in vecs[5]])], "q_id long, q_vec array<double>"
+        )
+        a = sorted(
+            (r.vec_id, r.rank)
+            for r in similarity.pq_refine_topk(
+                emb, queries, cb, n_sub=2, sub_dim=4, k=4, shortlist=10
+            ).collect()
+        )
+        b = sorted(
+            (r.vec_id, r.rank)
+            for r in similarity.pq_refine_topk(
+                emb.repartition(7), queries, cb, n_sub=2, sub_dim=4, k=4, shortlist=10
+            ).collect()
+        )
+        assert a == b
