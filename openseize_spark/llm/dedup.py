@@ -14,6 +14,12 @@ shuffle-conscious:
 - SimHash: 64-bit sign-sum over token hashes; near-dup = identical
   simhash bucket (or Hamming-adjacent via rotations).
 - n-gram Jaccard: exact verification on LSH candidates only.
+- chunk dedup (CCNet-style): tumbling word-chunk fingerprints counted
+  corpus-wide; boilerplate chunks dropped, documents reassembled.
+- dup-span detection: per-doc fraction of word n-grams shared with
+  another document (the Lee-et-al. duplication diagnostic).
+- decontamination: exact fingerprint and GPT-3-style n-gram overlap
+  against a broadcast benchmark set.
 """
 
 from __future__ import annotations

@@ -285,6 +285,33 @@ def shard_assign(
     )
 
 
+def write_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int,
+    key_col: str = "doc_id",
+    seed: str = "shard",
+) -> None:
+    """Materialize :func:`shard_assign` as a balanced shard layout:
+    one parquet directory per shard_id, each holding exactly
+    ``rows_per_shard`` rows (the last shard may be short) — the
+    WebDataset-style output step of a training-data pipeline.
+
+    ``repartition(shard_id)`` before ``partitionBy`` so each shard is
+    written by one task as one file (without it, every task writes a
+    sliver of every shard and a 10k-shard corpus produces millions of
+    small files — the classic object-store pathology).  At 100 TB pair
+    with ``spark.sql.files.maxRecordsPerFile`` if shards must split.
+    """
+    out = shard_assign(df, rows_per_shard, key_col=key_col, seed=seed)
+    (
+        out.repartition(F.col("shard_id"))
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

@@ -918,3 +918,20 @@ class TestPqRefineTopk:
             ).collect()
         )
         assert a == b
+
+
+class TestChunkDedupInvariance:
+    def test_partition_invariant(self, spark):
+        rows = [(i, f"common header block unique body {i} tail words here") for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(
+            (r.doc_id, r.text_deduped)
+            for r in dedup.chunk_dedup(df, chunk_words=3, max_docs=1).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.text_deduped)
+            for r in dedup.chunk_dedup(
+                df.repartition(11), chunk_words=3, max_docs=1
+            ).collect()
+        )
+        assert a == b

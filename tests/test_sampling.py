@@ -256,3 +256,39 @@ class TestMixtureSample:
             sampling.mixture_sample(df, {})
         with _pytest.raises(ValueError):
             sampling.mixture_sample(df, {"a": 0})
+
+
+class TestWriteShards:
+    def test_balanced_shard_layout(self, spark, tmp_path):
+        from openseize_spark.llm import sampling
+
+        df = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(250)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "shards")
+        sampling.write_shards(df, path, rows_per_shard=100)
+        back = spark.read.parquet(path)
+        sizes = {
+            r.shard_id: r.n
+            for r in back.groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert sizes == {0: 100, 1: 100, 2: 50}
+        # every row present exactly once, shard_pos complete per shard
+        assert back.select("doc_id").distinct().count() == 250
+        pos = sorted(
+            r.shard_pos for r in back.filter(F.col("shard_id") == 0).collect()
+        )
+        assert pos == list(range(100))
+
+    def test_one_file_per_shard(self, spark, tmp_path):
+        import glob
+        from openseize_spark.llm import sampling
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(60)], "doc_id long, text string"
+        )
+        path = str(tmp_path / "shards2")
+        sampling.write_shards(df, path, rows_per_shard=20)
+        for d in glob.glob(path + "/shard_id=*"):
+            files = [f for f in glob.glob(d + "/*.parquet")]
+            assert len(files) == 1, d
