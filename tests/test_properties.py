@@ -99,3 +99,48 @@ class TestFirProperty:
         out = op_fir.apply_fir_sql(_sf(spark, x), spec, mode="same")
         want = kernels.convolve(x, taps, "same")
         np.testing.assert_allclose(_vals(out), want, atol=1e-10)
+
+
+# ---- round-5 corpus-operator invariants ----
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=1, max_size=6), c=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_chunk_dedup_identity_when_threshold_high(spark, texts, c):
+    """With max_docs >= corpus size nothing is boilerplate: every doc
+    with at least one word reassembles to exactly its normalized text."""
+    from openseize_spark.llm import dedup
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.text_deduped
+        for r in dedup.chunk_dedup(df, chunk_words=c, max_docs=len(texts)).collect()
+    }
+    for i, t in enumerate(texts):
+        normalized = " ".join(t.split())
+        if normalized:
+            assert out[i] == normalized
+        else:
+            assert i not in out
+
+
+@given(
+    texts=st.lists(_doc.filter(lambda t: t.strip()), min_size=1, max_size=5),
+)
+@settings(**SETTINGS)
+def test_unigram_logprob_bounds(spark, texts):
+    """Scores are >= 0 (p <= 1 for every word) and n_tokens sums to the
+    corpus token count."""
+    from openseize_spark.llm import text as llm_text
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = llm_text.unigram_logprob(df).collect()
+    assert all(r.score >= 0 for r in rows)
+    assert sum(r.n_tokens for r in rows) == sum(len(t.split()) for t in texts)
