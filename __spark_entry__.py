@@ -1045,6 +1045,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["supplier_topbal"] = q_supplier_topbal
 
+    def q_big_orders(spark, sf_dir):
+        """TPC-H Q18 shape: orders whose total quantity exceeds a
+        threshold, joined back to customer.  The HAVING-filtered
+        aggregate is tiny relative to lineitem, so AQE turns the
+        order-side join into a broadcast at any scale where the
+        predicate is selective; quantity sums are exact integers in
+        doubles (TPC-H quantities are 1..50), so the threshold cannot
+        straddle a float boundary."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+            .filter(F.col("sum_qty") > 150)
+        )
+        return (
+            o.join(big, o.o_orderkey == big.l_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        )
+
+    q["big_orders"] = q_big_orders
+
+    def q_promo_revenue(spark, sf_dir):
+        """TPC-H Q14 shape: share of revenue from one part type in a
+        shipdate month-range — conditional aggregation over a part join,
+        single-row result.  Part side joins on the part key; at 100 TB
+        the dimension stays shuffle-joined unless AQE broadcasts it."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        j = li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01"))
+            & (F.col("l_shipdate") < F.lit("1996-03-01"))
+        ).join(p, li.l_partkey == p.p_partkey)
+        return j.agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "STANDARD", rev).otherwise(0.0))
+                / F.sum(rev),
+                9,
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+
+    q["promo_revenue"] = q_promo_revenue
+
+    def q_brand_suppliers(spark, sf_dir):
+        """TPC-H Q16 shape: distinct-supplier breadth per part brand,
+        excluding a blacklist via anti join.  The blacklist (negative
+        account balance) is tiny -> broadcast anti join; countDistinct
+        runs as Spark's two-phase expand aggregate.  All-integer output."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        s = _t(spark, sf_dir, "supplier")
+        bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+        return (
+            li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"),
+                F.count("*").cast("bigint").alias("n_items"),
+            )
+        )
+
+    q["brand_suppliers"] = q_brand_suppliers
+
     def q_minhash_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.minhash_dedup(
@@ -1545,6 +1614,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", F.round("keep_rate", 9).alias("keep_rate"))
 
     q["temperature_sample"] = q_temperature_sample
+
+    def q_tfidf_topk(spark, sf_dir):
+        """Per-document top-5 TF-IDF keywords (llm/text.py tfidf_topk):
+        integer-quantized idf so the rank key is exact int64; the rank
+        window partitions on doc_id."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.tfidf_topk(docs, k=5)
+
+    q["tfidf_topk"] = q_tfidf_topk
+
+    def q_dsir_sample(spark, sf_dir):
+        """DSIR importance resampling toward the zh sub-corpus
+        (llm/sampling.py dsir_sample): hashed-unigram importance ratios,
+        integer-unit scores, Gumbel-top-k selection of 100 docs."""
+        docs = _t(spark, sf_dir, "documents")
+        # score is one IEEE division over integer-exact operands —
+        # bit-identical to the oracle with no rounding needed
+        return sampling.dsir_sample(
+            docs, n_keep=100, target_col="lang", target_val="zh"
+        )
+
+    q["dsir_sample"] = q_dsir_sample
 
     def q_decontaminate(spark, sf_dir):
         """Exact test-set decontamination: a benchmark carved from the
@@ -2159,6 +2250,9 @@ _GATE_PRIORITY = [
     "pipeline_chain", "annotations_mask", "streaming_policies",
     # -- r4 red rows, oracle sums now cast to BIGINT (2)
     "split_assign", "multires_rollup",
+    # -- new round-5 registrations (5)
+    "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
+    "brand_suppliers",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -2972,6 +3066,47 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
           PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) = 1
     """
+
+    o["big_orders"] = """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM orders
+        JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """
+
+    o["promo_revenue"] = """
+        SELECT round(
+                 100.0 * sum(CASE WHEN p_type = 'STANDARD'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)),
+                 9) AS promo_share,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+    """
+
+    o["brand_suppliers"] = """
+        SELECT p_brand,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY p_brand
+    """
+
+    o["tfidf_topk"] = llm_text.tfidf_topk_oracle_sql(k=5)
+    o["dsir_sample"] = sampling.dsir_sample_oracle_sql(
+        n_keep=100, target_col="lang", target_val="zh"
+    )
 
     # generated portable-hash oracles for the MinHash/SimHash dedup family
     from openseize_spark.llm import dedup as _dedup

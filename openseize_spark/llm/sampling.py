@@ -438,6 +438,186 @@ def temperature_sample(
     )
 
 
+def dsir_sample(
+    df: DataFrame,
+    n_keep: int = 100,
+    target_col: str = "lang",
+    target_val: str = "zh",
+    num_buckets: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "dsir",
+    round_digits: int = 9,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling"):
+    score each document by the log importance ratio of a *target* domain
+    over the raw corpus under hashed n-gram (here: hashed unigram)
+    feature distributions, then draw ``n_keep`` documents without
+    replacement with the Gumbel-top-k trick — documents that look like
+    the target domain are exponentially more likely to survive.
+
+    Feature space: words hash-bucketed into ``num_buckets`` cells (the
+    paper's hashed n-gram trick — bounded distributions regardless of
+    vocabulary size).  Both the raw and the target bucket distributions
+    get add-one smoothing.  The target domain is the sub-corpus where
+    ``target_col == target_val``.
+
+    Determinism discipline: the per-bucket log-ratio and the per-doc
+    Gumbel noise (derived from the salted doc hash, not an RNG) are
+    quantized to integer 10^-round_digits units, so the per-doc weighted
+    sum is exact int64 arithmetic and the Gumbel-perturbed ranking key
+    ``round(score_units / n_tokens) + gumbel_units`` cannot be reordered
+    by float summation; ties break on the doc id.
+
+    Scale shape: the two distributions are ``num_buckets``-row aggregates
+    (map-side combine bounds every shuffle); the log-ratio table rides a
+    broadcast join; per-doc bucket counts partial-aggregate to at most
+    ``num_buckets`` rows per doc; selection is
+    ``orderBy().limit(n_keep)`` — TakeOrderedAndProject, per-partition
+    top-k, never a global sort.  No UDFs, no collects.
+
+    Returns (id, n_tokens, score) for the ``n_keep`` sampled documents,
+    where score is the mean per-token log importance ratio.
+    """
+    scale = float(10**round_digits)
+    B = int(num_buckets)
+    norm_col = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.filter(F.split(norm_col, " "), lambda s: F.length(s) > 0)
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(key_col).alias("_id"),
+        F.col(target_col).alias("_tgt"),
+        F.explode(words).alias("_w"),
+    )
+    tb = toks.select(
+        "_id",
+        "_tgt",
+        (salted_hash(F.col("_w"), seed + ":feat") % B).alias("_b"),
+    )
+    doc_b = tb.groupBy("_id", "_b").agg(F.count("*").alias("_k"))
+    raw = tb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    tgt = (
+        tb.filter(F.col("_tgt") == target_val)
+        .groupBy("_b")
+        .agg(F.count("*").alias("_ct"))
+    )
+    raw_tot = raw.agg(F.sum("_cr").alias("_rt"))
+    tgt_tot = tgt.agg(F.sum("_ct").alias("_tt"))
+    # identical float expression shape in the SQL oracle: two divisions,
+    # one quotient, one ln — every intermediate is IEEE-identical
+    ratio = (
+        (F.col("_ct") + 1).cast("double") / (F.col("_tt") + B).cast("double")
+    ) / ((F.col("_cr") + 1).cast("double") / (F.col("_rt") + B).cast("double"))
+    lr = (
+        raw.join(tgt, on="_b", how="left")
+        .na.fill({"_ct": 0})
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "_b", F.round(F.log(ratio) * scale, 0).cast("bigint").alias("_lr")
+        )
+    )
+    scored = (
+        doc_b.join(F.broadcast(lr), on="_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("_k") * F.col("_lr")).cast("bigint").alias("_su"),
+        )
+    )
+    h = salted_hash(F.col("_id"), seed)
+    u = (h.cast("double") + 0.5) / float(HASH_SPACE)
+    g_units = F.round(-F.log(-F.log(u)) * scale, 0).cast("bigint")
+    keyed = scored.select(
+        "_id",
+        "n_tokens",
+        "_su",
+        (
+            F.round(F.col("_su").cast("double") / F.col("n_tokens"), 0).cast(
+                "bigint"
+            )
+            + g_units
+        ).alias("_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("_key"), F.asc("_id"))
+        .limit(n_keep)
+        .select(
+            F.col("_id").alias(key_col),
+            "n_tokens",
+            (
+                F.col("_su").cast("double") / (F.lit(scale) * F.col("n_tokens"))
+            ).alias("score"),
+        )
+    )
+
+
+def dsir_sample_oracle_sql(
+    n_keep: int = 100,
+    target_col: str = "lang",
+    target_val: str = "zh",
+    num_buckets: int = 64,
+    seed: str = "dsir",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB replay of :func:`dsir_sample` (identical quantization,
+    float expression shape, and tie-break)."""
+    scale = float(10**round_digits)
+    B = int(num_buckets)
+    hw = salted_hash_sql("u.w", seed + ":feat")
+    hd = salted_hash_sql("_id", seed)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id AS _id, {target_col} AS _tgt,
+                 ({hw}) % {B} AS _b
+          FROM (
+            SELECT doc_id, {target_col},
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), doc_b AS (
+          SELECT _id, _b, count(*) AS k FROM toks GROUP BY _id, _b
+        ), raw AS (
+          SELECT _b, count(*) AS cr FROM toks GROUP BY _b
+        ), tgt AS (
+          SELECT _b, count(*) AS ct FROM toks WHERE _tgt = '{target_val}'
+          GROUP BY _b
+        ), rt AS (SELECT sum(cr) AS rt FROM raw),
+        tt AS (SELECT sum(ct) AS tt FROM tgt),
+        lr AS (
+          SELECT raw._b,
+                 CAST(round(ln(
+                   (CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE)
+                      / CAST(tt.tt + {B} AS DOUBLE))
+                   / (CAST(raw.cr + 1 AS DOUBLE)
+                      / CAST(rt.rt + {B} AS DOUBLE))
+                 ) * {scale}) AS BIGINT) AS lr
+          FROM raw LEFT JOIN tgt ON raw._b = tgt._b
+          CROSS JOIN rt CROSS JOIN tt
+        ), scored AS (
+          SELECT doc_b._id,
+                 CAST(sum(doc_b.k) AS BIGINT) AS n_tokens,
+                 CAST(sum(doc_b.k * lr.lr) AS BIGINT) AS su
+          FROM doc_b JOIN lr ON doc_b._b = lr._b
+          GROUP BY doc_b._id
+        ), keyed AS (
+          SELECT _id, n_tokens, su,
+                 CAST(round(CAST(su AS DOUBLE) / n_tokens) AS BIGINT)
+                   + CAST(round(-ln(-ln(
+                       (CAST({hd} AS DOUBLE) + 0.5) / {float(HASH_SPACE)!r}
+                     )) * {scale}) AS BIGINT) AS key
+          FROM scored
+        )
+        SELECT _id AS doc_id, n_tokens,
+               CAST(su AS DOUBLE) / ({scale} * n_tokens) AS score
+        FROM keyed
+        ORDER BY key DESC, _id ASC
+        LIMIT {n_keep}"""
+
+
 # ------------------------------------------------------------ oracle SQL
 
 

@@ -661,6 +661,102 @@ def top_ngrams(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 5,
+    round_digits: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k keyword terms by TF-IDF (raw-count tf variant):
+    score(d, w) = tf(d, w) * ln(N / df(w)) with N = #docs containing at
+    least one token and df(w) = #docs containing w.  The classic keyword
+    extractor / sparse-retrieval feature (BM25's ancestor), and a cheap
+    topic fingerprint per document.
+
+    Scale shape: doc-word counts partial-aggregate before any shuffle
+    (bounded by per-doc vocabulary), df aggregates from those partials on
+    the word key, the one-row N rides a broadcast cross join, and the
+    final rank window partitions on the document id — millions of tiny
+    partitions, never a global sort.  No UDFs.
+
+    Determinism discipline (same as unigram_logprob): both engines
+    compute ln() through their own libm, so the per-word idf is quantized
+    to an integer number of 10^-round_digits units; the ranking key
+    ``tf * idf_units`` is then exact int64 arithmetic — ties cannot
+    straddle a float boundary — and only the reported ``score`` column
+    re-enters floats via one identical division.  Ties broken on the
+    word.  Returns (id, word, tf, score, rank).
+    """
+    scale = float(10**round_digits)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
+    n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
+    idf_units = F.round(
+        F.log(F.col("_n").cast("double") / F.col("_df").cast("double")) * scale, 0
+    ).cast("bigint")
+    scored = (
+        dw.join(df_tbl, on="word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("_su", F.col("tf") * idf_units)
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("_su"), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            (F.col("_su").cast("double") / F.lit(scale)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def tfidf_topk_oracle_sql(k: int = 5, round_digits: int = 9) -> str:
+    """DuckDB SQL equal to tfidf_topk: identical normalization,
+    tokenization, integer idf quantization, and tie-break."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        ), dfreq AS (
+          SELECT word, count(*) AS df FROM dw GROUP BY word
+        ), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dw),
+        scored AS (
+          SELECT dw.doc_id, dw.word, dw.tf,
+                 dw.tf * CAST(round(
+                   ln(CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                   * {scale}) AS BIGINT) AS su
+          FROM dw JOIN dfreq USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+               CAST(su AS DOUBLE) / {scale} AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY su DESC, word
+               ) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}"""
+
+
 def quality_filter(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -935,3 +935,41 @@ class TestChunkDedupInvariance:
             ).collect()
         )
         assert a == b
+
+
+class TestTfidfTopk:
+    def _docs(self, spark, parts=1):
+        rows = [
+            (0, "apple banana apple cherry", "en", "s0", 10),
+            (1, "banana cherry cherry date", "en", "s0", 10),
+            (2, "apple apple apple", "en", "s1", 10),
+            (3, "unique singleton words here", "en", "s1", 10),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(parts)
+
+    def test_rare_words_outrank_common(self, spark):
+        from openseize_spark.llm import text as llm_text
+
+        out = llm_text.tfidf_topk(self._docs(spark), k=2).collect()
+        top = {r.doc_id: r.word for r in out if r.rank == 1}
+        # doc 3's words appear nowhere else -> its top term is one of them
+        assert top[3] in {"unique", "singleton", "words", "here"}
+        # every score non-negative, ranks within k, tf positive
+        assert all(r.score >= 0 and 1 <= r.rank <= 2 and r.tf >= 1 for r in out)
+
+    def test_partition_invariant_and_k_bound(self, spark):
+        from openseize_spark.llm import text as llm_text
+
+        a = sorted(
+            map(tuple, llm_text.tfidf_topk(self._docs(spark, 1), k=3).collect())
+        )
+        b = sorted(
+            map(tuple, llm_text.tfidf_topk(self._docs(spark, 7), k=3).collect())
+        )
+        assert a == b
+        per_doc = {}
+        for r in a:
+            per_doc[r[0]] = per_doc.get(r[0], 0) + 1
+        assert all(v <= 3 for v in per_doc.values())

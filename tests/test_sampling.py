@@ -292,3 +292,41 @@ class TestWriteShards:
         for d in glob.glob(path + "/shard_id=*"):
             files = [f for f in glob.glob(d + "/*.parquet")]
             assert len(files) == 1, d
+
+
+class TestDsirSample:
+    def _mixed_docs(self, spark, parts=1):
+        # two "domains": target docs reuse a small zh-ish vocab, raw docs
+        # a disjoint one, plus bridge docs mixing both
+        rows = []
+        for i in range(60):
+            rows.append((i, "shan shui feng yue tian di ren he", "zh", "s0", 10))
+        for i in range(60, 200):
+            rows.append((i, f"river cloud stone {i % 7} wind tree leaf", "en", "s1", 10))
+        for i in range(200, 240):
+            rows.append((i, "shan shui river cloud feng yue", "en", "s2", 10))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(parts)
+
+    def test_partition_invariant(self, spark):
+        a = sampling.dsir_sample(self._mixed_docs(spark, 1), n_keep=50)
+        b = sampling.dsir_sample(self._mixed_docs(spark, 11), n_keep=50)
+        ra = sorted((r.doc_id, r.n_tokens, r.score) for r in a.collect())
+        rb = sorted((r.doc_id, r.n_tokens, r.score) for r in b.collect())
+        assert ra == rb and len(ra) == 50
+
+    def test_prefers_target_domain(self, spark):
+        docs = self._mixed_docs(spark)
+        out = sampling.dsir_sample(docs, n_keep=50)
+        ids = {r.doc_id for r in out.collect()}
+        # corpus is 25% target-domain (doc_id < 60) but the sample should
+        # be dominated by target-vocab docs (ids < 60 plus bridge >= 200)
+        targetish = sum(1 for i in ids if i < 60 or i >= 200)
+        assert targetish > 35
+
+    def test_scores_follow_log_ratio_sign(self, spark):
+        docs = self._mixed_docs(spark)
+        out = {r.doc_id: r.score for r in sampling.dsir_sample(docs, n_keep=240).collect()}
+        # pure target-vocab docs score above pure raw-vocab docs
+        assert out[0] > out[100]
