@@ -292,6 +292,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tumbling_hour"] = q_tumbling_hour
 
+    def q_cohort_retention(spark, sf_dir):
+        """Cohort retention matrix over the events stream: users grouped
+        by first-seen day, distinct-active-user counts per day offset.
+        Two short-key shuffles (per-user min, then per-(cohort, offset)
+        distinct count) — the canonical product-analytics rollup."""
+        e = _events(spark, sf_dir)
+        day = F.to_date("ts")
+        first = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+        act = e.select("user_id", day.alias("day")).distinct()
+        return (
+            act.join(first, on="user_id")
+            .groupBy(
+                "cohort_day",
+                F.datediff("day", "cohort_day").cast("bigint").alias("day_offset"),
+            )
+            .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        )
+
+    q["cohort_retention"] = q_cohort_retention
+
+    def q_funnel_steps(spark, sf_dir):
+        """Ordered funnel conversion (view -> click after the first view
+        -> purchase after that click): per-step user counts.  Each step
+        is a conditional min-timestamp aggregate joined on the user key;
+        the one-row step counts combine via broadcast cross joins."""
+        e = _events(spark, sf_dir)
+        v = (
+            e.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("v_ts"))
+        )
+        c = (
+            e.filter(F.col("event_type") == "click")
+            .join(v, on="user_id")
+            .filter(F.col("ts") > F.col("v_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("c_ts"))
+        )
+        p = (
+            e.filter(F.col("event_type") == "purchase")
+            .join(c, on="user_id")
+            .filter(F.col("ts") > F.col("c_ts"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("p_ts"))
+        )
+        n1 = v.agg(F.count("*").cast("bigint").alias("n_viewed"))
+        n2 = c.agg(F.count("*").cast("bigint").alias("n_clicked"))
+        n3 = p.agg(F.count("*").cast("bigint").alias("n_purchased"))
+        return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+    q["funnel_steps"] = q_funnel_steps
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -1624,6 +1676,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_topk"] = q_tfidf_topk
 
+    def q_bm25_topk(spark, sf_dir):
+        """BM25 sparse retrieval (llm/text.py bm25_topk): three keyword
+        queries against the documents table, integer-unit scores, top-10
+        per query via a per-query rank window."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bm25_topk(docs, queries=_BM25_QUERIES, k=10)
+
+    q["bm25_topk"] = q_bm25_topk
+
     def q_dsir_sample(spark, sf_dir):
         """DSIR importance resampling toward the zh sub-corpus
         (llm/sampling.py dsir_sample): hashed-unigram importance ratios,
@@ -2243,6 +2304,14 @@ def _edf_gate_digital(ch: int, t):
 # is round 1, two Spark-build drifts ago.  Deferred to round 6: the
 # three least version-sensitive r01 relational queries (set_ops,
 # distinct_pairs, pivot_status) and the r03/r04-green remainder.
+# fixed keyword queries for the BM25 gate (terms drawn from the synthetic
+# documents vocabulary)
+_BM25_QUERIES = {
+    1: "fast hash join",
+    2: "window agg stream",
+    3: "customer query scan",
+}
+
 _GATE_PRIORITY = [
     # -- never driver-checked (10)
     "pack_sequences", "streaming_sessionize", "temperature_sample",
@@ -2250,9 +2319,9 @@ _GATE_PRIORITY = [
     "pipeline_chain", "annotations_mask", "streaming_policies",
     # -- r4 red rows, oracle sums now cast to BIGINT (2)
     "split_assign", "multires_rollup",
-    # -- new round-5 registrations (5)
+    # -- new round-5 registrations (8)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
-    "brand_suppliers",
+    "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3102,6 +3171,42 @@ def oracle_sql() -> dict[str, str]:
         )
         GROUP BY p_brand
     """
+
+    o["cohort_retention"] = """
+        WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        ), act AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        )
+        SELECT cohort_day,
+               CAST(day - cohort_day AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM act JOIN first USING (user_id)
+        GROUP BY cohort_day, day_offset
+    """
+
+    o["funnel_steps"] = """
+        WITH v AS (
+          SELECT user_id, min(ts) AS v_ts FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ), c AS (
+          SELECT e.user_id, min(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.v_ts
+          GROUP BY e.user_id
+        ), p AS (
+          SELECT e.user_id, min(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+               (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked,
+               (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased
+    """
+
+    o["bm25_topk"] = llm_text.bm25_topk_oracle_sql(queries=_BM25_QUERIES, k=10)
 
     o["tfidf_topk"] = llm_text.tfidf_topk_oracle_sql(k=5)
     o["dsir_sample"] = sampling.dsir_sample_oracle_sql(

@@ -757,6 +757,161 @@ def tfidf_topk_oracle_sql(k: int = 5, round_digits: int = 9) -> str:
         QUALIFY rank <= {k}"""
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse keyword retrieval: BM25 top-k documents per query — the
+    lexical complement to the dense ANN family (knn_cosine / ivf_topk /
+    pq_adc_topk).  score(q, d) = sum over query terms of
+    idf(w) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)) with the
+    Robertson-Sparck-Jones idf ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Scale shape: the inverted-index join — doc-word partials join the
+    (broadcast, tiny) query-term table FIRST, so only postings for query
+    terms ever flow; doc length and df join on short keys; corpus stats
+    (N, avgdl) ride one broadcast row; the rank window partitions per
+    query.  At 100 TB the per-query cost is proportional to the posting
+    lists touched, not the corpus.
+
+    Determinism discipline: every float intermediate (idf, length
+    normalizer) is built with an expression shape mirrored exactly in
+    the SQL oracle (explicit DOUBLE casts so DuckDB cannot slip into
+    DECIMAL arithmetic), the per-term score quantizes to integer
+    10^-round_digits units, and the per-doc sum is exact int64; ties
+    break on doc id.  Returns (query_id, id, score, rank).
+    """
+    scale = float(10**round_digits)
+    k1p1 = float(k1 + 1.0)
+    one_minus_b = float(1.0 - b)
+    spark = docs.sparkSession
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = dw.groupBy("_id").agg(F.sum("tf").alias("_dl"))
+    df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
+    stats = dl.agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_tot")
+    )
+    qrows = [
+        (int(qid), w)
+        for qid, text in queries.items()
+        for w in dict.fromkeys(text.lower().split())
+    ]
+    qt = spark.createDataFrame(qrows, "query_id long, word string")
+    avgdl = F.col("_tot").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        ((F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5))
+        / (F.col("_df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf").cast("double") + F.lit(float(k1)) * (
+        F.lit(one_minus_b) + F.lit(float(b)) * (F.col("_dl").cast("double") / avgdl)
+    )
+    su = F.round(
+        idf * (F.col("tf").cast("double") * F.lit(k1p1) / denom) * scale, 0
+    ).cast("bigint")
+    scored = (
+        dw.join(F.broadcast(qt), on="word")
+        .join(dl, on="_id")
+        .join(df_tbl, on="word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "_id")
+        .agg(F.sum(su).cast("bigint").alias("_su"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_su"), F.col("_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            (F.col("_su").cast("double") / F.lit(scale)).alias("score"),
+            "rank",
+        )
+    )
+
+
+def bm25_topk_oracle_sql(
+    queries: dict[int, str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB replay of :func:`bm25_topk` — identical tokenization,
+    float expression shapes (explicit DOUBLE casts), quantization, and
+    tie-break.  Float literals use repr() (shortest round-trip), so both
+    engines parse the identical double.
+    """
+    scale = float(10**round_digits)
+    k1p1 = float(k1 + 1.0)
+    one_minus_b = float(1.0 - b)
+    vals = ", ".join(
+        f"({int(qid)}, '{w}')"
+        for qid, text in queries.items()
+        for w in dict.fromkeys(text.lower().split())
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        ), dl AS (
+          SELECT doc_id, sum(tf) AS dl FROM dw GROUP BY doc_id
+        ), dfreq AS (
+          SELECT word, count(*) AS df FROM dw GROUP BY word
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS tot FROM dl
+        ), qt (query_id, word) AS (VALUES {vals}),
+        scored AS (
+          SELECT CAST(qt.query_id AS BIGINT) AS query_id, dw.doc_id,
+                 CAST(sum(CAST(round(
+                   ln((CAST(stats.n - dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                      + CAST(1.0 AS DOUBLE))
+                   * (CAST(dw.tf AS DOUBLE) * {k1p1!r}
+                      / (CAST(dw.tf AS DOUBLE) + {float(k1)!r}
+                         * ({one_minus_b!r} + {float(b)!r}
+                            * (CAST(dl.dl AS DOUBLE)
+                               / (CAST(stats.tot AS DOUBLE)
+                                  / CAST(stats.n AS DOUBLE))))))
+                   * {scale}) AS BIGINT)) AS BIGINT) AS su
+          FROM dw
+          JOIN qt USING (word)
+          JOIN dl USING (doc_id)
+          JOIN dfreq USING (word)
+          CROSS JOIN stats
+          GROUP BY qt.query_id, dw.doc_id
+        )
+        SELECT query_id, doc_id,
+               CAST(su AS DOUBLE) / {scale} AS score,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY su DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {k}"""
+
+
 def quality_filter(
     docs: DataFrame,
     min_quality: float = 0.5,

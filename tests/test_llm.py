@@ -973,3 +973,41 @@ class TestTfidfTopk:
         for r in a:
             per_doc[r[0]] = per_doc.get(r[0], 0) + 1
         assert all(v <= 3 for v in per_doc.values())
+
+
+class TestBm25Topk:
+    def _docs(self, spark, parts=1):
+        rows = [
+            (0, "fast hash join fast join", "en", "s0", 10),
+            (1, "hash table scan", "en", "s0", 10),
+            (2, "slow sort merge join", "en", "s1", 10),
+            (3, "window agg stream stream", "en", "s1", 10),
+            (4, "totally unrelated words only", "en", "s2", 10),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(parts)
+
+    def test_relevance_ordering_and_k(self, spark):
+        from openseize_spark.llm import text as llm_text
+
+        out = llm_text.bm25_topk(
+            self._docs(spark), queries={1: "fast hash join", 2: "stream agg"}, k=3
+        ).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append(r)
+        top1 = {qid: min(rs, key=lambda r: r.rank).doc_id for qid, rs in by_q.items()}
+        assert top1[1] == 0  # doc 0 matches all three terms, twice over
+        assert top1[2] == 3
+        # doc 4 shares no terms with query 1 -> never retrieved for it
+        assert all(r.doc_id != 4 for r in by_q[1])
+        assert all(len(rs) <= 3 for rs in by_q.values())
+
+    def test_partition_invariant(self, spark):
+        from openseize_spark.llm import text as llm_text
+
+        qs = {7: "join scan"}
+        a = sorted(map(tuple, llm_text.bm25_topk(self._docs(spark, 1), qs, k=5).collect()))
+        b = sorted(map(tuple, llm_text.bm25_topk(self._docs(spark, 9), qs, k=5).collect()))
+        assert a == b and len(a) > 0
