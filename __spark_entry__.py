@@ -1189,6 +1189,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = q_dedup_clusters
 
+    def q_canonical_docs(spark, sf_dir):
+        """Canonical-document selection: after near-dup clustering, keep
+        the best-quality member of each cluster (ties to the lowest id) —
+        the step real dedup pipelines run after connected components.
+        Composes the LSH->verify->CC chain with the quality scorer; the
+        argmax is a rank window partitioned on the component key."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        cc = dedup.connected_components(
+            dup.select("a", "b"), include_self_pairs=False
+        ).select(F.col("id").alias("doc_id"), "component")
+        qual = llm_text.quality_score(docs)
+        j = cc.join(qual, on="doc_id")
+        wo = W.partitionBy("component").orderBy(
+            F.desc("quality"), F.asc("doc_id")
+        )
+        wp = W.partitionBy("component")
+        return (
+            j.withColumn("rn", F.row_number().over(wo))
+            .withColumn("n_members", F.count("*").over(wp).cast("bigint"))
+            .filter(F.col("rn") == 1)
+            .select(
+                "component",
+                F.col("doc_id").alias("canonical_id"),
+                F.col("quality").alias("best_quality"),
+                "n_members",
+            )
+        )
+
+    q["canonical_docs"] = q_canonical_docs
+
+    def q_snapshot_diff(spark, sf_dir):
+        """CDC corpus diff (llm/dedup.py snapshot_diff): snapshot B is a
+        deterministic mutation of documents (drop id%10==0, revise
+        id%7==0, add id%13==0 under shifted ids); classify via one full
+        outer fingerprint join."""
+        docs = _t(spark, sf_dir, "documents")
+        revised = F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" revised"))
+        ).otherwise(F.col("text"))
+        b = (
+            docs.filter(F.col("doc_id") % 10 != 0)
+            .select("doc_id", revised.alias("text"))
+            .unionAll(
+                docs.filter(F.col("doc_id") % 13 == 0).select(
+                    (F.col("doc_id") + 100000).alias("doc_id"), "text"
+                )
+            )
+        )
+        return dedup.snapshot_diff(docs, b)
+
+    q["snapshot_diff"] = q_snapshot_diff
+
     def q_minhash_sigs(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
@@ -2319,9 +2374,10 @@ _GATE_PRIORITY = [
     "pipeline_chain", "annotations_mask", "streaming_policies",
     # -- r4 red rows, oracle sums now cast to BIGINT (2)
     "split_assign", "multires_rollup",
-    # -- new round-5 registrations (8)
+    # -- new round-5 registrations (10)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
+    "canonical_docs", "snapshot_diff",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3223,6 +3279,50 @@ def oracle_sql() -> dict[str, str]:
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
+    # canonical-doc selection: the cluster replay (WITH RECURSIVE inside a
+    # derived table) joined to the quality replay, argmax via rank window
+    o["canonical_docs"] = f"""
+        WITH cc AS (SELECT * FROM ({o["dedup_clusters"]})),
+        q AS ({o["quality_score"]}),
+        sel AS (
+          SELECT cc.component, cc.doc_id, q.quality,
+                 row_number() OVER (
+                   PARTITION BY cc.component
+                   ORDER BY q.quality DESC, cc.doc_id ASC
+                 ) AS rn,
+                 count(*) OVER (PARTITION BY cc.component) AS nm
+          FROM cc JOIN q USING (doc_id)
+        )
+        SELECT component, doc_id AS canonical_id,
+               quality AS best_quality, CAST(nm AS BIGINT) AS n_members
+        FROM sel WHERE rn = 1"""
+
+    o["snapshot_diff"] = """
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' revised'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 10 != 0
+          UNION ALL
+          SELECT doc_id + 100000 AS doc_id, text
+          FROM documents WHERE doc_id % 13 = 0
+        ), fa AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM documents
+        ), fb AS (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+          FROM b
+        )
+        SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+               CASE WHEN fa.f IS NULL THEN 'added'
+                    WHEN fb.f IS NULL THEN 'deleted'
+                    WHEN fa.f != fb.f THEN 'modified' END AS status
+        FROM fa FULL JOIN fb ON fa.doc_id = fb.doc_id
+        WHERE (CASE WHEN fa.f IS NULL THEN 'added'
+                    WHEN fb.f IS NULL THEN 'deleted'
+                    WHEN fa.f != fb.f THEN 'modified' END) IS NOT NULL"""
     # composed C4-style filter: reuse the three scorer replays verbatim
     # as subqueries (DuckDB allows WITH inside a derived table).  The
     # Spark query runs on the PII-augmented corpus, so the quality and

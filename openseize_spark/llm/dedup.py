@@ -971,3 +971,43 @@ def simhash_pairs_oracle_sql(max_hamming: int = 3, bits: int = 32) -> str:
         JOIN banded y ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}"""
     )
+
+
+def snapshot_diff(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC-style corpus version diff: classify every document as added,
+    deleted, or modified between snapshot ``a`` (old) and ``b`` (new) —
+    the incremental-refresh primitive of a recurring crawl/training-data
+    pipeline (only re-process what changed, tombstone what vanished).
+
+    One full outer join on the id key comparing normalized-text md5
+    fingerprints; unchanged rows are dropped before anything downstream
+    sees them.  Scale shape: both sides shuffle once on the id (or not
+    at all if both snapshots are bucketed/partitioned on it); the
+    fingerprint is computed scan-side so the join carries (id, 32-byte
+    hash), never the text.
+
+    Returns (id, status) with status in {'added', 'deleted', 'modified'}.
+    """
+    fa = a.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("_fa"),
+    )
+    fb = b.select(
+        F.col(id_col).alias("_id"),
+        F.md5(normalize_text(F.col(text_col))).alias("_fb"),
+    )
+    j = fa.join(fb, on="_id", how="full_outer")
+    status = (
+        F.when(F.col("_fa").isNull(), "added")
+        .when(F.col("_fb").isNull(), "deleted")
+        .when(F.col("_fa") != F.col("_fb"), "modified")
+    )
+    return (
+        j.select(F.col("_id").alias(id_col), status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -1011,3 +1011,28 @@ class TestBm25Topk:
         a = sorted(map(tuple, llm_text.bm25_topk(self._docs(spark, 1), qs, k=5).collect()))
         b = sorted(map(tuple, llm_text.bm25_topk(self._docs(spark, 9), qs, k=5).collect()))
         assert a == b and len(a) > 0
+
+
+class TestSnapshotDiff:
+    def test_classification_and_symmetry(self, spark):
+        from openseize_spark.llm import dedup
+
+        a = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(2, "beta"), (3, "gamma CHANGED"), (4, "delta")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.status for r in dedup.snapshot_diff(a, b).collect()}
+        assert out == {1: "deleted", 3: "modified", 4: "added"}
+        # reversed direction swaps added/deleted, keeps modified
+        rev = {r.doc_id: r.status for r in dedup.snapshot_diff(b, a).collect()}
+        assert rev == {1: "added", 3: "modified", 4: "deleted"}
+
+    def test_whitespace_case_insensitive(self, spark):
+        from openseize_spark.llm import dedup
+
+        a = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
+        b = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+        assert dedup.snapshot_diff(a, b).count() == 0
