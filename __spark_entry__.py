@@ -1722,6 +1722,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["temperature_sample"] = q_temperature_sample
 
+    def q_streaming_enrich(spark, sf_dir):
+        """Stream-static broadcast join + windowed rollup (streaming/
+        windows.py streaming_enrich): events stream enriched with the
+        nation dim (user_id % 25 -> nationkey), tumbling-day counts and
+        value sums per nation.  The join is stateless per micro-batch;
+        the oracle is the plain batch join + GROUP BY."""
+        import os
+
+        from openseize_spark.streaming.windows import (
+            run_batch_as_stream,
+            streaming_enrich,
+        )
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(raw.dtypes)["ts"]
+        nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+        src = os.path.realpath(f"{sf_dir}/events.parquet")
+        d = _gate_tmp(
+            spark, "stream_enrich_" + os.path.basename(os.path.dirname(src))
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+        def transform(s):
+            e = s
+            if ts_type == "bigint":
+                e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+            return streaming_enrich(
+                e,
+                nation,
+                e.user_id % 25 == nation.n_nationkey,
+                window_dur="1 day",
+                watermark="0 seconds",
+            )
+
+        out = run_batch_as_stream(
+            spark,
+            d,
+            raw.schema,
+            transform,
+            queryName="gate_streaming_enrich",
+            output_mode="complete",
+        )
+        return out.select(
+            "win_start",
+            "n_name",
+            "n",
+            F.round("sum_value", 9).alias("sum_value"),
+        )
+
+    q["streaming_enrich"] = q_streaming_enrich
+
     def q_tfidf_topk(spark, sf_dir):
         """Per-document top-5 TF-IDF keywords (llm/text.py tfidf_topk):
         integer-quantized idf so the rank key is exact int64; the rank
@@ -2377,7 +2437,7 @@ _GATE_PRIORITY = [
     # -- new round-5 registrations (10)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
-    "canonical_docs", "snapshot_diff",
+    "canonical_docs", "snapshot_diff", "streaming_enrich",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3820,6 +3880,13 @@ def oracle_sql() -> dict[str, str]:
                round(avg(value), 9) AS mean_v,
                round(sum(value * value), 9) AS sum_v2
         FROM events
+        GROUP BY 1, 2"""
+
+    o["streaming_enrich"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, n_name,
+               count(*) AS n,
+               round(sum(value), 9) AS sum_value
+        FROM events JOIN nation ON (user_id % 25) = n_nationkey
         GROUP BY 1, 2"""
 
     return {k: v.strip() for k, v in o.items()}

@@ -51,6 +51,44 @@ def streaming_windowed_stats(
     )
 
 
+def streaming_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    join_expr,
+    window_dur: str = "1 day",
+    watermark: str = "0 seconds",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    group_col: str = "n_name",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — the dimension-
+    lookup shape every streaming pipeline needs (enrich each event with
+    reference data, then aggregate).
+
+    The static side is broadcast: a stream-static equi join keeps **no
+    state** — each micro-batch hash-joins against the (re-read) static
+    relation, so the join adds no watermark/state-store cost and scales
+    with the batch, not the stream history.  Only the downstream
+    windowed aggregate is stateful.
+
+    Returns one row per (window start, group) with count and value sum.
+    """
+    from pyspark.sql.functions import broadcast
+
+    enriched = events.join(broadcast(dim), join_expr)
+    return (
+        enriched.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_dur).alias("win"), F.col(group_col))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            group_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def run_batch_as_stream(
     spark, parquet_path: str, schema, transform, queryName="stream_out",
     output_mode: str = "complete",

@@ -253,3 +253,51 @@ class TestStreamingDedup:
         assert len(by_key["a"]) == 2 and len(by_key["b"]) == 1
         sums = sorted(r.sum_value for r in by_key["a"])
         assert sums == [3.0, 4.0]
+
+
+class TestStreamingEnrich:
+    def test_stream_static_join_equals_batch(self, spark, tmp_path):
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from openseize_spark.streaming.windows import (
+            run_batch_as_stream,
+            streaming_enrich,
+        )
+
+        base = datetime.datetime(2024, 1, 2)
+        rows = [
+            (i, base + datetime.timedelta(hours=i % 72), i % 5, float(i))
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        path = str(tmp_path / "enrich_src")
+        df.write.parquet(path)
+        dim = spark.createDataFrame(
+            [(k, f"G{k}") for k in range(5)], "n_nationkey long, n_name string"
+        )
+
+        def transform(s):
+            return streaming_enrich(
+                s, dim, s.user_id % 5 == dim.n_nationkey, window_dur="1 day"
+            )
+
+        out = run_batch_as_stream(
+            spark, path, df.schema, transform, queryName="t_enrich"
+        )
+        got = sorted(
+            (r.win_start, r.n_name, r.n, r.sum_value) for r in out.collect()
+        )
+        batch = sorted(
+            (r.win_start, r.n_name, r.n, r.sum_value)
+            for r in df.join(dim, df.user_id % 5 == dim.n_nationkey)
+            .groupBy(
+                F.date_trunc("day", "ts").alias("win_start"), "n_name"
+            )
+            .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+            .collect()
+        )
+        assert got == batch and len(got) > 0
