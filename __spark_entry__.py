@@ -1222,6 +1222,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canonical_docs"] = q_canonical_docs
 
+    def q_pagerank_sim(spark, sf_dir):
+        """PageRank centrality over the verified near-dup pair graph
+        (llm/dedup.py pagerank): 5 unrolled integer-exact iterations —
+        the third iterative-algorithm shape after CC and k-means."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.pagerank(dup.select("a", "b"), iters=5).select(
+            F.col("id").alias("doc_id"), "degree", "pagerank"
+        )
+
+    q["pagerank_sim"] = q_pagerank_sim
+
     def q_snapshot_diff(spark, sf_dir):
         """CDC corpus diff (llm/dedup.py snapshot_diff): snapshot B is a
         deterministic mutation of documents (drop id%10==0, revise
@@ -2437,7 +2451,7 @@ _GATE_PRIORITY = [
     # -- new round-5 registrations (10)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
-    "canonical_docs", "snapshot_diff", "streaming_enrich",
+    "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3338,6 +3352,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["pagerank_sim"] = _dedup.pagerank_oracle_sql(
+        iters=5, k=5, num_hashes=64, bands=8, threshold=0.8
     )
     # canonical-doc selection: the cluster replay (WITH RECURSIVE inside a
     # derived table) joined to the quality replay, argmax via rank window

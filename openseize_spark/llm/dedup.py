@@ -1011,3 +1011,118 @@ def snapshot_diff(
         j.select(F.col("_id").alias(id_col), status.alias("status"))
         .filter(F.col("status").isNotNull())
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """PageRank over an undirected pair graph (damping 0.85) in EXACT
+    integer arithmetic — centrality over the near-dup similarity graph
+    (which documents sit at the center of big duplicate families), and
+    the third iterative-algorithm shape alongside connected components
+    and k-means.
+
+    Every rank lives in integer ``scale`` units; with damping 0.85 =
+    17/20 both the per-edge contribution (``u div deg``) and the update
+    (``base + (17 * s) div 20``) are pure int64 floor divisions on
+    provably non-negative operands — Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree, so the oracle replays every
+    iteration bit-for-bit with no float anywhere.  ``iters`` is fixed
+    (bounded plan depth, no convergence collect).
+
+    Scale shape per iteration: one equi-join of the edge list against
+    the rank table plus one short-key sum — the textbook distributed
+    PageRank step; the one-row node count rides broadcast cross joins.
+    Returns (id, degree, pagerank) with pagerank = units / scale.
+    """
+    S = int(scale)
+    und = edges.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+    # cut the lineage once: every iteration re-references the edge list
+    # and degree table, and without this the (possibly expensive)
+    # upstream pair-generation plan is re-executed per reference and the
+    # composed plan grows superlinearly — same discipline as
+    # connected_components
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy("x").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
+    n_df = deg.agg(F.count("*").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n_df)).select(
+        "x", "deg", F.expr(f"{S} div n").alias("u")
+    )
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
+        contrib = (
+            und.join(
+                ranks.select("x", F.expr("u div deg").alias("c")), on="x"
+            )
+            .groupBy("y")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg.x == contrib.y)
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "x",
+                "deg",
+                (
+                    F.expr(f"(3 * {S}) div (20 * n)")
+                    + F.expr("(17 * s) div 20")
+                ).alias("u"),
+            )
+        )
+    return ranks.select(
+        F.col("x").alias("id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        (F.col("u").cast("double") / F.lit(float(S))).alias("pagerank"),
+    )
+
+
+def pagerank_oracle_sql(
+    iters: int = 5,
+    scale: int = 10**12,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`pagerank` over the verified MinHash pair
+    graph: the vp CTE chain, then ``iters`` unrolled integer-exact
+    update rounds (``//`` == Spark ``div`` on the non-negative units)."""
+    S = int(scale)
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, und AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM vp
+          UNION ALL SELECT b AS x, a AS y FROM vp
+        ), deg AS MATERIALIZED (
+          SELECT x, count(*) AS deg FROM und GROUP BY x
+        ), nn AS MATERIALIZED (SELECT count(*) AS n FROM deg)""",
+        f""", r0 AS (
+          SELECT x, deg, {S} // nn.n AS u FROM deg CROSS JOIN nn
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""", c{i} AS (
+          SELECT und.y, sum(r{i-1}.u // r{i-1}.deg) AS s
+          FROM und JOIN r{i-1} ON und.x = r{i-1}.x GROUP BY und.y
+        ), r{i} AS MATERIALIZED (
+          SELECT deg.x, deg.deg,
+                 (3 * {S}) // (20 * nn.n) + (17 * c{i}.s) // 20 AS u
+          FROM deg JOIN c{i} ON deg.x = c{i}.y CROSS JOIN nn
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT x AS doc_id, CAST(deg AS BIGINT) AS degree,
+               CAST(u AS DOUBLE) / {float(S)!r} AS pagerank
+        FROM r{iters}"""
+    )

@@ -1036,3 +1036,29 @@ class TestSnapshotDiff:
         a = spark.createDataFrame([(1, "Hello  World")], "doc_id long, text string")
         b = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
         assert dedup.snapshot_diff(a, b).count() == 0
+
+
+class TestPagerank:
+    def _edges(self, spark, parts=1):
+        # star around 0 plus a detached triangle
+        rows = [(0, 1), (0, 2), (0, 3), (0, 4), (10, 11), (11, 12), (10, 12)]
+        return spark.createDataFrame(rows, "a long, b long").repartition(parts)
+
+    def test_hub_ranks_highest_and_mass_conserved(self, spark):
+        from openseize_spark.llm import dedup
+
+        out = {r.id: (r.degree, r.pagerank) for r in dedup.pagerank(self._edges(spark)).collect()}
+        assert out[0][0] == 4
+        # the star hub outranks its leaves and the triangle members
+        assert all(out[0][1] > out[i][1] for i in [1, 2, 3, 4, 10, 11, 12])
+        # triangle is symmetric -> identical ranks
+        assert out[10] == out[11] == out[12]
+        # total mass stays ~1 (floor-division leakage only)
+        assert 0.99 < sum(p for _, p in out.values()) <= 1.0
+
+    def test_partition_invariant(self, spark):
+        from openseize_spark.llm import dedup
+
+        a = sorted(map(tuple, dedup.pagerank(self._edges(spark, 1)).collect()))
+        b = sorted(map(tuple, dedup.pagerank(self._edges(spark, 5)).collect()))
+        assert a == b
