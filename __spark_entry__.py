@@ -907,6 +907,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["welch_psd_blocks"] = q_welch_psd_blocks
 
+    def q_coherence(spark, sf_dir):
+        """Magnitude-squared coherence between channels 0 and 1
+        (operators/spectral.py coherence): Welch cross-spectral density
+        over the same segmentation as welch_psd — cross-channel
+        parity-plus; oracle replays both channels' naive DFTs joined on
+        (segment, bin)."""
+        sf = _signal(spark, sf_dir)
+        return spec.coherence(sf, ch_a=0, ch_b=1, nfft=128, overlap=0.5).select(
+            "freq",
+            F.round("csd_re", 12).alias("csd_re"),
+            F.round("csd_im", 12).alias("csd_im"),
+            F.round("coherence", 9).alias("coherence"),
+            "nsegs",
+        )
+
+    q["coherence"] = q_coherence
+
     def q_stft(spark, sf_dir):
         sf = _signal(spark, sf_dir)
         # round(9): FFT-vs-naive-DFT oracle divergence is ~1e-16 absolute,
@@ -2452,6 +2469,7 @@ _GATE_PRIORITY = [
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
+    "coherence",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3616,6 +3634,9 @@ def oracle_sql() -> dict[str, str]:
     o["fir_blocks"] = o["fir_kaiser"]  # same result, block-kernel path
     o["welch_psd"] = _orc.welch_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
     o["welch_psd_blocks"] = o["welch_psd"]  # same result, block-kernel path
+    o["coherence"] = _orc.coherence_oracle_sql(
+        sig, ch_a=0, ch_b=1, nfft=128, fs=FS, overlap=0.5
+    )
     o["stft"] = _orc.stft_oracle_sql(sig, nfft=128, fs=FS, overlap=0.5)
     o["stft_blocks"] = o["stft"]  # same result, block-kernel path
     o["downsample"] = _orc.resample_oracle_sql(sig, L=1, M=4)

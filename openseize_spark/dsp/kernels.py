@@ -487,3 +487,41 @@ def filtfilt(b: np.ndarray, a: np.ndarray, x: np.ndarray) -> np.ndarray:
     y = y[::-1]
     y, _ = lfilter(b, a, y, zi * y[0])
     return y[::-1]
+
+
+def cross_spectra(
+    xa: np.ndarray,
+    xb: np.ndarray,
+    fs: float,
+    nfft: int,
+    overlap: float = 0.5,
+    window: str = "hann",
+    detrend_kind: str = "constant",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Welch cross-spectral density and auto-spectra of two aligned 1-D
+    series: segment both, window + detrend, rfft, average A * conj(B)
+    and |A|^2 / |B|^2 over segments.  Density scaling (1 / (fs * sum
+    w^2)), no one-sided doubling (it cancels in coherence and is not
+    part of the two-sided CSD definition used here).
+
+    Returns (freqs, sxy[complex], sxx, syy, nsegs).
+    """
+    stride = int(nfft - overlap * nfft)
+    sa = sliding_segments(xa, nfft, stride)
+    sb = sliding_segments(xb, nfft, stride)
+    m = min(len(sa), len(sb))
+    sa, sb = sa[:m], sb[:m]
+    win = get_window(window, nfft)
+    if m == 0:
+        nf = nfft // 2 + 1
+        freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
+        z = np.zeros(nf)
+        return freqs, z.astype(complex), z, z, 0
+    A = np.fft.rfft(detrend(sa, detrend_kind) * win, axis=-1)
+    B = np.fft.rfft(detrend(sb, detrend_kind) * win, axis=-1)
+    scale = fs * np.sum(win**2)
+    sxy = (A * np.conj(B)).mean(axis=0) / scale
+    sxx = (A.real**2 + A.imag**2).mean(axis=0) / scale
+    syy = (B.real**2 + B.imag**2).mean(axis=0) / scale
+    freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
+    return freqs, sxy, sxx, syy, m

@@ -154,6 +154,49 @@ def welch_oracle_sql(
     )
 
 
+def coherence_oracle_sql(
+    sig_prefix: str,
+    ch_a: int,
+    ch_b: int,
+    nfft: int,
+    fs: float,
+    overlap: float = 0.5,
+    window: str = "hann",
+) -> str:
+    """DuckDB SQL equal to operators/spectral.coherence: the naive-DFT
+    segment spectra of both channels joined on (segment, bin), cross /
+    auto products averaged, Cxy = |Sxy|^2 / (Sxx * Syy).  Rounding
+    follows the welch precedent (CSD at 12 decimals, the O(1) coherence
+    ratio at 9)."""
+    stride = int(nfft - overlap * nfft)
+    seg_ctes = _segment_dft_ctes(nfft, stride, boundary_pad=0, tail_pad=False)
+    dft_ctes, sumw2 = _windowed_dft_ctes(nfft, fs, window)
+    scale = f"({dlit(fs)} * {dlit(sumw2)})"
+    return (
+        sig_prefix
+        + seg_ctes
+        + dft_ctes
+        + f"""
+        , xa AS (SELECT s, k, re, im FROM X WHERE channel = {ch_a})
+        , xb AS (SELECT s, k, re, im FROM X WHERE channel = {ch_b})
+        , cr AS (
+          SELECT xa.s, xa.k,
+                 xa.re * xb.re + xa.im * xb.im AS cre,
+                 xa.im * xb.re - xa.re * xb.im AS cim,
+                 xa.re * xa.re + xa.im * xa.im AS pa,
+                 xb.re * xb.re + xb.im * xb.im AS pb
+          FROM xa JOIN xb ON xa.s = xb.s AND xa.k = xb.k
+        )
+        SELECT CAST(k AS DOUBLE) * {dlit(fs)} / {nfft} AS freq,
+               round(avg(cre) / {scale}, 12) AS csd_re,
+               round(avg(cim) / {scale}, 12) AS csd_im,
+               round((avg(cre) * avg(cre) + avg(cim) * avg(cim))
+                     / (avg(pa) * avg(pb)), 9) AS coherence,
+               count(*) AS nsegs
+        FROM cr GROUP BY k"""
+    )
+
+
 def stft_oracle_sql(
     sig_prefix: str, nfft: int, fs: float, overlap: float = 0.5, window: str = "hann"
 ) -> str:

@@ -167,3 +167,38 @@ class TestSpectral:
         psd = np.ones_like(freqs)
         # integral of 1 over [5,20] = 15
         assert kernels.band_power(freqs, psd, 5, 20) == pytest.approx(15.0, rel=1e-9)
+
+
+class TestCrossSpectra:
+    def test_self_coherence_is_one(self):
+        import numpy as np
+
+        from openseize_spark.dsp import kernels
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(4096)
+        freqs, sxy, sxx, syy, m = kernels.cross_spectra(x, x, 256.0, 128)
+        coh = (sxy.real**2 + sxy.imag**2) / (sxx * syy)
+        assert m == (4096 - 128) // 64 + 1
+        assert np.allclose(coh, 1.0)
+        # Sxy of a signal with itself is the (real) auto-spectrum
+        assert np.allclose(sxy.imag, 0.0)
+        assert np.allclose(sxy.real, sxx)
+
+    def test_shared_tone_peaks_independent_noise_low(self):
+        import numpy as np
+
+        from openseize_spark.dsp import kernels
+
+        rng = np.random.default_rng(11)
+        n, fs, nfft = 8192, 256.0, 256
+        t = np.arange(n) / fs
+        tone = np.sin(2 * np.pi * 32.0 * t)
+        xa = tone + 0.5 * rng.standard_normal(n)
+        xb = tone + 0.5 * rng.standard_normal(n)
+        freqs, sxy, sxx, syy, _ = kernels.cross_spectra(xa, xb, fs, nfft)
+        coh = (sxy.real**2 + sxy.imag**2) / (sxx * syy)
+        k32 = int(np.argmin(np.abs(freqs - 32.0)))
+        assert coh[k32] > 0.9
+        far = (freqs < 20) | (freqs > 44)
+        assert coh[far].mean() < 0.3
