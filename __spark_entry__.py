@@ -1844,6 +1844,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_sample"] = q_dsir_sample
 
+    def q_countmin_words(spark, sf_dir):
+        """Count-Min sketch probe (llm/sketch.py): 4x256 salted-md5 grid
+        over the corpus token stream, point estimates (min over rows)
+        next to exact counts for a fixed probe list — the mergeable
+        approximate-counting primitive, deterministic given the hashes
+        so the grid replays exactly in SQL."""
+        from openseize_spark.llm import sketch
+
+        docs = _t(spark, sf_dir, "documents")
+        return sketch.countmin_estimate(
+            docs, probe_words=_CM_PROBES, depth=4, width=256
+        )
+
+    q["countmin_words"] = q_countmin_words
+
     def q_decontaminate(spark, sf_dir):
         """Exact test-set decontamination: a benchmark carved from the
         corpus (doc_id % 7 == 0) is removed from the rest by a broadcast
@@ -2450,6 +2465,13 @@ def _edf_gate_digital(ch: int, t):
 # is round 1, two Spark-build drifts ago.  Deferred to round 6: the
 # three least version-sensitive r01 relational queries (set_ops,
 # distinct_pairs, pivot_status) and the r03/r04-green remainder.
+# fixed probe words for the Count-Min gate (mix of frequent, mid, and
+# absent tokens so est==exact and est>exact cells both appear)
+_CM_PROBES = [
+    "table", "scan", "join", "window", "fast", "value", "the", "a",
+    "data", "zzz_absent_token",
+]
+
 # fixed keyword queries for the BM25 gate (terms drawn from the synthetic
 # documents vocabulary)
 _BM25_QUERIES = {
@@ -2469,7 +2491,7 @@ _GATE_PRIORITY = [
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
-    "coherence",
+    "coherence", "countmin_words",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3355,6 +3377,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["bm25_topk"] = llm_text.bm25_topk_oracle_sql(queries=_BM25_QUERIES, k=10)
+
+    from openseize_spark.llm import sketch as _sketch
+
+    o["countmin_words"] = _sketch.countmin_estimate_oracle_sql(
+        probe_words=_CM_PROBES, depth=4, width=256
+    )
 
     o["tfidf_topk"] = llm_text.tfidf_topk_oracle_sql(k=5)
     o["dsir_sample"] = sampling.dsir_sample_oracle_sql(

@@ -1062,3 +1062,39 @@ class TestPagerank:
         a = sorted(map(tuple, dedup.pagerank(self._edges(spark, 1)).collect()))
         b = sorted(map(tuple, dedup.pagerank(self._edges(spark, 5)).collect()))
         assert a == b
+
+
+class TestCountMin:
+    def _docs(self, spark, parts=1):
+        rows = [
+            (i, "alpha beta " + ("gamma " * (i % 3)), "en", "s0", 10)
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).repartition(parts)
+
+    def test_never_undercounts_and_often_exact(self, spark):
+        from openseize_spark.llm import sketch
+
+        out = {
+            r.word: (r.est, r.exact)
+            for r in sketch.countmin_estimate(
+                self._docs(spark), ["alpha", "beta", "gamma", "absent"]
+            ).collect()
+        }
+        assert out["alpha"][1] == 40 and out["beta"][1] == 40
+        assert out["gamma"][1] == sum(i % 3 for i in range(40))
+        assert out["absent"][1] == 0
+        # Count-Min guarantee: est >= exact for every probe
+        assert all(est >= exact for est, exact in out.values())
+        # only 3 distinct tokens in a 4x256 grid: no collisions possible
+        assert all(est == exact for w, (est, exact) in out.items() if w != "absent")
+
+    def test_sketch_partition_invariant_and_bounded(self, spark):
+        from openseize_spark.llm import sketch
+
+        a = sorted(map(tuple, sketch.countmin_sketch(self._docs(spark, 1)).collect()))
+        b = sorted(map(tuple, sketch.countmin_sketch(self._docs(spark, 7)).collect()))
+        assert a == b
+        assert len(a) <= 4 * 256
