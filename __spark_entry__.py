@@ -344,6 +344,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["funnel_steps"] = q_funnel_steps
 
+    def q_value_trend(spark, sf_dir):
+        """Grouped OLS trend (engine-native): slope/intercept of value
+        vs time per event_type from the five closed-form moment sums.  Time
+        is centered on the global minimum BEFORE the moments (otherwise
+        epoch-scale t^2 sums cancel catastrophically and no rounding
+        redeems them); the one-row minimum rides a broadcast cross
+        join."""
+        e = _events(spark, sf_dir)
+        tmin = e.agg(F.min(F.col("ts").cast("double")).alias("_t0"))
+        x = F.col("ts").cast("double") - F.col("_t0")
+        m = (
+            e.crossJoin(F.broadcast(tmin))
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(x).alias("sx"),
+                F.sum("value").alias("sy"),
+                F.sum(x * F.col("value")).alias("sxy"),
+                F.sum(x * x).alias("sxx"),
+            )
+        )
+        slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+        )
+        return m.select(
+            "event_type",
+            "n",
+            F.round(slope, 9).alias("slope"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+                "intercept"
+            ),
+        )
+
+    q["value_trend"] = q_value_trend
+
+    def q_label_centroids(spark, sf_dir):
+        """Per-label embedding centroid and dispersion (engine-native
+        array analytics): posexplode to (label, dim, x), two-level
+        partial aggregation on the short (label, dim) key — the grouped
+        vector-stats shape behind cluster quality checks."""
+        emb = _t(spark, sf_dir, "embeddings")
+        x = emb.select(
+            "label", F.posexplode("embedding").alias("dim", "_x")
+        ).withColumn("_x", F.col("_x").cast("double"))
+        return x.groupBy("label", F.col("dim").cast("bigint").alias("dim")).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("_x"), 9).alias("mean_x"),
+            F.round(
+                F.avg(F.col("_x") * F.col("_x")) - F.avg("_x") * F.avg("_x"), 9
+            ).alias("var_x"),
+        )
+
+    q["label_centroids"] = q_label_centroids
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -2491,7 +2545,7 @@ _GATE_PRIORITY = [
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
-    "coherence", "countmin_words",
+    "coherence", "countmin_words", "value_trend", "label_centroids",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3377,6 +3431,41 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["bm25_topk"] = llm_text.bm25_topk_oracle_sql(queries=_BM25_QUERIES, k=10)
+
+    o["value_trend"] = """
+        WITH t0 AS (
+          SELECT min(CAST(epoch(ts) AS DOUBLE)) AS t0 FROM events
+        ), m AS (
+          SELECT event_type, count(*) AS n,
+                 sum(CAST(epoch(ts) AS DOUBLE) - t0.t0) AS sx,
+                 sum(value) AS sy,
+                 sum((CAST(epoch(ts) AS DOUBLE) - t0.t0) * value) AS sxy,
+                 sum((CAST(epoch(ts) AS DOUBLE) - t0.t0)
+                     * (CAST(epoch(ts) AS DOUBLE) - t0.t0)) AS sxx
+          FROM events CROSS JOIN t0
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                     6) AS intercept
+        FROM m
+    """
+
+    o["label_centroids"] = """
+        WITH xs AS (
+          SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+                 CAST(embedding[u.i] AS DOUBLE) AS x
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS u(i)
+        )
+        SELECT label, dim,
+               CAST(count(*) AS BIGINT) AS n,
+               round(avg(x), 9) AS mean_x,
+               round(avg(x * x) - avg(x) * avg(x), 9) AS var_x
+        FROM xs
+        GROUP BY label, dim
+    """
 
     from openseize_spark.llm import sketch as _sketch
 
