@@ -494,12 +494,18 @@ def dsir_sample(
         "_tgt",
         (salted_hash(F.col("_w"), seed + ":feat") % B).alias("_b"),
     )
-    doc_b = tb.groupBy("_id", "_b").agg(F.count("*").alias("_k"))
-    raw = tb.groupBy("_b").agg(F.count("*").alias("_cr"))
+    # aggregate ONCE off the token stream, then derive all three
+    # consumers from the bounded (doc x bucket) table — without this the
+    # corpus explode re-runs per consumer (pruned schemas defeat
+    # ReuseExchange), and persisting the raw token stream instead would
+    # cache terabytes at scale
+    base = tb.groupBy("_id", "_tgt", "_b").agg(F.count("*").alias("_k")).persist()
+    doc_b = base.groupBy("_id", "_b").agg(F.sum("_k").alias("_k"))
+    raw = base.groupBy("_b").agg(F.sum("_k").alias("_cr"))
     tgt = (
-        tb.filter(F.col("_tgt") == target_val)
+        base.filter(F.col("_tgt") == target_val)
         .groupBy("_b")
-        .agg(F.count("*").alias("_ct"))
+        .agg(F.sum("_k").alias("_ct"))
     )
     raw_tot = raw.agg(F.sum("_cr").alias("_rt"))
     tgt_tot = tgt.agg(F.sum("_ct").alias("_tt"))

@@ -51,12 +51,29 @@ def countmin_sketch(
     bounds the shuffle at depth*width rows per task regardless of
     corpus size.  Returns (row, bucket, cnt), at most depth*width rows.
     """
+    wc = _word_counts(docs, text_col)
+    return _sketch_from_word_counts(wc, depth, width, seed)
+
+
+def _word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     norm = normalize_text(F.col(text_col))
     words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
-    toks = docs.filter(F.col(text_col).isNotNull()).select(
-        F.explode(words).alias("_w")
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count("*").cast("bigint").alias("_c"))
     )
-    cells = toks.select(
+
+
+def _sketch_from_word_counts(
+    wc: DataFrame, depth: int, width: int, seed: str
+) -> DataFrame:
+    # hash per DISTINCT word weighted by its count, not per token — the
+    # md5 work drops from O(tokens) to O(vocabulary) and the cell counts
+    # are identical
+    cells = wc.select(
+        "_c",
         F.explode(
             F.array(
                 *[
@@ -69,12 +86,12 @@ def countmin_sketch(
                     for r in range(depth)
                 ]
             )
-        ).alias("c")
+        ).alias("cell"),
     )
     return (
-        cells.select("c.row", "c.bucket")
+        cells.select("cell.row", "cell.bucket", "_c")
         .groupBy("row", "bucket")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(F.sum("_c").cast("bigint").alias("cnt"))
     )
 
 
@@ -96,7 +113,10 @@ def countmin_estimate(
     territory.  Returns (word, est, exact).
     """
     spark = docs.sparkSession
-    sk = countmin_sketch(docs, depth, width, text_col, seed)
+    # the word-count table feeds both the sketch and the exact counts;
+    # persist so the corpus explode runs once
+    wc = _word_counts(docs, text_col).persist()
+    sk = _sketch_from_word_counts(wc, depth, width, seed)
     probes = spark.createDataFrame(
         [
             (w, r, _bucket_py(w, r, width, seed))
@@ -111,14 +131,7 @@ def countmin_estimate(
         .groupBy("word")
         .agg(F.min("cnt").cast("bigint").alias("est"))
     )
-    norm = normalize_text(F.col(text_col))
-    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
-    exact = (
-        docs.filter(F.col(text_col).isNotNull())
-        .select(F.explode(words).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").cast("bigint").alias("exact"))
-    )
+    exact = wc.select(F.col("_w").alias("word"), F.col("_c").alias("exact"))
     return (
         est.join(exact, on="word", how="left")
         .na.fill({"exact": 0})

@@ -696,6 +696,10 @@ def tfidf_topk(
         .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
         .groupBy("_id", "word")
         .agg(F.count("*").alias("tf"))
+        # three consumers (scores, df, N) with different pruned schemas —
+        # without this the corpus explode re-runs per consumer (column
+        # pruning defeats ReuseExchange); same discipline as ngram_jaccard
+        .persist()
     )
     df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
     n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
@@ -798,6 +802,9 @@ def bm25_topk(
         .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
         .groupBy("_id", "word")
         .agg(F.count("*").alias("tf"))
+        # three consumers (postings, dl, df) — persist or the corpus
+        # explode re-runs per consumer (see tfidf_topk)
+        .persist()
     )
     dl = dw.groupBy("_id").agg(F.sum("tf").alias("_dl"))
     df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
