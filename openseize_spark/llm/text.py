@@ -299,6 +299,10 @@ def unigram_logprob(
         .select(F.col(id_col).alias("_id"), F.explode(words).alias("_w"))
         .groupBy("_id", "_w")
         .agg(F.count("*").alias("_k"))
+        # two consumers (vocab, score join) with different pruned
+        # schemas defeat ReuseExchange — persist the bounded aggregate
+        # so the corpus explode runs once
+        .persist()
     )
     vocab = doc_words.groupBy("_w").agg(F.sum("_k").alias("_cnt"))
     total = vocab.agg(F.sum("_cnt").alias("_tot"))
@@ -383,6 +387,8 @@ def vocab_stats(
         .select(F.explode(words).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
+        # two consumers (total, top-k) — persist so the explode runs once
+        .persist()
     )
     total = vocab.agg(F.sum("cnt").alias("_tot"))
     top = vocab.orderBy(F.desc("cnt"), F.col("word")).limit(top_k)
@@ -554,6 +560,9 @@ def source_divergence(
         .select(F.col(group_col).alias("_grp"), F.explode(words).alias("_w"))
         .groupBy("_grp", "_w")
         .agg(F.count("*").alias("_k"))
+        # four consumers (wtot, stot, ctot, the KL join) — persist the
+        # bounded (group, word) aggregate so the explode runs once
+        .persist()
     )
     wtot = sw.groupBy("_w").agg(F.sum("_k").alias("_kw"))
     stot = sw.groupBy("_grp").agg(F.sum("_k").alias("_ns"))
