@@ -398,6 +398,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["label_centroids"] = q_label_centroids
 
+    def q_json_props(spark, sf_dir):
+        """Semi-structured extraction (engine-native): pull the integer
+        k out of the JSON props column with a codegen JSON path (no
+        UDF), aggregate per event_type — min/max/sum are integer-exact.
+        At scale the JSON parse is the scan-side projection; nothing
+        shuffles but the 5-row aggregate."""
+        e = _events(spark, sf_dir)
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        return e.select("event_type", k.alias("_k")).groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.min("_k").alias("min_k"),
+            F.max("_k").alias("max_k"),
+            F.sum("_k").cast("bigint").alias("sum_k"),
+        )
+
+    q["json_props"] = q_json_props
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -2546,6 +2563,7 @@ _GATE_PRIORITY = [
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
     "coherence", "countmin_words", "value_trend", "label_centroids",
+    "json_props",
     # -- code/oracle changed this round (6)
     "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
     "lsh_topk", "knn_cosine",
@@ -3450,6 +3468,16 @@ def oracle_sql() -> dict[str, str]:
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
                      6) AS intercept
         FROM m
+    """
+
+    o["json_props"] = """
+        SELECT event_type, count(*) AS n,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type
     """
 
     o["label_centroids"] = """
