@@ -2551,25 +2551,39 @@ _BM25_QUERIES = {
     3: "customer query scan",
 }
 
+# The driver checks the FIRST 50 registered queries per round.  Round 5
+# registered 45 never-checked queries (10 carried from round 4 plus two
+# round-5 batches), so the window budget is: the 2 round-4 red rows
+# (oracle-type fix needs a green row), then every never-checked query,
+# then the 3 most-changed green queries.  The r01/r03/r04-green anchors
+# (pricing_summary, the FIR/IIR/welch families, ...) already hold driver
+# evidence and rotate back in round 6; ivf/lsh/knn similarity queries
+# changed only around them and stay locally verified this round.
 _GATE_PRIORITY = [
-    # -- never driver-checked (10)
+    # -- r4 red rows, oracle sums now cast to BIGINT (2)
+    "split_assign", "multires_rollup",
+    # -- never driver-checked, carried from round 4 (10)
     "pack_sequences", "streaming_sessionize", "temperature_sample",
     "decontaminate", "length_quantiles", "edf_roundtrip", "streaming_sosfilt",
     "pipeline_chain", "annotations_mask", "streaming_policies",
-    # -- r4 red rows, oracle sums now cast to BIGINT (2)
-    "split_assign", "multires_rollup",
-    # -- new round-5 registrations (10)
+    # -- round-5 batch 2: training-data surface (18)
+    "streaming_dedup", "decontaminate_ngram", "shard_assign", "quality_prune",
+    "token_budget_subset", "random_projection", "chunk_dedup",
+    "unigram_logprob", "semantic_dedup", "pq_encode", "pq_adc_topk",
+    "mixture_sample", "vocab_stats", "dup_span_detect", "bpe_pair_counts",
+    "source_divergence", "corpus_pipeline", "pq_refine_topk",
+    # -- round-5 batch 3: retrieval / analytics / graph / sketch (17)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
     "coherence", "countmin_words", "value_trend", "label_centroids",
     "json_props",
-    # -- code/oracle changed this round (6)
-    "corpus_shuffle", "dedup_clusters", "top_ngrams", "ivf_topk",
-    "lsh_topk", "knn_cosine",
-    # -- stalest anchors: r01-only evidence (32; extend_even/extend_odd
-    # -- defer to round 6 with extend_edge holding the family's slot,
-    # -- power_norm with band_power holding spectral integration's)
+    # -- most-changed green queries (3): corpus_shuffle's offset join,
+    # -- the CC self-pair option behind dedup_clusters, top_ngrams' plan
+    "corpus_shuffle", "dedup_clusters", "top_ngrams",
+    # ---- window boundary (50) ----
+    # r01-green anchors, next in line for round-6 rotation
+    "ivf_topk", "lsh_topk", "knn_cosine",
     "pricing_summary", "top_customers_by_orders", "priority_exists",
     "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
     "detrend_linear", "channel_select", "time_slice", "mask_compact",
