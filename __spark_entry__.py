@@ -415,6 +415,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["json_props"] = q_json_props
 
+    def q_rolling_median(spark, sf_dir):
+        """Exact rolling median (engine-native): interpolated percentile
+        over an ordered 5-row window frame per user — the robust-smoother
+        shape (approx sketches can't be oracled; the exact sort-based
+        frame percentile can).  Ordering key extended with event_id so
+        ties are deterministic."""
+        e = _events(spark, sf_dir)
+        return e.selectExpr(
+            "event_id",
+            "user_id",
+            "round(percentile(value, 0.5) OVER ("
+            "  PARTITION BY user_id ORDER BY ts, event_id"
+            "  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+            "), 9) AS med5",
+        )
+
+    q["rolling_median"] = q_rolling_median
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -2572,18 +2590,18 @@ _GATE_PRIORITY = [
     "unigram_logprob", "semantic_dedup", "pq_encode", "pq_adc_topk",
     "mixture_sample", "vocab_stats", "dup_span_detect", "bpe_pair_counts",
     "source_divergence", "corpus_pipeline", "pq_refine_topk",
-    # -- round-5 batch 3: retrieval / analytics / graph / sketch (17)
+    # -- round-5 batch 3: retrieval / analytics / graph / sketch (18)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
     "coherence", "countmin_words", "value_trend", "label_centroids",
-    "json_props",
-    # -- most-changed green queries (3): corpus_shuffle's offset join,
-    # -- the CC self-pair option behind dedup_clusters, top_ngrams' plan
-    "corpus_shuffle", "dedup_clusters", "top_ngrams",
+    "json_props", "rolling_median",
+    # -- most-changed green queries (2): corpus_shuffle's offset join,
+    # -- the CC self-pair option behind dedup_clusters
+    "corpus_shuffle", "dedup_clusters",
     # ---- window boundary (50) ----
-    # r01-green anchors, next in line for round-6 rotation
-    "ivf_topk", "lsh_topk", "knn_cosine",
+    # green-anchored queries next in line for round-6 rotation
+    "top_ngrams", "ivf_topk", "lsh_topk", "knn_cosine",
     "pricing_summary", "top_customers_by_orders", "priority_exists",
     "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
     "detrend_linear", "channel_select", "time_slice", "mask_compact",
@@ -3482,6 +3500,15 @@ def oracle_sql() -> dict[str, str]:
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
                      6) AS intercept
         FROM m
+    """
+
+    o["rolling_median"] = """
+        SELECT event_id, user_id,
+               round(CAST(quantile_cont(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 9) AS med5
+        FROM events
     """
 
     o["json_props"] = """
