@@ -433,6 +433,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_median"] = q_rolling_median
 
+    def q_skew_distinct_users(spark, sf_dir):
+        """Skew-safe distinct count: event_type has only 5 values, so a
+        direct countDistinct funnels each hot key through one reducer at
+        scale.  The two-level form spreads stage 1 across the compound
+        (event_type, user_id) key — hot keys shatter over all partitions,
+        dedup happens there, and stage 2 counts the already-small
+        distinct pairs.  Same result, skew-proof shuffle profile; also
+        per-type value sums riding stage 1's partial aggregation."""
+        e = _events(spark, sf_dir)
+        pairs = e.groupBy("event_type", "user_id").agg(
+            F.count("*").alias("_n"), F.sum("value").alias("_sv")
+        )
+        return pairs.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("distinct_users"),
+            F.sum("_n").cast("bigint").alias("n_events"),
+            F.round(F.sum("_sv"), 6).alias("sum_value"),
+        )
+
+    q["skew_distinct_users"] = q_skew_distinct_users
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -2590,18 +2610,18 @@ _GATE_PRIORITY = [
     "unigram_logprob", "semantic_dedup", "pq_encode", "pq_adc_topk",
     "mixture_sample", "vocab_stats", "dup_span_detect", "bpe_pair_counts",
     "source_divergence", "corpus_pipeline", "pq_refine_topk",
-    # -- round-5 batch 3: retrieval / analytics / graph / sketch (18)
+    # -- round-5 batch 3: retrieval / analytics / graph / sketch (19)
     "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
     "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
     "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
     "coherence", "countmin_words", "value_trend", "label_centroids",
-    "json_props", "rolling_median",
-    # -- most-changed green queries (2): corpus_shuffle's offset join,
-    # -- the CC self-pair option behind dedup_clusters
-    "corpus_shuffle", "dedup_clusters",
+    "json_props", "rolling_median", "skew_distinct_users",
+    # -- most-changed green query (1): corpus_shuffle's offset join
+    # -- (dedup_clusters' CC change is exercised inside canonical_docs)
+    "corpus_shuffle",
     # ---- window boundary (50) ----
     # green-anchored queries next in line for round-6 rotation
-    "top_ngrams", "ivf_topk", "lsh_topk", "knn_cosine",
+    "dedup_clusters", "top_ngrams", "ivf_topk", "lsh_topk", "knn_cosine",
     "pricing_summary", "top_customers_by_orders", "priority_exists",
     "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
     "detrend_linear", "channel_select", "time_slice", "mask_compact",
@@ -3500,6 +3520,15 @@ def oracle_sql() -> dict[str, str]:
                round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
                      6) AS intercept
         FROM m
+    """
+
+    o["skew_distinct_users"] = """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY event_type
     """
 
     o["rolling_median"] = """

@@ -572,6 +572,7 @@ def dsir_sample_oracle_sql(
     B = int(num_buckets)
     hw = salted_hash_sql("u.w", seed + ":feat")
     hd = salted_hash_sql("_id", seed)
+    target_val = target_val.replace("'", "''")
     return f"""
         WITH toks AS (
           SELECT doc_id AS _id, {target_col} AS _tgt,

@@ -152,7 +152,7 @@ def countmin_estimate_oracle_sql(
         f" AS bucket FROM toks" for r in range(depth)
     )
     probes = ", ".join(
-        f"('{w}', {r}, {_bucket_py(w, r, width, seed)})"
+        f"('{w.replace(chr(39), chr(39) * 2)}', {r}, {_bucket_py(w, r, width, seed)})"
         for w in probe_words
         for r in range(depth)
     )

@@ -875,7 +875,7 @@ def bm25_topk_oracle_sql(
     k1p1 = float(k1 + 1.0)
     one_minus_b = float(1.0 - b)
     vals = ", ".join(
-        f"({int(qid)}, '{w}')"
+        f"({int(qid)}, '{w.replace(chr(39), chr(39) * 2)}')"
         for qid, text in queries.items()
         for w in dict.fromkeys(text.lower().split())
     )
