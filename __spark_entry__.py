@@ -440,8 +440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (event_type, user_id) key — hot keys shatter over all partitions,
         dedup happens there, and stage 2 counts the already-small
         distinct pairs.  Same result, skew-proof shuffle profile; also
-        per-type value sums riding stage 1's partial aggregation."""
-        e = _events(spark, sf_dir)
+        per-type value sums riding stage 1's partial aggregation.
+        NULL users are excluded up front on both sides — groupBy would
+        keep a NULL group that count(DISTINCT) excludes."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         pairs = e.groupBy("event_type", "user_id").agg(
             F.count("*").alias("_n"), F.sum("value").alias("_sv")
         )
@@ -3528,6 +3530,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM events
+        WHERE user_id IS NOT NULL
         GROUP BY event_type
     """
 

@@ -993,19 +993,26 @@ def snapshot_diff(
 
     Returns (id, status) with status in {'added', 'deleted', 'modified'}.
     """
+    # presence markers, NOT fingerprint nullity: md5(NULL text) is NULL,
+    # which would make a NULL-text document indistinguishable from an
+    # absent row and misclassify it
     fa = a.select(
         F.col(id_col).alias("_id"),
         F.md5(normalize_text(F.col(text_col))).alias("_fa"),
+        F.lit(1).alias("_ina"),
     )
     fb = b.select(
         F.col(id_col).alias("_id"),
         F.md5(normalize_text(F.col(text_col))).alias("_fb"),
+        F.lit(1).alias("_inb"),
     )
     j = fa.join(fb, on="_id", how="full_outer")
     status = (
-        F.when(F.col("_fa").isNull(), "added")
-        .when(F.col("_fb").isNull(), "deleted")
-        .when(F.col("_fa") != F.col("_fb"), "modified")
+        F.when(F.col("_ina").isNull(), "added")
+        .when(F.col("_inb").isNull(), "deleted")
+        .when(
+            ~F.col("_fa").eqNullSafe(F.col("_fb")), "modified"
+        )
     )
     return (
         j.select(F.col("_id").alias(id_col), status.alias("status"))

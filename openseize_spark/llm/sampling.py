@@ -480,10 +480,13 @@ def dsir_sample(
     Returns (id, n_tokens, score) for the ``n_keep`` sampled documents,
     where score is the mean per-token log importance ratio.
     """
+    from openseize_spark.llm.dedup import normalize_text
+
     scale = float(10**round_digits)
     B = int(num_buckets)
-    norm_col = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    words = F.filter(F.split(norm_col, " "), lambda s: F.length(s) > 0)
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda s: F.length(s) > 0
+    )
     toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col(key_col).alias("_id"),
         F.col(target_col).alias("_tgt"),
@@ -499,7 +502,11 @@ def dsir_sample(
     # corpus explode re-runs per consumer (pruned schemas defeat
     # ReuseExchange), and persisting the raw token stream instead would
     # cache terabytes at scale
-    base = tb.groupBy("_id", "_tgt", "_b").agg(F.count("*").alias("_k")).persist()
+    base = (
+        tb.groupBy("_id", "_tgt", "_b")
+        .agg(F.count("*").alias("_k"))
+        .localCheckpoint(eager=False)
+    )
     doc_b = base.groupBy("_id", "_b").agg(F.sum("_k").alias("_k"))
     raw = base.groupBy("_b").agg(F.sum("_k").alias("_cr"))
     tgt = (

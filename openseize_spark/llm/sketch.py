@@ -114,8 +114,8 @@ def countmin_estimate(
     """
     spark = docs.sparkSession
     # the word-count table feeds both the sketch and the exact counts;
-    # persist so the corpus explode runs once
-    wc = _word_counts(docs, text_col).persist()
+    # checkpoint so the corpus explode runs once (GC-released)
+    wc = _word_counts(docs, text_col).localCheckpoint(eager=False)
     sk = _sketch_from_word_counts(wc, depth, width, seed)
     probes = spark.createDataFrame(
         [

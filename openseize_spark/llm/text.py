@@ -300,9 +300,10 @@ def unigram_logprob(
         .groupBy("_id", "_w")
         .agg(F.count("*").alias("_k"))
         # two consumers (vocab, score join) with different pruned
-        # schemas defeat ReuseExchange — persist the bounded aggregate
-        # so the corpus explode runs once
-        .persist()
+        # schemas defeat ReuseExchange; lazy localCheckpoint materializes
+        # the bounded aggregate once and, unlike persist(), is released
+        # by the ContextCleaner when the DataFrame is garbage-collected
+        .localCheckpoint(eager=False)
     )
     vocab = doc_words.groupBy("_w").agg(F.sum("_k").alias("_cnt"))
     total = vocab.agg(F.sum("_cnt").alias("_tot"))
@@ -387,8 +388,9 @@ def vocab_stats(
         .select(F.explode(words).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
-        # two consumers (total, top-k) — persist so the explode runs once
-        .persist()
+        # two consumers (total, top-k) — checkpoint so the explode runs
+        # once (GC-released, see unigram_logprob)
+        .localCheckpoint(eager=False)
     )
     total = vocab.agg(F.sum("cnt").alias("_tot"))
     top = vocab.orderBy(F.desc("cnt"), F.col("word")).limit(top_k)
@@ -560,9 +562,10 @@ def source_divergence(
         .select(F.col(group_col).alias("_grp"), F.explode(words).alias("_w"))
         .groupBy("_grp", "_w")
         .agg(F.count("*").alias("_k"))
-        # four consumers (wtot, stot, ctot, the KL join) — persist the
+        # four consumers (wtot, stot, ctot, the KL join) — checkpoint the
         # bounded (group, word) aggregate so the explode runs once
-        .persist()
+        # (GC-released, see unigram_logprob)
+        .localCheckpoint(eager=False)
     )
     wtot = sw.groupBy("_w").agg(F.sum("_k").alias("_kw"))
     stot = sw.groupBy("_grp").agg(F.sum("_k").alias("_ns"))
@@ -707,8 +710,8 @@ def tfidf_topk(
         .agg(F.count("*").alias("tf"))
         # three consumers (scores, df, N) with different pruned schemas —
         # without this the corpus explode re-runs per consumer (column
-        # pruning defeats ReuseExchange); same discipline as ngram_jaccard
-        .persist()
+        # pruning defeats ReuseExchange); GC-released, see unigram_logprob
+        .localCheckpoint(eager=False)
     )
     df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
     n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
@@ -811,9 +814,9 @@ def bm25_topk(
         .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
         .groupBy("_id", "word")
         .agg(F.count("*").alias("tf"))
-        # three consumers (postings, dl, df) — persist or the corpus
-        # explode re-runs per consumer (see tfidf_topk)
-        .persist()
+        # three consumers (postings, dl, df) — checkpoint or the corpus
+        # explode re-runs per consumer (see tfidf_topk; GC-released)
+        .localCheckpoint(eager=False)
     )
     dl = dw.groupBy("_id").agg(F.sum("tf").alias("_dl"))
     df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))

@@ -73,9 +73,7 @@ def streaming_enrich(
 
     Returns one row per (window start, group) with count and value sum.
     """
-    from pyspark.sql.functions import broadcast
-
-    enriched = events.join(broadcast(dim), join_expr)
+    enriched = events.join(F.broadcast(dim), join_expr)
     return (
         enriched.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_dur).alias("win"), F.col(group_col))

@@ -1098,3 +1098,18 @@ class TestCountMin:
         b = sorted(map(tuple, sketch.countmin_sketch(self._docs(spark, 7)).collect()))
         assert a == b
         assert len(a) <= 4 * 256
+
+
+class TestSnapshotDiffNullText:
+    def test_null_text_classified_by_presence(self, spark):
+        from openseize_spark.llm import dedup
+
+        a = spark.createDataFrame(
+            [(1, None), (2, None), (3, "x")], "doc_id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(1, None), (3, None), (4, None)], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.status for r in dedup.snapshot_diff(a, b).collect()}
+        # 1: NULL->NULL unchanged; 2: deleted; 3: text->NULL modified; 4: added
+        assert out == {2: "deleted", 3: "modified", 4: "added"}
