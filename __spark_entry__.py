@@ -1294,6 +1294,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["brand_suppliers"] = q_brand_suppliers
 
+    def q_priority_late_orders(spark, sf_dir):
+        """TPC-H Q4 shape: orders with at least one late-shipped item
+        (shipdate > orderdate + 60 days), counted per priority.  The
+        correlated EXISTS becomes a LEFT SEMI join on the order key —
+        Spark never materializes the duplicate-late-items side, and the
+        semi join degenerates to a broadcast when the late set is small
+        under AQE.  All-integer output."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        late = li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        return (
+            o.join(
+                late.select(F.col("l_orderkey").alias("k")).distinct(),
+                o.o_orderkey == F.col("k"),
+                "left_semi",
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count"))
+        )
+
+    q["priority_late_orders"] = q_priority_late_orders
+
+    def q_sole_late_supplier(spark, sf_dir):
+        """TPC-H Q21 shape: suppliers who were the ONLY late shipper in
+        a multi-supplier order (shipdate > orderdate + 90 days).  The
+        exists/not-exists pair is re-expressed as one aggregation over
+        the order key — per-order distinct suppliers and distinct late
+        suppliers — which costs a single shuffle on l_orderkey instead
+        of two correlated probes; the filtered result is tiny, so the
+        supplier-name join broadcasts.  All-integer output."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        s = _t(spark, sf_dir, "supplier")
+        tagged = li.join(
+            o.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        ).withColumn(
+            "late_supp",
+            F.when(
+                F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90),
+                F.col("l_suppkey"),
+            ),
+        )
+        per_order = tagged.groupBy("l_orderkey").agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late_supp"),
+            F.max("late_supp").alias("sole_supp"),
+        )
+        culprit = per_order.filter(
+            (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+        return (
+            culprit.join(s, culprit.sole_supp == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+        )
+
+    q["sole_late_supplier"] = q_sole_late_supplier
+
+    def q_important_parts(spark, sf_dir):
+        """TPC-H Q11 shape: parts whose lineitem value exceeds a fixed
+        fraction (0.05%) of the corpus-wide value.  Both sides sum in
+        exact integer cents (l_extendedprice carries 2 decimals, so
+        round(x*100) is an exact int64 and the sum is order-invariant),
+        and the share predicate is pure integer arithmetic — a float
+        total here would let summation order flip boundary parts.  The
+        global total is one broadcast row."""
+        li = _t(spark, sf_dir, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        per_part = li.groupBy("l_partkey").agg(
+            F.sum(cents).alias("value_cents")
+        )
+        total = per_part.agg(
+            F.sum("value_cents").alias("total_cents")
+        )
+        return (
+            per_part.join(F.broadcast(total))
+            .filter(F.col("value_cents") * 2000 > F.col("total_cents"))
+            .select(
+                "l_partkey",
+                F.col("value_cents").cast("bigint").alias("value_cents"),
+            )
+        )
+
+    q["important_parts"] = q_important_parts
+
+    def q_top_revenue_supplier(spark, sf_dir):
+        """TPC-H Q15 shape: the supplier(s) achieving maximum revenue in
+        a shipdate quarter.  Revenue accumulates in exact integer 1e-4
+        units (price has 2 decimals, discount 2, so the product is an
+        exact multiple of 1e-4 and round() recovers the same int64 in
+        any engine), making the argmax ties-exact; the one-row max joins
+        back by broadcast instead of a global window."""
+        li = _t(spark, sf_dir, "lineitem")
+        s = _t(spark, sf_dir, "supplier")
+        units = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
+        rev = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-04-01"))
+            )
+            .groupBy("l_suppkey")
+            .agg(F.sum(units).alias("rev_units"))
+        )
+        mx = rev.agg(F.max("rev_units").alias("max_units"))
+        return (
+            rev.join(F.broadcast(mx))
+            .filter(F.col("rev_units") == F.col("max_units"))
+            .join(s, rev.l_suppkey == s.s_suppkey)
+            .select(
+                "s_suppkey",
+                "s_name",
+                (F.col("rev_units") / 10000.0).alias("total_revenue"),
+            )
+        )
+
+    q["top_revenue_supplier"] = q_top_revenue_supplier
+
     def q_minhash_dedup(spark, sf_dir):
         docs = _t(spark, sf_dir, "documents")
         return dedup.minhash_dedup(
@@ -3466,6 +3589,67 @@ def oracle_sql() -> dict[str, str]:
           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
         )
         GROUP BY p_brand
+    """
+
+    o["priority_late_orders"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        )
+        GROUP BY o_orderpriority
+    """
+
+    o["sole_late_supplier"] = """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE
+                   WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                   THEN l_suppkey END) AS n_late_supp,
+                 max(CASE
+                   WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                   THEN l_suppkey END) AS sole_supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY l_orderkey
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_order JOIN supplier ON sole_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late_supp = 1
+        GROUP BY s_name
+    """
+
+    o["important_parts"] = """
+        WITH per_part AS (
+          SELECT l_partkey,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM lineitem GROUP BY l_partkey
+        ), total AS (
+          SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+          FROM per_part
+        )
+        SELECT l_partkey, value_cents
+        FROM per_part CROSS JOIN total
+        WHERE value_cents * 2000 > total_cents
+    """
+
+    o["top_revenue_supplier"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(round(
+                   l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                   AS BIGINT) AS rev_units
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, rev_units / 10000.0 AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_units = (SELECT max(rev_units) FROM rev)
     """
 
     o["cohort_retention"] = """
