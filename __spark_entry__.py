@@ -2047,6 +2047,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_enrich"] = q_streaming_enrich
 
+    def q_streaming_join(spark, sf_dir):
+        """Stream-stream event-time interval join (streaming/windows.py
+        streaming_interval_join): each user's view events matched to the
+        same user's click events landing within the next hour, both
+        streams watermarked so join state is evicted once event time
+        passes the horizon.  Two independent file-stream sources over
+        the same events directory; inner-join matches emit in append
+        mode with no downstream stateful operator.  The oracle is the
+        identical batch self-join."""
+        import os
+
+        from openseize_spark.streaming.windows import streaming_interval_join
+
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(raw.dtypes)["ts"]
+
+        src = os.path.realpath(f"{sf_dir}/events.parquet")
+        d = _gate_tmp(
+            spark, "stream_join_" + os.path.basename(os.path.dirname(src))
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if os.path.islink(link) and os.readlink(link) != src:
+            os.remove(link)
+        if not os.path.exists(link):
+            os.symlink(src, link)
+
+        def side(kind: str, prefix: str):
+            e = spark.readStream.schema(raw.schema).parquet(d)
+            if ts_type == "bigint":
+                e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif ts_type == "timestamp_ntz":
+                e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+            return e.filter(F.col("event_type") == kind).select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+
+        joined = streaming_interval_join(
+            side("view", "v"),
+            side("click", "c"),
+            left_key="v_user",
+            right_key="c_user",
+            left_ts="v_ts",
+            right_ts="c_ts",
+            max_delay="1 HOUR",
+            watermark="1 hour",
+        )
+        out = joined.select(
+            F.col("v_user").alias("user_id"),
+            F.col("v_id").alias("view_id"),
+            F.col("c_id").alias("click_id"),
+            (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
+        )
+        qname = "gate_streaming_join"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(f"SELECT * FROM {qname}")
+
+    q["streaming_join"] = q_streaming_join
+
     def q_tfidf_topk(spark, sf_dir):
         """Per-document top-5 TF-IDF keywords (llm/text.py tfidf_topk):
         integer-quantized idf so the rank key is exact int64; the rank
@@ -4321,6 +4391,17 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value * value), 9) AS sum_v2
         FROM events
         GROUP BY 1, 2"""
+
+    o["streaming_join"] = """
+        SELECT v.user_id AS user_id,
+               v.event_id AS view_id,
+               c.event_id AS click_id,
+               epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    """
 
     o["streaming_enrich"] = """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start, n_name,

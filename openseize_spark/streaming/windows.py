@@ -87,6 +87,43 @@ def streaming_enrich(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time interval condition —
+    Spark's canonical two-stream correlation (views ⋈ clicks within a
+    horizon).
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + max_delay]``, so the state
+    store evicts a buffered left row once the watermark passes
+    ``left_ts + max_delay`` and a right row once it passes ``right_ts``
+    — state stays proportional to (stream rate x horizon), never the
+    stream history.  The join shuffles both sides on the equi key, the
+    same partitioning a batch join would pick, so at 100 TB/day the
+    cost is one bounded-state hash join per micro-batch.
+
+    Returns the matched pairs (append semantics); callers aggregate
+    downstream if they need rollups (Spark supports chained stateful
+    operators in append mode).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[left_key] == rw[right_key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")
+
+
 def run_batch_as_stream(
     spark, parquet_path: str, schema, transform, queryName="stream_out",
     output_mode: str = "complete",

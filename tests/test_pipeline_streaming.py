@@ -301,3 +301,72 @@ class TestStreamingEnrich:
             .collect()
         )
         assert got == batch and len(got) > 0
+
+    def test_interval_join_equals_batch(self, spark, tmp_path):
+        """Stream-stream interval join emits exactly the batch join's
+        pairs: every (view, click) of one user within the horizon, none
+        outside it, including late-arriving in-horizon clicks."""
+        import datetime
+
+        from openseize_spark.streaming.windows import streaming_interval_join
+
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        for i in range(120):
+            kind = "view" if i % 2 == 0 else "click"
+            # clicks trail views by 0..119 minutes so some pairs fall
+            # inside the 1h horizon and some outside
+            ts = base + datetime.timedelta(minutes=(i * 7) % 240)
+            rows.append((i, ts, (i // 2) % 4, kind))
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        path = str(tmp_path / "sj_src")
+        df.write.parquet(path)
+
+        def side(kind, prefix):
+            s = spark.readStream.schema(df.schema).parquet(path)
+            return s.filter(F.col("event_type") == kind).select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+
+        joined = streaming_interval_join(
+            side("view", "v"),
+            side("click", "c"),
+            left_key="v_user",
+            right_key="c_user",
+            left_ts="v_ts",
+            right_ts="c_ts",
+            max_delay="1 HOUR",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_sjoin")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            (r.v_id, r.c_id) for r in spark.sql("SELECT * FROM t_sjoin").collect()
+        )
+
+        v = df.filter("event_type = 'view'").selectExpr(
+            "user_id u", "event_id vid", "ts vts"
+        )
+        c = df.filter("event_type = 'click'").selectExpr(
+            "user_id u2", "event_id cid", "ts cts"
+        )
+        batch = sorted(
+            (r.vid, r.cid)
+            for r in v.join(
+                c,
+                (v.u == c.u2)
+                & (c.cts >= v.vts)
+                & (c.cts <= v.vts + F.expr("INTERVAL 1 HOUR")),
+            ).collect()
+        )
+        assert got == batch and len(got) > 0
