@@ -2561,6 +2561,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unigram_logprob"] = q_unigram_logprob
 
+    def q_bigram_logprob(spark, sf_dir):
+        """Laplace-smoothed bigram LM quality score (llm/text.py
+        bigram_logprob): adjacent-pair logprobs from the corpus bigram
+        table, quantized to integer 1e-9 units so the weighted sum is
+        exact int64 — the step from CCNet's unigram proxy toward the
+        KenLM perplexity filter.  Registered after the round-5 window;
+        round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bigram_logprob(docs)
+
+    q["bigram_logprob"] = q_bigram_logprob
+
     def q_semantic_dedup(spark, sf_dir):
         """SemDeDup-style semantic dedup (llm/similarity.py
         semantic_dedup): nearest-centroid cells (centroids = corpus
@@ -3988,6 +4000,7 @@ def oracle_sql() -> dict[str, str]:
         FROM lab GROUP BY split"""
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
+    o["bigram_logprob"] = llm_text.bigram_logprob_oracle_sql(round_digits=9)
 
     # semantic_dedup: same centroid fixture as ivf_topk (corpus vec_ids
     # 3..10), identical expanded-L2 argmin assignment, then NOT EXISTS

@@ -361,6 +361,128 @@ def unigram_logprob_oracle_sql(round_digits: int = 9) -> str:
         GROUP BY dw.doc_id"""
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 9,
+) -> DataFrame:
+    """Bigram language-model quality score with Laplace smoothing — the
+    next step up from ``unigram_logprob`` toward the KenLM perplexity
+    filter: score(doc) = -(1/m) * sum log p(w2|w1) over the doc's m
+    adjacent word pairs, with p(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V)
+    (V = corpus vocabulary size).  Word-salad that reuses common words
+    in uncommon orders — which the unigram model cannot see — scores
+    high here.
+
+    Scale shape: pairs come from zipping each doc's word array with its
+    own tail (``slice``+``arrays_zip`` — no positional self-join), the
+    corpus bigram table aggregates from per-doc partials on the (w1,w2)
+    key, left-context totals reduce that same table on w1, and V rides
+    a broadcast one-row cross join.  Every shuffle is a short-key
+    partial-aggregated exchange; no UDFs, no driver collects.
+
+    Same integer-quantization discipline as ``unigram_logprob``: each
+    log p is rounded to an int64 count of 10^-round_digits units before
+    the weighted sum, so summation order cannot move the result; floats
+    only reappear in the final division, identically on both engines.
+
+    Docs with fewer than two tokens have no bigrams and are absent from
+    the output.  Returns (id, n_bigrams, score).
+    """
+    scale = float(10**round_digits)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    n = F.size("_ws")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_ws"), 1, n - 1).alias("w1"),
+        F.slice(F.col("_ws"), 2, n - 1).alias("w2"),
+    )
+    doc_bi = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), words.alias("_ws"))
+        .filter(n >= 2)
+        .select("_id", F.explode(pairs).alias("_p"))
+        .select("_id", F.col("_p.w1").alias("_w1"), F.col("_p.w2").alias("_w2"))
+        .groupBy("_id", "_w1", "_w2")
+        .agg(F.count("*").alias("_k"))
+        # consumed by the corpus bigram table AND the score join; lazy
+        # localCheckpoint materializes the bounded aggregate once
+        .localCheckpoint(eager=False)
+    )
+    bi = doc_bi.groupBy("_w1", "_w2").agg(F.sum("_k").alias("_c12"))
+    left_tot = bi.groupBy("_w1").agg(F.sum("_c12").alias("_c1"))
+    vocab_n = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("_w"))
+        .agg(F.countDistinct("_w").alias("_v"))
+    )
+    lp_units = F.round(
+        F.log(
+            (F.col("_c12") + 1).cast("double")
+            / (F.col("_c1") + F.col("_v")).cast("double")
+        )
+        * scale,
+        0,
+    ).cast("bigint")
+    scored = (
+        doc_bi.join(bi, on=["_w1", "_w2"])
+        .join(left_tot, on="_w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .withColumn("_lp9", lp_units)
+        .groupBy("_id")
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("_k") * F.col("_lp9")).cast("double")
+                / (F.lit(scale) * F.sum("_k")),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "n_bigrams", "score")
+
+
+def bigram_logprob_oracle_sql(round_digits: int = 9) -> str:
+    """DuckDB SQL equal to bigram_logprob: identical normalization,
+    tail-zip pairing, Laplace smoothing, and integer quantization."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH wl AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ), w -> len(w) > 0) AS ws
+          FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+          SELECT doc_id, ws[g.i] AS w1, ws[g.i + 1] AS w2
+          FROM wl, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+          WHERE len(ws) >= 2
+        ), db AS (
+          SELECT doc_id, w1, w2, count(*) AS k
+          FROM pairs GROUP BY doc_id, w1, w2
+        ), bi AS (
+          SELECT w1, w2, sum(k) AS c12 FROM db GROUP BY w1, w2
+        ), lt AS (
+          SELECT w1, sum(c12) AS c1 FROM bi GROUP BY w1
+        ), vn AS (
+          SELECT count(DISTINCT u.w) AS v
+          FROM wl, unnest(ws) AS u(w)
+        )
+        SELECT db.doc_id,
+               CAST(sum(db.k) AS BIGINT) AS n_bigrams,
+               round(
+                 -CAST(sum(db.k * CAST(round(
+                     ln(CAST(bi.c12 + 1 AS DOUBLE)
+                        / CAST(lt.c1 + vn.v AS DOUBLE))
+                     * {scale}) AS BIGINT)) AS DOUBLE)
+                   / ({scale} * sum(db.k)),
+                 {round_digits}) AS score
+        FROM db JOIN bi USING (w1, w2) JOIN lt USING (w1) CROSS JOIN vn
+        GROUP BY db.doc_id"""
+
+
 def vocab_stats(
     docs: DataFrame, top_k: int = 100, text_col: str = "text"
 ) -> DataFrame:

@@ -654,6 +654,37 @@ class TestUnigramLogprob:
         assert got[0] < got[99]  # fluent (frequent) < rare-token soup
 
 
+class TestBigramLogprob:
+    def test_matches_python_lm(self, spark):
+        rows = [(1, "a b a b"), (2, "a b c"), (3, "b a")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+        import math
+
+        # corpus bigrams: doc1 (a,b)x2 (b,a)x1; doc2 (a,b) (b,c); doc3 (b,a)
+        c12 = {("a", "b"): 3, ("b", "a"): 2, ("b", "c"): 1}
+        c1 = {"a": 3, "b": 3}
+        v = 3  # vocabulary {a, b, c}
+        for doc_id, t in rows:
+            ws = t.split()
+            ps = list(zip(ws, ws[1:]))
+            exp = -sum(
+                round(math.log((c12[p] + 1) / (c1[p[0]] + v)) * 1e9)
+                for p in ps
+            ) / (1e9 * len(ps))
+            assert abs(got[doc_id].score - round(exp, 9)) < 1e-12
+            assert got[doc_id].n_bigrams == len(ps)
+
+    def test_short_docs_absent_and_order_sensitivity(self, spark):
+        # same unigram bag, different order -> different bigram scores;
+        # the single-token doc has no bigrams and must be absent
+        rows = [(1, "x y x y x y"), (2, "x x x y y y"), (3, "x")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in text.bigram_logprob(df).collect()}
+        assert set(got) == {1, 2}
+        assert got[1] != got[2]
+
+
 class TestSemanticDedup:
     def test_near_dup_in_cell_dropped(self, spark):
         # two tight groups around orthogonal axes; centroids = one per axis
