@@ -455,6 +455,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skew_distinct_users"] = q_skew_distinct_users
 
+    def q_value_histogram(spark, sf_dir):
+        """Fixed-bin numeric histogram per event type — the standard
+        first look at a metric's distribution.  One pass, one short-key
+        shuffle on (event_type, bin); the bin id is floor(value/width),
+        a single IEEE double divide+floor that lands identically on any
+        engine, so no boundary value can change bins.  At 100 TB this is
+        a pure map-side-combine aggregation — the reduce side sees at
+        most n_types x n_bins rows."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        width = 25.0
+        bin_id = F.least(
+            F.floor(F.col("value") / width).cast("bigint"), F.lit(19)
+        )
+        return (
+            e.groupBy("event_type", bin_id.alias("bin"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+            .withColumn("bin_lo", F.col("bin") * width)
+        )
+
+    q["value_histogram"] = q_value_histogram
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -2674,6 +2698,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_span_detect"] = q_dup_span_detect
 
+    def q_source_overlap(spark, sf_dir):
+        """Pairwise cross-source gram-overlap matrix (llm/dedup.py
+        source_overlap): shared distinct word-8-gram fingerprints and
+        Jaccard per source pair — "which subcorpora copy from each
+        other".  Output bounded by C(n_sources, 2).  Registered after
+        the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.source_overlap(docs, n=8)
+
+    q["source_overlap"] = q_source_overlap
+
     def q_bpe_pair_counts(spark, sf_dir):
         """First BPE training iteration (llm/text.py bpe_pair_counts):
         corpus-wide adjacent char-pair counts weighted by word
@@ -3800,6 +3835,18 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY event_type
     """
 
+    o["value_histogram"] = """
+        SELECT event_type,
+               least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS sum_value,
+               least(CAST(floor(value / 25.0) AS BIGINT), 19)
+                 * CAST(25.0 AS DOUBLE) AS bin_lo
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    """
+
     o["rolling_median"] = """
         SELECT event_id, user_id,
                round(CAST(quantile_cont(value, 0.5) OVER (
@@ -3963,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
     o["vocab_stats"] = llm_text.vocab_stats_oracle_sql(top_k=100)
 
     o["dup_span_detect"] = dedup.dup_span_detect_oracle_sql(n=8)
+    o["source_overlap"] = dedup.source_overlap_oracle_sql(n=8)
 
     o["bpe_pair_counts"] = llm_text.bpe_pair_counts_oracle_sql(top_k=50)
 

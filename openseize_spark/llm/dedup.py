@@ -332,6 +332,120 @@ def dup_span_detect_oracle_sql(n: int = 8) -> str:
         GROUP BY doc_id"""
 
 
+def source_overlap(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise cross-source contamination matrix: for every pair of
+    corpus sources, how many distinct word ``n``-gram fingerprints they
+    share, plus the gram-set Jaccard.  The corpus-level complement of
+    the per-doc ``dup_span_detect`` — it answers "which subcorpora are
+    copying from each other" before any doc-level policy runs.
+
+    Scale shape: distinct (source, gram) pairs collapse the token-level
+    explode to at most n_sources x gram-vocabulary rows; the self-join
+    keys on the 16-byte gram hash, and each gram contributes at most
+    C(n_sources, 2) pairs, so output and join fan-out are bounded by
+    the source count, not the corpus.  Totals and the intersection stay
+    integer; only the final Jaccard divides.
+
+    Returns (source_a, source_b, shared_grams, grams_a, grams_b,
+    jaccard) for source_a < source_b.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("_s"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+    )
+    grams = (
+        base.select(
+            "_s",
+            F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i"),
+            "_w",
+        )
+        .select(
+            "_s",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _i, {n})"))).alias("_g"),
+        )
+        .distinct()
+        # consumed twice (totals + both sides of the pair join); lazy
+        # localCheckpoint materializes the distinct set once
+        .localCheckpoint(eager=False)
+    )
+    totals = grams.groupBy("_s").agg(F.count("*").alias("_tot"))
+    a = grams.select(F.col("_s").alias("source_a"), "_g")
+    b = grams.select(F.col("_s").alias("source_b"), "_g")
+    shared = (
+        a.join(b, on="_g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("shared_grams"))
+    )
+    ta = totals.select(
+        F.col("_s").alias("source_a"), F.col("_tot").alias("grams_a")
+    )
+    tb = totals.select(
+        F.col("_s").alias("source_b"), F.col("_tot").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), on="source_a")
+        .join(F.broadcast(tb), on="source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_grams",
+            F.col("grams_a").cast("bigint").alias("grams_a"),
+            F.col("grams_b").cast("bigint").alias("grams_b"),
+            F.round(
+                F.col("shared_grams").cast("double")
+                / (
+                    F.col("grams_a") + F.col("grams_b") - F.col("shared_grams")
+                ).cast("double"),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_oracle_sql(n: int = 8) -> str:
+    """DuckDB SQL equal to source_overlap: same normalization, gram
+    fingerprints, distinct source-gram sets, pair join, and Jaccard."""
+    return f"""
+        WITH w AS (
+          SELECT source,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT source,
+                 md5(array_to_string(wl[u.i:(u.i + {n} - 1)], ' ')) AS g
+          FROM w, unnest(generate_series(1, len(wl) - {n} + 1)) AS u(i)
+          WHERE len(wl) >= {n}
+        ), tot AS (
+          SELECT source, count(*) AS t FROM grams GROUP BY source
+        ), shared AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(count(*) AS BIGINT) AS shared_grams
+          FROM grams a JOIN grams b
+            ON a.g = b.g AND a.source < b.source
+          GROUP BY a.source, b.source
+        )
+        SELECT source_a, source_b, shared_grams,
+               CAST(ta.t AS BIGINT) AS grams_a,
+               CAST(tb.t AS BIGINT) AS grams_b,
+               round(CAST(shared_grams AS DOUBLE)
+                     / CAST(ta.t + tb.t - shared_grams AS DOUBLE), 9)
+                 AS jaccard
+        FROM shared
+        JOIN tot ta ON shared.source_a = ta.source
+        JOIN tot tb ON shared.source_b = tb.source"""
+
+
 def _shingle_expr(text_norm, k: int):
     n = F.length(text_norm)
     return F.array_distinct(

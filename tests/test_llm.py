@@ -853,6 +853,42 @@ class TestDupSpanDetect:
         assert [r.doc_id for r in out.collect()] == [2]
 
 
+class TestSourceOverlap:
+    def test_pairwise_shared_grams_and_jaccard(self, spark):
+        # A and B share one 3-gram; C is disjoint from both
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "A"),
+                (2, "alpha beta gamma omega", "B"),
+                (3, "one two three four", "C"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            (r.source_a, r.source_b): r
+            for r in dedup.source_overlap(df, n=3).collect()
+        }
+        ab = out[("A", "B")]
+        # each of A, B has 2 distinct grams; they share 'alpha beta gamma'
+        assert ab.shared_grams == 1 and ab.grams_a == 2 and ab.grams_b == 2
+        assert abs(ab.jaccard - 1 / 3) < 1e-9
+        assert ("A", "C") not in out and ("B", "C") not in out
+
+    def test_duplicate_grams_within_source_count_once(self, spark):
+        # the same gram twice inside one source must not inflate overlap
+        df = spark.createDataFrame(
+            [
+                (1, "x y z", "A"),
+                (2, "x y z", "A"),
+                (3, "x y z", "B"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        row = dedup.source_overlap(df, n=3).collect()[0]
+        assert row.shared_grams == 1 and row.grams_a == 1 and row.grams_b == 1
+        assert row.jaccard == 1.0
+
+
 class TestBpePairCounts:
     def test_weighted_pair_counts(self, spark):
         # "ab" appears 3x (in 'ab' twice via wc=2? no: word 'abc' once,
