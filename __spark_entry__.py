@@ -1025,6 +1025,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_assign"] = q_kmeans_assign
 
+    def q_cluster_purity(spark, sf_dir):
+        """Cluster-quality evaluation: per-cluster majority-label purity
+        of the k-means assignment against the embeddings' ground-truth
+        labels — the standard external clustering metric (and the eval
+        step after any semantic-dedup/topic-cluster fit).  The label
+        histogram keys on (cell_id, label) — at most k x n_labels rows —
+        so the argmax window and total join run on a relation the size
+        of the label table, not the corpus; ties break to the lowest
+        label deterministically.  Registered after the round-5 window;
+        round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        assign, _cents = similarity.kmeans_fit(emb, k=8, n_iter=4)
+        j = assign.join(
+            emb.select(F.col("vec_id").alias("_vid"), "label"),
+            assign.id == F.col("_vid"),
+        )
+        hist = j.groupBy("cell_id", "label").agg(F.count("*").alias("_n"))
+        win = W.partitionBy("cell_id").orderBy(
+            F.col("_n").desc(), F.col("label").asc()
+        )
+        top = hist.withColumn("_rk", F.row_number().over(win)).filter(
+            F.col("_rk") == 1
+        )
+        tot = hist.groupBy("cell_id").agg(F.sum("_n").alias("n"))
+        return top.join(tot, on="cell_id").select(
+            "cell_id",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("label").alias("top_label"),
+            F.col("_n").cast("bigint").alias("top_cnt"),
+            F.round(
+                F.col("_n").cast("double") / F.col("n").cast("double"), 9
+            ).alias("purity"),
+        )
+
+    q["cluster_purity"] = q_cluster_purity
+
     # --------------- non-SQL-expressible (rows-only checks) -------------
     def q_welch_psd(spark, sf_dir):
         sf = _signal(spark, sf_dir)
@@ -2597,6 +2633,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bigram_logprob"] = q_bigram_logprob
 
+    def q_tfidf_cosine_pairs(spark, sf_dir):
+        """Sparse TF-IDF cosine all-pairs similarity (llm/text.py
+        tfidf_cosine_pairs): posting-list self-join over df-pruned rare
+        terms, integer-unit weights, IEEE-exact cosine.  The lexical
+        near-dup complement to MinHash banding.  Registered after the
+        round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.tfidf_cosine_pairs(docs, threshold=0.3, max_df_pct=5)
+
+    q["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+
     def q_semantic_dedup(spark, sf_dir):
         """SemDeDup-style semantic dedup (llm/similarity.py
         semantic_dedup): nearest-centroid cells (centroids = corpus
@@ -4049,6 +4096,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
     o["bigram_logprob"] = llm_text.bigram_logprob_oracle_sql(round_digits=9)
+    o["tfidf_cosine_pairs"] = llm_text.tfidf_cosine_pairs_oracle_sql(
+        threshold=0.3, max_df_pct=5, round_digits=4
+    )
 
     # semantic_dedup: same centroid fixture as ivf_topk (corpus vec_ids
     # 3..10), identical expanded-L2 argmin assignment, then NOT EXISTS
@@ -4191,6 +4241,27 @@ def oracle_sql() -> dict[str, str]:
     from openseize_spark.llm import similarity as _sim
 
     o["kmeans_assign"] = _sim.kmeans_assign_oracle_sql(k=8, n_iter=4)
+
+    o["cluster_purity"] = f"""
+        WITH hist AS (
+          SELECT a.cell_id, e.label, count(*) AS hn
+          FROM ({_sim.kmeans_assign_oracle_sql(k=8, n_iter=4)}) a
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          GROUP BY a.cell_id, e.label
+        ), top AS (
+          SELECT cell_id, label AS top_label, hn AS top_cnt
+          FROM hist
+          QUALIFY row_number() OVER (
+            PARTITION BY cell_id ORDER BY hn DESC, label ASC) = 1
+        ), tot AS (
+          SELECT cell_id, CAST(sum(hn) AS BIGINT) AS n
+          FROM hist GROUP BY cell_id
+        )
+        SELECT top.cell_id, tot.n, top.top_label,
+               CAST(top.top_cnt AS BIGINT) AS top_cnt,
+               round(CAST(top.top_cnt AS DOUBLE) / CAST(tot.n AS DOUBLE), 9)
+                 AS purity
+        FROM top JOIN tot ON top.cell_id = tot.cell_id"""
 
     o["lsh_topk"] = f"""
         WITH base AS (

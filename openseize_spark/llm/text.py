@@ -895,6 +895,137 @@ def tfidf_topk_oracle_sql(k: int = 5, round_digits: int = 9) -> str:
         QUALIFY rank <= {k}"""
 
 
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.3,
+    max_df_pct: int = 5,
+    round_digits: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs similarity via a posting-list
+    self-join (the Bayardo et al. "scaling up all pairs" shape) — the
+    lexical near-dup complement to MinHash: pairs that share *weighted*
+    rare terms score high even when their shingle Jaccard is low.
+
+    Scale shape: terms appearing in more than ``max_df_pct`` percent of
+    documents are pruned first (the df cut is integer arithmetic:
+    ``df * 100 <= pct * N``), so each surviving posting list contributes
+    at most C(df_cap, 2) candidate pairs — the self-join on the word key
+    is bounded, never all-pairs over the corpus.  Per-doc squared norms
+    partial-aggregate on the id key; the pair dot-product aggregates on
+    the (a, b) key from posting-join partials.
+
+    Weights are integer TF-IDF units (round_digits defaults to 4, not
+    9, so the *squared* sums stay far inside int64), making dot and
+    norms exact; the final cosine divides once through IEEE-exact
+    double sqrt — identical on any engine.  Returns (id_a, id_b,
+    dot_units, cosine) for cosine >= threshold, id_a < id_b.
+    """
+    scale = float(10**round_digits)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("_w"))
+        .groupBy("_id", "_w")
+        .agg(F.count("*").alias("_tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_tbl = dw.groupBy("_w").agg(F.count("*").alias("_df"))
+    n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
+    idf_units = F.round(
+        F.log(F.col("_n").cast("double") / F.col("_df").cast("double")) * scale,
+        0,
+    ).cast("bigint")
+    post = (
+        dw.join(df_tbl, on="_w")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") * 100 <= F.lit(max_df_pct) * F.col("_n"))
+        .select("_w", "_id", (F.col("_tf") * idf_units).alias("_su"))
+        # consumed by the norm aggregate and both sides of the pair join
+        .localCheckpoint(eager=False)
+    )
+    norms = post.groupBy("_id").agg(
+        F.sum(F.col("_su") * F.col("_su")).alias("_n2")
+    )
+    a = post.select(F.col("_id").alias("id_a"), "_w", F.col("_su").alias("_sa"))
+    b = post.select(F.col("_id").alias("id_b"), "_w", F.col("_su").alias("_sb"))
+    dots = (
+        a.join(b, on="_w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_sa") * F.col("_sb")).alias("dot_units"))
+    )
+    na = norms.select(F.col("_id").alias("id_a"), F.col("_n2").alias("_na2"))
+    nb = norms.select(F.col("_id").alias("id_b"), F.col("_n2").alias("_nb2"))
+    cos = F.col("dot_units").cast("double") / F.sqrt(
+        F.col("_na2").cast("double") * F.col("_nb2").cast("double")
+    )
+    return (
+        dots.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .filter(cos >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("dot_units").cast("bigint").alias("dot_units"),
+            F.round(cos, 9).alias("cosine"),
+        )
+    )
+
+
+def tfidf_cosine_pairs_oracle_sql(
+    threshold: float = 0.3, max_df_pct: int = 5, round_digits: int = 4
+) -> str:
+    """DuckDB SQL equal to tfidf_cosine_pairs: identical tokenization,
+    integer TF-IDF units, df pruning, posting join, and cosine."""
+    scale = float(10**round_digits)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS w
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+        ), dfreq AS (
+          SELECT w, count(*) AS df FROM dw GROUP BY w
+        ), n AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
+        post AS (
+          SELECT dw.w, dw.doc_id,
+                 dw.tf * CAST(round(
+                   ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                   * {scale}) AS BIGINT) AS su
+          FROM dw JOIN dfreq USING (w) CROSS JOIN n
+          WHERE dfreq.df * 100 <= {max_df_pct} * n.nd
+        ), norms AS (
+          SELECT doc_id, CAST(sum(su * su) AS BIGINT) AS n2
+          FROM post GROUP BY doc_id
+        ), dots AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.su * b.su) AS BIGINT) AS dot_units
+          FROM post a JOIN post b
+            ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, dot_units,
+               round(CAST(dot_units AS DOUBLE)
+                     / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)),
+                     9) AS cosine
+        FROM dots
+        JOIN norms na ON dots.id_a = na.doc_id
+        JOIN norms nb ON dots.id_b = nb.doc_id
+        WHERE CAST(dot_units AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+              >= {float(threshold)}"""
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: dict[int, str],

@@ -853,6 +853,35 @@ class TestDupSpanDetect:
         assert [r.doc_id for r in out.collect()] == [2]
 
 
+class TestTfidfCosinePairs:
+    def test_rare_term_pairs_found_common_pruned(self, spark):
+        # docs 1,2 share rare word "quasar"; "the" is in every doc and
+        # must be pruned by the df cut, so 3 pairs with no rare overlap
+        rows = [
+            (1, "the quasar flux"),
+            (2, "the quasar beam"),
+            (3, "the ordinary text"),
+            (4, "the plain words"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = text.tfidf_cosine_pairs(df, threshold=0.05, max_df_pct=60)
+        pairs = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+        assert (1, 2) in pairs
+        assert all(a == 1 and b == 2 for a, b in pairs)
+        assert 0 < pairs[(1, 2)] <= 1.0
+
+    def test_identical_docs_cosine_one(self, spark):
+        rows = [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r.id_a, r.id_b): r.cosine
+            for r in text.tfidf_cosine_pairs(
+                df, threshold=0.5, max_df_pct=80
+            ).collect()
+        }
+        assert abs(out[(1, 2)] - 1.0) < 1e-12
+
+
 class TestSourceOverlap:
     def test_pairwise_shared_grams_and_jaccard(self, spark):
         # A and B share one 3-gram; C is disjoint from both
