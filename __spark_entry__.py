@@ -2644,6 +2644,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
 
+    def q_doc_chunks(spark, sf_dir):
+        """RAG/embedding chunking (llm/text.py doc_chunks): overlapping
+        64-word windows on a 48-word stride with the final chunk pinned
+        to the document tail — zero-shuffle, pure codegen explode.
+        Registered after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.doc_chunks(docs, chunk_words=64, stride=48)
+
+    q["doc_chunks"] = q_doc_chunks
+
+    def q_jsonl_roundtrip(spark, sf_dir):
+        """JSONL sink -> source identity: the documents table written as
+        newline-delimited JSON (the interchange format most corpus
+        pipelines ingest) and read back with an explicit schema — no
+        inference pass, which at 100 TB would mean a second full scan.
+        The write shuffles nothing (per-partition files); unicode and
+        embedded newlines survive via JSON string escaping.  The oracle
+        is the original table, so the gate proves a lossless
+        round-trip.  Registered after the round-5 window; round-6
+        window material."""
+        import os
+
+        docs = _t(spark, sf_dir, "documents")
+        d = _gate_tmp(spark, "jsonl_rt")
+        marker = os.path.join(d, "_SUCCESS")
+        if not os.path.exists(marker):
+            docs.write.mode("overwrite").json(d)
+        return spark.read.schema(docs.schema).json(d).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+
+    q["jsonl_roundtrip"] = q_jsonl_roundtrip
+
     def q_semantic_dedup(spark, sf_dir):
         """SemDeDup-style semantic dedup (llm/similarity.py
         semantic_dedup): nearest-centroid cells (centroids = corpus
@@ -4098,6 +4131,10 @@ def oracle_sql() -> dict[str, str]:
     o["bigram_logprob"] = llm_text.bigram_logprob_oracle_sql(round_digits=9)
     o["tfidf_cosine_pairs"] = llm_text.tfidf_cosine_pairs_oracle_sql(
         threshold=0.3, max_df_pct=5, round_digits=4
+    )
+    o["doc_chunks"] = llm_text.doc_chunks_oracle_sql(chunk_words=64, stride=48)
+    o["jsonl_roundtrip"] = (
+        "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
 
     # semantic_dedup: same centroid fixture as ivf_topk (corpus vec_ids

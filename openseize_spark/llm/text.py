@@ -895,6 +895,112 @@ def tfidf_topk_oracle_sql(k: int = 5, round_digits: int = 9) -> str:
         QUALIFY rank <= {k}"""
 
 
+def doc_chunks(
+    docs: DataFrame,
+    chunk_words: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping word-window chunks — the
+    retrieval/embedding preprocessing step every RAG and long-context
+    training pipeline runs before vectorizing.  Chunk starts advance by
+    ``stride`` (overlap = chunk_words - stride) and the final chunk is
+    pinned to the document tail so no words are dropped; start
+    positions are pure integer arithmetic, so the chunking is identical
+    on any engine.
+
+    Scale shape: one projection + explode per document, no shuffle at
+    all — chunking is embarrassingly parallel and stays inside
+    whole-stage codegen; the per-doc chunk count is ceil plus one,
+    bounded by doc length / stride.
+
+    Returns (id, chunk_idx, start_word, n_words, chunk_text,
+    chunk_hash) where start_word is 1-based and chunk_hash is the md5
+    of the chunk text (the dedup/lineage key downstream stages join
+    on).
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    n = F.size("_w")
+    last = F.greatest(n - chunk_words + 1, F.lit(1))
+    grid = F.transform(
+        F.sequence(F.lit(0), F.floor((last - 1) / stride).cast("int")),
+        lambda k: k * stride + 1,
+    )
+    # append the pinned tail start only when it is off the stride grid —
+    # a conditional append keeps ascending order without a distinct
+    # (whose ordering guarantees differ across engines)
+    starts = F.when(
+        (last - 1) % stride != 0, F.concat(grid, F.array(last))
+    ).otherwise(grid)
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(n >= 1)
+        .select("_id", "_w", F.posexplode(starts).alias("_k", "_start"))
+    )
+    chunk = F.concat_ws(
+        " ", F.slice(F.col("_w"), F.col("_start"), chunk_words)
+    )
+    return base.select(
+        F.col("_id").alias(id_col),
+        (F.col("_k") + 1).cast("bigint").alias("chunk_idx"),
+        F.col("_start").cast("bigint").alias("start_word"),
+        F.least(
+            F.lit(chunk_words), F.size("_w") - F.col("_start") + 1
+        ).cast("bigint").alias("n_words"),
+        chunk.alias("chunk_text"),
+        F.md5(chunk).alias("chunk_hash"),
+    )
+
+
+def doc_chunks_oracle_sql(chunk_words: int = 64, stride: int = 48) -> str:
+    """DuckDB SQL equal to doc_chunks: identical normalization, start
+    grid (stride steps plus the pinned tail start), slicing, and md5."""
+    W, S = chunk_words, stride
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ), x -> len(x) > 0) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grid AS (
+          SELECT doc_id, wl,
+                 CASE WHEN (greatest(len(wl) - {W} + 1, 1) - 1) % {S} <> 0
+                 THEN list_append(
+                   list_transform(
+                     generate_series(0,
+                       CAST(floor((greatest(len(wl) - {W} + 1, 1) - 1)
+                                  / {S}) AS BIGINT)),
+                     k -> k * {S} + 1),
+                   greatest(len(wl) - {W} + 1, 1))
+                 ELSE list_transform(
+                   generate_series(0,
+                     CAST(floor((greatest(len(wl) - {W} + 1, 1) - 1)
+                                / {S}) AS BIGINT)),
+                   k -> k * {S} + 1)
+                 END AS starts
+          FROM w WHERE len(wl) >= 1
+        ), ex AS (
+          SELECT doc_id, wl, starts[u.i] AS start_word,
+                 u.i AS chunk_idx
+          FROM grid, unnest(generate_series(1, len(starts))) AS u(i)
+        )
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(start_word AS BIGINT) AS start_word,
+               CAST(least({W}, len(wl) - start_word + 1) AS BIGINT)
+                 AS n_words,
+               array_to_string(wl[start_word:(start_word + {W} - 1)], ' ')
+                 AS chunk_text,
+               md5(array_to_string(wl[start_word:(start_word + {W} - 1)], ' '))
+                 AS chunk_hash
+        FROM ex"""
+
+
 def tfidf_cosine_pairs(
     docs: DataFrame,
     threshold: float = 0.3,

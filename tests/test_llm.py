@@ -853,6 +853,38 @@ class TestDupSpanDetect:
         assert [r.doc_id for r in out.collect()] == [2]
 
 
+class TestDocChunks:
+    def test_short_exact_and_tail_pinned(self, spark):
+        w = lambda n: " ".join(f"w{i}" for i in range(n))
+        df = spark.createDataFrame(
+            [(1, w(3)), (2, w(8)), (3, w(13))], "doc_id long, text string"
+        )
+        out = {}
+        for r in text.doc_chunks(df, chunk_words=8, stride=5).collect():
+            out.setdefault(r.doc_id, []).append(r)
+        # shorter than a chunk -> one chunk covering all words
+        assert len(out[1]) == 1 and out[1][0].n_words == 3
+        # exactly one chunk
+        assert len(out[2]) == 1 and out[2][0].n_words == 8
+        # 13 words, stride 5 -> starts 1, 6 (tail start 13-8+1=6 on-grid)
+        starts = sorted(r.start_word for r in out[3])
+        assert starts == [1, 6]
+        # full coverage: last chunk reaches the last word
+        assert max(r.start_word + r.n_words - 1 for r in out[3]) == 13
+
+    def test_off_grid_tail_appended_once(self, spark):
+        w = " ".join(f"t{i}" for i in range(12))  # tail start 5, grid 1,4
+        df = spark.createDataFrame([(1, w)], "doc_id long, text string")
+        rows = sorted(
+            text.doc_chunks(df, chunk_words=8, stride=3).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        assert [r.start_word for r in rows] == [1, 4, 5]
+        assert all(r.n_words == 8 for r in rows)
+        # chunk text is the actual slice
+        assert rows[-1].chunk_text.split()[0] == "t4"
+
+
 class TestTfidfCosinePairs:
     def test_rare_term_pairs_found_common_pruned(self, spark):
         # docs 1,2 share rare word "quasar"; "the" is in every doc and
