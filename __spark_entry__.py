@@ -479,6 +479,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["value_histogram"] = q_value_histogram
 
+    def q_daily_gapfill(spark, sf_dir):
+        """Time-series densification: daily event counts per type with
+        zero rows for missing (type, day) combinations — the gap-fill
+        every dashboard and forecasting pipeline needs before windowed
+        models.  The date spine generates from a one-row min/max
+        aggregate (broadcast), crosses with the distinct type list
+        (broadcast — bounded by the type vocabulary), and left-joins the
+        pre-aggregated daily counts; raw events are touched exactly
+        once.  Registered after the round-5 window; round-6 window
+        material."""
+        e = _events(spark, sf_dir)
+        daily = e.groupBy(
+            F.col("event_type"), F.to_date("ts").alias("day")
+        ).agg(F.count("*").alias("_n"))
+        span = e.agg(
+            F.min(F.to_date("ts")).alias("_lo"),
+            F.max(F.to_date("ts")).alias("_hi"),
+        )
+        spine = span.select(
+            F.explode(F.sequence("_lo", "_hi")).alias("day")
+        )
+        types = e.select("event_type").distinct()
+        grid = spine.crossJoin(F.broadcast(types))
+        return grid.join(daily, ["event_type", "day"], "left").select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+
+    q["daily_gapfill"] = q_daily_gapfill
+
+    def q_cumulative_users(spark, sf_dir):
+        """Cumulative distinct users by day (the growth curve): each
+        user counts once, on their first-seen day; the running total
+        accumulates over the tiny per-day aggregate.  The cumulative
+        sum is a broadcast inequality self-join over the bounded
+        day-count relation — NOT a SinglePartition window, so no global
+        funnel exists anywhere in the plan even though the semantics
+        are a running total.  Registered after the round-5 window;
+        round-6 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        first = e.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("day")
+        )
+        per_day = first.groupBy("day").agg(F.count("*").alias("new_users"))
+        rhs = per_day.select(
+            F.col("day").alias("_d2"), F.col("new_users").alias("_n2")
+        )
+        return (
+            per_day.join(F.broadcast(rhs), F.col("_d2") <= F.col("day"))
+            .groupBy("day", "new_users")
+            .agg(F.sum("_n2").cast("bigint").alias("total_users"))
+            .select(
+                "day",
+                F.col("new_users").cast("bigint").alias("new_users"),
+                "total_users",
+            )
+        )
+
+    q["cumulative_users"] = q_cumulative_users
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -3913,6 +3974,38 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY event_type
+    """
+
+    o["daily_gapfill"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+          FROM events GROUP BY 1, 2
+        ), span AS (
+          SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi
+          FROM events
+        ), spine AS (
+          SELECT CAST(u.d AS DATE) AS day
+          FROM span, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(d)
+        ), types AS (SELECT DISTINCT event_type FROM events)
+        SELECT t.event_type, s.day,
+               CAST(coalesce(daily.n, 0) AS BIGINT) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN daily
+          ON daily.event_type = t.event_type AND daily.day = s.day
+    """
+
+    o["cumulative_users"] = """
+        WITH first AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS day
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), per_day AS (
+          SELECT day, count(*) AS new_users FROM first GROUP BY day
+        )
+        SELECT a.day,
+               CAST(a.new_users AS BIGINT) AS new_users,
+               CAST(sum(b.new_users) AS BIGINT) AS total_users
+        FROM per_day a JOIN per_day b ON b.day <= a.day
+        GROUP BY a.day, a.new_users
     """
 
     o["value_histogram"] = """
