@@ -2738,6 +2738,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["jsonl_roundtrip"] = q_jsonl_roundtrip
 
+    def q_bpe_encode(spark, sf_dir):
+        """BPE tokenizer apply (llm/text.py bpe_apply): a fixed ordered
+        merge table — including cascaded merges that consume earlier
+        outputs ('t'+'h' -> 'th', then 'th'+'e' -> 'the') — encoded on
+        the distinct word table via chained codegen replaces, then
+        joined back for per-doc token counts.  Registered after the
+        round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bpe_apply(docs, merges=_BPE_MERGES)
+
+    q["bpe_encode"] = q_bpe_encode
+
     def q_semantic_dedup(spark, sf_dir):
         """SemDeDup-style semantic dedup (llm/similarity.py
         semantic_dedup): nearest-centroid cells (centroids = corpus
@@ -2957,6 +2969,14 @@ def _edf_gate_digital(ch: int, t):
 # is round 1, two Spark-build drifts ago.  Deferred to round 6: the
 # three least version-sensitive r01 relational queries (set_ops,
 # distinct_pairs, pivot_status) and the r03/r04-green remainder.
+# fixed ordered BPE merge table for the bpe_encode gate: includes a
+# cascade (t+h -> th, th+e -> the; a+n -> an, an+d -> and) so merge
+# order and merged-symbol reuse are both exercised
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("an", "d"), ("o", "n"), ("r", "e"), ("s", "t"), ("e", "n"),
+]
+
 # fixed probe words for the Count-Min gate (mix of frequent, mid, and
 # absent tokens so est==exact and est>exact cells both appear)
 _CM_PROBES = [
@@ -4229,6 +4249,7 @@ def oracle_sql() -> dict[str, str]:
     o["jsonl_roundtrip"] = (
         "SELECT doc_id, text, lang, source, n_chars FROM documents"
     )
+    o["bpe_encode"] = llm_text.bpe_apply_oracle_sql(merges=_BPE_MERGES)
 
     # semantic_dedup: same centroid fixture as ivf_topk (corpus vec_ids
     # 3..10), identical expanded-L2 argmin assignment, then NOT EXISTS

@@ -40,6 +40,13 @@ HEADLINE = [
     "kmeans_assign",        # iterative Lloyd's fit (literal-centroid argmin)
     "dedup_clusters",       # LSH pairs + iterative connected components
     "pac",                  # hilbert window FIR + range-join gather
+    # round-5 additions: the new heavy surfaces
+    "corpus_pipeline",      # composed dedup -> quality -> split -> stats
+    "bm25_topk",            # inverted-index sparse retrieval
+    "pagerank_sim",         # iterative edge-join graph rounds
+    "tfidf_cosine_pairs",   # df-pruned posting-list self-join
+    "source_overlap",       # distinct source-gram sets + pair join
+    "chunk_dedup",          # chunk fingerprints + corpus-wide counts
 ]
 
 

@@ -895,6 +895,101 @@ def tfidf_topk_oracle_sql(k: int = 5, round_digits: int = 9) -> str:
         QUALIFY rank <= {k}"""
 
 
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ordered BPE merge table to every document and report
+    per-doc token counts — the distributed *encode* half of the
+    tokenizer whose *fit* statistic ``bpe_pair_counts`` computes.
+    Symbols are separated by a sentinel byte and each merge (a, b) is
+    one literal string replace of ``sep+a+sep+b`` with ``sep+ab``:
+    replace() substitutes non-overlapping occurrences left-to-right,
+    which is exactly BPE's greedy within-pass semantics, and later
+    merges can consume earlier merges' output symbols (the gate list
+    includes such a cascade).
+
+    Scale shape: the encode runs on the DISTINCT word table — a word
+    occurring a billion times is encoded once — as a chain of M
+    codegen string replaces (no UDF, no shuffle); per-doc totals come
+    from joining the per-doc tf table to the encoded vocabulary on the
+    word key.  All-integer until the final tokens-per-word division.
+
+    Returns (id, n_words, n_tokens, tokens_per_word).
+    """
+    sep = "\x01"
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("_tf"))
+    )
+    vocab = dw.select("word").distinct()
+    enc = F.regexp_replace(F.col("word"), "(.)", sep + "$1")
+    for a, b in merges:
+        enc = F.replace(enc, F.lit(sep + a + sep + b), F.lit(sep + a + b))
+    encoded = vocab.select(
+        "word", (F.size(F.split(enc, sep)) - 1).alias("_ntok")
+    )
+    return (
+        dw.join(encoded, on="word")
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("_tf") * F.col("_ntok")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+                9,
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
+def bpe_apply_oracle_sql(merges: list[tuple[str, str]]) -> str:
+    """DuckDB SQL equal to bpe_apply: identical sentinel encoding and
+    ordered literal replaces (both engines' replace() substitutes
+    non-overlapping occurrences left-to-right)."""
+    enc = "regexp_replace(word, '(.)', chr(1) || '\\1', 'g')"
+    for a, b in merges:
+        pat = f"chr(1) || '{a}' || chr(1) || '{b}'"
+        rep = f"chr(1) || '{a}{b}'"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return f"""
+        WITH dw AS (
+          SELECT doc_id, u.w AS word, count(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+          GROUP BY doc_id, u.w
+        ), vocab AS (SELECT DISTINCT word FROM dw),
+        encoded AS (
+          SELECT word,
+                 len(string_split({enc}, chr(1))) - 1 AS ntok
+          FROM vocab
+        )
+        SELECT dw.doc_id,
+               CAST(sum(dw.tf) AS BIGINT) AS n_words,
+               CAST(sum(dw.tf * encoded.ntok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(dw.tf * encoded.ntok) AS DOUBLE)
+                     / CAST(sum(dw.tf) AS DOUBLE), 9) AS tokens_per_word
+        FROM dw JOIN encoded USING (word)
+        GROUP BY dw.doc_id"""
+
+
 def doc_chunks(
     docs: DataFrame,
     chunk_words: int = 64,

@@ -853,6 +853,29 @@ class TestDupSpanDetect:
         assert [r.doc_id for r in out.collect()] == [2]
 
 
+class TestBpeApply:
+    def test_cascaded_merges_and_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the then thin"), (2, "and sand"), (3, "xyz")],
+            "doc_id long, text string",
+        )
+        merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+        got = {r.doc_id: r for r in text.bpe_apply(df, merges).collect()}
+        # the -> [the] (1); then -> [the, n] (2); thin -> [th, i, n] (3)
+        assert got[1].n_words == 3 and got[1].n_tokens == 1 + 2 + 3
+        # and -> [and] (1); sand -> [s, and] (2)
+        assert got[2].n_tokens == 1 + 2
+        # no merge applies -> one token per char
+        assert got[3].n_tokens == 3
+        assert abs(got[2].tokens_per_word - 1.5) < 1e-12
+
+    def test_greedy_left_to_right_overlap(self, spark):
+        # 'aaa' with merge (a,a): greedy left-to-right -> [aa, a]
+        df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+        got = text.bpe_apply(df, [("a", "a")]).collect()[0]
+        assert got.n_tokens == 2
+
+
 class TestDocChunks:
     def test_short_exact_and_tail_pinned(self, spark):
         w = lambda n: " ".join(f"w{i}" for i in range(n))
