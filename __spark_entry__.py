@@ -540,6 +540,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cumulative_users"] = q_cumulative_users
 
+    def q_salted_enrich(spark, sf_dir):
+        """Skew-resistant dimension join (operators/relational.py
+        salted_join): events carry only 5 event_type values — the
+        textbook hot-key regime where a plain shuffle join funnels each
+        type through one reducer.  The salted join spreads every hot
+        key over 16 sub-keys and replicates the 5-row dim once per
+        salt; the daily weighted rollup then aggregates normally.
+        Registered after the round-5 window; round-6 window material."""
+        from openseize_spark.operators.relational import salted_join
+
+        e = _events(spark, sf_dir).select("event_type", "ts", "value")
+        dim = spark.createDataFrame(
+            [
+                ("view", 1), ("click", 3), ("purchase", 10),
+                ("signup", 5), ("error", 0),
+            ],
+            "event_type string, weight int",
+        )
+        j = salted_join(e, dim, key="event_type", salt=16)
+        return j.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        ).agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.count("*") * F.first("weight")).cast("bigint").alias("weighted"),
+        )
+
+    q["salted_enrich"] = q_salted_enrich
+
+    def q_bucketed_revenue(spark, sf_dir):
+        """Bucketed co-located join: lineitem and orders written once as
+        bucketed tables (8 buckets on the join key, sorted within
+        buckets) and then joined WITHOUT a shuffle — Spark's sort-merge
+        join consumes the bucket layout directly.  This is the
+        pre-shuffle-amortization strategy for the 100 TB fact-fact join
+        a pipeline runs every day: pay the partitioning once at write
+        time, never again at read time (tests assert the exchange-free
+        plan; this gate asserts the result).  Registered after the
+        round-5 window; round-6 window material."""
+        import os
+
+        d = _gate_tmp(spark, "buckets")
+        li_t, ord_t = "gate_li_bucketed", "gate_ord_bucketed"
+        if not spark.catalog.tableExists(li_t):
+            li = _t(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            )
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+                "path", os.path.join(d, li_t)
+            ).mode("overwrite").saveAsTable(li_t)
+        if not spark.catalog.tableExists(ord_t):
+            o = _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderdate", "o_orderpriority"
+            )
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+                "path", os.path.join(d, ord_t)
+            ).mode("overwrite").saveAsTable(ord_t)
+        li_b = spark.table(li_t)
+        o_b = spark.table(ord_t)
+        # exact integer 1e-4 revenue units (cf. top_revenue_supplier) so
+        # the sum is order-invariant across bucket layouts and engines
+        units = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
+        return (
+            li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+            .groupBy(
+                F.date_trunc("month", "o_orderdate").alias("month"),
+                "o_orderpriority",
+            )
+            .agg(
+                (F.sum(units) / 10000.0).alias("revenue"),
+                F.count("*").cast("bigint").alias("n_items"),
+            )
+        )
+
+    q["bucketed_revenue"] = q_bucketed_revenue
+
     def q_rollup_revenue(spark, sf_dir):
         li = _t(spark, sf_dir, "lineitem")
         return (
@@ -4012,6 +4089,29 @@ def oracle_sql() -> dict[str, str]:
         FROM spine s CROSS JOIN types t
         LEFT JOIN daily
           ON daily.event_type = t.event_type AND daily.day = s.day
+    """
+
+    o["bucketed_revenue"] = """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               o_orderpriority,
+               CAST(sum(CAST(round(
+                 l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0 AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY month, o_orderpriority
+    """
+
+    o["salted_enrich"] = """
+        WITH dim(event_type, weight) AS (
+          VALUES ('view', 1), ('click', 3), ('purchase', 10),
+                 ('signup', 5), ('error', 0)
+        )
+        SELECT e.event_type, CAST(e.ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * any_value(d.weight) AS BIGINT) AS weighted
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type, day
     """
 
     o["cumulative_users"] = """

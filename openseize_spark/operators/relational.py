@@ -370,3 +370,39 @@ def asof_join(
             out = out.withColumn(p + suffix, F.when(ok, F.col(p + suffix)))
         out = out.withColumn(mt_col, F.when(ok, F.col(mt_col)))
     return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi join: when a handful of hot key values would
+    funnel most of the probe side through a few reducers, salt the
+    probe side into ``salt`` sub-keys and replicate the (small) build
+    side once per salt value, so every hot key spreads across ``salt``
+    tasks.
+
+    The salt must be DETERMINISTIC per row or shuffle retries could
+    re-salt rows differently and double-count: it is pmod(xxhash64 of
+    the row's columns, salt) — content-derived, task-retry stable
+    (``rand()`` or ``monotonically_increasing_id`` would not be).
+    Replication multiplies the build side by ``salt``; use this when
+    build_rows x salt stays small, which is exactly the skew regime
+    (tiny dim, huge skewed fact).
+
+    AQE's skew-join handles sort-merge skew automatically; this
+    operator is for the planned-ahead case (known-hot keys, or
+    broadcast-disabled environments) and as the building block the
+    docs reference.
+    """
+    lcols = [c for c in left.columns]
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
+    l2 = left.withColumn("_salt", salt_col.cast("int"))
+    r2 = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l2.join(r2, on=[key, "_salt"], how=how)
+    return out.drop("_salt")

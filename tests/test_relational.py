@@ -254,3 +254,84 @@ class TestAsofJoin:
             .toString()
         )
         assert "Join" not in plan  # union + window, never a join operator
+
+
+class TestSaltedJoin:
+    def _data(self, spark):
+        left = spark.createDataFrame(
+            [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+            "id long, k string, v double",
+        )
+        right = spark.createDataFrame(
+            [("hot", 1), ("cold", 100)], "k string, w int"
+        )
+        return left, right
+
+    def test_equals_plain_join(self, spark):
+        from openseize_spark.operators.relational import salted_join
+
+        left, right = self._data(spark)
+        got = sorted(
+            (r.id, r.k, r.w)
+            for r in salted_join(left, right, key="k", salt=8).collect()
+        )
+        exp = sorted(
+            (r.id, r.k, r.w) for r in left.join(right, on="k").collect()
+        )
+        assert got == exp and len(got) == 200
+
+    def test_salt_in_partitioning_and_deterministic(self, spark):
+        from openseize_spark.operators.relational import salted_join
+
+        left, right = self._data(spark)
+        j = salted_join(left, right, key="k", salt=8)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan  # hot keys shatter on the salted key
+        a = sorted(map(tuple, j.collect()))
+        b = sorted(map(tuple, salted_join(left.repartition(7), right, key="k", salt=8).collect()))
+        assert a == b  # content-derived salt: layout-invariant results
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        import os
+
+        li = spark.range(2000).selectExpr(
+            "id % 300 AS k", "cast(id as double) AS x"
+        )
+        o = spark.range(300).selectExpr("id AS k", "id * 2 AS y")
+        for name, df in [("t_li_b", li), ("t_ord_b", o)]:
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE {name}")
+            df.write.bucketBy(4, "k").sortBy("k").option(
+                "path", os.path.join(str(tmp_path), name)
+            ).mode("overwrite").saveAsTable(name)
+        a, b = spark.table("t_li_b"), spark.table("t_ord_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            j = a.join(b, on="k")
+            j.write.mode("overwrite").format("noop").save()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # both sides scan bucketed layouts: the sort-merge join consumes
+        # them directly — no Exchange anywhere in the join plan
+        assert "SortMergeJoin" in plan and "Exchange" not in plan
+
+    def test_bucketed_join_matches_plain(self, spark, tmp_path):
+        import os
+
+        li = spark.range(500).selectExpr("id % 50 AS k", "id AS x")
+        o = spark.range(50).selectExpr("id AS k", "id * 3 AS y")
+        for name, df in [("t2_li_b", li), ("t2_ord_b", o)]:
+            if spark.catalog.tableExists(name):
+                spark.sql(f"DROP TABLE {name}")
+            df.write.bucketBy(4, "k").sortBy("k").option(
+                "path", os.path.join(str(tmp_path), name)
+            ).mode("overwrite").saveAsTable(name)
+        got = sorted(
+            map(tuple, spark.table("t2_li_b").join(spark.table("t2_ord_b"), on="k").collect())
+        )
+        exp = sorted(map(tuple, li.join(o, on="k").collect()))
+        assert got == exp and len(got) == 500
