@@ -1121,6 +1121,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = q_ngram_jaccard
 
+    def q_lev_verify(spark, sf_dir):
+        """Edit-distance candidate verification (llm/dedup.py
+        levenshtein_verify): normalized Levenshtein similarity over
+        ASCII-projected 500-char prefixes on bounded same-(lang,
+        source) candidate pairs — the character-level alternative to
+        shingle Jaccard that catches in-place edits.  Registered after
+        the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+        d = docs.select("doc_id", "lang", "source")
+        pairs = (
+            d.withColumnRenamed("doc_id", "a")
+            .join(
+                d.withColumnRenamed("doc_id", "b"), on=["lang", "source"]
+            )
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+        return dedup.levenshtein_verify(
+            docs, pairs, threshold=0.3, prefix_chars=500
+        )
+
+    q["lev_verify"] = q_lev_verify
+
     def q_embedding_dedup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         base = emb.select(
@@ -2332,6 +2355,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return llm_text.bm25_topk(docs, queries=_BM25_QUERIES, k=10)
 
     q["bm25_topk"] = q_bm25_topk
+
+    def q_rrf_fusion(spark, sf_dir):
+        """Hybrid-retrieval rank fusion (llm/text.py rrf_fusion): BM25
+        and integer-unit TF-IDF rankers merged by reciprocal-rank
+        fusion over the same three keyword queries — calibration-free
+        ranker merging, the standard hybrid-search combiner.
+        Registered after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.rrf_fusion(docs, queries=_BM25_QUERIES, k=10)
+
+    q["rrf_fusion"] = q_rrf_fusion
+
+    def q_storage_audit(spark, sf_dir):
+        """Corpus storage accounting: per (source, lang) document
+        counts, exact byte totals (octet_length of the UTF-8 text), and
+        mean bytes — the "how many TB does each subcorpus cost" audit
+        that precedes any mixture decision.  One map-side-combine
+        aggregation.  Registered after the round-5 window; round-6
+        window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return (
+            docs.filter(F.col("text").isNotNull())
+            .groupBy("source", "lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum(F.octet_length("text")).cast("bigint").alias("total_bytes"),
+                F.max(F.octet_length("text")).cast("bigint").alias("max_bytes"),
+            )
+            .withColumn(
+                "avg_bytes",
+                F.round(
+                    F.col("total_bytes").cast("double")
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
+            )
+        )
+
+    q["storage_audit"] = q_storage_audit
 
     def q_dsir_sample(spark, sf_dir):
         """DSIR importance resampling toward the zh sub-corpus
@@ -3735,6 +3797,27 @@ def oracle_sql() -> dict[str, str]:
             FROM s
             QUALIFY rank <= 5
         """,
+        "lev_verify": """
+            WITH d AS (
+              SELECT doc_id, lang, source,
+                     substr(
+                       regexp_replace(
+                         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                         '[^\\x20-\\x7e]', '', 'g'),
+                       1, 500) AS t
+              FROM documents WHERE doc_id < 120 AND text IS NOT NULL
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+                   round(1 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                           / greatest(len(a.t), len(b.t), 1), 9) AS sim
+            FROM d a JOIN d b
+              ON a.lang = b.lang AND a.source = b.source
+             AND a.doc_id < b.doc_id
+            WHERE round(1 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+                    / greatest(len(a.t), len(b.t), 1), 9)
+                  >= CAST(0.3 AS DOUBLE)
+        """,
         "ngram_jaccard": """
             WITH norm AS (
               SELECT doc_id, lang,
@@ -4042,6 +4125,18 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["bm25_topk"] = llm_text.bm25_topk_oracle_sql(queries=_BM25_QUERIES, k=10)
+    o["rrf_fusion"] = llm_text.rrf_fusion_oracle_sql(queries=_BM25_QUERIES, k=10)
+
+    o["storage_audit"] = """
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(max(strlen(text)) AS BIGINT) AS max_bytes,
+               round(CAST(sum(strlen(text)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS avg_bytes
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source, lang
+    """
 
     o["value_trend"] = """
         WITH t0 AS (

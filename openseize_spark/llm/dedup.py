@@ -332,6 +332,69 @@ def dup_span_detect_oracle_sql(n: int = 8) -> str:
         GROUP BY doc_id"""
 
 
+def levenshtein_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    threshold: float = 0.8,
+    prefix_chars: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Edit-distance verification of candidate near-dup pairs: for each
+    (a, b) candidate, the normalized Levenshtein similarity
+    ``1 - lev/max(len_a, len_b)`` over the first ``prefix_chars``
+    characters of the normalized texts.  The character-level
+    alternative to ``jaccard_verify`` — it catches small in-place edits
+    (typo spam, template fills) that shift every shingle.
+
+    Scale shape: candidates only, never all-pairs; the O(L^2) DP cost
+    is bounded by the prefix cap, the canonical discipline for edit
+    distance on long documents.  Parity note: the distance runs on the
+    ASCII projection of the normalized text (non-ASCII bytes stripped)
+    because engines disagree on byte- vs codepoint-level distance for
+    multibyte characters; on ASCII the DP is unambiguous.
+
+    Returns (a, b, lev, sim) for sim >= threshold.
+    """
+    ascii_prefix = F.substring(
+        F.regexp_replace(normalize_text(F.col(text_col)), "[^\\x20-\\x7e]", ""),
+        1,
+        prefix_chars,
+    )
+    txt = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"), ascii_prefix.alias("_ptxt")
+    )
+    j = (
+        pairs.join(
+            txt.select(
+                F.col("_pid").alias("a"), F.col("_ptxt").alias("_ta")
+            ),
+            on="a",
+        )
+        .join(
+            txt.select(
+                F.col("_pid").alias("b"), F.col("_ptxt").alias("_tb")
+            ),
+            on="b",
+        )
+        .withColumn("lev", F.levenshtein("_ta", "_tb").cast("bigint"))
+        .withColumn(
+            "sim",
+            F.round(
+                1
+                - F.col("lev").cast("double")
+                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast(
+                    "double"
+                ),
+                9,
+            ),
+        )
+    )
+    return j.filter(F.col("sim") >= F.lit(float(threshold))).select(
+        "a", "b", "lev", "sim"
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 8,

@@ -1316,6 +1316,176 @@ def bm25_topk(
     )
 
 
+def rrf_fusion(
+    docs: DataFrame,
+    queries: dict[int, str],
+    k: int = 10,
+    rrf_k: int = 60,
+    inner_k: int = 20,
+    round_digits: int = 9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two sparse retrievers — BM25 and a
+    plain TF-IDF query scorer — the standard way hybrid search merges
+    rankers without score calibration: fused(d) = sum over rankers of
+    1/(rrf_k + rank_r(d)), missing ranks contributing zero.
+
+    Scale shape: each ranker is its own bounded top-``inner_k`` per
+    query (BM25 reuses the inverted-index join; the TF-IDF ranker
+    joins the same broadcast query-term table), the fusion is a
+    full-outer join on the (query, doc) key — at most
+    2 x inner_k x n_queries rows — and the final rank window
+    partitions per query.  The only float math is 1/(rrf_k + rank) on
+    exact integer ranks, added in fixed expression order, so the fused
+    key is engine-invariant.
+
+    Returns (query_id, id, rank_bm25, rank_tfidf, rrf, rank).
+    """
+    scale = float(10**round_digits)
+    spark = docs.sparkSession
+    bm = bm25_topk(
+        docs, queries, k=inner_k, round_digits=round_digits,
+        text_col=text_col, id_col=id_col,
+    ).select(
+        "query_id", F.col(id_col).alias("_id"), F.col("rank").alias("rank_bm25")
+    )
+    # second ranker: integer-unit TF-IDF over the same query terms
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
+    n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
+    qrows = [
+        (int(qid), w)
+        for qid, qtext in queries.items()
+        for w in dict.fromkeys(qtext.lower().split())
+    ]
+    qt = spark.createDataFrame(qrows, "query_id long, word string")
+    idf_units = F.round(
+        F.log(F.col("_n").cast("double") / F.col("_df").cast("double")) * scale,
+        0,
+    ).cast("bigint")
+    tf_scored = (
+        dw.join(F.broadcast(qt), on="word")
+        .join(df_tbl, on="word")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "_id")
+        .agg(F.sum(F.col("tf") * idf_units).cast("bigint").alias("_su"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("_su"), F.col("_id"))
+    tfr = (
+        tf_scored.withColumn("rank_tfidf", F.row_number().over(wt).cast("bigint"))
+        .filter(F.col("rank_tfidf") <= inner_k)
+        .select("query_id", "_id", "rank_tfidf")
+    )
+    fused = bm.join(tfr, on=["query_id", "_id"], how="full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_bm25").cast("double")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank_tfidf").cast("double")),
+        F.lit(0.0),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("_rrf"), F.col("_id")
+    )
+    return (
+        fused.withColumn("_rrf", rrf)
+        .withColumn("rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("_id").alias(id_col),
+            "rank_bm25",
+            "rank_tfidf",
+            F.round("_rrf", 12).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+def rrf_fusion_oracle_sql(
+    queries: dict[int, str],
+    k: int = 10,
+    rrf_k: int = 60,
+    inner_k: int = 20,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB SQL equal to rrf_fusion: the BM25 oracle as a derived
+    table, the TF-IDF ranker replayed with the same integer units, the
+    same fixed-order reciprocal-rank sum."""
+    scale = float(10**round_digits)
+    bm_sql = bm25_topk_oracle_sql(
+        queries=queries, k=inner_k, round_digits=round_digits
+    )
+    qvals = ", ".join(
+        f"({int(qid)}, '{w}')"
+        for qid, qtext in queries.items()
+        for w in dict.fromkeys(qtext.lower().split())
+    )
+    return f"""
+        WITH bm AS (
+          SELECT query_id, doc_id, rank AS rank_bm25
+          FROM ({bm_sql})
+        ), toks AS (
+          SELECT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, word, count(*) AS tf FROM toks GROUP BY doc_id, word
+        ), dfreq AS (
+          SELECT word, count(*) AS df FROM dw GROUP BY word
+        ), n AS (SELECT count(DISTINCT doc_id) AS nd FROM dw),
+        qt(query_id, word) AS (VALUES {qvals}),
+        tf_scored AS (
+          SELECT qt.query_id, dw.doc_id,
+                 CAST(sum(dw.tf * CAST(round(
+                   ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                   * {scale}) AS BIGINT)) AS BIGINT) AS su
+          FROM dw JOIN qt USING (word) JOIN dfreq USING (word) CROSS JOIN n
+          GROUP BY qt.query_id, dw.doc_id
+        ), tfr AS (
+          SELECT query_id, doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY su DESC, doc_id
+                 ) AS BIGINT) AS rank_tfidf
+          FROM tf_scored
+          QUALIFY rank_tfidf <= {inner_k}
+        ), fused AS (
+          SELECT coalesce(bm.query_id, tfr.query_id) AS query_id,
+                 coalesce(bm.doc_id, tfr.doc_id) AS doc_id,
+                 bm.rank_bm25, tfr.rank_tfidf,
+                 coalesce(CAST(1.0 AS DOUBLE)
+                          / ({float(rrf_k)} + CAST(rank_bm25 AS DOUBLE)),
+                          CAST(0.0 AS DOUBLE))
+                 + coalesce(CAST(1.0 AS DOUBLE)
+                            / ({float(rrf_k)} + CAST(rank_tfidf AS DOUBLE)),
+                            CAST(0.0 AS DOUBLE)) AS rrf_raw
+          FROM bm FULL OUTER JOIN tfr
+            ON bm.query_id = tfr.query_id AND bm.doc_id = tfr.doc_id
+        )
+        SELECT query_id, doc_id, rank_bm25, rank_tfidf,
+               round(rrf_raw, 12) AS rrf,
+               CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id
+               ) AS BIGINT) AS rank
+        FROM fused
+        QUALIFY rank <= {k}"""
+
+
 def bm25_topk_oracle_sql(
     queries: dict[int, str],
     k: int = 10,

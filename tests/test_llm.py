@@ -1264,3 +1264,59 @@ class TestSnapshotDiffNullText:
         out = {r.doc_id: r.status for r in dedup.snapshot_diff(a, b).collect()}
         # 1: NULL->NULL unchanged; 2: deleted; 3: text->NULL modified; 4: added
         assert out == {2: "deleted", 3: "modified", 4: "added"}
+
+
+class TestLevenshteinVerify:
+    def test_small_edit_passes_disjoint_fails(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumped over the lazy dog"),
+                (3, "entirely different content with nothing shared"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (1, 3)], "a long, b long"
+        )
+        out = {(r.a, r.b): r for r in dedup.levenshtein_verify(
+            docs, pairs, threshold=0.8
+        ).collect()}
+        assert (1, 2) in out and (1, 3) not in out
+        assert out[(1, 2)].lev == 2  # 'jumps' -> 'jumped' is +e, s->d? no: 2 edits
+        assert out[(1, 2)].sim > 0.9
+
+    def test_prefix_cap_bounds_cost(self, spark):
+        long_a = "x" * 5000
+        long_b = "x" * 4000 + "y" * 1000
+        docs = spark.createDataFrame(
+            [(1, long_a), (2, long_b)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        r = dedup.levenshtein_verify(
+            docs, pairs, threshold=0.0, prefix_chars=500
+        ).collect()[0]
+        # identical within the 500-char prefix -> distance 0
+        assert r.lev == 0 and r.sim == 1.0
+
+
+class TestRrfFusion:
+    def test_fused_rank_combines_rankers(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "fast hash join engine"),
+                (2, "fast fast fast hash hash join"),
+                (3, "window agg stream"),
+                (4, "unrelated words only here"),
+            ],
+            "doc_id long, text string",
+        )
+        out = text.rrf_fusion(docs, {1: "fast hash join"}, k=4).collect()
+        by_rank = sorted(out, key=lambda r: r.rank)
+        # both rankers must place docs 1 and 2 above 3 and 4
+        top2 = {r.doc_id for r in by_rank[:2]}
+        assert top2 == {1, 2}
+        # doc 4 shares no term with the query: absent from both rankers
+        assert 4 not in {r.doc_id for r in out}
+        # rrf value consistency: rank-1 fused score <= 2/(60+1)
+        assert by_rank[0].rrf <= 2.0 / 61.0 + 1e-12
