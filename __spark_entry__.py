@@ -540,6 +540,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cumulative_users"] = q_cumulative_users
 
+    def q_rolling_zscore(spark, sf_dir):
+        """Windowed anomaly detection: each event's z-score against its
+        user's trailing 10-event frame.  The moments come from integer
+        sums (value carries 2 decimals, so round(value*100) is an exact
+        int64 and sum/sum-of-squares are order-invariant); the float
+        z-score then derives through one fixed IEEE expression chain,
+        identical on any engine.  Frames shorter than 10 are skipped
+        (their variance is noise).  The window partitions on user_id —
+        millions of small partitions at scale, no global sort.
+        Registered after the round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        v100 = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            -9, 0
+        )
+        base = (
+            e.withColumn("_v", v100)
+            .withColumn("_n", F.count("*").over(w))
+            .withColumn("_s1", F.sum("_v").over(w))
+            .withColumn("_s2", F.sum(F.col("_v") * F.col("_v")).over(w))
+            .filter(F.col("_n") == 10)
+        )
+        mean = F.col("_s1").cast("double") / F.lit(10.0)
+        var = F.col("_s2").cast("double") / F.lit(10.0) - mean * mean
+        z = (F.col("_v").cast("double") - mean) / F.sqrt(var)
+        return base.filter(F.col("_s2") * 10 > F.col("_s1") * F.col("_s1")).select(
+            "event_id",
+            "user_id",
+            F.round(z, 9).alias("z"),
+            (F.round(z, 9) > 2.0).alias("is_spike"),
+        )
+
+    q["rolling_zscore"] = q_rolling_zscore
+
     def q_salted_enrich(spark, sf_dir):
         """Skew-resistant dimension join (operators/relational.py
         salted_join): events carry only 5 event_type values — the
@@ -4195,6 +4231,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY month, o_orderpriority
+    """
+
+    o["rolling_zscore"] = """
+        WITH f AS (
+          SELECT event_id, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 count(*) OVER w AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS s1,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)
+                          * CAST(round(value * 100) AS BIGINT)) OVER w
+                      AS BIGINT) AS s2
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / 10.0)
+                     / sqrt(CAST(s2 AS DOUBLE) / 10.0
+                            - (CAST(s1 AS DOUBLE) / 10.0)
+                              * (CAST(s1 AS DOUBLE) / 10.0)), 9) AS z,
+               round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / 10.0)
+                     / sqrt(CAST(s2 AS DOUBLE) / 10.0
+                            - (CAST(s1 AS DOUBLE) / 10.0)
+                              * (CAST(s1 AS DOUBLE) / 10.0)), 9)
+                 > CAST(2.0 AS DOUBLE) AS is_spike
+        FROM f
+        WHERE n = 10 AND s2 * 10 > s1 * s1
     """
 
     o["salted_enrich"] = """
