@@ -576,6 +576,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_zscore"] = q_rolling_zscore
 
+    def q_zorder_layout(spark, sf_dir):
+        """Z-order layout keys (functions/scalar.py zorder_key): Morton-
+        interleave (user_id, day-of-month) into one clustering key and
+        report per-z-bucket extents — the multi-dimensional data-skipping
+        layout (sorting by this key lets per-file min/max stats prune on
+        EITHER predicate; the bucket extents below are exactly those
+        stats).  Pure integer shift/mask codegen, one short-key shuffle.
+        Registered after the round-5 window; round-6 window material."""
+        from openseize_spark.functions.scalar import zorder_key
+
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        day = F.dayofmonth("ts").cast("long")
+        z = zorder_key(F.col("user_id"), day, bits=10)
+        return (
+            e.withColumn("_z", z)
+            .groupBy(F.shiftright("_z", 8).alias("z_bucket"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.min("user_id").cast("bigint").alias("min_user"),
+                F.max("user_id").cast("bigint").alias("max_user"),
+                F.min(day).cast("bigint").alias("min_day"),
+                F.max(day).cast("bigint").alias("max_day"),
+            )
+        )
+
+    q["zorder_layout"] = q_zorder_layout
+
     def q_salted_enrich(spark, sf_dir):
         """Skew-resistant dimension join (operators/relational.py
         salted_join): events carry only 5 event_type values — the
@@ -1179,6 +1206,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["lev_verify"] = q_lev_verify
+
+    def q_triangle_count(spark, sf_dir):
+        """Per-node triangle counts (llm/dedup.py triangle_count) over
+        the verified near-dup graph — ordered-vertex wedge enumeration
+        closed by an equi join, each triangle produced exactly once.
+        Distinguishes duplicate cliques from chains of borderline
+        pairs.  Registered after the round-5 window; round-6 window
+        material."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.triangle_count(dup.select("a", "b"))
+
+    q["triangle_count"] = q_triangle_count
 
     def q_embedding_dedup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
@@ -4233,6 +4275,21 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY month, o_orderpriority
     """
 
+    from openseize_spark.functions.scalar import zorder_key_sql
+
+    _zexpr = zorder_key_sql("user_id", "CAST(day(ts) AS BIGINT)", bits=10)
+    o["zorder_layout"] = f"""
+        SELECT ({_zexpr}) >> 8 AS z_bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(user_id) AS BIGINT) AS min_user,
+               CAST(max(user_id) AS BIGINT) AS max_user,
+               CAST(min(day(ts)) AS BIGINT) AS min_day,
+               CAST(max(day(ts)) AS BIGINT) AS max_day
+        FROM events
+        WHERE user_id IS NOT NULL
+        GROUP BY z_bucket
+    """
+
     o["rolling_zscore"] = """
         WITH f AS (
           SELECT event_id, user_id,
@@ -4350,6 +4407,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["minhash_sigs"] = _dedup.minhash_signatures_oracle_sql(k=5, num_hashes=64)
     o["minhash_dedup"] = _dedup.minhash_dedup_oracle_sql(
+        k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["triangle_count"] = _dedup.triangle_count_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(

@@ -395,6 +395,37 @@ def levenshtein_verify(
     )
 
 
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    canonical edges (a < b) — the clustering-coefficient numerator, and
+    on a near-dup graph the signal separating genuine duplicate cliques
+    from chains of borderline pairs.
+
+    Scale shape: the classic two-join enumeration on ordered vertices —
+    wedges (a<b<c) from e1 ⋈ e2 on the shared middle vertex, closed by
+    an equi semi-ish join against e3 on (a, c) — every triangle is
+    produced exactly once because vertex order fixes the orientation.
+    The explode to per-node counts is 3 rows per triangle.  All joins
+    are equi joins on vertex keys; wedge fan-out is sum of deg^2, the
+    known cost of exact triangle counting (the ordering trick keeps it
+    to high-degree-last, the standard mitigation).
+
+    Returns (id, n_triangles) for nodes in at least one triangle.
+    """
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, on="y")
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(e3, on=["x", "z"])
+    return (
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 8,
@@ -1069,6 +1100,28 @@ def minhash_dedup_oracle_sql(
         SELECT d.doc_id, d.lang, d.source
         FROM documents d
         WHERE d.doc_id NOT IN (SELECT b FROM vp)"""
+    )
+
+
+def triangle_count_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB SQL equal to triangle_count over the verified pair graph:
+    same ordered-vertex wedge enumeration and 3-way explode."""
+    return (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + """, tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM vp e1
+          JOIN vp e2 ON e1.b = e2.a
+          JOIN vp e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+          SELECT x AS id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        )
+        SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY id"""
     )
 
 

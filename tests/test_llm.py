@@ -1320,3 +1320,19 @@ class TestRrfFusion:
         assert 4 not in {r.doc_id for r in out}
         # rrf value consistency: rank-1 fused score <= 2/(60+1)
         assert by_rank[0].rrf <= 2.0 / 61.0 + 1e-12
+
+
+class TestTriangleCount:
+    def test_known_graph(self, spark):
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+        # edge 4-5 and a disjoint chain 6-7-8 (no triangles)
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(4, 5), (6, 7), (7, 8)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        out = {r.id: r.n_triangles for r in dedup.triangle_count(df).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_single_triangle_counts_once(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+        out = {r.id: r.n_triangles for r in dedup.triangle_count(df).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}

@@ -335,3 +335,41 @@ class TestBucketedJoin:
         )
         exp = sorted(map(tuple, li.join(o, on="k").collect()))
         assert got == exp and len(got) == 500
+
+
+class TestZorderKey:
+    def test_matches_python_morton(self, spark):
+        from openseize_spark.functions.scalar import zorder_key
+
+        def morton(a, b, bits=10):
+            k = 0
+            for i in range(bits):
+                k |= ((a >> i) & 1) << (2 * i)
+                k |= ((b >> i) & 1) << (2 * i + 1)
+            return k
+
+        rows = [(a, b) for a in [0, 1, 5, 513, 1023] for b in [0, 2, 7, 1000]]
+        df = spark.createDataFrame(rows, "a long, b long")
+        got = {
+            (r.a, r.b): r.z
+            for r in df.select(
+                "a", "b", zorder_key(F.col("a"), F.col("b"), bits=10).alias("z")
+            ).collect()
+        }
+        for a, b in rows:
+            assert got[(a, b)] == morton(a, b)
+
+    def test_locality(self, spark):
+        # points close in both dims get closer keys than points far in one
+        from openseize_spark.functions.scalar import zorder_key
+
+        df = spark.createDataFrame(
+            [(10, 10), (11, 11), (10, 1000)], "a long, b long"
+        )
+        z = {
+            (r.a, r.b): r.z
+            for r in df.select(
+                "a", "b", zorder_key(F.col("a"), F.col("b"), bits=10).alias("z")
+            ).collect()
+        }
+        assert abs(z[(10, 10)] - z[(11, 11)]) < abs(z[(10, 10)] - z[(10, 1000)])
