@@ -603,6 +603,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_layout"] = q_zorder_layout
 
+    def q_dq_audit(spark, sf_dir):
+        """Data-quality audit (the Deequ/dbt-tests stage every ingest
+        pipeline runs before publishing): per-constraint violation
+        counts over orders/lineitem/customer/events — null checks,
+        key uniqueness, referential integrity, value ranges, and an
+        accepted-values set.  Each table is scanned once (conditional
+        aggregation); the FK check is a broadcast-able anti join
+        projected to the key column.  One tiny row per check.
+        Registered after the round-5 window; round-6 window material."""
+        o_t = _t(spark, sf_dir, "orders")
+        li = _t(spark, sf_dir, "lineitem")
+        c = _t(spark, sf_dir, "customer")
+        e = _events(spark, sf_dir)
+
+        def one(name, df):
+            return df.select(
+                F.lit(name).alias("check"),
+                F.col("v").cast("bigint").alias("violations"),
+            )
+
+        checks = [
+            one(
+                "orders.custkey_not_null",
+                o_t.agg(
+                    F.sum(
+                        F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+                    ).alias("v")
+                ),
+            ),
+            one(
+                "orders.orderkey_unique",
+                o_t.groupBy("o_orderkey")
+                .agg(F.count("*").alias("_n"))
+                .agg(
+                    F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1).otherwise(0)).alias(
+                        "v"
+                    )
+                ),
+            ),
+            one(
+                "orders.custkey_fk_customer",
+                # null custkeys are the not_null check's finding, not a
+                # broken reference — and NOT IN's 3-valued logic would
+                # drop them on the SQL side, so exclude them here too
+                o_t.select("o_custkey")
+                .filter(F.col("o_custkey").isNotNull())
+                .join(
+                    c.select(F.col("c_custkey").alias("o_custkey")),
+                    on="o_custkey",
+                    how="left_anti",
+                )
+                .agg(F.count("*").alias("v")),
+            ),
+            one(
+                "lineitem.discount_in_range",
+                li.agg(
+                    F.sum(
+                        F.when(
+                            (F.col("l_discount") < 0.0)
+                            | (F.col("l_discount") > 0.1),
+                            1,
+                        ).otherwise(0)
+                    ).alias("v")
+                ),
+            ),
+            one(
+                "lineitem.quantity_positive",
+                li.agg(
+                    F.sum(
+                        F.when(F.col("l_quantity") <= 0, 1).otherwise(0)
+                    ).alias("v")
+                ),
+            ),
+            one(
+                "events.type_accepted_values",
+                e.agg(
+                    F.sum(
+                        F.when(
+                            ~F.col("event_type").isin(
+                                "view", "click", "purchase", "signup", "error"
+                            ),
+                            1,
+                        ).otherwise(0)
+                    ).alias("v")
+                ),
+            ),
+        ]
+        out = checks[0]
+        for ch in checks[1:]:
+            out = out.unionByName(ch)
+        return out
+
+    q["dq_audit"] = q_dq_audit
+
+    def q_schema_evolution(spark, sf_dir):
+        """Schema-evolution read: two parquet generations of the
+        documents table — the second adds a column — unified by
+        ``mergeSchema`` so the missing column back-fills NULL for old
+        files.  This is the append-only table lifecycle every long-
+        lived 100 TB dataset goes through; reading with an explicit
+        merged schema costs one footer pass, no data rewrite.
+        Registered after the round-5 window; round-6 window material."""
+        import os
+
+        docs = _t(spark, sf_dir, "documents")
+        d = _gate_tmp(spark, "schema_ev")
+        p1, p2 = os.path.join(d, "gen1"), os.path.join(d, "gen2")
+        if not (
+            os.path.exists(os.path.join(p1, "_SUCCESS"))
+            and os.path.exists(os.path.join(p2, "_SUCCESS"))
+        ):
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                "doc_id", "lang", "source"
+            ).write.mode("overwrite").parquet(p1)
+            docs.filter(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "lang", "source", "n_chars"
+            ).write.mode("overwrite").parquet(p2)
+        return spark.read.option("mergeSchema", "true").parquet(p1, p2).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
+    q["schema_evolution"] = q_schema_evolution
+
     def q_salted_enrich(spark, sf_dir):
         """Skew-resistant dimension join (operators/relational.py
         salted_join): events carry only 5 event_type values — the
@@ -4277,6 +4400,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY month, o_orderpriority
+    """
+
+    o["schema_evolution"] = """
+        SELECT doc_id, lang, source,
+               CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+        FROM documents
+    """
+
+    o["dq_audit"] = """
+        SELECT 'orders.custkey_not_null' AS check,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders.orderkey_unique',
+               CAST(coalesce(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0)
+                    AS BIGINT)
+        FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+        UNION ALL
+        SELECT 'orders.custkey_fk_customer',
+               CAST(count(*) AS BIGINT)
+        FROM orders WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+          (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        UNION ALL
+        SELECT 'lineitem.discount_in_range',
+               CAST(sum(CASE WHEN l_discount < CAST(0.0 AS DOUBLE)
+                               OR l_discount > CAST(0.1 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'lineitem.quantity_positive',
+               CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.type_accepted_values',
+               CAST(sum(CASE WHEN event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'error')
+                 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM events
     """
 
     from openseize_spark.functions.scalar import zorder_key_sql
