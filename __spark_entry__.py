@@ -726,6 +726,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["schema_evolution"] = q_schema_evolution
 
+    def q_partition_pruning(spark, sf_dir):
+        """Hive-partitioned write + partition-pruned read: events land
+        partitioned by day (the universal time-partitioned fact
+        layout); a one-week filter then touches only those directories
+        — at 100 TB the scan reads 7/30ths of the files before a
+        single row is decoded (the pytest asserts PartitionFilters in
+        the scan; this gate asserts the result).  The partition column
+        round-trips as a string directory key and is cast back for the
+        rollup.  Registered after the round-5 window; round-6 window
+        material."""
+        import os
+
+        e = _events(spark, sf_dir)
+        d = _gate_tmp(spark, "part_events")
+        if not os.path.exists(os.path.join(d, "_SUCCESS")):
+            e.withColumn("day", F.to_date("ts")).write.mode(
+                "overwrite"
+            ).partitionBy("day").parquet(d)
+        part = spark.read.parquet(d)
+        return (
+            part.filter(
+                (F.col("day") >= F.lit("2024-01-08"))
+                & (F.col("day") <= F.lit("2024-01-14"))
+            )
+            .groupBy(F.col("day").cast("date").alias("day"), "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.round(F.sum("value"), 6).alias("sum_value"),
+            )
+        )
+
+    q["partition_pruning"] = q_partition_pruning
+
+    def q_nested_roundtrip(spark, sf_dir):
+        """Nested-type round-trip: lineitems nest into a sorted
+        array<struct> per order (the document-style layout written to
+        serving stores), then explode back and aggregate — proving the
+        nest/unnest path is lossless.  The nested build is one shuffle
+        on the order key; sort_array makes the collected order
+        deterministic (collect_list alone is partition-order
+        dependent).  Registered after the round-5 window; round-6
+        window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        nested = li.groupBy("l_orderkey").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "l_linenumber",
+                        "l_quantity",
+                        "l_extendedprice",
+                        "l_returnflag",
+                    )
+                )
+            ).alias("items")
+        )
+        ex = nested.select(
+            "l_orderkey", F.explode("items").alias("it")
+        )
+        return ex.groupBy("l_orderkey").agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("it.l_quantity").alias("sum_qty"),
+            F.min("it.l_returnflag").alias("min_flag"),
+            F.max("it.l_linenumber").cast("bigint").alias("max_line"),
+        )
+
+    q["nested_roundtrip"] = q_nested_roundtrip
+
     def q_salted_enrich(spark, sf_dir):
         """Skew-resistant dimension join (operators/relational.py
         salted_join): events carry only 5 event_type values — the
@@ -4400,6 +4467,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY month, o_orderpriority
+    """
+
+    o["partition_pruning"] = """
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) >= DATE '2024-01-08'
+          AND CAST(ts AS DATE) <= DATE '2024-01-14'
+        GROUP BY day, event_type
+    """
+
+    o["nested_roundtrip"] = """
+        SELECT l_orderkey,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+               min(l_returnflag) AS min_flag,
+               CAST(max(l_linenumber) AS BIGINT) AS max_line
+        FROM lineitem
+        GROUP BY l_orderkey
     """
 
     o["schema_evolution"] = """

@@ -373,3 +373,23 @@ class TestZorderKey:
             ).collect()
         }
         assert abs(z[(10, 10)] - z[(11, 11)]) < abs(z[(10, 10)] - z[(10, 1000)])
+
+
+class TestPartitionPruning:
+    def test_pruned_scan_reads_only_matching_partitions(self, spark, tmp_path):
+        import datetime
+
+        rows = [
+            (i, datetime.date(2024, 1, 1 + (i % 10)), float(i))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "id long, day date, v double")
+        path = str(tmp_path / "part")
+        df.write.partitionBy("day").parquet(path)
+        part = spark.read.parquet(path)
+        q = part.filter(F.col("day") == "2024-01-03")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2024-01-03" in plan
+        # only the matching directory's rows come back
+        got = sorted(r.id for r in q.collect())
+        assert got == sorted(i for i in range(100) if i % 10 == 2)
