@@ -2836,6 +2836,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_sosfilt"] = q_streaming_sosfilt
 
+    def q_streaming_cusum(spark, sf_dir):
+        """Streaming CUSUM drift detection (streaming/stateful.py
+        streaming_cusum): per-user integer-cent CUSUM with carried int64
+        state across micro-batches — events staged as three sequential
+        ts-range files, maxFilesPerTrigger=1.  All-integer recurrence,
+        so the stream equals the batch replay exactly; the oracle is a
+        recursive-CTE replay of the same recurrence.  Registered after
+        the round-5 window; round-6 window material."""
+        import os
+        import shutil
+
+        from openseize_spark.streaming.stateful import streaming_cusum
+
+        e = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+            .select("user_id", "event_id", "ts", "value")
+        )
+        d = _gate_tmp(
+            spark, "cusum_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / 3
+        cuts = [lo, lo + span, lo + 2 * span]
+        conds = [
+            F.col("ts") < cuts[1],
+            (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+            F.col("ts") >= cuts[2],
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_cusum(
+            stream, target_cents=10000, slack_cents=2000, h_cents=100000
+        )
+        qname = "gate_streaming_cusum"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(f"SELECT user_id, event_id, s, alarm FROM {qname}")
+
+    q["streaming_cusum"] = q_streaming_cusum
+
     def q_pipeline_chain(spark, sf_dir):
         """Pipeline.append chaining (reference tools/pipeline.py:16-124):
         decimate -> standardize -> FIR appended with kwargs bound and
@@ -4467,6 +4522,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY month, o_orderpriority
+    """
+
+    o["streaming_cusum"] = """
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ), r AS (
+          SELECT user_id, event_id, rn,
+                 greatest(CAST(0 AS BIGINT), v - 12000) AS s,
+                 greatest(CAST(0 AS BIGINT), v - 12000) > 100000 AS alarm
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn,
+                 greatest(CAST(0 AS BIGINT),
+                          (CASE WHEN r.alarm THEN 0 ELSE r.s END)
+                          + e.v - 12000) AS s,
+                 greatest(CAST(0 AS BIGINT),
+                          (CASE WHEN r.alarm THEN 0 ELSE r.s END)
+                          + e.v - 12000) > 100000 AS alarm
+          FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, CAST(s AS BIGINT) AS s, alarm FROM r
     """
 
     o["partition_pruning"] = """

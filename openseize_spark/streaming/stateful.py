@@ -65,3 +65,59 @@ def streaming_sosfilt(signal_stream, sos: np.ndarray):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CUSUM_OUT = "user_id long, event_id long, s bigint, alarm boolean"
+_CUSUM_STATE = "s bigint"
+
+
+def make_stateful_cusum(target_cents: int, slack_cents: int, h_cents: int):
+    """Build the applyInPandasWithState function for integer-cent CUSUM
+    drift detection: s <- max(0, s + (v - target - slack)); alarm when
+    s > h, resetting s to 0 after each alarm.  All-integer state and
+    updates, so the streaming result is exactly replayable (no float
+    recurrence to diverge)."""
+
+    def fn(key, pdfs, state: GroupState):
+        s = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            v = (pdf["value"] * 100).round().astype("int64")
+            out_s, out_a = [], []
+            for x in v:
+                s = max(0, s + int(x) - target_cents - slack_cents)
+                alarm = s > h_cents
+                out_s.append(s)
+                out_a.append(alarm)
+                if alarm:
+                    s = 0
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "s": out_s,
+                    "alarm": out_a,
+                }
+            )
+        state.update((s,))
+
+    return fn
+
+
+def streaming_cusum(
+    events_stream, target_cents: int, slack_cents: int, h_cents: int
+):
+    """Per-user CUSUM change detection over a live event stream —
+    carried integer state across micro-batches (the second
+    applyInPandasWithState surface next to streaming_sosfilt).
+    Micro-batches must arrive in non-decreasing ts order per user;
+    each batch is sorted internally, so intra-batch order never
+    depends on shuffle layout.  State is one int64 per user — bounded,
+    and exactly equal to the batch recurrence replay."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        make_stateful_cusum(target_cents, slack_cents, h_cents),
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -66,3 +66,63 @@ def test_streaming_sosfilt_matches_batch(spark, tmp_path):
         want, _ = kernels.sosfilt(spec.sos, x[ch])
         have = got[got.channel == ch].sort_values("t").v.to_numpy()
         np.testing.assert_allclose(have, want, atol=1e-12)
+
+
+class TestStreamingCusum:
+    def test_state_carries_across_batches(self, spark, tmp_path):
+        import os
+
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from openseize_spark.streaming.stateful import streaming_cusum
+
+        # one user whose values ramp: CUSUM must cross the threshold in
+        # the SECOND micro-batch only because state carried from the
+        # first (no single batch crosses alone)
+        rows = []
+        t0 = datetime.datetime(2024, 5, 1)
+        for i in range(20):
+            rows.append((1, i, t0 + datetime.timedelta(minutes=i), 150.0))
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp, value double"
+        )
+        for b in range(2):
+            df.filter(
+                (F.col("event_id") >= b * 10) & (F.col("event_id") < (b + 1) * 10)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(str(tmp_path), f"batch_{b}")
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(str(tmp_path), "batch_*"))
+        )
+        out = streaming_cusum(
+            stream, target_cents=10000, slack_cents=2000, h_cents=40000
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_cusum")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.event_id: (r.s, r.alarm)
+            for r in spark.sql("SELECT * FROM t_cusum").collect()
+        }
+        # python replay of the same integer recurrence
+        s, exp = 0, {}
+        for i in range(20):
+            s = max(0, s + 15000 - 12000)
+            alarm = s > 40000
+            exp[i] = (s, alarm)
+            if alarm:
+                s = 0
+        assert got == exp
+        # the first alarm lands at event 13 (14 * 3000 = 42000 > 40000) —
+        # inside the second micro-batch, proving cross-batch state carry
+        assert exp[13][1] and not exp[12][1]
