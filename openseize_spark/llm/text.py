@@ -917,6 +917,12 @@ def bpe_apply(
     from joining the per-doc tf table to the encoded vocabulary on the
     word key.  All-integer until the final tokens-per-word division.
 
+    Every token is wrapped in its OWN sentinel pair (``SaS SbS``), so a
+    merge pattern ``SaSSbS`` can only match complete symbols — a
+    single shared delimiter would let the pattern match a symbol
+    PREFIX (merge (aa, b) firing inside token "bb"; found by the
+    property test) or skip adjacent occurrences.
+
     Returns (id, n_words, n_tokens, tokens_per_word).
     """
     sep = "\x01"
@@ -929,11 +935,18 @@ def bpe_apply(
         .agg(F.count("*").alias("_tf"))
     )
     vocab = dw.select("word").distinct()
-    enc = F.regexp_replace(F.col("word"), "(.)", sep + "$1")
+    enc = F.regexp_replace(F.col("word"), "(.)", sep + "$1" + sep)
     for a, b in merges:
-        enc = F.replace(enc, F.lit(sep + a + sep + b), F.lit(sep + a + b))
+        enc = F.replace(
+            enc,
+            F.lit(sep + a + sep + sep + b + sep),
+            F.lit(sep + a + b + sep),
+        )
     encoded = vocab.select(
-        "word", (F.size(F.split(enc, sep)) - 1).alias("_ntok")
+        "word",
+        F.size(
+            F.filter(F.split(enc, sep), lambda s: F.length(s) > 0)
+        ).alias("_ntok"),
     )
     return (
         dw.join(encoded, on="word")
@@ -955,13 +968,13 @@ def bpe_apply(
 
 
 def bpe_apply_oracle_sql(merges: list[tuple[str, str]]) -> str:
-    """DuckDB SQL equal to bpe_apply: identical sentinel encoding and
-    ordered literal replaces (both engines' replace() substitutes
-    non-overlapping occurrences left-to-right)."""
-    enc = "regexp_replace(word, '(.)', chr(1) || '\\1', 'g')"
+    """DuckDB SQL equal to bpe_apply: identical per-token sentinel-pair
+    encoding and ordered literal replaces (both engines' replace()
+    substitutes non-overlapping occurrences left-to-right)."""
+    enc = "regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')"
     for a, b in merges:
-        pat = f"chr(1) || '{a}' || chr(1) || '{b}'"
-        rep = f"chr(1) || '{a}{b}'"
+        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
+        rep = f"chr(1) || '{a}{b}' || chr(1)"
         enc = f"replace({enc}, {pat}, {rep})"
     return f"""
         WITH dw AS (
@@ -978,7 +991,8 @@ def bpe_apply_oracle_sql(merges: list[tuple[str, str]]) -> str:
         ), vocab AS (SELECT DISTINCT word FROM dw),
         encoded AS (
           SELECT word,
-                 len(string_split({enc}, chr(1))) - 1 AS ntok
+                 len(list_filter(string_split({enc}, chr(1)),
+                                 x -> len(x) > 0)) AS ntok
           FROM vocab
         )
         SELECT dw.doc_id,
@@ -1015,6 +1029,10 @@ def doc_chunks(
     of the chunk text (the dedup/lineage key downstream stages join
     on).
     """
+    if not (1 <= stride <= chunk_words):
+        # stride > chunk_words leaves inter-chunk gaps, breaking the
+        # no-words-dropped contract (found by the coverage property test)
+        raise ValueError("doc_chunks requires 1 <= stride <= chunk_words")
     norm = normalize_text(F.col(text_col))
     words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
     n = F.size("_w")

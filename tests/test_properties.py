@@ -144,3 +144,75 @@ def test_unigram_logprob_bounds(spark, texts):
     rows = llm_text.unigram_logprob(df).collect()
     assert all(r.score >= 0 for r in rows)
     assert sum(r.n_tokens for r in rows) == sum(len(t.split()) for t in texts)
+
+
+class TestDocChunksProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_full_coverage_and_bounds(self, spark, data):
+        from openseize_spark.llm.text import doc_chunks
+
+        n_words = data.draw(st.integers(1, 120))
+        W = data.draw(st.integers(2, 16))
+        S = data.draw(st.integers(1, W))
+        words = [f"w{i}" for i in range(n_words)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        rows = sorted(
+            doc_chunks(df, chunk_words=W, stride=S).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # starts strictly ascending, all within bounds
+        starts = [r.start_word for r in rows]
+        assert starts == sorted(set(starts))
+        assert all(1 <= s <= max(n_words - W + 1, 1) for s in starts)
+        # every word covered by at least one chunk
+        covered = set()
+        for r in rows:
+            covered.update(range(r.start_word, r.start_word + r.n_words))
+        assert covered == set(range(1, n_words + 1))
+        # no chunk exceeds W words; reassembled text matches the slice
+        for r in rows:
+            assert 1 <= r.n_words <= W
+            assert r.chunk_text.split() == words[r.start_word - 1 : r.start_word - 1 + r.n_words]
+
+
+class TestBpeApplyProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_bpe(self, spark, data):
+        from openseize_spark.llm.text import bpe_apply
+
+        # random words over a tiny alphabet + random merge chain
+        n_words = data.draw(st.integers(1, 12))
+        words = [
+            "".join(
+                data.draw(st.sampled_from("ab"))
+                for _ in range(data.draw(st.integers(1, 6)))
+            )
+            for _ in range(n_words)
+        ]
+        merges = [("a", "a"), ("b", "b"), ("aa", "b"), ("a", "bb")]
+        df = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+
+        def encode(word):
+            toks = list(word)
+            for a, b in merges:
+                out = []
+                i = 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            return len(toks)
+
+        got = bpe_apply(df, merges).collect()[0]
+        assert got.n_tokens == sum(encode(w) for w in words)
+        assert got.n_words == len(words)
