@@ -1162,6 +1162,11 @@ def tfidf_cosine_pairs(
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("_df") * 100 <= F.lit(max_df_pct) * F.col("_n"))
         .select("_w", "_id", (F.col("_tf") * idf_units).alias("_su"))
+        # zero-weight postings (idf == 0: the word is in every doc)
+        # contribute nothing to dot or norm, and an all-zero doc would
+        # make the cosine divide by a zero norm (ANSI mode throws —
+        # found by the brute-force property test)
+        .filter(F.col("_su") != 0)
         # consumed by the norm aggregate and both sides of the pair join
         .localCheckpoint(eager=False)
     )
@@ -1223,6 +1228,9 @@ def tfidf_cosine_pairs_oracle_sql(
                    * {scale}) AS BIGINT) AS su
           FROM dw JOIN dfreq USING (w) CROSS JOIN n
           WHERE dfreq.df * 100 <= {max_df_pct} * n.nd
+            AND dw.tf * CAST(round(
+                  ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+                  * {scale}) AS BIGINT) <> 0
         ), norms AS (
           SELECT doc_id, CAST(sum(su * su) AS BIGINT) AS n2
           FROM post GROUP BY doc_id

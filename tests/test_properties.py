@@ -216,3 +216,107 @@ class TestBpeApplyProperty:
         got = bpe_apply(df, merges).collect()[0]
         assert got.n_tokens == sum(encode(w) for w in words)
         assert got.n_words == len(words)
+
+
+class TestTfidfCosinePairsProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        import math
+
+        from openseize_spark.llm.text import tfidf_cosine_pairs
+
+        n_docs = data.draw(st.integers(2, 6))
+        vocab = ["apple", "boat", "cat", "door", "echo"]
+        docs = [
+            (
+                i,
+                " ".join(
+                    data.draw(st.sampled_from(vocab))
+                    for _ in range(data.draw(st.integers(1, 8)))
+                ),
+            )
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in tfidf_cosine_pairs(
+                df, threshold=0.0, max_df_pct=100, round_digits=4
+            ).collect()
+        }
+
+        # python replay: same integer units, df cut disabled
+        tf = [{} for _ in range(n_docs)]
+        for i, (_, t) in enumerate(docs):
+            for w in t.split():
+                tf[i][w] = tf[i].get(w, 0) + 1
+        dfreq = {}
+        for d in tf:
+            for w in d:
+                dfreq[w] = dfreq.get(w, 0) + 1
+        su = [
+            {
+                w: k * round(math.log(n_docs / dfreq[w]) * 1e4)
+                for w, k in d.items()
+            }
+            for d in tf
+        ]
+        for a in range(n_docs):
+            for b in range(a + 1, n_docs):
+                dot = sum(su[a][w] * su[b][w] for w in su[a] if w in su[b])
+                na = sum(v * v for v in su[a].values())
+                nb = sum(v * v for v in su[b].values())
+                if dot == 0 or na == 0 or nb == 0:
+                    # zero weights (uniform corpus word) or no overlap:
+                    # the operator only emits dot>0 pairs above threshold
+                    continue
+                exp = round(dot / math.sqrt(na * nb), 9)
+                assert abs(got.get((a, b), 0.0) - exp) < 1e-9
+
+
+class TestLevenshteinVerifyProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_dp(self, spark, data):
+        from openseize_spark.llm.dedup import levenshtein_verify
+
+        def lev(x, y):
+            prev = list(range(len(y) + 1))
+            for i, cx in enumerate(x, 1):
+                cur = [i]
+                for j, cy in enumerate(y, 1):
+                    cur.append(
+                        min(
+                            prev[j] + 1,
+                            cur[j - 1] + 1,
+                            prev[j - 1] + (cx != cy),
+                        )
+                    )
+                prev = cur
+            return prev[-1]
+
+        texts = [
+            "".join(
+                data.draw(st.sampled_from("abcd "))
+                for _ in range(data.draw(st.integers(1, 20)))
+            ).strip()
+            or "a"
+            for _ in range(3)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 2)], "a long, b long"
+        )
+        got = {
+            (r.a, r.b): r.lev
+            for r in levenshtein_verify(df, pairs, threshold=0.0).collect()
+        }
+        import re
+
+        for a, b in [(0, 1), (0, 2), (1, 2)]:
+            na = re.sub(r"\s+", " ", texts[a].strip().lower())
+            nb = re.sub(r"\s+", " ", texts[b].strip().lower())
+            assert got[(a, b)] == lev(na, nb)
