@@ -320,3 +320,72 @@ class TestLevenshteinVerifyProperty:
             na = re.sub(r"\s+", " ", texts[a].strip().lower())
             nb = re.sub(r"\s+", " ", texts[b].strip().lower())
             assert got[(a, b)] == lev(na, nb)
+
+
+class TestTriangleCountProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_enumeration(self, spark, data):
+        from openseize_spark.llm.dedup import triangle_count
+
+        n = data.draw(st.integers(3, 9))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [
+            p for p in all_pairs if data.draw(st.booleans())
+        ]
+        if not edges:
+            edges = [all_pairs[0]]
+        es = set(edges)
+        exp = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                for c in range(b + 1, n):
+                    if (a, b) in es and (b, c) in es and (a, c) in es:
+                        for v in (a, b, c):
+                            exp[v] = exp.get(v, 0) + 1
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.id: r.n_triangles for r in triangle_count(df).collect()}
+        assert got == exp
+
+
+class TestBigramLogprobProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_lm(self, spark, data):
+        import math
+
+        from openseize_spark.llm.text import bigram_logprob
+
+        n_docs = data.draw(st.integers(1, 5))
+        texts = [
+            " ".join(
+                data.draw(st.sampled_from(["x", "y", "z"]))
+                for _ in range(data.draw(st.integers(1, 8)))
+            )
+            for _ in range(n_docs)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+
+        c12, c1, vocab = {}, {}, set()
+        for t in texts:
+            ws = t.split()
+            vocab.update(ws)
+            for p in zip(ws, ws[1:]):
+                c12[p] = c12.get(p, 0) + 1
+                c1[p[0]] = c1.get(p[0], 0) + 1
+        v = len(vocab)
+        for i, t in enumerate(texts):
+            ws = t.split()
+            ps = list(zip(ws, ws[1:]))
+            if not ps:
+                assert i not in got
+                continue
+            exp = -sum(
+                round(math.log((c12[p] + 1) / (c1[p[0]] + v)) * 1e9)
+                for p in ps
+            ) / (1e9 * len(ps))
+            assert got[i].n_bigrams == len(ps)
+            assert abs(got[i].score - round(exp, 9)) < 1e-12
