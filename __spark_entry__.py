@@ -576,6 +576,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rolling_zscore"] = q_rolling_zscore
 
+    def q_cube_revenue(spark, sf_dir):
+        """CUBE aggregation with grouping ids: all four (returnflag,
+        linestatus) grouping combinations in one pass — Spark expands
+        the cube map-side and aggregates once, no four separate scans.
+        Revenue in exact integer 1e-4 units (cf. bucketed_revenue) so
+        every grouping level hashes identically.  Registered after the
+        round-5 window; round-6 window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        units = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(
+                F.grouping_id().cast("bigint").alias("gid"),
+                F.count("*").cast("bigint").alias("n"),
+                (F.sum(units) / 10000.0).alias("revenue"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "gid",
+                "n",
+                "revenue",
+            )
+        )
+
+    q["cube_revenue"] = q_cube_revenue
+
+    def q_locf_fill(spark, sf_dir):
+        """LOCF forward fill (last observation carried forward): each
+        event carries the user's most recent purchase value — the
+        classic sparse-to-dense time-series alignment (sensor readings,
+        price marks).  One window per user ordered by event time,
+        ``last(..., ignorenulls)`` over the unbounded-preceding frame;
+        pure value passthrough, no arithmetic to diverge.  Registered
+        after the round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return e.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+        )
+
+    q["locf_fill"] = q_locf_fill
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -4623,6 +4676,30 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["cube_revenue"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(
+                 l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0 AS revenue
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    o["locf_fill"] = """
+        SELECT event_id, user_id, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS last_purchase_value
+        FROM events
+        WHERE user_id IS NOT NULL
     """
 
     o["rolling_zscore"] = """
