@@ -389,3 +389,39 @@ class TestBigramLogprobProperty:
             ) / (1e9 * len(ps))
             assert got[i].n_bigrams == len(ps)
             assert abs(got[i].score - round(exp, 9)) < 1e-12
+
+
+class TestSourceOverlapProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_sets(self, spark, data):
+        from openseize_spark.llm.dedup import source_overlap
+
+        n = 3  # gram size
+        docs = []
+        for i in range(data.draw(st.integers(2, 6))):
+            words = [
+                data.draw(st.sampled_from(["p", "q", "r", "s"]))
+                for _ in range(data.draw(st.integers(0, 8)))
+            ]
+            src = data.draw(st.sampled_from(["A", "B", "C"]))
+            docs.append((i, " ".join(words), src))
+        df = spark.createDataFrame(docs, "doc_id long, text string, source string")
+        got = {
+            (r.source_a, r.source_b): (r.shared_grams, r.grams_a, r.grams_b)
+            for r in source_overlap(df, n=n).collect()
+        }
+
+        grams = {}
+        for _, t, src in docs:
+            ws = t.split()
+            for i in range(len(ws) - n + 1):
+                grams.setdefault(src, set()).add(" ".join(ws[i : i + n]))
+        srcs = sorted(grams)
+        exp = {}
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1 :]:
+                inter = len(grams[a] & grams[b])
+                if inter:
+                    exp[(a, b)] = (inter, len(grams[a]), len(grams[b]))
+        assert got == exp
