@@ -629,6 +629,95 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["locf_fill"] = q_locf_fill
 
+    def q_cdc_apply(spark, sf_dir):
+        """CDC apply / MERGE-shape upsert: a deterministic change set
+        (updates for doc_id%7==0, deletes for %13==0, inserts above the
+        id space) applied to the documents snapshot in ONE full-outer
+        join — the batch equivalent of MERGE INTO, and the complement
+        of snapshot_diff (which classifies; this materializes the next
+        snapshot).  At scale the join shuffles both sides once on the
+        key; no per-row driver logic.  Registered after the round-5
+        window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        upd = (
+            docs.filter(F.col("doc_id") % 7 == 0)
+            .select(
+                "doc_id",
+                F.concat(F.lit("updated "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 8).alias("n_chars"),
+                F.lit("U").alias("op"),
+            )
+        )
+        dele = docs.filter(
+            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+        ).select(
+            "doc_id",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("bigint").alias("n_chars"),
+            F.lit("D").alias("op"),
+        )
+        ins = docs.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("new "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            (F.col("n_chars") + 4).alias("n_chars"),
+            F.lit("I").alias("op"),
+        )
+        changes = (
+            upd.unionByName(dele)
+            .unionByName(ins)
+            .select(
+                F.col("doc_id").alias("c_id"),
+                F.col("text").alias("c_text"),
+                F.col("lang").alias("c_lang"),
+                F.col("source").alias("c_source"),
+                F.col("n_chars").alias("c_nchars"),
+                "op",
+            )
+        )
+        base = docs.select(
+            F.col("doc_id").alias("b_id"), "text", "lang", "source", "n_chars"
+        )
+        j = base.join(changes, base.b_id == changes.c_id, "full_outer")
+        return (
+            j.filter(F.coalesce(F.col("op") != "D", F.lit(True)))
+            .select(
+                F.coalesce("c_id", "b_id").alias("doc_id"),
+                F.coalesce("c_text", "text").alias("text"),
+                F.coalesce("c_lang", "lang").alias("lang"),
+                F.coalesce("c_source", "source").alias("source"),
+                F.coalesce("c_nchars", "n_chars").alias("n_chars"),
+            )
+        )
+
+    q["cdc_apply"] = q_cdc_apply
+
+    def q_scd2_ranges(spark, sf_dir):
+        """SCD Type-2 validity ranges: each user's purchase events become
+        dimension versions valid [ts, next purchase ts) — the slowly-
+        changing-dimension build every warehouse runs, as one lead()
+        window per user.  Exact integer microsecond bounds; the open
+        current version carries NULL valid_to.  Registered after the
+        round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return e.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("version_value"),
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+        )
+
+    q["scd2_ranges"] = q_scd2_ranges
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -4676,6 +4765,40 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["cdc_apply"] = """
+        WITH changes AS (
+          SELECT doc_id AS c_id, 'updated ' || text AS c_text,
+                 lang AS c_lang, source AS c_source,
+                 n_chars + 8 AS c_nchars, 'U' AS op
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, NULL, NULL, NULL, NULL, 'D'
+          FROM documents WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, 'new ' || text, lang, source,
+                 n_chars + 4, 'I'
+          FROM documents WHERE doc_id % 11 = 0
+        )
+        SELECT coalesce(c.c_id, b.doc_id) AS doc_id,
+               coalesce(c.c_text, b.text) AS text,
+               coalesce(c.c_lang, b.lang) AS lang,
+               coalesce(c.c_source, b.source) AS source,
+               CAST(coalesce(c.c_nchars, b.n_chars) AS BIGINT) AS n_chars
+        FROM documents b FULL OUTER JOIN changes c ON b.doc_id = c.c_id
+        WHERE coalesce(c.op <> 'D', TRUE)
+    """
+
+    o["scd2_ranges"] = """
+        SELECT user_id, event_id,
+               value AS version_value,
+               epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               )) AS valid_to_us
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
     """
 
     o["cube_revenue"] = """
