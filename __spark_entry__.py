@@ -718,6 +718,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scd2_ranges"] = q_scd2_ranges
 
+    def q_winsorized_stats(spark, sf_dir):
+        """Winsorized per-group statistics: document lengths clipped at
+        the per-language [P10, P90] before averaging — the outlier-
+        robust aggregate quality dashboards use.  The percentile pass
+        aggregates per language (bounded rows, broadcast back); the
+        clip is a pure codegen least/greatest; interpolated percentile
+        parity with DuckDB's quantile_cont is already pinned by
+        length_quantiles.  Registered after the round-5 window; round-6
+        window material."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("n_chars").isNotNull()
+        )
+        cuts = docs.groupBy("lang").agg(
+            F.percentile(F.col("n_chars"), F.lit(0.1)).alias("p10"),
+            F.percentile(F.col("n_chars"), F.lit(0.9)).alias("p90"),
+        )
+        j = docs.join(F.broadcast(cuts), on="lang")
+        clipped = F.least(
+            F.greatest(F.col("n_chars").cast("double"), F.col("p10")),
+            F.col("p90"),
+        )
+        return j.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg(clipped), 9).alias("winsorized_mean"),
+            F.round(F.first("p10"), 9).alias("p10"),
+            F.round(F.first("p90"), 9).alias("p90"),
+        )
+
+    q["winsorized_stats"] = q_winsorized_stats
+
+    def q_sentence_stats(spark, sf_dir):
+        """Sentence-level text statistics: sentences split on
+        terminal-punctuation boundaries (an RE2-safe pattern shared
+        verbatim with the oracle — no lookbehind, which DuckDB's RE2
+        lacks), per-doc sentence count and mean words per sentence.
+        Pure codegen array ops, no shuffle beyond the scan.  Registered
+        after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        sents = F.filter(
+            F.split(F.col("text"), "[.!?]+\\s*"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+        words_per = F.transform(
+            sents,
+            lambda s: F.size(
+                F.filter(F.split(F.trim(s), "\\s+"), lambda w: F.length(w) > 0)
+            ),
+        )
+        return docs.select(
+            "doc_id",
+            F.size(sents).cast("bigint").alias("n_sentences"),
+            F.aggregate(
+                words_per, F.lit(0).cast("bigint"), lambda a, x: a + x
+            ).alias("n_words"),
+        ).withColumn(
+            "words_per_sentence",
+            F.round(
+                F.col("n_words").cast("double")
+                / F.greatest(F.col("n_sentences"), F.lit(1)).cast("double"),
+                9,
+            ),
+        )
+
+    q["sentence_stats"] = q_sentence_stats
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -4765,6 +4830,47 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["winsorized_stats"] = """
+        WITH cuts AS (
+          SELECT lang,
+                 quantile_cont(n_chars, CAST(0.1 AS DOUBLE)) AS p10,
+                 quantile_cont(n_chars, CAST(0.9 AS DOUBLE)) AS p90
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY lang
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(avg(least(greatest(CAST(d.n_chars AS DOUBLE), c.p10),
+                               c.p90)), 9) AS winsorized_mean,
+               round(any_value(c.p10), 9) AS p10,
+               round(any_value(c.p90), 9) AS p90
+        FROM documents d JOIN cuts c ON d.lang = c.lang
+        WHERE d.n_chars IS NOT NULL
+        GROUP BY d.lang
+    """
+
+    o["sentence_stats"] = """
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '[.!?]+\\s*'),
+                             x -> len(trim(x)) > 0) AS sents
+          FROM documents WHERE text IS NOT NULL
+        ), agg AS (
+          SELECT doc_id,
+                 CAST(len(sents) AS BIGINT) AS n_sentences,
+                 CAST(list_sum(list_transform(sents,
+                   x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                        w -> len(w) > 0)))) AS BIGINT)
+                   AS n_words
+          FROM s
+        )
+        SELECT doc_id, n_sentences,
+               coalesce(n_words, 0) AS n_words,
+               round(CAST(coalesce(n_words, 0) AS DOUBLE)
+                     / CAST(greatest(n_sentences, 1) AS DOUBLE), 9)
+                 AS words_per_sentence
+        FROM agg
     """
 
     o["cdc_apply"] = """
