@@ -783,6 +783,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sentence_stats"] = q_sentence_stats
 
+    def q_minhash_estimate(spark, sf_dir):
+        """Estimator-quality audit: for every LSH candidate pair, the
+        MinHash Jaccard ESTIMATE (matching signature slots / 64) next
+        to the EXACT shingle Jaccard — the calibration table that
+        justifies the banding thresholds the dedup pipeline runs with.
+        Signature compare is a zip_with/aggregate over the two 64-slot
+        arrays (codegen); exact Jaccard reuses the verify path with the
+        threshold disabled.  Registered after the round-5 window;
+        round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        exact = dedup.jaccard_verify(docs, cand, k=5, threshold=0.0)
+        sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
+        sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
+        est = (
+            cand.join(sa, on="a")
+            .join(sb, on="b")
+            .select(
+                "a",
+                "b",
+                F.aggregate(
+                    F.zip_with(
+                        "_sa",
+                        "_sb",
+                        lambda x, y: F.when(x == y, 1).otherwise(0),
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                )
+                .cast("bigint")
+                .alias("est_matches"),
+            )
+        )
+        return est.join(exact, on=["a", "b"]).select(
+            "a",
+            "b",
+            "est_matches",
+            F.round(F.col("est_matches") / 64.0, 9).alias("jaccard_est"),
+            F.round("jaccard", 9).alias("jaccard_exact"),
+        )
+
+    q["minhash_estimate"] = q_minhash_estimate
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5049,6 +5093,9 @@ def oracle_sql() -> dict[str, str]:
     o["minhash_sigs"] = _dedup.minhash_signatures_oracle_sql(k=5, num_hashes=64)
     o["minhash_dedup"] = _dedup.minhash_dedup_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["minhash_estimate"] = _dedup.minhash_estimate_oracle_sql(
+        k=5, num_hashes=64, bands=8
     )
     o["triangle_count"] = _dedup.triangle_count_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8

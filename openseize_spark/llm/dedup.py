@@ -1125,6 +1125,34 @@ def triangle_count_oracle_sql(
     )
 
 
+def minhash_estimate_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8
+) -> str:
+    """DuckDB SQL equal to the minhash_estimate gate query: candidate
+    pairs with matching-signature-slot counts and exact shingle
+    Jaccard (zero-intersection candidates emit jaccard 0)."""
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.h{j} = sb.h{j} THEN 1 ELSE 0 END)"
+        for j in range(num_hashes)
+    )
+    return (
+        _vpairs_ctes(k, num_hashes, bands, threshold=0.0)
+        + f"""
+        SELECT c.a, c.b,
+               CAST({match_sum} AS BIGINT) AS est_matches,
+               round(CAST({match_sum} AS BIGINT)
+                     / CAST({float(num_hashes)} AS DOUBLE), 9) AS jaccard_est,
+               round(CAST(coalesce(i.i, 0) AS DOUBLE)
+                     / (za.n + zb.n - coalesce(i.i, 0)), 9) AS jaccard_exact
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.a
+        JOIN sig sb ON sb.doc_id = c.b
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sz za ON za.doc_id = c.a
+        JOIN sz zb ON zb.doc_id = c.b"""
+    )
+
+
 def dedup_clusters_oracle_sql(
     k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
 ) -> str:
