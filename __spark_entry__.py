@@ -827,6 +827,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_estimate"] = q_minhash_estimate
 
+    def q_dedup_rate_by_source(spark, sf_dir):
+        """Per-source duplication dashboard: how many documents each
+        source contributes vs how many distinct normalized texts —
+        the rate that decides which feeds need aggressive dedup.  One
+        scan, two-level aggregation on the (source, fingerprint) key
+        (hot sources shatter in stage 1, cf. skew_distinct_users).
+        Registered after the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        from openseize_spark.llm.dedup import normalize_text
+
+        fp = F.md5(normalize_text(F.col("text")))
+        pairs = docs.groupBy("source", fp.alias("_fp")).agg(
+            F.count("*").alias("_n")
+        )
+        return pairs.groupBy("source").agg(
+            F.sum("_n").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.count("*").cast("double") / F.sum("_n").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+
+    q["dedup_rate_by_source"] = q_dedup_rate_by_source
+
+    def q_null_profile(spark, sf_dir):
+        """Column null-profile of the events stream: per-column null
+        counts and fractions from ONE conditional-aggregation scan,
+        unpivoted to a row per column — the profiling complement to
+        dq_audit's pass/fail constraints.  Registered after the
+        round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir)
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        agg = e.agg(
+            F.count("*").alias("_total"),
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(
+                    f"_n_{c}"
+                )
+                for c in cols
+            ],
+        )
+        stack = ", ".join(f"'{c}', _n_{c}" for c in cols)
+        return agg.selectExpr(
+            "_total", f"stack({len(cols)}, {stack}) AS (column_name, n_null)"
+        ).select(
+            "column_name",
+            F.col("n_null").cast("bigint").alias("n_null"),
+            F.col("_total").cast("bigint").alias("n_total"),
+            F.round(
+                F.col("n_null").cast("double") / F.col("_total").cast("double"),
+                9,
+            ).alias("null_frac"),
+        )
+
+    q["null_profile"] = q_null_profile
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -4874,6 +4932,50 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["dedup_rate_by_source"] = """
+        WITH pairs AS (
+          SELECT source,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp,
+                 count(*) AS n
+          FROM documents WHERE text IS NOT NULL
+          GROUP BY source, fp
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE),
+                     9) AS dup_rate
+        FROM pairs GROUP BY source
+    """
+
+    o["null_profile"] = """
+        WITH agg AS (
+          SELECT count(*) AS total,
+                 sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS n_event_id,
+                 sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS n_ts,
+                 sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_user_id,
+                 sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS n_event_type,
+                 sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_value,
+                 sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS n_props
+          FROM events
+        )
+        SELECT u.column_name,
+               CAST(u.n_null AS BIGINT) AS n_null,
+               CAST(total AS BIGINT) AS n_total,
+               round(CAST(u.n_null AS DOUBLE) / CAST(total AS DOUBLE), 9)
+                 AS null_frac
+        FROM agg, (
+          SELECT 'event_id' AS column_name, n_event_id AS n_null FROM agg
+          UNION ALL SELECT 'ts', n_ts FROM agg
+          UNION ALL SELECT 'user_id', n_user_id FROM agg
+          UNION ALL SELECT 'event_type', n_event_type FROM agg
+          UNION ALL SELECT 'value', n_value FROM agg
+          UNION ALL SELECT 'props', n_props FROM agg
+        ) u
     """
 
     o["winsorized_stats"] = """
