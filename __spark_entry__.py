@@ -885,6 +885,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["null_profile"] = q_null_profile
 
+    def q_event_debounce(spark, sf_dir):
+        """Debounce repeated events: drop any event within 60 s of the
+        user's previous SAME-TYPE event — the sensor/click-stream
+        cleaning step before counting anything.  One lag() window per
+        (user, type); the kept-row predicate compares exact integer
+        microseconds.  Registered after the round-5 window; round-6
+        window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        return (
+            e.withColumn("_gap", gap)
+            .filter(F.col("_gap").isNull() | (F.col("_gap") >= 60_000_000))
+            .groupBy("user_id", "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_kept"))
+        )
+
+    q["event_debounce"] = q_event_debounce
+
+    def q_event_transitions(spark, sf_dir):
+        """First-order Markov transition counts: per user, consecutive
+        event-type pairs (prev -> next) aggregated corpus-wide, with the
+        row-normalized transition probability — the product-analytics
+        "what do users do next" matrix.  lag() per user plus one
+        short-key aggregation; probabilities divide exact integer
+        counts.  Registered after the round-5 window; round-6 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = (
+            e.withColumn("_prev", F.lag("event_type").over(w))
+            .filter(F.col("_prev").isNotNull())
+            .groupBy(
+                F.col("_prev").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
+            .agg(F.count("*").alias("_n"))
+        )
+        tot = pairs.groupBy("from_type").agg(F.sum("_n").alias("_row_n"))
+        return pairs.join(F.broadcast(tot), on="from_type").select(
+            "from_type",
+            "to_type",
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(
+                F.col("_n").cast("double") / F.col("_row_n").cast("double"), 9
+            ).alias("p"),
+        )
+
+    q["event_transitions"] = q_event_transitions
+
+    def q_churned_users(spark, sf_dir):
+        """Churn snapshot: users whose LAST event predates the corpus
+        horizon by more than 12 hours — one per-user max aggregation
+        against a broadcast one-row corpus max, all comparisons in
+        exact integer microseconds.  Registered after the round-5
+        window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        last = e.groupBy("user_id").agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("n_events"),
+        )
+        horizon = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+        week_us = 12 * 3600 * 1_000_000
+        return (
+            last.join(F.broadcast(horizon))
+            .filter(F.col("last_us") < F.col("max_us") - F.lit(week_us))
+            .select(
+                "user_id",
+                F.col("n_events").cast("bigint").alias("n_events"),
+                "last_us",
+            )
+        )
+
+    q["churned_users"] = q_churned_users
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -4932,6 +5007,56 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["event_debounce"] = """
+        WITH g AS (
+          SELECT user_id, event_type,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id)) AS gap
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM g
+        WHERE gap IS NULL OR gap >= 60000000
+        GROUP BY user_id, event_type
+    """
+
+    o["event_transitions"] = """
+        WITH p AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS from_type,
+                 event_type AS to_type
+          FROM events WHERE user_id IS NOT NULL
+        ), pairs AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM p WHERE from_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ), tot AS (
+          SELECT from_type, sum(n) AS row_n FROM pairs GROUP BY from_type
+        )
+        SELECT pairs.from_type, pairs.to_type,
+               CAST(pairs.n AS BIGINT) AS n,
+               round(CAST(pairs.n AS DOUBLE) / CAST(tot.row_n AS DOUBLE), 9)
+                 AS p
+        FROM pairs JOIN tot ON pairs.from_type = tot.from_type
+    """
+
+    o["churned_users"] = """
+        WITH last AS (
+          SELECT user_id, max(epoch_us(ts)) AS last_us,
+                 count(*) AS n_events
+          FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ), h AS (SELECT max(epoch_us(ts)) AS max_us FROM events
+                 WHERE user_id IS NOT NULL)
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               last_us
+        FROM last CROSS JOIN h
+        WHERE last_us < max_us - 43200000000
     """
 
     o["dedup_rate_by_source"] = """
