@@ -960,6 +960,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["churned_users"] = q_churned_users
 
+    def q_engaged_users(spark, sf_dir):
+        """Engagement cohorts: users bucketed by how many distinct days
+        they were active — distinct (user, day) pairs collapse first
+        (map-side on the compound key), then one tiny per-user count
+        and a bucketed rollup.  All-integer.  Registered after the
+        round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        days = e.select(
+            "user_id", F.to_date("ts").alias("day")
+        ).distinct()
+        per_user = days.groupBy("user_id").agg(
+            F.count("*").alias("active_days")
+        )
+        bucket = (
+            F.when(F.col("active_days") >= 25, "daily")
+            .when(F.col("active_days") >= 10, "regular")
+            .when(F.col("active_days") >= 3, "occasional")
+            .otherwise("rare")
+        )
+        return per_user.groupBy(bucket.alias("engagement")).agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("active_days").cast("bigint").alias("total_active_days"),
+        )
+
+    q["engaged_users"] = q_engaged_users
+
+    def q_wow_retention(spark, sf_dir):
+        """Week-over-week retention: of the users active in week w, how
+        many returned in week w+1 — distinct (user, week) pairs
+        self-joined on the adjacent week.  The distinct collapse
+        happens before the join, so the join touches user-week rows,
+        not events.  All-integer counts, one final ratio.  Registered
+        after the round-5 window; round-6 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        uw = e.select(
+            "user_id", F.weekofyear("ts").alias("week")
+        ).distinct()
+        cur = uw.groupBy("week").agg(F.count("*").alias("n_active"))
+        nxt = uw.select("user_id", (F.col("week") - 1).alias("week"))
+        ret = (
+            uw.join(nxt, on=["user_id", "week"], how="left_semi")
+            .groupBy("week")
+            .agg(F.count("*").alias("n_retained"))
+        )
+        return (
+            cur.join(ret, on="week", how="left")
+            .select(
+                F.col("week").cast("bigint").alias("week"),
+                F.col("n_active").cast("bigint").alias("n_active"),
+                F.coalesce("n_retained", F.lit(0))
+                .cast("bigint")
+                .alias("n_retained"),
+                F.round(
+                    F.coalesce("n_retained", F.lit(0)).cast("double")
+                    / F.col("n_active").cast("double"),
+                    9,
+                ).alias("retention"),
+            )
+        )
+
+    q["wow_retention"] = q_wow_retention
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5007,6 +5069,45 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["engaged_users"] = """
+        WITH days AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+          FROM events WHERE user_id IS NOT NULL
+        ), per_user AS (
+          SELECT user_id, count(*) AS active_days FROM days GROUP BY user_id
+        )
+        SELECT CASE WHEN active_days >= 25 THEN 'daily'
+                    WHEN active_days >= 10 THEN 'regular'
+                    WHEN active_days >= 3 THEN 'occasional'
+                    ELSE 'rare' END AS engagement,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(active_days) AS BIGINT) AS total_active_days
+        FROM per_user GROUP BY engagement
+    """
+
+    o["wow_retention"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id, weekofyear(ts) AS week
+          FROM events WHERE user_id IS NOT NULL
+        ), cur AS (
+          SELECT week, count(*) AS n_active FROM uw GROUP BY week
+        ), ret AS (
+          SELECT a.week, count(*) AS n_retained
+          FROM uw a
+          WHERE EXISTS (
+            SELECT 1 FROM uw b
+            WHERE b.user_id = a.user_id AND b.week = a.week + 1
+          )
+          GROUP BY a.week
+        )
+        SELECT CAST(cur.week AS BIGINT) AS week,
+               CAST(cur.n_active AS BIGINT) AS n_active,
+               CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained,
+               round(CAST(coalesce(ret.n_retained, 0) AS DOUBLE)
+                     / CAST(cur.n_active AS DOUBLE), 9) AS retention
+        FROM cur LEFT JOIN ret ON cur.week = ret.week
     """
 
     o["event_debounce"] = """
