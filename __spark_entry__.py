@@ -1022,6 +1022,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wow_retention"] = q_wow_retention
 
+    def q_perplexity_tiers(spark, sf_dir):
+        """CCNet's head/middle/tail split realized: documents bucketed
+        by corpus-wide terciles of the unigram-LM score (lower = more
+        fluent), reported per (tier, lang).  The tercile cuts are two
+        scalar percentiles over already-exact scores, broadcast back;
+        the bucketing is pure codegen.  This is the query that turns
+        the LM quality score into a mixture decision.  Registered after
+        the round-5 window; round-6 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        scored = llm_text.unigram_logprob(docs).join(
+            docs.select("doc_id", "lang"), on="doc_id"
+        )
+        cuts = scored.agg(
+            F.percentile(F.col("score"), F.lit(1.0 / 3.0)).alias("c1"),
+            F.percentile(F.col("score"), F.lit(2.0 / 3.0)).alias("c2"),
+        )
+        tier = (
+            F.when(F.col("score") <= F.col("c1"), "head")
+            .when(F.col("score") <= F.col("c2"), "middle")
+            .otherwise("tail")
+        )
+        return (
+            scored.join(F.broadcast(cuts))
+            .groupBy(tier.alias("tier"), "lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            )
+        )
+
+    q["perplexity_tiers"] = q_perplexity_tiers
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5069,6 +5101,26 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["perplexity_tiers"] = f"""
+        WITH scored AS (
+          SELECT s.doc_id, s.n_tokens, s.score, d.lang
+          FROM ({llm_text.unigram_logprob_oracle_sql(round_digits=9)}) s
+          JOIN documents d ON s.doc_id = d.doc_id
+        ), cuts AS (
+          SELECT quantile_cont(score, CAST(1.0/3.0 AS DOUBLE)) AS c1,
+                 quantile_cont(score, CAST(2.0/3.0 AS DOUBLE)) AS c2
+          FROM scored
+        )
+        SELECT CASE WHEN score <= c1 THEN 'head'
+                    WHEN score <= c2 THEN 'middle'
+                    ELSE 'tail' END AS tier,
+               lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM scored CROSS JOIN cuts
+        GROUP BY tier, lang
     """
 
     o["engaged_users"] = """
