@@ -1054,6 +1054,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["perplexity_tiers"] = q_perplexity_tiers
 
+    def q_dataset_card(spark, sf_dir):
+        """One-row dataset card: the corpus summary a dataset release
+        ships with — document/byte/token totals, language and source
+        breadth, exact duplicate rate — from one documents scan plus
+        the fingerprint distinct (two-level, skew-safe).  All-integer
+        until the final rate.  Registered after the round-5 window;
+        round-6 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        from openseize_spark.llm.dedup import normalize_text
+
+        words = F.filter(
+            F.split(normalize_text(F.col("text")), " "),
+            lambda s: F.length(s) > 0,
+        )
+        fp = F.md5(normalize_text(F.col("text")))
+        per_fp = docs.groupBy(fp.alias("_fp")).agg(F.count("*").alias("_n"))
+        dups = per_fp.agg(
+            F.sum("_n").alias("_docs"), F.count("*").alias("_distinct")
+        )
+        base = docs.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+            F.sum(F.size(words)).cast("bigint").alias("n_tokens"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        return base.join(F.broadcast(dups)).select(
+            "n_docs",
+            "n_bytes",
+            "n_tokens",
+            "n_langs",
+            "n_sources",
+            F.col("_distinct").cast("bigint").alias("n_distinct_texts"),
+            F.round(
+                F.lit(1.0)
+                - F.col("_distinct").cast("double") / F.col("_docs").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+
+    q["dataset_card"] = q_dataset_card
+
+    def q_embedding_quality(spark, sf_dir):
+        """Embeddings-table quality: per-label vector counts, dimension
+        consistency, zero-vector count, and norm extrema — the sanity
+        pass before any ANN index build.  Per-row norms are sequential
+        array folds (deterministic, same order as the knn oracles);
+        min/max of identical doubles are engine-invariant.  Registered
+        after the round-5 window; round-6 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        v = F.col("embedding").cast("array<double>")
+        norm2 = F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.withColumn("_n2", norm2)
+            .groupBy("label")
+            .agg(
+                F.count("*").cast("bigint").alias("n_vectors"),
+                F.countDistinct(F.size("embedding"))
+                .cast("bigint")
+                .alias("n_dims_seen"),
+                F.sum(F.when(F.col("_n2") == 0.0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_zero_vectors"),
+                F.round(F.sqrt(F.min("_n2")), 9).alias("min_norm"),
+                F.round(F.sqrt(F.max("_n2")), 9).alias("max_norm"),
+            )
+        )
+
+    q["embedding_quality"] = q_embedding_quality
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5101,6 +5175,51 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["dataset_card"] = """
+        WITH d AS (
+          SELECT text,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+                 lang, source
+          FROM documents WHERE text IS NOT NULL
+        ), fp AS (
+          SELECT md5(nt) AS f, count(*) AS n FROM d GROUP BY md5(nt)
+        ), dups AS (
+          SELECT sum(n) AS docs, count(*) AS dist FROM fp
+        ), base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+                 CAST(sum(len(list_filter(string_split(nt, ' '),
+                                          w -> len(w) > 0))) AS BIGINT)
+                   AS n_tokens,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM d
+        )
+        SELECT base.*,
+               CAST(dups.dist AS BIGINT) AS n_distinct_texts,
+               round(CAST(1.0 AS DOUBLE)
+                     - CAST(dups.dist AS DOUBLE) / CAST(dups.docs AS DOUBLE),
+                     9) AS dup_rate
+        FROM base CROSS JOIN dups
+    """
+
+    o["embedding_quality"] = """
+        WITH e AS (
+          SELECT label, embedding,
+                 list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x * x)) AS n2
+          FROM embeddings
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims_seen,
+               CAST(sum(CASE WHEN n2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_vectors,
+               round(sqrt(min(n2)), 9) AS min_norm,
+               round(sqrt(max(n2)), 9) AS max_norm
+        FROM e GROUP BY label
     """
 
     o["perplexity_tiers"] = f"""
