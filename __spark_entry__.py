@@ -1128,6 +1128,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_quality"] = q_embedding_quality
 
+    def q_sql_entry(spark, sf_dir):
+        """Pure SQL API entry: the same engine through ``spark.sql`` over
+        temp views — users who live in SQL get the identical Catalyst
+        plans the DataFrame API produces (this query's shape matches
+        revenue_by_nation's join tree).  Session-scoped view names keyed
+        by sf_dir so concurrent gates don't collide.  Registered after
+        the round-5 window; round-6 window material."""
+        import re
+
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        for t in ("lineitem", "orders", "customer", "nation"):
+            _t(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_{tag}")
+        return spark.sql(
+            f"""
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(
+                     l.l_extendedprice * (1 - l.l_discount) * 10000
+                   ) AS BIGINT)) AS BIGINT)
+                     / CAST(10000.0 AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM v_lineitem_{tag} l
+            JOIN v_orders_{tag} o ON l.l_orderkey = o.o_orderkey
+            JOIN v_customer_{tag} c ON o.o_custkey = c.c_custkey
+            JOIN v_nation_{tag} n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            """
+        )
+
+    q["sql_entry"] = q_sql_entry
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5175,6 +5205,19 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["sql_entry"] = """
+        SELECT n_name,
+               CAST(sum(CAST(round(
+                 l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS BIGINT) / 10000.0 AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """
 
     o["dataset_card"] = """
