@@ -1414,9 +1414,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         plan; this gate asserts the result).  Registered after the
         round-5 window; round-6 window material."""
         import os
+        import re
 
         d = _gate_tmp(spark, "buckets")
-        li_t, ord_t = "gate_li_bucketed", "gate_ord_bucketed"
+        # key the catalog names by sf_dir: one session may gate several
+        # scale factors, and a session-global name would silently serve
+        # the first sf's buckets to the second
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        li_t, ord_t = f"gate_li_bucketed_{tag}", f"gate_ord_bucketed_{tag}"
         if not spark.catalog.tableExists(li_t):
             li = _t(spark, sf_dir, "lineitem").select(
                 "l_orderkey", "l_extendedprice", "l_discount"
