@@ -1289,8 +1289,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Registered after the round-5 window; round-6 window material."""
         import os
 
+        import re
+
         docs = _t(spark, sf_dir, "documents")
-        d = _gate_tmp(spark, "schema_ev")
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        d = _gate_tmp(spark, f"schema_ev_{tag}")
         p1, p2 = os.path.join(d, "gen1"), os.path.join(d, "gen2")
         if not (
             os.path.exists(os.path.join(p1, "_SUCCESS"))
@@ -1320,8 +1323,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         material."""
         import os
 
+        import re
+
         e = _events(spark, sf_dir)
-        d = _gate_tmp(spark, "part_events")
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        d = _gate_tmp(spark, f"part_events_{tag}")
         if not os.path.exists(os.path.join(d, "_SUCCESS")):
             e.withColumn("day", F.to_date("ts")).write.mode(
                 "overwrite"
@@ -3776,8 +3782,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         window material."""
         import os
 
+        import re
+
         docs = _t(spark, sf_dir, "documents")
-        d = _gate_tmp(spark, "jsonl_rt")
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        d = _gate_tmp(spark, f"jsonl_rt_{tag}")
         marker = os.path.join(d, "_SUCCESS")
         if not os.path.exists(marker):
             docs.write.mode("overwrite").json(d)
