@@ -398,6 +398,10 @@ def salted_join(
     broadcast-disabled environments) and as the building block the
     docs reference.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        # right/full joins would emit each UNMATCHED build row once per
+        # salt replica — a silent row multiplication
+        raise ValueError("salted_join supports inner/left joins only")
     lcols = [c for c in left.columns]
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in lcols]), F.lit(salt))
     l2 = left.withColumn("_salt", salt_col.cast("int"))

@@ -291,6 +291,22 @@ class TestSaltedJoin:
         b = sorted(map(tuple, salted_join(left.repartition(7), right, key="k", salt=8).collect()))
         assert a == b  # content-derived salt: layout-invariant results
 
+    def test_left_join_and_rejected_modes(self, spark):
+        import pytest
+
+        from openseize_spark.operators.relational import salted_join
+
+        left, right = self._data(spark)
+        # left join keeps unmatched probe rows exactly once
+        l2 = left.union(
+            spark.createDataFrame([(999, "orphan", 0.0)], left.schema)
+        )
+        got = salted_join(l2, right, key="k", salt=8, how="left").count()
+        assert got == 201
+        # right/full joins would duplicate unmatched build rows per salt
+        with pytest.raises(ValueError):
+            salted_join(left, right, key="k", salt=8, how="full")
+
 
 class TestBucketedJoin:
     def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
