@@ -793,7 +793,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         threshold disabled.  Registered after the round-5 window;
         round-6 window material."""
         docs = _t(spark, sf_dir, "documents")
-        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        # three consumers (LSH candidate build + both signature-join
+        # sides) — checkpoint or the dominant shingle-explode + 64-min
+        # signature pass re-runs per consumer (cf. jaccard_verify)
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        ).localCheckpoint(eager=False)
         cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
         exact = dedup.jaccard_verify(docs, cand, k=5, threshold=0.0)
         sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
@@ -3444,7 +3449,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         e = (
             _events(spark, sf_dir)
-            .filter(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+            .filter(
+                F.col("user_id").isNotNull()
+                & F.col("value").isNotNull()
+                # a NULL ts satisfies none of the range conditions below
+                # and would be staged into no micro-batch — exclude it on
+                # both engines so the oracle can't see rows the stream
+                # never receives
+                & F.col("ts").isNotNull()
+            )
             .select("user_id", "event_id", "ts", "value")
         )
         d = _gate_tmp(
@@ -5128,6 +5141,7 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
           FROM events
           WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND ts IS NOT NULL
         ), r AS (
           SELECT user_id, event_id, rn,
                  greatest(CAST(0 AS BIGINT), v - 12000) AS s,

@@ -412,6 +412,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns (id, n_triangles) for nodes in at least one triangle.
     """
+    # three consumers of the edge list; checkpoint so a possibly
+    # expensive upstream pair-generation plan executes once
+    edges = edges.localCheckpoint(eager=False)
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, on="y")

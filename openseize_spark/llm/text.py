@@ -971,10 +971,13 @@ def bpe_apply_oracle_sql(merges: list[tuple[str, str]]) -> str:
     """DuckDB SQL equal to bpe_apply: identical per-token sentinel-pair
     encoding and ordered literal replaces (both engines' replace()
     substitutes non-overlapping occurrences left-to-right)."""
+    def q(s: str) -> str:
+        return s.replace(chr(39), chr(39) * 2)
+
     enc = "regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g')"
     for a, b in merges:
-        pat = f"chr(1) || '{a}' || chr(1) || chr(1) || '{b}' || chr(1)"
-        rep = f"chr(1) || '{a}{b}' || chr(1)"
+        pat = f"chr(1) || '{q(a)}' || chr(1) || chr(1) || '{q(b)}' || chr(1)"
+        rep = f"chr(1) || '{q(a)}{q(b)}' || chr(1)"
         enc = f"replace({enc}, {pat}, {rep})"
     return f"""
         WITH dw AS (
@@ -1452,7 +1455,7 @@ def rrf_fusion_oracle_sql(
         queries=queries, k=inner_k, round_digits=round_digits
     )
     qvals = ", ".join(
-        f"({int(qid)}, '{w}')"
+        f"({int(qid)}, '{w.replace(chr(39), chr(39) * 2)}')"
         for qid, qtext in queries.items()
         for w in dict.fromkeys(qtext.lower().split())
     )

@@ -82,7 +82,12 @@ def make_stateful_cusum(target_cents: int, slack_cents: int, h_cents: int):
         s = state.get[0] if state.exists else 0
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            v = (pdf["value"] * 100).round().astype("int64")
+            # half-AWAY rounding: numpy's .round() is half-to-even, but
+            # the SQL replay (DuckDB round) and the batch queries
+            # (Spark HALF_UP) round half-cents away from zero — an
+            # exact .5 would silently diverge the carried state
+            raw = pdf["value"].to_numpy() * 100
+            v = (np.floor(np.abs(raw) + 0.5) * np.sign(raw)).astype("int64")
             out_s, out_a = [], []
             for x in v:
                 s = max(0, s + int(x) - target_cents - slack_cents)

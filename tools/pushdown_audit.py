@@ -1,22 +1,17 @@
 """Scan-hygiene audit: verify column pruning and filter pushdown reach
 the parquet scans of every registered query.
 
-For each query's executed plan, every parquet `FileScan` is inspected:
+For each query's executed plan, every parquet `FileScan`'s ReadSchema
+width is compared against the source table's full width — a scan that
+reads all columns of a wide table for a narrow projection means column
+pruning failed (at 100 TB that is the difference between reading 2
+columns and reading 11).
 
-- **ReadSchema width** vs the source table's full width — a scan that
-  reads all columns of a wide table for a narrow projection means
-  column pruning failed (at 100 TB that is the difference between
-  reading 2 columns and reading 11).
-- **PushedFilters** presence whenever the plan filters on a scanned
-  column — a filter evaluated only post-scan decodes rows the reader
-  could have skipped via row-group statistics.
-
-Heuristic flags (exit 1):
-- a scan whose ReadSchema contains EVERY column of a table wider than
-  ``WIDE`` columns, in a query whose output schema is narrower — full
-  reads of wide tables are almost always a pruning failure;
-- gate-staged fixture scans are exempt (their tables are written by the
-  query itself with exactly the needed columns).
+Flag (exit 1): a scan whose ReadSchema contains EVERY column of a
+driver table wider than ``WIDE`` columns, in a query whose output
+schema is narrower.  Gate-staged fixture scans never trip this — their
+column sets are written by the query itself and don't cover a driver
+table's full set.
 
 Usage: python tools/pushdown_audit.py [sf_dir] [query ...]
 """
@@ -44,8 +39,42 @@ _TABLES = {
 
 
 def _scan_schemas(plan: str) -> list[str]:
-    """ReadSchema struct bodies of every FileScan in the plan."""
-    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    """ReadSchema struct bodies of every FileScan in the plan.
+
+    The body is captured to end-of-line (not up to the first '>'): a
+    nested type like ``map<string,string>`` contains '>' characters and
+    a first-'>' regex would silently truncate the column list, letting
+    full-width scans of tables with nested columns escape the audit.
+    """
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<(.*)$", plan, re.MULTILINE):
+        body = m.group(1).rstrip()
+        if body.endswith(">"):
+            body = body[:-1]
+        out.append(body)
+    return out
+
+
+def _top_level_fields(body: str) -> set[str]:
+    """Column names from a struct body, splitting only on depth-0 commas
+    so nested generics don't shear the list."""
+    cols, depth, cur = set(), 0, []
+    for ch in body:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            tok = "".join(cur).strip()
+            if tok:
+                cols.add(tok.split(":")[0].strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tok = "".join(cur).strip()
+    if tok:
+        cols.add(tok.split(":")[0].strip())
+    return cols
 
 
 def audit_one(name: str, df) -> list[str]:
@@ -53,7 +82,7 @@ def audit_one(name: str, df) -> list[str]:
     flags = []
     out_cols = len(df.columns)
     for body in _scan_schemas(plan):
-        cols = {c.split(":")[0].strip() for c in body.split(",") if c.strip()}
+        cols = _top_level_fields(body)
         for tbl, full in _TABLES.items():
             if cols >= full and len(full) > WIDE and out_cols < len(full):
                 flags.append(
