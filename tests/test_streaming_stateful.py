@@ -126,3 +126,37 @@ class TestStreamingCusum:
         # the first alarm lands at event 13 (14 * 3000 = 42000 > 40000) —
         # inside the second micro-batch, proving cross-batch state carry
         assert exp[13][1] and not exp[12][1]
+
+    def test_half_cent_rounds_away_from_zero(self, spark, tmp_path):
+        """0.125 * 100 = 12.5 exactly: numpy's half-to-even would give
+        12, but the SQL replay (DuckDB round) and the batch queries
+        (Spark HALF_UP) give 13 — the stream must agree with them."""
+        import datetime
+        import os
+
+        from openseize_spark.streaming.stateful import streaming_cusum
+
+        t0 = datetime.datetime(2024, 5, 1)
+        df = spark.createDataFrame(
+            [(1, 0, t0, 0.125)],
+            "user_id long, event_id long, ts timestamp, value double",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(str(tmp_path), "batch_0")
+        )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(str(tmp_path), "batch_*"))
+        )
+        out = streaming_cusum(stream, target_cents=0, slack_cents=0, h_cents=10**9)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_cusum_half")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        r = spark.sql("SELECT * FROM t_cusum_half").collect()[0]
+        assert r.s == 13  # half-away, matching round(0.125*100) in SQL
