@@ -1163,6 +1163,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sql_entry"] = q_sql_entry
 
+    def q_top_values_csv(spark, sf_dir):
+        """Deterministic nested aggregation: each user's top-3 event
+        values collected, sorted, and serialized to a CSV string —
+        collect_list alone is partition-order dependent, so the
+        array_sort makes the nested result layout-invariant (the same
+        discipline nested_roundtrip uses).  Values in integer cents so
+        the sort key is exact.  Registered after the round-5 window;
+        round-6 window material."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        return e.groupBy("user_id").agg(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.reverse(F.array_sort(F.collect_list(cents))), 1, 3
+                ),
+            ).alias("top3_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+
+    q["top_values_csv"] = q_top_values_csv
+
     def q_zorder_layout(spark, sf_dir):
         """Z-order layout keys (functions/scalar.py zorder_key): Morton-
         interleave (user_id, day-of-month) into one clustering key and
@@ -5233,6 +5257,18 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WHERE user_id IS NOT NULL
         GROUP BY z_bucket
+    """
+
+    o["top_values_csv"] = """
+        SELECT user_id,
+               array_to_string(
+                 list_slice(
+                   list_sort(list(CAST(round(value * 100) AS BIGINT)),
+                             'DESC'), 1, 3), ',') AS top3_cents,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        GROUP BY user_id
     """
 
     o["sql_entry"] = """
