@@ -4015,6 +4015,301 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pq_refine_topk"] = q_pq_refine_topk
 
+    # ---- round 6: remaining TPC-H query shapes (Q7/Q8/Q9/Q10/Q13/Q17/
+    # Q19/Q22 adapted to this schema — no partsupp/phone/shipmode
+    # columns in the testdata, substitutions documented per query) and
+    # two further training-pipeline samplers.  All revenue/balance math
+    # accumulates in exact integer units (cf. q_top_revenue_supplier) so
+    # float summation order can never diverge between engines.
+
+    _rev_units = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+
+    def q_nation_volume(spark, sf_dir):
+        """TPC-H Q7 shape: shipping volume between supplier-nation and
+        customer-nation pairs per ship year (all cross-nation pairs —
+        the classic query's two-nation filter is a special case).  Two
+        broadcast nation joins (25 rows each); the lineitem->orders->
+        customer chain shuffles on its keys once; revenue in exact
+        integer 1e-4 units."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        n1 = n.select(
+            F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = n.select(
+            F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy(
+                "supp_nation",
+                "cust_nation",
+                F.year("l_shipdate").cast("bigint").alias("l_year"),
+            )
+            .agg(
+                F.sum(_rev_units).cast("bigint").alias("rev_units"),
+                F.count("*").cast("bigint").alias("n_items"),
+            )
+        )
+
+    q["nation_volume"] = q_nation_volume
+
+    def q_market_share(spark, sf_dir):
+        """TPC-H Q8 shape: the share of one supplier nation (nationkey
+        0) in the revenue delivered to customers of one region
+        (regionkey 0), per order year.  Conditional aggregation over
+        the 5-way join; the share divides two exact int64 unit sums, so
+        the 9-digit round is deterministic."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(
+                F.broadcast(n.filter(F.col("n_regionkey") == 0)),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            )
+            .join(s, li.l_suppkey == s.s_suppkey)
+        )
+        return (
+            j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+            .agg(
+                F.sum(F.when(F.col("s_nationkey") == 0, _rev_units).otherwise(0))
+                .cast("bigint")
+                .alias("nation_units"),
+                F.sum(_rev_units).cast("bigint").alias("total_units"),
+            )
+            .withColumn(
+                "mkt_share",
+                F.round(
+                    F.col("nation_units").cast("double")
+                    / F.col("total_units").cast("double"),
+                    9,
+                ),
+            )
+        )
+
+    q["market_share"] = q_market_share
+
+    def q_profit_by_nation(spark, sf_dir):
+        """TPC-H Q9 shape: profit per supplier nation and order year.
+        No partsupp table in the testdata, so supply cost is modeled as
+        10% of p_retailprice x quantity — the substitution keeps the
+        join DAG identical (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈
+        orders) and the arithmetic exact: quantity is integer-valued,
+        retailprice has 2 decimals, so cost x 1000 is an exact int64
+        at the same 1e-4 scale as revenue."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        s = _t(spark, sf_dir, "supplier")
+        p = _t(spark, sf_dir, "part")
+        n = _t(spark, sf_dir, "nation")
+        cost_units = F.round(
+            F.col("l_quantity") * F.col("p_retailprice") * 1000
+        ).cast("bigint")
+        return (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").cast("bigint").alias("o_year"),
+            )
+            .agg(F.sum(_rev_units - cost_units).cast("bigint").alias("profit_units"))
+        )
+
+    q["profit_by_nation"] = q_profit_by_nation
+
+    def q_returned_customers(spark, sf_dir):
+        """TPC-H Q10 shape: top 20 customers by revenue lost to returns
+        (l_returnflag = 'R') in one quarter.  The global top-k is
+        orderBy+limit — Spark's TakeOrdered, a per-partition heap then
+        a driver merge of 20-row heads, never a single-partition window
+        — with the exact integer revenue and the unique custkey as tie
+        break so the cut is deterministic."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        j = (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(
+                o.filter(
+                    (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                    & (F.col("o_orderdate") < F.lit("1995-04-01"))
+                ),
+                li.l_orderkey == o.o_orderkey,
+            )
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        )
+        return (
+            j.groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(_rev_units).cast("bigint").alias("rev_units"))
+            .orderBy(F.col("rev_units").desc(), F.col("c_custkey").asc())
+            .limit(20)
+        )
+
+    q["returned_customers"] = q_returned_customers
+
+    def q_order_count_dist(spark, sf_dir):
+        """TPC-H Q13 shape: the distribution of orders-per-customer,
+        including zero-order customers via the left outer join (the
+        part inner joins cannot express).  Two aggregations: per
+        customer (shuffle on custkey), then the tiny count-of-counts."""
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        per_cust = (
+            c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(
+            F.count("*").cast("bigint").alias("custdist")
+        )
+
+    q["order_count_dist"] = q_order_count_dist
+
+    def q_small_qty_revenue(spark, sf_dir):
+        """TPC-H Q17 shape: revenue from lineitems whose quantity is
+        below half their part's average quantity.  The correlated
+        scalar subquery becomes a per-part aggregate re-joined to
+        lineitem (AQE broadcasts it when small); the predicate is
+        rewritten integer-exact as qty * 2 * cnt < sum_qty — quantities
+        are integer-valued, so no float-division boundary exists for
+        engines to disagree on."""
+        li = _t(spark, sf_dir, "lineitem")
+        pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum("l_quantity").cast("bigint").alias("sumq"),
+            F.count("*").cast("bigint").alias("cnt"),
+        )
+        j = li.join(pa, li.l_partkey == F.col("pk")).filter(
+            F.col("l_quantity") * 2 * F.col("cnt") < F.col("sumq")
+        )
+        return j.agg(
+            F.sum(_rev_units).cast("bigint").alias("rev_units"),
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(_rev_units) / 70000.0, 9).alias("avg_yearly"),
+        )
+
+    q["small_qty_revenue"] = q_small_qty_revenue
+
+    def q_disjunctive_revenue(spark, sf_dir):
+        """TPC-H Q19 shape: revenue under three OR'd brand/size/
+        quantity conjunctions — the canonical disjunctive-pushdown
+        plan: Catalyst extracts the common l_quantity bounds and the
+        join key predicate below the join, then evaluates the residual
+        disjunction post-join.  Single-row exact-integer output."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        j = li.join(p, li.l_partkey == p.p_partkey)
+        arm1 = (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        arm2 = (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        arm3 = (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size").between(1, 35))
+            & (F.col("l_quantity").between(20, 30))
+        )
+        return j.filter(arm1 | arm2 | arm3).agg(
+            F.sum(_rev_units).cast("bigint").alias("rev_units"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+
+    q["disjunctive_revenue"] = q_disjunctive_revenue
+
+    def q_idle_customers(spark, sf_dir):
+        """TPC-H Q22 shape: customers holding above-average positive
+        balances who never placed an order, counted per nation.  The
+        scalar AVG subquery becomes a broadcast one-row join with the
+        comparison rewritten integer-exact (bal_cents * n > sum_cents);
+        the NOT EXISTS is a left-anti join on custkey against the
+        urgent-priority order subset (every synthetic customer has SOME
+        order, so the classic all-orders anti join would be vacuous).
+        No phone column in the testdata, so nationkey stands in for the
+        phone-prefix grouping."""
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+        cu = c.withColumn("bal_cents", cents)
+        stats = cu.filter(F.col("bal_cents") > 0).agg(
+            F.sum("bal_cents").alias("sum_cents"),
+            F.count("*").alias("n_pos"),
+        )
+        return (
+            cu.join(F.broadcast(stats))
+            .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+            .join(
+                o.filter(F.col("o_orderpriority") == "1-URGENT"),
+                cu.c_custkey == o.o_custkey,
+                "left_anti",
+            )
+            .groupBy(F.col("c_nationkey").cast("bigint").alias("nationkey"))
+            .agg(
+                F.count("*").cast("bigint").alias("numcust"),
+                F.sum("bal_cents").cast("bigint").alias("totbal_cents"),
+            )
+        )
+
+    q["idle_customers"] = q_idle_customers
+
+    def q_bloom_decontaminate(spark, sf_dir):
+        """Sketch-based decontamination screen (llm/dedup.py
+        bloom_decontaminate): a 2^16-bit k=3 Bloom filter built from
+        the benchmark fingerprints (doc_id % 7 == 0, the same split as
+        the exact `decontaminate` gate) probed by the corpus — per
+        source, documents total vs flagged-as-possibly-contaminated.
+        False negatives are impossible by construction, so the flagged
+        subset is a safe prefilter for the exact confirmation join."""
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", "source", "text"
+        )
+        flagged = dedup.bloom_decontaminate(corpus, bench)
+        return flagged.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("bloom_hit").cast("bigint")).cast("bigint").alias(
+                "n_flagged"
+            ),
+        )
+
+    q["bloom_decontaminate"] = q_bloom_decontaminate
+
+    def q_group_reservoir(spark, sf_dir):
+        """Deterministic per-stratum reservoir (llm/sampling.py
+        group_reservoir): the 3 smallest-salted-hash docs per (lang,
+        source) cell — the reproducible eval-set carve-out.  One
+        shuffle on the stratum key; WindowGroupLimit caps each
+        partition at k rows before the filter."""
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.group_reservoir(
+            docs, ["lang", "source"], k=3, key_col="doc_id", seed="res6"
+        ).select("doc_id", "lang", "source", "reservoir_rank")
+
+    q["group_reservoir"] = q_group_reservoir
+
     return _gate_order(q)
 
 
@@ -6306,5 +6601,131 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 9) AS sum_value
         FROM events JOIN nation ON (user_id % 25) = n_nationkey
         GROUP BY 1, 2"""
+
+    # ---- round 6: TPC-H Q7/Q8/Q9/Q10/Q13/Q17/Q19/Q22 shapes + the two
+    # new samplers.  Every integer sum is CAST AS BIGINT (HUGEINT rule).
+    _U = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+    o["nation_volume"] = f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum({_U}) AS BIGINT) AS rev_units,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3"""
+
+    o["market_share"] = f"""
+        WITH j AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 s_nationkey, {_U} AS units
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey AND n_regionkey = 0
+          JOIN supplier ON l_suppkey = s_suppkey
+        )
+        SELECT o_year,
+               CAST(sum(CASE WHEN s_nationkey = 0 THEN units ELSE 0 END)
+                    AS BIGINT) AS nation_units,
+               CAST(sum(units) AS BIGINT) AS total_units,
+               round(CAST(sum(CASE WHEN s_nationkey = 0 THEN units ELSE 0 END)
+                          AS DOUBLE)
+                     / CAST(sum(units) AS DOUBLE), 9) AS mkt_share
+        FROM j GROUP BY o_year"""
+
+    o["profit_by_nation"] = f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum({_U}
+                        - CAST(round(l_quantity * p_retailprice * 1000)
+                               AS BIGINT)) AS BIGINT) AS profit_units
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        GROUP BY 1, 2"""
+
+    o["returned_customers"] = f"""
+        SELECT c_custkey, c_name, n_name,
+               CAST(sum({_U}) AS BIGINT) AS rev_units
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_units DESC, c_custkey ASC
+        LIMIT 20"""
+
+    o["order_count_dist"] = """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY c_count"""
+
+    o["small_qty_revenue"] = f"""
+        WITH pa AS (
+          SELECT l_partkey AS pk,
+                 CAST(sum(l_quantity) AS BIGINT) AS sumq,
+                 count(*) AS cnt
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(sum({_U}) AS BIGINT) AS rev_units,
+               count(*) AS n_items,
+               round(CAST(sum({_U}) AS BIGINT) / 70000.0, 9) AS avg_yearly
+        FROM lineitem JOIN pa ON l_partkey = pk
+        WHERE l_quantity * 2 * cnt < sumq"""
+
+    o["disjunctive_revenue"] = f"""
+        SELECT CAST(sum({_U}) AS BIGINT) AS rev_units,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)"""
+
+    o["idle_customers"] = """
+        WITH cu AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer
+        ), stats AS (
+          SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+                 count(*) AS n_pos
+          FROM cu WHERE bal_cents > 0
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               count(*) AS numcust,
+               CAST(sum(bal_cents) AS BIGINT) AS totbal_cents
+        FROM cu, stats
+        WHERE bal_cents * n_pos > sum_cents
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+          )
+        GROUP BY 1"""
+
+    o["bloom_decontaminate"] = dedup.bloom_decontaminate_oracle_sql(
+        bench_pred="doc_id % 7 = 0", corpus_pred="doc_id % 7 <> 0"
+    )
+
+    o["group_reservoir"] = sampling.group_reservoir_oracle_sql(
+        ["lang", "source"], k=3, key_col="doc_id", seed="res6"
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -1394,3 +1394,115 @@ def pagerank_oracle_sql(
                CAST(u AS DOUBLE) / {float(S)!r} AS pagerank
         FROM r{iters}"""
     )
+
+
+# ------------------------------------------------------------- bloom filter
+def bloom_positions(fp_col, m: int, k: int):
+    """The ``k`` Bloom bit positions of a fingerprint column: salted
+    md5-prefix hashes reduced mod ``m`` (portable across engines via
+    :func:`~openseize_spark.llm.sampling.salted_hash`)."""
+    from openseize_spark.llm.sampling import salted_hash
+
+    return F.array_distinct(
+        F.array(
+            *[salted_hash(fp_col, f"bloom{i}") % m for i in range(k)]
+        )
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    m: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter decontamination screen: flag every document whose
+    normalized-text fingerprint *may* be in the benchmark set — all
+    ``k`` salted hash positions of its fingerprint are set in a Bloom
+    filter built from the benchmark fingerprints.
+
+    This is the sketch-based variant of :func:`decontaminate` for the
+    case where even the benchmark's exact fingerprint set is too large
+    to ship: the filter compresses any benchmark to ``m`` bits (the
+    distinct-position table here, at most ``m`` rows of one int, stands
+    in for the bitset and broadcasts to every executor), at the price
+    of a bounded false-positive rate (~``(1-e^{-kn/m})^k``).  True
+    membership is never missed — ``bloom_hit = false`` is a guarantee,
+    so the screen safely prunes the corpus before an exact (expensive)
+    confirmation join touches only the hits.
+
+    Plan shape at 100 TB: corpus-side cost is ``k`` md5 hashes per row
+    plus one broadcast-hash semi-probe per position — no corpus
+    shuffle; the benchmark aggregates once to ≤ ``m`` distinct ints.
+
+    Returns ``docs`` plus a ``bloom_hit`` boolean column.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    bench_pos = (
+        benchmark.select(
+            F.explode(
+                bloom_positions(F.md5(normalize_text(F.col(text_col))), m, k)
+            ).alias("_bpos")
+        )
+        .distinct()
+    )
+    probe = docs.withColumn("_pos", F.explode(bloom_positions(fp, m, k)))
+    hits = (
+        probe.join(F.broadcast(bench_pos), probe._pos == F.col("_bpos"), "inner")
+        .groupBy(*docs.columns)
+        .agg(F.count("*").alias("_nhit"))
+    )
+    n_pos = probe.groupBy(*docs.columns).agg(F.count("*").alias("_npos"))
+    return (
+        n_pos.join(hits, docs.columns, "left")
+        .withColumn(
+            "bloom_hit",
+            F.coalesce(F.col("_nhit"), F.lit(0)) == F.col("_npos"),
+        )
+        .drop("_nhit", "_npos")
+    )
+
+
+def bloom_decontaminate_oracle_sql(
+    bench_pred: str,
+    corpus_pred: str,
+    m: int = 1 << 16,
+    k: int = 3,
+) -> str:
+    """DuckDB replay of :func:`bloom_decontaminate` over ``documents``:
+    the same salted md5-prefix positions, the same distinct-position
+    filter table, the same all-k membership rule."""
+    from openseize_spark.llm.sampling import salted_hash_sql
+
+    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    pos_exprs = ", ".join(
+        f"({salted_hash_sql('fp', f'bloom{i}')} % {m}) AS p{i}" for i in range(k)
+    )
+    pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, source, p{i} AS pos FROM fpos" for i in range(k)
+    )
+    bench_union = " UNION ALL ".join(f"SELECT p{i} AS pos FROM bpos" for i in range(k))
+    return f"""
+        WITH corpus_fp AS (
+          SELECT doc_id, source, {norm} AS fp FROM documents WHERE {corpus_pred}
+        ), fpos AS (
+          SELECT doc_id, source, {pos_exprs} FROM corpus_fp
+        ), bench_fp AS (
+          SELECT {norm} AS fp FROM documents WHERE {bench_pred}
+        ), bpos AS (
+          SELECT {pos_exprs} FROM bench_fp
+        ), bloom AS (
+          SELECT DISTINCT pos FROM ({bench_union})
+        ), doc_pos AS (
+          SELECT DISTINCT doc_id, source, pos FROM ({pos_union})
+        ), flags AS (
+          SELECT doc_id, source,
+                 count(*) AS npos,
+                 count(*) FILTER (WHERE pos IN (SELECT pos FROM bloom)) AS nhit
+          FROM doc_pos GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE nhit = npos) AS BIGINT) AS n_flagged
+        FROM flags GROUP BY source"""

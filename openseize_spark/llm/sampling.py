@@ -753,3 +753,54 @@ def temperature_sample_oracle_sql(
         SELECT d.doc_id, d.{group_col}, r.keep_rate
         FROM documents d JOIN rates r USING ({group_col})
         WHERE {h} < CAST(floor(r.keep_rate * {HASH_SPACE}) AS BIGINT)"""
+
+
+def group_reservoir(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "res",
+) -> DataFrame:
+    """Deterministic per-group "reservoir" of ``k`` rows: within each
+    group keep the ``k`` rows with the smallest salted key hash (ties
+    by key), tagged with their 1-based ``reservoir_rank``.
+
+    This is the reproducible replacement for streaming reservoir
+    sampling when building fixed-size per-stratum eval/inspection sets:
+    the salted hash is a uniform permutation of the group, so rank ≤ k
+    is a uniform k-sample — but unlike an RNG reservoir it is stable
+    under re-partitioning, re-runs, and engine changes (the property
+    every other sampler in this module guarantees).
+
+    One shuffle on the group key; each window partition holds one
+    group, so memory is bounded by the largest group, and Spark's
+    rank-limit pushdown (WindowGroupLimit) keeps only ``k`` rows per
+    group before the filter at scale.
+    """
+    h = salted_hash(F.col(key_col), seed)
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("reservoir_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("reservoir_rank") <= k)
+    )
+
+
+def group_reservoir_oracle_sql(
+    group_cols: list[str],
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "res",
+    select_cols: str = "doc_id, lang, source",
+) -> str:
+    """DuckDB replay of :func:`group_reservoir` over ``documents``."""
+    h = salted_hash_sql(key_col, seed)
+    gc = ", ".join(group_cols)
+    return f"""
+        SELECT {select_cols}, reservoir_rank FROM (
+          SELECT {select_cols},
+                 CAST(row_number() OVER (
+                   PARTITION BY {gc} ORDER BY {h}, {key_col}
+                 ) AS BIGINT) AS reservoir_rank
+          FROM documents
+        ) WHERE reservoir_rank <= {k}"""

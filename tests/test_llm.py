@@ -1336,3 +1336,61 @@ class TestTriangleCount:
         df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
         out = {r.id: r.n_triangles for r in dedup.triangle_count(df).collect()}
         assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestBloomDecontaminate:
+    def test_no_false_negatives(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox"),
+                (2, "some unique document zebra"),
+                (3, "The  Quick   Brown Fox"),  # normalizes == benchmark
+                (4, "another clean doc entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.bloom_hit for r in
+               dedup.bloom_decontaminate(docs, bench).collect()}
+        # every true member MUST be flagged (Bloom guarantees no false
+        # negatives); non-members may rarely false-positive but with
+        # m=2^16 and one benchmark doc they cannot here
+        assert out[1] is True and out[3] is True
+        assert out[2] is False and out[4] is False
+        assert len(out) == 4  # left join keeps every input row
+
+    def test_partition_invariant(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i % 7}") for i in range(60)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(0, "text 0"), (1, "text 3")], "doc_id long, text string"
+        )
+        a = sorted(
+            (r.doc_id, r.bloom_hit)
+            for r in dedup.bloom_decontaminate(docs.coalesce(1), bench).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.bloom_hit)
+            for r in dedup.bloom_decontaminate(docs.repartition(8), bench).collect()
+        )
+        assert a == b
+        # the two benchmark classes (i%7 in {0,3}) are flagged
+        assert all(hit == (i % 7 in (0, 3)) for i, hit in a)
+
+    def test_tiny_filter_false_positives_still_superset(self, spark):
+        # With m=8 bits the filter saturates: hits become a STRICT
+        # superset of true members — the screen stays sound (no misses)
+        # even when badly undersized.
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(0, "text 0"), (1, "text 17")], "doc_id long, text string"
+        )
+        out = {r.doc_id: r.bloom_hit for r in
+               dedup.bloom_decontaminate(docs, bench, m=8, k=3).collect()}
+        assert out[0] is True and out[17] is True
+        assert sum(out.values()) >= 2

@@ -330,3 +330,50 @@ class TestDsirSample:
         out = {r.doc_id: r.score for r in sampling.dsir_sample(docs, n_keep=240).collect()}
         # pure target-vocab docs score above pure raw-vocab docs
         assert out[0] > out[100]
+
+
+class TestGroupReservoir:
+    def test_k_per_group_and_partition_invariance(self, spark):
+        a = sampling.group_reservoir(_docs(spark, parts=1), ["source"], k=5)
+        b = sampling.group_reservoir(_docs(spark, parts=7), ["source"], k=5)
+        rows_a = sorted((r.source, r.doc_id, r.reservoir_rank) for r in a.collect())
+        rows_b = sorted((r.source, r.doc_id, r.reservoir_rank) for r in b.collect())
+        assert rows_a == rows_b
+        per_group = {}
+        for src, _, rank in rows_a:
+            per_group.setdefault(src, []).append(rank)
+        assert set(per_group) == {"src0", "src1", "src2"}
+        for ranks in per_group.values():
+            assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+    def test_matches_global_hash_order(self, spark):
+        d = _docs(spark, n=60)
+        out = sampling.group_reservoir(d, ["source"], k=3, seed="t")
+        got = {
+            src: [r.doc_id for r in grp]
+            for src, grp in _group_by_src(out.collect())
+        }
+        # replay: per group, ids sorted by (salted hash, id), first 3
+        full = d.withColumn(
+            "_h", sampling.salted_hash(F.col("doc_id"), "t")
+        ).collect()
+        want = {}
+        for r in sorted(full, key=lambda r: (r._h, r.doc_id)):
+            want.setdefault(r.source, [])
+            if len(want[r.source]) < 3:
+                want[r.source].append(r.doc_id)
+        assert {k: sorted(v) for k, v in got.items()} == {
+            k: sorted(v) for k, v in want.items()
+        }
+
+    def test_small_group_keeps_all(self, spark):
+        d = _docs(spark, n=4)  # src1 has 1 row, src0/src2 get <=2
+        out = sampling.group_reservoir(d, ["source"], k=5).collect()
+        assert len(out) == 4  # groups smaller than k are kept whole
+
+
+def _group_by_src(rows):
+    by = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.reservoir_rank)):
+        by.setdefault(r.source, []).append(r)
+    return by.items()
