@@ -4310,6 +4310,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["group_reservoir"] = q_group_reservoir
 
+    def q_hard_negatives(spark, sf_dir):
+        """Contrastive hard-negative mining (llm/similarity.py
+        hard_negatives): per query vector, the 5 most-similar corpus
+        vectors with a DIFFERENT label — the broadcast brute-force scan
+        with the label-mismatch predicate below the cosine fold.  Same
+        q/corpus split convention as knn_cosine."""
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        return similarity.hard_negatives(corpus, queries_df, k=5)
+
+    q["hard_negatives"] = q_hard_negatives
+
+    def q_quantize_int8(spark, sf_dir):
+        """Per-vector symmetric int8 quantization audit
+        (llm/similarity.py quantize_int8): scale, exact-integer L1
+        mass, saturated-lane count, and max reconstruction error for
+        every embedding — scalar outputs so the oracle pins each lane
+        without array serialization.  Zero-shuffle codegen scan."""
+        emb = _t(spark, sf_dir, "embeddings")
+        return similarity.quantize_int8(emb)
+
+    q["quantize_int8"] = q_quantize_int8
+
     return _gate_order(q)
 
 
@@ -6727,5 +6755,28 @@ def oracle_sql() -> dict[str, str]:
     o["group_reservoir"] = sampling.group_reservoir_oracle_sql(
         ["lang", "source"], k=3, key_col="doc_id", seed="res6"
     )
+
+    o["hard_negatives"] = """
+        WITH q AS (
+          SELECT vec_id AS q_id, label AS q_label,
+                 CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 3
+        ), c AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 3
+        ), s AS (
+          SELECT q_id, q_label, vec_id, label,
+                 list_cosine_similarity(cv, qv) AS cosine
+          FROM c CROSS JOIN q
+          WHERE label <> q_label
+        )
+        SELECT q_id, q_label, vec_id, label, cosine,
+               CAST(row_number() OVER (
+                 PARTITION BY q_id ORDER BY cosine DESC, vec_id
+               ) AS BIGINT) AS rank
+        FROM s
+        QUALIFY rank <= 5"""
+
+    o["quantize_int8"] = similarity.quantize_int8_oracle_sql()
 
     return {k: v.strip() for k, v in o.items()}

@@ -867,3 +867,121 @@ def kmeans_assign_oracle_sql(k: int = 8, n_iter: int = 4) -> str:
           FROM corpus c CROSS JOIN c{n} ct
         ) WHERE rk = 1""".format(n=n_iter)
     return "WITH " + ",\n        ".join(ctes) + final
+
+
+# --------------------------------------------------------- hard negatives
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the ``k`` most-similar corpus vectors carrying a DIFFERENT label —
+    near the decision boundary by construction, the negatives that
+    actually move a contrastive loss (easy random negatives contribute
+    ~zero gradient).
+
+    ``queries`` needs (q_id, q_vec, q_label).  Same plan as
+    :func:`cosine_topk` — queries broadcast, corpus scanned once — with
+    the label-mismatch predicate evaluated before the cosine so
+    same-label pairs never reach the fold.  Returns (q_id, q_label,
+    vec_id, label, cosine, rank).
+    """
+    e = emb.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", _norm(F.col("_v")))
+    q = queries.select(
+        "q_id", "q_label", F.col("q_vec").cast("array<double>").alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    j = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("q_label"))
+        .withColumn(
+            "cosine", _dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "q_label", id_col, label_col, "cosine", "rank")
+    )
+
+
+# ------------------------------------------------------- int8 quantization
+def quantize_int8(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the compression
+    step an ANN serving index applies before sharding (4x smaller than
+    float32, SIMD-dot-friendly).  Per vector: ``scale = max|x| / 127``,
+    ``q_i = round(x_i / scale)`` (zero vectors quantize to zeros).
+
+    Emits scalar per-vector stats instead of the int8 array so the
+    result is engine-comparable: the quantized L1 mass (exact int64),
+    the count of saturated lanes (|q| = 127), and the max absolute
+    reconstruction error — enough to pin every q_i through the oracle
+    without serializing arrays.  Pure codegen array expressions, zero
+    shuffle, pushdown-friendly."""
+    xs = F.transform(F.col(vec_col).cast("array<double>"), lambda x: x)
+    maxabs = F.array_max(F.transform(xs, F.abs))
+    scale = maxabs / F.lit(127.0)
+    qv = F.transform(
+        xs,
+        lambda x: F.when(maxabs == 0, F.lit(0.0)).otherwise(
+            F.round(x / scale, 0)
+        ),
+    )
+    err = F.zip_with(xs, qv, lambda x, qi: F.abs(x - qi * scale))
+    return emb.select(
+        F.col(id_col),
+        F.col("label"),
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(
+            qv, F.lit(0).cast("bigint"), lambda acc, qi: acc + F.abs(qi).cast("bigint")
+        ).alias("q_l1"),
+        F.aggregate(
+            qv,
+            F.lit(0).cast("bigint"),
+            lambda acc, qi: acc + (F.abs(qi) == 127).cast("bigint"),
+        ).alias("n_sat"),
+        F.round(F.array_max(err), 9).alias("err_max"),
+    )
+
+
+def quantize_int8_oracle_sql() -> str:
+    """DuckDB replay of :func:`quantize_int8` over ``embeddings`` —
+    identical max/127 scale, round-half-away lanes, BIGINT-cast sums."""
+    return """
+        WITH v AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS xs
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, label, xs,
+                 list_max(list_transform(xs, x -> abs(x))) / 127.0 AS sc
+          FROM v
+        ), qd AS (
+          SELECT vec_id, label, sc, xs,
+                 list_transform(
+                   xs, x -> CASE WHEN sc = 0 THEN 0.0
+                                 ELSE round(x / sc, 0) END) AS qv
+          FROM s
+        )
+        SELECT vec_id, label,
+               round(sc, 9) AS scale,
+               CAST(list_sum(list_transform(qv, q -> CAST(abs(q) AS BIGINT)))
+                    AS BIGINT) AS q_l1,
+               CAST(list_sum(list_transform(
+                 qv, q -> CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END))
+                    AS BIGINT) AS n_sat,
+               round(list_max(
+                 list_transform(list_zip(xs, qv),
+                                p -> abs(p[1] - p[2] * sc))), 9) AS err_max
+        FROM qd"""

@@ -1394,3 +1394,74 @@ class TestBloomDecontaminate:
                dedup.bloom_decontaminate(docs, bench, m=8, k=3).collect()}
         assert out[0] is True and out[17] is True
         assert sum(out.values()) >= 2
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_matches_numpy(self, spark):
+        rng = np.random.default_rng(3)
+        M = rng.standard_normal((40, 8))
+        labels = [int(i % 4) for i in range(40)]
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]], labels[i]) for i in range(40)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        q = emb.filter(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+        corpus = emb.filter(F.col("vec_id") >= 2)
+        out = similarity.hard_negatives(corpus, q, k=3).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r.label != r.q_label
+        # numpy oracle: top-3 cross-label cosines per query
+        norms = np.linalg.norm(M, axis=1)
+        for qid in (0, 1):
+            cos = (M[2:] @ M[qid]) / (norms[2:] * norms[qid])
+            ids = np.arange(2, 40)
+            mask = np.array(labels[2:]) != labels[qid]
+            order = sorted(
+                zip(-cos[mask], ids[mask]),
+            )[:3]
+            want = [int(i) for _, i in order]
+            got = [
+                r.vec_id
+                for r in sorted(
+                    (r for r in out if r.q_id == qid), key=lambda r: r.rank
+                )
+            ]
+            assert got == want
+
+
+class TestQuantizeInt8:
+    def test_lane_math_and_zero_vector(self, spark):
+        emb = spark.createDataFrame(
+            [
+                (0, [1.0, -0.5, 0.25, 0.0], 0),
+                (1, [0.0, 0.0, 0.0, 0.0], 1),  # zero vector -> all-zero q
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        rows = {r.vec_id: r for r in similarity.quantize_int8(emb).collect()}
+        r0 = rows[0]
+        # scale = 1/127; q = round(x*127) = [127, -64 (63.5 rounds away), 32, 0]
+        assert r0.scale == round(1.0 / 127.0, 9)
+        assert r0.q_l1 == 127 + 64 + 32
+        assert r0.n_sat == 1
+        assert r0.err_max <= 0.5 / 127.0 + 1e-9  # + slack for the 9-digit round
+        r1 = rows[1]
+        assert (r1.scale, r1.q_l1, r1.n_sat, r1.err_max) == (0.0, 0, 0, 0.0)
+
+    def test_reconstruction_bound(self, spark):
+        rng = np.random.default_rng(7)
+        M = rng.standard_normal((30, 12))
+        emb = spark.createDataFrame(
+            [(i, [float(x) for x in M[i]], 0) for i in range(30)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        for r in similarity.quantize_int8(emb).collect():
+            scale = np.abs(M[r.vec_id]).max() / 127.0
+            # symmetric quantization error is bounded by scale/2
+            assert r.err_max <= scale / 2 + 1e-9  # + slack for the 9-digit round
+            assert 0 <= r.n_sat <= 12 and r.q_l1 > 0
