@@ -4022,9 +4022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # accumulates in exact integer units (cf. q_top_revenue_supplier) so
     # float summation order can never diverge between engines.
 
-    _rev_units = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-    ).cast("bigint")
+    # lazy: building a Column needs an active SparkContext, and the
+    # driver may construct the queries() dict before it starts Spark
+    def _rev_units():
+        return F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
 
     def q_nation_volume(spark, sf_dir):
         """TPC-H Q7 shape: shipping volume between supplier-nation and
@@ -4057,7 +4060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.year("l_shipdate").cast("bigint").alias("l_year"),
             )
             .agg(
-                F.sum(_rev_units).cast("bigint").alias("rev_units"),
+                F.sum(_rev_units()).cast("bigint").alias("rev_units"),
                 F.count("*").cast("bigint").alias("n_items"),
             )
         )
@@ -4087,10 +4090,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             j.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
             .agg(
-                F.sum(F.when(F.col("s_nationkey") == 0, _rev_units).otherwise(0))
+                F.sum(F.when(F.col("s_nationkey") == 0, _rev_units()).otherwise(0))
                 .cast("bigint")
                 .alias("nation_units"),
-                F.sum(_rev_units).cast("bigint").alias("total_units"),
+                F.sum(_rev_units()).cast("bigint").alias("total_units"),
             )
             .withColumn(
                 "mkt_share",
@@ -4129,7 +4132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("n_name").alias("nation"),
                 F.year("o_orderdate").cast("bigint").alias("o_year"),
             )
-            .agg(F.sum(_rev_units - cost_units).cast("bigint").alias("profit_units"))
+            .agg(F.sum(_rev_units() - cost_units).cast("bigint").alias("profit_units"))
         )
 
     q["profit_by_nation"] = q_profit_by_nation
@@ -4159,7 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return (
             j.groupBy("c_custkey", "c_name", "n_name")
-            .agg(F.sum(_rev_units).cast("bigint").alias("rev_units"))
+            .agg(F.sum(_rev_units()).cast("bigint").alias("rev_units"))
             .orderBy(F.col("rev_units").desc(), F.col("c_custkey").asc())
             .limit(20)
         )
@@ -4201,9 +4204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("l_quantity") * 2 * F.col("cnt") < F.col("sumq")
         )
         return j.agg(
-            F.sum(_rev_units).cast("bigint").alias("rev_units"),
+            F.sum(_rev_units()).cast("bigint").alias("rev_units"),
             F.count("*").cast("bigint").alias("n_items"),
-            F.round(F.sum(_rev_units) / 70000.0, 9).alias("avg_yearly"),
+            F.round(F.sum(_rev_units()) / 70000.0, 9).alias("avg_yearly"),
         )
 
     q["small_qty_revenue"] = q_small_qty_revenue
@@ -4233,7 +4236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             & (F.col("l_quantity").between(20, 30))
         )
         return j.filter(arm1 | arm2 | arm3).agg(
-            F.sum(_rev_units).cast("bigint").alias("rev_units"),
+            F.sum(_rev_units()).cast("bigint").alias("rev_units"),
             F.count("*").cast("bigint").alias("n_items"),
         )
 
