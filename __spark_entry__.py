@@ -4341,6 +4341,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quantize_int8"] = q_quantize_int8
 
+    def q_hll_distinct(spark, sf_dir):
+        """HyperLogLog cardinality estimate vs exact distinct
+        (llm/sketch.py hll_estimate): 32 salted-md5 registers over
+        events.user_id — a mergeable 2^b-row partial aggregate standing
+        in for the full distinct shuffle at 100 TB.  Deterministic
+        register placement makes the sketch itself gate-checkable
+        (unlike approx_count_distinct's private hash); the one-row
+        output carries the exact-int64 register sum beside the float
+        estimate and its relative error."""
+        from openseize_spark.llm import sketch
+
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        return sketch.hll_estimate(e, "user_id", b=5, seed="hll6")
+
+    q["hll_distinct"] = q_hll_distinct
+
     return _gate_order(q)
 
 
@@ -6781,5 +6797,14 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rank <= 5"""
 
     o["quantize_int8"] = similarity.quantize_int8_oracle_sql()
+
+    from openseize_spark.llm import sketch as _sketch
+
+    o["hll_distinct"] = _sketch.hll_estimate_oracle_sql(
+        col="user_id",
+        table="(SELECT * FROM events WHERE user_id IS NOT NULL)",
+        b=5,
+        seed="hll6",
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -12,11 +12,13 @@ carries depth*width counters per partition instead of the vocabulary.
 Spark's partial+final hash aggregation does the merge for free because
 the sketch IS a groupBy((row, bucket)) count.
 
-Why it is oracle-checkable when HLL/approx_percentile are not: the
-hash placement is the same portable salted md5 the sampling family
-uses, so DuckDB replays the exact same grid — the "approximation" is
+Why these sketches are oracle-checkable when engine-private ones
+(approx_count_distinct, approx_percentile) are not: hash placement is
+the same portable salted md5 the sampling family uses, so DuckDB
+replays the exact same grid/registers — the "approximation" is
 deterministic given the hash functions, only its *relation to the true
-count* is probabilistic.
+count* is probabilistic.  The HyperLogLog below applies the identical
+trick to distinct counting.
 """
 
 from __future__ import annotations
@@ -182,3 +184,158 @@ def countmin_estimate_oracle_sql(
         )
         SELECT est.word, est.est, COALESCE(exact.exact, 0) AS exact
         FROM est LEFT JOIN exact USING (word)"""
+
+
+# ------------------------------------------------------------ HyperLogLog
+# Flajolet et al. 2007 bias-correction constants for small m; m >= 128
+# uses the asymptotic formula.
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def hll_sketch(
+    df: DataFrame, col: str, b: int = 5, seed: str = "hll"
+) -> DataFrame:
+    """HyperLogLog register table for ``col``: ``(bucket, m_j)`` with
+    ``m_j`` = max over the bucket's items of the 1-based position of the
+    first set bit in the low ``32 - b`` hash bits.
+
+    Same determinism contract as the Count-Min grid above: the salted
+    md5 hash makes register contents an exact, engine-independent
+    function of the data — the *sketch* is oracle-checkable even though
+    its relation to the true cardinality is probabilistic (this is why
+    this HLL is gate-testable while Spark's approx_count_distinct, with
+    its private hash, is not).
+
+    Scale shape: registers are a mergeable partial aggregate —
+    ``groupBy(bucket).max`` combines map-side, so the shuffle carries at
+    most ``2^b`` rows per partition no matter how many distinct values
+    the 100-TB scan holds.  The first-set-bit rank is derived from the
+    length of ``bin()``'s minimal binary string — identical in Spark
+    and DuckDB, no float log2 at bit boundaries.
+    """
+    rest_bits = 32 - b
+    h = salted_hash(F.col(col), seed)
+    bucket = (h / (1 << rest_bits)).cast("bigint").alias("bucket")
+    rest = (h % (1 << rest_bits)).alias("_rest")
+    rho = (
+        F.when(F.col("_rest") == 0, F.lit(rest_bits + 1))
+        .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(F.col("_rest"))))
+        .alias("_rho")
+    )
+    return (
+        df.select(bucket, rest)
+        .select("bucket", rho)
+        .groupBy("bucket")
+        .agg(F.max("_rho").cast("bigint").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, col: str, b: int = 5, seed: str = "hll"
+) -> DataFrame:
+    """One-row HyperLogLog cardinality estimate for ``col`` alongside
+    the exact distinct count — the accuracy-validation shape the
+    Count-Min probes use.
+
+    The harmonic-mean denominator sums ``2^(32-m_j)`` in exact int64
+    (register ranks are <= 28 + the 2^32 contribution of each empty
+    register), so the only float steps are one multiply and one divide
+    from identical integers — bit-equal across engines.  The
+    small-range linear-counting branch (raw <= 2.5m with empty
+    registers) takes one natural log; the estimate is rounded to 6
+    digits to absorb libm's last-ulp there.  32-bit-hash large-range
+    correction is irrelevant at corpus scales << 2^32/30.
+    """
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    sk = hll_sketch(df, col, b=b, seed=seed)
+    agg = sk.agg(
+        F.count("*").alias("_npresent"),
+        F.sum(F.pow(F.lit(2.0), 32 - F.col("m_j")).cast("bigint")).alias("_sp"),
+    )
+    exact = df.agg(F.countDistinct(col).cast("bigint").alias("exact_distinct"))
+    one = agg.crossJoin(F.broadcast(exact))
+    sum_units = (
+        F.col("_sp") + (F.lit(m) - F.col("_npresent")) * F.lit(1 << 32)
+    ).cast("bigint")
+    n_empty = (F.lit(m) - F.col("_npresent")).cast("bigint")
+    raw = F.lit(alpha * m * m * float(1 << 32)) / F.col("sum_units")
+    est = F.when(
+        (F.col("n_empty") > 0) & (raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+    ).otherwise(raw)
+    return (
+        one.select(
+            F.lit(m).cast("bigint").alias("m"),
+            n_empty.alias("n_empty"),
+            sum_units.alias("sum_units"),
+            "exact_distinct",
+        )
+        .withColumn("est_distinct", F.round(est, 6))
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+    )
+
+
+def hll_estimate_oracle_sql(
+    col: str = "user_id",
+    table: str = "events",
+    b: int = 5,
+    seed: str = "hll",
+) -> str:
+    """DuckDB replay of :func:`hll_estimate`: same registers from the
+    same salted hash, same exact-int64 harmonic denominator, same
+    correction branch."""
+    m = 1 << b
+    rest_bits = 32 - b
+    alpha = _hll_alpha(m)
+    h = salted_hash_sql(col, seed)
+    return f"""
+        WITH hx AS (
+          SELECT {h} // {1 << rest_bits} AS bucket,
+                 {h} % {1 << rest_bits} AS rest
+          FROM {table}
+        ), regs AS (
+          SELECT bucket,
+                 CAST(max(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                               ELSE {rest_bits + 1} - length(bin(rest))
+                          END) AS BIGINT) AS m_j
+          FROM hx GROUP BY bucket
+        ), agg AS (
+          SELECT count(*) AS npresent,
+                 CAST(sum(CAST(pow(2.0, 32 - m_j) AS BIGINT)) AS BIGINT) AS sp
+          FROM regs
+        ), ex AS (
+          SELECT CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+          FROM {table}
+        ), one AS (
+          SELECT CAST({m} AS BIGINT) AS m,
+                 CAST({m} - npresent AS BIGINT) AS n_empty,
+                 CAST(sp + ({m} - npresent) * (1::BIGINT << 32) AS BIGINT)
+                   AS sum_units,
+                 exact_distinct
+          FROM agg, ex
+        ), est AS (
+          SELECT *,
+                 round(CASE WHEN n_empty > 0
+                            AND {alpha * m * m * float(1 << 32)!r} / sum_units
+                                <= {2.5 * m!r}
+                       THEN {float(m)!r} * ln({float(m)!r} / n_empty)
+                       ELSE {alpha * m * m * float(1 << 32)!r} / sum_units
+                       END, 6) AS est_distinct
+          FROM one
+        )
+        SELECT m, n_empty, sum_units, exact_distinct, est_distinct,
+               round(abs(est_distinct - exact_distinct)
+                     / exact_distinct, 6) AS rel_err
+        FROM est"""

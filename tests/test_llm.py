@@ -1465,3 +1465,72 @@ class TestQuantizeInt8:
             # symmetric quantization error is bounded by scale/2
             assert r.err_max <= scale / 2 + 1e-9  # + slack for the 9-digit round
             assert 0 <= r.n_sat <= 12 and r.q_l1 > 0
+
+
+class TestHyperLogLog:
+    def _py_registers(self, values, b=5, seed="hll"):
+        import hashlib
+
+        rest_bits = 32 - b
+        regs = {}
+        for v in values:
+            h = int(
+                hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:8], 16
+            )
+            bucket, rest = h >> rest_bits, h & ((1 << rest_bits) - 1)
+            rho = (
+                rest_bits + 1
+                if rest == 0
+                else rest_bits + 1 - rest.bit_length()
+            )
+            regs[bucket] = max(regs.get(bucket, 0), rho)
+        return regs
+
+    def test_registers_match_python_replay(self, spark):
+        from openseize_spark.llm import sketch
+
+        vals = list(range(300))
+        df = spark.createDataFrame([(v,) for v in vals], "k long")
+        got = {
+            r.bucket: r.m_j for r in sketch.hll_sketch(df, "k").collect()
+        }
+        assert got == self._py_registers(vals)
+
+    def test_partition_invariant_and_mergeable(self, spark):
+        from openseize_spark.llm import sketch
+
+        df1 = spark.createDataFrame([(v,) for v in range(200)], "k long")
+        a = {r.bucket: r.m_j
+             for r in sketch.hll_sketch(df1.coalesce(1), "k").collect()}
+        b = {r.bucket: r.m_j
+             for r in sketch.hll_sketch(df1.repartition(16), "k").collect()}
+        assert a == b
+        # merge property: registers of a union == elementwise max
+        lo = self._py_registers(range(100))
+        hi = self._py_registers(range(100, 200))
+        merged = {
+            k: max(lo.get(k, 0), hi.get(k, 0)) for k in set(lo) | set(hi)
+        }
+        assert a == merged
+
+    def test_estimate_within_hll_error(self, spark):
+        from openseize_spark.llm import sketch
+
+        df = spark.createDataFrame([(v,) for v in range(2000)], "k long")
+        row = sketch.hll_estimate(df, "k").collect()[0]
+        assert row.exact_distinct == 2000
+        assert row.m == 32 and row.n_empty == 0
+        # 1.04/sqrt(32) ~ 18% std error; allow 4 sigma
+        assert abs(row.est_distinct - 2000) / 2000 < 0.75
+        assert row.rel_err == round(abs(row.est_distinct - 2000) / 2000, 6)
+
+    def test_linear_counting_branch(self, spark):
+        from openseize_spark.llm import sketch
+        import math
+
+        df = spark.createDataFrame([(v,) for v in range(8)], "k long")
+        row = sketch.hll_estimate(df, "k").collect()[0]
+        assert row.n_empty > 0
+        regs = self._py_registers(range(8))
+        v_empty = 32 - len(regs)
+        assert row.est_distinct == round(32.0 * math.log(32.0 / v_empty), 6)
