@@ -4357,6 +4357,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_distinct"] = q_hll_distinct
 
+    def q_epoch_repeat(spark, sf_dir):
+        """Fractional dataset repetition (llm/sampling.py epoch_repeat):
+        src0 x2.5, src1 x1.25, src2 x0.5 (deterministic subsample),
+        everything else x1.0 — floor(e) full copies plus a salted-hash
+        draw for the fraction, each copy tagged with its epoch index.
+        Broadcast rate table + codegen sequence/explode; the corpus
+        never shuffles."""
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+        return sampling.epoch_repeat(
+            docs, {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
+        )
+
+    q["epoch_repeat"] = q_epoch_repeat
+
     return _gate_order(q)
 
 
@@ -6805,6 +6819,10 @@ def oracle_sql() -> dict[str, str]:
         table="(SELECT * FROM events WHERE user_id IS NOT NULL)",
         b=5,
         seed="hll6",
+    )
+
+    o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
+        {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
     )
 
     return {k: v.strip() for k, v in o.items()}

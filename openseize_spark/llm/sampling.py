@@ -804,3 +804,95 @@ def group_reservoir_oracle_sql(
                  ) AS BIGINT) AS reservoir_rank
           FROM documents
         ) WHERE reservoir_rank <= {k}"""
+
+
+def epoch_repeat(
+    df: DataFrame,
+    epochs: dict[str, float],
+    default: float = 1.0,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "epoch",
+) -> DataFrame:
+    """Fractional dataset repetition — the data-constrained scaling
+    recipe (Muennighoff et al. 2023): realize a per-source epoch factor
+    ``e`` by emitting ``floor(e)`` full copies of every row plus one
+    extra copy for the deterministic ``frac(e)`` hash-fraction of rows.
+    Each copy is tagged with a 1-based ``epoch`` index so downstream
+    shuffling/packing can keep copies apart.
+
+    The fractional membership uses the same salted-hash cut as
+    ``bernoulli_sample`` (exact integer cut precomputed per source), so
+    the realized corpus is reproducible and stable under repartitioning,
+    and a source's ``e``-change only adds/removes the marginal copies.
+
+    Plan shape: one broadcast join against the bounded per-source rate
+    table, a codegen ``sequence``/``explode`` — no shuffle of the
+    corpus; output size is exactly ``sum_source ceil-or-floor(e * n)``
+    rows.  Rows whose source resolves to ``e < 1`` keep their first copy
+    only if the hash admits them (``floor(e) = 0`` + fractional draw) —
+    i.e. the operator degrades to deterministic subsampling.
+    """
+    rows = [
+        (src, int(e), int(round((e - int(e)) * HASH_SPACE)))
+        for src, e in epochs.items()
+    ]
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        rows, f"{group_col} string, _nfull int, _cut bigint"
+    )
+    h = salted_hash(F.col(key_col), seed)
+    out = (
+        df.join(F.broadcast(rates), group_col, "left")
+        .withColumn(
+            "_copies",
+            F.coalesce(F.col("_nfull"), F.lit(int(default)))
+            + (
+                h
+                < F.coalesce(
+                    F.col("_cut"),
+                    F.lit(int(round((default - int(default)) * HASH_SPACE))),
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("_copies")))
+        )
+        .withColumn("epoch", F.col("epoch").cast("bigint"))
+        .drop("_nfull", "_cut", "_copies")
+    )
+    return out
+
+
+def epoch_repeat_oracle_sql(
+    epochs: dict[str, float],
+    default: float = 1.0,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    seed: str = "epoch",
+    select_cols: str = "doc_id, source",
+) -> str:
+    """DuckDB replay of :func:`epoch_repeat` over ``documents``."""
+    h = salted_hash_sql(f"d.{key_col}", seed)
+    nf_arms = " ".join(
+        f"WHEN {group_col} = '{src}' THEN {int(e)}" for src, e in epochs.items()
+    )
+    cut_arms = " ".join(
+        f"WHEN {group_col} = '{src}' THEN {int(round((e - int(e)) * HASH_SPACE))}"
+        for src, e in epochs.items()
+    )
+    d_nf = int(default)
+    d_cut = int(round((default - int(default)) * HASH_SPACE))
+    return f"""
+        WITH withcopies AS (
+          SELECT {select_cols},
+                 (CASE {nf_arms} ELSE {d_nf} END
+                  + CASE WHEN {h} < (CASE {cut_arms} ELSE {d_cut} END)
+                         THEN 1 ELSE 0 END) AS copies
+          FROM documents d
+        )
+        SELECT {select_cols}, g.epoch FROM withcopies,
+          LATERAL (SELECT CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                   AS epoch) g
+        WHERE copies > 0"""

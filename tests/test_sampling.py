@@ -377,3 +377,54 @@ def _group_by_src(rows):
     for r in sorted(rows, key=lambda r: (r.source, r.reservoir_rank)):
         by.setdefault(r.source, []).append(r)
     return by.items()
+
+
+class TestEpochRepeat:
+    def test_copy_counts_and_epoch_tags(self, spark):
+        d = _docs(spark, n=90)  # sources src0/src1/src2, 30 docs each
+        out = sampling.epoch_repeat(
+            d, {"src0": 2.5, "src1": 1.0, "src2": 0.5}, seed="t"
+        ).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault((r.source, r.doc_id), []).append(r.epoch)
+        # src1 e=1.0: exactly one copy per doc
+        src1 = {k: v for k, v in by_doc.items() if k[0] == "src1"}
+        assert len(src1) == 30 and all(v == [1] for v in src1.values())
+        # src0 e=2.5: every doc 2 or 3 copies, contiguous epoch tags
+        src0 = {k: sorted(v) for k, v in by_doc.items() if k[0] == "src0"}
+        assert len(src0) == 30
+        assert all(v in ([1, 2], [1, 2, 3]) for v in src0.values())
+        n3 = sum(1 for v in src0.values() if len(v) == 3)
+        assert 0 < n3 < 30  # fractional draw selected a strict subset
+        # src2 e=0.5: subsample, single copies
+        src2 = {k: v for k, v in by_doc.items() if k[0] == "src2"}
+        assert 0 < len(src2) < 30 and all(v == [1] for v in src2.values())
+
+    def test_fraction_matches_bernoulli_cut(self, spark):
+        # the marginal copy uses the same hash cut as bernoulli_sample
+        d = _docs(spark, n=90)
+        out = sampling.epoch_repeat(d, {"src0": 1.5}, seed="t").collect()
+        extra = {
+            r.doc_id
+            for r in out
+            if r.source == "src0" and r.epoch == 2
+        }
+        bern = {
+            r.doc_id
+            for r in sampling.bernoulli_sample(
+                d.filter(F.col("source") == "src0"), 0.5, seed="t"
+            ).collect()
+        }
+        assert extra == bern
+
+    def test_partition_invariant(self, spark):
+        a = sampling.epoch_repeat(
+            _docs(spark, parts=1), {"src0": 2.25, "src2": 0.75}, seed="z"
+        )
+        b = sampling.epoch_repeat(
+            _docs(spark, parts=9), {"src0": 2.25, "src2": 0.75}, seed="z"
+        )
+        ka = sorted((r.doc_id, r.epoch) for r in a.collect())
+        kb = sorted((r.doc_id, r.epoch) for r in b.collect())
+        assert ka == kb
