@@ -47,6 +47,9 @@ HEADLINE = [
     "tfidf_cosine_pairs",   # df-pruned posting-list self-join
     "source_overlap",       # distinct source-gram sets + pair join
     "chunk_dedup",          # chunk fingerprints + corpus-wide counts
+    # round-6 additions
+    "hll_distinct",         # mergeable HLL register aggregate
+    "epoch_repeat",         # broadcast rate join + sequence/explode fan-out
 ]
 
 

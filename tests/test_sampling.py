@@ -428,3 +428,32 @@ class TestEpochRepeat:
         ka = sorted((r.doc_id, r.epoch) for r in a.collect())
         kb = sorted((r.doc_id, r.epoch) for r in b.collect())
         assert ka == kb
+
+
+class TestRound6PlanShapes:
+    def test_group_reservoir_uses_group_limit(self, spark):
+        # Spark pushes rank-filter <= k into WindowGroupLimit, so each
+        # window partition is capped at k rows before the filter — the
+        # property that keeps huge strata from materializing at scale
+        plan = (
+            sampling.group_reservoir(_docs(spark, 100, parts=4), ["source"], k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
+        assert "SinglePartition" not in plan
+
+    def test_epoch_repeat_no_corpus_shuffle(self, spark):
+        # broadcast rate join + generate: the corpus side must not plan
+        # any hash-partitioning exchange
+        plan = (
+            sampling.epoch_repeat(
+                _docs(spark, 100, parts=4), {"src0": 2.5}, seed="p"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastExchange" in plan
+        assert "hashpartitioning" not in plan
