@@ -4408,18 +4408,16 @@ def _edf_gate_digital(ch: int, t):
 # The driver's correctness gate checks the FIRST 50 registered queries
 # (each CORRECTNESS_rNN.json = exactly the first 50 in registration
 # order), so registration order is evidence allocation.  r01 ∪ r03 ∪ r04
-# covered 109/114; round 5's window leads with the 7 queries that have
-# never had a driver row (the 5 round-4 registrations that landed after
-# slot 50 of the r4 window, plus this round's edf_roundtrip and
-# streaming_sosfilt), then the 2 r4 red rows (HUGEINT oracle-type
-# artifact, both oracles now cast to BIGINT), then every query whose
-# code or oracle changed this round (rank->bigint casts, the
-# temperature_sample cut quantization, the bucket-offset prefix-sum
-# rewrite, the connected-components self-pair contract).  The 35 tail
-# slots refresh the stalest anchors — queries whose only driver evidence
-# is round 1, two Spark-build drifts ago.  Deferred to round 6: the
-# three least version-sensitive r01 relational queries (set_ops,
-# distinct_pairs, pivot_status) and the r03/r04-green remainder.
+# covered 109/114; the window below was budgeted for round 5 — the 7
+# queries never driver-checked as of that freeze, the 2 r4 red rows
+# (HUGEINT oracle-type artifact, both oracles now cast to BIGINT), then
+# every round-5-changed query.  ROUND 5 PRODUCED NO DRIVER ARTIFACTS
+# (no CORRECTNESS_r05.json exists), so this entire window is still
+# unchecked and remains the correct round-6 budget unchanged — every
+# slot is a query with zero driver evidence, all locally BITEXACT.
+# Round-6 registrations (TPC-H Q7-Q22 shapes, hll_distinct,
+# bloom_decontaminate, group_reservoir, epoch_repeat, hard_negatives,
+# quantize_int8) land after the boundary: round-7 window material.
 # fixed ordered BPE merge table for the bpe_encode gate: includes a
 # cascade (t+h -> th, th+e -> the; a+n -> an, an+d -> and) so merge
 # order and merged-symbol reuse are both exercised
