@@ -4371,6 +4371,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["epoch_repeat"] = q_epoch_repeat
 
+    def q_mixture_pipeline(spark, sf_dir):
+        """Composed round-6 mixture realization: Bloom decontamination
+        screen (drop every possible benchmark member — sound because the
+        filter has no false negatives) -> fractional epoch repetition ->
+        per-source mixture stats.  Pins the cross-operator composition
+        (column collisions, re-computed nondeterminism between stages)
+        the same way corpus_pipeline does for the round-4 stages."""
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", "source", "text"
+        )
+        screened = (
+            dedup.bloom_decontaminate(corpus, bench)
+            .filter(~F.col("bloom_hit"))
+            .select("doc_id", "source")
+        )
+        rep = sampling.epoch_repeat(
+            screened, {"src0": 2.0, "src1": 1.5, "src2": 0.25}, seed="mix6"
+        )
+        return rep.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("epoch").cast("bigint").alias("max_epoch"),
+        )
+
+    q["mixture_pipeline"] = q_mixture_pipeline
+
     return _gate_order(q)
 
 
@@ -6822,5 +6850,35 @@ def oracle_sql() -> dict[str, str]:
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
     )
+
+    _mix_h = sampling.salted_hash_sql("d.doc_id", "mix6")
+    _HS = sampling.HASH_SPACE
+    o["mixture_pipeline"] = f"""
+        WITH {dedup.bloom_flags_ctes("doc_id % 7 = 0", "doc_id % 7 <> 0")},
+        screened AS (
+          SELECT doc_id, source FROM flags WHERE nhit < npos
+        ), withcopies AS (
+          SELECT doc_id, source,
+                 (CASE WHEN source = 'src0' THEN 2
+                       WHEN source = 'src1' THEN 1
+                       WHEN source = 'src2' THEN 0
+                       ELSE 1 END
+                  + CASE WHEN {_mix_h} <
+                           (CASE WHEN source = 'src1' THEN {_HS // 2}
+                                 WHEN source = 'src2' THEN {_HS // 4}
+                                 ELSE 0 END)
+                         THEN 1 ELSE 0 END) AS copies
+          FROM screened d
+        ), rep AS (
+          SELECT doc_id, source, g.epoch FROM withcopies,
+            LATERAL (SELECT CAST(unnest(generate_series(1, copies)) AS BIGINT)
+                     AS epoch) g
+          WHERE copies > 0
+        )
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(max(epoch) AS BIGINT) AS max_epoch
+        FROM rep GROUP BY source"""
 
     return {k: v.strip() for k, v in o.items()}

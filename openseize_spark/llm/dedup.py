@@ -1473,6 +1473,24 @@ def bloom_decontaminate_oracle_sql(
     """DuckDB replay of :func:`bloom_decontaminate` over ``documents``:
     the same salted md5-prefix positions, the same distinct-position
     filter table, the same all-k membership rule."""
+    return f"""
+        WITH {bloom_flags_ctes(bench_pred, corpus_pred, m=m, k=k)}
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(count(*) FILTER (WHERE nhit = npos) AS BIGINT) AS n_flagged
+        FROM flags GROUP BY source"""
+
+
+def bloom_flags_ctes(
+    bench_pred: str,
+    corpus_pred: str,
+    m: int = 1 << 16,
+    k: int = 3,
+) -> str:
+    """The CTE chain shared by the Bloom oracles: ends at ``flags``
+    with one row per corpus document carrying ``npos`` (distinct Bloom
+    positions) and ``nhit`` (positions set in the benchmark filter) —
+    a doc is a Bloom hit iff ``nhit = npos``."""
     from openseize_spark.llm.sampling import salted_hash_sql
 
     norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
@@ -1483,8 +1501,7 @@ def bloom_decontaminate_oracle_sql(
         f"SELECT doc_id, source, p{i} AS pos FROM fpos" for i in range(k)
     )
     bench_union = " UNION ALL ".join(f"SELECT p{i} AS pos FROM bpos" for i in range(k))
-    return f"""
-        WITH corpus_fp AS (
+    return f"""corpus_fp AS (
           SELECT doc_id, source, {norm} AS fp FROM documents WHERE {corpus_pred}
         ), fpos AS (
           SELECT doc_id, source, {pos_exprs} FROM corpus_fp
@@ -1501,8 +1518,4 @@ def bloom_decontaminate_oracle_sql(
                  count(*) AS npos,
                  count(*) FILTER (WHERE pos IN (SELECT pos FROM bloom)) AS nhit
           FROM doc_pos GROUP BY 1, 2
-        )
-        SELECT source,
-               count(*) AS n_docs,
-               CAST(count(*) FILTER (WHERE nhit = npos) AS BIGINT) AS n_flagged
-        FROM flags GROUP BY source"""
+        )"""
