@@ -4399,6 +4399,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mixture_pipeline"] = q_mixture_pipeline
 
+    def q_ohlc_bars(spark, sf_dir):
+        """Per-type hourly OHLC bars over the event stream — the
+        time-series downsampling shape (financial bars, metrics
+        rollups).  Open/close are min_by/max_by on the (ts, event_id)
+        compound key so duplicate timestamps cannot make first/last
+        nondeterministic; high/low/volume ride the same one-pass
+        map-side-combine aggregation.  One shuffle on the bounded
+        (type, hour) key."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        key = F.struct(F.col("ts"), F.col("event_id"))
+        return (
+            e.groupBy(
+                "event_type",
+                F.date_trunc("hour", "ts").alias("bar_start"),
+            )
+            .agg(
+                F.min_by("value", key).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", key).alias("close"),
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 9).alias("volume"),
+            )
+        )
+
+    q["ohlc_bars"] = q_ohlc_bars
+
     return _gate_order(q)
 
 
@@ -6850,6 +6877,29 @@ def oracle_sql() -> dict[str, str]:
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
     )
+
+    o["ohlc_bars"] = """
+        WITH e AS (
+          SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+                   AS bar_start,
+                 value, ts, event_id
+          FROM events WHERE value IS NOT NULL
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY event_type, bar_start
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bar_start
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM e
+        )
+        SELECT event_type, bar_start,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_events,
+               round(sum(value), 9) AS volume
+        FROM r GROUP BY 1, 2"""
 
     _mix_h = sampling.salted_hash_sql("d.doc_id", "mix6")
     _HS = sampling.HASH_SPACE
