@@ -4426,6 +4426,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ohlc_bars"] = q_ohlc_bars
 
+    def q_streaming_upsert(spark, sf_dir):
+        """foreachBatch MERGE-shape upsert (streaming/sinks.py): the
+        event stream arrives as 4 micro-batches (maxFilesPerTrigger=1
+        over a 4-file staged copy) and each batch's per-user aggregate
+        merges into a parquet target by full-outer join + atomic swap —
+        the streaming complement of the batch cdc_apply.  The merge
+        functions are commutative/associative (max, sum), so the final
+        target must equal the one-shot batch GROUP BY regardless of
+        batch boundaries — which is exactly what the oracle checks."""
+        import os
+
+        from openseize_spark.streaming import sinks
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        e = _events(spark, sf_dir)
+        src = _gate_tmp(spark, f"upsert_src_{tag}")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            e.repartition(4, F.col("user_id")).write.mode("overwrite").parquet(
+                src
+            )
+        tgt = _gate_tmp(spark, f"upsert_tgt_{tag}")
+        out = sinks.upsert_user_state(
+            spark, src, e.schema, tgt, query_name=f"gate_upsert_{tag}"
+        )
+        return out.select(
+            "user_id",
+            "last_seen",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round("sum_value", 9).alias("sum_value"),
+        )
+
+    q["streaming_upsert"] = q_streaming_upsert
+
     return _gate_order(q)
 
 
@@ -6877,6 +6910,12 @@ def oracle_sql() -> dict[str, str]:
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
     )
+
+    o["streaming_upsert"] = """
+        SELECT user_id, max(ts) AS last_seen,
+               count(*) AS n_events,
+               round(sum(value), 9) AS sum_value
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id"""
 
     o["ohlc_bars"] = """
         WITH e AS (

@@ -1,0 +1,103 @@
+"""Incremental streaming sinks: foreachBatch MERGE-shape upsert.
+
+The missing piece between the memory-sink equivalence gates (windows.py)
+and the batch ``cdc_apply`` operator: a stream that maintains a keyed
+TARGET TABLE across micro-batches.  Structured Streaming's built-in
+sinks append or overwrite whole results; real pipelines upsert — each
+micro-batch's per-key aggregate merges into the accumulated state
+(``MERGE INTO`` on Delta/Iceberg; here a full-outer join + atomic
+directory swap over parquet, the same logical plan).
+
+Correctness contract: the per-key merge functions are commutative and
+associative (max for last-seen, sum for counts/totals), so the final
+target is independent of micro-batch boundaries and arrival order —
+which is exactly what the driver gate checks (stream over N-file
+source == one-shot batch GROUP BY).
+
+Scale shape: each micro-batch costs one map-side-combined aggregation
+of the batch (small) plus one full-outer join against the target keyed
+on the merge key — the join shuffles the DELTA, and the target can be
+bucketed by the key to make the merge shuffle-free on the target side.
+At 100 TB you would point this at a Delta/Iceberg MERGE instead of the
+parquet swap; the streaming topology is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_user_state(
+    spark,
+    src_dir: str,
+    schema,
+    target_dir: str,
+    key_col: str = "user_id",
+    query_name: str = "stream_upsert",
+) -> DataFrame:
+    """Drive a parquet directory through a one-file-per-trigger stream,
+    merging each micro-batch's per-key aggregate (last_seen = max ts,
+    n_events = count, sum_value = sum) into a parquet target via
+    foreachBatch.  Returns the final target as a DataFrame.
+
+    The target swap is write-to-new-dir + atomic rename, so a batch
+    never reads the directory it is overwriting.
+
+    NULL merge keys are dropped up front: a NULL key never equi-joins,
+    so it would re-insert per batch instead of merging — the same rule
+    MERGE INTO enforces.
+    """
+    state_dir = os.path.join(target_dir, "state")
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        if os.path.exists(state_dir):
+            cur = spark.read.parquet(state_dir)
+            merged = (
+                cur.alias("t")
+                .join(agg.alias("s"), on=key_col, how="full_outer")
+                .select(
+                    F.col(key_col),
+                    F.greatest(
+                        F.col("t.last_seen"), F.col("s.last_seen")
+                    ).alias("last_seen"),
+                    (
+                        F.coalesce(F.col("t.n_events"), F.lit(0))
+                        + F.coalesce(F.col("s.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("t.sum_value"), F.lit(0.0))
+                        + F.coalesce(F.col("s.sum_value"), F.lit(0.0))
+                    ).alias("sum_value"),
+                )
+            )
+        else:
+            merged = agg
+        new_dir = state_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(new_dir)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(new_dir, state_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(state_dir)

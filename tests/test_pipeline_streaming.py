@@ -370,3 +370,48 @@ class TestStreamingEnrich:
             ).collect()
         )
         assert got == batch and len(got) > 0
+
+
+class TestStreamingUpsert:
+    def test_multi_batch_merge_equals_batch(self, spark, tmp_path):
+        from openseize_spark.streaming import sinks
+
+        rows = [
+            (i, 10 + (i % 5), float(i % 7), f"2024-01-01 00:{i % 60:02d}:00")
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, value double, s string"
+        ).withColumn("ts", F.to_timestamp("s")).drop("s")
+        src4 = str(tmp_path / "src4")
+        src1 = str(tmp_path / "src1")
+        df.repartition(4, "user_id").write.parquet(src4)
+        df.coalesce(1).write.parquet(src1)
+
+        out4 = {
+            r.user_id: (r.last_seen, r.n_events, round(r.sum_value, 9))
+            for r in sinks.upsert_user_state(
+                spark, src4, df.schema, str(tmp_path / "t4"), query_name="u4"
+            ).collect()
+        }
+        out1 = {
+            r.user_id: (r.last_seen, r.n_events, round(r.sum_value, 9))
+            for r in sinks.upsert_user_state(
+                spark, src1, df.schema, str(tmp_path / "t1"), query_name="u1"
+            ).collect()
+        }
+        batch = {
+            r.user_id: (r.last_seen, r.n_events, round(r.sum_value, 9))
+            for r in df.groupBy("user_id")
+            .agg(
+                F.max("ts").alias("last_seen"),
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+            .collect()
+        }
+        # 4 micro-batches, 1 micro-batch, and one-shot batch all agree:
+        # batch boundaries are invisible because the merges commute
+        assert out4 == batch
+        assert out1 == batch
+        assert len(batch) == 5
