@@ -4459,6 +4459,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_upsert"] = q_streaming_upsert
 
+    def q_unshipped_orders(spark, sf_dir):
+        """TPC-H Q3 shape: top-10 highest-revenue orders in one market
+        segment that were placed before the cutoff but (partly) shipped
+        after it.  Both date filters push into the scans before the
+        3-way join; the top-k is TakeOrdered on (exact integer revenue
+        desc, orderkey) — deterministic, never a global window.  This
+        completes the expressible TPC-H shape inventory (Q12/Q20 need
+        shipmode/partsupp columns the testdata lacks)."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        cut = "1995-06-01"
+        j = (
+            c.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(
+                o.filter(F.col("o_orderdate") < F.lit(cut)),
+                c.c_custkey == o.o_custkey,
+            )
+            .join(
+                li.filter(F.col("l_shipdate") > F.lit(cut)),
+                o.o_orderkey == li.l_orderkey,
+            )
+        )
+        return (
+            j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(_rev_units()).cast("bigint").alias("rev_units"))
+            .orderBy(F.col("rev_units").desc(), F.col("l_orderkey").asc())
+            .limit(10)
+        )
+
+    q["unshipped_orders"] = q_unshipped_orders
+
     return _gate_order(q)
 
 
@@ -6910,6 +6942,19 @@ def oracle_sql() -> dict[str, str]:
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
     )
+
+    o["unshipped_orders"] = f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum({_U}) AS BIGINT) AS rev_units
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-06-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_units DESC, l_orderkey ASC
+        LIMIT 10"""
 
     o["streaming_upsert"] = """
         SELECT user_id, max(ts) AS last_seen,
