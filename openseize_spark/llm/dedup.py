@@ -819,7 +819,11 @@ def connected_components(
         pairs.select(big.alias("x"), small.alias("y"))
         .filter(F.col("x") != F.col("y"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the signature aggregation below is the materializing
+        # action, so each round costs ONE job instead of two (eager
+        # checkpoint + signature) — pure scheduling overhead on small
+        # graphs, and at scale it avoids a second full pass per round
+        .localCheckpoint(eager=False)
     )
 
     def _signature(e: DataFrame):
@@ -862,7 +866,7 @@ def connected_components(
     sig = _signature(edges)
     converged = False
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint()
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         nsig = _signature(nxt)
         edges = nxt
         if nsig == sig:
