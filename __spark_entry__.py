@@ -4491,6 +4491,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unshipped_orders"] = q_unshipped_orders
 
+    def q_sorted_neighborhood(spark, sf_dir):
+        """Sorted-neighborhood candidate pairs (llm/dedup.py
+        sorted_neighborhood_pairs): rows within rank distance 3 of each
+        other in normalized-prefix sort order — the third blocking
+        family beside MinHash-LSH banding and SimHash bit sampling.
+        Global rank via ordered prefix buckets + broadcast offsets (no
+        SinglePartition window); neighbors via rank-offset equi-joins."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.sorted_neighborhood_pairs(docs, window=4, key_len=12)
+
+    q["sorted_neighborhood"] = q_sorted_neighborhood
+
     return _gate_order(q)
 
 
@@ -6941,6 +6953,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
+    )
+
+    o["sorted_neighborhood"] = dedup.sorted_neighborhood_oracle_sql(
+        window=4, key_len=12
     )
 
     o["unshipped_orders"] = f"""

@@ -1523,3 +1523,98 @@ def bloom_flags_ctes(
                  count(*) FILTER (WHERE pos IN (SELECT pos FROM bloom)) AS nhit
           FROM doc_pos GROUP BY 1, 2
         )"""
+
+
+# ---------------------------------------------------- sorted neighborhood
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = 4,
+    key_len: int = 12,
+    bucket_len: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo): sort the
+    corpus by a blocking key (here the first ``key_len`` chars of the
+    normalized text) and emit every pair of rows within ``window`` of
+    each other in that order — the third classic candidate-generation
+    family beside hash banding (MinHash LSH) and bit sampling
+    (SimHash), catching near-dups whose shared prefix survives even
+    when shingle sets drift.
+
+    Scale shape: the global sort rank is computed WITHOUT a global
+    window — the first ``bucket_len`` key chars form an ordered bucket
+    (a prefix function of the sort key, so bucket-major order IS key
+    order), rows get a within-bucket row_number, and bucket offsets
+    come from the bounded count table exactly like
+    ``sampling.corpus_shuffle``.  Neighbor pairs then come from
+    ``window - 1`` rank-offset EQUI-joins (rank+d = rank), never a
+    range probe or self-cross.  Bucket skew mirrors key skew — the
+    inherent SNM trade — and widening ``bucket_len`` shrinks buckets
+    geometrically.
+
+    Returns (a, b, dist, key_a, key_b) with ``a`` the earlier row in
+    sort order and ``dist`` the rank distance (1 .. window-1).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from pyspark.sql import Window as W
+
+    key = F.substring(normalize_text(F.col(text_col)), 1, key_len)
+    rows = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), key.alias("_key"))
+        .withColumn("_bkt", F.substring(F.col("_key"), 1, bucket_len))
+    )
+    wb = W.partitionBy("_bkt").orderBy(F.col("_key").asc(), F.col("_id").asc())
+    ranked = rows.withColumn("_rn", F.row_number().over(wb))
+    counts = ranked.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    spark = docs.sparkSession
+    acc, data = 0, []
+    for r in sorted(counts.collect(), key=lambda r: r["_bkt"]):
+        data.append((r["_bkt"], acc))
+        acc += r["_cnt"]
+    offsets = spark.createDataFrame(data, "_bkt string, _off bigint")
+    ranked = ranked.join(F.broadcast(offsets), on="_bkt").select(
+        "_id", "_key", (F.col("_off") + F.col("_rn") - 1).alias("_r")
+    )
+    probe = ranked.select(
+        F.col("_id").alias("a"),
+        F.col("_key").alias("key_a"),
+        F.explode(
+            F.array(*[F.lit(d) for d in range(1, window)])
+        ).alias("dist"),
+        F.col("_r").alias("_r0"),
+    ).withColumn("_r2", F.col("_r0") + F.col("dist"))
+    build = ranked.select(
+        F.col("_id").alias("b"), F.col("_key").alias("key_b"),
+        F.col("_r").alias("_r2"),
+    )
+    return probe.join(build, on="_r2").select(
+        "a", "b", F.col("dist").cast("bigint").alias("dist"), "key_a", "key_b"
+    )
+
+
+def sorted_neighborhood_oracle_sql(
+    window: int = 4, key_len: int = 12
+) -> str:
+    """DuckDB replay over ``documents``: the bucketed two-level rank
+    equals one global row_number because the bucket is a prefix of the
+    sort key."""
+    return f"""
+        WITH ranked AS (
+          SELECT doc_id AS id,
+                 substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                        1, {key_len}) AS key,
+                 row_number() OVER (
+                   ORDER BY substr(regexp_replace(lower(trim(text)),
+                                                  '\\s+', ' ', 'g'),
+                                   1, {key_len}), doc_id
+                 ) - 1 AS r
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT p.id AS a, q.id AS b,
+               CAST(q.r - p.r AS BIGINT) AS dist,
+               p.key AS key_a, q.key AS key_b
+        FROM ranked p JOIN ranked q
+          ON q.r - p.r BETWEEN 1 AND {window - 1}"""

@@ -1534,3 +1534,47 @@ class TestHyperLogLog:
         regs = self._py_registers(range(8))
         v_empty = 32 - len(regs)
         assert row.est_distinct == round(32.0 * math.log(32.0 / v_empty), 6)
+
+
+class TestSortedNeighborhood:
+    def test_matches_global_sort_definition(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"prefix{(i * 7) % 13:02d} body {i}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r.a, r.b, r.dist)
+            for r in dedup.sorted_neighborhood_pairs(
+                docs, window=3, key_len=10
+            ).collect()
+        )
+        # oracle: global (key, id) sort, pairs within rank distance < 3
+        rows = sorted(
+            (t.lower()[:10], i)
+            for i, t in [(r.doc_id, r.text) for r in docs.collect()]
+        )
+        want = sorted(
+            (rows[i][1], rows[j][1], j - i)
+            for i in range(len(rows))
+            for j in range(i + 1, min(i + 3, len(rows)))
+        )
+        assert got == want and len(got) == 39 + 38
+
+    def test_partition_invariant(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i % 9} word {i}") for i in range(60)],
+            "doc_id long, text string",
+        )
+        a = sorted(
+            (r.a, r.b, r.dist)
+            for r in dedup.sorted_neighborhood_pairs(
+                docs.coalesce(1), window=4
+            ).collect()
+        )
+        b = sorted(
+            (r.a, r.b, r.dist)
+            for r in dedup.sorted_neighborhood_pairs(
+                docs.repartition(8), window=4
+            ).collect()
+        )
+        assert a == b and len(a) == 59 + 58 + 57
