@@ -4503,6 +4503,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sorted_neighborhood"] = q_sorted_neighborhood
 
+    def q_ann_recall(spark, sf_dir):
+        """ANN index evaluation: recall@5 of the IVF index against the
+        exact brute-force cosine truth, per query and with both result
+        sets produced by the same operators the standalone gates check
+        (cell-probed ivf_topk vs cosine_topk).  The standard
+        accuracy-vs-cost harness every ANN deployment needs; a left
+        join on the (query, neighbor) key + one bounded aggregation."""
+        truth = q_knn_cosine(spark, sf_dir).select("q_id", "vec_id")
+        cand = q_ivf_topk(spark, sf_dir).select(
+            F.col("q_id").alias("_q2"), F.col("vec_id").alias("_v2")
+        )
+        j = truth.join(
+            cand,
+            (truth.q_id == F.col("_q2")) & (truth.vec_id == F.col("_v2")),
+            "left",
+        )
+        return j.groupBy("q_id").agg(
+            F.sum(F.col("_v2").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("hits"),
+            F.round(
+                F.sum(F.col("_v2").isNotNull().cast("bigint")) / 5.0, 9
+            ).alias("recall"),
+        )
+
+    q["ann_recall"] = q_ann_recall
+
     return _gate_order(q)
 
 
@@ -6958,6 +6985,18 @@ def oracle_sql() -> dict[str, str]:
     o["sorted_neighborhood"] = dedup.sorted_neighborhood_oracle_sql(
         window=4, key_len=12
     )
+
+    # ann_recall composes the two already-oracled retrieval replays as
+    # derived tables, so truth and candidates come from the exact SQL
+    # the standalone gates check
+    o["ann_recall"] = f"""
+        SELECT t.q_id,
+               CAST(count(c.vec_id) AS BIGINT) AS hits,
+               round(count(c.vec_id) / 5.0, 9) AS recall
+        FROM ({o["knn_cosine"]}) t
+        LEFT JOIN ({o["ivf_topk"]}) c
+          ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+        GROUP BY t.q_id"""
 
     o["unshipped_orders"] = f"""
         SELECT l_orderkey, o_orderdate, o_orderpriority,
