@@ -4530,6 +4530,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = q_ann_recall
 
+    def q_cluster_cohesion(spark, sf_dir):
+        """Near-dup cluster quality: per connected component, node and
+        verified-pair counts plus POOLED Jaccard cohesion
+        (sum intersections / sum unions over the component's verified
+        pairs).  Pooling aggregates exact int64 shingle counts, so the
+        metric is order-independent — a per-pair float mean would
+        depend on summation order.  Distinguishes tight duplicate
+        cliques from chains glued by borderline pairs."""
+        from pyspark import StorageLevel
+
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(
+            docs, cand, k=5, threshold=0.8, with_counts=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cc = dedup.connected_components(
+            dup.select("a", "b"), include_self_pairs=False
+        )
+        lbl = cc.select(F.col("id").alias("a"), F.col("component"))
+        pair_m = (
+            dup.join(lbl, on="a")
+            .groupBy("component")
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum("inter").cast("bigint").alias("sum_inter"),
+                F.sum("union_sz").cast("bigint").alias("sum_union"),
+            )
+        )
+        node_m = cc.groupBy("component").agg(
+            F.count("*").cast("bigint").alias("n_nodes")
+        )
+        return (
+            node_m.join(pair_m, on="component")
+            .withColumn(
+                "cohesion",
+                F.round(
+                    F.col("sum_inter").cast("double") / F.col("sum_union"), 9
+                ),
+            )
+        )
+
+    q["cluster_cohesion"] = q_cluster_cohesion
+
     return _gate_order(q)
 
 
@@ -6985,6 +7029,8 @@ def oracle_sql() -> dict[str, str]:
     o["sorted_neighborhood"] = dedup.sorted_neighborhood_oracle_sql(
         window=4, key_len=12
     )
+
+    o["cluster_cohesion"] = dedup.cluster_cohesion_oracle_sql()
 
     # ann_recall composes the two already-oracled retrieval replays as
     # derived tables, so truth and candidates come from the exact SQL

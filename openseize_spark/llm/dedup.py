@@ -708,8 +708,12 @@ def jaccard_verify(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_counts: bool = False,
 ) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard)."""
+    """Exact n-gram Jaccard on candidate pairs only: (a, b, jaccard);
+    ``with_counts=True`` adds the exact integer ``inter``/``union_sz``
+    shingle-set sizes (for pooled-cohesion metrics that must aggregate
+    order-independently)."""
     norm = normalize_text(F.col(text_col))
     # `pairs` feeds THREE consumers below (the semi-join id list twice —
     # once under sh_a, once under sh_b — plus the verify join itself).
@@ -743,12 +747,13 @@ def jaccard_verify(
     j = (
         pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"), on="a")
         .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"), on="b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("union_sz", F.size(F.array_union("sh_a", "sh_b")).cast("bigint"))
+        .withColumn("jaccard", F.col("inter") / F.col("union_sz"))
+        .select(
+            "a", "b", "jaccard",
+            *(("inter", "union_sz") if with_counts else ()),
         )
-        .select("a", "b", "jaccard")
     )
     return j.filter(F.col("jaccard") >= threshold)
 
@@ -1618,3 +1623,42 @@ def sorted_neighborhood_oracle_sql(
                p.key AS key_a, q.key AS key_b
         FROM ranked p JOIN ranked q
           ON q.r - p.r BETWEEN 1 AND {window - 1}"""
+
+
+def cluster_cohesion_oracle_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """DuckDB replay of the cluster-cohesion query: the vp chain with
+    intersection/union counts retained, labels via the recursive
+    closure, pooled exact-integer cohesion per component."""
+    sql = (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + f""", vpc AS (
+          SELECT i.a, i.b, i.i AS ix, za.n + zb.n - i.i AS ux
+          FROM inter i
+          JOIN sz za ON za.doc_id = i.a
+          JOIN sz zb ON zb.doc_id = i.b
+          WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= {threshold}
+        ), und AS (
+          SELECT a AS x, b AS y FROM vp UNION SELECT b AS x, a AS y FROM vp
+        ), reach(id, comp) AS (
+          SELECT x, x FROM und
+          UNION
+          SELECT u.x, r.comp FROM reach r JOIN und u ON u.y = r.id
+        ), lbl AS (
+          SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        ), pair_m AS (
+          SELECT l.component,
+                 count(*) AS n_pairs,
+                 CAST(sum(v.ix) AS BIGINT) AS sum_inter,
+                 CAST(sum(v.ux) AS BIGINT) AS sum_union
+          FROM vpc v JOIN lbl l ON l.id = v.a
+          GROUP BY 1
+        ), node_m AS (
+          SELECT component, count(*) AS n_nodes FROM lbl GROUP BY 1
+        )
+        SELECT n.component, n.n_nodes, p.n_pairs, p.sum_inter, p.sum_union,
+               round(CAST(p.sum_inter AS DOUBLE) / p.sum_union, 9) AS cohesion
+        FROM node_m n JOIN pair_m p USING (component)"""
+    )
+    return sql.replace("WITH norm", "WITH RECURSIVE norm", 1)

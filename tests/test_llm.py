@@ -1578,3 +1578,32 @@ class TestSortedNeighborhood:
             ).collect()
         )
         assert a == b and len(a) == 59 + 58 + 57
+
+
+class TestClusterCohesion:
+    def test_with_counts_matches_jaccard(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "abcdefghij"),
+                (2, "abcdefghiX"),   # near-dup of 1
+                (3, "zzzzyyyyxxxx"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+        out = dedup.jaccard_verify(
+            docs, pairs, k=3, threshold=0.0, with_counts=True
+        ).collect()
+        for r in out:
+            assert r.jaccard == r.inter / r.union_sz
+        r12 = next(r for r in out if (r.a, r.b) == (1, 2))
+        # 3-shingles of len-10 strings: 8 each; 7 shared
+        assert (r12.inter, r12.union_sz) == (7, 9)
+
+    def test_backward_compatible_columns(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "abcdef"), (2, "abcdeg")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        out = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
+        assert out.columns == ["a", "b", "jaccard"]
