@@ -433,3 +433,108 @@ class TestSourceOverlapProperty:
                 if inter:
                     exp[(a, b)] = (inter, len(grams[a]), len(grams[b]))
         assert got == exp
+
+
+# ---------------------------------------------------- round-6 operators
+
+_word = st.text(alphabet="abcdefg ", min_size=1, max_size=24)
+
+
+class TestBloomProperty:
+    @given(
+        texts=st.lists(_word, min_size=1, max_size=10, unique=True),
+        n_bench=st.integers(0, 4),
+        m=st.sampled_from([8, 64, 1 << 12]),
+    )
+    @settings(**SETTINGS)
+    def test_no_false_negatives_any_size(self, spark, texts, n_bench, m):
+        from openseize_spark.llm import dedup
+
+        n_bench = min(n_bench, len(texts))
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        bench = docs.filter(F.col("doc_id") < n_bench)
+        out = {r.doc_id: r.bloom_hit
+               for r in dedup.bloom_decontaminate(docs, bench, m=m).collect()}
+        # whatever m is, every true member must be flagged; normalized
+        # collisions may flag extras, never fewer
+        norm_bench = {
+            " ".join(texts[i].lower().split()) for i in range(n_bench)
+        }
+        for i, t in enumerate(texts):
+            if " ".join(t.lower().split()) in norm_bench:
+                assert out[i] is True, (i, t, m)
+
+
+class TestGroupReservoirProperty:
+    @given(
+        n=st.integers(1, 60),
+        k=st.integers(1, 7),
+        groups=st.integers(1, 5),
+    )
+    @settings(**SETTINGS)
+    def test_exactly_min_k_group_size(self, spark, n, k, groups):
+        from openseize_spark.llm import sampling
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}", "xx", f"g{i % groups}", 1) for i in range(n)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = sampling.group_reservoir(docs, ["source"], k=k).collect()
+        sizes = {}
+        for r in out:
+            sizes[r.source] = sizes.get(r.source, 0) + 1
+        for g in range(min(groups, n)):
+            gsize = len([i for i in range(n) if i % groups == g])
+            if gsize:
+                assert sizes.get(f"g{g}", 0) == min(k, gsize)
+
+
+class TestEpochRepeatProperty:
+    @given(
+        n=st.integers(1, 50),
+        e10=st.integers(0, 35),  # epoch factor in tenths: 0.0 .. 3.5
+    )
+    @settings(**SETTINGS)
+    def test_copy_counts_bounded_by_floor_ceil(self, spark, n, e10):
+        from openseize_spark.llm import sampling
+
+        e = e10 / 10.0
+        docs = spark.createDataFrame(
+            [(i, "t", "xx", "s0", 1) for i in range(n)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        out = sampling.epoch_repeat(docs, {"s0": e}, seed="h").collect()
+        per_doc = {}
+        for r in out:
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        lo, hi = int(e), int(e) + (1 if e != int(e) else 0)
+        for i in range(n):
+            c = per_doc.get(i, 0)
+            assert lo <= c <= max(lo, hi), (e, c)
+        # epoch tags are 1..copies per doc
+        tags = {}
+        for r in out:
+            tags.setdefault(r.doc_id, []).append(r.epoch)
+        for d, ts in tags.items():
+            assert sorted(ts) == list(range(1, len(ts) + 1))
+
+
+class TestSortedNeighborhoodProperty:
+    @given(n=st.integers(2, 40), w=st.integers(2, 5))
+    @settings(**SETTINGS)
+    def test_pair_count_formula(self, spark, n, w):
+        from openseize_spark.llm import dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"k{(i * 13) % 31:03d} tail{i}") for i in range(n)],
+            "doc_id long, text string",
+        )
+        out = dedup.sorted_neighborhood_pairs(docs, window=w).collect()
+        want = sum(max(0, n - d) for d in range(1, w))
+        assert len(out) == want
+        # every pair respects the distance bound and sort order
+        for r in out:
+            assert 1 <= r.dist <= w - 1
+            assert (r.key_a, r.a) <= (r.key_b, r.b)
