@@ -4337,7 +4337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         every embedding — scalar outputs so the oracle pins each lane
         without array serialization.  Zero-shuffle codegen scan."""
         emb = _t(spark, sf_dir, "embeddings")
-        return similarity.quantize_int8(emb)
+        return similarity.quantize_int8(emb, carry_cols=("label",))
 
     q["quantize_int8"] = q_quantize_int8
 
@@ -7091,7 +7091,7 @@ def oracle_sql() -> dict[str, str]:
     o["mixture_pipeline"] = f"""
         WITH {dedup.bloom_flags_ctes("doc_id % 7 = 0", "doc_id % 7 <> 0")},
         screened AS (
-          SELECT doc_id, source FROM flags WHERE nhit < npos
+          SELECT doc_id, source FROM flags WHERE NOT bloom_hit
         ), withcopies AS (
           SELECT doc_id, source,
                  (CASE WHEN source = 'src0' THEN 2

@@ -1433,44 +1433,49 @@ def bloom_decontaminate(
 
     This is the sketch-based variant of :func:`decontaminate` for the
     case where even the benchmark's exact fingerprint set is too large
-    to ship: the filter compresses any benchmark to ``m`` bits (the
-    distinct-position table here, at most ``m`` rows of one int, stands
-    in for the bitset and broadcasts to every executor), at the price
-    of a bounded false-positive rate (~``(1-e^{-kn/m})^k``).  True
-    membership is never missed — ``bloom_hit = false`` is a guarantee,
-    so the screen safely prunes the corpus before an exact (expensive)
-    confirmation join touches only the hits.
+    to ship: the filter compresses any benchmark to ``m`` bits, at the
+    price of a bounded false-positive rate (~``(1-e^{-kn/m})^k``).
+    True membership is never missed — ``bloom_hit = false`` is a
+    guarantee, so the screen safely prunes the corpus before an exact
+    (expensive) confirmation join touches only the hits.
 
-    Plan shape at 100 TB: corpus-side cost is ``k`` md5 hashes per row
-    plus one broadcast-hash semi-probe per position — no corpus
-    shuffle; the benchmark aggregates once to ≤ ``m`` distinct ints.
+    The filter is materialized ONCE on the driver (the benchmark
+    position aggregate is at most ``m`` distinct ints — bounded
+    control flow, same category as k-means centroids) and embedded as
+    an ``m``-bit bitset of 32-bit words.  The probe is then a pure
+    codegen projection: ``k`` md5 hashes + ``k`` word lookups per row —
+    NO corpus shuffle, NO join, row multiplicity and NULL columns
+    untouched.  For filters too large to embed (``m`` >> 2^20), swap
+    the literal for a broadcast join on the position table.
 
     Returns ``docs`` plus a ``bloom_hit`` boolean column.
     """
+    from openseize_spark.llm.sampling import salted_hash
+
     fp = F.md5(normalize_text(F.col(text_col)))
-    bench_pos = (
-        benchmark.select(
-            F.explode(
-                bloom_positions(F.md5(normalize_text(F.col(text_col))), m, k)
-            ).alias("_bpos")
-        )
-        .distinct()
-    )
-    probe = docs.withColumn("_pos", F.explode(bloom_positions(fp, m, k)))
-    hits = (
-        probe.join(F.broadcast(bench_pos), probe._pos == F.col("_bpos"), "inner")
-        .groupBy(*docs.columns)
-        .agg(F.count("*").alias("_nhit"))
-    )
-    n_pos = probe.groupBy(*docs.columns).agg(F.count("*").alias("_npos"))
-    return (
-        n_pos.join(hits, docs.columns, "left")
-        .withColumn(
-            "bloom_hit",
-            F.coalesce(F.col("_nhit"), F.lit(0)) == F.col("_npos"),
-        )
-        .drop("_nhit", "_npos")
-    )
+    bench_pos = benchmark.select(
+        F.explode(
+            bloom_positions(F.md5(normalize_text(F.col(text_col))), m, k)
+        ).alias("_bpos")
+    ).distinct()
+    words = [0] * ((m + 31) // 32)
+    for r in bench_pos.collect():
+        p = int(r._bpos)
+        words[p >> 5] |= 1 << (p & 31)
+    bits = F.array(*[F.lit(w) for w in words])
+    pow2 = F.array(*[F.lit(1 << j) for j in range(32)])
+    # bit test in portable integer arithmetic: (word div 2^(p%32)) % 2,
+    # all operands non-negative so div == floor in both engines
+    def _probe(i):
+        p = salted_hash(fp, f"bloom{i}") % m
+        word = F.element_at(bits, (p / 32).cast("int") + 1)
+        bit = F.element_at(pow2, (p % 32).cast("int") + 1)
+        return (word.cast("bigint") / bit).cast("bigint") % 2 == 1
+
+    hit = _probe(0)
+    for i in range(1, k):
+        hit = hit & _probe(i)
+    return docs.withColumn("bloom_hit", hit)
 
 
 def bloom_decontaminate_oracle_sql(
@@ -1480,13 +1485,14 @@ def bloom_decontaminate_oracle_sql(
     k: int = 3,
 ) -> str:
     """DuckDB replay of :func:`bloom_decontaminate` over ``documents``:
-    the same salted md5-prefix positions, the same distinct-position
-    filter table, the same all-k membership rule."""
+    the same salted md5-prefix positions, the same all-k membership
+    rule (the engine's embedded bitset is semantically the bloom
+    position set — ``p IN bloom`` per hash function)."""
     return f"""
         WITH {bloom_flags_ctes(bench_pred, corpus_pred, m=m, k=k)}
         SELECT source,
                count(*) AS n_docs,
-               CAST(count(*) FILTER (WHERE nhit = npos) AS BIGINT) AS n_flagged
+               CAST(count(*) FILTER (WHERE bloom_hit) AS BIGINT) AS n_flagged
         FROM flags GROUP BY source"""
 
 
@@ -1497,19 +1503,19 @@ def bloom_flags_ctes(
     k: int = 3,
 ) -> str:
     """The CTE chain shared by the Bloom oracles: ends at ``flags``
-    with one row per corpus document carrying ``npos`` (distinct Bloom
-    positions) and ``nhit`` (positions set in the benchmark filter) —
-    a doc is a Bloom hit iff ``nhit = npos``."""
+    with one row per corpus document carrying a ``bloom_hit`` boolean
+    (every one of the ``k`` positions is set in the benchmark
+    filter)."""
     from openseize_spark.llm.sampling import salted_hash_sql
 
-    norm = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    norm = f"md5({_NORM_SQL})"
     pos_exprs = ", ".join(
         f"({salted_hash_sql('fp', f'bloom{i}')} % {m}) AS p{i}" for i in range(k)
     )
-    pos_union = " UNION ALL ".join(
-        f"SELECT doc_id, source, p{i} AS pos FROM fpos" for i in range(k)
-    )
     bench_union = " UNION ALL ".join(f"SELECT p{i} AS pos FROM bpos" for i in range(k))
+    all_in = " AND ".join(
+        f"p{i} IN (SELECT pos FROM bloom)" for i in range(k)
+    )
     return f"""corpus_fp AS (
           SELECT doc_id, source, {norm} AS fp FROM documents WHERE {corpus_pred}
         ), fpos AS (
@@ -1520,13 +1526,9 @@ def bloom_flags_ctes(
           SELECT {pos_exprs} FROM bench_fp
         ), bloom AS (
           SELECT DISTINCT pos FROM ({bench_union})
-        ), doc_pos AS (
-          SELECT DISTINCT doc_id, source, pos FROM ({pos_union})
         ), flags AS (
-          SELECT doc_id, source,
-                 count(*) AS npos,
-                 count(*) FILTER (WHERE pos IN (SELECT pos FROM bloom)) AS nhit
-          FROM doc_pos GROUP BY 1, 2
+          SELECT doc_id, source, ({all_in}) AS bloom_hit
+          FROM fpos
         )"""
 
 
@@ -1609,12 +1611,9 @@ def sorted_neighborhood_oracle_sql(
     return f"""
         WITH ranked AS (
           SELECT doc_id AS id,
-                 substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
-                        1, {key_len}) AS key,
+                 substr({_NORM_SQL}, 1, {key_len}) AS key,
                  row_number() OVER (
-                   ORDER BY substr(regexp_replace(lower(trim(text)),
-                                                  '\\s+', ' ', 'g'),
-                                   1, {key_len}), doc_id
+                   ORDER BY substr({_NORM_SQL}, 1, {key_len}), doc_id
                  ) - 1 AS r
           FROM documents WHERE text IS NOT NULL
         )

@@ -821,8 +821,10 @@ def epoch_repeat(
     Each copy is tagged with a 1-based ``epoch`` index so downstream
     shuffling/packing can keep copies apart.
 
-    The fractional membership uses the same salted-hash cut as
-    ``bernoulli_sample`` (exact integer cut precomputed per source), so
+    The fractional membership uses the same truncating salted-hash cut
+    as ``bernoulli_sample`` — ``int(frac * 2^32)`` — so for any rate
+    where float64 gives ``e - floor(e) == rate`` the marginal-copy set
+    IS ``bernoulli_sample(rate)`` exactly; so
     the realized corpus is reproducible and stable under repartitioning,
     and a source's ``e``-change only adds/removes the marginal copies.
 
@@ -834,7 +836,7 @@ def epoch_repeat(
     i.e. the operator degrades to deterministic subsampling.
     """
     rows = [
-        (src, int(e), int(round((e - int(e)) * HASH_SPACE)))
+        (src, int(e), int((e - int(e)) * HASH_SPACE))
         for src, e in epochs.items()
     ]
     spark = df.sparkSession
@@ -851,7 +853,7 @@ def epoch_repeat(
                 h
                 < F.coalesce(
                     F.col("_cut"),
-                    F.lit(int(round((default - int(default)) * HASH_SPACE))),
+                    F.lit(int((default - int(default)) * HASH_SPACE)),
                 )
             ).cast("int"),
         )
@@ -875,15 +877,17 @@ def epoch_repeat_oracle_sql(
 ) -> str:
     """DuckDB replay of :func:`epoch_repeat` over ``documents``."""
     h = salted_hash_sql(f"d.{key_col}", seed)
+    esc = lambda v: v.replace("'", "''")
     nf_arms = " ".join(
-        f"WHEN {group_col} = '{src}' THEN {int(e)}" for src, e in epochs.items()
+        f"WHEN {group_col} = '{esc(src)}' THEN {int(e)}"
+        for src, e in epochs.items()
     )
     cut_arms = " ".join(
-        f"WHEN {group_col} = '{src}' THEN {int(round((e - int(e)) * HASH_SPACE))}"
+        f"WHEN {group_col} = '{esc(src)}' THEN {int((e - int(e)) * HASH_SPACE)}"
         for src, e in epochs.items()
     )
     d_nf = int(default)
-    d_cut = int(round((default - int(default)) * HASH_SPACE))
+    d_cut = int((default - int(default)) * HASH_SPACE)
     return f"""
         WITH withcopies AS (
           SELECT {select_cols},

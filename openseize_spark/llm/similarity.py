@@ -918,6 +918,7 @@ def quantize_int8(
     emb: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry_cols: tuple = (),
 ) -> DataFrame:
     """Symmetric per-vector int8 quantization audit — the compression
     step an ANN serving index applies before sharding (4x smaller than
@@ -930,7 +931,7 @@ def quantize_int8(
     reconstruction error — enough to pin every q_i through the oracle
     without serializing arrays.  Pure codegen array expressions, zero
     shuffle, pushdown-friendly."""
-    xs = F.transform(F.col(vec_col).cast("array<double>"), lambda x: x)
+    xs = F.col(vec_col).cast("array<double>")
     maxabs = F.array_max(F.transform(xs, F.abs))
     scale = maxabs / F.lit(127.0)
     qv = F.transform(
@@ -942,7 +943,7 @@ def quantize_int8(
     err = F.zip_with(xs, qv, lambda x, qi: F.abs(x - qi * scale))
     return emb.select(
         F.col(id_col),
-        F.col("label"),
+        *[F.col(c) for c in carry_cols],
         F.round(scale, 9).alias("scale"),
         F.aggregate(
             qv, F.lit(0).cast("bigint"), lambda acc, qi: acc + F.abs(qi).cast("bigint")

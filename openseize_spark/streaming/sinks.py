@@ -100,4 +100,13 @@ def upsert_user_state(
     )
     q.processAllAvailable()
     q.stop()
+    if not os.path.exists(state_dir):
+        # zero micro-batches (empty source): the keyed target is empty,
+        # same as the batch GROUP BY over no rows
+        empty = spark.createDataFrame([], schema)
+        return empty.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+            F.max("ts").alias("last_seen"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
     return spark.read.parquet(state_dir)
