@@ -4574,6 +4574,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_cohesion"] = q_cluster_cohesion
 
+    def q_ewma_user_value(spark, sf_dir):
+        """Per-user exponentially-weighted moving average of event
+        values (alpha = 1/4, dyadic so the recursion constants are
+        exact in both engines): the metrics-smoothing recursion, run as
+        an ordered left fold over each user's history — the same
+        deterministic-sequential-fold contract the IIR oracles use,
+        replayed by DuckDB's list_reduce.  Bounded by the largest
+        single-user history (the per-key analog of the signal
+        operators' per-channel bound); one shuffle on user_id."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        arr = F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        )
+        vals = F.transform(arr, lambda s: s["value"])
+        n = F.size(vals)
+        ewma = F.when(n == 1, F.element_at(vals, 1)).otherwise(
+            F.aggregate(
+                F.slice(vals, F.lit(2), n - 1),
+                F.element_at(vals, 1),
+                lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+            )
+        )
+        return (
+            e.groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(ewma, 9).alias("ewma"),
+            )
+        )
+
+    q["ewma_user_value"] = q_ewma_user_value
+
     return _gate_order(q)
 
 
@@ -7031,6 +7065,20 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["cluster_cohesion"] = dedup.cluster_cohesion_oracle_sql()
+
+    # list_reduce is the same sequential left fold (seed = first
+    # element) as the Spark aggregate over the (ts, event_id)-ordered
+    # value list; alpha = 1/4 is dyadic, so both recursions are
+    # bit-identical
+    o["ewma_user_value"] = """
+        SELECT user_id,
+               count(*) AS n_events,
+               round(list_reduce(
+                 CAST(list(value ORDER BY ts, event_id) AS DOUBLE[]),
+                 (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS ewma
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id"""
 
     # ann_recall composes the two already-oracled retrieval replays as
     # derived tables, so truth and candidates come from the exact SQL
