@@ -4652,9 +4652,11 @@ def _edf_gate_digital(ch: int, t):
 # (no CORRECTNESS_r05.json exists), so this entire window is still
 # unchecked and remains the correct round-6 budget unchanged — every
 # slot is a query with zero driver evidence, all locally BITEXACT.
-# Round-6 registrations (TPC-H Q7-Q22 shapes, hll_distinct,
+# Round-6 registrations (TPC-H Q3/Q7-Q22 shapes, hll_distinct,
 # bloom_decontaminate, group_reservoir, epoch_repeat, hard_negatives,
-# quantize_int8) land after the boundary: round-7 window material.
+# quantize_int8, mixture_pipeline, ohlc_bars, streaming_upsert,
+# sorted_neighborhood, ann_recall, cluster_cohesion, ewma_user_value)
+# land after the boundary: round-7 window material.
 # fixed ordered BPE merge table for the bpe_encode gate: includes a
 # cascade (t+h -> th, th+e -> the; a+n -> an, an+d -> and) so merge
 # order and merged-symbol reuse are both exercised
