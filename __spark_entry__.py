@@ -4608,6 +4608,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ewma_user_value"] = q_ewma_user_value
 
+    def q_hll_by_type(spark, sf_dir):
+        """Per-group HyperLogLog (llm/sketch.py hll_estimate_by):
+        distinct-user estimates for every event_type in ONE pass — the
+        form the sketch earns its keep in at scale: the shuffle carries
+        at most 2^b register rows per (group, partition) instead of the
+        per-group distinct sets.  Exact counts ride alongside."""
+        from openseize_spark.llm import sketch
+
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        return sketch.hll_estimate_by(e, "user_id", ["event_type"], b=5, seed="hb6")
+
+    q["hll_by_type"] = q_hll_by_type
+
     return _gate_order(q)
 
 
@@ -7056,6 +7069,15 @@ def oracle_sql() -> dict[str, str]:
         table="(SELECT * FROM events WHERE user_id IS NOT NULL)",
         b=5,
         seed="hll6",
+    )
+
+    o["hll_by_type"] = _sketch.hll_estimate_by_oracle_sql(
+        col="user_id",
+        group_expr="event_type",
+        table="(SELECT * FROM events WHERE user_id IS NOT NULL)",
+        b=5,
+        seed="hb6",
+        alias="event_type",
     )
 
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(

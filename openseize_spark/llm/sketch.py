@@ -339,3 +339,131 @@ def hll_estimate_oracle_sql(
                round(abs(est_distinct - exact_distinct)
                      / exact_distinct, 6) AS rel_err
         FROM est"""
+
+
+def hll_estimate_by(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str],
+    b: int = 5,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog estimates — the form the sketch actually
+    earns its keep in at scale: one pass computes a distinct-count
+    estimate for EVERY group simultaneously, shuffling at most
+    ``2^b`` register rows per (group, partition) instead of the full
+    per-group distinct sets.  Same register/branch math as
+    :func:`hll_estimate`, keyed by ``group_cols``; exact per-group
+    distinct counts ride alongside for calibration.
+    """
+    m = 1 << b
+    alpha = _hll_alpha(m)
+    rest_bits = 32 - b
+    from openseize_spark.llm.sampling import salted_hash
+
+    h = salted_hash(F.col(col), seed)
+    prep = df.select(
+        *group_cols,
+        (h / (1 << rest_bits)).cast("bigint").alias("_bkt"),
+        (h % (1 << rest_bits)).alias("_rest"),
+    ).withColumn(
+        "_rho",
+        F.when(F.col("_rest") == 0, F.lit(rest_bits + 1)).otherwise(
+            F.lit(rest_bits + 1) - F.length(F.bin(F.col("_rest")))
+        ),
+    )
+    regs = prep.groupBy(*group_cols, "_bkt").agg(
+        F.max("_rho").cast("bigint").alias("_mj")
+    )
+    agg = regs.groupBy(*group_cols).agg(
+        F.count("*").alias("_np"),
+        F.sum(F.pow(F.lit(2.0), 32 - F.col("_mj")).cast("bigint")).alias("_sp"),
+    )
+    exact = df.groupBy(*group_cols).agg(
+        F.countDistinct(col).cast("bigint").alias("exact_distinct")
+    )
+    one = agg.join(exact, on=group_cols)
+    sum_units = (
+        F.col("_sp") + (F.lit(m) - F.col("_np")) * F.lit(1 << 32)
+    ).cast("bigint")
+    n_empty = (F.lit(m) - F.col("_np")).cast("bigint")
+    raw = F.lit(alpha * m * m * float(1 << 32)) / F.col("sum_units")
+    est = F.when(
+        (F.col("n_empty") > 0) & (raw <= 2.5 * m),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+    ).otherwise(raw)
+    return (
+        one.select(
+            *group_cols,
+            n_empty.alias("n_empty"),
+            sum_units.alias("sum_units"),
+            "exact_distinct",
+        )
+        .withColumn("est_distinct", F.round(est, 6))
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ),
+        )
+    )
+
+
+def hll_estimate_by_oracle_sql(
+    col: str,
+    group_expr: str,
+    table: str = "events",
+    b: int = 5,
+    seed: str = "hll",
+    alias: str = "g",
+) -> str:
+    """DuckDB replay of :func:`hll_estimate_by` for a single grouping
+    expression, emitted under ``alias``."""
+    m = 1 << b
+    rest_bits = 32 - b
+    alpha = _hll_alpha(m)
+    h = salted_hash_sql(col, seed)
+    return f"""
+        WITH hx AS (
+          SELECT {group_expr} AS g,
+                 {h} // {1 << rest_bits} AS bucket,
+                 {h} % {1 << rest_bits} AS rest
+          FROM {table}
+        ), regs AS (
+          SELECT g, bucket,
+                 CAST(max(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                               ELSE {rest_bits + 1} - length(bin(rest))
+                          END) AS BIGINT) AS mj
+          FROM hx GROUP BY g, bucket
+        ), agg AS (
+          SELECT g, count(*) AS np,
+                 CAST(sum(CAST(pow(2.0, 32 - mj) AS BIGINT)) AS BIGINT) AS sp
+          FROM regs GROUP BY g
+        ), ex AS (
+          SELECT {group_expr} AS g,
+                 CAST(count(DISTINCT {col}) AS BIGINT) AS exact_distinct
+          FROM {table} GROUP BY g
+        ), one AS (
+          SELECT agg.g,
+                 CAST({m} - np AS BIGINT) AS n_empty,
+                 CAST(sp + ({m} - np) * (1::BIGINT << 32) AS BIGINT)
+                   AS sum_units,
+                 exact_distinct
+          FROM agg JOIN ex ON agg.g = ex.g
+        ), est AS (
+          SELECT *,
+                 round(CASE WHEN n_empty > 0
+                            AND {alpha * m * m * float(1 << 32)!r} / sum_units
+                                <= {2.5 * m!r}
+                       THEN {float(m)!r} * ln({float(m)!r} / n_empty)
+                       ELSE {alpha * m * m * float(1 << 32)!r} / sum_units
+                       END, 6) AS est_distinct
+          FROM one
+        )
+        SELECT g AS {alias}, n_empty, sum_units, exact_distinct,
+               est_distinct,
+               round(abs(est_distinct - exact_distinct)
+                     / exact_distinct, 6) AS rel_err
+        FROM est"""

@@ -1607,3 +1607,25 @@ class TestClusterCohesion:
         pairs = spark.createDataFrame([(1, 2)], "a long, b long")
         out = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
         assert out.columns == ["a", "b", "jaccard"]
+
+
+class TestHllByGroup:
+    def test_groups_match_single_group_runs(self, spark):
+        from openseize_spark.llm import sketch
+
+        rows = [(i, f"g{i % 3}") for i in range(900)]
+        df = spark.createDataFrame(rows, "k long, g string")
+        by = {
+            r.g: (r.n_empty, r.sum_units, r.exact_distinct, r.est_distinct)
+            for r in sketch.hll_estimate_by(df, "k", ["g"]).collect()
+        }
+        # each group's registers must equal a standalone sketch of that
+        # group — per-group state is fully independent
+        for g in ("g0", "g1", "g2"):
+            solo = sketch.hll_estimate(
+                df.filter(F.col("g") == g), "k"
+            ).collect()[0]
+            assert by[g] == (
+                solo.n_empty, solo.sum_units,
+                solo.exact_distinct, solo.est_distinct,
+            )
