@@ -4621,6 +4621,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hll_by_type"] = q_hll_by_type
 
+    def q_brand_cooccurrence(spark, sf_dir):
+        """Market-basket co-occurrence with lift: brand pairs appearing
+        in the same order, top-20 by support.  The pair generation is a
+        self-equi-join of the DISTINCT (order, brand) relation on the
+        order key — per-order fanout is quadratic only in the bounded
+        per-order brand count, never corpus-quadratic.  Lift divides
+        exact integer counts once (n_ab * N / (n_a * n_b)); top-k is
+        TakeOrdered with full-key tiebreak."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        ob = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .select("l_orderkey", "p_brand")
+            .distinct()
+        )
+        n_orders = ob.select("l_orderkey").distinct().count()
+        per_brand = ob.groupBy("p_brand").agg(F.count("*").alias("_nb"))
+        a = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_a"))
+        b = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_b"))
+        pairs = (
+            a.join(b, on="_o")
+            .filter(F.col("brand_a") < F.col("brand_b"))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count("*").cast("bigint").alias("n_ab"))
+        )
+        na = per_brand.select(
+            F.col("p_brand").alias("brand_a"), F.col("_nb").alias("_na")
+        )
+        nb = per_brand.select(
+            F.col("p_brand").alias("brand_b"), F.col("_nb").alias("_nb2")
+        )
+        return (
+            pairs.join(F.broadcast(na), on="brand_a")
+            .join(F.broadcast(nb), on="brand_b")
+            .select(
+                "brand_a",
+                "brand_b",
+                "n_ab",
+                F.round(
+                    F.col("n_ab").cast("double")
+                    * F.lit(float(n_orders))
+                    / (F.col("_na").cast("double") * F.col("_nb2")),
+                    9,
+                ).alias("lift"),
+            )
+            .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+            .limit(20)
+        )
+
+    q["brand_cooccurrence"] = q_brand_cooccurrence
+
     return _gate_order(q)
 
 
@@ -7079,6 +7130,30 @@ def oracle_sql() -> dict[str, str]:
         seed="hb6",
         alias="event_type",
     )
+
+    o["brand_cooccurrence"] = """
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), no AS (
+          SELECT count(DISTINCT l_orderkey) AS n FROM ob
+        ), pb AS (
+          SELECT p_brand, count(*) AS nb FROM ob GROUP BY 1
+        ), pairs AS (
+          SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                 count(*) AS n_ab
+          FROM ob a JOIN ob b
+            ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+          GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+               round((CAST(n_ab AS DOUBLE) * no.n)
+                     / (CAST(na.nb AS DOUBLE) * nb.nb), 9) AS lift
+        FROM pairs, no
+        JOIN pb na ON na.p_brand = brand_a
+        JOIN pb nb ON nb.p_brand = brand_b
+        ORDER BY n_ab DESC, brand_a, brand_b
+        LIMIT 20"""
 
     o["epoch_repeat"] = sampling.epoch_repeat_oracle_sql(
         {"src0": 2.5, "src1": 1.25, "src2": 0.5}, seed="ep6"
