@@ -4672,6 +4672,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["brand_cooccurrence"] = q_brand_cooccurrence
 
+    def q_er_pipeline(spark, sf_dir):
+        """Multi-blocking entity resolution: candidate pairs from all
+        THREE blocking families (MinHash-LSH banding ∪ SimHash
+        pigeonhole ∪ sorted-neighborhood) verified by exact shingle
+        Jaccard, clustered by connected components — the standard ER
+        recipe where each blocker covers near-dups the others miss
+        (shingle drift vs bit drift vs shared prefixes).  Union-ing
+        candidate GENERATORS is cheap (each is bounded); only the
+        union reaches the expensive verify."""
+        from pyspark import StorageLevel
+
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        lsh = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select("a", "b")
+        sim = dedup.simhash_pairs(docs, max_hamming=6, portable=True).select("a", "b")
+        snm = dedup.sorted_neighborhood_pairs(docs, window=4, key_len=12).select(
+            "a", "b"
+        )
+        cand = lsh.union(sim).union(snm).distinct()
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        cc = dedup.connected_components(
+            dup.select("a", "b"), include_self_pairs=False
+        )
+        return cc.groupBy("component").agg(
+            F.count("*").cast("bigint").alias("n_nodes")
+        )
+
+    q["er_pipeline"] = q_er_pipeline
+
     return _gate_order(q)
 
 
@@ -7130,6 +7161,8 @@ def oracle_sql() -> dict[str, str]:
         seed="hb6",
         alias="event_type",
     )
+
+    o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["brand_cooccurrence"] = """
         WITH ob AS (

@@ -1059,11 +1059,9 @@ def minhash_signatures_oracle_sql(k: int = 5, num_hashes: int = 64) -> str:
     return _sig_ctes(k, num_hashes) + f"\n        {arms}"
 
 
-def _vpairs_ctes(
-    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
-) -> str:
-    """CTE chain through verified near-dup pairs ``vp(a, b)``: signatures
-    -> LSH banding -> candidates -> exact-Jaccard verification."""
+def _cand_ctes(k: int = 5, num_hashes: int = 64, bands: int = 8) -> str:
+    """CTE chain through LSH candidate pairs ``cand(a, b)``: signatures
+    -> banding -> distinct banded matches."""
     r = num_hashes // bands
     band_arms = "\n          UNION ALL ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bsig FROM sig".format(
@@ -1080,14 +1078,21 @@ def _vpairs_ctes(
           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
           FROM banded x JOIN banded y
             ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
-        ), shd AS (
+        )"""
+    )
+
+
+def _verify_ctes(k: int, threshold: float, cand: str = "cand") -> str:
+    """CTE chain from a candidate relation ``cand(a, b)`` to verified
+    pairs ``vp(a, b)`` via exact shingle-Jaccard."""
+    return f""", shd AS (
           SELECT DISTINCT doc_id, substring(txt, u.i, {k}) AS s
           FROM norm, unnest(generate_series(1, greatest(length(txt) - {k - 1}, 1))) AS u(i)
         ), sz AS (
           SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
         ), inter AS (
           SELECT c.a, c.b, count(*) AS i
-          FROM cand c
+          FROM {cand} c
           JOIN shd sa ON sa.doc_id = c.a
           JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
           GROUP BY c.a, c.b
@@ -1098,7 +1103,14 @@ def _vpairs_ctes(
           JOIN sz zb ON zb.doc_id = i.b
           WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= {threshold}
         )"""
-    )
+
+
+def _vpairs_ctes(
+    k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
+) -> str:
+    """CTE chain through verified near-dup pairs ``vp(a, b)``: signatures
+    -> LSH banding -> candidates -> exact-Jaccard verification."""
+    return _cand_ctes(k, num_hashes, bands) + _verify_ctes(k, threshold)
 
 
 def minhash_dedup_oracle_sql(
@@ -1659,5 +1671,50 @@ def cluster_cohesion_oracle_sql(
         SELECT n.component, n.n_nodes, p.n_pairs, p.sum_inter, p.sum_union,
                round(CAST(p.sum_inter AS DOUBLE) / p.sum_union, 9) AS cohesion
         FROM node_m n JOIN pair_m p USING (component)"""
+    )
+    return sql.replace("WITH norm", "WITH RECURSIVE norm", 1)
+
+
+def er_pipeline_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_hamming: int = 6,
+    snm_window: int = 4,
+    snm_key_len: int = 12,
+) -> str:
+    """DuckDB replay of the multi-blocking entity-resolution pipeline:
+    candidates = LSH banding ∪ SimHash pigeonhole ∪ sorted-neighborhood,
+    exact-Jaccard verification over the union, recursive-closure
+    components, per-component sizes.  The SimHash and SNM chains nest
+    as derived tables (their own WITH scopes shadow the outer one)."""
+    sim_sql = simhash_pairs_oracle_sql(max_hamming=max_hamming)
+    snm_sql = sorted_neighborhood_oracle_sql(
+        window=snm_window, key_len=snm_key_len
+    )
+    sql = (
+        _cand_ctes(k, num_hashes, bands)
+        + f""", sim AS (
+          {sim_sql}
+        ), snm AS (
+          {snm_sql}
+        ), allcand AS (
+          SELECT a, b FROM cand
+          UNION SELECT a, b FROM sim
+          UNION SELECT a, b FROM snm
+        )"""
+        + _verify_ctes(k, threshold, cand="allcand")
+        + """, und AS (
+          SELECT a AS x, b AS y FROM vp UNION SELECT b AS x, a AS y FROM vp
+        ), reach(id, comp) AS (
+          SELECT x, x FROM und
+          UNION
+          SELECT u.x, r.comp FROM reach r JOIN und u ON u.y = r.id
+        ), lbl AS (
+          SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        )
+        SELECT component, count(*) AS n_nodes
+        FROM lbl GROUP BY component"""
     )
     return sql.replace("WITH norm", "WITH RECURSIVE norm", 1)
