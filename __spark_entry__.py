@@ -4703,6 +4703,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_pipeline"] = q_er_pipeline
 
+    def q_late_line_priority(spark, sf_dir):
+        """TPC-H Q12 shape (adapted: the testdata has no l_shipmode, so
+        l_linestatus stands in for the mode grouping): for lines shipped
+        more than 30 days after the order date, count high-priority
+        (1-URGENT/2-HIGH) vs lower-priority orders per line status —
+        the join + dual conditional aggregation, one shuffle."""
+        li = _t(spark, sf_dir, "lineitem")
+        o = _t(spark, sf_dir, "orders")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30))
+            .groupBy("l_linestatus")
+            .agg(
+                F.sum(hi.cast("bigint")).cast("bigint").alias("high_line_count"),
+                F.sum((~hi).cast("bigint")).cast("bigint").alias("low_line_count"),
+            )
+        )
+
+    q["late_line_priority"] = q_late_line_priority
+
+    def q_excess_suppliers(spark, sf_dir):
+        """TPC-H Q20 shape (adapted: no partsupp/availqty in the
+        testdata, so the 'more than half the available quantity'
+        predicate becomes 'total 1995 shipped quantity of red-named
+        parts above a fixed threshold'): the nested semi-join chain —
+        parts by name prefix -> per-(supp, part) shipped quantity ->
+        qualifying suppliers -> supplier names.  Exact integer
+        quantities; both filters push below the joins."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        s = _t(spark, sf_dir, "supplier")
+        n = _t(spark, sf_dir, "nation")
+        green = p.filter(F.col("p_name").contains("red")).select("p_partkey")
+        shipped = (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1995-01-01"))
+                & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            )
+            .join(green, li.l_partkey == green.p_partkey, "left_semi")
+            .groupBy("l_suppkey", "l_partkey")
+            .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        )
+        qual = shipped.filter(F.col("qty") > 50).select("l_suppkey").distinct()
+        return (
+            s.join(qual, s.s_suppkey == qual.l_suppkey, "left_semi")
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name")
+        )
+
+    q["excess_suppliers"] = q_excess_suppliers
+
     return _gate_order(q)
 
 
@@ -7163,6 +7215,34 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
+
+    o["late_line_priority"] = """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus"""
+
+    o["excess_suppliers"] = """
+        WITH shipped AS (
+          SELECT l_suppkey, l_partkey,
+                 CAST(sum(l_quantity) AS BIGINT) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+            AND l_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+            )
+          GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM shipped WHERE qty > 50
+        )"""
 
     o["brand_cooccurrence"] = """
         WITH ob AS (
