@@ -4755,6 +4755,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["excess_suppliers"] = q_excess_suppliers
 
+    def q_blocking_yield(spark, sf_dir):
+        """Blocking-strategy diagnostics: per candidate-generation
+        family (LSH banding / SimHash pigeonhole / sorted
+        neighborhood), the candidate count, how many candidates the
+        exact-Jaccard verify confirms, and the yield — the
+        precision-per-cost table an ER pipeline is tuned with.  The
+        expensive verify runs ONCE over the union; per-family counts
+        are semi-joins of each (bounded) candidate set against the
+        verified pairs."""
+        from pyspark import StorageLevel
+
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        fams = {
+            "lsh": dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select(
+                "a", "b"
+            ),
+            "simhash": dedup.simhash_pairs(
+                docs, max_hamming=6, portable=True
+            ).select("a", "b"),
+            "snm": dedup.sorted_neighborhood_pairs(
+                docs, window=4, key_len=12
+            ).select("a", "b"),
+        }
+        tagged = None
+        for name, df in fams.items():
+            t = df.withColumn("family", F.lit(name))
+            tagged = t if tagged is None else tagged.union(t)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+        vp = dedup.jaccard_verify(
+            docs, tagged.select("a", "b").distinct(), k=5, threshold=0.8
+        ).select("a", "b", F.lit(1).alias("_v"))
+        return (
+            tagged.join(vp, on=["a", "b"], how="left")
+            .groupBy("family")
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("_v"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_verified"),
+            )
+            .withColumn(
+                "yield",
+                F.round(
+                    F.col("n_verified").cast("double") / F.col("n_candidates"), 9
+                ),
+            )
+        )
+
+    q["blocking_yield"] = q_blocking_yield
+
     return _gate_order(q)
 
 
@@ -7215,6 +7266,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
+
+    o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
 
     o["late_line_priority"] = """
         SELECT l_linestatus,

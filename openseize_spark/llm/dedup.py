@@ -1718,3 +1718,43 @@ def er_pipeline_oracle_sql(
         FROM lbl GROUP BY component"""
     )
     return sql.replace("WITH norm", "WITH RECURSIVE norm", 1)
+
+
+def blocking_yield_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_hamming: int = 6,
+    snm_window: int = 4,
+    snm_key_len: int = 12,
+) -> str:
+    """DuckDB replay of the blocking-yield diagnostics: per-family
+    candidate counts left-joined against the verified pairs of the
+    union."""
+    sim_sql = simhash_pairs_oracle_sql(max_hamming=max_hamming)
+    snm_sql = sorted_neighborhood_oracle_sql(
+        window=snm_window, key_len=snm_key_len
+    )
+    return (
+        _cand_ctes(k, num_hashes, bands)
+        + f""", sim AS (
+          {sim_sql}
+        ), snm AS (
+          {snm_sql}
+        ), tagged AS (
+          SELECT 'lsh' AS family, a, b FROM cand
+          UNION ALL SELECT 'simhash' AS family, a, b FROM sim
+          UNION ALL SELECT 'snm' AS family, a, b FROM snm
+        ), allcand AS (
+          SELECT DISTINCT a, b FROM tagged
+        )"""
+        + _verify_ctes(k, threshold, cand="allcand")
+        + """
+        SELECT family,
+               count(*) AS n_candidates,
+               CAST(count(v.a) AS BIGINT) AS n_verified,
+               round(CAST(count(v.a) AS DOUBLE) / count(*), 9) AS "yield"
+        FROM tagged t LEFT JOIN vp v ON v.a = t.a AND v.b = t.b
+        GROUP BY family"""
+    )
