@@ -4806,6 +4806,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blocking_yield"] = q_blocking_yield
 
+    def q_position_attribution(spark, sf_dir):
+        """Position-based (U-shaped 40/20/40) multi-touch attribution:
+        views preceding a user's FIRST purchase share the conversion
+        credit — first and last touch 0.4 each, the middle splits 0.2
+        evenly (single touch takes 1.0; two touches 0.5/0.5).  The
+        credit is an exact rational of the touch count rounded once;
+        windows partition on user_id (bounded per-user history), and
+        the first-purchase table is a pre-aggregated broadcast."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        first_p = (
+            e.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_pts"))
+        )
+        views = e.filter(F.col("event_type") == "view").join(
+            F.broadcast(first_p), on="user_id"
+        ).filter(F.col("ts") < F.col("_pts"))
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = views.select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.row_number().over(w).alias("pos"),
+            F.count("*").over(W.partitionBy("user_id")).alias("n_views"),
+        )
+        credit = (
+            F.when(F.col("n_views") == 1, F.lit(1.0))
+            .when(F.col("pos") == 1, F.when(F.col("n_views") == 2, 0.5).otherwise(0.4))
+            .when(
+                F.col("pos") == F.col("n_views"),
+                F.when(F.col("n_views") == 2, 0.5).otherwise(0.4),
+            )
+            .otherwise(F.lit(0.2) / (F.col("n_views") - 2))
+        )
+        return ranked.select(
+            "user_id",
+            "view_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("n_views").cast("bigint").alias("n_views"),
+            F.round(credit, 9).alias("credit"),
+        )
+
+    q["position_attribution"] = q_position_attribution
+
     return _gate_order(q)
 
 
@@ -7268,6 +7311,37 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
+
+    o["position_attribution"] = """
+        WITH fp AS (
+          SELECT user_id, min(ts) AS pts
+          FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), v AS (
+          SELECT e.user_id, e.event_id AS view_id, e.ts
+          FROM events e JOIN fp USING (user_id)
+          WHERE e.event_type = 'view' AND e.user_id IS NOT NULL
+            AND e.ts < fp.pts
+        ), r AS (
+          SELECT user_id, view_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, view_id) AS pos,
+                 count(*) OVER (PARTITION BY user_id) AS n_views
+          FROM v
+        )
+        SELECT user_id, view_id,
+               CAST(pos AS BIGINT) AS pos,
+               CAST(n_views AS BIGINT) AS n_views,
+               round(CASE
+                 WHEN n_views = 1 THEN CAST(1.0 AS DOUBLE)
+                 WHEN pos = 1 THEN CASE WHEN n_views = 2
+                                        THEN CAST(0.5 AS DOUBLE)
+                                        ELSE CAST(0.4 AS DOUBLE) END
+                 WHEN pos = n_views THEN CASE WHEN n_views = 2
+                                              THEN CAST(0.5 AS DOUBLE)
+                                              ELSE CAST(0.4 AS DOUBLE) END
+                 ELSE CAST(0.2 AS DOUBLE) / (n_views - 2)
+               END, 9) AS credit
+        FROM r"""
 
     o["late_line_priority"] = """
         SELECT l_linestatus,
