@@ -4849,6 +4849,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["position_attribution"] = q_position_attribution
 
+    def q_quota_apportion(spark, sf_dir):
+        """Hamilton largest-remainder apportionment of a 1000-doc
+        sampling budget across sources proportional to their corpus
+        counts — the exact-integer mixture-planning step (every seat
+        from `(n*B) div N` plus one for the largest remainders, so
+        seats always sum to B and no float can flip an allocation).
+        The remainder ranking runs as a broadcast inequality self-join
+        over the bounded source relation — no SinglePartition window."""
+        B = 1000
+        docs = _t(spark, sf_dir, "documents")
+        counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+        tot = counts.agg(F.sum("n_docs").alias("_N"))
+        base = (
+            counts.crossJoin(F.broadcast(tot))
+            .withColumn("base", F.expr(f"(n_docs * {B}) div _N").cast("bigint"))
+            .withColumn("rem", ((F.col("n_docs") * B) % F.col("_N")).cast("bigint"))
+        )
+        other = base.select(
+            F.col("source").alias("_s2"),
+            F.col("rem").alias("_r2"),
+        )
+        ranked = (
+            base.join(
+                F.broadcast(other),
+                (F.col("_r2") > F.col("rem"))
+                | ((F.col("_r2") == F.col("rem")) & (F.col("_s2") < F.col("source"))),
+                "left",
+            )
+            .groupBy("source", "n_docs", "base", "rem", "_N")
+            .agg(F.count("_s2").alias("_ahead"))
+        )
+        base_tot = ranked.agg(F.sum("base").alias("_bsum"))
+        return (
+            ranked.crossJoin(F.broadcast(base_tot))
+            .withColumn("_extra", F.lit(B) - F.col("_bsum"))
+            .withColumn(
+                "seats",
+                (
+                    F.col("base")
+                    + (F.col("_ahead") < F.col("_extra")).cast("bigint")
+                ).cast("bigint"),
+            )
+            .select(
+                "source",
+                F.col("n_docs").cast("bigint").alias("n_docs"),
+                "base",
+                "rem",
+                "seats",
+            )
+        )
+
+    q["quota_apportion"] = q_quota_apportion
+
     return _gate_order(q)
 
 
@@ -7311,6 +7364,32 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
+
+    o["quota_apportion"] = """
+        WITH counts AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM counts
+        ), base AS (
+          SELECT source, n_docs,
+                 CAST((n_docs * 1000) // N AS BIGINT) AS base,
+                 CAST((n_docs * 1000) % N AS BIGINT) AS rem
+          FROM counts, tot
+        ), ranked AS (
+          SELECT b.source, b.n_docs, b.base, b.rem,
+                 (SELECT count(*) FROM base o
+                  WHERE o.rem > b.rem
+                     OR (o.rem = b.rem AND o.source < b.source)) AS ahead
+          FROM base b
+        ), extra AS (
+          SELECT CAST(1000 - sum(base) AS BIGINT) AS e FROM base
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               base, rem,
+               CAST(base + CASE WHEN ahead < e THEN 1 ELSE 0 END AS BIGINT)
+                 AS seats
+        FROM ranked, extra"""
 
     o["position_attribution"] = """
         WITH fp AS (
