@@ -4902,6 +4902,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quota_apportion"] = q_quota_apportion
 
+    def q_rfm_features(spark, sf_dir):
+        """Per-user RFM feature table (recency / frequency / monetary +
+        breadth) — the standard churn-model feature engineering pass:
+        one map-side-combined aggregation over events plus a broadcast
+        one-row corpus horizon; recency in exact integer microseconds,
+        monetary rounded once.  At 100 TB this is the shape feature
+        stores materialize nightly — no windows, one shuffle on the
+        user key."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        horizon = e.agg(F.max("ts").alias("_hz"))
+        per_user = e.groupBy("user_id").agg(
+            F.max("ts").alias("_last"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.round(F.sum("value"), 9).alias("monetary"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.countDistinct(F.to_date("ts")).cast("bigint").alias("active_days"),
+        )
+        return (
+            per_user.crossJoin(F.broadcast(horizon))
+            .withColumn(
+                "recency_us",
+                (
+                    F.unix_micros(F.col("_hz")) - F.unix_micros(F.col("_last"))
+                ).cast("bigint"),
+            )
+            .select(
+                "user_id", "recency_us", "frequency", "monetary",
+                "n_types", "active_days",
+            )
+        )
+
+    q["rfm_features"] = q_rfm_features
+
     return _gate_order(q)
 
 
@@ -7364,6 +7397,20 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
+
+    o["rfm_features"] = """
+        WITH hz AS (
+          SELECT max(ts) AS h FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(epoch_us(hz.h) - epoch_us(max(ts)) AS BIGINT) AS recency_us,
+               count(*) AS frequency,
+               round(sum(value), 9) AS monetary,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+        FROM events, hz
+        WHERE user_id IS NOT NULL
+        GROUP BY user_id, hz.h"""
 
     o["quota_apportion"] = """
         WITH counts AS (
