@@ -4935,6 +4935,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rfm_features"] = q_rfm_features
 
+    def q_user_value_ranks(spark, sf_dir):
+        """Distribution-position window functions not exercised
+        elsewhere — ntile, percent_rank, cume_dist, nth_value — per
+        user over the (value, event_id) total order.  Partitions are
+        per-user (bounded history), never per-type; percent_rank and
+        cume_dist are exact rationals of integer ranks so both engines
+        agree bit-for-bit."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        w = W.partitionBy("user_id").orderBy("value", "event_id")
+        wf = (
+            W.partitionBy("user_id")
+            .orderBy("value", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        )
+        return e.select(
+            "user_id",
+            "event_id",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 9).alias("cume"),
+            F.round(F.nth_value("value", 2).over(wf), 9).alias("second_lowest"),
+        )
+
+    q["user_value_ranks"] = q_user_value_ranks
+
     return _gate_order(q)
 
 
@@ -7397,6 +7424,19 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
+
+    o["user_value_ranks"] = """
+        SELECT user_id, event_id,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               round(percent_rank() OVER w, 9) AS pct_rank,
+               round(cume_dist() OVER w, 9) AS cume,
+               round(nth_value(value, 2) OVER (
+                 PARTITION BY user_id ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ), 9) AS second_lowest
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)"""
 
     o["rfm_features"] = """
         WITH hz AS (
