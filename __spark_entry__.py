@@ -4962,6 +4962,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["user_value_ranks"] = q_user_value_ranks
 
+    def q_hashed_features(spark, sf_dir):
+        """Feature-hashing document vectors (llm/text.py
+        hashed_doc_features): fixed 64-dim signed-bucket embeddings
+        with no vocabulary to build or broadcast — all-integer
+        invariants (occurrences, nnz, exact squared norm, parity-probe
+        dot) pin every bucket through the gate."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.hashed_doc_features(docs, dim=64, seed="fh6")
+
+    q["hashed_features"] = q_hashed_features
+
     return _gate_order(q)
 
 
@@ -7424,6 +7435,10 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline"] = dedup.er_pipeline_oracle_sql()
 
     o["blocking_yield"] = dedup.blocking_yield_oracle_sql()
+
+    o["hashed_features"] = llm_text.hashed_doc_features_oracle_sql(
+        dim=64, seed="fh6"
+    )
 
     o["user_value_ranks"] = """
         SELECT user_id, event_id,

@@ -1613,3 +1613,94 @@ def quality_filter(
         & (F.col("dup_ngram_frac") <= max_dup_ngram_frac)
         & (F.col("n_pii") <= max_pii)
     )
+
+
+# ----------------------------------------------------------- hashing trick
+def hashed_doc_features(
+    docs: DataFrame,
+    dim: int = 64,
+    seed: str = "fh",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document vectors (Weinberger et al. 2009): each
+    word occurrence adds ±1 to one of ``dim`` buckets (bucket and sign
+    from independent salted hashes), producing a fixed-width integer
+    embedding with no vocabulary to build, broadcast, or keep in sync —
+    the classic pre-neural text featurizer, and still the cheapest
+    fixed-dim representation for clustering/dedup sketches at corpus
+    scale.
+
+    Emits scalar per-doc invariants instead of the array (engine-hash
+    friendly, pins every bucket through two independent linear probes):
+    ``n_terms`` (occurrences), ``nnz`` (non-zero buckets), ``l2sq``
+    (exact integer squared norm), and ``probe_dot`` (dot with the fixed
+    ±1 parity probe).  All-integer arithmetic end-to-end.
+
+    Plan: explode words -> one (doc, bucket) partial-combine aggregate
+    -> one per-doc aggregate; vocabulary never materializes.
+    """
+    from openseize_spark.llm.sampling import salted_hash
+
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    occ = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("_w"))
+        .select(
+            "_id",
+            (salted_hash(F.col("_w"), seed) % dim).alias("_b"),
+            (salted_hash(F.col("_w"), seed + "s") % 2 * 2 - 1).alias("_sgn"),
+        )
+    )
+    buckets = occ.groupBy("_id", "_b").agg(
+        F.sum("_sgn").alias("_v"), F.count("*").alias("_k")
+    )
+    return (
+        buckets.groupBy("_id")
+        .agg(
+            F.sum("_k").cast("bigint").alias("n_terms"),
+            F.sum((F.col("_v") != 0).cast("bigint")).cast("bigint").alias("nnz"),
+            F.sum(F.col("_v") * F.col("_v")).cast("bigint").alias("l2sq"),
+            F.sum(F.col("_v") * (F.col("_b") % 2 * 2 - 1))
+            .cast("bigint")
+            .alias("probe_dot"),
+        )
+        .select(F.col("_id").alias(id_col), "n_terms", "nnz", "l2sq", "probe_dot")
+    )
+
+
+def hashed_doc_features_oracle_sql(dim: int = 64, seed: str = "fh") -> str:
+    """DuckDB replay of :func:`hashed_doc_features` over ``documents``."""
+    from openseize_spark.llm.sampling import salted_hash_sql
+
+    hb = salted_hash_sql("u.w", seed)
+    hs = salted_hash_sql("u.w", seed + "s")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS w
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), occ AS (
+          SELECT doc_id,
+                 ({hb} % {dim}) AS b,
+                 ({hs} % 2 * 2 - 1) AS sgn
+          FROM toks u
+        ), buckets AS (
+          SELECT doc_id, b,
+                 CAST(sum(sgn) AS BIGINT) AS v,
+                 count(*) AS k
+          FROM occ GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+               CAST(sum(v * v) AS BIGINT) AS l2sq,
+               CAST(sum(v * (b % 2 * 2 - 1)) AS BIGINT) AS probe_dot
+        FROM buckets GROUP BY doc_id"""

@@ -1629,3 +1629,38 @@ class TestHllByGroup:
                 solo.n_empty, solo.sum_units,
                 solo.exact_distinct, solo.est_distinct,
             )
+
+
+class TestHashedFeatures:
+    def test_python_replay_and_invariants(self, spark):
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "gamma"), (3, "  Alpha  BETA ")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in
+               text.hashed_doc_features(docs, dim=8, seed="t").collect()}
+
+        def h(w, seed):
+            return int(hashlib.md5(f"{seed}:{w}".encode()).hexdigest()[:8], 16)
+
+        def feats(words):
+            v = {}
+            for w in words:
+                b = h(w, "t") % 8
+                s = h(w, "ts") % 2 * 2 - 1
+                v[b] = v.get(b, 0) + s
+            return v
+
+        for doc_id, words in ((1, ["alpha", "beta", "alpha"]),
+                              (2, ["gamma"]),
+                              (3, ["alpha", "beta"])):
+            v = feats(words)
+            r = out[doc_id]
+            assert r.n_terms == len(words)
+            assert r.nnz == sum(1 for x in v.values() if x != 0)
+            assert r.l2sq == sum(x * x for x in v.values())
+            assert r.probe_dot == sum(x * (b % 2 * 2 - 1) for b, x in v.items())
+        # normalization: doc 3 equals doc 1 minus one 'alpha' occurrence
+        assert out[3].n_terms == 2
