@@ -4973,6 +4973,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hashed_features"] = q_hashed_features
 
+    def q_value_hour_corr(spark, sf_dir):
+        """Pearson correlation between event value and hour-of-day per
+        event type, computed from EXACT integer moments (value in 1e-2
+        cents, hour 0-23): n, Sx, Sy, Sxy, Sxx, Syy accumulate as
+        int64 — order-invariant — and the closed form divides once
+        through IEEE sqrt.  The built-in corr() aggregates floats in
+        partition order and cannot be oracle-matched; this is the
+        same exact-moment discipline as value_trend's OLS."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        x = F.round(F.col("value") * 100).cast("bigint")
+        y = F.hour("ts").cast("bigint")
+        m = e.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(x).cast("bigint").alias("sx"),
+            F.sum(y).cast("bigint").alias("sy"),
+            F.sum(x * y).cast("bigint").alias("sxy"),
+            F.sum(x * x).cast("bigint").alias("sxx"),
+            F.sum(y * y).cast("bigint").alias("syy"),
+        )
+        num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+            "double"
+        )
+        den = F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ) * F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        )
+        return m.select(
+            "event_type", "n", F.round(num / den, 9).alias("corr_vh")
+        )
+
+    q["value_hour_corr"] = q_value_hour_corr
+
+    def q_dow_type_chi2(spark, sf_dir):
+        """Chi-square contingency cells for event_type x day-of-week:
+        observed counts, expected = row_total * col_total / N, and the
+        per-cell (o-e)^2/e contribution — emitted PER CELL (35 rows)
+        rather than summed, so no order-dependent float total exists;
+        marginals ride broadcast joins on the bounded key sets."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cells = e.groupBy(
+            "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+        ).agg(F.count("*").cast("bigint").alias("observed"))
+        rows = cells.groupBy("event_type").agg(
+            F.sum("observed").cast("bigint").alias("_rt")
+        )
+        cols = cells.groupBy("dow").agg(
+            F.sum("observed").cast("bigint").alias("_ct")
+        )
+        tot = cells.agg(F.sum("observed").cast("bigint").alias("_N"))
+        exp = (
+            F.col("_rt").cast("double")
+            * F.col("_ct").cast("double")
+            / F.col("_N").cast("double")
+        )
+        j = (
+            cells.join(F.broadcast(rows), on="event_type")
+            .join(F.broadcast(cols), on="dow")
+            .crossJoin(F.broadcast(tot))
+            .withColumn("expected", F.round(exp, 9))
+        )
+        contrib = (
+            (F.col("observed").cast("double") - exp)
+            * (F.col("observed").cast("double") - exp)
+            / exp
+        )
+        return j.select(
+            "event_type", "dow", "observed", "expected",
+            F.round(contrib, 9).alias("chi2_contrib"),
+        )
+
+    q["dow_type_chi2"] = q_dow_type_chi2
+
     return _gate_order(q)
 
 
@@ -7439,6 +7514,60 @@ def oracle_sql() -> dict[str, str]:
     o["hashed_features"] = llm_text.hashed_doc_features_oracle_sql(
         dim=64, seed="fh6"
     )
+
+    o["value_hour_corr"] = """
+        WITH m AS (
+          SELECT event_type,
+                 count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS x,
+                   CAST(hour(ts) AS BIGINT) AS y
+            FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+          ) GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 9)
+                 AS corr_vh
+        FROM m"""
+
+    o["dow_type_chi2"] = """
+        WITH cells AS (
+          SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 count(*) AS observed
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY 1, 2
+        ), rt AS (
+          SELECT event_type, CAST(sum(observed) AS BIGINT) AS r
+          FROM cells GROUP BY 1
+        ), ct AS (
+          SELECT dow, CAST(sum(observed) AS BIGINT) AS c
+          FROM cells GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS N FROM cells
+        )
+        SELECT cells.event_type, cells.dow, observed,
+               round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                     / CAST(N AS DOUBLE), 9) AS expected,
+               round((CAST(observed AS DOUBLE)
+                      - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(N AS DOUBLE))
+                     * (CAST(observed AS DOUBLE)
+                        - CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                          / CAST(N AS DOUBLE))
+                     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                        / CAST(N AS DOUBLE)), 9) AS chi2_contrib
+        FROM cells
+        JOIN rt USING (event_type)
+        JOIN ct USING (dow)
+        CROSS JOIN tot"""
 
     o["user_value_ranks"] = """
         SELECT user_id, event_id,
