@@ -5048,6 +5048,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dow_type_chi2"] = q_dow_type_chi2
 
+    def q_brand_top_parts(spark, sf_dir):
+        """Top-3 DISTINCT price tiers per brand with ties kept —
+        dense_rank ≤ k, the rank-with-ties semantics row_number top-k
+        queries (returned_customers, group_reservoir) deliberately
+        avoid.  Bounded per-brand partitions; Spark's WindowGroupLimit
+        caps partitions before the filter."""
+        p = _t(spark, sf_dir, "part")
+        dr = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+        return (
+            p.withColumn("price_tier", F.dense_rank().over(dr).cast("bigint"))
+            .filter(F.col("price_tier") <= 3)
+            .select("p_brand", "p_partkey", "p_retailprice", "price_tier")
+        )
+
+    q["brand_top_parts"] = q_brand_top_parts
+
+    def q_time_weighted_avg(spark, sf_dir):
+        """Per-user time-weighted average value — the correct mean for
+        irregularly-sampled series (each value holds until the next
+        event): weights are exact integer microsecond gaps from lead(),
+        value in integer cents, so the weighted sum is exact int64 and
+        one division closes it.  The trailing event carries no weight
+        (no holding interval), matching the standard TWA definition."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        g = e.select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+            (
+                F.unix_micros(F.lead("ts", 1).over(w))
+                - F.unix_micros(F.col("ts"))
+            ).cast("bigint").alias("_gap_us"),
+        ).filter(F.col("_gap_us").isNotNull())
+        return g.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum("_gap_us").cast("bigint").alias("span_us"),
+            F.round(
+                F.sum(F.col("_vc") * F.col("_gap_us")).cast("double")
+                / F.sum("_gap_us").cast("double")
+                / 100.0,
+                9,
+            ).alias("twa_value"),
+        )
+
+    q["time_weighted_avg"] = q_time_weighted_avg
+
     return _gate_order(q)
 
 
@@ -7514,6 +7562,32 @@ def oracle_sql() -> dict[str, str]:
     o["hashed_features"] = llm_text.hashed_doc_features_oracle_sql(
         dim=64, seed="fh6"
     )
+
+    o["brand_top_parts"] = """
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(dense_rank() OVER (
+                 PARTITION BY p_brand ORDER BY p_retailprice DESC
+               ) AS BIGINT) AS price_tier
+        FROM part
+        QUALIFY price_tier <= 3"""
+
+    o["time_weighted_avg"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 )) - epoch_us(ts) AS gap
+          FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT user_id,
+               count(*) AS n_intervals,
+               CAST(sum(gap) AS BIGINT) AS span_us,
+               round(CAST(sum(vc * gap) AS DOUBLE)
+                     / CAST(sum(gap) AS DOUBLE) / 100.0, 9) AS twa_value
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id"""
 
     o["value_hour_corr"] = """
         WITH m AS (
