@@ -5096,6 +5096,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["time_weighted_avg"] = q_time_weighted_avg
 
+    def q_holt_forecast(spark, sf_dir):
+        """Holt double-exponential smoothing per user (alpha = 1/4,
+        beta = 1/8, both dyadic): the COUPLED level/trend recursion the
+        single-state EWMA can't express, run as an ordered fold with a
+        struct accumulator — level' = a*x + (1-a)*(level+trend),
+        trend' = b*(level'-level) + (1-b)*trend, initialized level=x2,
+        trend=x2-x1, recursing from the 3rd sample.  The oracle replays the identical recursion as a
+        recursive CTE stepping all users in lockstep; identical IEEE
+        expression trees keep both engines bit-equal.  Emits the final
+        state and the 1-step forecast."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+        vals = F.transform(arr, lambda s: s["value"])
+        x1 = F.element_at(vals, 1)
+        x2 = F.element_at(vals, 2)
+        init = F.struct(
+            x2.alias("level"), (x2 - x1).alias("trend")
+        )
+        def _step(acc, x):
+            level2 = (
+                F.lit(0.25) * x
+                + F.lit(0.75) * (acc["level"] + acc["trend"])
+            )
+            return F.struct(
+                level2.alias("level"),
+                (
+                    F.lit(0.125) * (level2 - acc["level"])
+                    + F.lit(0.875) * acc["trend"]
+                ).alias("trend"),
+            )
+        fin = F.aggregate(F.slice(vals, 3, F.size(vals) - 2), init, _step)
+        return (
+            e.groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.round(fin["level"], 9).alias("level"),
+                F.round(fin["trend"], 9).alias("trend"),
+                F.round(fin["level"] + fin["trend"], 9).alias("forecast1"),
+            )
+            .filter(F.col("n_events") >= 2)
+        )
+
+    q["holt_forecast"] = q_holt_forecast
+
     return _gate_order(q)
 
 
@@ -7562,6 +7608,36 @@ def oracle_sql() -> dict[str, str]:
     o["hashed_features"] = llm_text.hashed_doc_features_oracle_sql(
         dim=64, seed="fh6"
     )
+
+    o["holt_forecast"] = """
+        WITH RECURSIVE vpos AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i,
+                 value AS v
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), nn AS (
+          SELECT user_id, max(i) AS n FROM vpos GROUP BY 1
+        ), r AS (
+          SELECT a.user_id, 2 AS i, b.v AS level, b.v - a.v AS trend
+          FROM vpos a JOIN vpos b
+            ON a.user_id = b.user_id AND a.i = 1 AND b.i = 2
+          UNION ALL
+          SELECT r.user_id, r.i + 1,
+                 0.25 * p.v + 0.75 * (r.level + r.trend),
+                 0.125 * ((0.25 * p.v + 0.75 * (r.level + r.trend))
+                          - r.level)
+                 + 0.875 * r.trend
+          FROM r JOIN vpos p
+            ON p.user_id = r.user_id AND p.i = r.i + 1
+        )
+        SELECT r.user_id,
+               CAST(nn.n AS BIGINT) AS n_events,
+               round(r.level, 9) AS level,
+               round(r.trend, 9) AS trend,
+               round(r.level + r.trend, 9) AS forecast1
+        FROM r JOIN nn USING (user_id)
+        WHERE r.i = nn.n AND nn.n >= 2"""
 
     o["brand_top_parts"] = """
         SELECT p_brand, p_partkey, p_retailprice,
