@@ -5142,6 +5142,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["holt_forecast"] = q_holt_forecast
 
+    def q_type_streaks(spark, sf_dir):
+        """Gaps-and-islands: maximal runs of consecutive same-type
+        events per user (ordered by ts, event_id), via the classic
+        rn - rn_per_type island key — all-integer, no iteration.
+        Emits one row per island with its length and bounds; the
+        per-user window partitions are bounded histories."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w_all = W.partitionBy("user_id").orderBy("ts", "event_id")
+        w_type = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        isl = e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (
+                F.row_number().over(w_all) - F.row_number().over(w_type)
+            ).alias("_isl"),
+        )
+        return (
+            isl.groupBy("user_id", "event_type", "_isl")
+            .agg(
+                F.count("*").cast("bigint").alias("streak_len"),
+                F.min("event_id").cast("bigint").alias("first_event"),
+                F.max("event_id").cast("bigint").alias("last_event"),
+            )
+            .filter(F.col("streak_len") >= 3)
+            .select(
+                "user_id", "event_type", "streak_len",
+                "first_event", "last_event",
+            )
+        )
+
+    q["type_streaks"] = q_type_streaks
+
+    def q_benford_digits(spark, sf_dir):
+        """Benford first-significant-digit audit over order totals —
+        the classic fabricated-data screen: observed counts per leading
+        digit vs the Benford expectation n*log10(1+1/d).  Counts are
+        exact integers; the expectation multiplies one exact count by a
+        log10 of a digit-constant literal (identical in both libms for
+        these 9 values, guarded by the 9-digit round)."""
+        o = _t(spark, sf_dir, "orders")
+        d = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("bigint")
+        counts = (
+            o.filter(F.col("o_totalprice") > 0)
+            .groupBy(d.alias("digit"))
+            .agg(F.count("*").cast("bigint").alias("observed"))
+        )
+        tot = counts.agg(F.sum("observed").alias("_n"))
+        return (
+            counts.crossJoin(F.broadcast(tot))
+            .withColumn(
+                "expected",
+                F.round(
+                    F.col("_n").cast("double")
+                    * F.log10(1 + 1 / F.col("digit").cast("double")),
+                    9,
+                ),
+            )
+            .select("digit", "observed", "expected")
+        )
+
+    q["benford_digits"] = q_benford_digits
+
     return _gate_order(q)
 
 
@@ -7608,6 +7672,38 @@ def oracle_sql() -> dict[str, str]:
     o["hashed_features"] = llm_text.hashed_doc_features_oracle_sql(
         dim=64, seed="fh6"
     )
+
+    o["type_streaks"] = """
+        WITH isl AS (
+          SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS g
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT user_id, event_type,
+               count(*) AS streak_len,
+               CAST(min(event_id) AS BIGINT) AS first_event,
+               CAST(max(event_id) AS BIGINT) AS last_event
+        FROM isl
+        GROUP BY user_id, event_type, g
+        HAVING count(*) >= 3"""
+
+    o["benford_digits"] = """
+        WITH counts AS (
+          SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+                 count(*) AS observed
+          FROM orders WHERE o_totalprice > 0
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(observed) AS BIGINT) AS n FROM counts
+        )
+        SELECT digit, observed,
+               round(CAST(n AS DOUBLE)
+                     * log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS expected
+        FROM counts, tot"""
 
     o["holt_forecast"] = """
         WITH RECURSIVE vpos AS (
