@@ -5206,6 +5206,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["benford_digits"] = q_benford_digits
 
+    def q_theilsen_slope(spark, sf_dir):
+        """Theil-Sen robust trend per user: the median of all pairwise
+        slopes — insensitive to the outliers that tilt value_trend's
+        OLS.  Pairs come from a per-user rank self-join (quadratic only
+        in the bounded per-user history); each slope divides the exact
+        integer cent delta by the exact microsecond gap once, and the
+        median interpolates the identical float multiset in both
+        engines (the rolling_median percentile contract)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        r = e.select(
+            "user_id",
+            F.row_number().over(w).alias("_rn"),
+            F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
+            F.unix_micros("ts").alias("_us"),
+        )
+        a = r.select(
+            F.col("user_id"),
+            F.col("_rn").alias("_i"),
+            F.col("_vc").alias("_v1"),
+            F.col("_us").alias("_t1"),
+        )
+        b = r.select(
+            F.col("user_id"),
+            F.col("_rn").alias("_j"),
+            F.col("_vc").alias("_v2"),
+            F.col("_us").alias("_t2"),
+        )
+        pairs = (
+            a.join(b, on="user_id")
+            .filter((F.col("_j") > F.col("_i")) & (F.col("_t2") != F.col("_t1")))
+            .withColumn(
+                "_slope",
+                ((F.col("_v2") - F.col("_v1")) * 1000000).cast("double")
+                / (F.col("_t2") - F.col("_t1")).cast("double"),
+            )
+        )
+        return pairs.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.expr("percentile(_slope, 0.5)"), 9
+            ).alias("median_slope_cps"),
+        )
+
+    q["theilsen_slope"] = q_theilsen_slope
+
     return _gate_order(q)
 
 
@@ -7704,6 +7752,26 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      * log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS expected
         FROM counts, tot"""
+
+    o["theilsen_slope"] = """
+        WITH r AS (
+          SELECT user_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 epoch_us(ts) AS us
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), pairs AS (
+          SELECT a.user_id,
+                 CAST((b.vc - a.vc) * 1000000 AS DOUBLE)
+                 / CAST(b.us - a.us AS DOUBLE) AS slope
+          FROM r a JOIN r b
+            ON a.user_id = b.user_id AND b.rn > a.rn AND b.us <> a.us
+        )
+        SELECT user_id,
+               count(*) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 9) AS median_slope_cps
+        FROM pairs GROUP BY user_id"""
 
     o["holt_forecast"] = """
         WITH RECURSIVE vpos AS (
