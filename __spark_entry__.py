@@ -5254,6 +5254,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["theilsen_slope"] = q_theilsen_slope
 
+    def q_yoy_revenue(spark, sf_dir):
+        """Year-over-year monthly revenue growth: the calendar
+        self-join pattern — monthly exact-unit totals joined to the
+        same month one year earlier — instead of a lag(12) window over
+        the global month series (which would plan a SinglePartition
+        sort at any scale).  Growth divides two exact int64 unit sums
+        once."""
+        li = _t(spark, sf_dir, "lineitem")
+        monthly = (
+            li.groupBy(
+                F.year("l_shipdate").cast("bigint").alias("yr"),
+                F.month("l_shipdate").cast("bigint").alias("mo"),
+            )
+            .agg(F.sum(_rev_units()).cast("bigint").alias("rev_units"))
+        )
+        prev = monthly.select(
+            (F.col("yr") + 1).alias("yr"),
+            F.col("mo"),
+            F.col("rev_units").alias("prev_units"),
+        )
+        return (
+            monthly.join(prev, on=["yr", "mo"])
+            .withColumn(
+                "yoy_growth",
+                F.round(
+                    (F.col("rev_units") - F.col("prev_units")).cast("double")
+                    / F.col("prev_units").cast("double"),
+                    9,
+                ),
+            )
+            .select("yr", "mo", "rev_units", "prev_units", "yoy_growth")
+        )
+
+    q["yoy_revenue"] = q_yoy_revenue
+
     return _gate_order(q)
 
 
@@ -7752,6 +7787,20 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      * log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS expected
         FROM counts, tot"""
+
+    o["yoy_revenue"] = f"""
+        WITH monthly AS (
+          SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                 CAST(month(l_shipdate) AS BIGINT) AS mo,
+                 CAST(sum({_U}) AS BIGINT) AS rev_units
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT c.yr, c.mo, c.rev_units,
+               p.rev_units AS prev_units,
+               round(CAST(c.rev_units - p.rev_units AS DOUBLE)
+                     / CAST(p.rev_units AS DOUBLE), 9) AS yoy_growth
+        FROM monthly c JOIN monthly p
+          ON c.yr = p.yr + 1 AND c.mo = p.mo"""
 
     o["theilsen_slope"] = """
         WITH r AS (
