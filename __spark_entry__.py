@@ -5289,6 +5289,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["yoy_revenue"] = q_yoy_revenue
 
+    def q_language_margin(spark, sf_dir):
+        """Language-ID confidence margins (llm/text.py
+        language_margin): best vs second-best marker score per doc —
+        the routing signal separating confident predictions from
+        ambiguous ones.  Pure codegen scan like language_id."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.language_margin(docs)
+
+    q["language_margin"] = q_language_margin
+
     return _gate_order(q)
 
 
@@ -7787,6 +7797,43 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      * log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS expected
         FROM counts, tot"""
+
+    o["language_margin"] = """
+        WITH norm AS (
+          SELECT doc_id,
+                 ' ' || regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                 || ' ' AS nt
+          FROM documents
+        ), scored AS (
+          SELECT doc_id,
+                 ( (length(nt) - length(replace(nt, ' the ', ''))) / 5.0
+                 + (length(nt) - length(replace(nt, ' and ', ''))) / 5.0
+                 + (length(nt) - length(replace(nt, ' is ', ''))) / 4.0 ) AS s_en,
+                 ( (length(nt) - length(replace(nt, ' der ', ''))) / 5.0
+                 + (length(nt) - length(replace(nt, ' und ', ''))) / 5.0
+                 + (length(nt) - length(replace(nt, ' ist ', ''))) / 5.0 ) AS s_de,
+                 ( (length(nt) - length(replace(nt, ' le ', ''))) / 4.0
+                 + (length(nt) - length(replace(nt, ' et ', ''))) / 4.0
+                 + (length(nt) - length(replace(nt, ' est ', ''))) / 5.0 ) AS s_fr,
+                 ( (length(nt) - length(replace(nt, ' el ', ''))) / 4.0
+                 + (length(nt) - length(replace(nt, ' y ', ''))) / 3.0
+                 + (length(nt) - length(replace(nt, ' es ', ''))) / 4.0 ) AS s_es
+          FROM norm
+        ), arr AS (
+          SELECT doc_id, s_en, s_de, s_fr, s_es,
+                 list_sort([s_en, s_de, s_fr, s_es]) AS a
+          FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'unk'
+                    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                    ELSE 'es' END AS lang_pred,
+               round(a[4], 9) AS score,
+               round(a[3], 9) AS second_score,
+               round(a[4] - a[3], 9) AS margin
+        FROM arr"""
 
     o["yoy_revenue"] = f"""
         WITH monthly AS (

@@ -119,6 +119,30 @@ def quality_prune(
     )
 
 
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " is "),
+    "de": (" der ", " und ", " ist "),
+    "fr": (" le ", " et ", " est "),
+    "es": (" el ", " y ", " es "),
+}
+
+
+def _lang_scored(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    norm = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    scores = [
+        sum(occurrence_count(norm, m) for m in ms).alias(f"_s_{lang}")
+        for lang, ms in _LANG_MARKERS.items()
+    ]
+    return docs.select(F.col(id_col), *scores)
+
+
+def _lang_pred(best):
+    pred = F.lit("unk")
+    for l in reversed(list(_LANG_MARKERS)):
+        pred = F.when((best > 0) & (F.col(f"_s_{l}") == best), l).otherwise(pred)
+    return pred
+
+
 def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """N-gram/stopword language heuristic over a fixed marker table.
 
@@ -126,24 +150,35 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     a tiny marker DataFrame would also work; literal CASE keeps it
     codegen-only).  Returns (id, lang_pred, score).
     """
-    markers = {
-        "en": (" the ", " and ", " is "),
-        "de": (" der ", " und ", " ist "),
-        "fr": (" le ", " et ", " est "),
-        "es": (" el ", " y ", " es "),
-    }
-    norm = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
-    scores = [
-        sum(occurrence_count(norm, m) for m in ms).alias(f"_s_{lang}")
-        for lang, ms in markers.items()
-    ]
-    scored = docs.select(F.col(id_col), *scores)
-    langs = list(markers)
+    scored = _lang_scored(docs, text_col, id_col)
+    langs = list(_LANG_MARKERS)
     best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
-    pred = F.lit("unk")
-    for l in reversed(langs):
-        pred = F.when((best > 0) & (F.col(f"_s_{l}") == best), l).otherwise(pred)
-    return scored.select(F.col(id_col), pred.alias("lang_pred"), best.alias("score"))
+    return scored.select(F.col(id_col), _lang_pred(best).alias("lang_pred"), best.alias("score"))
+
+
+def language_margin(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Language-ID with a confidence margin: best and second-best
+    marker scores per document and their gap — the routing signal
+    quality pipelines use to separate confident predictions from
+    ambiguous ones (margin 0 = tie; route to the expensive classifier).
+    Same codegen-only scoring as :func:`language_id`; the margin is a
+    subtraction of two entries of one sorted score array."""
+    scored = _lang_scored(docs, text_col, id_col)
+    langs = list(_LANG_MARKERS)
+    arr = F.array_sort(F.array(*[F.col(f"_s_{l}") for l in langs]))
+    best = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    return scored.select(
+        F.col(id_col),
+        _lang_pred(F.greatest(*[F.col(f"_s_{l}") for l in langs])).alias(
+            "lang_pred"
+        ),
+        F.round(best, 9).alias("score"),
+        F.round(second, 9).alias("second_score"),
+        F.round(best - second, 9).alias("margin"),
+    )
 
 
 def dup_ngram_frac_expr(text_col: str = "text", n: int = 3):
