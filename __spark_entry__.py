@@ -5299,6 +5299,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["language_margin"] = q_language_margin
 
+    def q_source_gini(spark, sf_dir):
+        """Gini coefficients of corpus concentration across sources,
+        one row per mass metric (documents and characters) — the
+        diversity numbers a dataset card quotes (0 = balanced mixture,
+        ->1 = one source dominates; the synthetic corpus is doc-
+        balanced, so the docs row pins exact 0 while chars is
+        nonzero).  Sorted-rank weights via a broadcast inequality
+        self-join over the bounded (metric, source) relation — never a
+        global window; exact int64 sums, one closing division."""
+        docs = _t(spark, sf_dir, "documents")
+        per_src = docs.groupBy("source").agg(
+            F.count("*").alias("_docs"),
+            F.sum("n_chars").alias("_chars"),
+        )
+        melted = per_src.select(
+            "source",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(F.lit("docs"), F.lit("chars")),
+                    F.array(F.col("_docs"), F.col("_chars")),
+                )
+            ).alias("metric", "x"),
+        )
+        other = melted.select(
+            F.col("metric").alias("_m2"),
+            F.col("source").alias("_s2"),
+            F.col("x").alias("_x2"),
+        )
+        ranked = (
+            melted.join(
+                F.broadcast(other),
+                (F.col("_m2") == F.col("metric"))
+                & (
+                    (F.col("_x2") < F.col("x"))
+                    | ((F.col("_x2") == F.col("x")) & (F.col("_s2") < F.col("source")))
+                ),
+                "left",
+            )
+            .groupBy("metric", "source", "x")
+            .agg((F.count("_s2") + 1).cast("bigint").alias("rank"))
+        )
+        agg = ranked.groupBy("metric").agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            F.sum("x").cast("bigint").alias("total_mass"),
+            F.sum(F.col("rank") * F.col("x")).cast("bigint").alias("_srx"),
+        )
+        # G = (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)), ranks ascending
+        return agg.select(
+            "metric",
+            "n_sources",
+            "total_mass",
+            F.round(
+                (
+                    2 * F.col("_srx")
+                    - (F.col("n_sources") + 1) * F.col("total_mass")
+                ).cast("double")
+                / (F.col("n_sources") * F.col("total_mass")).cast("double"),
+                9,
+            ).alias("gini"),
+        )
+
+    q["source_gini"] = q_source_gini
+
     return _gate_order(q)
 
 
@@ -7797,6 +7860,31 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n AS DOUBLE)
                      * log10(1 + 1 / CAST(digit AS DOUBLE)), 9) AS expected
         FROM counts, tot"""
+
+    o["source_gini"] = """
+        WITH per_src AS (
+          SELECT source, count(*) AS d, CAST(sum(n_chars) AS BIGINT) AS c
+          FROM documents GROUP BY source
+        ), melted AS (
+          SELECT source, 'docs' AS metric, d AS x FROM per_src
+          UNION ALL
+          SELECT source, 'chars' AS metric, c AS x FROM per_src
+        ), ranked AS (
+          SELECT m.metric, m.source, m.x,
+                 CAST((SELECT count(*) FROM melted o
+                       WHERE o.metric = m.metric
+                         AND (o.x < m.x
+                              OR (o.x = m.x AND o.source < m.source))) + 1
+                      AS BIGINT) AS rank
+          FROM melted m
+        )
+        SELECT metric,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(x) AS BIGINT) AS total_mass,
+               round(CAST(2 * sum(rank * x)
+                          - (count(*) + 1) * sum(x) AS DOUBLE)
+                     / CAST(count(*) * sum(x) AS DOUBLE), 9) AS gini
+        FROM ranked GROUP BY metric"""
 
     o["language_margin"] = """
         WITH norm AS (
