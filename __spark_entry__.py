@@ -5362,6 +5362,279 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_gini"] = q_source_gini
 
+    def q_ab_test_zscore(spark, sf_dir):
+        """Two-proportion A/B z-test over a deterministic hash-split
+        experiment: users land in arm A/B by salted md5 hash (the same
+        portable split primitive as split_assign), conversion = at least
+        14 'purchase' events (the per-user median is ~13, so both
+        converted and unconverted users exist in every arm — an
+        any-purchase definition saturates at 100% and zeroes the pooled
+        variance).  All counts are exact int64; the z statistic
+        is one mirrored chain of IEEE-exact ops (divides, sqrt) on those
+        counts, so both engines emit the identical double.  One row."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        half = sampling.HASH_SPACE // 2
+        arm = F.when(
+            sampling.salted_hash(F.col("user_id"), "ab6") < half, "A"
+        ).otherwise("B")
+        per_user = e.groupBy("user_id").agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            ).cast("bigint").alias("_conv")
+        ).withColumn("_arm", arm)
+        s = per_user.agg(
+            F.sum(F.when(F.col("_arm") == "A", 1).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("_arm") == "A", F.col("_conv")).otherwise(0))
+            .cast("bigint").alias("conv_a"),
+            F.sum(F.when(F.col("_arm") == "B", 1).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("_arm") == "B", F.col("_conv")).otherwise(0))
+            .cast("bigint").alias("conv_b"),
+        )
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        pa = F.col("conv_a").cast("double") / na
+        pb = F.col("conv_b").cast("double") / nb
+        pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+        )
+        z = (pa - pb) / F.sqrt(
+            pool * (1 - pool) * (1 / na + 1 / nb)
+        )
+        return s.select(
+            "n_a", "conv_a", "n_b", "conv_b",
+            F.round(pa, 9).alias("rate_a"),
+            F.round(pb, 9).alias("rate_b"),
+            F.round(z, 9).alias("z_score"),
+        )
+
+    q["ab_test_zscore"] = q_ab_test_zscore
+
+    def q_cuped_adjust(spark, sf_dir):
+        """CUPED variance reduction on the same hash-split experiment:
+        pre-period (first half of the month) spend is the covariate for
+        post-period spend.  theta = cov(x,y)/var(x) and the covariate
+        mean come from EXACT int64 cent moments (the value_hour_corr
+        discipline); each arm's adjusted mean y - theta*(x - xbar) is a
+        mirrored float chain on exact arm sums.  Two rows (one per arm).
+        At extreme corpus scale the int64 cross-moments would move to
+        DECIMAL(38) — noted, not needed at gate SF."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        half = sampling.HASH_SPACE // 2
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        per_user = e.groupBy("user_id").agg(
+            F.sum(F.when(pre, cents).otherwise(0)).cast("bigint").alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(0)).cast("bigint").alias("y"),
+        ).withColumn(
+            "arm",
+            F.when(
+                sampling.salted_hash(F.col("user_id"), "ab6") < half, "A"
+            ).otherwise("B"),
+        )
+        g = per_user.agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("x").cast("bigint").alias("_sx"),
+            F.sum("y").cast("bigint").alias("_sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        )
+        arms = per_user.groupBy("arm").agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("_ax"),
+            F.sum("y").cast("bigint").alias("_ay"),
+        )
+        theta = (
+            (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("double")
+            / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("double")
+        )
+        xbar = F.col("_sx").cast("double") / F.col("_n").cast("double")
+        nu = F.col("n_users").cast("double")
+        mean_post = F.col("_ay").cast("double") / nu
+        mean_adj = (
+            F.col("_ay").cast("double")
+            - theta * (F.col("_ax").cast("double") - nu * xbar)
+        ) / nu
+        return (
+            arms.crossJoin(F.broadcast(g))
+            .select(
+                "arm",
+                "n_users",
+                F.round(mean_post, 9).alias("mean_post_cents"),
+                F.round(mean_adj, 9).alias("mean_adj_cents"),
+                F.round(theta, 9).alias("theta"),
+            )
+        )
+
+    q["cuped_adjust"] = q_cuped_adjust
+
+    def q_link_prediction(spark, sf_dir):
+        """Bipartite link prediction over the part-order graph: for part
+        pairs co-purchased in >= 2 orders, the common-neighbor count plus
+        resource-allocation (sum 1/deg) and Adamic-Adar (sum 1/ln deg)
+        scores, where deg is the shared order's part-degree.  Pair
+        generation is the per-order self-equi-join (fanout quadratic only
+        in the bounded per-order part count, like brand_cooccurrence) —
+        never corpus-quadratic.  Counts/degrees are exact ints; each
+        score term is one divide (RA exact; AA's ln + the tiny per-pair
+        float sum ride the 9-digit round)."""
+        li = _t(spark, sf_dir, "lineitem")
+        ob = li.select("l_orderkey", "l_partkey").distinct()
+        deg = ob.groupBy("l_orderkey").agg(
+            F.count("*").cast("bigint").alias("_deg")
+        )
+        obd = ob.join(deg, on="l_orderkey")
+        x = obd.select(
+            F.col("l_orderkey").alias("_o"),
+            F.col("l_partkey").alias("part_a"),
+            F.col("_deg"),
+        )
+        y = obd.select(
+            F.col("l_orderkey").alias("_o"),
+            F.col("l_partkey").alias("part_b"),
+        )
+        pairs = x.join(y, on="_o").filter(F.col("part_a") < F.col("part_b"))
+        d = F.col("_deg").cast("double")
+        return (
+            pairs.groupBy("part_a", "part_b")
+            .agg(
+                F.count("*").cast("bigint").alias("cn_orders"),
+                F.sum(F.lit(1.0) / d).alias("_ra"),
+                F.sum(F.lit(1.0) / F.log(d)).alias("_aa"),
+            )
+            .filter(F.col("cn_orders") >= 2)
+            .select(
+                "part_a",
+                "part_b",
+                "cn_orders",
+                F.round("_ra", 9).alias("ra_score"),
+                F.round("_aa", 9).alias("aa_score"),
+            )
+        )
+
+    q["link_prediction"] = q_link_prediction
+
+    def q_markov_transitions(spark, sf_dir):
+        """First-order Markov model of user behavior: event-type
+        transition counts and conditional probabilities from each user's
+        (ts, event_id)-ordered event sequence.  lead() runs in windows
+        partitioned by user (hash-distributes at scale, never a global
+        sort); the |types|^2 transition matrix aggregates with map-side
+        combine; each probability is one exact-int64 divide."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        t = (
+            e.select(
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            )
+            .filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        tot = t.groupBy("from_type").agg(
+            F.sum("n").cast("bigint").alias("_rt")
+        )
+        return (
+            t.join(F.broadcast(tot), on="from_type")
+            .select(
+                "from_type",
+                "to_type",
+                "n",
+                F.round(
+                    F.col("n").cast("double") / F.col("_rt").cast("double"), 9
+                ).alias("prob"),
+            )
+        )
+
+    q["markov_transitions"] = q_markov_transitions
+
+    def q_zipf_fit(spark, sf_dir):
+        """Zipf law fit over the corpus vocabulary: OLS of ln(freq) on
+        ln(rank) for the top-200 words — the standard tokenizer/corpus
+        sanity diagnostic (natural text slopes near -1).  Ranks and
+        counts come exact from vocab_stats (broadcast inequality rank,
+        no vocabulary-wide single-partition window); the 200-term float
+        moment sums sit ~7 orders above their cross-engine summation-
+        order noise, guarded by the 9-digit round."""
+        docs = _t(spark, sf_dir, "documents")
+        v = llm_text.vocab_stats(docs, top_k=200).select("rank", "cnt")
+        lx = F.log(F.col("rank").cast("double"))
+        ly = F.log(F.col("cnt").cast("double"))
+        m = v.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(lx).alias("_sx"),
+            F.sum(ly).alias("_sy"),
+            F.sum(lx * ly).alias("_sxy"),
+            F.sum(lx * lx).alias("_sxx"),
+        )
+        nd = F.col("n").cast("double")
+        slope = (nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+            nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        )
+        return m.select(
+            "n",
+            F.round(slope, 9).alias("zipf_slope"),
+            F.round((F.col("_sy") - slope * F.col("_sx")) / nd, 9).alias(
+                "ln_intercept"
+            ),
+        )
+
+    q["zipf_fit"] = q_zipf_fit
+
+    def q_char_entropy(spark, sf_dir):
+        """Per-source Shannon entropy of the character distribution —
+        the cheap encoding/junk screen (mojibake, binary spill, and
+        boilerplate all shift it).  Char counts are exact int64 via
+        explode + two-level aggregate (shuffle bounded at |sources| x
+        |alphabet|); entropy -sum(p*log2 p) spans ~25 terms per source,
+        9-digit-rounded."""
+        docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        c = (
+            docs.select(
+                "source", F.explode(F.split(F.col("text"), "")).alias("ch")
+            )
+            .groupBy("source", "ch")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        tot = c.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("_n"))
+        p = F.col("cnt").cast("double") / F.col("_n").cast("double")
+        return (
+            c.join(F.broadcast(tot), on="source")
+            .groupBy("source")
+            .agg(
+                F.max("_n").alias("n_chars"),
+                F.count("*").cast("bigint").alias("alphabet"),
+                F.round(-F.sum(p * F.log2(p)), 9).alias("entropy_bits"),
+            )
+        )
+
+    q["char_entropy"] = q_char_entropy
+
+    def q_minhash_containment(spark, sf_dir):
+        """Directed containment over LSH candidates (llm/dedup.py
+        containment_verify): exact shingle-set sizes and |A∩B|/|A|,
+        |A∩B|/|B| per candidate pair — the asymmetric quote/subset
+        signal Jaccard misses.  Candidates come from the portable-hash
+        MinHash banding (same chain the minhash_dedup oracle replays);
+        ratios are single exact-int64 divides."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        return dedup.containment_verify(docs, cand, k=5)
+
+    q["minhash_containment"] = q_minhash_containment
+
     return _gate_order(q)
 
 
@@ -8310,5 +8583,184 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(max(epoch) AS BIGINT) AS max_epoch
         FROM rep GROUP BY source"""
+
+    _ab_h = sampling.salted_hash_sql("user_id", "ab6")
+    _ab_half = sampling.HASH_SPACE // 2
+    o["ab_test_zscore"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      >= 14 AS BIGINT) AS conv,
+                 CASE WHEN {_ab_h} < {_ab_half} THEN 'A' ELSE 'B' END AS arm
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), s AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_a,
+            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+              AS conv_b
+          FROM pu
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9)
+                 AS rate_a,
+               round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9)
+                 AS rate_b,
+               round(
+                 (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(
+                     (CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                     * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                     * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
+                   ), 9) AS z_score
+        FROM s"""
+
+    _theta_sql = (
+        "(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE))"
+    )
+    _xbar_sql = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    o["cuped_adjust"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 0
+                               ELSE CAST(round(value * 100) AS BIGINT)
+                          END) AS BIGINT) AS y,
+                 CASE WHEN {_ab_h} < {_ab_half} THEN 'A' ELSE 'B' END AS arm
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pu
+        ), arms AS (
+          SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS ax,
+                 CAST(sum(y) AS BIGINT) AS ay
+          FROM pu GROUP BY arm
+        )
+        SELECT arm, n_users,
+               round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+                 AS mean_post_cents,
+               round(
+                 (CAST(ay AS DOUBLE)
+                  - {_theta_sql}
+                    * (CAST(ax AS DOUBLE)
+                       - CAST(n_users AS DOUBLE) * {_xbar_sql}))
+                 / CAST(n_users AS DOUBLE), 9) AS mean_adj_cents,
+               round({_theta_sql}, 9) AS theta
+        FROM arms CROSS JOIN g"""
+
+    o["link_prediction"] = """
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), deg AS (
+          SELECT o, CAST(count(*) AS BIGINT) AS deg FROM ob GROUP BY o
+        ), pr AS (
+          SELECT a.p AS part_a, b.p AS part_b, d.deg
+          FROM ob a
+          JOIN ob b ON a.o = b.o AND a.p < b.p
+          JOIN deg d ON d.o = a.o
+        )
+        SELECT part_a, part_b,
+               CAST(count(*) AS BIGINT) AS cn_orders,
+               round(sum(1 / CAST(deg AS DOUBLE)), 9) AS ra_score,
+               round(sum(1 / ln(CAST(deg AS DOUBLE))), 9) AS aa_score
+        FROM pr GROUP BY part_a, part_b
+        HAVING count(*) >= 2"""
+
+    o["markov_transitions"] = """
+        WITH s AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events WHERE user_id IS NOT NULL
+        ), t AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ), rt AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM t
+          GROUP BY from_type
+        )
+        SELECT t.from_type, t.to_type, t.n,
+               round(CAST(t.n AS DOUBLE) / CAST(rt.rt AS DOUBLE), 9) AS prob
+        FROM t JOIN rt ON rt.from_type = t.from_type"""
+
+    _zslope_sql = (
+        "((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - sx * sx))"
+    )
+    o["zipf_fit"] = f"""
+        WITH toks AS (
+          SELECT u.w AS word
+          FROM (
+            SELECT string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+        ), ranked AS (
+          SELECT cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+                   AS rank
+          FROM vocab
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                 sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+                 sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)))
+                   AS sxy,
+                 sum(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)))
+                   AS sxx
+          FROM ranked WHERE rank <= 200
+        )
+        SELECT n,
+               round({_zslope_sql}, 9) AS zipf_slope,
+               round((sy - {_zslope_sql} * sx) / CAST(n AS DOUBLE), 9)
+                 AS ln_intercept
+        FROM m"""
+
+    o["char_entropy"] = """
+        WITH ch AS (
+          SELECT source, u.ch AS ch
+          FROM (
+            SELECT source, string_split(text, '') AS cl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(cl) AS u(ch)
+        ), c AS (
+          SELECT source, ch, CAST(count(*) AS BIGINT) AS cnt
+          FROM ch GROUP BY source, ch
+        ), tot AS (
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY source
+        )
+        SELECT c.source,
+               max(tot.n) AS n_chars,
+               CAST(count(*) AS BIGINT) AS alphabet,
+               round(-sum((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                          * log2(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))),
+                     9) AS entropy_bits
+        FROM c JOIN tot ON tot.source = c.source
+        GROUP BY c.source"""
+
+    o["minhash_containment"] = dedup.containment_verify_oracle_sql(k=5)
 
     return {k: v.strip() for k, v in o.items()}

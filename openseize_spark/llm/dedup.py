@@ -758,6 +758,92 @@ def jaccard_verify(
     return j.filter(F.col("jaccard") >= threshold)
 
 
+def containment_verify(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directed shingle containment on candidate pairs: for each LSH
+    candidate (a, b) with at least one shared k-shingle, the exact set
+    sizes and both directed containment ratios |A∩B|/|A| and |A∩B|/|B|.
+
+    Containment is the asymmetric near-dup signal Jaccard misses: a short
+    document quoted whole inside a long one has low Jaccard (the union is
+    dominated by the long side) but containment ~1.0 in the short->long
+    direction — the quote/subset-detection pass of a corpus dedup stack.
+
+    Same scale shape as :func:`jaccard_verify`: candidates only (never
+    all-pairs), semi-join restriction of the shingle-set build to docs
+    named in a pair, per-pair set ops over bounded arrays.  Each ratio is
+    one exact-int64 division — order-invariant.
+    """
+    norm = normalize_text(F.col(text_col))
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        pairs.select(F.col("a").alias(id_col))
+        .union(pairs.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    docs = docs.join(cand_ids, on=id_col, how="left_semi")
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
+        "sh", _shingle_expr(F.col("_txt"), k)
+    ).select(id_col, "sh")
+    return (
+        pairs.join(
+            sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"),
+            on="a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "b").withColumnRenamed("sh", "sh_b"),
+            on="b",
+        )
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+        )
+        .filter(F.col("inter") > 0)
+        .withColumn("n_a", F.size("sh_a").cast("bigint"))
+        .withColumn("n_b", F.size("sh_b").cast("bigint"))
+        .select(
+            "a",
+            "b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("inter").cast("double") / F.col("n_a").cast("double"), 9
+            ).alias("cont_a"),
+            F.round(
+                F.col("inter").cast("double") / F.col("n_b").cast("double"), 9
+            ).alias("cont_b"),
+        )
+    )
+
+
+def containment_verify_oracle_sql(k: int = 5) -> str:
+    """DuckDB replay of LSH candidates -> :func:`containment_verify`
+    (portable hashes): the ``shd``/``sz``/``inter`` chain of
+    :func:`_verify_ctes` re-used, ratios from the same exact counts."""
+    return (
+        _cand_ctes(k, 64, 8)
+        + _verify_ctes(k, 0.0)
+        + """
+        SELECT i.a, i.b, CAST(i.i AS BIGINT) AS inter,
+               CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+               round(CAST(i.i AS DOUBLE) / CAST(za.n AS DOUBLE), 9) AS cont_a,
+               round(CAST(i.i AS DOUBLE) / CAST(zb.n AS DOUBLE), 9) AS cont_b
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.a
+        JOIN sz zb ON zb.doc_id = i.b"""
+    )
+
+
 def minhash_dedup(
     docs: DataFrame,
     k: int = 5,

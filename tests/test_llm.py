@@ -1664,3 +1664,38 @@ class TestHashedFeatures:
             assert r.probe_dot == sum(x * (b % 2 * 2 - 1) for b, x in v.items())
         # normalization: doc 3 equals doc 1 minus one 'alpha' occurrence
         assert out[3].n_terms == 2
+
+
+class TestContainmentVerify:
+    def test_subset_doc_fully_contained(self, spark):
+        # doc 2's normalized text is a prefix of doc 1's: every one of its
+        # k=3 shingles appears in doc 1 -> cont_b == 1.0
+        df = spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "abcde")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        out = dedup.containment_verify(df, pairs, k=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        # doc1 shingles: abc bcd cde def efg fgh (6); doc2: abc bcd cde (3)
+        assert (r.n_a, r.n_b, r.inter) == (6, 3, 3)
+        assert abs(r.cont_a - 0.5) < 1e-15
+        assert abs(r.cont_b - 1.0) < 1e-15
+
+    def test_disjoint_pair_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaaaaa"), (2, "zzzzzz")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        assert dedup.containment_verify(df, pairs, k=3).count() == 0
+
+    def test_duplicate_shingles_counted_once(self, spark):
+        # repeated shingles collapse via array_distinct on both sides
+        df = spark.createDataFrame(
+            [(1, "ababab"), (2, "abab")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        r = dedup.containment_verify(df, pairs, k=2).collect()[0]
+        # distinct 2-shingles: both docs have exactly {ab, ba}
+        assert (r.n_a, r.n_b, r.inter) == (2, 2, 2)
+        assert r.cont_a == 1.0 and r.cont_b == 1.0

@@ -538,3 +538,55 @@ class TestSortedNeighborhoodProperty:
         for r in out:
             assert 1 <= r.dist <= w - 1
             assert (r.key_a, r.a) <= (r.key_b, r.b)
+
+
+class TestContainmentProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_shingle_sets(self, spark, data):
+        from openseize_spark.llm.dedup import containment_verify
+
+        k = 3
+        n_docs = data.draw(st.integers(2, 5))
+        texts = [
+            "".join(
+                data.draw(st.sampled_from("abc "))
+                for _ in range(data.draw(st.integers(0, 12)))
+            )
+            for _ in range(n_docs)
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        pairs = [(a, b) for a in range(n_docs) for b in range(a + 1, n_docs)]
+        pdf = spark.createDataFrame(pairs, "a long, b long")
+        got = {
+            (r.a, r.b): (r.inter, r.n_a, r.n_b, r.cont_a, r.cont_b)
+            for r in containment_verify(df, pdf, k=k).collect()
+        }
+
+        def shingles(t):
+            import re
+
+            s = re.sub(r"\s+", " ", t.lower().strip())
+            if len(s) < k:
+                # engine semantics: sequence(1, 0) yields [1, 0], and both
+                # positions substring to the whole (short) text — a doc
+                # shorter than k has the one-element set {text} (the
+                # DuckDB oracle's greatest(..., 1) makes the same choice)
+                return {s}
+            return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+        sets = [shingles(t) for t in texts]
+        exp = {}
+        for a, b in pairs:
+            inter = len(sets[a] & sets[b])
+            if inter > 0:
+                exp[(a, b)] = (
+                    inter,
+                    len(sets[a]),
+                    len(sets[b]),
+                    round(inter / len(sets[a]), 9),
+                    round(inter / len(sets[b]), 9),
+                )
+        assert got == exp
