@@ -5635,6 +5635,226 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_containment"] = q_minhash_containment
 
+    def q_kaplan_meier(spark, sf_dir):
+        """Kaplan-Meier survival curve for time-to-first-big-purchase
+        (first 'purchase' with value > 200; ~4/5 of users are censored
+        at the window end, so every risk set strictly exceeds its death
+        count and no ln(0) arises).  Day-level death counts and risk
+        sets are exact int64 via two broadcast inequality self-joins
+        over the <= 31 distinct event days (the vocab_stats cumulative
+        pattern — no single-partition window); the product-limit
+        estimator runs as exp(cumulative sum of ln(1 - d/n)), each term
+        a mirrored IEEE chain, 9-digit-rounded."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        fe = (
+            e.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            )
+            .groupBy("user_id")
+            .agg(F.min(day).alias("day"))
+        )
+        d = fe.groupBy("day").agg(F.count("*").cast("bigint").alias("deaths"))
+        ntot = e.agg(
+            F.countDistinct("user_id").cast("bigint").alias("_N")
+        )
+        b = d.select(
+            F.col("day").alias("_bday"), F.col("deaths").alias("_bdeaths")
+        )
+        w = (
+            d.join(F.broadcast(b), F.col("_bday") < F.col("day"), "left")
+            .groupBy("day", "deaths")
+            .agg(
+                F.coalesce(F.sum("_bdeaths"), F.lit(0))
+                .cast("bigint")
+                .alias("_prior")
+            )
+            .crossJoin(F.broadcast(ntot))
+            .withColumn("at_risk", (F.col("_N") - F.col("_prior")))
+        )
+        term = F.log(
+            1
+            - F.col("_bd2").cast("double") / F.col("_br2").cast("double")
+        )
+        t2 = w.select(
+            F.col("day").alias("_bday2"),
+            F.col("deaths").alias("_bd2"),
+            F.col("at_risk").alias("_br2"),
+        )
+        return (
+            w.join(F.broadcast(t2), F.col("_bday2") <= F.col("day"))
+            .groupBy("day", "at_risk", "deaths")
+            .agg(F.sum(term).alias("_lnsum"))
+            .select(
+                "day",
+                "at_risk",
+                "deaths",
+                F.round(F.exp("_lnsum"), 9).alias("survival"),
+            )
+        )
+
+    q["kaplan_meier"] = q_kaplan_meier
+
+    def q_readability(spark, sf_dir):
+        """Flesch reading-ease per document from engine-portable exact
+        counts: whitespace tokens (token_count), sentence marks
+        ([.!?]+ runs, floored at 1 — the synthetic corpus has none, so
+        the words-per-sentence term degenerates to the word count,
+        exercised all the same), and syllable proxies ([aeiouy]+ vowel
+        groups).  The score is one mirrored float chain on three exact
+        int64 counts — the classic cheap quality feature for corpus
+        filtering.  Pure codegen string functions, no UDFs."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        words = llm_text.token_count(F.col("text")).cast("bigint")
+        syll = F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[aeiouy]+"), F.lit(0))
+        ).cast("bigint")
+        sent = F.greatest(
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))
+            ).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        )
+        out = docs.select(
+            "doc_id",
+            words.alias("n_words"),
+            sent.alias("n_sentences"),
+            syll.alias("n_syllables"),
+        ).filter(F.col("n_words") > 0)
+        flesch = (
+            F.lit(206.835)
+            - 1.015
+            * (
+                F.col("n_words").cast("double")
+                / F.col("n_sentences").cast("double")
+            )
+            - 84.6
+            * (
+                F.col("n_syllables").cast("double")
+                / F.col("n_words").cast("double")
+            )
+        )
+        return out.withColumn("flesch", F.round(flesch, 9))
+
+    q["readability"] = q_readability
+
+    def q_moments_by_type(spark, sf_dir):
+        """Skewness and excess kurtosis per event type from EXACT
+        integer power sums of the dollar-quantized value (S1..S4 as
+        int64 — order-invariant where float central-moment streaming is
+        not; x<=490 keeps S4 ~1e14, far inside int64; a 100-TB corpus
+        would promote the sums to DECIMAL(38)).  The closed forms
+        divide once through a mirrored IEEE chain; var^1.5 is written
+        var*sqrt(var) so no libm pow enters."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        x = F.round(F.col("value")).cast("bigint")
+        m = e.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(x).cast("bigint").alias("_s1"),
+            F.sum(x * x).cast("bigint").alias("_s2"),
+            F.sum(x * x * x).cast("bigint").alias("_s3"),
+            F.sum(x * x * x * x).cast("bigint").alias("_s4"),
+        )
+        nd = F.col("n").cast("double")
+        mean = F.col("_s1").cast("double") / nd
+        m2 = F.col("_s2").cast("double") / nd - mean * mean
+        m3 = (
+            F.col("_s3").cast("double") / nd
+            - 3 * mean * (F.col("_s2").cast("double") / nd)
+            + 2 * mean * mean * mean
+        )
+        m4 = (
+            F.col("_s4").cast("double") / nd
+            - 4 * mean * (F.col("_s3").cast("double") / nd)
+            + 6 * mean * mean * (F.col("_s2").cast("double") / nd)
+            - 3 * mean * mean * mean * mean
+        )
+        return m.select(
+            "event_type",
+            "n",
+            F.round(mean, 9).alias("mean_usd"),
+            F.round(m3 / (m2 * F.sqrt(m2)), 9).alias("skewness"),
+            F.round(m4 / (m2 * m2) - 3, 9).alias("excess_kurtosis"),
+        )
+
+    q["moments_by_type"] = q_moments_by_type
+
+    def q_mutual_information(spark, sf_dir):
+        """Mutual information between event type and day-of-week,
+        emitted PER CELL in bits (the dow_type_chi2 discipline: no
+        order-dependent float total exists — consumers sum the bounded
+        35-row grid).  Every count is exact int64; each contribution is
+        (n_ij/N) * log2(n_ij*N / (n_i*n_j)) with the log argument
+        formed from exact integer products."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cells = e.groupBy(
+            "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+        ).agg(F.count("*").cast("bigint").alias("n_ij"))
+        rows = cells.groupBy("event_type").agg(
+            F.sum("n_ij").cast("bigint").alias("_ri")
+        )
+        cols = cells.groupBy("dow").agg(
+            F.sum("n_ij").cast("bigint").alias("_cj")
+        )
+        tot = cells.agg(F.sum("n_ij").cast("bigint").alias("_N"))
+        contrib = (
+            F.col("n_ij").cast("double") / F.col("_N").cast("double")
+        ) * F.log2(
+            (F.col("n_ij") * F.col("_N")).cast("double")
+            / (F.col("_ri") * F.col("_cj")).cast("double")
+        )
+        return (
+            cells.join(F.broadcast(rows), on="event_type")
+            .join(F.broadcast(cols), on="dow")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "event_type",
+                "dow",
+                "n_ij",
+                F.round(contrib, 9).alias("mi_bits"),
+            )
+        )
+
+    q["mutual_information"] = q_mutual_information
+
+    def q_lognormal_fit(spark, sf_dir):
+        """Log-normal MLE per event type: mu/sigma of ln(cents) — the
+        distributional prior check before modeling heavy-tailed spend.
+        Cents are exact int64 (zero-filtered so ln is total); the ln
+        sums span ~2000 terms whose cross-engine summation-order noise
+        (~1e-12 absolute) sits 3+ digits under the 9-digit round after
+        the /n normalization."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & (F.col("value") > 0)
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        lx = F.log(cents.cast("double"))
+        m = e.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(lx).alias("_sl"),
+            F.sum(lx * lx).alias("_sll"),
+        )
+        nd = F.col("n").cast("double")
+        mu = F.col("_sl") / nd
+        sigma = F.sqrt(F.col("_sll") / nd - mu * mu)
+        return m.select(
+            "event_type",
+            "n",
+            F.round(mu, 9).alias("mu_ln_cents"),
+            F.round(sigma, 9).alias("sigma_ln_cents"),
+        )
+
+    q["lognormal_fit"] = q_lognormal_fit
+
     return _gate_order(q)
 
 
@@ -8762,5 +8982,157 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.source"""
 
     o["minhash_containment"] = dedup.containment_verify_oracle_sql(k=5)
+
+    o["kaplan_meier"] = """
+        WITH fe AS (
+          SELECT user_id,
+                 min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     + 1) AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            AND value > 200
+          GROUP BY user_id
+        ), d AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS deaths FROM fe
+          GROUP BY day
+        ), ntot AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+          WHERE user_id IS NOT NULL
+        ), w AS (
+          SELECT day, deaths,
+                 CAST(ntot.n - coalesce(
+                   sum(deaths) OVER (
+                     ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS at_risk
+          FROM d CROSS JOIN ntot
+        ), s AS (
+          SELECT day, at_risk, deaths,
+                 sum(ln(1 - CAST(deaths AS DOUBLE)
+                            / CAST(at_risk AS DOUBLE))) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS lnsum
+          FROM w
+        )
+        SELECT CAST(day AS BIGINT) AS day, at_risk, deaths,
+               round(exp(lnsum), 9) AS survival
+        FROM s"""
+
+    o["readability"] = """
+        WITH c AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN length(regexp_replace(lower(trim(text)),
+                                       '\\s+', ' ', 'g')) = 0 THEN 0
+                      ELSE length(regexp_replace(lower(trim(text)),
+                                  '\\s+', ' ', 'g'))
+                           - length(replace(regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g'), ' ', '')) + 1
+                      END AS BIGINT) AS n_words,
+                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                      AS BIGINT) AS n_sentences,
+                 CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+                   AS n_syllables
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 9) AS flesch
+        FROM c WHERE n_words > 0"""
+
+    o["moments_by_type"] = """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s1,
+                 CAST(sum(x * x) AS BIGINT) AS s2,
+                 CAST(sum(x * x * x) AS BIGINT) AS s3,
+                 CAST(sum(x * x * x * x) AS BIGINT) AS s4
+          FROM (
+            SELECT event_type, CAST(round(value) AS BIGINT) AS x
+            FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          )
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mean_usd,
+               round(
+                 (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 2 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                           - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+                 9) AS skewness,
+               round(
+                 (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - 4 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+                  + 6 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+                  - 3 * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / ((CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                     - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                    * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                       - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))))
+                 - 3, 9) AS excess_kurtosis
+        FROM m"""
+
+    o["mutual_information"] = """
+        WITH cells AS (
+          SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 CAST(count(*) AS BIGINT) AS n_ij
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY event_type, dayofweek(ts)
+        ), r AS (
+          SELECT event_type, CAST(sum(n_ij) AS BIGINT) AS ri FROM cells
+          GROUP BY event_type
+        ), c AS (
+          SELECT dow, CAST(sum(n_ij) AS BIGINT) AS cj FROM cells
+          GROUP BY dow
+        ), t AS (SELECT CAST(sum(n_ij) AS BIGINT) AS N FROM cells)
+        SELECT cells.event_type, cells.dow, cells.n_ij,
+               round((CAST(n_ij AS DOUBLE) / CAST(N AS DOUBLE))
+                     * log2(CAST(n_ij * N AS DOUBLE)
+                            / CAST(ri * cj AS DOUBLE)), 9) AS mi_bits
+        FROM cells
+        JOIN r ON r.event_type = cells.event_type
+        JOIN c ON c.dow = cells.dow
+        CROSS JOIN t"""
+
+    o["lognormal_fit"] = """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(ln(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE)))
+                   AS sl,
+                 sum(ln(CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE))
+                     * ln(CAST(CAST(round(value * 100) AS BIGINT)
+                               AS DOUBLE))) AS sll
+          FROM events WHERE user_id IS NOT NULL AND value > 0
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(sl / CAST(n AS DOUBLE), 9) AS mu_ln_cents,
+               round(sqrt(sll / CAST(n AS DOUBLE)
+                          - (sl / CAST(n AS DOUBLE))
+                            * (sl / CAST(n AS DOUBLE))), 9)
+                 AS sigma_ln_cents
+        FROM m"""
 
     return {k: v.strip() for k, v in o.items()}
