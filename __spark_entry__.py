@@ -5855,6 +5855,351 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lognormal_fit"] = q_lognormal_fit
 
+    def q_histogram_quantiles(spark, sf_dir):
+        """Fixed-bin histogram quantile sketch with its accuracy
+        harness: per event type, a 64-bin equi-width histogram over
+        cents (the mergeable one-pass structure that replaces per-group
+        sorts at scale — the shuffle carries at most 64 rows per
+        (type, partition)), the bin-floor p50/p90/p99 estimates, and
+        the exact interpolated percentiles alongside (the ann_recall
+        pattern for sketches).  Bin ids and cumulative counts are exact
+        int64 via a broadcast inequality join over <= 64 bins."""
+        hi = 49003  # cents range upper bound (exclusive): max value 490.02
+        nb = 64
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * nb).cast("double") / F.lit(float(hi))
+        ).cast("bigint")
+        bins = e.groupBy(
+            F.col("event_type"), binc.alias("bin")
+        ).agg(F.count("*").cast("bigint").alias("cnt"))
+        tot = bins.groupBy("event_type").agg(
+            F.sum("cnt").cast("bigint").alias("n")
+        )
+        b2 = bins.select(
+            F.col("event_type").alias("_et"),
+            F.col("bin").alias("_bbin"),
+            F.col("cnt").alias("_bcnt"),
+        )
+        cum = (
+            bins.join(
+                F.broadcast(b2),
+                (F.col("_et") == F.col("event_type"))
+                & (F.col("_bbin") <= F.col("bin")),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.sum("_bcnt").cast("bigint").alias("cum"))
+            .join(F.broadcast(tot), on="event_type")
+        )
+        est = cum.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= 50 * F.col("n"), F.col("bin"))
+            ).alias("bin_p50"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 90 * F.col("n"), F.col("bin"))
+            ).alias("bin_p90"),
+            F.min(
+                F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("bin"))
+            ).alias("bin_p99"),
+        )
+        pct = F.percentile(
+            cents, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+        )
+        exact = e.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(pct[0], 6).alias("exact_p50"),
+            F.round(pct[1], 6).alias("exact_p90"),
+            F.round(pct[2], 6).alias("exact_p99"),
+        )
+        edge = float(hi) / nb
+        return exact.join(F.broadcast(est), on="event_type").select(
+            "event_type",
+            "n",
+            "bin_p50",
+            F.round(F.col("bin_p50").cast("double") * edge, 6).alias(
+                "est_p50"
+            ),
+            "exact_p50",
+            "bin_p90",
+            F.round(F.col("bin_p90").cast("double") * edge, 6).alias(
+                "est_p90"
+            ),
+            "exact_p90",
+            "bin_p99",
+            F.round(F.col("bin_p99").cast("double") * edge, 6).alias(
+                "est_p99"
+            ),
+            "exact_p99",
+        )
+
+    q["histogram_quantiles"] = q_histogram_quantiles
+
+    def q_daily_acf(spark, sf_dir):
+        """Autocorrelation of the daily revenue series at lags 1..7 —
+        the pre-forecasting seasonality diagnostic.  The 30-row daily
+        series aggregates to exact cent sums; each lag's aligned pairs
+        come from a broadcast self-join on day+lag; Pearson r per lag
+        uses the exact-int64 moment discipline of value_hour_corr."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        daily = e.groupBy(day.alias("day")).agg(
+            F.sum(cents).cast("bigint").alias("x")
+        )
+        lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+        b = daily.select(
+            F.col("day").alias("_bday"), F.col("x").alias("_y")
+        )
+        pairs = (
+            daily.crossJoin(F.broadcast(lags))
+            .join(
+                F.broadcast(b),
+                F.col("_bday") == F.col("day") + F.col("lag"),
+            )
+        )
+        m = pairs.groupBy("lag").agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("x").cast("bigint").alias("_sx"),
+            F.sum("_y").cast("bigint").alias("_sy"),
+            F.sum(F.col("x") * F.col("_y")).cast("bigint").alias("_sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+            F.sum(F.col("_y") * F.col("_y")).cast("bigint").alias("_syy"),
+        )
+        num = (
+            F.col("n_pairs") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        ).cast("double")
+        den = F.sqrt(
+            (F.col("n_pairs") * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("double")
+        ) * F.sqrt(
+            (F.col("n_pairs") * F.col("_syy") - F.col("_sy") * F.col("_sy"))
+            .cast("double")
+        )
+        return m.select(
+            "lag", "n_pairs", F.round(num / den, 9).alias("acf")
+        )
+
+    q["daily_acf"] = q_daily_acf
+
+    def q_seasonal_decompose(spark, sf_dir):
+        """Classical additive decomposition of daily revenue: trend =
+        centered 7-day mean (full windows only, via a broadcast range
+        self-join over the bounded day grid — no single-partition
+        window), seasonal = per-day-of-week mean deviation, residual =
+        the rest.  Trend divides an exact int64 window sum once; the
+        seasonal means average <= 4 IEEE-exact deviations."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        daily = e.groupBy(
+            day.alias("day"),
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+        ).agg(F.sum(cents).cast("bigint").alias("x"))
+        b = daily.select(
+            F.col("day").alias("_bday"), F.col("x").alias("_bx")
+        )
+        tr = (
+            daily.join(
+                F.broadcast(b),
+                (F.col("_bday") >= F.col("day") - 3)
+                & (F.col("_bday") <= F.col("day") + 3),
+            )
+            .groupBy("day", "dow", "x")
+            .agg(
+                F.count("*").alias("_w"),
+                F.sum("_bx").cast("bigint").alias("_ws"),
+            )
+            .filter(F.col("_w") == 7)
+            .withColumn(
+                "trend", F.col("_ws").cast("double") / F.lit(7.0)
+            )
+            .withColumn(
+                "dev", F.col("x").cast("double") - F.col("trend")
+            )
+        )
+        seas = tr.groupBy("dow").agg(
+            (F.sum("dev") / F.count("*").cast("double")).alias("seasonal")
+        )
+        return (
+            tr.join(F.broadcast(seas), on="dow")
+            .select(
+                "day",
+                "dow",
+                F.col("x").alias("revenue_cents"),
+                F.round("trend", 9).alias("trend"),
+                F.round("seasonal", 9).alias("seasonal"),
+                F.round(F.col("dev") - F.col("seasonal"), 9).alias(
+                    "residual"
+                ),
+            )
+        )
+
+    q["seasonal_decompose"] = q_seasonal_decompose
+
+    def q_changepoint(spark, sf_dir):
+        """Offline CUSUM changepoint over the daily revenue series: the
+        day maximizing |n*S_k - k*S_n| — the scaled deviation of the
+        cumulative sum from the uniform ramp — ENTIRELY in exact int64
+        (no float enters until the reported normalized statistic).
+        Cumulatives ride the broadcast inequality join; the argmax is
+        TakeOrdered with a full-key tiebreak."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        daily = e.groupBy(day.alias("day")).agg(
+            F.sum(cents).cast("bigint").alias("x")
+        )
+        b = daily.select(
+            F.col("day").alias("_bday"), F.col("x").alias("_bx")
+        )
+        cum = (
+            daily.join(F.broadcast(b), F.col("_bday") <= F.col("day"))
+            .groupBy("day")
+            .agg(
+                F.count("*").cast("bigint").alias("k"),
+                F.sum("_bx").cast("bigint").alias("s_k"),
+            )
+        )
+        tot = cum.agg(
+            F.max("k").cast("bigint").alias("_n"),
+            F.max("s_k").cast("bigint").alias("_s_n"),
+        )
+        stat = F.abs(
+            F.col("_n") * F.col("s_k") - F.col("k") * F.col("_s_n")
+        ).cast("bigint")
+        return (
+            cum.crossJoin(F.broadcast(tot))
+            .select(
+                "day",
+                "k",
+                stat.alias("stat"),
+                F.round(
+                    stat.cast("double")
+                    / (F.col("_n").cast("double") * F.col("_s_n").cast("double")),
+                    9,
+                ).alias("norm_stat"),
+            )
+            .orderBy(F.desc("stat"), F.asc("day"))
+            .limit(1)
+        )
+
+    q["changepoint"] = q_changepoint
+
+    def q_conversion_lag(spark, sf_dir):
+        """Funnel timing: exact interpolated quantiles of the
+        signup-to-first-purchase delay over users who converted after
+        signing up.  Per-user firsts are one hash-partitioned min-agg;
+        delays are exact int64 microseconds; the final one-row quantile
+        runs over the bounded converted-user set."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        fu = e.groupBy("user_id").agg(
+            F.min(
+                F.when(
+                    F.col("event_type") == "signup", F.unix_micros("ts")
+                )
+            ).alias("_s"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase", F.unix_micros("ts")
+                )
+            ).alias("_p"),
+        )
+        lag_us = (F.col("_p") - F.col("_s")).cast("bigint")
+        conv = fu.filter(
+            F.col("_s").isNotNull()
+            & F.col("_p").isNotNull()
+            & (F.col("_p") > F.col("_s"))
+        ).select(lag_us.alias("lag_us"))
+        pct = F.percentile(
+            F.col("lag_us"), F.array(F.lit(0.5), F.lit(0.9))
+        )
+        return conv.agg(
+            F.count("*").cast("bigint").alias("n_converted"),
+            F.round(pct[0] / 1000000.0, 6).alias("p50_seconds"),
+            F.round(pct[1] / 1000000.0, 6).alias("p90_seconds"),
+        )
+
+    q["conversion_lag"] = q_conversion_lag
+
+    def q_nb_lang_scores(spark, sf_dir):
+        """Multinomial naive-Bayes language scores — the
+        classifier-based quality/routing pass of a corpus pipeline,
+        trained and applied in one plan: Laplace-smoothed ln P(w|lang)
+        from exact token counts, densified over vocab x langs (both
+        bounded far below corpus size at any SF), then one
+        tokens-to-model equi-join sums each document's score against
+        every language.  Emitted per (doc, lang) — argmax belongs to
+        the consumer, so no cross-engine float comparison decides a
+        row's content."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        norm = F.regexp_replace(
+            F.lower(F.trim(F.col("text"))), r"\s+", " "
+        )
+        words = F.filter(
+            F.split(norm, " "), lambda s: F.length(s) > 0
+        )
+        toks = docs.select(
+            "doc_id", F.col("lang"), F.explode(words).alias("w")
+        )
+        cnt = toks.groupBy("lang", "w").agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        tot = cnt.groupBy("lang").agg(
+            F.sum("cnt").cast("bigint").alias("tot")
+        )
+        vocab = cnt.select("w").distinct()
+        vsize = vocab.agg(F.count("*").cast("bigint").alias("v"))
+        model = (
+            vocab.crossJoin(tot)
+            .join(cnt, on=["lang", "w"], how="left")
+            .crossJoin(F.broadcast(vsize))
+            .select(
+                "lang",
+                "w",
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.col("tot") + F.col("v")).cast("double")
+                ).alias("_lp"),
+            )
+        )
+        return (
+            toks.select("doc_id", "w")
+            .join(model.withColumnRenamed("lang", "score_lang"), on="w")
+            .groupBy("doc_id", "score_lang")
+            .agg(
+                F.count("*").cast("bigint").alias("n_tokens"),
+                F.round(F.sum("_lp"), 9).alias("log_score"),
+            )
+        )
+
+    q["nb_lang_scores"] = q_nb_lang_scores
+
     return _gate_order(q)
 
 
@@ -9134,5 +9479,191 @@ def oracle_sql() -> dict[str, str]:
                             * (sl / CAST(n AS DOUBLE))), 9)
                  AS sigma_ln_cents
         FROM m"""
+
+    o["histogram_quantiles"] = """
+        WITH e AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ), bins AS (
+          SELECT event_type,
+                 CAST(floor(CAST(cents * 64 AS DOUBLE)
+                            / CAST(49003 AS DOUBLE)) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM e GROUP BY 1, 2
+        ), tot AS (
+          SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM bins
+          GROUP BY event_type
+        ), cum AS (
+          SELECT a.event_type, a.bin, CAST(sum(b.cnt) AS BIGINT) AS cum
+          FROM bins a
+          JOIN bins b ON b.event_type = a.event_type AND b.bin <= a.bin
+          GROUP BY a.event_type, a.bin
+        ), est AS (
+          SELECT c.event_type,
+                 min(CASE WHEN c.cum * 100 >= 50 * t.n THEN c.bin END)
+                   AS bin_p50,
+                 min(CASE WHEN c.cum * 100 >= 90 * t.n THEN c.bin END)
+                   AS bin_p90,
+                 min(CASE WHEN c.cum * 100 >= 99 * t.n THEN c.bin END)
+                   AS bin_p99
+          FROM cum c JOIN tot t ON t.event_type = c.event_type
+          GROUP BY c.event_type
+        ), ex AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 round(quantile_cont(cents, 0.5), 6) AS exact_p50,
+                 round(quantile_cont(cents, 0.9), 6) AS exact_p90,
+                 round(quantile_cont(cents, 0.99), 6) AS exact_p99
+          FROM e GROUP BY event_type
+        )
+        SELECT ex.event_type, ex.n,
+               est.bin_p50,
+               round(CAST(est.bin_p50 AS DOUBLE)
+                     * CAST(765.671875 AS DOUBLE), 6) AS est_p50,
+               ex.exact_p50,
+               est.bin_p90,
+               round(CAST(est.bin_p90 AS DOUBLE)
+                     * CAST(765.671875 AS DOUBLE), 6) AS est_p90,
+               ex.exact_p90,
+               est.bin_p99,
+               round(CAST(est.bin_p99 AS DOUBLE)
+                     * CAST(765.671875 AS DOUBLE), 6) AS est_p99,
+               ex.exact_p99
+        FROM ex JOIN est ON est.event_type = ex.event_type"""
+
+    _daily_cte = """
+          SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                      + 1 AS BIGINT) AS day,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1"""
+    o["daily_acf"] = f"""
+        WITH daily AS ({_daily_cte}
+        ), p AS (
+          SELECT l.lag, a.x AS x, b.x AS y
+          FROM daily a
+          CROSS JOIN (
+            SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag
+          ) l
+          JOIN daily b ON b.day = a.day + l.lag
+        ), m AS (
+          SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM p GROUP BY lag
+        )
+        SELECT lag, n_pairs,
+               round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))),
+                     9) AS acf
+        FROM m"""
+
+    o["seasonal_decompose"] = """
+        WITH daily AS (
+          SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                      + 1 AS BIGINT) AS day,
+                 CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY 1, 2
+        ), tr AS (
+          SELECT a.day, a.dow, a.x,
+                 CAST(count(*) AS BIGINT) AS w,
+                 CAST(sum(b.x) AS BIGINT) AS ws
+          FROM daily a
+          JOIN daily b ON b.day BETWEEN a.day - 3 AND a.day + 3
+          GROUP BY a.day, a.dow, a.x
+        ), t2 AS (
+          SELECT day, dow, x,
+                 CAST(ws AS DOUBLE) / 7 AS trend,
+                 CAST(x AS DOUBLE) - CAST(ws AS DOUBLE) / 7 AS dev
+          FROM tr WHERE w = 7
+        ), seas AS (
+          SELECT dow, sum(dev) / CAST(count(*) AS DOUBLE) AS seasonal
+          FROM t2 GROUP BY dow
+        )
+        SELECT t2.day, t2.dow, t2.x AS revenue_cents,
+               round(trend, 9) AS trend,
+               round(seasonal, 9) AS seasonal,
+               round(dev - seasonal, 9) AS residual
+        FROM t2 JOIN seas ON seas.dow = t2.dow"""
+
+    o["changepoint"] = f"""
+        WITH daily AS ({_daily_cte}
+        ), cum AS (
+          SELECT a.day, CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(b.x) AS BIGINT) AS s_k
+          FROM daily a JOIN daily b ON b.day <= a.day
+          GROUP BY a.day
+        ), tot AS (
+          SELECT CAST(max(k) AS BIGINT) AS n,
+                 CAST(max(s_k) AS BIGINT) AS s_n
+          FROM cum
+        )
+        SELECT day, k,
+               CAST(abs(n * s_k - k * s_n) AS BIGINT) AS stat,
+               round(CAST(abs(n * s_k - k * s_n) AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(s_n AS DOUBLE)), 9)
+                 AS norm_stat
+        FROM cum CROSS JOIN tot
+        ORDER BY stat DESC, day LIMIT 1"""
+
+    o["conversion_lag"] = """
+        WITH fu AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+                   AS s,
+                 min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS p
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), conv AS (
+          SELECT CAST(p - s AS BIGINT) AS lag_us FROM fu
+          WHERE s IS NOT NULL AND p IS NOT NULL AND p > s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_converted,
+               round(quantile_cont(lag_us, 0.5)
+                     / CAST(1000000 AS DOUBLE), 6) AS p50_seconds,
+               round(quantile_cont(lag_us, 0.9)
+                     / CAST(1000000 AS DOUBLE), 6) AS p90_seconds
+        FROM conv"""
+
+    o["nb_lang_scores"] = """
+        WITH toks AS (
+          SELECT doc_id, lang, u.w AS w
+          FROM (
+            SELECT doc_id, lang,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), cnt AS (
+          SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          GROUP BY lang, w
+        ), tot AS (
+          SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cnt
+          GROUP BY lang
+        ), vocab AS (SELECT DISTINCT w FROM cnt),
+        vs AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        model AS (
+          SELECT t.lang, vb.w,
+                 ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE)
+                    / CAST(t.tot + vs.v AS DOUBLE)) AS lp
+          FROM vocab vb
+          CROSS JOIN tot t
+          LEFT JOIN cnt c ON c.lang = t.lang AND c.w = vb.w
+          CROSS JOIN vs
+        )
+        SELECT tk.doc_id, m.lang AS score_lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               round(sum(m.lp), 9) AS log_score
+        FROM (SELECT doc_id, w FROM toks) tk
+        JOIN model m ON m.w = tk.w
+        GROUP BY tk.doc_id, m.lang"""
 
     return {k: v.strip() for k, v in o.items()}
