@@ -6200,6 +6200,239 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nb_lang_scores"] = q_nb_lang_scores
 
+    def q_k_anonymity(spark, sf_dir):
+        """k-anonymity audit over the (nation, market-segment)
+        quasi-identifier pair: the re-identification risk summary a
+        privacy review runs before releasing a customer extract.  One
+        hash-partitioned group-count plus a bounded summary aggregate —
+        all exact int64."""
+        c = _t(spark, sf_dir, "customer")
+        g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+            F.count("*").cast("bigint").alias("sz")
+        )
+        return g.agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.min("sz").cast("bigint").alias("k_anonymity"),
+            F.sum(F.when(F.col("sz") < 10, 1).otherwise(0))
+            .cast("bigint")
+            .alias("groups_below_10"),
+            F.sum(F.when(F.col("sz") < 10, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("records_at_risk"),
+        )
+
+    q["k_anonymity"] = q_k_anonymity
+
+    def q_l_diversity(spark, sf_dir):
+        """l-diversity per quasi-identifier group: distinct
+        account-balance bands (the sensitive attribute, 1000-unit
+        floor) within each (nation, segment) group.  A group that is
+        k-anonymous but 1-diverse still leaks the sensitive value —
+        this emits every group with its size and l so the release
+        policy can threshold both.  floor division runs on shifted
+        non-negative operands (Spark div truncates toward zero, DuckDB
+        // floors — they agree only above zero)."""
+        c = _t(spark, sf_dir, "customer")
+        # acctbal can be negative: shift by +10000 before the 1000-band
+        # floor so truncating and flooring division agree
+        band = F.floor(
+            (F.col("c_acctbal") + 10000.0) / F.lit(1000.0)
+        ).cast("bigint")
+        return (
+            c.groupBy("c_nationkey", "c_mktsegment")
+            .agg(
+                F.count("*").cast("bigint").alias("group_size"),
+                F.countDistinct(band).cast("bigint").alias("l_diversity"),
+            )
+            .select(
+                F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                F.col("c_mktsegment").alias("mktsegment"),
+                "group_size",
+                "l_diversity",
+            )
+        )
+
+    q["l_diversity"] = q_l_diversity
+
+    def q_dp_noised_counts(spark, sf_dir):
+        """Differentially-private-style noised release of per-type
+        event counts: Laplace(b=2) noise via inverse-CDF transform of a
+        salted-hash uniform — DETERMINISTIC here so the oracle can
+        replay the release bit-for-bit (a production release draws real
+        randomness; the plan shape — exact count, one noise term, no
+        extra pass — is identical).  The uniform is (h+0.5)/2^32 from
+        the portable md5 hash, so sign and magnitude mirror exactly."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cnt = e.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        u = (
+            sampling.salted_hash(F.col("event_type"), "dp6").cast("double")
+            + 0.5
+        ) / F.lit(float(sampling.HASH_SPACE))
+        half = u - 0.5
+        noise = (
+            -2.0
+            * F.when(half < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+            * F.log(1 - 2 * F.abs(half))
+        )
+        return cnt.select(
+            "event_type",
+            "n",
+            F.round(noise, 9).alias("noise"),
+            F.round(F.col("n").cast("double") + noise, 9).alias("noised_n"),
+        )
+
+    q["dp_noised_counts"] = q_dp_noised_counts
+
+    def q_outlier_mad(spark, sf_dir):
+        """Robust outlier census per event type via median absolute
+        deviation: med and MAD are exact interpolated percentiles over
+        exact cents (both engines interpolate identically on identical
+        multisets, so the 3 * 1.4826 * MAD fence is the same double and
+        the outlier count is deterministic) — the heavy-tail-safe
+        alternative to the mean/std z-score."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        rows = e.select("event_type", cents.alias("c"))
+        med = rows.groupBy("event_type").agg(
+            F.percentile(F.col("c"), F.lit(0.5)).alias("med")
+        )
+        j = rows.join(F.broadcast(med), on="event_type")
+        dev = F.abs(F.col("c").cast("double") - F.col("med"))
+        mad = j.groupBy("event_type").agg(
+            F.percentile(dev, F.lit(0.5)).alias("mad")
+        )
+        j2 = j.join(F.broadcast(mad), on="event_type")
+        return j2.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("med"), 6).alias("med_cents"),
+            F.round(F.max("mad"), 6).alias("mad_cents"),
+            F.sum(
+                (dev > 3 * F.lit(1.4826) * F.col("mad")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+
+    q["outlier_mad"] = q_outlier_mad
+
+    def q_lsh_recall(spark, sf_dir):
+        """LSH banding evaluation: recall and precision of the MinHash
+        candidate pipeline against the EXACT near-dup truth (all pairs
+        with shingle Jaccard >= 0.8).  Truth pairs come from the
+        shingle equi-join (pairs sharing zero shingles cannot pass the
+        threshold, so no all-pairs product exists); candidates are the
+        usual banding pairs.  One summary row — the tuning harness that
+        justifies a band/row configuration before a corpus-wide run;
+        at production scale the truth side runs on a sampled stratum.
+        Counts are exact int64; the two ratios divide once."""
+        docs = _t(spark, sf_dir, "documents")
+        norm = dedup.normalize_text(F.col("text"))
+        sh = (
+            docs.filter(F.col("text").isNotNull())
+            .select(F.col("doc_id"), norm.alias("_txt"))
+            .withColumn("s", F.explode(dedup._shingle_expr(F.col("_txt"), 5)))
+            .select("doc_id", "s")
+        )
+        sz = sh.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("nsz"))
+        a = sh.select(F.col("doc_id").alias("a"), "s")
+        b = sh.select(F.col("doc_id").alias("b"), "s")
+        inter = (
+            a.join(b, on="s")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("bigint").alias("i"))
+        )
+        truth = (
+            inter.join(sz.withColumnRenamed("doc_id", "a").withColumnRenamed("nsz", "na"), on="a")
+            .join(sz.withColumnRenamed("doc_id", "b").withColumnRenamed("nsz", "nb"), on="b")
+            .filter(
+                F.col("i").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("i")).cast("double")
+                >= 0.8
+            )
+            .select("a", "b")
+        )
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select(
+            F.col("a").alias("_ca"), F.col("b").alias("_cb")
+        )
+        jt = truth.join(
+            cand,
+            (F.col("a") == F.col("_ca")) & (F.col("b") == F.col("_cb")),
+            "left",
+        )
+        hits = jt.agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.col("_ca").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_found"),
+        )
+        ncand = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
+        return (
+            hits.crossJoin(F.broadcast(ncand))
+            .select(
+                "n_true",
+                "n_found",
+                "n_cand",
+                F.round(
+                    F.col("n_found").cast("double")
+                    / F.col("n_true").cast("double"),
+                    9,
+                ).alias("recall"),
+                F.round(
+                    F.col("n_found").cast("double")
+                    / F.col("n_cand").cast("double"),
+                    9,
+                ).alias("candidate_precision"),
+            )
+        )
+
+    q["lsh_recall"] = q_lsh_recall
+
+    def q_dim_truncation_recall(spark, sf_dir):
+        """Matryoshka-style dimension-truncation evaluation: top-5
+        cosine neighbors computed on the first 32 of 64 dims, scored
+        for recall against the full-dimension truth per query — the
+        harness behind serving half-width embeddings for 2x memory/
+        bandwidth savings.  Both sides run the same broadcast
+        brute-force operator the knn gate checks."""
+        emb = _t(spark, sf_dir, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        full = similarity.cosine_topk(corpus, queries_df, k=5).select(
+            "q_id", "vec_id"
+        )
+        tq = queries_df.select(
+            "q_id", F.slice(F.col("q_vec"), 1, 32).alias("q_vec")
+        )
+        tc = corpus.select(
+            "vec_id", F.slice(F.col("embedding"), 1, 32).alias("embedding")
+        )
+        trunc = similarity.cosine_topk(tc, tq, k=5).select(
+            F.col("q_id").alias("_q2"), F.col("vec_id").alias("_v2")
+        )
+        j = full.join(
+            trunc,
+            (full.q_id == F.col("_q2")) & (full.vec_id == F.col("_v2")),
+            "left",
+        )
+        return j.groupBy("q_id").agg(
+            F.sum(F.col("_v2").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("hits"),
+            F.round(
+                F.sum(F.col("_v2").isNotNull().cast("bigint")) / 5.0, 9
+            ).alias("recall_at_5"),
+        )
+
+    q["dim_truncation_recall"] = q_dim_truncation_recall
+
     return _gate_order(q)
 
 
@@ -9665,5 +9898,147 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, w FROM toks) tk
         JOIN model m ON m.w = tk.w
         GROUP BY tk.doc_id, m.lang"""
+
+    o["k_anonymity"] = """
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+          FROM customer GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(min(sz) AS BIGINT) AS k_anonymity,
+               CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS groups_below_10,
+               CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+                 AS records_at_risk
+        FROM g"""
+
+    o["l_diversity"] = """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               c_mktsegment AS mktsegment,
+               CAST(count(*) AS BIGINT) AS group_size,
+               CAST(count(DISTINCT CAST(floor(
+                 (c_acctbal + CAST(10000 AS DOUBLE))
+                 / CAST(1000 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                 AS l_diversity
+        FROM customer GROUP BY c_nationkey, c_mktsegment"""
+
+    _dp_h = sampling.salted_hash_sql("event_type", "dp6")
+    _dp_noise = (
+        f"((-2.0 * CASE WHEN (CAST({_dp_h} AS DOUBLE) + 0.5)"
+        f" / CAST({sampling.HASH_SPACE} AS DOUBLE) - 0.5 < 0"
+        f" THEN -1.0 ELSE 1.0 END)"
+        f" * ln(1 - 2 * abs((CAST({_dp_h} AS DOUBLE) + 0.5)"
+        f" / CAST({sampling.HASH_SPACE} AS DOUBLE) - 0.5)))"
+    )
+    o["dp_noised_counts"] = f"""
+        WITH cnt AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round({_dp_noise}, 9) AS noise,
+               round(CAST(n AS DOUBLE) + {_dp_noise}, 9) AS noised_n
+        FROM cnt"""
+
+    o["outlier_mad"] = """
+        WITH r AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ), med AS (
+          SELECT event_type, quantile_cont(c, 0.5) AS med FROM r
+          GROUP BY event_type
+        ), mad AS (
+          SELECT r.event_type,
+                 quantile_cont(abs(CAST(c AS DOUBLE) - m.med), 0.5) AS mad
+          FROM r JOIN med m ON m.event_type = r.event_type
+          GROUP BY r.event_type
+        )
+        SELECT r.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               round(max(m.med), 6) AS med_cents,
+               round(max(d.mad), 6) AS mad_cents,
+               CAST(sum(CASE WHEN abs(CAST(c AS DOUBLE) - m.med)
+                                  > 3 * CAST(1.4826 AS DOUBLE) * d.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM r
+        JOIN med m ON m.event_type = r.event_type
+        JOIN mad d ON d.event_type = r.event_type
+        GROUP BY r.event_type"""
+
+    o["lsh_recall"] = (
+        dedup._cand_ctes(5, 64, 8)
+        + """, shd2 AS (
+          SELECT DISTINCT doc_id, substring(txt, u.i, 5) AS s
+          FROM norm,
+               unnest(generate_series(1, greatest(length(txt) - 4, 1)))
+                 AS u(i)
+        ), sz2 AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shd2
+          GROUP BY doc_id
+        ), inter2 AS (
+          SELECT sa.doc_id AS a, sb.doc_id AS b,
+                 CAST(count(*) AS BIGINT) AS i
+          FROM shd2 sa
+          JOIN shd2 sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+          GROUP BY sa.doc_id, sb.doc_id
+        ), truth AS (
+          SELECT i2.a, i2.b
+          FROM inter2 i2
+          JOIN sz2 za ON za.doc_id = i2.a
+          JOIN sz2 zb ON zb.doc_id = i2.b
+          WHERE CAST(i2.i AS DOUBLE)
+                / CAST(za.n + zb.n - i2.i AS DOUBLE) >= 0.8
+        ), hits AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_true,
+                 CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_found
+          FROM truth t
+          LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
+        ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+        SELECT n_true, n_found, n_cand,
+               round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 9)
+                 AS recall,
+               round(CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE), 9)
+                 AS candidate_precision
+        FROM hits CROSS JOIN nc"""
+    )
+
+    o["dim_truncation_recall"] = """
+        WITH q AS (
+          SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 3
+        ), c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 3
+        ), full5 AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(cv, qv) DESC, vec_id
+                   ) AS BIGINT) AS rank
+            FROM c CROSS JOIN q
+          ) WHERE rank <= 5
+        ), t5 AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.q_id
+                     ORDER BY list_cosine_similarity(c.cv[1:32], q.qv[1:32])
+                       DESC, c.vec_id
+                   ) AS BIGINT) AS rank
+            FROM c CROSS JOIN q
+          ) WHERE rank <= 5
+        )
+        SELECT f.q_id,
+               CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits,
+               round(CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0
+                              END) AS BIGINT) / CAST(5 AS DOUBLE), 9)
+                 AS recall_at_5
+        FROM full5 f
+        LEFT JOIN t5 t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+        GROUP BY f.q_id"""
 
     return {k: v.strip() for k, v in o.items()}
