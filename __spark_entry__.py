@@ -6433,6 +6433,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dim_truncation_recall"] = q_dim_truncation_recall
 
+    def q_kcenter_coreset(spark, sf_dir):
+        """Greedy k-center coreset over the embedding table — the
+        diversity-based data-selection pass (pick the 5 mutually
+        farthest vectors as exemplars).  Distances are EXACT int64
+        squared L2 over 1e6-quantized lanes (|q| <= ~5.3e5 keeps the
+        64-dim sum near 7e13, inside int64), so the per-round argmax
+        is a deterministic integer comparison — no cross-engine float
+        tie can flip a selection.  Each round is one distributed
+        TakeOrdered over the corpus with the selected centers embedded
+        as literal arrays (the kmeans literal-centroid pattern); only
+        k rows ever reach the driver, as control flow."""
+        emb = _t(spark, sf_dir, "embeddings")
+        v = emb.select(
+            "vec_id",
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(round(x * 1000000) as bigint))"
+            ).alias("q"),
+        )
+        seed = v.orderBy("vec_id").limit(1).collect()[0]
+        sel = [(1, int(seed.vec_id), 0)]
+        sel_vecs = [list(seed.q)]
+        for r in range(2, 6):
+            d_exprs = []
+            for qv in sel_vecs:
+                lit_arr = F.array(*[F.lit(int(x)) for x in qv])
+                d_exprs.append(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            lit_arr,
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            mind = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
+            far = (
+                v.select("vec_id", "q", mind.alias("d2"))
+                .orderBy(F.desc("d2"), F.asc("vec_id"))
+                .limit(1)
+                .collect()[0]
+            )
+            sel.append((r, int(far.vec_id), int(far.d2)))
+            sel_vecs.append(list(far.q))
+        return spark.createDataFrame(
+            sel, "round long, vec_id long, d2_to_set long"
+        )
+
+    q["kcenter_coreset"] = q_kcenter_coreset
+
+    def q_path_trigrams(spark, sf_dir):
+        """Top-10 three-step behavior paths (A>B>C event-type
+        trigrams) from each user's ordered sequence — the order-2
+        companion to markov_transitions.  Two leads in one
+        user-partitioned window, map-side-combined counts, TakeOrdered
+        top-k with the full (count, path) tiebreak."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        t = (
+            e.select(
+                F.col("event_type").alias("_t1"),
+                F.lead("event_type", 1).over(w).alias("_t2"),
+                F.lead("event_type", 2).over(w).alias("_t3"),
+            )
+            .filter(F.col("_t2").isNotNull() & F.col("_t3").isNotNull())
+            .select(
+                F.concat_ws(">", "_t1", "_t2", "_t3").alias("path")
+            )
+            .groupBy("path")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        return t.orderBy(F.desc("n"), F.asc("path")).limit(10)
+
+    q["path_trigrams"] = q_path_trigrams
+
+    def q_degree_distribution(spark, sf_dir):
+        """Degree histogram of the part-order graph plus the discrete
+        power-law MLE alpha = 1 + n / sum(ln d) (dmin = 1) — the
+        skew diagnostic run before choosing a partitioning for any
+        graph workload (a heavy-tailed degree histogram means salting
+        / skew-join handling, a flat one means plain hash keys).
+        Degrees and histogram counts are exact int64; alpha's ln sum
+        rides the 9-digit round."""
+        li = _t(spark, sf_dir, "lineitem")
+        deg = (
+            li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .groupBy("l_partkey")
+            .agg(F.count("*").cast("bigint").alias("degree"))
+        )
+        hist = deg.groupBy("degree").agg(
+            F.count("*").cast("bigint").alias("n_parts")
+        )
+        stats = deg.agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.log(F.col("degree").cast("double"))).alias("_sl"),
+        )
+        alpha = 1 + F.col("_n").cast("double") / F.col("_sl")
+        return (
+            hist.crossJoin(F.broadcast(stats))
+            .select(
+                "degree",
+                "n_parts",
+                F.round(alpha, 9).alias("powerlaw_alpha"),
+            )
+        )
+
+    q["degree_distribution"] = q_degree_distribution
+
+    def q_negsample_table(spark, sf_dir):
+        """Word2vec-style negative-sampling table: the top-100 vocab
+        with unigram^0.75 weights and normalized sampling shares — the
+        smoothed-unigram draw distribution contrastive training uses.
+        Ranks/counts come exact from vocab_stats; pow(c, 0.75) is the
+        one libm call (1-2 ulp cross-engine, 6+ digits under the
+        9-digit round); the 100-term weight total is a bounded final
+        aggregate."""
+        docs = _t(spark, sf_dir, "documents")
+        v = llm_text.vocab_stats(docs, top_k=100).select(
+            "word", "cnt", "rank"
+        )
+        w = F.pow(F.col("cnt").cast("double"), F.lit(0.75))
+        v2 = v.withColumn("_w", w)
+        tot = v2.agg(F.sum("_w").alias("_tw"))
+        return (
+            v2.crossJoin(F.broadcast(tot))
+            .select(
+                "word",
+                "cnt",
+                "rank",
+                F.round("_w", 9).alias("weight"),
+                F.round(F.col("_w") / F.col("_tw"), 9).alias("share"),
+            )
+        )
+
+    q["negsample_table"] = q_negsample_table
+
     return _gate_order(q)
 
 
@@ -10040,5 +10179,107 @@ def oracle_sql() -> dict[str, str]:
         FROM full5 f
         LEFT JOIN t5 t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
         GROUP BY f.q_id"""
+
+    def _kc_d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
+        )
+
+    _kc_ctes = [
+        """WITH v AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+          FROM embeddings
+        ), c1 AS (SELECT vec_id, q FROM v ORDER BY vec_id LIMIT 1)""",
+        f""", d1 AS (
+          SELECT v.vec_id, v.q, {_kc_d2("v.q", "c1.q")} AS d
+          FROM v CROSS JOIN c1
+        ), c2 AS (SELECT vec_id, q, d FROM d1 ORDER BY d DESC, vec_id
+                  LIMIT 1)""",
+    ]
+    for _r in (3, 4, 5):
+        _prev_d, _dn, _cn = f"d{_r - 2}", f"d{_r - 1}", f"c{_r}"
+        _kc_ctes.append(
+            f""", {_dn} AS (
+          SELECT {_prev_d}.vec_id, {_prev_d}.q,
+                 least({_prev_d}.d,
+                       {_kc_d2(_prev_d + ".q", "c" + str(_r - 1) + ".q")})
+                   AS d
+          FROM {_prev_d} CROSS JOIN c{_r - 1}
+        ), {_cn} AS (SELECT vec_id, q, d FROM {_dn}
+                     ORDER BY d DESC, vec_id LIMIT 1)"""
+        )
+    o["kcenter_coreset"] = (
+        "".join(_kc_ctes)
+        + """
+        SELECT CAST(1 AS BIGINT) AS round, vec_id,
+               CAST(0 AS BIGINT) AS d2_to_set
+        FROM c1
+        UNION ALL SELECT CAST(2 AS BIGINT), vec_id, d FROM c2
+        UNION ALL SELECT CAST(3 AS BIGINT), vec_id, d FROM c3
+        UNION ALL SELECT CAST(4 AS BIGINT), vec_id, d FROM c4
+        UNION ALL SELECT CAST(5 AS BIGINT), vec_id, d FROM c5"""
+    )
+
+    o["path_trigrams"] = """
+        WITH s AS (
+          SELECT event_type AS t1,
+                 lead(event_type, 1) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+                 lead(event_type, 2) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS t3
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT concat_ws('>', t1, t2, t3) AS path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n DESC, path LIMIT 10"""
+
+    o["degree_distribution"] = """
+        WITH deg AS (
+          SELECT l_partkey, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          GROUP BY l_partkey
+        ), hist AS (
+          SELECT degree, CAST(count(*) AS BIGINT) AS n_parts FROM deg
+          GROUP BY degree
+        ), st AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(ln(CAST(degree AS DOUBLE))) AS sl
+          FROM deg
+        )
+        SELECT degree, n_parts,
+               round(1 + CAST(n AS DOUBLE) / sl, 9) AS powerlaw_alpha
+        FROM hist CROSS JOIN st"""
+
+    o["negsample_table"] = """
+        WITH toks AS (
+          SELECT u.w AS word
+          FROM (
+            SELECT string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY word
+        ), ranked AS (
+          SELECT word, cnt,
+                 CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+                   AS rank
+          FROM vocab
+        ), top AS (
+          SELECT word, cnt, rank,
+                 pow(CAST(cnt AS DOUBLE), CAST(0.75 AS DOUBLE)) AS w
+          FROM ranked WHERE rank <= 100
+        ), tw AS (SELECT sum(w) AS tw FROM top)
+        SELECT word, cnt, rank,
+               round(w, 9) AS weight,
+               round(w / tw, 9) AS share
+        FROM top CROSS JOIN tw"""
 
     return {k: v.strip() for k, v in o.items()}
