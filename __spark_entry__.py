@@ -6443,42 +6443,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tie can flip a selection.  Each round is one distributed
         TakeOrdered over the corpus with the selected centers embedded
         as literal arrays (the kmeans literal-centroid pattern); only
-        k rows ever reach the driver, as control flow."""
+        k rows ever reach the driver, as control flow
+        (llm/similarity.py kcenter_greedy)."""
         emb = _t(spark, sf_dir, "embeddings")
-        v = emb.select(
-            "vec_id",
-            F.expr(
-                "transform(cast(embedding as array<double>), "
-                "x -> cast(round(x * 1000000) as bigint))"
-            ).alias("q"),
-        )
-        seed = v.orderBy("vec_id").limit(1).collect()[0]
-        sel = [(1, int(seed.vec_id), 0)]
-        sel_vecs = [list(seed.q)]
-        for r in range(2, 6):
-            d_exprs = []
-            for qv in sel_vecs:
-                lit_arr = F.array(*[F.lit(int(x)) for x in qv])
-                d_exprs.append(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"),
-                            lit_arr,
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    )
-                )
-            mind = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
-            far = (
-                v.select("vec_id", "q", mind.alias("d2"))
-                .orderBy(F.desc("d2"), F.asc("vec_id"))
-                .limit(1)
-                .collect()[0]
-            )
-            sel.append((r, int(far.vec_id), int(far.d2)))
-            sel_vecs.append(list(far.q))
+        sel = similarity.kcenter_greedy(emb, k=5, scale=1_000_000)
         return spark.createDataFrame(
             sel, "round long, vec_id long, d2_to_set long"
         )

@@ -986,3 +986,62 @@ def quantize_int8_oracle_sql() -> str:
                  list_transform(list_zip(xs, qv),
                                 p -> abs(p[1] - p[2] * sc))), 9) AS err_max
         FROM qd"""
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 5,
+    scale: int = 1_000_000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center selection (Gonzalez) with EXACT integer
+    distances: lanes quantize to ``round(x * scale)`` int64 and the
+    squared L2 accumulates as int64, so every farthest-point argmax is
+    a deterministic integer comparison — no cross-engine or
+    partition-order float tie can change the selection.
+
+    Returns ``[(round, id, d2_to_prior_set), ...]`` (k entries; the
+    seed — the minimum id — carries distance 0).  Each round is one
+    distributed TakeOrdered over the corpus with the selected centers
+    embedded as literal arrays (the kmeans literal-centroid pattern);
+    only k rows ever reach the driver, as control flow.
+
+    Scale note: |q| <= scale * max|x|; with unit-norm-ish embeddings at
+    scale=1e6 the 64-dim squared sum stays near 7e13 — far inside
+    int64.  Reference analog: diversity-based exemplar selection
+    (coreset construction) over an embedding table.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>), "
+            f"x -> cast(round(x * {scale}) as bigint))"
+        ).alias("q"),
+    )
+    seed = v.orderBy("vec_id").limit(1).collect()[0]
+    sel = [(1, int(seed.vec_id), 0)]
+    sel_vecs = [list(seed.q)]
+    for r in range(2, k + 1):
+        d_exprs = []
+        for qv in sel_vecs:
+            lit_arr = F.array(*[F.lit(int(x)) for x in qv])
+            d_exprs.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"), lit_arr, lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            )
+        mind = d_exprs[0] if len(d_exprs) == 1 else F.least(*d_exprs)
+        far = (
+            v.select("vec_id", "q", mind.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        sel.append((r, int(far.vec_id), int(far.d2)))
+        sel_vecs.append(list(far.q))
+    return sel

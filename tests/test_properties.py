@@ -590,3 +590,51 @@ class TestContainmentProperty:
                     round(inter / len(sets[b]), 9),
                 )
         assert got == exp
+
+
+class TestKCenterProperty:
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_python_greedy(self, spark, data):
+        from openseize_spark.llm.similarity import kcenter_greedy
+
+        n = data.draw(st.integers(4, 10))
+        dim = data.draw(st.integers(2, 5))
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(scale=0.3, size=(n, dim)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        k = data.draw(st.integers(2, min(4, n)))
+        got = kcenter_greedy(df, k=k, scale=1_000_000)
+
+        # python replica: same quantization, exact integer distances,
+        # same (max d2, min id) tiebreak
+        def rnd(x):
+            import decimal
+
+            return int(
+                decimal.Decimal(float(x) * 1_000_000).quantize(
+                    0, rounding=decimal.ROUND_HALF_UP
+                )
+            )
+
+        q = [[rnd(float(np.float64(v))) for v in vecs[i]] for i in range(n)]
+        sel = [(1, 0, 0)]
+        chosen = [0]
+        for r in range(2, k + 1):
+            best = None
+            for i in range(n):
+                d2 = min(
+                    sum((a - b) * (a - b) for a, b in zip(q[i], q[c]))
+                    for c in chosen
+                )
+                cand = (-d2, i)
+                if best is None or cand < best:
+                    best = cand
+            sel.append((r, best[1], -best[0]))
+            chosen.append(best[1])
+        assert got == sel
