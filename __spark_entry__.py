@@ -6540,6 +6540,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["negsample_table"] = q_negsample_table
 
+    def q_cube_revenue(spark, sf_dir):
+        """CUBE aggregation with grouping_id — all four (nation, year)
+        rollup combinations of exact revenue cents in one pass (the
+        engine expands the grouping sets map-side; Spark's grouping_id
+        bitmask equals DuckDB's grouping()).  Completes the
+        grouping-sets surface next to rollup_revenue's ROLLUP."""
+        li = _t(spark, sf_dir, "lineitem")
+        o2 = _t(spark, sf_dir, "orders")
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint")
+        j = (
+            li.join(o2, li.l_orderkey == o2.o_orderkey)
+            .join(c, o2.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(
+                "n_name",
+                F.year("o_orderdate").cast("bigint").alias("o_year"),
+                rev.alias("_rc"),
+            )
+        )
+        return j.cube("n_name", "o_year").agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.sum("_rc").cast("bigint").alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_lines"),
+        )
+
+    q["cube_revenue"] = q_cube_revenue
+
+    def q_range_frame_sum(spark, sf_dir):
+        """Time-RANGE window frame: each event's trailing 30-minute
+        spend per user via RANGE BETWEEN on the microsecond epoch —
+        the frame follows event TIME, not row count (peers with equal
+        timestamps aggregate together in both engines).  User-
+        partitioned windows hash-distribute; sums are exact cents."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        us = F.unix_micros("ts")
+        w = (
+            W.partitionBy("user_id")
+            .orderBy(us)
+            .rangeBetween(-1800 * 1000000, 0)
+        )
+        return e.select(
+            "event_id",
+            "user_id",
+            F.sum(cents).over(w).cast("bigint").alias("trailing_30m_cents"),
+        )
+
+    q["range_frame_sum"] = q_range_frame_sum
+
+    def q_unpivot_metrics(spark, sf_dir):
+        """Wide-to-long melt of a per-user feature table via the native
+        unpivot operator (one projection + explode, no join): three
+        exact int64 metrics become (user_id, metric, value) rows — the
+        shape feature stores and metric sinks ingest."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        wide = e.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("n_purchases"),
+            F.sum(F.when(F.col("value").isNotNull(), cents).otherwise(0))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        return wide.unpivot(
+            ["user_id"],
+            ["n_events", "n_purchases", "total_cents"],
+            "metric",
+            "value",
+        )
+
+    q["unpivot_metrics"] = q_unpivot_metrics
+
     return _gate_order(q)
 
 
@@ -6587,8 +6667,12 @@ def _edf_gate_digital(ch: int, t):
 # Round-6 registrations (TPC-H Q3/Q7-Q22 shapes, hll_distinct,
 # bloom_decontaminate, group_reservoir, epoch_repeat, hard_negatives,
 # quantize_int8, mixture_pipeline, ohlc_bars, streaming_upsert,
-# sorted_neighborhood, ann_recall, cluster_cohesion, ewma_user_value)
-# land after the boundary: round-7 window material.
+# sorted_neighborhood, ann_recall, cluster_cohesion, ewma_user_value,
+# the batch-4 analytics set, and the batch 5-9 surface — A/B+CUPED,
+# link prediction, Markov/trigram paths, Zipf/entropy/readability,
+# survival/ACF/decompose/changepoint, privacy audits, LSH/dim-recall
+# harnesses, k-center coreset, negative sampling) land after the
+# boundary: round-7+ window material, all locally BITEXACT-verified.
 # fixed ordered BPE merge table for the bpe_encode gate: includes a
 # cascade (t+h -> th, th+e -> the; a+n -> an, an+d -> and) so merge
 # order and merged-symbol reuse are both exercised
@@ -10249,5 +10333,48 @@ def oracle_sql() -> dict[str, str]:
                round(w, 9) AS weight,
                round(w / tw, 9) AS share
         FROM top CROSS JOIN tw"""
+
+    o["cube_revenue"] = """
+        WITH j AS (
+          SELECT n_name,
+                 CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS rc
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        )
+        SELECT n_name, o_year,
+               CAST(grouping(n_name, o_year) AS BIGINT) AS gid,
+               CAST(sum(rc) AS BIGINT) AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM j GROUP BY CUBE (n_name, o_year)"""
+
+    o["range_frame_sum"] = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_30m_cents
+        FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL"""
+
+    o["unpivot_metrics"] = """
+        WITH wide AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_purchases,
+                 CAST(sum(CASE WHEN value IS NOT NULL
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS total_cents
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        )
+        SELECT user_id, 'n_events' AS metric, n_events AS value FROM wide
+        UNION ALL
+        SELECT user_id, 'n_purchases', n_purchases FROM wide
+        UNION ALL
+        SELECT user_id, 'total_cents', total_cents FROM wide"""
 
     return {k: v.strip() for k, v in o.items()}
