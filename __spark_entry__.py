@@ -6620,6 +6620,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["unpivot_metrics"] = q_unpivot_metrics
 
+    def q_orc_roundtrip(spark, sf_dir):
+        """ORC sink -> source identity: the orders table written as ORC
+        (the second columnar interchange format next to parquet; zlib
+        striped, predicate-pushdown-capable) and read back with the
+        original schema — the oracle is the source table, so the gate
+        proves a lossless round-trip including timestamps.  Same
+        session-scoped staging discipline as jsonl_roundtrip."""
+        import os
+        import re
+
+        o2 = _t(spark, sf_dir, "orders")
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        d = _gate_tmp(spark, f"orc_rt_{tag}")
+        marker = os.path.join(d, "_SUCCESS")
+        if not os.path.exists(marker):
+            o2.write.mode("overwrite").orc(d)
+        return spark.read.schema(o2.schema).orc(d).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        )
+
+    q["orc_roundtrip"] = q_orc_roundtrip
+
+    def q_csv_roundtrip(spark, sf_dir):
+        """CSV sink -> source identity for the supplier table: written
+        with header + explicit quoting and read back with an explicit
+        schema (no inference pass — at scale that is a second full
+        scan).  Doubles survive via Spark's round-trippable default
+        formatting; the oracle is the source table, proving the
+        lossless round-trip."""
+        import os
+        import re
+
+        s = _t(spark, sf_dir, "supplier")
+        tag = re.sub(r"\W", "_", sf_dir.rstrip("/").split("/")[-1])
+        d = _gate_tmp(spark, f"csv_rt_{tag}")
+        marker = os.path.join(d, "_SUCCESS")
+        if not os.path.exists(marker):
+            s.write.mode("overwrite").option("header", True).csv(d)
+        return spark.read.schema(s.schema).option("header", True).csv(d).select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        )
+
+    q["csv_roundtrip"] = q_csv_roundtrip
+
     return _gate_order(q)
 
 
@@ -10376,5 +10425,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, 'n_purchases', n_purchases FROM wide
         UNION ALL
         SELECT user_id, 'total_cents', total_cents FROM wide"""
+
+    o["orc_roundtrip"] = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        " o_orderdate, o_orderpriority FROM orders"
+    )
+
+    o["csv_roundtrip"] = (
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+    )
 
     return {k: v.strip() for k, v in o.items()}
