@@ -6669,6 +6669,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["csv_roundtrip"] = q_csv_roundtrip
 
+    def q_rendezvous_shards(spark, sf_dir):
+        """Rendezvous (highest-random-weight) routing of documents onto
+        8 shards: each doc goes to the shard whose salted hash of
+        (doc, shard) is highest — the stable-assignment scheme that
+        moves only 1/n of keys when a shard joins or leaves (vs ~all
+        keys under mod-n).  Pure integer argmax over 8 portable hashes
+        per row, no shuffle until the per-shard count; emits the shard
+        histogram so balance is auditable."""
+        docs = _t(spark, sf_dir, "documents")
+        hs = [
+            sampling.salted_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit(f"#s{s}")),
+                "rv6",
+            )
+            for s in range(8)
+        ]
+        best = hs[0]
+        shard = F.lit(0)
+        for s in range(1, 8):
+            shard = F.when(hs[s] > best, F.lit(s)).otherwise(shard)
+            best = F.greatest(best, hs[s])
+        return (
+            docs.select(shard.cast("bigint").alias("shard"))
+            .groupBy("shard")
+            .agg(F.count("*").cast("bigint").alias("n_docs"))
+        )
+
+    q["rendezvous_shards"] = q_rendezvous_shards
+
+    def q_pareto_parts(spark, sf_dir):
+        """Pareto frontier (skyline) over parts — the multi-objective
+        shortlist on (cheaper retail price, larger size).  A part is
+        dominated iff a strictly-cheaper part is at least as large
+        (M1 >= size) or a same-price part is strictly larger
+        (M2 > size).  M1 is a cumulative max over price order computed
+        WITHOUT a single-partition window: 1024 price-range buckets,
+        per-bucket RANGE windows for the in-bucket prefix, and a
+        broadcast inequality join over the bounded bucket maxima for
+        the cross-bucket prefix (the corpus_shuffle two-level scan).
+        All comparisons are exact ints, so membership is
+        deterministic."""
+        p = _t(spark, sf_dir, "part")
+        cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+        base = p.select(
+            "p_partkey",
+            cents.alias("price_c"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        mx = base.agg(F.max("price_c").alias("_mp"))
+        b = base.crossJoin(F.broadcast(mx)).withColumn(
+            "bkt",
+            F.floor(
+                (F.col("price_c") * 1024).cast("double")
+                / (F.col("_mp") + 1).cast("double")
+            ).cast("bigint"),
+        )
+        w_in = (
+            W.partitionBy("bkt")
+            .orderBy("price_c")
+            .rangeBetween(W.unboundedPreceding, -1)
+        )
+        w_eq = W.partitionBy("price_c")
+        b = b.withColumn("_m1_in", F.max("size").over(w_in)).withColumn(
+            "_m2", F.max("size").over(w_eq)
+        )
+        bmax = b.groupBy(F.col("bkt").alias("_bb")).agg(
+            F.max("size").alias("_bm")
+        )
+        pre = (
+            b.select("bkt").distinct()
+            .join(F.broadcast(bmax), F.col("_bb") < F.col("bkt"), "left")
+            .groupBy("bkt")
+            .agg(F.max("_bm").alias("_m1_pre"))
+        )
+        j = b.join(F.broadcast(pre), on="bkt")
+        m1 = F.greatest(
+            F.coalesce(F.col("_m1_in"), F.lit(-1)),
+            F.coalesce(F.col("_m1_pre"), F.lit(-1)),
+        )
+        return j.filter(
+            ~((m1 >= F.col("size")) | (F.col("_m2") > F.col("size")))
+        ).select("p_partkey", "price_c", "size")
+
+    q["pareto_parts"] = q_pareto_parts
+
     return _gate_order(q)
 
 
@@ -10434,5 +10519,44 @@ def oracle_sql() -> dict[str, str]:
     o["csv_roundtrip"] = (
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
     )
+
+    o["rendezvous_shards"] = """
+        WITH x AS (
+          SELECT doc_id, s.s AS s,
+                 (('0x' || substr(md5('rv6:' || (CAST(doc_id AS VARCHAR)
+                                                 || ('#s' || s.s))), 1, 8))
+                  ::BIGINT) AS h
+          FROM documents,
+               (SELECT unnest(generate_series(0, 7)) AS s) s
+        ), pick AS (
+          SELECT doc_id, s FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (
+                     PARTITION BY doc_id ORDER BY h DESC, s
+                   ) AS rn
+            FROM x
+          ) WHERE rn = 1
+        )
+        SELECT CAST(s AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pick GROUP BY s"""
+
+    o["pareto_parts"] = """
+        WITH b AS (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                 CAST(p_size AS BIGINT) AS size
+          FROM part
+        ), m AS (
+          SELECT p_partkey, price_c, size,
+                 max(size) OVER (
+                   ORDER BY price_c
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) AS m1,
+                 max(size) OVER (PARTITION BY price_c) AS m2
+          FROM b
+        )
+        SELECT p_partkey, price_c, size FROM m
+        WHERE NOT (coalesce(m1, -1) >= size OR m2 > size)"""
 
     return {k: v.strip() for k, v in o.items()}
