@@ -6754,6 +6754,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pareto_parts"] = q_pareto_parts
 
+    def q_streaming_rate_limit(spark, sf_dir):
+        """Streaming token-bucket rate limiter (streaming/stateful.py
+        streaming_rate_limit): per-user quota enforcement with carried
+        int64 (tokens, last_seen) state across micro-batches — events
+        staged as three sequential ts-range files,
+        maxFilesPerTrigger=1, the streaming_cusum harness.  Refill is a
+        floor division on non-negative microsecond gaps, so the stream
+        equals the recursive-CTE replay bit-for-bit."""
+        import os
+        import shutil
+
+        from openseize_spark.streaming.stateful import streaming_rate_limit
+
+        e = (
+            _events(spark, sf_dir)
+            .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+            .select("user_id", "event_id", "ts")
+        )
+        d = _gate_tmp(
+            spark, "ratelim_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / 3
+        cuts = [lo, lo + span, lo + 2 * span]
+        conds = [
+            F.col("ts") < cuts[1],
+            (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+            F.col("ts") >= cuts[2],
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_rate_limit(
+            stream, capacity_tokens=5, us_per_microtoken=60
+        )
+        qname = "gate_streaming_rate_limit"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(
+            f"SELECT user_id, event_id, tokens_after, accepted FROM {qname}"
+        )
+
+    q["streaming_rate_limit"] = q_streaming_rate_limit
+
     return _gate_order(q)
 
 
@@ -10558,5 +10615,32 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p_partkey, price_c, size FROM m
         WHERE NOT (coalesce(m1, -1) >= size OR m2 > size)"""
+
+    _rl_avail = (
+        "least(CAST(5000000 AS BIGINT), r.tokens + (e.us - r.us) // 60)"
+    )
+    o["streaming_rate_limit"] = f"""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ), r AS (
+          SELECT user_id, event_id, rn, us,
+                 CAST(4000000 AS BIGINT) AS tokens,
+                 TRUE AS accepted
+          FROM ev WHERE rn = 1
+          UNION ALL
+          SELECT e.user_id, e.event_id, e.rn, e.us,
+                 CASE WHEN {_rl_avail} >= 1000000
+                      THEN {_rl_avail} - 1000000
+                      ELSE {_rl_avail} END AS tokens,
+                 {_rl_avail} >= 1000000 AS accepted
+          FROM r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, CAST(tokens AS BIGINT) AS tokens_after,
+               accepted
+        FROM r"""
 
     return {k: v.strip() for k, v in o.items()}

@@ -126,3 +126,80 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_RATE_OUT = "user_id long, event_id long, tokens_after bigint, accepted boolean"
+_RATE_STATE = "tokens bigint, last_us bigint"
+
+
+def make_stateful_rate_limit(
+    capacity_tokens: int = 5, us_per_microtoken: int = 60
+):
+    """Build the applyInPandasWithState function for a deterministic
+    token-bucket rate limiter: the bucket holds ``capacity_tokens``
+    (in 1e6 micro-token units), refills one micro-token every
+    ``us_per_microtoken`` microseconds (the default 60 = one full token
+    per minute), and each event costs one token.  ALL-INTEGER state and
+    updates — refill is a floor division on the non-negative
+    microsecond gap, so the streaming run, the batch recurrence, and
+    the SQL replay agree bit-for-bit (the same exactness contract as
+    streaming_cusum).  A user's first event finds a full bucket."""
+    cap = capacity_tokens * 1_000_000
+    cost = 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            tokens, last = state.get
+            started = True
+        else:
+            tokens, last, started = 0, 0, False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            us = (
+                pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            )
+            out_t, out_a = [], []
+            for ts_us in us:
+                ts_us = int(ts_us)
+                if not started:
+                    avail = cap
+                    started = True
+                else:
+                    avail = min(
+                        cap, tokens + (ts_us - last) // us_per_microtoken
+                    )
+                acc = avail >= cost
+                tokens = avail - (cost if acc else 0)
+                last = ts_us
+                out_t.append(tokens)
+                out_a.append(acc)
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "tokens_after": out_t,
+                    "accepted": out_a,
+                }
+            )
+        state.update((int(tokens), int(last)))
+
+    return fn
+
+
+def streaming_rate_limit(
+    events_stream, capacity_tokens: int = 5, us_per_microtoken: int = 60
+):
+    """Per-user token-bucket rate limiting over a live event stream —
+    the ingestion-throttling / quota-enforcement primitive, carried
+    int64 (tokens, last_seen) state across micro-batches (the third
+    applyInPandasWithState surface next to streaming_sosfilt and
+    streaming_cusum).  Micro-batches must arrive in non-decreasing ts
+    order per user; each batch sorts internally so intra-batch order
+    never depends on shuffle layout."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        make_stateful_rate_limit(capacity_tokens, us_per_microtoken),
+        outputStructType=_RATE_OUT,
+        stateStructType=_RATE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -160,3 +160,75 @@ class TestStreamingCusum:
         q.stop()
         r = spark.sql("SELECT * FROM t_cusum_half").collect()[0]
         assert r.s == 13  # half-away, matching round(0.125*100) in SQL
+
+
+class TestStreamingRateLimit:
+    def test_bucket_drains_and_refills_across_batches(self, spark, tmp_path):
+        import os
+
+        import datetime
+
+        from pyspark.sql import functions as F
+
+        from openseize_spark.streaming.stateful import streaming_rate_limit
+
+        # one user: 8 rapid-fire events (1s apart) drain the 5-token
+        # bucket inside batch 1; a 3-minute gap into batch 2 refills 3
+        # tokens — the refill depends on last_us carried across the
+        # micro-batch boundary
+        t0 = datetime.datetime(2024, 5, 1)
+        rows = [(1, i, t0 + datetime.timedelta(seconds=i)) for i in range(8)]
+        rows += [
+            (1, 100 + j, t0 + datetime.timedelta(seconds=7 + 180 + j))
+            for j in range(4)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts timestamp"
+        )
+        for b, cond in enumerate(
+            [F.col("event_id") < 100, F.col("event_id") >= 100]
+        ):
+            df.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(str(tmp_path), f"batch_{b}")
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(str(tmp_path), "batch_*"))
+        )
+        out = streaming_rate_limit(
+            stream, capacity_tokens=5, us_per_microtoken=60
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ratelim")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r.event_id: (r.tokens_after, r.accepted)
+            for r in spark.sql("SELECT * FROM t_ratelim").collect()
+        }
+        # python replay of the same integer recurrence
+        cap, cost = 5_000_000, 1_000_000
+        tokens, last, started = 0, 0, False
+        exp = {}
+        for uid, eid, ts in rows:
+            us = int(ts.timestamp() * 1_000_000)
+            if not started:
+                avail, started = cap, True
+            else:
+                avail = min(cap, tokens + (us - last) // 60)
+            acc = avail >= cost
+            tokens = avail - (cost if acc else 0)
+            last = us
+            exp[eid] = (tokens, acc)
+        assert got == exp
+        # events 0-4 accepted (bucket drains), 5-7 rejected except for
+        # the ~16667-microtoken trickle per second (never reaches a
+        # full token), then the 3-minute gap refills 3 full tokens:
+        # events 100-102 accepted, 103 rejected
+        assert [exp[i][1] for i in range(8)] == [True] * 5 + [False] * 3
+        assert [exp[100 + j][1] for j in range(4)] == [True, True, True, False]
