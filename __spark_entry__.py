@@ -6811,6 +6811,158 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_rate_limit"] = q_streaming_rate_limit
 
+    def q_nb_confusion(spark, sf_dir):
+        """Confusion matrix for the naive-Bayes language classifier:
+        per-doc argmax over the nb_lang_scores table (9-digit-rounded
+        scores with a lexicographic tiebreak, so both engines pick the
+        same label) joined against the true lang — the evaluation
+        closing the train/score/evaluate classifier loop.  At most
+        |langs|^2 cells."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        pred = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("score_lang").alias("pred_lang"))
+        )
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        return (
+            truth.join(pred, on="doc_id")
+            .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    q["nb_confusion"] = q_nb_confusion
+
+    def q_forecast_eval(spark, sf_dir):
+        """Forecast backtest: Holt double-exponential smoothing (the
+        holt_forecast recursion, dyadic alpha=1/4 beta=1/8) fit on the
+        first 23 days of daily revenue, h-step forecasts level + h *
+        trend scored against the 7 held-out days — per-day absolute
+        error and APE, the columns MAE/MAPE summarize.  The fold runs
+        over one bounded 23-element day array; the oracle replays it
+        as a recursive CTE with the identical IEEE expression tree."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        daily = e.groupBy(day.alias("day")).agg(
+            F.sum(cents).cast("bigint").alias("x")
+        )
+        train = daily.filter(F.col("day") <= 23)
+        arr = F.array_sort(F.collect_list(F.struct("day", "x")))
+        vals = F.transform(arr, lambda s: s["x"].cast("double"))
+        x1 = F.element_at(vals, 1)
+        x2 = F.element_at(vals, 2)
+        init = F.struct(x2.alias("level"), (x2 - x1).alias("trend"))
+
+        def _step(acc, x):
+            level2 = F.lit(0.25) * x + F.lit(0.75) * (
+                acc["level"] + acc["trend"]
+            )
+            return F.struct(
+                level2.alias("level"),
+                (
+                    F.lit(0.125) * (level2 - acc["level"])
+                    + F.lit(0.875) * acc["trend"]
+                ).alias("trend"),
+            )
+
+        fin = F.aggregate(F.slice(vals, 3, F.size(vals) - 2), init, _step)
+        fit = train.agg(
+            fin["level"].alias("_level"), fin["trend"].alias("_trend")
+        )
+        test = daily.filter(F.col("day") >= 24)
+        fcst = F.col("_level") + (F.col("day") - 23).cast("double") * F.col(
+            "_trend"
+        )
+        ad = F.col("x").cast("double")
+        return (
+            test.crossJoin(F.broadcast(fit))
+            .select(
+                "day",
+                F.col("x").alias("actual_cents"),
+                # round(x, 9) at ~1e6-cent magnitude straddles the two
+                # engines' rounding implementations (exact-decimal
+                # HALF_UP vs scaled-float); 3 decimals of a cent keeps
+                # the scaled value well inside double exactness
+                F.round(fcst, 3).alias("forecast_cents"),
+                F.round(F.abs(ad - fcst), 3).alias("abs_err"),
+                F.round(F.abs(ad - fcst) / ad, 9).alias("ape"),
+            )
+        )
+
+    q["forecast_eval"] = q_forecast_eval
+
+    def q_word_pmi(spark, sf_dir):
+        """Pointwise mutual information for co-occurring top-30 words
+        (document-level co-occurrence): which vocabulary pairs appear
+        together more than independence predicts — the collocation /
+        topic-structure signal.  Presence sets are restricted to the
+        top-30 vocabulary BEFORE pairing (per-doc fanout bounded at
+        30*29/2); counts are exact int64 and the PMI log argument is a
+        ratio of exact integer products."""
+        docs = _t(spark, sf_dir, "documents")
+        top = llm_text.vocab_stats(docs, top_k=30).select("word")
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        dw = (
+            docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(words).alias("word"))
+            .join(F.broadcast(top), on="word")
+            .distinct()
+        )
+        n_docs = docs.filter(F.col("text").isNotNull()).agg(
+            F.count("*").cast("bigint").alias("_N")
+        )
+        df_w = dw.groupBy("word").agg(
+            F.count("*").cast("bigint").alias("_df")
+        )
+        a = dw.select(F.col("doc_id").alias("_d"), F.col("word").alias("word_a"))
+        b = dw.select(F.col("doc_id").alias("_d"), F.col("word").alias("word_b"))
+        pairs = (
+            a.join(b, on="_d")
+            .filter(F.col("word_a") < F.col("word_b"))
+            .groupBy("word_a", "word_b")
+            .agg(F.count("*").cast("bigint").alias("n_ab"))
+            .filter(F.col("n_ab") >= 5)
+        )
+        return (
+            pairs.join(
+                F.broadcast(df_w.withColumnRenamed("word", "word_a")
+                            .withColumnRenamed("_df", "_dfa")),
+                on="word_a",
+            )
+            .join(
+                F.broadcast(df_w.withColumnRenamed("word", "word_b")
+                            .withColumnRenamed("_df", "_dfb")),
+                on="word_b",
+            )
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "word_a",
+                "word_b",
+                "n_ab",
+                F.round(
+                    F.log2(
+                        (F.col("n_ab") * F.col("_N")).cast("double")
+                        / (F.col("_dfa") * F.col("_dfb")).cast("double")
+                    ),
+                    9,
+                ).alias("pmi"),
+            )
+        )
+
+    q["word_pmi"] = q_word_pmi
+
     return _gate_order(q)
 
 
@@ -10642,5 +10794,96 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, CAST(tokens AS BIGINT) AS tokens_after,
                accepted
         FROM r"""
+
+    o["nb_confusion"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        pred AS (
+          SELECT doc_id, score_lang AS pred_lang FROM (
+            SELECT doc_id, score_lang,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY log_score DESC, score_lang
+                   ) AS rn
+            FROM nb
+          ) WHERE rn = 1
+        )
+        SELECT d.lang AS true_lang, p.pred_lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+        GROUP BY d.lang, p.pred_lang"""
+
+    o["forecast_eval"] = f"""
+        WITH RECURSIVE daily AS ({_daily_cte}
+        ), vpos AS (
+          SELECT row_number() OVER (ORDER BY day) AS i,
+                 CAST(x AS DOUBLE) AS v
+          FROM daily WHERE day <= 23
+        ), r AS (
+          SELECT 2 AS i, b.v AS level, b.v - a.v AS trend
+          FROM vpos a, vpos b WHERE a.i = 1 AND b.i = 2
+          UNION ALL
+          SELECT r.i + 1,
+                 0.25 * p.v + 0.75 * (r.level + r.trend),
+                 0.125 * ((0.25 * p.v + 0.75 * (r.level + r.trend))
+                          - r.level)
+                 + 0.875 * r.trend
+          FROM r JOIN vpos p ON p.i = r.i + 1
+        ), fit AS (
+          SELECT level, trend FROM r
+          WHERE i = (SELECT max(i) FROM vpos)
+        )
+        SELECT day, x AS actual_cents,
+               round(level + CAST(day - 23 AS DOUBLE) * trend, 3)
+                 AS forecast_cents,
+               round(abs(CAST(x AS DOUBLE)
+                         - (level + CAST(day - 23 AS DOUBLE) * trend)), 3)
+                 AS abs_err,
+               round(abs(CAST(x AS DOUBLE)
+                         - (level + CAST(day - 23 AS DOUBLE) * trend))
+                     / CAST(x AS DOUBLE), 9) AS ape
+        FROM daily CROSS JOIN fit WHERE day >= 24"""
+
+    o["word_pmi"] = """
+        WITH toks AS (
+          SELECT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          GROUP BY word
+        ), top AS (
+          SELECT word FROM (
+            SELECT word,
+                   row_number() OVER (ORDER BY cnt DESC, word) AS rank
+            FROM vocab
+          ) WHERE rank <= 30
+        ), dw AS (
+          SELECT DISTINCT t.doc_id, t.word FROM toks t
+          JOIN top ON top.word = t.word
+        ), nd AS (
+          SELECT CAST(count(*) AS BIGINT) AS N FROM documents
+          WHERE text IS NOT NULL
+        ), dfw AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS df FROM dw GROUP BY word
+        ), pairs AS (
+          SELECT a.word AS word_a, b.word AS word_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+          GROUP BY a.word, b.word
+          HAVING count(*) >= 5
+        )
+        SELECT p.word_a, p.word_b, p.n_ab,
+               round(log2(CAST(p.n_ab * nd.N AS DOUBLE)
+                          / CAST(fa.df * fb.df AS DOUBLE)), 9) AS pmi
+        FROM pairs p
+        JOIN dfw fa ON fa.word = p.word_a
+        JOIN dfw fb ON fb.word = p.word_b
+        CROSS JOIN nd"""
 
     return {k: v.strip() for k, v in o.items()}
