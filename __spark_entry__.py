@@ -6963,6 +6963,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["word_pmi"] = q_word_pmi
 
+    def q_ts_features(spark, sf_dir):
+        """Per-user time-series feature table (the tsfresh-style
+        feature-extraction pass a behavioral model trains on): count,
+        mean/std, range, OLS slope over event index, and lag-1
+        autocorrelation — every moment an exact int64 sum over the
+        user's (ts, event_id)-ordered cent series, divided once at the
+        end (the value_hour_corr discipline applied five ways in one
+        pass)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        r = e.select(
+            "user_id",
+            cents.alias("c"),
+            F.row_number().over(w).cast("bigint").alias("i"),
+            F.lead(cents).over(w).alias("c_next"),
+        )
+        m = r.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("c").cast("bigint").alias("_s1"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_s2"),
+            F.max("c").cast("bigint").alias("_mx"),
+            F.min("c").cast("bigint").alias("_mn"),
+            F.sum(F.col("i")).cast("bigint").alias("_si"),
+            F.sum(F.col("i") * F.col("i")).cast("bigint").alias("_sii"),
+            F.sum(F.col("i") * F.col("c")).cast("bigint").alias("_sic"),
+            F.sum(F.when(F.col("c_next").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("_np"),
+            F.sum(F.when(F.col("c_next").isNotNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("_px"),
+            F.sum(
+                F.when(F.col("c_next").isNotNull(), F.col("c_next")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_py"),
+            F.sum(
+                F.when(
+                    F.col("c_next").isNotNull(), F.col("c") * F.col("c_next")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_pxy"),
+            F.sum(
+                F.when(
+                    F.col("c_next").isNotNull(), F.col("c") * F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_pxx"),
+            F.sum(
+                F.when(
+                    F.col("c_next").isNotNull(),
+                    F.col("c_next") * F.col("c_next"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("_pyy"),
+        )
+        nd = F.col("n").cast("double")
+        mean = F.col("_s1").cast("double") / nd
+        var = F.col("_s2").cast("double") / nd - mean * mean
+        slope = (
+            (F.col("n") * F.col("_sic") - F.col("_si") * F.col("_s1"))
+            .cast("double")
+            / (F.col("n") * F.col("_sii") - F.col("_si") * F.col("_si"))
+            .cast("double")
+        )
+        acnum = (
+            F.col("_np") * F.col("_pxy") - F.col("_px") * F.col("_py")
+        ).cast("double")
+        acden = F.sqrt(
+            (F.col("_np") * F.col("_pxx") - F.col("_px") * F.col("_px"))
+            .cast("double")
+        ) * F.sqrt(
+            (F.col("_np") * F.col("_pyy") - F.col("_py") * F.col("_py"))
+            .cast("double")
+        )
+        return m.select(
+            "user_id",
+            "n",
+            F.round(mean, 9).alias("mean_cents"),
+            F.round(F.sqrt(var), 9).alias("std_cents"),
+            (F.col("_mx") - F.col("_mn")).alias("range_cents"),
+            F.round(slope, 9).alias("index_slope"),
+            F.round(acnum / acden, 9).alias("autocorr1"),
+        )
+
+    q["ts_features"] = q_ts_features
+
+    def q_above_brand_avg(spark, sf_dir):
+        """Correlated-scalar-subquery shape: parts priced strictly
+        above their brand's average retail price — the oracle keeps
+        the textbook correlated form (DuckDB decorrelates it), while
+        the engine side expresses the decorrelated plan directly (one
+        broadcast aggregate join).  The comparison is EXACT integer
+        cross-multiplication (price * n > sum), so no float average
+        can flip a boundary row."""
+        p = _t(spark, sf_dir, "part")
+        cents = F.round(F.col("p_retailprice") * 100).cast("bigint")
+        base = p.select("p_partkey", "p_brand", cents.alias("price_c"))
+        ag = base.groupBy(F.col("p_brand").alias("_b")).agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("price_c").cast("bigint").alias("_s"),
+        )
+        return (
+            base.join(F.broadcast(ag), F.col("_b") == F.col("p_brand"))
+            .filter(F.col("price_c") * F.col("_n") > F.col("_s"))
+            .select("p_partkey", "p_brand", "price_c")
+        )
+
+    q["above_brand_avg"] = q_above_brand_avg
+
     return _gate_order(q)
 
 
@@ -10885,5 +11001,70 @@ def oracle_sql() -> dict[str, str]:
         JOIN dfw fa ON fa.word = p.word_a
         JOIN dfw fb ON fb.word = p.word_b
         CROSS JOIN nd"""
+
+    o["ts_features"] = """
+        WITH r AS (
+          SELECT user_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS BIGINT) AS i,
+                 lead(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS c_next
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ), m AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s1,
+                 CAST(sum(c * c) AS BIGINT) AS s2,
+                 CAST(max(c) AS BIGINT) AS mx,
+                 CAST(min(c) AS BIGINT) AS mn,
+                 CAST(sum(i) AS BIGINT) AS si,
+                 CAST(sum(i * i) AS BIGINT) AS sii,
+                 CAST(sum(i * c) AS BIGINT) AS sic,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS np,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN c ELSE 0 END)
+                      AS BIGINT) AS px,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN c_next ELSE 0
+                          END) AS BIGINT) AS py,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN c * c_next
+                          ELSE 0 END) AS BIGINT) AS pxy,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN c * c ELSE 0
+                          END) AS BIGINT) AS pxx,
+                 CAST(sum(CASE WHEN c_next IS NOT NULL THEN c_next * c_next
+                          ELSE 0 END) AS BIGINT) AS pyy
+          FROM r GROUP BY user_id
+        )
+        SELECT user_id, n,
+               round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                 AS mean_cents,
+               round(sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                          - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+                 AS std_cents,
+               mx - mn AS range_cents,
+               round(CAST(n * sic - si * s1 AS DOUBLE)
+                     / CAST(n * sii - si * si AS DOUBLE), 9)
+                 AS index_slope,
+               round(CAST(np * pxy - px * py AS DOUBLE)
+                     / (sqrt(CAST(np * pxx - px * px AS DOUBLE))
+                        * sqrt(CAST(np * pyy - py * py AS DOUBLE))), 9)
+                 AS autocorr1
+        FROM m"""
+
+    o["above_brand_avg"] = """
+        WITH b AS (
+          SELECT p_partkey, p_brand,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS price_c
+          FROM part
+        )
+        SELECT p_partkey, p_brand, price_c
+        FROM b o
+        WHERE o.price_c * (SELECT CAST(count(*) AS BIGINT) FROM b i
+                           WHERE i.p_brand = o.p_brand)
+              > (SELECT CAST(sum(price_c) AS BIGINT) FROM b i
+                 WHERE i.p_brand = o.p_brand)"""
 
     return {k: v.strip() for k, v in o.items()}

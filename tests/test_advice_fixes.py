@@ -117,3 +117,81 @@ class TestEdfPadValue:
         step = 16384.0 / 65535.0
         np.testing.assert_allclose(phys[25:], 0.0, atol=step / 2 + 1e-9)
         np.testing.assert_allclose(phys[:25], data[0], atol=step / 2 + 1e-9)
+
+
+class TestParetoFrontier:
+    def test_matches_brute_force(self, spark):
+        """The bucketed two-level cumulative-max skyline equals the
+        O(n^2) dominance definition on a deterministic fixture."""
+        import itertools
+
+        import __spark_entry__ as entry
+        from pyspark.sql import functions as F
+
+        rng_pts = [
+            (i, 100 + (i * 37) % 50, 1 + (i * 13) % 20) for i in range(40)
+        ]
+        # build a tiny part table and run the same pipeline inline
+        df = spark.createDataFrame(
+            [(k, float(p) / 100.0, s) for k, p, s in rng_pts],
+            "p_partkey long, p_retailprice double, p_size int",
+        )
+        import tempfile, os
+
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r.p_partkey
+            for r in entry.queries()["pareto_parts"](spark, d).collect()
+        }
+
+        def dominated(a, b):  # b dominates a
+            return (
+                b[1] <= a[1]
+                and b[2] >= a[2]
+                and (b[1] < a[1] or b[2] > a[2])
+            )
+
+        exp = {
+            k
+            for (k, p, s) in rng_pts
+            if not any(
+                dominated((k, p, s), (k2, p2, s2))
+                for (k2, p2, s2) in rng_pts
+                if k2 != k
+            )
+        }
+        assert got == exp
+
+
+class TestRendezvousRouting:
+    def test_matches_python_hrw(self, spark):
+        """Shard histogram equals a Python highest-random-weight replay
+        with the same salted md5 hashes."""
+        import hashlib
+        import tempfile, os
+
+        import __spark_entry__ as entry
+
+        docs = [(i, f"t{i}", "en", "s", 2) for i in range(60)]
+        df = spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r.shard: r.n_docs
+            for r in entry.queries()["rendezvous_shards"](spark, d).collect()
+        }
+
+        def h(doc_id, s):
+            m = hashlib.md5(f"rv6:{doc_id}#s{s}".encode()).hexdigest()
+            return int(m[:8], 16)
+
+        exp = {}
+        for i, *_ in docs:
+            best = max(range(8), key=lambda s: (h(i, s), -s))
+            exp[best] = exp.get(best, 0) + 1
+        assert got == exp
