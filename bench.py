@@ -50,6 +50,10 @@ HEADLINE = [
     # round-6 additions
     "hll_distinct",         # mergeable HLL register aggregate
     "epoch_repeat",         # broadcast rate join + sequence/explode fan-out
+    # round-6 session-2 additions
+    "histogram_quantiles",  # mergeable 64-bin quantile sketch + exact harness
+    "markov_transitions",   # user-partitioned lead + transition matrix
+    "kcenter_coreset",      # iterative exact-int greedy selection (4 rounds)
 ]
 
 
