@@ -1,0 +1,39 @@
+"""Driver-contract registry invariants: every oracle belongs to a
+registered query, the rows-only set is exactly the documented three,
+and the registration order puts the never-driver-checked backlog
+inside the 50-slot gate window."""
+
+import __spark_entry__ as entry
+
+
+def test_oracles_subset_of_queries():
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    # the documented rows-only entries (bench twins of oracled siblings)
+    assert sorted(set(q) - set(o)) == [
+        "minhash_dedup_prod",
+        "sosfilt_blocks_full",
+        "sosfilt_full",
+    ]
+
+
+def test_gate_window_is_first_fifty_priority():
+    q = entry.queries()
+    names = list(q)
+    prio = entry._GATE_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate priority entries"
+    missing = [p for p in prio if p not in q]
+    assert not missing, missing
+    assert names[: len(prio)] == prio
+
+
+def test_every_oracle_is_nonempty_sql():
+    for name, sql in entry.oracle_sql().items():
+        assert isinstance(sql, str) and "SELECT" in sql.upper(), name
+
+
+def test_registered_callables_are_distinct():
+    q = entry.queries()
+    fns = list(q.values())
+    assert len(fns) == len(set(id(f) for f in fns))
