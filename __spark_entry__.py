@@ -7079,6 +7079,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["above_brand_avg"] = q_above_brand_avg
 
+    def q_kmv_distinct(spark, sf_dir):
+        """KMV (k-minimum-values / theta) distinct sketch per event
+        type with its accuracy harness: the 32 smallest salted user
+        hashes per type give estimate (k-1) * H / h_k, emitted next to
+        the exact distinct count (the histogram_quantiles pattern for
+        cardinality).  The sketch is mergeable (k smallest of a union
+        of k-smallest sets) — at scale the shuffle carries 32 hashes
+        per (type, partition) instead of the distinct user sets.
+        h_k is an exact integer; one float division at the end."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        du = e.select("event_type", "user_id").distinct()
+        h = sampling.salted_hash(F.col("user_id"), "kmv6")
+        r = du.select("event_type", h.alias("_h")).withColumn(
+            "_b", F.pmod(F.col("_h"), F.lit(256))
+        )
+        # two-level k-smallest merge: per (type, hash-bucket) partial
+        # k-min (bounded arrays), then a bounded 256-array merge per
+        # type — never a per-type rank window over the full distinct set
+        lvl1 = r.groupBy("event_type", "_b").agg(
+            F.slice(F.array_sort(F.collect_set("_h")), 1, 32).alias("_ks")
+        )
+        lvl2 = lvl1.groupBy("event_type").agg(
+            # F.get is 0-based and NULL out-of-bounds (ANSI-safe when a
+            # type has fewer than 32 distinct users: the sketch is exact
+            # there and the estimate column goes NULL by design)
+            F.get(
+                F.slice(
+                    F.array_sort(F.flatten(F.collect_list("_ks"))), 1, 32
+                ),
+                31,
+            )
+            .cast("bigint")
+            .alias("kth_hash")
+        )
+        exact = du.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("exact_distinct")
+        )
+        return exact.join(F.broadcast(lvl2), on="event_type").select(
+            "event_type",
+            "exact_distinct",
+            "kth_hash",
+            F.round(
+                F.lit(31.0)
+                * F.lit(float(sampling.HASH_SPACE))
+                / F.col("kth_hash").cast("double"),
+                6,
+            ).alias("kmv_estimate"),
+        )
+
+    q["kmv_distinct"] = q_kmv_distinct
+
+    def q_kmv_set_ops(spark, sf_dir):
+        """Theta-sketch set operations: union and intersection distinct
+        estimates for (purchase, view) user sets from their merged
+        32-minimum-value sketches — union = (k-1)*H/theta over the
+        merged k-smallest, intersection = (matching fraction below
+        theta) * union (the inclusion rule theta sketches use) — next
+        to the exact counts.  Everything through the final divides is
+        exact integers over 32-row broadcast sets."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        h = sampling.salted_hash(F.col("user_id"), "kmv6")
+
+        def kset(t):
+            # distinct hashes -> TakeOrdered top-32 (per-partition
+            # partial top-k + merge; no global window)
+            return (
+                e.filter(F.col("event_type") == t)
+                .select("user_id")
+                .distinct()
+                .select(h.alias("_h"))
+                .distinct()
+                .orderBy("_h")
+                .limit(32)
+            )
+
+        sa = kset("purchase").withColumnRenamed("_h", "_ha")
+        sb = kset("view").withColumnRenamed("_h", "_hb")
+        merged = (
+            sa.select(F.col("_ha").alias("_h"))
+            .union(sb.select(F.col("_hb").alias("_h")))
+            .distinct()
+            .orderBy("_h")
+            .limit(32)
+        )
+        theta = merged.agg(F.max("_h").cast("bigint").alias("_theta"))
+        both = (
+            merged.join(
+                F.broadcast(sa.select(F.col("_ha").alias("_h"))), on="_h"
+            )
+            .join(
+                F.broadcast(sb.select(F.col("_hb").alias("_h"))), on="_h"
+            )
+            .agg(F.count("*").cast("bigint").alias("_m"))
+        )
+        pa = e.filter(F.col("event_type") == "purchase").select("user_id")
+        pv = e.filter(F.col("event_type") == "view").select("user_id")
+        exact_u = pa.union(pv).distinct().agg(
+            F.count("*").cast("bigint").alias("u_exact")
+        )
+        exact_i = (
+            pa.distinct()
+            .join(pv.distinct(), on="user_id")
+            .agg(F.count("*").cast("bigint").alias("i_exact"))
+        )
+        u_est = (
+            F.lit(31.0)
+            * F.lit(float(sampling.HASH_SPACE))
+            / F.col("_theta").cast("double")
+        )
+        return (
+            exact_u.crossJoin(F.broadcast(exact_i))
+            .crossJoin(F.broadcast(theta))
+            .crossJoin(F.broadcast(both))
+            .select(
+                "u_exact",
+                F.round(u_est, 6).alias("u_est"),
+                "i_exact",
+                F.round(
+                    (F.col("_m").cast("double") / F.lit(32.0)) * u_est, 6
+                ).alias("i_est"),
+            )
+        )
+
+    q["kmv_set_ops"] = q_kmv_set_ops
+
     return _gate_order(q)
 
 
@@ -11066,5 +11191,81 @@ def oracle_sql() -> dict[str, str]:
                            WHERE i.p_brand = o.p_brand)
               > (SELECT CAST(sum(price_c) AS BIGINT) FROM b i
                  WHERE i.p_brand = o.p_brand)"""
+
+    _kmv_h = sampling.salted_hash_sql("user_id", "kmv6")
+    _HSD = f"CAST({sampling.HASH_SPACE} AS DOUBLE)"
+    o["kmv_distinct"] = f"""
+        WITH du AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), hx AS (
+          SELECT DISTINCT event_type, {_kmv_h} AS h FROM du
+        ), rn AS (
+          SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+          FROM hx
+        ), kth AS (
+          SELECT event_type,
+                 CAST(max(CASE WHEN rn = 32 THEN h END) AS BIGINT)
+                   AS kth_hash
+          FROM rn GROUP BY event_type
+        ), ex AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+          FROM du GROUP BY event_type
+        )
+        SELECT ex.event_type, ex.exact_distinct, kth.kth_hash,
+               round(31.0 * {_HSD} / CAST(kth.kth_hash AS DOUBLE), 6)
+                 AS kmv_estimate
+        FROM ex JOIN kth ON kth.event_type = ex.event_type"""
+
+    o["kmv_set_ops"] = f"""
+        WITH sa AS (
+          SELECT h FROM (
+            SELECT DISTINCT {_kmv_h} AS h FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            )
+          ) ORDER BY h LIMIT 32
+        ), sb AS (
+          SELECT h FROM (
+            SELECT DISTINCT {_kmv_h} AS h FROM (
+              SELECT DISTINCT user_id FROM events
+              WHERE user_id IS NOT NULL AND event_type = 'view'
+            )
+          ) ORDER BY h LIMIT 32
+        ), merged AS (
+          SELECT h FROM (
+            SELECT h FROM sa UNION SELECT h FROM sb
+          ) ORDER BY h LIMIT 32
+        ), theta AS (SELECT CAST(max(h) AS BIGINT) AS theta FROM merged),
+        mm AS (
+          SELECT CAST(count(*) AS BIGINT) AS m
+          FROM merged
+          JOIN sa ON sa.h = merged.h
+          JOIN sb ON sb.h = merged.h
+        ), eu AS (
+          SELECT CAST(count(*) AS BIGINT) AS u_exact FROM (
+            SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL
+              AND event_type IN ('purchase', 'view')
+          )
+        ), ei AS (
+          SELECT CAST(count(*) AS BIGINT) AS i_exact FROM (
+            SELECT user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            GROUP BY user_id
+          ) a JOIN (
+            SELECT user_id FROM events
+            WHERE user_id IS NOT NULL AND event_type = 'view'
+            GROUP BY user_id
+          ) b ON b.user_id = a.user_id
+        )
+        SELECT u_exact,
+               round(31.0 * {_HSD} / CAST(theta AS DOUBLE), 6) AS u_est,
+               i_exact,
+               round((CAST(m AS DOUBLE) / 32.0)
+                     * (31.0 * {_HSD} / CAST(theta AS DOUBLE)), 6) AS i_est
+        FROM eu CROSS JOIN ei CROSS JOIN theta CROSS JOIN mm"""
 
     return {k: v.strip() for k, v in o.items()}
