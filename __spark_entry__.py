@@ -7204,6 +7204,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmv_set_ops"] = q_kmv_set_ops
 
+    def q_csv_corrupt_records(spark, sf_dir):
+        """Malformed-CSV ingestion policy: a fixed 7-row fixture with a
+        type-mismatched cell, a short row, an over-long row, and empty
+        cells, read in PERMISSIVE mode with a _corrupt_record column —
+        pinning the quarantine semantics a 100-TB ingest relies on:
+        only the type-mismatched cell quarantines its row (raw text in
+        the corrupt column, job never dies); short rows pad with
+        nulls, over-long rows DROP the extra tokens, and empty cells
+        are nulls -- all ingested as good.  The oracle is the literal
+        summary of those observed-and-pinned rules (7 rows, 1 corrupt,
+        good qty 2+4+7+8+9 = 30)."""
+        import os
+
+        d = _gate_tmp(spark, "csvbad")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "rows.csv")
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(
+                    "id,qty,price\n"
+                    "1,2,3.5\n"
+                    "2,4,1.25\n"
+                    "3,,2.0\n"
+                    "4,notanint,9.0\n"
+                    "5,7\n"
+                    "6,8,1.0,extra\n"
+                    "7,9,0.5\n"
+                )
+        df = (
+            spark.read.schema(
+                "id int, qty int, price double, _corrupt_record string"
+            )
+            .option("header", True)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        good_qty = F.when(
+            F.col("_corrupt_record").isNull(), F.col("qty")
+        ).otherwise(0)
+        return df.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("_corrupt_record").isNotNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_corrupt"),
+            F.sum(F.col("_corrupt_record").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_good"),
+            F.sum(F.coalesce(good_qty, F.lit(0)))
+            .cast("bigint")
+            .alias("good_qty_sum"),
+        )
+
+    q["csv_corrupt_records"] = q_csv_corrupt_records
+
     return _gate_order(q)
 
 
@@ -11267,5 +11322,11 @@ def oracle_sql() -> dict[str, str]:
                round((CAST(m AS DOUBLE) / 32.0)
                      * (31.0 * {_HSD} / CAST(theta AS DOUBLE)), 6) AS i_est
         FROM eu CROSS JOIN ei CROSS JOIN theta CROSS JOIN mm"""
+
+    o["csv_corrupt_records"] = """
+        SELECT CAST(7 AS BIGINT) AS n_rows,
+               CAST(1 AS BIGINT) AS n_corrupt,
+               CAST(6 AS BIGINT) AS n_good,
+               CAST(30 AS BIGINT) AS good_qty_sum"""
 
     return {k: v.strip() for k, v in o.items()}
