@@ -638,3 +638,47 @@ class TestKCenterProperty:
             sel.append((r, best[1], -best[0]))
             chosen.append(best[1])
         assert got == sel
+
+
+class TestKmvProperty:
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_two_level_merge_equals_sorted_prefix(self, spark, data):
+        """The bucketed two-level k-smallest merge inside kmv_distinct
+        must equal the 32nd smallest distinct hash computed directly."""
+        import hashlib
+        import tempfile, os
+        import datetime
+
+        import __spark_entry__ as entry
+
+        n_users = data.draw(st.integers(30, 80))
+        users = sorted(
+            {data.draw(st.integers(1, 10_000)) for _ in range(n_users)}
+        )
+        t0 = datetime.datetime(2024, 1, 2)
+        rows = [
+            (i, t0 + datetime.timedelta(seconds=i), u, "click", 1.0, "{}")
+            for i, u in enumerate(users)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r.event_type: (r.exact_distinct, r.kth_hash)
+            for r in entry.queries()["kmv_distinct"](spark, d).collect()
+        }
+
+        def h(u):
+            return int(
+                hashlib.md5(f"kmv6:{u}".encode()).hexdigest()[:8], 16
+            )
+
+        hs = sorted({h(u) for u in users})
+        kth = hs[31] if len(hs) >= 32 else None
+        assert got == {"click": (len(users), kth)}
