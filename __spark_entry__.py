@@ -7259,6 +7259,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["csv_corrupt_records"] = q_csv_corrupt_records
 
+    def q_kneser_ney_bigram(spark, sf_dir):
+        """Interpolated Kneser-Ney bigram probabilities (discount
+        0.75) — the canonical LM smoothing, next to the Laplace
+        unigram/bigram scores: P(w2|w1) = (c12 - d)/c1 + (d * N1+left
+        / c1) * (N1+right / bigram_types), every count exact int64
+        from doc-windowed adjacent pairs and every continuation count
+        a distinct-count aggregate; one mirrored float chain per row.
+        Emitted for bigrams with c12 >= 3 (bounded output), the model
+        table a perplexity filter would consume."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = docs.select(
+            "doc_id", F.posexplode(words).alias("pos", "w")
+        )
+        wdoc = W.partitionBy("doc_id").orderBy("pos")
+        bi = (
+            toks.select(
+                F.col("w").alias("w1"),
+                F.lead("w").over(wdoc).alias("w2"),
+            )
+            .filter(F.col("w2").isNotNull())
+            .groupBy("w1", "w2")
+            .agg(F.count("*").cast("bigint").alias("c12"))
+        )
+        c1 = bi.groupBy("w1").agg(
+            F.sum("c12").cast("bigint").alias("_c1"),
+            F.count("*").cast("bigint").alias("_nl"),
+        )
+        nr = bi.groupBy("w2").agg(
+            F.count("*").cast("bigint").alias("_nr")
+        )
+        tt = bi.agg(F.count("*").cast("bigint").alias("_T"))
+        p = (
+            (F.col("c12").cast("double") - 0.75)
+            / F.col("_c1").cast("double")
+            + (
+                0.75
+                * F.col("_nl").cast("double")
+                / F.col("_c1").cast("double")
+            )
+            * (F.col("_nr").cast("double") / F.col("_T").cast("double"))
+        )
+        return (
+            bi.filter(F.col("c12") >= 3)
+            .join(F.broadcast(c1), on="w1")
+            .join(F.broadcast(nr), on="w2")
+            .crossJoin(F.broadcast(tt))
+            .select(
+                "w1",
+                "w2",
+                "c12",
+                F.round(p, 9).alias("p_kn"),
+            )
+        )
+
+    q["kneser_ney_bigram"] = q_kneser_ney_bigram
+
+    def q_span_corruption(spark, sf_dir):
+        """T5-style span-corruption plan: deterministic mask-span
+        starts (salted hash of (doc, position) under a 1/15 cut),
+        fixed span length 3, and the per-doc masked-position census —
+        the denoising-pretraining data-prep pass.  Coverage counts
+        come from a bounded range join (each start covers 3
+        positions); overlapping spans merge through the DISTINCT.  All
+        integer except the final ratio."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = docs.select(
+            "doc_id", F.posexplode(words).alias("pos", "w")
+        ).select("doc_id", "pos")
+        cut = sampling.HASH_SPACE // 15
+        h = sampling.salted_hash(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("pos").cast("string"),
+            ),
+            "sc6",
+        )
+        starts = toks.filter(h < cut).select(
+            F.col("doc_id").alias("_d"), F.col("pos").alias("_s")
+        )
+        nt = toks.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("n_tokens")
+        )
+        ns = starts.groupBy(F.col("_d").alias("doc_id")).agg(
+            F.count("*").cast("bigint").alias("n_spans")
+        )
+        covered = (
+            toks.join(
+                starts,
+                (F.col("_d") == F.col("doc_id"))
+                & (F.col("pos") >= F.col("_s"))
+                & (F.col("pos") <= F.col("_s") + 2),
+            )
+            .select("doc_id", "pos")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_masked"))
+        )
+        return (
+            nt.join(ns, on="doc_id", how="left")
+            .join(covered, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.coalesce(F.col("n_spans"), F.lit(0))
+                .cast("bigint")
+                .alias("n_spans"),
+                F.coalesce(F.col("n_masked"), F.lit(0))
+                .cast("bigint")
+                .alias("n_masked"),
+                F.round(
+                    F.coalesce(F.col("n_masked"), F.lit(0)).cast("double")
+                    / F.col("n_tokens").cast("double"),
+                    9,
+                ).alias("mask_ratio"),
+            )
+        )
+
+    q["span_corruption"] = q_span_corruption
+
     return _gate_order(q)
 
 
@@ -11328,5 +11456,74 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS n_corrupt,
                CAST(6 AS BIGINT) AS n_good,
                CAST(30 AS BIGINT) AS good_qty_sum"""
+
+    _dl_cte = """
+          SELECT doc_id,
+                 list_filter(
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' '
+                   ), w -> len(w) > 0) AS wl
+          FROM documents WHERE text IS NOT NULL"""
+    o["kneser_ney_bigram"] = f"""
+        WITH dl AS ({_dl_cte}
+        ), bi AS (
+          SELECT wl[i.i] AS w1, wl[i.i + 1] AS w2,
+                 CAST(count(*) AS BIGINT) AS c12
+          FROM dl, unnest(generate_series(1, len(wl) - 1)) AS i(i)
+          GROUP BY 1, 2
+        ), c1 AS (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS nl
+          FROM bi GROUP BY w1
+        ), nr AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM bi GROUP BY w2
+        ), tt AS (SELECT CAST(count(*) AS BIGINT) AS T FROM bi)
+        SELECT b.w1, b.w2, b.c12,
+               round((CAST(b.c12 AS DOUBLE) - 0.75)
+                     / CAST(c1.c1 AS DOUBLE)
+                     + (0.75 * CAST(c1.nl AS DOUBLE)
+                        / CAST(c1.c1 AS DOUBLE))
+                       * (CAST(nr.nr AS DOUBLE) / CAST(tt.T AS DOUBLE)),
+                     9) AS p_kn
+        FROM bi b
+        JOIN c1 ON c1.w1 = b.w1
+        JOIN nr ON nr.w2 = b.w2
+        CROSS JOIN tt
+        WHERE b.c12 >= 3"""
+
+    _sc_h = sampling.salted_hash_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", "sc6"
+    )
+    o["span_corruption"] = f"""
+        WITH dl AS ({_dl_cte}
+        ), toks AS (
+          SELECT doc_id, i.i - 1 AS pos
+          FROM dl, unnest(generate_series(1, len(wl))) AS i(i)
+        ), nt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM toks
+          GROUP BY doc_id
+        ), st AS (
+          SELECT doc_id AS d, pos AS s FROM toks
+          WHERE {_sc_h} < {sampling.HASH_SPACE // 15}
+        ), ns AS (
+          SELECT d AS doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM st
+          GROUP BY d
+        ), cov AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_masked FROM (
+            SELECT DISTINCT t.doc_id, t.pos
+            FROM toks t
+            JOIN st ON st.d = t.doc_id
+                   AND t.pos BETWEEN st.s AND st.s + 2
+          ) GROUP BY doc_id
+        )
+        SELECT nt.doc_id, nt.n_tokens,
+               CAST(coalesce(ns.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(cov.n_masked, 0) AS BIGINT) AS n_masked,
+               round(CAST(coalesce(cov.n_masked, 0) AS DOUBLE)
+                     / CAST(nt.n_tokens AS DOUBLE), 9) AS mask_ratio
+        FROM nt
+        LEFT JOIN ns ON ns.doc_id = nt.doc_id
+        LEFT JOIN cov ON cov.doc_id = nt.doc_id"""
 
     return {k: v.strip() for k, v in o.items()}
