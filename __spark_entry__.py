@@ -7387,6 +7387,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["span_corruption"] = q_span_corruption
 
+    def q_padding_waste(spark, sf_dir):
+        """Length-bucket batching efficiency: docs bucketed by
+        token-length // 64, per-bucket padded-token waste
+        (sum of bucket_max - len) next to what padding to the GLOBAL
+        max would cost — the measurement behind length-bucketed batch
+        construction (why you bucket before padding).  All exact
+        int64; the saving ratio divides once."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        n = llm_text.token_count(F.col("text")).cast("bigint")
+        d = docs.select(n.alias("len")).filter(F.col("len") > 0)
+        b = d.withColumn("bucket", F.floor(F.col("len") / 64).cast("bigint"))
+        per = b.groupBy("bucket").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("len").cast("bigint").alias("bucket_max"),
+            F.sum("len").cast("bigint").alias("_sum_len"),
+        ).withColumn(
+            "bucket_waste",
+            (F.col("n_docs") * F.col("bucket_max") - F.col("_sum_len"))
+            .cast("bigint"),
+        )
+        g = d.agg(
+            F.max("len").cast("bigint").alias("_gmax"),
+            F.count("*").cast("bigint").alias("_gn"),
+            F.sum("len").cast("bigint").alias("_gsum"),
+        )
+        return (
+            per.crossJoin(F.broadcast(g))
+            .select(
+                "bucket",
+                "n_docs",
+                "bucket_max",
+                "bucket_waste",
+                (F.col("n_docs") * F.col("_gmax") - F.col("_sum_len"))
+                .cast("bigint")
+                .alias("global_pad_waste"),
+                # a bucket whose docs all sit at the global max has
+                # zero waste either way: define the saving as 0 there
+                # (ANSI division guard)
+                F.when(
+                    (F.col("n_docs") * F.col("_gmax") - F.col("_sum_len"))
+                    == 0,
+                    F.lit(0.0),
+                )
+                .otherwise(
+                    F.round(
+                        F.lit(1.0)
+                        - F.col("bucket_waste").cast("double")
+                        / (
+                            F.col("n_docs") * F.col("_gmax")
+                            - F.col("_sum_len")
+                        ).cast("double"),
+                        9,
+                    )
+                )
+                .alias("saving_ratio"),
+            )
+        )
+
+    q["padding_waste"] = q_padding_waste
+
+    def q_tokenizer_fertility(spark, sf_dir):
+        """Tokenizer fertility per language — subword pieces per
+        whitespace word, the multilingual tokenizer-efficiency metric
+        (high fertility = a language pays more sequence length per
+        word).  The subword model is a deterministic fixed-4-char
+        chunker, ceil(len/4) = (len+3) div 4 pieces per word (the real
+        BPE vocab has its own bpe_encode gate; this stand-in varies
+        with word length and replays exactly in SQL).  Both counts are
+        exact int64 sums over the exploded word stream; one divide per
+        language."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = docs.select("lang", F.explode(words).alias("w"))
+        pieces = F.floor((F.length("w") + 3) / 4).cast("bigint")
+        m = toks.groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(pieces).cast("bigint").alias("n_subwords"),
+        )
+        return m.select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                9,
+            ).alias("fertility"),
+        )
+
+    q["tokenizer_fertility"] = q_tokenizer_fertility
+
     return _gate_order(q)
 
 
@@ -11525,5 +11621,64 @@ def oracle_sql() -> dict[str, str]:
         FROM nt
         LEFT JOIN ns ON ns.doc_id = nt.doc_id
         LEFT JOIN cov ON cov.doc_id = nt.doc_id"""
+
+    o["padding_waste"] = """
+        WITH d AS (
+          SELECT CAST(CASE WHEN length(nt) = 0 THEN 0
+                      ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1
+                      END AS BIGINT) AS len
+          FROM (
+            SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                     AS nt
+            FROM documents WHERE text IS NOT NULL
+          )
+        ), b AS (
+          SELECT len, CAST(len // 64 AS BIGINT) AS bucket FROM d
+          WHERE len > 0
+        ), per AS (
+          SELECT bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(len) AS BIGINT) AS bucket_max,
+                 CAST(sum(len) AS BIGINT) AS sum_len
+          FROM b GROUP BY bucket
+        ), g AS (
+          SELECT CAST(max(len) AS BIGINT) AS gmax FROM b
+        )
+        SELECT bucket, n_docs, bucket_max,
+               CAST(n_docs * bucket_max - sum_len AS BIGINT)
+                 AS bucket_waste,
+               CAST(n_docs * gmax - sum_len AS BIGINT)
+                 AS global_pad_waste,
+               CASE WHEN n_docs * gmax - sum_len = 0 THEN 0.0
+                    ELSE round(1.0
+                               - CAST(n_docs * bucket_max - sum_len
+                                      AS DOUBLE)
+                                 / CAST(n_docs * gmax - sum_len AS DOUBLE),
+                               9)
+               END AS saving_ratio
+        FROM per CROSS JOIN g"""
+
+    o["tokenizer_fertility"] = """
+        WITH toks AS (
+          SELECT lang, u.w AS w
+          FROM (
+            SELECT lang,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), m AS (
+          SELECT lang,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum((len(w) + 3) // 4) AS BIGINT) AS n_subwords
+          FROM toks GROUP BY lang
+        )
+        SELECT lang, n_words, n_subwords,
+               round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE),
+                     9) AS fertility
+        FROM m"""
 
     return {k: v.strip() for k, v in o.items()}
