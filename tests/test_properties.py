@@ -682,3 +682,114 @@ class TestKmvProperty:
         hs = sorted({h(u) for u in users})
         kth = hs[31] if len(hs) >= 32 else None
         assert got == {"click": (len(users), kth)}
+
+
+class TestSpanCorruptionProperty:
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_python_mask_plan(self, spark, data):
+        """Span starts, merged coverage, and ratios equal a Python
+        replay of the hash-start / fixed-length-3 plan."""
+        import hashlib
+        import tempfile, os
+
+        import __spark_entry__ as entry
+        from openseize_spark.llm.sampling import HASH_SPACE
+
+        n_docs = data.draw(st.integers(1, 5))
+        texts = [
+            " ".join(
+                "w" * data.draw(st.integers(1, 3))
+                for _ in range(data.draw(st.integers(1, 20)))
+            )
+            for _ in range(n_docs)
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.n_spans, r.n_masked)
+            for r in entry.queries()["span_corruption"](spark, d).collect()
+        }
+
+        cut = HASH_SPACE // 15
+        exp = {}
+        for i, t in enumerate(texts):
+            words = [w for w in " ".join(t.split()).lower().split(" ") if w]
+            starts = [
+                p
+                for p in range(len(words))
+                if int(
+                    hashlib.md5(f"sc6:{i}:{p}".encode()).hexdigest()[:8], 16
+                )
+                < cut
+            ]
+            covered = {
+                p
+                for s in starts
+                for p in range(s, min(s + 3, len(words)))
+            }
+            exp[i] = (len(words), len(starts), len(covered))
+        assert got == exp
+
+
+class TestMarkovProperty:
+    @given(data=st.data())
+    @settings(max_examples=4, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_rows_sum_to_row_totals(self, spark, data):
+        """Per-from_type probabilities sum to 1 and counts match a
+        Python replay over the ordered event sequences."""
+        import tempfile, os
+        import datetime
+        from collections import Counter
+
+        import __spark_entry__ as entry
+
+        n = data.draw(st.integers(5, 30))
+        types = ["a", "b", "c"]
+        t0 = datetime.datetime(2024, 1, 2)
+        rows = [
+            (
+                i,
+                t0 + datetime.timedelta(seconds=i),
+                data.draw(st.integers(1, 3)),
+                data.draw(st.sampled_from(types)),
+                1.0,
+                "{}",
+            )
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r.from_type, r.to_type): (r.n, r.prob)
+            for r in entry.queries()["markov_transitions"](
+                spark, d
+            ).collect()
+        }
+
+        seq = {}
+        for eid, ts, uid, et, _, _ in sorted(rows, key=lambda r: (r[1], r[0])):
+            seq.setdefault(uid, []).append(et)
+        cnt = Counter()
+        for s in seq.values():
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += 1
+        rt = Counter()
+        for (a, _), c in cnt.items():
+            rt[a] += c
+        exp = {k: (c, round(c / rt[k[0]], 9)) for k, c in cnt.items()}
+        assert got == exp
