@@ -7483,6 +7483,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tokenizer_fertility"] = q_tokenizer_fertility
 
+    def q_user_erasure(spark, sf_dir):
+        """Right-to-be-forgotten pass: erase every event of a deletion
+        list (users with id % 17 == 0 — the stand-in for a DSAR batch)
+        via a single anti-join rewrite, then AUDIT the erasure in the
+        same result row: rows before/after, users and events removed,
+        and the must-be-zero count of surviving rows for deleted users
+        — the compliance evidence a 100-TB store needs alongside the
+        delete itself.  All exact int64."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        dele = (
+            e.select("user_id")
+            .distinct()
+            .filter(F.col("user_id") % 17 == 0)
+        )
+        erased = e.join(F.broadcast(dele), on="user_id", how="left_anti")
+        survivors = e.join(F.broadcast(dele), on="user_id", how="left_semi")
+        before = e.agg(F.count("*").cast("bigint").alias("n_before"))
+        nd = dele.agg(F.count("*").cast("bigint").alias("n_deleted_users"))
+        after = erased.agg(F.count("*").cast("bigint").alias("n_after"))
+        rem = (
+            erased.join(F.broadcast(dele), on="user_id", how="left_semi")
+            .agg(F.count("*").cast("bigint").alias("deleted_rows_remaining"))
+        )
+        removed = survivors.agg(
+            F.count("*").cast("bigint").alias("n_events_removed")
+        )
+        return (
+            before.crossJoin(F.broadcast(nd))
+            .crossJoin(F.broadcast(removed))
+            .crossJoin(F.broadcast(after))
+            .crossJoin(F.broadcast(rem))
+        )
+
+    q["user_erasure"] = q_user_erasure
+
+    def q_bitmap_setops(spark, sf_dir):
+        """Bitmap-index set operations: the purchase and view user
+        sets packed into 32-bit word bitmaps (word = id div 32, one
+        bigint OR-aggregate per (set, word)), intersected and unioned
+        by bitwise AND/OR + bit_count over a word-aligned full join —
+        the roaring-bitmap pattern that turns distinct-set operations
+        into integer ops, emitted NEXT TO the exact join-based counts
+        so the row proves bitmap == exact.  Bits stay below 2^31 so
+        no signed-overflow shift exists in either engine."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+
+        def bitmap(t):
+            return (
+                e.filter(F.col("event_type") == t)
+                .select("user_id")
+                .distinct()
+                .select(
+                    F.floor(F.col("user_id") / 32).cast("bigint").alias("w"),
+                    (F.col("user_id") % 32).cast("int").alias("_b"),
+                )
+                .groupBy("w")
+                .agg(
+                    F.bit_or(
+                        F.expr("shiftleft(CAST(1 AS BIGINT), _b)")
+                    ).alias("word")
+                )
+            )
+
+        ba = bitmap("purchase").withColumnRenamed("word", "wa")
+        bb = bitmap("view").withColumnRenamed("word", "wb")
+        j = ba.join(bb, on="w", how="full").select(
+            F.coalesce(F.col("wa"), F.lit(0)).alias("wa"),
+            F.coalesce(F.col("wb"), F.lit(0)).alias("wb"),
+        )
+        bm = j.agg(
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb"))))
+            .cast("bigint")
+            .alias("i_bitmap"),
+            F.sum(F.bit_count(F.col("wa").bitwiseOR(F.col("wb"))))
+            .cast("bigint")
+            .alias("u_bitmap"),
+        )
+        pa = e.filter(F.col("event_type") == "purchase").select(
+            "user_id"
+        ).distinct()
+        pv = e.filter(F.col("event_type") == "view").select(
+            "user_id"
+        ).distinct()
+        ex = (
+            pa.join(pv, on="user_id")
+            .agg(F.count("*").cast("bigint").alias("i_exact"))
+            .crossJoin(
+                F.broadcast(
+                    pa.union(pv)
+                    .distinct()
+                    .agg(F.count("*").cast("bigint").alias("u_exact"))
+                )
+            )
+        )
+        return bm.crossJoin(F.broadcast(ex)).select(
+            "i_bitmap", "i_exact", "u_bitmap", "u_exact"
+        )
+
+    q["bitmap_setops"] = q_bitmap_setops
+
     return _gate_order(q)
 
 
@@ -11680,5 +11780,56 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE),
                      9) AS fertility
         FROM m"""
+
+    o["user_erasure"] = """
+        WITH e AS (
+          SELECT user_id FROM events WHERE user_id IS NOT NULL
+        ), dele AS (
+          SELECT DISTINCT user_id FROM e WHERE user_id % 17 = 0
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_before,
+               (SELECT CAST(count(*) AS BIGINT) FROM dele)
+                 AS n_deleted_users,
+               (SELECT CAST(count(*) AS BIGINT) FROM e
+                WHERE user_id IN (SELECT user_id FROM dele))
+                 AS n_events_removed,
+               (SELECT CAST(count(*) AS BIGINT) FROM e
+                WHERE user_id NOT IN (SELECT user_id FROM dele))
+                 AS n_after,
+               CAST(0 AS BIGINT) AS deleted_rows_remaining"""
+
+    o["bitmap_setops"] = """
+        WITH du AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE user_id IS NOT NULL
+            AND event_type IN ('purchase', 'view')
+        ), ba AS (
+          SELECT user_id // 32 AS w,
+                 CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                      AS BIGINT) AS wa
+          FROM du WHERE event_type = 'purchase' GROUP BY 1
+        ), bb AS (
+          SELECT user_id // 32 AS w,
+                 CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT))
+                      AS BIGINT) AS wb
+          FROM du WHERE event_type = 'view' GROUP BY 1
+        ), j AS (
+          SELECT coalesce(wa, 0) AS wa, coalesce(wb, 0) AS wb
+          FROM ba FULL JOIN bb ON bb.w = ba.w
+        ), bm AS (
+          SELECT CAST(sum(bit_count(wa & wb)) AS BIGINT) AS i_bitmap,
+                 CAST(sum(bit_count(wa | wb)) AS BIGINT) AS u_bitmap
+          FROM j
+        ), ex AS (
+          SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+               SELECT user_id FROM du WHERE event_type = 'purchase'
+               INTERSECT
+               SELECT user_id FROM du WHERE event_type = 'view')) AS i_exact,
+            (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM du)
+              AS u_exact
+        )
+        SELECT i_bitmap, i_exact, u_bitmap, u_exact
+        FROM bm CROSS JOIN ex"""
 
     return {k: v.strip() for k, v in o.items()}
