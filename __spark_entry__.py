@@ -7583,6 +7583,163 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bitmap_setops"] = q_bitmap_setops
 
+    def q_join_fanout_audit(spark, sf_dir):
+        """Join-cardinality audit: per foreign-key edge of the schema,
+        the key count, max fanout, and average fanout — the pre-join
+        safety check that catches the accidental many-to-many before
+        it explodes a 100-TB shuffle.  One count-aggregate per edge,
+        unioned; all exact ints, one divide per row."""
+        li = _t(spark, sf_dir, "lineitem")
+        o2 = _t(spark, sf_dir, "orders")
+        ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+
+        def fan(df, key, name):
+            g = df.groupBy(key).agg(F.count("*").cast("bigint").alias("_f"))
+            return g.agg(
+                F.lit(name).alias("join_edge"),
+                F.count("*").cast("bigint").alias("n_keys"),
+                F.max("_f").cast("bigint").alias("max_fanout"),
+                F.sum("_f").cast("bigint").alias("_rows"),
+            )
+        parts = [
+            fan(li, "l_orderkey", "lineitem_per_order"),
+            fan(li, "l_partkey", "lineitem_per_part"),
+            fan(li, "l_suppkey", "lineitem_per_supplier"),
+            fan(o2, "o_custkey", "orders_per_customer"),
+            fan(ev, "user_id", "events_per_user"),
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u.select(
+            "join_edge",
+            "n_keys",
+            "max_fanout",
+            F.round(
+                F.col("_rows").cast("double") / F.col("n_keys").cast("double"),
+                9,
+            ).alias("avg_fanout"),
+        )
+
+    q["join_fanout_audit"] = q_join_fanout_audit
+
+    def q_weighted_median(spark, sf_dir):
+        """Quantity-weighted median part size per brand: the smallest
+        size whose doubled cumulative weight reaches the total (the
+        exact weighted-median rule) — cumulative weights ride a
+        broadcast inequality join over the bounded per-brand size
+        domain, so membership is a pure int64 comparison (2*cum >=
+        total cross-multiplied, no float CDF)."""
+        li = _t(spark, sf_dir, "lineitem")
+        p = _t(spark, sf_dir, "part")
+        j = li.join(p, li.l_partkey == p.p_partkey).select(
+            "p_brand",
+            F.col("p_size").cast("bigint").alias("size"),
+            F.round(F.col("l_quantity")).cast("bigint").alias("q"),
+        )
+        w = j.groupBy("p_brand", "size").agg(
+            F.sum("q").cast("bigint").alias("wt")
+        )
+        tot = w.groupBy("p_brand").agg(
+            F.sum("wt").cast("bigint").alias("_tot")
+        )
+        b = w.select(
+            F.col("p_brand").alias("_b"),
+            F.col("size").alias("_bs"),
+            F.col("wt").alias("_bw"),
+        )
+        cum = (
+            w.join(
+                F.broadcast(b),
+                (F.col("_b") == F.col("p_brand"))
+                & (F.col("_bs") <= F.col("size")),
+            )
+            .groupBy("p_brand", "size")
+            .agg(F.sum("_bw").cast("bigint").alias("_cum"))
+            .join(F.broadcast(tot), on="p_brand")
+        )
+        return (
+            cum.filter(2 * F.col("_cum") >= F.col("_tot"))
+            .groupBy("p_brand")
+            .agg(
+                F.min("size").cast("bigint").alias("wmedian_size"),
+                F.max("_tot").cast("bigint").alias("total_qty"),
+            )
+        )
+
+    q["weighted_median"] = q_weighted_median
+
+    def q_ks_binned(spark, sf_dir):
+        """Binned two-sample Kolmogorov-Smirnov distance between the
+        purchase and view value distributions: 1024 equi-width cent
+        bins, cumulative counts by broadcast inequality join, and the
+        max CDF gap found by EXACT cross-multiplied integers
+        (|cumA*nB - cumB*nA|) — no float CDF ever compared.  The D
+        statistic divides once at the end; binning granularity is the
+        documented approximation (exact KS needs a global sort)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        c = (
+            e.filter(F.col("event_type").isin("purchase", "view"))
+            .groupBy(binc.alias("bin"))
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("bigint").alias("ca"),
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).cast("bigint").alias("cb"),
+            )
+        )
+        tot = c.agg(
+            F.sum("ca").cast("bigint").alias("_na"),
+            F.sum("cb").cast("bigint").alias("_nb"),
+        )
+        b2 = c.select(
+            F.col("bin").alias("_bb"),
+            F.col("ca").alias("_ba"),
+            F.col("cb").alias("_bc"),
+        )
+        cum = (
+            c.join(F.broadcast(b2), F.col("_bb") <= F.col("bin"))
+            .groupBy("bin")
+            .agg(
+                F.sum("_ba").cast("bigint").alias("_cuma"),
+                F.sum("_bc").cast("bigint").alias("_cumb"),
+            )
+            .crossJoin(F.broadcast(tot))
+        )
+        gap = F.abs(
+            F.col("_cuma") * F.col("_nb") - F.col("_cumb") * F.col("_na")
+        ).cast("bigint")
+        return (
+            cum.select(
+                "bin",
+                gap.alias("_gap"),
+                "_na",
+                "_nb",
+            )
+            .orderBy(F.desc("_gap"), F.asc("bin"))
+            .limit(1)
+            .select(
+                F.col("bin").alias("at_bin"),
+                F.col("_na").alias("n_purchase"),
+                F.col("_nb").alias("n_view"),
+                F.round(
+                    F.col("_gap").cast("double")
+                    / (F.col("_na") * F.col("_nb")).cast("double"),
+                    9,
+                ).alias("d_stat"),
+            )
+        )
+
+    q["ks_binned"] = q_ks_binned
+
     return _gate_order(q)
 
 
@@ -11831,5 +11988,81 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT i_bitmap, i_exact, u_bitmap, u_exact
         FROM bm CROSS JOIN ex"""
+
+    o["join_fanout_audit"] = """
+        WITH arms AS (
+          SELECT 'lineitem_per_order' AS join_edge, l_orderkey AS k
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_per_part', l_partkey FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_per_supplier', l_suppkey FROM lineitem
+          UNION ALL
+          SELECT 'orders_per_customer', o_custkey FROM orders
+          UNION ALL
+          SELECT 'events_per_user', user_id FROM events
+          WHERE user_id IS NOT NULL
+        ), g AS (
+          SELECT join_edge, k, CAST(count(*) AS BIGINT) AS f
+          FROM arms GROUP BY join_edge, k
+        )
+        SELECT join_edge,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(f) AS BIGINT) AS max_fanout,
+               round(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                 AS avg_fanout
+        FROM g GROUP BY join_edge"""
+
+    o["weighted_median"] = """
+        WITH j AS (
+          SELECT p_brand, CAST(p_size AS BIGINT) AS size,
+                 CAST(round(l_quantity) AS BIGINT) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), w AS (
+          SELECT p_brand, size, CAST(sum(q) AS BIGINT) AS wt
+          FROM j GROUP BY p_brand, size
+        ), tot AS (
+          SELECT p_brand, CAST(sum(wt) AS BIGINT) AS tot FROM w
+          GROUP BY p_brand
+        ), cum AS (
+          SELECT a.p_brand, a.size, CAST(sum(b.wt) AS BIGINT) AS cum
+          FROM w a JOIN w b
+            ON b.p_brand = a.p_brand AND b.size <= a.size
+          GROUP BY a.p_brand, a.size
+        )
+        SELECT c.p_brand,
+               CAST(min(c.size) AS BIGINT) AS wmedian_size,
+               CAST(max(t.tot) AS BIGINT) AS total_qty
+        FROM cum c JOIN tot t ON t.p_brand = c.p_brand
+        WHERE 2 * c.cum >= t.tot
+        GROUP BY c.p_brand"""
+
+    o["ks_binned"] = """
+        WITH c AS (
+          SELECT CAST(floor(CAST(CAST(round(value * 100) AS BIGINT) * 1024
+                                 AS DOUBLE) / 49003.0) AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND event_type IN ('purchase', 'view')
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM c
+        ), cum AS (
+          SELECT a.bin, CAST(sum(b.ca) AS BIGINT) AS cuma,
+                 CAST(sum(b.cb) AS BIGINT) AS cumb
+          FROM c a JOIN c b ON b.bin <= a.bin
+          GROUP BY a.bin
+        )
+        SELECT bin AS at_bin, na AS n_purchase, nb AS n_view,
+               round(CAST(abs(cuma * nb - cumb * na) AS DOUBLE)
+                     / CAST(na * nb AS DOUBLE), 9) AS d_stat
+        FROM cum CROSS JOIN tot
+        ORDER BY abs(cuma * nb - cumb * na) DESC, bin LIMIT 1"""
 
     return {k: v.strip() for k, v in o.items()}
