@@ -7788,11 +7788,15 @@ def _edf_gate_digital(ch: int, t):
 # bloom_decontaminate, group_reservoir, epoch_repeat, hard_negatives,
 # quantize_int8, mixture_pipeline, ohlc_bars, streaming_upsert,
 # sorted_neighborhood, ann_recall, cluster_cohesion, ewma_user_value,
-# the batch-4 analytics set, and the batch 5-9 surface — A/B+CUPED,
+# the batch-4 analytics set, and the batch 5-18 surface — A/B+CUPED,
 # link prediction, Markov/trigram paths, Zipf/entropy/readability,
-# survival/ACF/decompose/changepoint, privacy audits, LSH/dim-recall
-# harnesses, k-center coreset, negative sampling) land after the
-# boundary: round-7+ window material, all locally BITEXACT-verified.
+# survival/ACF/decompose/changepoint/forecast-eval, privacy audits +
+# erasure, LSH/dim-recall/NB-confusion harnesses, k-center coreset,
+# negative sampling, KN smoothing, span corruption, KMV/theta +
+# bitmap set ops, CUBE/RANGE/unpivot, ORC/CSV round-trips + PERMISSIVE
+# quarantine, rendezvous/pareto/fanout/weighted-median/KS, streaming
+# rate limiter) land after the boundary: round-7+ window material,
+# all locally BITEXACT-verified.
 # fixed ordered BPE merge table for the bpe_encode gate: includes a
 # cascade (t+h -> th, th+e -> the; a+n -> an, an+d -> and) so merge
 # order and merged-symbol reuse are both exercised
