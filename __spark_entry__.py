@@ -7740,6 +7740,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ks_binned"] = q_ks_binned
 
+    def q_session_gap_sweep(spark, sf_dir):
+        """Session-gap sensitivity sweep: session counts at 5/15/30-
+        minute inactivity thresholds from ONE pass over the per-user
+        ordered deltas (a session count at gap g is users + deltas
+        exceeding g — three conditional sums, no per-threshold
+        re-scan and no data explosion).  All exact int64; the
+        events-per-session ratios divide once.  The parameter-sweep
+        shape tuning jobs use before fixing a sessionization gap."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        d = e.select(
+            "user_id",
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+                "_delta_us"
+            ),
+        )
+        def sess(g_s):
+            return (
+                F.sum(
+                    (F.col("_delta_us") > g_s * 1000000)
+                    .cast("bigint")
+                )
+            )
+        m = d.agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+            sess(300).cast("bigint").alias("_b300"),
+            sess(900).cast("bigint").alias("_b900"),
+            sess(1800).cast("bigint").alias("_b1800"),
+        )
+        out = m.select(
+            "n_users",
+            "n_events",
+            (F.col("n_users") + F.col("_b300")).alias("sessions_5m"),
+            (F.col("n_users") + F.col("_b900")).alias("sessions_15m"),
+            (F.col("n_users") + F.col("_b1800")).alias("sessions_30m"),
+        )
+        return out.select(
+            "*",
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("sessions_5m").cast("double"),
+                9,
+            ).alias("eps_5m"),
+            F.round(
+                F.col("n_events").cast("double")
+                / F.col("sessions_30m").cast("double"),
+                9,
+            ).alias("eps_30m"),
+        )
+
+    q["session_gap_sweep"] = q_session_gap_sweep
+
+    def q_bloom_fpr(spark, sf_dir):
+        """Measured Bloom false-positive rate — the accuracy harness
+        for the bloom_decontaminate screen: probe the non-benchmark
+        corpus, separate true hits (fingerprint genuinely in the
+        benchmark set, e.g. exact duplicates across the split) from
+        false ones via the exact fingerprint join, and emit measured
+        FPR next to the theoretical (1 - e^(-kn/m))^k.  Counts exact;
+        the two rates are one mirrored float chain each."""
+        docs = _t(spark, sf_dir, "documents")
+        bench = docs.filter(F.col("doc_id") % 7 == 0)
+        corpus = docs.filter(F.col("doc_id") % 7 != 0).select(
+            "doc_id", "source", "text"
+        )
+        flagged = dedup.bloom_decontaminate(corpus, bench)
+        fp_b = F.md5(dedup.normalize_text(F.col("text")))
+        bset = bench.select(fp_b.alias("_fp")).distinct()
+        truly = (
+            corpus.select("doc_id", fp_b.alias("_fp"))
+            .join(F.broadcast(bset), on="_fp", how="left_semi")
+            .select(F.col("doc_id").alias("_td"))
+        )
+        j = flagged.join(
+            F.broadcast(truly), flagged.doc_id == F.col("_td"), "left"
+        )
+        nb = bench.agg(F.count("*").cast("bigint").alias("_nb"))
+        m = j.agg(
+            F.count("*").cast("bigint").alias("n_probes"),
+            F.sum(F.col("bloom_hit").cast("bigint"))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.sum(
+                (F.col("bloom_hit") & F.col("_td").isNotNull()).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_true_hits"),
+            F.sum(
+                (F.col("bloom_hit") & F.col("_td").isNull()).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_false_hits"),
+        )
+        theo = F.pow(
+            1
+            - F.exp(
+                -(3.0 * F.col("_nb").cast("double")) / F.lit(65536.0)
+            ),
+            F.lit(3.0),
+        )
+        return m.crossJoin(F.broadcast(nb)).select(
+            "n_probes",
+            "n_hits",
+            "n_true_hits",
+            "n_false_hits",
+            F.round(
+                F.col("n_false_hits").cast("double")
+                / F.col("n_probes").cast("double"),
+                9,
+            ).alias("measured_fpr"),
+            F.round(theo, 9).alias("theoretical_fpr"),
+        )
+
+    q["bloom_fpr"] = q_bloom_fpr
+
     return _gate_order(q)
 
 
@@ -12068,5 +12184,63 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(na * nb AS DOUBLE), 9) AS d_stat
         FROM cum CROSS JOIN tot
         ORDER BY abs(cuma * nb - cumb * na) DESC, bin LIMIT 1"""
+
+    o["session_gap_sweep"] = """
+        WITH d AS (
+          SELECT user_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 )) AS delta_us
+          FROM events WHERE user_id IS NOT NULL
+        ), m AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CASE WHEN delta_us > 300000000 THEN 1 ELSE 0
+                          END) AS BIGINT) AS b300,
+                 CAST(sum(CASE WHEN delta_us > 900000000 THEN 1 ELSE 0
+                          END) AS BIGINT) AS b900,
+                 CAST(sum(CASE WHEN delta_us > 1800000000 THEN 1 ELSE 0
+                          END) AS BIGINT) AS b1800
+          FROM d
+        )
+        SELECT n_users, n_events,
+               CAST(n_users + b300 AS BIGINT) AS sessions_5m,
+               CAST(n_users + b900 AS BIGINT) AS sessions_15m,
+               CAST(n_users + b1800 AS BIGINT) AS sessions_30m,
+               round(CAST(n_events AS DOUBLE)
+                     / CAST(n_users + b300 AS DOUBLE), 9) AS eps_5m,
+               round(CAST(n_events AS DOUBLE)
+                     / CAST(n_users + b1800 AS DOUBLE), 9) AS eps_30m
+        FROM m"""
+
+    _bf_norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    o["bloom_fpr"] = f"""
+        WITH {dedup.bloom_flags_ctes("doc_id % 7 = 0", "doc_id % 7 <> 0")},
+        bset AS (
+          SELECT DISTINCT md5({_bf_norm}) AS fp FROM documents
+          WHERE doc_id % 7 = 0
+        ), fl AS (
+          SELECT f.doc_id, f.bloom_hit,
+                 (md5({_bf_norm}) IN (SELECT fp FROM bset)) AS is_true
+          FROM flags f JOIN documents USING (doc_id)
+        ), nb AS (
+          SELECT CAST(count(*) AS BIGINT) AS nb FROM documents
+          WHERE doc_id % 7 = 0
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_probes,
+                 CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+                 CAST(sum(CASE WHEN bloom_hit AND is_true THEN 1 ELSE 0
+                          END) AS BIGINT) AS n_true_hits,
+                 CAST(sum(CASE WHEN bloom_hit AND NOT is_true THEN 1
+                          ELSE 0 END) AS BIGINT) AS n_false_hits
+          FROM fl
+        )
+        SELECT n_probes, n_hits, n_true_hits, n_false_hits,
+               round(CAST(n_false_hits AS DOUBLE)
+                     / CAST(n_probes AS DOUBLE), 9) AS measured_fpr,
+               round(pow(1 - exp(-(3.0 * CAST(nb AS DOUBLE)) / 65536.0),
+                         3.0), 9) AS theoretical_fpr
+        FROM m CROSS JOIN nb"""
 
     return {k: v.strip() for k, v in o.items()}
