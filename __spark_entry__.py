@@ -7856,6 +7856,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bloom_fpr"] = q_bloom_fpr
 
+    def q_robust_ab_test(spark, sf_dir):
+        """Composed experimentation capstone: per-user spend totals ->
+        MAD outlier exclusion (the outlier_mad fence over user totals)
+        -> hash-split arms -> two-proportion z-test on the cleaned
+        population — the robust readout pipeline an experimentation
+        platform actually runs, pinned as one cross-operator plan.
+        Exact cent totals, deterministic interpolated percentiles,
+        and the mirrored IEEE z chain of ab_test_zscore."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pu = e.groupBy("user_id").agg(
+            F.sum(F.when(F.col("value").isNotNull(), cents).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            ).cast("bigint").alias("conv"),
+        )
+        med = pu.agg(F.percentile(F.col("x"), F.lit(0.5)).alias("_med"))
+        j = pu.crossJoin(F.broadcast(med))
+        dev = F.abs(F.col("x").cast("double") - F.col("_med"))
+        mad = j.agg(F.percentile(dev, F.lit(0.5)).alias("_mad"))
+        j2 = j.crossJoin(F.broadcast(mad))
+        kept = j2.filter(
+            dev <= 3 * F.lit(1.4826) * F.col("_mad")
+        ).withColumn(
+            "arm",
+            F.when(
+                sampling.salted_hash(F.col("user_id"), "ab6")
+                < sampling.HASH_SPACE // 2,
+                "A",
+            ).otherwise("B"),
+        )
+        tot = j2.agg(F.count("*").cast("bigint").alias("n_total"))
+        s = kept.agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+            .cast("bigint").alias("conv_a"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+            .cast("bigint").alias("n_b"),
+            F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+            .cast("bigint").alias("conv_b"),
+        )
+        na = F.col("n_a").cast("double")
+        nb = F.col("n_b").cast("double")
+        pa = F.col("conv_a").cast("double") / na
+        pb = F.col("conv_b").cast("double") / nb
+        pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+            (F.col("n_a") + F.col("n_b")).cast("double")
+        )
+        z = (pa - pb) / F.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+        return s.crossJoin(F.broadcast(tot)).select(
+            "n_total",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_excluded"),
+            "n_a",
+            "conv_a",
+            "n_b",
+            "conv_b",
+            F.round(z, 9).alias("z_score"),
+        )
+
+    q["robust_ab_test"] = q_robust_ab_test
+
     return _gate_order(q)
 
 
@@ -12242,5 +12311,53 @@ def oracle_sql() -> dict[str, str]:
                round(pow(1 - exp(-(3.0 * CAST(nb AS DOUBLE)) / 65536.0),
                          3.0), 9) AS theoretical_fpr
         FROM m CROSS JOIN nb"""
+
+    o["robust_ab_test"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN value IS NOT NULL
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) >= 14 AS BIGINT) AS conv
+          FROM events WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), med AS (SELECT quantile_cont(x, 0.5) AS med FROM pu),
+        mad AS (
+          SELECT quantile_cont(abs(CAST(x AS DOUBLE) - med), 0.5) AS mad
+          FROM pu CROSS JOIN med
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pu),
+        kept AS (
+          SELECT pu.user_id, pu.conv,
+                 CASE WHEN {_ab_h} < {_ab_half} THEN 'A' ELSE 'B' END AS arm
+          FROM pu CROSS JOIN med CROSS JOIN mad
+          WHERE abs(CAST(x AS DOUBLE) - med)
+                <= 3 * CAST(1.4826 AS DOUBLE) * mad
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                 CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END)
+                      AS BIGINT) AS conv_a,
+                 CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END)
+                      AS BIGINT) AS conv_b
+          FROM kept
+        )
+        SELECT n_total, n_kept,
+               CAST(n_total - n_kept AS BIGINT) AS n_excluded,
+               n_a, conv_a, n_b, conv_b,
+               round(
+                 (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt(
+                     (CAST(conv_a + conv_b AS DOUBLE)
+                      / CAST(n_a + n_b AS DOUBLE))
+                     * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                            / CAST(n_a + n_b AS DOUBLE))
+                     * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
+                   ), 9) AS z_score
+        FROM s CROSS JOIN tot"""
 
     return {k: v.strip() for k, v in o.items()}
