@@ -195,3 +195,50 @@ class TestRendezvousRouting:
             best = max(range(8), key=lambda s: (h(i, s), -s))
             exp[best] = exp.get(best, 0) + 1
         assert got == exp
+
+
+class TestWeightedMedian:
+    def test_matches_python_rule(self, spark):
+        """The inequality-join weighted median equals the textbook
+        smallest-size-reaching-half-total rule on a fixture."""
+        import tempfile, os
+
+        import __spark_entry__ as entry
+
+        # brand X: sizes 1 (w 3), 5 (w 2), 9 (w 5)  -> cum 3,5,10; half=5
+        #   smallest size with 2*cum >= 10 is 5
+        # brand Y: single size
+        li = [
+            (1, 101, 1, 1, 3.0), (2, 101, 1, 2, 0.0),
+            (3, 102, 1, 3, 2.0), (4, 103, 1, 4, 5.0),
+            (5, 104, 1, 5, 7.0),
+        ]
+        li_rows = [
+            (ok, pk, 1, ln, q, 1.0, 0.0, 0.0, "N", "O",
+             __import__("datetime").datetime(2024, 1, 1))
+            for (ok, pk, _, ln, q) in li
+        ]
+        parts = [
+            (101, "pa", "X", "t", 1, 1.0),
+            (102, "pb", "X", "t", 5, 1.0),
+            (103, "pc", "X", "t", 9, 1.0),
+            (104, "pd", "Y", "t", 7, 1.0),
+        ]
+        d = tempfile.mkdtemp()
+        spark.createDataFrame(
+            li_rows,
+            "l_orderkey long, l_partkey long, l_suppkey long,"
+            " l_linenumber int, l_quantity double, l_extendedprice double,"
+            " l_discount double, l_tax double, l_returnflag string,"
+            " l_linestatus string, l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+        spark.createDataFrame(
+            parts,
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(os.path.join(d, "part.parquet"))
+        got = {
+            r.p_brand: (r.wmedian_size, r.total_qty)
+            for r in entry.queries()["weighted_median"](spark, d).collect()
+        }
+        assert got == {"X": (5, 10), "Y": (7, 7)}
