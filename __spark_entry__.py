@@ -6540,12 +6540,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["negsample_table"] = q_negsample_table
 
-    def q_cube_revenue(spark, sf_dir):
+    def q_cube_nation_year(spark, sf_dir):
         """CUBE aggregation with grouping_id — all four (nation, year)
         rollup combinations of exact revenue cents in one pass (the
         engine expands the grouping sets map-side; Spark's grouping_id
-        bitmask equals DuckDB's grouping()).  Completes the
-        grouping-sets surface next to rollup_revenue's ROLLUP."""
+        bitmask equals DuckDB's grouping()).  The dimensional (join-fed)
+        CUBE next to cube_revenue's single-table (returnflag,
+        linestatus) cube and rollup_revenue's ROLLUP."""
         li = _t(spark, sf_dir, "lineitem")
         o2 = _t(spark, sf_dir, "orders")
         c = _t(spark, sf_dir, "customer")
@@ -6569,7 +6570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count("*").cast("bigint").alias("n_lines"),
         )
 
-    q["cube_revenue"] = q_cube_revenue
+    q["cube_nation_year"] = q_cube_nation_year
 
     def q_range_frame_sum(spark, sf_dir):
         """Time-RANGE window frame: each event's trailing 30-minute
@@ -11643,7 +11644,7 @@ def oracle_sql() -> dict[str, str]:
                round(w / tw, 9) AS share
         FROM top CROSS JOIN tw"""
 
-    o["cube_revenue"] = """
+    o["cube_nation_year"] = """
         WITH j AS (
           SELECT n_name,
                  CAST(year(o_orderdate) AS BIGINT) AS o_year,

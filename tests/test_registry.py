@@ -37,3 +37,16 @@ def test_registered_callables_are_distinct():
     q = entry.queries()
     fns = list(q.values())
     assert len(fns) == len(set(id(f) for f in fns))
+
+
+def test_no_duplicate_registrations_in_source():
+    """A second q[...] assignment silently overwrites the first (a
+    rename collision did exactly this once): fail loudly instead."""
+    import re
+    from collections import Counter
+
+    src = open("__spark_entry__.py").read()
+    for pat in (r'q\["([a-z0-9_]+)"\] = ', r'o\["([a-z0-9_]+)"\] = '):
+        keys = re.findall(pat, src)
+        dups = [k for k, c in Counter(keys).items() if c > 1]
+        assert not dups, f"duplicate registrations: {dups}"
