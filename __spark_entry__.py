@@ -7926,6 +7926,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["robust_ab_test"] = q_robust_ab_test
 
+    def q_lorenz_deciles(spark, sf_dir):
+        """Lorenz curve of user spend in deciles: decile membership
+        from nine exact interpolated percentile cuts (a broadcast
+        one-row join + nine comparisons — never a global ntile
+        window), per-decile exact spend sums, and the cumulative
+        share curve via an inequality join over the ten decile rows.
+        The concentration picture behind source_gini's scalar."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pu = e.groupBy("user_id").agg(
+            F.sum(cents).cast("bigint").alias("x")
+        )
+        cuts = pu.agg(
+            *[
+                F.percentile(F.col("x"), F.lit(i / 10.0)).alias(f"_c{i}")
+                for i in range(1, 10)
+            ]
+        )
+        dec = F.lit(1)
+        for i in range(1, 10):
+            dec = dec + (F.col("x").cast("double") > F.col(f"_c{i}")).cast(
+                "int"
+            )
+        per = (
+            pu.crossJoin(F.broadcast(cuts))
+            .select(dec.cast("bigint").alias("decile"), "x")
+            .groupBy("decile")
+            .agg(
+                F.count("*").cast("bigint").alias("n_users"),
+                F.sum("x").cast("bigint").alias("spend_cents"),
+            )
+        )
+        tot = per.agg(F.sum("spend_cents").cast("bigint").alias("_tot"))
+        b = per.select(
+            F.col("decile").alias("_bd"),
+            F.col("spend_cents").alias("_bs"),
+        )
+        return (
+            per.join(F.broadcast(b), F.col("_bd") <= F.col("decile"))
+            .groupBy("decile", "n_users", "spend_cents")
+            .agg(F.sum("_bs").cast("bigint").alias("_cum"))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "decile",
+                "n_users",
+                "spend_cents",
+                F.round(
+                    F.col("_cum").cast("double") / F.col("_tot").cast(
+                        "double"
+                    ),
+                    9,
+                ).alias("cum_share"),
+            )
+        )
+
+    q["lorenz_deciles"] = q_lorenz_deciles
+
+    def q_theil_index(spark, sf_dir):
+        """Theil T inequality index of user spend — the decomposable
+        entropy-based companion to the Gini: T = mean((x/mu) *
+        ln(x/mu)).  Totals and counts are exact int64; mu is one
+        divide; the per-user ln terms sum under the 9-digit round."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pu = e.groupBy("user_id").agg(
+            F.sum(cents).cast("bigint").alias("x")
+        )
+        m = pu.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("_s"),
+        )
+        mu = F.col("_s").cast("double") / F.col("n").cast("double")
+        r = F.col("x").cast("double") / F.col("_mu")
+        t = (
+            pu.crossJoin(
+                F.broadcast(m.select("n", mu.alias("_mu")))
+            )
+            .agg(
+                F.max("n").alias("n_users"),
+                F.round(F.max("_mu"), 9).alias("mean_cents"),
+                F.round(
+                    F.sum(r * F.log(r)) / F.max("n").cast("double"), 9
+                ).alias("theil_t"),
+            )
+        )
+        return t
+
+    q["theil_index"] = q_theil_index
+
     return _gate_order(q)
 
 
@@ -12360,5 +12453,68 @@ def oracle_sql() -> dict[str, str]:
                      * (1 / CAST(n_a AS DOUBLE) + 1 / CAST(n_b AS DOUBLE))
                    ), 9) AS z_score
         FROM s CROSS JOIN tot"""
+
+    o["lorenz_deciles"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ), cuts AS (
+          SELECT quantile_cont(x, 0.1) AS c1, quantile_cont(x, 0.2) AS c2,
+                 quantile_cont(x, 0.3) AS c3, quantile_cont(x, 0.4) AS c4,
+                 quantile_cont(x, 0.5) AS c5, quantile_cont(x, 0.6) AS c6,
+                 quantile_cont(x, 0.7) AS c7, quantile_cont(x, 0.8) AS c8,
+                 quantile_cont(x, 0.9) AS c9
+          FROM pu
+        ), per AS (
+          SELECT CAST(1
+                 + CAST(CAST(x AS DOUBLE) > c1 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c2 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c3 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c4 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c5 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c6 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c7 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c8 AS INT)
+                 + CAST(CAST(x AS DOUBLE) > c9 AS INT) AS BIGINT)
+                   AS decile,
+                 CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS spend_cents
+          FROM pu CROSS JOIN cuts
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(spend_cents) AS BIGINT) AS tot FROM per
+        )
+        SELECT a.decile, a.n_users, a.spend_cents,
+               round(CAST(sum(b.spend_cents) AS DOUBLE)
+                     / CAST(max(tot.tot) AS DOUBLE), 9) AS cum_share
+        FROM per a
+        JOIN per b ON b.decile <= a.decile
+        CROSS JOIN tot
+        GROUP BY a.decile, a.n_users, a.spend_cents"""
+
+    o["theil_index"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS x
+          FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS s
+          FROM pu
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_users,
+               round(max(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                 AS mean_cents,
+               round(sum((CAST(x AS DOUBLE)
+                          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                         * ln(CAST(x AS DOUBLE)
+                              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+                     / CAST(max(n) AS DOUBLE), 9) AS theil_t
+        FROM pu CROSS JOIN m"""
 
     return {k: v.strip() for k, v in o.items()}
