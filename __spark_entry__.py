@@ -8019,6 +8019,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["theil_index"] = q_theil_index
 
+    def q_ranker_agreement(spark, sf_dir):
+        """Retrieval-ranker agreement: per query, overlap@10 between
+        the BM25 and RRF-fused top-10 lists plus the Spearman footrule
+        (sum |rank difference|) over the shared documents — the
+        ranker-drift monitor run whenever a retrieval component
+        changes.  Composes two already-gated rankers; counts and rank
+        sums are exact int64, one divide for the overlap ratio."""
+        bm = q_bm25_topk(spark, sf_dir).select(
+            "query_id", "doc_id", F.col("rank").alias("_rb")
+        )
+        rf = q_rrf_fusion(spark, sf_dir).select(
+            F.col("query_id").alias("_q2"),
+            F.col("doc_id").alias("_d2"),
+            F.col("rank").alias("_rf"),
+        )
+        j = bm.join(
+            rf,
+            (bm.query_id == F.col("_q2")) & (bm.doc_id == F.col("_d2")),
+            "inner",
+        )
+        return j.groupBy("query_id").agg(
+            F.count("*").cast("bigint").alias("n_shared"),
+            F.round(F.count("*") / 10.0, 9).alias("overlap_at_10"),
+            F.sum(F.abs(F.col("_rb") - F.col("_rf")))
+            .cast("bigint")
+            .alias("footrule"),
+        )
+
+    q["ranker_agreement"] = q_ranker_agreement
+
     return _gate_order(q)
 
 
@@ -12516,5 +12546,15 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
                      / CAST(max(n) AS DOUBLE), 9) AS theil_t
         FROM pu CROSS JOIN m"""
+
+    o["ranker_agreement"] = f"""
+        SELECT b.query_id,
+               CAST(count(*) AS BIGINT) AS n_shared,
+               round(count(*) / CAST(10 AS DOUBLE), 9) AS overlap_at_10,
+               CAST(sum(abs(b.rank - r.rank)) AS BIGINT) AS footrule
+        FROM ({o["bm25_topk"]}) b
+        JOIN ({o["rrf_fusion"]}) r
+          ON r.query_id = b.query_id AND r.doc_id = b.doc_id
+        GROUP BY b.query_id"""
 
     return {k: v.strip() for k, v in o.items()}
