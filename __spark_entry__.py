@@ -8049,6 +8049,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ranker_agreement"] = q_ranker_agreement
 
+    def q_churn_labels(spark, sf_dir):
+        """Label engineering for churn modeling: per user, last active
+        day, activity counts, and the churned flag (no event in the
+        final week of the window) — the supervised-label table a churn
+        model joins against rfm_features / ts_features.  One
+        hash-partitioned aggregate, exact ints, deterministic
+        boolean."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        return e.groupBy("user_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(day).cast("bigint").alias("last_day"),
+            (F.max(day) < 24).alias("churned"),
+        )
+
+    q["churn_labels"] = q_churn_labels
+
+    def q_ecdf_probes(spark, sf_dir):
+        """Empirical CDF of event value evaluated at five fixed cent
+        probes per event type — the calibration-table shape monitoring
+        jobs export (is the p-leq-threshold share drifting?).  A
+        broadcast probe list against per-type exact counts; one divide
+        per cell."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        probes = spark.range(0, 5).select(
+            (F.lit(1000) * F.pow(F.lit(2.0), F.col("id").cast("double")))
+            .cast("bigint")
+            .alias("probe")
+        )
+        r = e.select("event_type", cents.alias("c")).crossJoin(
+            F.broadcast(probes)
+        )
+        return r.groupBy("event_type", "probe").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("c") <= F.col("probe")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_leq"),
+            F.round(
+                F.sum((F.col("c") <= F.col("probe")).cast("bigint")).cast(
+                    "double"
+                )
+                / F.count("*").cast("double"),
+                9,
+            ).alias("ecdf"),
+        )
+
+    q["ecdf_probes"] = q_ecdf_probes
+
     return _gate_order(q)
 
 
@@ -12556,5 +12612,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN ({o["rrf_fusion"]}) r
           ON r.query_id = b.query_id AND r.doc_id = b.doc_id
         GROUP BY b.query_id"""
+
+    o["churn_labels"] = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(date_diff('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) + 1) AS BIGINT)
+                 AS last_day,
+               max(date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) + 1) < 24 AS churned
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id"""
+
+    o["ecdf_probes"] = """
+        WITH probes AS (
+          SELECT CAST(1000 * pow(2.0, CAST(i.i AS DOUBLE)) AS BIGINT)
+                   AS probe
+          FROM unnest(generate_series(0, 4)) AS i(i)
+        ), r AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+                 probe
+          FROM events CROSS JOIN probes
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+        )
+        SELECT event_type, probe,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN c <= probe THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_leq,
+               round(CAST(sum(CASE WHEN c <= probe THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                 AS ecdf
+        FROM r GROUP BY event_type, probe"""
 
     return {k: v.strip() for k, v in o.items()}
