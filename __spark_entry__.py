@@ -8105,6 +8105,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ecdf_probes"] = q_ecdf_probes
 
+    def q_ship_delay_quantiles(spark, sf_dir):
+        """Order-to-ship latency distribution per order priority: exact
+        integer day lags through one FK join (the join the fanout
+        audit just certified as clean 1:N), exact interpolated
+        p50/p90/p99 per priority — the operational-SLA readout shape.
+        The lag is a pure date difference; negative lags (data-quality
+        signal) are counted rather than silently dropped."""
+        li = _t(spark, sf_dir, "lineitem")
+        o2 = _t(spark, sf_dir, "orders")
+        lag = F.datediff(
+            F.to_date(F.col("l_shipdate")), F.to_date(F.col("o_orderdate"))
+        ).cast("bigint")
+        j = li.join(o2, li.l_orderkey == o2.o_orderkey).select(
+            "o_orderpriority", lag.alias("lag_days")
+        )
+        pct = F.percentile(
+            F.col("lag_days"),
+            F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        )
+        return j.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum((F.col("lag_days") < 0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_negative"),
+            F.round(pct[0], 6).alias("p50_days"),
+            F.round(pct[1], 6).alias("p90_days"),
+            F.round(pct[2], 6).alias("p99_days"),
+        )
+
+    q["ship_delay_quantiles"] = q_ship_delay_quantiles
+
     return _gate_order(q)
 
 
@@ -12643,5 +12674,22 @@ def oracle_sql() -> dict[str, str]:
                           AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
                  AS ecdf
         FROM r GROUP BY event_type, probe"""
+
+    o["ship_delay_quantiles"] = """
+        WITH j AS (
+          SELECT o_orderpriority,
+                 CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS lag_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN lag_days < 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_negative,
+               round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+               round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+               round(quantile_cont(lag_days, 0.99), 6) AS p99_days
+        FROM j GROUP BY o_orderpriority"""
 
     return {k: v.strip() for k, v in o.items()}
