@@ -525,3 +525,56 @@ def cross_spectra(
     syy = (B.real**2 + B.imag**2).mean(axis=0) / scale
     freqs = np.fft.rfftfreq(nfft, d=1.0 / fs)
     return freqs, sxy, sxx, syy, m
+
+
+def cross_spectra_int(
+    xa: np.ndarray,
+    xb: np.ndarray,
+    nfft: int,
+    overlap: float = 0.5,
+    window: str = "hann",
+    detrend_kind: str = "constant",
+    scale_q: float = 1e12,
+) -> tuple[np.ndarray, list, list, list, list, int]:
+    """Per-bin EXACT integer segment sums of the Welch cross/auto
+    spectral products: each per-(segment, bin) value of
+    cre = Re(A)Re(B)+Im(A)Im(B), cim = Im(A)Re(B)-Re(A)Im(B),
+    pa = |A|^2, pb = |B|^2 is quantized to integer 1/scale_q units with
+    floor(x * scale_q + 0.5) — the IDENTICAL expression a SQL oracle
+    replays (multiplication, not division by the reciprocal, which can
+    differ by 1 ulp) — then summed over segments in arbitrary-precision
+    Python ints.
+
+    The point is summation-order independence: float averages of the
+    same products are sensitive to the (engine- and run-dependent)
+    reduction order, and a downstream ratio-of-averages rounded at N
+    decimals can flip a 1-ulp reordering across the rounding boundary.
+    Integer sums are associative, so engine and oracle agree bit-for-bit
+    run after run.
+
+    Returns (freq_bins, S_cre, S_cim, S_pa, S_pb, nsegs) where the four
+    S_* are length-(nfft//2+1) lists of Python ints in 1/scale_q units.
+    """
+    stride = int(nfft - overlap * nfft)
+    sa = sliding_segments(xa, nfft, stride)
+    sb = sliding_segments(xb, nfft, stride)
+    m = min(len(sa), len(sb))
+    nf = nfft // 2 + 1
+    k = np.arange(nf)
+    if m == 0:
+        z = [0] * nf
+        return k, z, z, z, z, 0
+    sa, sb = sa[:m], sb[:m]
+    win = get_window(window, nfft)
+    A = np.fft.rfft(detrend(sa, detrend_kind) * win, axis=-1)
+    B = np.fft.rfft(detrend(sb, detrend_kind) * win, axis=-1)
+    cre = A.real * B.real + A.imag * B.imag
+    cim = A.imag * B.real - A.real * B.imag
+    pa = A.real**2 + A.imag**2
+    pb = B.real**2 + B.imag**2
+
+    def _isum(v: np.ndarray) -> list:
+        q = np.floor(v * scale_q + 0.5)  # round-half-up, matches SQL
+        return [int(sum(int(c) for c in q[:, j])) for j in range(v.shape[1])]
+
+    return k, _isum(cre), _isum(cim), _isum(pa), _isum(pb), m

@@ -313,7 +313,17 @@ def coherence(
     parallelism = #recordings — the documented M5-style whole-channel
     exception; both channels must fit one Arrow batch.
 
-    Returns (recording_id, freq, csd_re, csd_im, coherence, nsegs).
+    Determinism: the per-(segment, bin) cross/auto products are
+    quantized to integer 1e-12 units and summed EXACTLY
+    (kernels.cross_spectra_int) before the single division — float
+    averages are summation-order-sensitive, and the coherence ratio
+    multiplies two of them before a round-at-9, so a 1-ulp reordering in
+    a parallel aggregate (engine or oracle side) could flip an output
+    cell.  Integer sums are associative; both sides now agree
+    bit-for-bit regardless of partition/merge order.
+
+    Returns (recording_id, freq, csd_re, csd_im, coherence, nsegs),
+    csd at 12 decimals, coherence at 9.
     """
     fs = float(sf.fs)
     two = sf.df.filter(F.col("channel").isin([int(ch_a), int(ch_b)]))
@@ -326,18 +336,30 @@ def coherence(
     def _coh(pdf: pd.DataFrame) -> pd.DataFrame:
         xa = pdf[pdf["channel"] == ch_a].sort_values("t")["v"].to_numpy()
         xb = pdf[pdf["channel"] == ch_b].sort_values("t")["v"].to_numpy()
-        freqs, sxy, sxx, syy, m = kernels.cross_spectra(
-            xa, xb, fs, nfft, overlap, window, detrend
+        bins, s_cre, s_cim, s_pa, s_pb, m = kernels.cross_spectra_int(
+            xa, xb, nfft, overlap, window, detrend
         )
-        num = sxy.real**2 + sxy.imag**2
-        den = sxx * syy
-        coh = np.divide(num, den, out=np.zeros_like(num), where=den > 0)
+        win = kernels.get_window(window, nfft)
+        scale = fs * float(np.sum(win**2))
+        csd_re, csd_im, coh = [], [], []
+        for cre, cim, pa, pb in zip(s_cre, s_cim, s_pa, s_pb):
+            if m:
+                # division order mirrors the oracle SQL exactly:
+                # ((sum / 1e12) / m) / scale
+                csd_re.append(round(float(cre) / 1e12 / m / scale, 12))
+                csd_im.append(round(float(cim) / 1e12 / m / scale, 12))
+            else:
+                csd_re.append(0.0)
+                csd_im.append(0.0)
+            den = pa * pb  # exact Python ints: order-free
+            num = cre * cre + cim * cim
+            coh.append(round(float(num) / float(den), 9) if den > 0 else 0.0)
         return pd.DataFrame(
             {
                 "recording_id": pdf["recording_id"].iloc[0],
-                "freq": freqs,
-                "csd_re": sxy.real,
-                "csd_im": sxy.imag,
+                "freq": np.asarray(bins, dtype=float) * fs / nfft,
+                "csd_re": csd_re,
+                "csd_im": csd_im,
                 "coherence": coh,
                 "nsegs": m,
             }

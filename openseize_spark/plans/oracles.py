@@ -164,10 +164,19 @@ def coherence_oracle_sql(
     window: str = "hann",
 ) -> str:
     """DuckDB SQL equal to operators/spectral.coherence: the naive-DFT
-    segment spectra of both channels joined on (segment, bin), cross /
-    auto products averaged, Cxy = |Sxy|^2 / (Sxx * Syy).  Rounding
-    follows the welch precedent (CSD at 12 decimals, the O(1) coherence
-    ratio at 9)."""
+    segment spectra of both channels joined on (segment, bin), per-cell
+    cross / auto products QUANTIZED to integer 1e-12 units
+    (floor(x * 1e12 + 0.5), the identical expression the engine's
+    kernels.cross_spectra_int applies) and summed as exact HUGEINTs, then
+    one division: Cxy = |S_xy|^2 / (S_xx * S_yy).
+
+    Why integers: avg() over floats is summation-order-sensitive and
+    DuckDB does not pin its parallel reduction order, so a run-to-run
+    1-ulp reordering could flip the round-at-9 coherence ratio (the r06
+    red row).  Exact integer sums are associative; a per-cell 1-unit
+    quantization disagreement between numpy-rfft and the naive SQL DFT
+    perturbs a ~1e12-unit sum by ~1e-12 relative — damped, not
+    amplified — so both sides are deterministic and bit-equal."""
     stride = int(nfft - overlap * nfft)
     seg_ctes = _segment_dft_ctes(nfft, stride, boundary_pad=0, tail_pad=False)
     dft_ctes, sumw2 = _windowed_dft_ctes(nfft, fs, window)
@@ -181,17 +190,26 @@ def coherence_oracle_sql(
         , xb AS (SELECT s, k, re, im FROM X WHERE channel = {ch_b})
         , cr AS (
           SELECT xa.s, xa.k,
-                 xa.re * xb.re + xa.im * xb.im AS cre,
-                 xa.im * xb.re - xa.re * xb.im AS cim,
-                 xa.re * xa.re + xa.im * xa.im AS pa,
-                 xb.re * xb.re + xb.im * xb.im AS pb
+                 CAST(floor((xa.re * xb.re + xa.im * xb.im) * 1e12 + 0.5)
+                      AS HUGEINT) AS cre,
+                 CAST(floor((xa.im * xb.re - xa.re * xb.im) * 1e12 + 0.5)
+                      AS HUGEINT) AS cim,
+                 CAST(floor((xa.re * xa.re + xa.im * xa.im) * 1e12 + 0.5)
+                      AS HUGEINT) AS pa,
+                 CAST(floor((xb.re * xb.re + xb.im * xb.im) * 1e12 + 0.5)
+                      AS HUGEINT) AS pb
           FROM xa JOIN xb ON xa.s = xb.s AND xa.k = xb.k
         )
         SELECT CAST(k AS DOUBLE) * {dlit(fs)} / {nfft} AS freq,
-               round(avg(cre) / {scale}, 12) AS csd_re,
-               round(avg(cim) / {scale}, 12) AS csd_im,
-               round((avg(cre) * avg(cre) + avg(cim) * avg(cim))
-                     / (avg(pa) * avg(pb)), 9) AS coherence,
+               round(CAST(sum(cre) AS DOUBLE) / 1e12 / count(*) / {scale},
+                     12) AS csd_re,
+               round(CAST(sum(cim) AS DOUBLE) / 1e12 / count(*) / {scale},
+                     12) AS csd_im,
+               CASE WHEN sum(pa) * sum(pb) > 0 THEN
+                 round(CAST(sum(cre) * sum(cre) + sum(cim) * sum(cim)
+                            AS DOUBLE)
+                       / CAST(sum(pa) * sum(pb) AS DOUBLE), 9)
+               ELSE 0.0 END AS coherence,
                count(*) AS nsegs
         FROM cr GROUP BY k"""
     )
