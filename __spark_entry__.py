@@ -383,17 +383,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Per-label embedding centroid and dispersion (engine-native
         array analytics): posexplode to (label, dim, x), two-level
         partial aggregation on the short (label, dim) key — the grouped
-        vector-stats shape behind cluster quality checks."""
+        vector-stats shape behind cluster quality checks.
+
+        Determinism: x and x*x are quantized per element to integer
+        1e-9 / 1e-12 units (floor(v*q + 0.5), |x| <= 1 keeps the sums
+        int64-exact past 1e6 rows per group) and summed exactly, then
+        mean/variance divide once — float avg() is reduction-order
+        sensitive, and the avg(x^2) - avg(x)^2 product amplifies a
+        1-ulp reordering across the round-at-9 boundary (the r06
+        coherence failure class; flagged by tools/float_order_audit.py)."""
         emb = _t(spark, sf_dir, "embeddings")
         x = emb.select(
             "label", F.posexplode("embedding").alias("dim", "_x")
         ).withColumn("_x", F.col("_x").cast("double"))
-        return x.groupBy("label", F.col("dim").cast("bigint").alias("dim")).agg(
+        xq = F.floor(F.col("_x") * 1e9 + 0.5).cast("bigint")
+        x2q = F.floor(F.col("_x") * F.col("_x") * 1e12 + 0.5).cast("bigint")
+        g = x.groupBy("label", F.col("dim").cast("bigint").alias("dim")).agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.avg("_x"), 9).alias("mean_x"),
-            F.round(
-                F.avg(F.col("_x") * F.col("_x")) - F.avg("_x") * F.avg("_x"), 9
-            ).alias("var_x"),
+            F.sum(xq).alias("s1"),
+            F.sum(x2q).alias("s2"),
+        )
+        # no final rounding: the quotients of exact ints are bit-identical
+        # across engines, and round-at-9 would only re-introduce a
+        # half-way tie-break (HALF_UP vs half-away) the engines can
+        # disagree on — quantized inputs make ties common, not rare
+        mean = F.col("s1").cast("double") / 1e9 / F.col("n")
+        return g.select(
+            "label",
+            "dim",
+            "n",
+            mean.alias("mean_x"),
+            (F.col("s2").cast("double") / 1e12 / F.col("n") - mean * mean).alias(
+                "var_x"
+            ),
         )
 
     q["label_centroids"] = q_label_centroids
@@ -2367,7 +2389,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the dimension stays shuffle-joined unless AQE broadcasts it."""
         li = _t(spark, sf_dir, "lineitem")
         p = _t(spark, sf_dir, "part")
-        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        # revenue in exact integer 1e-4 units (the _rev_units discipline):
+        # the share is a ratio of two float sums otherwise, and float sum
+        # order is not pinned — a 1-ulp reordering could flip the
+        # round-at-9 (coherence failure class, tools/float_order_audit.py)
+        ru = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
         j = li.filter(
             (F.col("l_shipdate") >= F.lit("1995-09-01"))
             & (F.col("l_shipdate") < F.lit("1996-03-01"))
@@ -2375,8 +2403,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return j.agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "STANDARD", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(
+                    F.when(F.col("p_type") == "STANDARD", ru).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(ru).cast("double"),
                 9,
             ).alias("promo_share"),
             F.count("*").alias("n_items"),
@@ -9094,16 +9124,21 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["promo_revenue"] = """
+        WITH j AS (
+          SELECT p_type,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT) AS ru
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+        )
         SELECT round(
-                 100.0 * sum(CASE WHEN p_type = 'STANDARD'
-                             THEN l_extendedprice * (1 - l_discount)
-                             ELSE 0.0 END)
-                       / sum(l_extendedprice * (1 - l_discount)),
+                 100.0 * CAST(sum(CASE WHEN p_type = 'STANDARD'
+                                  THEN ru ELSE 0 END) AS DOUBLE)
+                       / CAST(sum(ru) AS DOUBLE),
                  9) AS promo_share,
                count(*) AS n_items
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00'
+        FROM j
     """
 
     o["brand_suppliers"] = """
@@ -9802,13 +9837,24 @@ def oracle_sql() -> dict[str, str]:
                  CAST(embedding[u.i] AS DOUBLE) AS x
           FROM embeddings,
                unnest(generate_series(1, len(embedding))) AS u(i)
+        ), q AS (
+          SELECT label, dim,
+                 CAST(floor(x * 1e9 + 0.5) AS BIGINT) AS xq,
+                 CAST(floor(x * x * 1e12 + 0.5) AS BIGINT) AS x2q
+          FROM xs
+        ), g AS (
+          SELECT label, dim,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(xq) AS BIGINT) AS s1,
+                 CAST(sum(x2q) AS BIGINT) AS s2
+          FROM q GROUP BY label, dim
         )
-        SELECT label, dim,
-               CAST(count(*) AS BIGINT) AS n,
-               round(avg(x), 9) AS mean_x,
-               round(avg(x * x) - avg(x) * avg(x), 9) AS var_x
-        FROM xs
-        GROUP BY label, dim
+        SELECT label, dim, n,
+               CAST(s1 AS DOUBLE) / 1e9 / n AS mean_x,
+               CAST(s2 AS DOUBLE) / 1e12 / n
+                 - (CAST(s1 AS DOUBLE) / 1e9 / n)
+                   * (CAST(s1 AS DOUBLE) / 1e9 / n) AS var_x
+        FROM g
     """
 
     from openseize_spark.llm import sketch as _sketch

@@ -416,19 +416,29 @@ def temperature_sample(
     The rate is quantized to 9 decimals *before* the integer cut is
     derived (identically in the SQL oracle), so a 1-ulp libm/Math.pow
     divergence between engines can no longer straddle the floor boundary
-    and flip a document's membership — the residual risk moves from the
-    cut boundary (~2^-21 per group) to the far rarer round-half
-    boundary of the quantization itself."""
+    and flip a document's membership; the cut itself is then pure
+    integer arithmetic — rate_nano * 2^32 div 1e9 on exact int64s — so
+    no float product sits in front of the final floor either.  The
+    residual risk is only the round-half boundary of the one
+    quantization (~1e-7 per source, the irreducible float->int seam of
+    a fractional power)."""
     if temperature <= 0:
         raise ValueError("temperature must be > 0")
     expo = 1.0 / temperature - 1.0
     counts = df.groupBy(group_col).agg(F.count("*").alias("_n"))
     wmax = counts.agg(F.max(F.pow(F.col("_n"), expo)).alias("_wm"))
     rate = F.round(F.pow(F.col("_n"), expo) / F.col("_wm"), 9)
-    rates = counts.crossJoin(F.broadcast(wmax)).select(
-        group_col,
-        rate.alias("keep_rate"),
-        F.floor(rate * HASH_SPACE).cast("bigint").alias("_cut"),
+    rates = (
+        counts.crossJoin(F.broadcast(wmax))
+        .select(group_col, rate.alias("keep_rate"))
+        .select(
+            group_col,
+            "keep_rate",
+            F.expr(
+                f"CAST((CAST(round(keep_rate * 1e9) AS BIGINT)"
+                f" * {HASH_SPACE}) DIV 1000000000 AS BIGINT)"
+            ).alias("_cut"),
+        )
     )
     h = salted_hash(F.col(key_col), seed)
     return (
@@ -752,7 +762,8 @@ def temperature_sample_oracle_sql(
         )
         SELECT d.doc_id, d.{group_col}, r.keep_rate
         FROM documents d JOIN rates r USING ({group_col})
-        WHERE {h} < CAST(floor(r.keep_rate * {HASH_SPACE}) AS BIGINT)"""
+        WHERE {h} < CAST(round(r.keep_rate * 1e9) AS BIGINT)
+                    * {HASH_SPACE} // 1000000000"""
 
 
 def group_reservoir(
