@@ -2919,6 +2919,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- queries above run on the first IIR_SLICE samples so their
     # ---- recursive-CTE oracles stay cheap — these keep bench.py honest)
     def q_sosfilt_full(spark, sf_dir):
+        # full-length bench twin of `sosfilt`; since round 7 it carries
+        # the same recursive-CTE oracle un-sliced (~33 s in DuckDB at
+        # sf0.01 — fine for local verification, kept out of the driver
+        # window where slots go to never-checked queries first)
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfilt(_signal(spark, sf_dir), sos)
         return sf.df.select("channel", "t", "v")
@@ -2928,7 +2932,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_sosfilt_blocks_full(spark, sf_dir):
         sos = design.butter(fpass=10, fstop=20, fs=FS, gpass=1.0, gstop=40.0)
         sf = op_iir.sosfilt_blocks(_signal(spark, sf_dir), sos, block_size=8192)
-        return sf.df.select("channel", "t", "v")
+        # round(7) both sides: parallel-in-time superposition noise vs
+        # the plain recursion replay (same discipline as sosfilt_blocks)
+        return sf.df.select("channel", "t", F.round("v", 7).alias("v"))
 
     q["sosfilt_blocks_full"] = q_sosfilt_blocks_full
 
@@ -8246,52 +8252,68 @@ _BM25_QUERIES = {
     3: "customer query scan",
 }
 
-# The driver checks the FIRST 50 registered queries per round.  The
-# round-5 window budget is: the 2 round-4 red rows (oracle-type fix
-# needs a green row), then every query never driver-checked as of the
-# window freeze, then the most-changed green query.  The
-# r01/r03/r04-green anchors (pricing_summary, the FIR/IIR/welch
-# families, ...) already hold driver evidence and rotate back in round
-# 6.  Everything registered AFTER the 50-slot boundary — the round-5
-# session-2 surface (TPC-H Q4/Q21/Q11/Q15 shapes, streaming_join,
-# bigram/bpe/chunking/fusion/overlap/zorder/triangles, salted +
-# bucketed joins, histograms/gapfill/zscore, jsonl_roundtrip) — is
-# locally BITEXACT-verified this round and is round-6 window material;
-# the window is deliberately frozen so the r4 backlog converts first.
+# The driver checks the FIRST 50 registered queries per round.  Round-7
+# budget (registration FROZEN — zero new queries until the
+# never-driver-checked backlog fits inside one window): slot 1 is the
+# r6 red row (`coherence`, oracle rebuilt on integer-quantized spectra);
+# slots 2-4 are the three green queries whose code changed this round
+# (label_centroids / promo_revenue quantized by the float-order audit,
+# temperature_sample's integer cut) — their old green rows describe old
+# code; the remaining 46 slots all come from the 153-query
+# never-driver-checked backlog, highest-value families first per the r6
+# verdict: streaming, sketches, entity resolution, ANN/embedding, the
+# TPC-H Q7-Q22 analytic shapes, retrieval fusion + sampling.  Every
+# window query re-verified BITEXACT locally (tools/diff_audit.py) at
+# the freeze.  Remaining backlog (~107) is r8+ window material, queued
+# directly below the boundary in conversion order.
 _GATE_PRIORITY = [
-    # -- r4 red rows, oracle sums now cast to BIGINT (2)
-    "split_assign", "multires_rollup",
-    # -- never driver-checked, carried from round 4 (10)
-    "pack_sequences", "streaming_sessionize", "temperature_sample",
-    "decontaminate", "length_quantiles", "edf_roundtrip", "streaming_sosfilt",
-    "pipeline_chain", "annotations_mask", "streaming_policies",
-    # -- round-5 batch 2: training-data surface (18)
-    "streaming_dedup", "decontaminate_ngram", "shard_assign", "quality_prune",
-    "token_budget_subset", "random_projection", "chunk_dedup",
-    "unigram_logprob", "semantic_dedup", "pq_encode", "pq_adc_topk",
-    "mixture_sample", "vocab_stats", "dup_span_detect", "bpe_pair_counts",
-    "source_divergence", "corpus_pipeline", "pq_refine_topk",
-    # -- round-5 batch 3: retrieval / analytics / graph / sketch (19)
-    "tfidf_topk", "dsir_sample", "big_orders", "promo_revenue",
-    "brand_suppliers", "bm25_topk", "cohort_retention", "funnel_steps",
-    "canonical_docs", "snapshot_diff", "streaming_enrich", "pagerank_sim",
-    "coherence", "countmin_words", "value_trend", "label_centroids",
-    "json_props", "rolling_median", "skew_distinct_users",
-    # -- most-changed green query (1): corpus_shuffle's offset join
-    # -- (dedup_clusters' CC change is exercised inside canonical_docs)
-    "corpus_shuffle",
+    # -- r6 red row: summation-order-proof oracle needs a green row (1)
+    "coherence",
+    # -- green rows invalidated by this round's quantization edits (3)
+    "label_centroids", "promo_revenue", "temperature_sample",
+    # -- backlog: streaming operators (4)
+    "streaming_cusum", "streaming_rate_limit", "streaming_upsert",
+    "streaming_join",
+    # -- backlog: mergeable sketches (8)
+    "hll_distinct", "hll_by_type", "kmv_distinct", "kmv_set_ops",
+    "histogram_quantiles", "bloom_decontaminate", "bloom_fpr",
+    "minhash_estimate",
+    # -- backlog: entity-resolution capstones (7)
+    "er_pipeline", "sorted_neighborhood", "blocking_yield",
+    "cluster_cohesion", "lev_verify", "cluster_purity",
+    "minhash_containment",
+    # -- backlog: ANN / embedding quality (7)
+    "ann_recall", "hard_negatives", "quantize_int8", "kcenter_coreset",
+    "lsh_recall", "dim_truncation_recall", "embedding_quality",
+    # -- backlog: TPC-H Q4-Q22 analytic shapes (16)
+    "nation_volume", "market_share", "profit_by_nation",
+    "returned_customers", "important_parts", "unshipped_orders",
+    "order_count_dist", "priority_late_orders", "late_line_priority",
+    "top_revenue_supplier", "small_qty_revenue", "disjunctive_revenue",
+    "sole_late_supplier", "excess_suppliers", "idle_customers",
+    "above_brand_avg",
+    # -- backlog: retrieval fusion + deterministic sampling (4)
+    "rrf_fusion", "ranker_agreement", "group_reservoir", "epoch_repeat",
     # ---- window boundary (50) ----
-    # green-anchored queries next in line for round-6 rotation
-    "dedup_clusters", "top_ngrams", "ivf_topk", "lsh_topk", "knn_cosine",
-    "pricing_summary", "top_customers_by_orders", "priority_exists",
-    "filtered_revenue", "running_total", "rank_parts", "rollup_revenue",
-    "detrend_linear", "channel_select", "time_slice", "mask_compact",
-    "interval_mask", "signal_stats", "standardize", "signal_add",
-    "scalar_mult", "mult_along_channel", "mult_along_time", "pad",
-    "segment_mean", "moving_average", "extend_edge",
-    "squeeze_expand", "expand_upsample", "event_window_avg",
-    "decimate", "nearest_bin", "band_power", "synth_signal",
-    "text_stats", "stopword_score_by_lang", "fingerprint",
+    # next never-checked conversions, queued for the round-8 window:
+    # statistics / experimentation layer
+    "weighted_median", "ks_binned", "ab_test_zscore", "cuped_adjust",
+    "robust_ab_test", "benford_digits", "theilsen_slope", "theil_index",
+    "lorenz_deciles", "source_gini", "moments_by_type",
+    "mutual_information", "dow_type_chi2", "kaplan_meier",
+    "lognormal_fit", "zipf_fit", "char_entropy", "outlier_mad",
+    # time series layer
+    "holt_forecast", "daily_acf", "seasonal_decompose", "changepoint",
+    "ewma_user_value", "time_weighted_avg", "ts_features", "ohlc_bars",
+    "daily_gapfill", "locf_fill", "rolling_zscore", "value_histogram",
+    # language modeling / tokenization
+    "bigram_logprob", "kneser_ney_bigram", "perplexity_tiers",
+    "nb_lang_scores", "nb_confusion", "word_pmi", "bpe_encode",
+    "tokenizer_fertility", "span_corruption", "padding_waste",
+    # storage / formats / ops
+    "jsonl_roundtrip", "orc_roundtrip", "csv_roundtrip",
+    "csv_corrupt_records", "schema_evolution", "partition_pruning",
+    "nested_roundtrip", "zorder_layout", "storage_audit", "dq_audit",
 ]
 
 
@@ -10261,6 +10283,13 @@ def oracle_sql() -> dict[str, str]:
     o["lfilter"] = _iir(ba=_BA_SPEC)
     o["filtfilt"] = _iir(ba=_BA_SPEC, zero_phase=True)
     o["sosfilt_blocks"] = _iir(sos=_butter, round_digits=7)
+    # full-length bench twins: same recursion replay, no slice — ~33 s
+    # each in DuckDB at sf0.01, run by local verification (check_oracle /
+    # diff_audit), deliberately not budgeted into the driver window
+    o["sosfilt_full"] = _orc.iir_oracle_sql(scte, sos=_butter, slice_n=10**9)
+    o["sosfilt_blocks_full"] = _orc.iir_oracle_sql(
+        scte, sos=_butter, slice_n=10**9, round_digits=7
+    )
     o["sosfiltfilt_blocks"] = _iir(sos=_butter, zero_phase=True, round_digits=7)
     o["lfilter_blocks"] = _iir(ba=_BA_SPEC, round_digits=7)
     o["filtfilt_blocks"] = _iir(ba=_BA_SPEC, zero_phase=True, round_digits=7)
