@@ -202,3 +202,68 @@ class TestCrossSpectra:
         assert coh[k32] > 0.9
         far = (freqs < 20) | (freqs > 44)
         assert coh[far].mean() < 0.3
+
+
+class TestCrossSpectraInt:
+    """The integer-quantized cross-spectra path (round-7 determinism
+    policy): exact Python-int segment sums that a SQL oracle replays as
+    HUGEINT sums — associative, so reduction order cannot matter."""
+
+    def test_matches_float_path_within_quantum(self):
+        import numpy as np
+
+        from openseize_spark.dsp import kernels
+
+        rng = np.random.default_rng(3)
+        fs, nfft, n = 256.0, 128, 4096
+        xa = rng.standard_normal(n)
+        xb = 0.6 * xa + 0.4 * rng.standard_normal(n)
+        freqs, sxy, sxx, syy, m = kernels.cross_spectra(xa, xb, fs, nfft)
+        bins, s_cre, s_cim, s_pa, s_pb, mi = kernels.cross_spectra_int(
+            xa, xb, nfft
+        )
+        assert mi == m
+        scale = fs * np.sum(kernels.get_window("hann", nfft) ** 2)
+        # integer sums / m / scale reconstruct the float averages to
+        # within one quantum per summed segment
+        tol = m * 1e-12 / m / scale * 1.01 + 1e-15
+        assert np.abs(
+            np.array([c / 1e12 / m / scale for c in s_cre]) - sxy.real
+        ).max() < tol * m
+        assert np.abs(
+            np.array([c / 1e12 / m / scale for c in s_pa]) - sxx
+        ).max() < tol * m
+
+    def test_sums_are_exact_ints_and_order_free(self):
+        import numpy as np
+
+        from openseize_spark.dsp import kernels
+
+        rng = np.random.default_rng(5)
+        xa = rng.standard_normal(2048)
+        xb = rng.standard_normal(2048)
+        _, s_cre, s_cim, s_pa, s_pb, m = kernels.cross_spectra_int(xa, xb, 128)
+        assert all(isinstance(v, int) for v in s_cre + s_cim + s_pa + s_pb)
+        # replay the quantization per segment in reversed order: the sum
+        # must be identical (associativity of exact integers)
+        stride = 64
+        sa = kernels.sliding_segments(xa, 128, stride)[:m]
+        sb = kernels.sliding_segments(xb, 128, stride)[:m]
+        win = kernels.get_window("hann", 128)
+        A = np.fft.rfft(kernels.detrend(sa, "constant") * win, axis=-1)
+        B = np.fft.rfft(kernels.detrend(sb, "constant") * win, axis=-1)
+        cre = A.real * B.real + A.imag * B.imag
+        q = np.floor(cre * 1e12 + 0.5)
+        rev = [int(sum(int(c) for c in q[::-1, j])) for j in range(q.shape[1])]
+        assert rev == s_cre
+
+    def test_empty_input(self):
+        import numpy as np
+
+        from openseize_spark.dsp import kernels
+
+        bins, s_cre, s_cim, s_pa, s_pb, m = kernels.cross_spectra_int(
+            np.array([]), np.array([]), 128
+        )
+        assert m == 0
+        assert len(s_cre) == 65 and all(v == 0 for v in s_cre)
