@@ -30,8 +30,18 @@ Integer-aggregate sums (``sum(CAST(... AS BIGINT))``, ``sum(cnt)`` over
 count columns, ``floor(x*1e12+0.5)`` quantized units) are exact and
 order-free — not flagged.
 
-Usage: python tools/float_order_audit.py [query ...]
+Usage: python tools/float_order_audit.py [--probe] [query ...]
 Exit 1 if any HIGH site is found.
+
+--probe additionally runs every INFO-flagged query's oracle 10 times
+under varying DuckDB thread counts (1..31) and reports how many
+distinct row-set hashes appear — the empirical check that the
+accepted single-aggregate sites really do reduce deterministically at
+the gate scale factor (they do: DuckDB only parallelizes the hash
+aggregate when the input is large, and the event/document tables at
+sf0.01 stay below that threshold; `coherence` flipped precisely
+because its unnest-generated DFT intermediate is ~100x larger).
+Exit 1 if any probed query is unstable.
 """
 
 from __future__ import annotations
@@ -54,14 +64,14 @@ def _matching_paren(s: str, open_idx: int) -> int:
 
 
 def _round_args(sql: str):
-    """Yield the first-argument text of every round(...) call."""
+    """Yield (first-argument text, decimals) of every round(...) call."""
     for m in re.finditer(r"\bround\s*\(", sql, re.I):
         open_idx = m.end() - 1
         close = _matching_paren(sql, open_idx)
         if close < 0:
             continue
         body = sql[open_idx + 1 : close]
-        # strip the trailing ", n" decimals argument at depth 0
+        # split off the trailing ", n" decimals argument at depth 0
         depth, cut = 0, len(body)
         for i in range(len(body) - 1, -1, -1):
             c = body[i]
@@ -72,7 +82,12 @@ def _round_args(sql: str):
             elif c == "," and depth == 0:
                 cut = i
                 break
-        yield body[:cut]
+        nd = body[cut + 1 :].strip() if cut < len(body) else ""
+        try:
+            n = int(nd)
+        except ValueError:
+            n = 0
+        yield body[:cut], n
 
 
 _AGG_RE = re.compile(r"\b(avg|sum)\s*\(", re.I)
@@ -219,13 +234,14 @@ def audit_one(name: str, sql: str) -> list[tuple[str, str, str]]:
     """-> [(severity, name, snippet)] for each hazardous round() site."""
     findings = []
     defs = _alias_defs(sql)
-    for expr in _round_args(sql):
+    for expr, nd in _round_args(sql):
         aggs = _float_aggs(expr, defs)
         if not aggs:
             continue
         snippet = " ".join(expr.split())
         if len(snippet) > 110:
             snippet = snippet[:107] + "..."
+        snippet = f"[round@{nd}] {snippet}"
         if len(aggs) >= 2 and _AMPLIFIER.search(expr):
             findings.append(("HIGH", name, snippet))
         elif _AMPLIFIER.search(expr) and re.search(
@@ -237,11 +253,55 @@ def audit_one(name: str, sql: str) -> list[tuple[str, str, str]]:
     return findings
 
 
+def _probe(names, oracles, sf_dir="/root/testdata/sf0.01") -> int:
+    """Run each query's oracle under varying DuckDB thread counts and
+    count distinct sorted-row-set hashes — 1 means the reduction order
+    is stable at this scale factor."""
+    import hashlib
+
+    import duckdb
+
+    unstable = 0
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    for name in sorted(names):
+        hashes = set()
+        for i in range(10):
+            con = duckdb.connect()
+            con.execute(f"SET threads TO {1 + (i * 3) % 32}")
+            for t in tables:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            try:
+                rows = con.execute(oracles[name]).fetchall()
+            except Exception as ex:
+                print(f"PROBE {name}: ERR {str(ex)[:70]}")
+                hashes = {"err"}
+                con.close()
+                break
+            rows.sort(key=lambda r: tuple(str(x) for x in r))
+            hashes.add(hashlib.md5(repr(rows).encode()).hexdigest())
+            con.close()
+        stable = len(hashes) == 1
+        print(
+            f"PROBE {name}: {len(hashes)} distinct hash(es) over 10 "
+            f"thread-varied runs -> {'stable' if stable else 'UNSTABLE'}"
+        )
+        unstable += 0 if stable else 1
+    return unstable
+
+
 def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    do_probe = "--probe" in args
+    only = set(a for a in args if a != "--probe")
     oracles = entrymod.oracle_sql()
     high, info = [], []
     for name, sql in sorted(oracles.items()):
@@ -259,7 +319,11 @@ def main() -> int:
         f"\n{len(info)} info (single-agg, precedent-green), "
         f"{len(high)} HIGH (must fix)"
     )
-    return 1 if high else 0
+    unstable = 0
+    if do_probe:
+        print()
+        unstable = _probe({n for n, _ in info}, oracles)
+    return 1 if (high or unstable) else 0
 
 
 if __name__ == "__main__":
