@@ -954,16 +954,22 @@ def connected_components(
         self_e = mins.select("x", F.col("_m").alias("y"))
         return nbr.union(self_e).distinct()
 
+    from openseize_spark.session import small_intermediate_coalesce
+
     sig = _signature(edges)
     converged = False
-    for _ in range(max_iter):
-        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        nsig = _signature(nxt)
-        edges = nxt
-        if nsig == sig:
-            converged = True
-            break
-        sig = nsig
+    # per-round edge tables are |E| two-column rows; coalesce each
+    # round's shuffles to advisory size (the _signature action inside
+    # the loop materializes every round within this scope)
+    with small_intermediate_coalesce(pairs.sparkSession):
+        for _ in range(max_iter):
+            nxt = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            nsig = _signature(nxt)
+            edges = nxt
+            if nsig == sig:
+                converged = True
+                break
+            sig = nsig
     if not converged:
         # O(log d) rounds means max_iter=50 covers any graph that fits
         # on disk; hitting this indicates a bug, not a big input.
@@ -1414,44 +1420,51 @@ def pagerank(
     PageRank step; the one-row node count rides broadcast cross joins.
     Returns (id, degree, pagerank) with pagerank = units / scale.
     """
+    from openseize_spark.session import small_intermediate_coalesce
+
     S = int(scale)
     und = edges.select(
         F.col(a_col).alias("x"), F.col(b_col).alias("y")
     ).union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
-    # cut the lineage once: every iteration re-references the edge list
-    # and degree table, and without this the (possibly expensive)
-    # upstream pair-generation plan is re-executed per reference and the
-    # composed plan grows superlinearly — same discipline as
-    # connected_components
-    und = und.localCheckpoint(eager=True)
-    deg = und.groupBy("x").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
-    )
-    n_df = deg.agg(F.count("*").alias("n"))
-    ranks = deg.crossJoin(F.broadcast(n_df)).select(
-        "x", "deg", F.expr(f"{S} div n").alias("u")
-    )
-    for _ in range(iters):
-        ranks = ranks.localCheckpoint(eager=False)
-        contrib = (
-            und.join(
-                ranks.select("x", F.expr("u div deg").alias("c")), on="x"
-            )
-            .groupBy("y")
-            .agg(F.sum("c").alias("s"))
+    # the per-round intermediates are rank tables of |V| short rows —
+    # coalesce them to advisory size (1-2 tasks) instead of 32-64
+    # near-empty tasks per round; checkpoints are EAGER so every round
+    # materializes inside this scope (AQE reads the conf at action time)
+    with small_intermediate_coalesce(edges.sparkSession):
+        # cut the lineage once: every iteration re-references the edge
+        # list and degree table, and without this the (possibly
+        # expensive) upstream pair-generation plan is re-executed per
+        # reference and the composed plan grows superlinearly — same
+        # discipline as connected_components
+        und = und.localCheckpoint(eager=True)
+        deg = und.groupBy("x").agg(F.count("*").alias("deg")).localCheckpoint(
+            eager=True
         )
-        ranks = (
-            deg.join(contrib, deg.x == contrib.y)
-            .crossJoin(F.broadcast(n_df))
-            .select(
-                "x",
-                "deg",
-                (
-                    F.expr(f"(3 * {S}) div (20 * n)")
-                    + F.expr("(17 * s) div 20")
-                ).alias("u"),
-            )
+        n_df = deg.agg(F.count("*").alias("n"))
+        ranks = deg.crossJoin(F.broadcast(n_df)).select(
+            "x", "deg", F.expr(f"{S} div n").alias("u")
         )
+        for _ in range(iters):
+            contrib = (
+                und.join(
+                    ranks.select("x", F.expr("u div deg").alias("c")), on="x"
+                )
+                .groupBy("y")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                deg.join(contrib, deg.x == contrib.y)
+                .crossJoin(F.broadcast(n_df))
+                .select(
+                    "x",
+                    "deg",
+                    (
+                        F.expr(f"(3 * {S}) div (20 * n)")
+                        + F.expr("(17 * s) div 20")
+                    ).alias("u"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks.select(
         F.col("x").alias("id"),
         F.col("deg").cast("bigint").alias("degree"),

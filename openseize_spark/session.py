@@ -10,6 +10,7 @@ DuckDB oracle.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -53,3 +54,28 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def small_intermediate_coalesce(spark):
+    """Scoped AQE tuning for iterative algorithms whose per-round
+    intermediates shrink to hundreds of rows (pagerank, connected
+    components): respect the advisory partition size instead of pinning
+    coalesce at default parallelism, so each round's join/aggregate runs
+    as 1-2 tasks instead of 32-64 near-empty ones.
+
+    Scoped (not a session default) because the opposite trade-off holds
+    for the compute-bound DSP kernels: their shuffles are small in BYTES
+    but heavy in per-row compute, and advisory-size coalescing starves
+    them of parallelism (measured +1.8 s on sosfilt_blocks_full at
+    sf0.1 when set globally).  Callers must materialize the work they
+    want covered (eager localCheckpoint / an action) inside the scope —
+    Spark reads this conf at action time, not plan time.
+    """
+    key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
