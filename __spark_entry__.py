@@ -8256,10 +8256,11 @@ _BM25_QUERIES = {
 # budget (registration FROZEN — zero new queries until the
 # never-driver-checked backlog fits inside one window): slot 1 is the
 # r6 red row (`coherence`, oracle rebuilt on integer-quantized spectra);
-# slots 2-4 are the three green queries whose code changed this round
+# slots 2-6 are the five green queries whose code changed this round
 # (label_centroids / promo_revenue quantized by the float-order audit,
-# temperature_sample's integer cut) — their old green rows describe old
-# code; the remaining 46 slots all come from the 153-query
+# temperature_sample's integer cut, pagerank_sim / chunk_dedup shuffle
+# restructures) — their old green rows describe old code; the remaining
+# 44 slots all come from the 153-query
 # never-driver-checked backlog, highest-value families first per the r6
 # verdict: streaming, sketches, entity resolution, ANN/embedding, the
 # TPC-H Q7-Q22 analytic shapes, retrieval fusion + sampling.  Every
@@ -8271,6 +8272,11 @@ _GATE_PRIORITY = [
     "coherence",
     # -- green rows invalidated by this round's quantization edits (3)
     "label_centroids", "promo_revenue", "temperature_sample",
+    # -- green rows invalidated by this round's partitioning edits (2):
+    # value-neutral shuffle restructures (pagerank edge pre-partition,
+    # chunk_dedup shared fingerprint exchange), re-gated on principle —
+    # both BITEXACT + shuffle-probe-clean locally after the change
+    "pagerank_sim", "chunk_dedup",
     # -- backlog: streaming operators (4)
     "streaming_cusum", "streaming_rate_limit", "streaming_upsert",
     "streaming_join",
@@ -8292,9 +8298,11 @@ _GATE_PRIORITY = [
     "top_revenue_supplier", "small_qty_revenue", "disjunctive_revenue",
     "sole_late_supplier", "excess_suppliers", "idle_customers",
     "above_brand_avg",
-    # -- backlog: retrieval fusion + deterministic sampling (4)
-    "rrf_fusion", "ranker_agreement", "group_reservoir", "epoch_repeat",
+    # -- backlog: retrieval fusion (2)
+    "rrf_fusion", "ranker_agreement",
     # ---- window boundary (50) ----
+    # displaced to r8 by the two re-gated partitioning edits above:
+    "group_reservoir", "epoch_repeat",
     # next never-checked conversions, queued for the round-8 window:
     # statistics / experimentation layer
     "weighted_median", "ks_binned", "ab_test_zscore", "cuped_adjust",
