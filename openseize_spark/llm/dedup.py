@@ -162,12 +162,15 @@ def chunk_dedup(
     per-doc reassembly groupBy is exchange-free, and the frequency
     aggregate map-side combines so its shuffle carries only distinct
     fingerprint partials; the chunk↔frequency match is an equi-join on
-    the 16-byte md5 (broadcast when the surviving fingerprint set is
-    small — AQE decides).  Net: one un-amplified shuffle + one
-    fingerprint-sized shuffle; no exploded row ever moves (measured 3x
-    over the shuffle-the-explode shape at sf0.1).  Documents whose
-    every chunk is boilerplate drop out (CCNet drops empty documents
-    too).
+    the 16-byte md5 (broadcast when the surviving fingerprint set fits
+    — AQE decides — in which case the id partitioning survives the join
+    and NO exploded row ever moves: one un-amplified shuffle + one
+    fingerprint-partial shuffle total, measured 3x over the
+    shuffle-the-explode shape at sf0.1 and pinned by the
+    plan-shape test; at vocabulary scales past broadcast the join falls
+    back to one hash shuffle of the exploded rows, the operator's
+    irreducible cost).  Documents whose every chunk is boilerplate drop
+    out (CCNet drops empty documents too).
 
     Returns (id, text_deduped, n_kept, n_chunks).
     """

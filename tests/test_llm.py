@@ -1,6 +1,8 @@
 """LLM-pipeline operator tests: dedup finds planted duplicates, similarity
 search matches numpy brute force, text stats match python oracles."""
 
+import re
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -628,6 +630,27 @@ class TestChunkDedup:
         # allow up to 3 docs -> nothing removed
         out = dedup.chunk_dedup(df, chunk_words=3, max_docs=3)
         assert out.count() == 3
+
+    def test_reassembly_inherits_explode_partitioning(self, spark):
+        # scale contract: when the surviving-fingerprint side broadcasts
+        # (AQE, the common case), the pre-explode repartition on the id
+        # is the ONLY id-keyed exchange — Generate and the broadcast
+        # join preserve it, so the per-doc reassembly groupBy must not
+        # re-shuffle the row-amplified chunk table.  Checked on the AQE
+        # FINAL plan (broadcast conversion happens at execution time).
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        df = dedup.chunk_dedup(docs, chunk_words=10, max_docs=1)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only id-keyed exchanges allowed are our explicit
+        # pre-explode REPARTITION_BY_NUM fan-outs; an ENSURE_REQUIREMENTS
+        # id-exchange would mean Catalyst had to re-shuffle the exploded
+        # chunk table for the reassembly aggregate
+        forced = re.findall(
+            r"Exchange hashpartitioning\((?:_id|doc_id)#[^)]*\), ENSURE_REQUIREMENTS",
+            plan,
+        )
+        assert not forced, plan
 
 
 class TestUnigramLogprob:
