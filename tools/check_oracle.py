@@ -50,8 +50,14 @@ def table_hash(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -70,6 +76,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    results = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,11 +88,13 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"spark: {e}"[:200]}
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"WARN  {name}: zero rows")
+            results[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -94,6 +103,7 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": f"duckdb: {e}"[:200]}
             continue
         problems = []
         if len(srows) != len(orows):
@@ -122,8 +132,43 @@ def main():
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
+            results[name] = {"status": "fail", "err": "; ".join(problems)[:200]}
         else:
             print(f"ok    {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "status": "ok",
+                "rows": len(srows),
+                "hash": table_hash(srows, list(scols)),
+            }
+
+    if json_out:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "git_head": head,
+                    "n_ok": sum(
+                        1 for r in results.values() if r["status"] == "ok"
+                    ),
+                    "n_rows_only": sum(
+                        1 for r in results.values() if r["status"] == "rows_only"
+                    ),
+                    "n_fail": len(failures),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
 
     print()
     if failures:
