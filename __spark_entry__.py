@@ -8322,6 +8322,27 @@ _GATE_PRIORITY = [
     "jsonl_roundtrip", "orc_roundtrip", "csv_roundtrip",
     "csv_corrupt_records", "schema_evolution", "partition_pruning",
     "nested_roundtrip", "zorder_layout", "storage_audit", "dq_audit",
+    # round-9 window material — the full remaining never-checked tail,
+    # ordered: graph/retrieval shapes, join-strategy + layout gates,
+    # event analytics, privacy/compliance, data-quality + ops readouts
+    "triangle_count", "link_prediction", "tfidf_cosine_pairs",
+    "source_overlap", "markov_transitions", "path_trigrams",
+    "degree_distribution", "negsample_table", "salted_enrich",
+    "bucketed_revenue", "rendezvous_shards", "cube_revenue",
+    "cube_nation_year", "range_frame_sum", "unpivot_metrics",
+    "cdc_apply", "scd2_ranges", "doc_chunks", "mixture_pipeline",
+    "hashed_features", "language_margin", "readability",
+    "sentence_stats", "winsorized_stats", "value_hour_corr",
+    "brand_cooccurrence", "brand_top_parts", "position_attribution",
+    "quota_apportion", "rfm_features", "user_value_ranks",
+    "type_streaks", "yoy_revenue", "cumulative_users",
+    "conversion_lag", "event_debounce", "event_transitions",
+    "churned_users", "engaged_users", "wow_retention",
+    "churn_labels", "session_gap_sweep", "ecdf_probes",
+    "ship_delay_quantiles", "forecast_eval", "pareto_parts",
+    "k_anonymity", "l_diversity", "dp_noised_counts", "user_erasure",
+    "bitmap_setops", "join_fanout_audit", "dedup_rate_by_source",
+    "null_profile", "top_values_csv", "dataset_card", "sql_entry",
 ]
 
 
