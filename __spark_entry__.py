@@ -8265,7 +8265,7 @@ _BM25_QUERIES = {
 # verdict: streaming, sketches, entity resolution, ANN/embedding, the
 # TPC-H Q7-Q22 analytic shapes, retrieval fusion + sampling.  Every
 # window query re-verified BITEXACT locally (tools/diff_audit.py) at
-# the freeze.  Remaining backlog (~107) is r8+ window material, queued
+# the freeze.  The remaining backlog (109) is r8+ window material, queued
 # directly below the boundary in conversion order.
 _GATE_PRIORITY = [
     # -- r6 red row: summation-order-proof oracle needs a green row (1)
