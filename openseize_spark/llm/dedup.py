@@ -33,6 +33,39 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie ``cached``'s cache lifetime to the returned ``result``.
+
+    The candidate-verify operators persist their ``pairs`` input because
+    it feeds several consumers INSIDE the lazily-returned plan, so a
+    try/finally unpersist before return would release the cache before
+    it ever materializes.  The cache therefore has to outlive the call —
+    but it must not outlive its USE: a long-lived driver session running
+    many verify calls would otherwise accumulate candidate tables in the
+    CacheManager forever (the leak class fixed in sampling.py /
+    similarity.py, where in-function actions allow eager unpersist).
+
+    This registers a ``weakref.finalize`` on the result DataFrame that
+    unpersists the cached input when the result is garbage-collected on
+    the driver — i.e. exactly when no plan that could still read the
+    cache exists.  The callback captures only the Java-side handle (not
+    the Python DataFrame, which would keep ``result`` alive) and guards
+    against the JVM being gone at interpreter shutdown.
+    """
+    import weakref
+
+    jdf = cached._jdf
+
+    def _release(jdf=jdf):
+        try:
+            jdf.unpersist(False)
+        except Exception:
+            pass  # gateway already shut down
+
+    weakref.finalize(result, _release)
+    return result
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -159,14 +192,21 @@ def chunk_dedup(
     shuffle moves un-amplified doc rows, never exploded chunks, and
     without it the row-amplified chunk build runs in the scan's handful
     of input partitions).  Generate preserves that partitioning, so the
-    per-doc reassembly groupBy is exchange-free, and the frequency
-    aggregate map-side combines so its shuffle carries only distinct
-    fingerprint partials; the chunk↔frequency match is an equi-join on
-    the 16-byte md5 (broadcast when the surviving fingerprint set fits
-    — AQE decides — in which case the id partitioning survives the join
-    and NO exploded row ever moves: one un-amplified shuffle + one
-    fingerprint-partial shuffle total, measured 3x over the
-    shuffle-the-explode shape at sf0.1 and pinned by the
+    per-doc reassembly groupBy is exchange-free.  In the executed plan
+    the scan→repartition→explode subtree appears TWICE — once feeding
+    the per-doc chunk stream and once recomputed under the frequency
+    branch (no ReusedExchange; recompute is deliberate: caching the
+    row-amplified chunk table costs more memory than re-deriving it
+    from the compact scan, cf. ARCHITECTURE.md) — so the plan carries
+    two un-amplified doc shuffles and two Generates.  The frequency
+    aggregate's ``count_distinct(_id)`` map-side partials are keyed on
+    (fingerprint, id): its Exchange hashpartitioning(_fp) moves roughly
+    one row per distinct (chunk, doc) occurrence, not per distinct
+    fingerprint.  The chunk↔frequency match is an equi-join on the
+    16-byte md5 (broadcast when the surviving fingerprint set fits —
+    AQE decides — in which case the id partitioning survives the join
+    and no exploded row moves in the reassembly path; measured 3x over
+    the shuffle-the-explode shape at sf0.1 and pinned by the
     plan-shape test; at vocabulary scales past broadcast the join falls
     back to one hash shuffle of the exploded rows, the operator's
     irreducible cost).  Documents whose every chunk is boilerplate drop
@@ -735,7 +775,10 @@ def jaccard_verify(
     # dominant pass, 3x at any scale — observed 8 parquet scans and zero
     # ReusedExchange in the physical plan).  Candidates are tiny relative
     # to the corpus, so MEMORY_AND_DISK is safe; the first stage to touch
-    # it materializes, the rest read cache within the same action.
+    # it materializes, the rest read cache within the same action.  The
+    # cache is released when the returned DataFrame is dropped (see
+    # _release_cache_with) — it cannot be released inside this function
+    # because the returned plan is lazy and still reads it.
     from pyspark import StorageLevel
 
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -768,7 +811,7 @@ def jaccard_verify(
             *(("inter", "union_sz") if with_counts else ()),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold)
+    return _release_cache_with(j.filter(F.col("jaccard") >= threshold), pairs)
 
 
 def containment_verify(
@@ -795,6 +838,8 @@ def containment_verify(
     norm = normalize_text(F.col(text_col))
     from pyspark import StorageLevel
 
+    # multi-consumer cache, released when the returned plan is dropped
+    # (same lifecycle as jaccard_verify — see _release_cache_with)
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
@@ -808,7 +853,7 @@ def containment_verify(
     sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
         "sh", _shingle_expr(F.col("_txt"), k)
     ).select(id_col, "sh")
-    return (
+    out = (
         pairs.join(
             sh.withColumnRenamed(id_col, "a").withColumnRenamed("sh", "sh_a"),
             on="a",
@@ -837,6 +882,7 @@ def containment_verify(
             ).alias("cont_b"),
         )
     )
+    return _release_cache_with(out, pairs)
 
 
 def containment_verify_oracle_sql(k: int = 5) -> str:

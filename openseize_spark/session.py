@@ -71,6 +71,14 @@ def small_intermediate_coalesce(spark):
     sf0.1 when set globally).  Callers must materialize the work they
     want covered (eager localCheckpoint / an action) inside the scope —
     Spark reads this conf at action time, not plan time.
+
+    Concurrency constraint: the conf key is SESSION-global, so this
+    scope assumes a serially-used SparkSession (true for the driver
+    gate and bench).  Under concurrent queries on one shared session,
+    another query whose action lands inside the scope inherits the
+    advisory-size coalescing; a concurrent serving deployment should
+    run iterative algorithms on a cloned session
+    (``spark.newSession()``) so the conf flip stays isolated.
     """
     key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     prev = spark.conf.get(key, "true")

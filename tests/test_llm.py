@@ -642,6 +642,17 @@ class TestChunkDedup:
         df = dedup.chunk_dedup(docs, chunk_words=10, max_docs=1)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # precondition: the assertion below describes the BROADCAST shape
+        # of the fingerprint join.  If a conf change in the shared session
+        # fixture ever disables auto-broadcast, the join goes shuffle-based
+        # and the id-exchange check would fail for the wrong reason — make
+        # that precondition failure explicit instead of an opaque plan dump.
+        assert "BroadcastHashJoin" in plan, (
+            "precondition: surviving-fingerprint join expected to broadcast "
+            "at sf0.001 (check spark.sql.autoBroadcastJoinThreshold in the "
+            "session fixture); the partitioning assertion only applies to "
+            "the broadcast shape"
+        )
         # the only id-keyed exchanges allowed are our explicit
         # pre-explode REPARTITION_BY_NUM fan-outs; an ENSURE_REQUIREMENTS
         # id-exchange would mean Catalyst had to re-shuffle the exploded
@@ -1630,6 +1641,33 @@ class TestClusterCohesion:
         pairs = spark.createDataFrame([(1, 2)], "a long, b long")
         out = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
         assert out.columns == ["a", "b", "jaccard"]
+
+    def test_candidate_cache_released_when_result_dropped(self, spark):
+        # the internal pairs.persist() must not outlive its use: the
+        # weakref finalizer unpersists it when the returned plan is
+        # garbage-collected (a long-lived driver session running many
+        # verify calls must not accumulate candidate caches)
+        import gc
+
+        jmap = spark.sparkContext._jsc.getPersistentRDDs
+        gc.collect()
+        before = jmap().size()
+        docs = spark.createDataFrame(
+            [(1, "abcdef"), (2, "abcdeg")], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+        out = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
+        out.collect()
+        assert jmap().size() > before, "candidate cache never materialized"
+        del out
+        gc.collect()
+        assert jmap().size() == before, "candidate cache leaked after drop"
+        out2 = dedup.containment_verify(docs, pairs, k=3)
+        out2.collect()
+        assert jmap().size() > before
+        del out2
+        gc.collect()
+        assert jmap().size() == before
 
 
 class TestHllByGroup:
