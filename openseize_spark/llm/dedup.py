@@ -495,12 +495,18 @@ def source_overlap(
     the per-doc ``dup_span_detect`` — it answers "which subcorpora are
     copying from each other" before any doc-level policy runs.
 
-    Scale shape: distinct (source, gram) pairs collapse the token-level
-    explode to at most n_sources x gram-vocabulary rows; the self-join
-    keys on the 16-byte gram hash, and each gram contributes at most
-    C(n_sources, 2) pairs, so output and join fan-out are bounded by
-    the source count, not the corpus.  Totals and the intersection stay
-    integer; only the final Jaccard divides.
+    Scale shape: ONE row-amplified shuffle total.  The exploded gram
+    stream aggregates straight to a per-gram distinct source set
+    (``collect_set`` partial-aggregates map-side, so the exchange
+    carries at most one (gram, source) unit per input partition — the
+    same volume the old ``distinct`` moved, but replacing distinct +
+    two self-join exchanges of the gram vocabulary with a single
+    hash-partition on the gram key).  The per-gram set is bounded by
+    the SOURCE COUNT (a handful), never the corpus, so the in-row set
+    and its C(n_sources, 2) pair fan-out are constants; pair counts and
+    per-source totals then partial-aggregate from the grouped stream
+    with only source-keyed (tiny) exchanges.  Totals and the
+    intersection stay integer; only the final Jaccard divides.
 
     Returns (source_a, source_b, shared_grams, grams_a, grams_b,
     jaccard) for source_a < source_b.
@@ -511,7 +517,7 @@ def source_overlap(
         .select(F.col(source_col).alias("_s"), words.alias("_w"))
         .filter(F.size("_w") >= n)
     )
-    grams = (
+    gs = (
         base.select(
             "_s",
             F.explode(F.sequence(F.lit(1), F.size("_w") - (n - 1))).alias("_i"),
@@ -521,17 +527,35 @@ def source_overlap(
             "_s",
             F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _i, {n})"))).alias("_g"),
         )
-        .distinct()
-        # consumed twice (totals + both sides of the pair join); lazy
-        # localCheckpoint materializes the distinct set once
+        .groupBy("_g")
+        # sorted so the in-set pair expansion emits source_a < source_b
+        # deterministically (collect_set order is partition-dependent)
+        .agg(F.array_sort(F.collect_set("_s")).alias("_ss"))
+        # consumed twice (per-source totals + pair counts); lazy
+        # localCheckpoint materializes the grouped stream once
         .localCheckpoint(eager=False)
     )
-    totals = grams.groupBy("_s").agg(F.count("*").alias("_tot"))
-    a = grams.select(F.col("_s").alias("source_a"), "_g")
-    b = grams.select(F.col("_s").alias("source_b"), "_g")
+    totals = (
+        gs.select(F.explode("_ss").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count("*").alias("_tot"))
+    )
+    ss = F.col("_ss")
+    pair_arr = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, on="_g")
-        .filter(F.col("source_a") < F.col("source_b"))
+        gs.filter(F.size("_ss") >= 2)
+        .select(F.explode(pair_arr).alias("_p"))
+        .select("_p.source_a", "_p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("bigint").alias("shared_grams"))
     )
