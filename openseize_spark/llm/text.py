@@ -1208,8 +1208,13 @@ def tfidf_cosine_pairs(
         # consumed by the norm aggregate and both sides of the pair join
         .localCheckpoint(eager=False)
     )
-    norms = post.groupBy("_id").agg(
-        F.sum(F.col("_su") * F.col("_su")).alias("_n2")
+    # consumed twice (the id_a and id_b sides of the final join); without
+    # the checkpoint each side re-aggregates from its own full posting
+    # scan — one extra posting pass plus a duplicate |docs|-row exchange
+    norms = (
+        post.groupBy("_id")
+        .agg(F.sum(F.col("_su") * F.col("_su")).alias("_n2"))
+        .localCheckpoint(eager=False)
     )
     a = post.select(F.col("_id").alias("id_a"), "_w", F.col("_su").alias("_sa"))
     b = post.select(F.col("_id").alias("id_b"), "_w", F.col("_su").alias("_sb"))
