@@ -5564,7 +5564,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (ts, event_id)-ordered event sequence.  lead() runs in windows
         partitioned by user (hash-distributes at scale, never a global
         sort); the |types|^2 transition matrix aggregates with map-side
-        combine; each probability is one exact-int64 divide."""
+        combine; each probability is one exact-int64 divide.  The counts
+        table is checkpointed because both the output and the row-total
+        branch consume it — without that, Spark rebuilds the whole
+        scan -> user-shuffle -> window-sort subtree a second time just to
+        re-derive the tiny matrix it already computed."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         t = (
@@ -5575,6 +5579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("to_type").isNotNull())
             .groupBy("from_type", "to_type")
             .agg(F.count("*").cast("bigint").alias("n"))
+            .localCheckpoint(eager=False)
         )
         tot = t.groupBy("from_type").agg(
             F.sum("n").cast("bigint").alias("_rt")
