@@ -4659,26 +4659,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_brand_cooccurrence(spark, sf_dir):
         """Market-basket co-occurrence with lift: brand pairs appearing
-        in the same order, top-20 by support.  The pair generation is a
-        self-equi-join of the DISTINCT (order, brand) relation on the
-        order key — per-order fanout is quadratic only in the bounded
-        per-order brand count, never corpus-quadratic.  Lift divides
-        exact integer counts once (n_ab * N / (n_a * n_b)); top-k is
+        in the same order, top-20 by support.  ONE order-keyed shuffle
+        total: the per-order distinct brand set aggregates via
+        collect_set (map-side partials; the set is bounded by the
+        per-order line count, never the corpus), and the quadratic pair
+        expansion happens IN-ROW over that bounded sorted array — no
+        self-join, so the distinct relation is never re-shuffled or
+        re-scanned.  The basket table is checkpointed eagerly (the
+        order-count action materializes it anyway) and feeds the brand
+        totals, the pair counts, and the N in lift.  Lift divides exact
+        integer counts once (n_ab * N / (n_a * n_b)); top-k is
         TakeOrdered with full-key tiebreak."""
         li = _t(spark, sf_dir, "lineitem")
         p = _t(spark, sf_dir, "part")
-        ob = (
+        gs = (
             li.join(p, li.l_partkey == p.p_partkey)
             .select("l_orderkey", "p_brand")
-            .distinct()
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("p_brand")).alias("_bs"))
+            .localCheckpoint(eager=True)
         )
-        n_orders = ob.select("l_orderkey").distinct().count()
-        per_brand = ob.groupBy("p_brand").agg(F.count("*").alias("_nb"))
-        a = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_a"))
-        b = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_b"))
+        n_orders = gs.count()
+        per_brand = (
+            gs.select(F.explode("_bs").alias("p_brand"))
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("_nb"))
+        )
+        bs = F.col("_bs")
+        pair_arr = F.flatten(
+            F.transform(
+                bs,
+                lambda x, i: F.transform(
+                    F.slice(bs, i + F.lit(2), F.size(bs)),
+                    lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+                ),
+            )
+        )
         pairs = (
-            a.join(b, on="_o")
-            .filter(F.col("brand_a") < F.col("brand_b"))
+            gs.filter(F.size("_bs") >= 2)
+            .select(F.explode(pair_arr).alias("_p"))
+            .select("_p.brand_a", "_p.brand_b")
             .groupBy("brand_a", "brand_b")
             .agg(F.count("*").cast("bigint").alias("n_ab"))
         )
