@@ -7552,30 +7552,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         same result row: rows before/after, users and events removed,
         and the must-be-zero count of surviving rows for deleted users
         — the compliance evidence a 100-TB store needs alongside the
-        delete itself.  All exact int64."""
+        delete itself.  All exact int64.
+
+        Shape: the deletion list and the erased output are each BUILT
+        ONCE (checkpoints — in production the erased table is a written
+        dataset, which the checkpoint stands in for).  The pre-erasure
+        counts come from one flagged pass over events; the
+        deleted_rows_remaining audit stays a genuine independent
+        semi-join against the erased output, NOT an algebraic
+        simplification — it must be able to catch a broken anti-join."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         dele = (
             e.select("user_id")
             .distinct()
             .filter(F.col("user_id") % 17 == 0)
+            .localCheckpoint(eager=False)
         )
-        erased = e.join(F.broadcast(dele), on="user_id", how="left_anti")
-        survivors = e.join(F.broadcast(dele), on="user_id", how="left_semi")
-        before = e.agg(F.count("*").cast("bigint").alias("n_before"))
+        # one pass over events for both pre-erasure counts
+        flagged = e.join(
+            F.broadcast(dele.withColumn("_del", F.lit(1))),
+            on="user_id",
+            how="left",
+        )
+        pre = flagged.agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.sum(
+                F.when(F.col("_del").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_events_removed"),
+        )
         nd = dele.agg(F.count("*").cast("bigint").alias("n_deleted_users"))
+        erased = e.join(
+            F.broadcast(dele), on="user_id", how="left_anti"
+        ).localCheckpoint(eager=False)
         after = erased.agg(F.count("*").cast("bigint").alias("n_after"))
         rem = (
             erased.join(F.broadcast(dele), on="user_id", how="left_semi")
             .agg(F.count("*").cast("bigint").alias("deleted_rows_remaining"))
         )
-        removed = survivors.agg(
-            F.count("*").cast("bigint").alias("n_events_removed")
-        )
         return (
-            before.crossJoin(F.broadcast(nd))
-            .crossJoin(F.broadcast(removed))
+            pre.crossJoin(F.broadcast(nd))
             .crossJoin(F.broadcast(after))
             .crossJoin(F.broadcast(rem))
+            .select(
+                "n_before",
+                "n_deleted_users",
+                "n_events_removed",
+                "n_after",
+                "deleted_rows_remaining",
+            )
         )
 
     q["user_erasure"] = q_user_erasure
