@@ -4912,10 +4912,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from `(n*B) div N` plus one for the largest remainders, so
         seats always sum to B and no float can flip an allocation).
         The remainder ranking runs as a broadcast inequality self-join
-        over the bounded source relation — no SinglePartition window."""
+        over the bounded source relation — no SinglePartition window.
+        The per-source counts checkpoint once: every downstream branch
+        (total, both self-join sides, base-seat sum) is a projection of
+        that tiny relation, and without the checkpoint each one re-runs
+        the full corpus scan + aggregate."""
         B = 1000
         docs = _t(spark, sf_dir, "documents")
-        counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+        counts = (
+            docs.groupBy("source")
+            .agg(F.count("*").alias("n_docs"))
+            .localCheckpoint(eager=False)
+        )
         tot = counts.agg(F.sum("n_docs").alias("_N"))
         base = (
             counts.crossJoin(F.broadcast(tot))
@@ -6780,12 +6788,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("p_size").cast("bigint").alias("size"),
         )
         mx = base.agg(F.max("price_c").alias("_mp"))
-        b = base.crossJoin(F.broadcast(mx)).withColumn(
-            "bkt",
-            F.floor(
-                (F.col("price_c") * 1024).cast("double")
-                / (F.col("_mp") + 1).cast("double")
-            ).cast("bigint"),
+        # bucketed relation checkpoints once: the window branch, the
+        # bucket maxima, and the distinct-bucket prefix all consume it,
+        # and without the checkpoint each rebuilds the scan + bucketing
+        # (and re-runs the window sorts) independently
+        b0 = (
+            base.crossJoin(F.broadcast(mx))
+            .withColumn(
+                "bkt",
+                F.floor(
+                    (F.col("price_c") * 1024).cast("double")
+                    / (F.col("_mp") + 1).cast("double")
+                ).cast("bigint"),
+            )
+            .localCheckpoint(eager=False)
         )
         w_in = (
             W.partitionBy("bkt")
@@ -6793,14 +6809,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .rangeBetween(W.unboundedPreceding, -1)
         )
         w_eq = W.partitionBy("price_c")
-        b = b.withColumn("_m1_in", F.max("size").over(w_in)).withColumn(
+        b = b0.withColumn("_m1_in", F.max("size").over(w_in)).withColumn(
             "_m2", F.max("size").over(w_eq)
         )
-        bmax = b.groupBy(F.col("bkt").alias("_bb")).agg(
+        bmax = b0.groupBy(F.col("bkt").alias("_bb")).agg(
             F.max("size").alias("_bm")
         )
         pre = (
-            b.select("bkt").distinct()
+            b0.select("bkt").distinct()
             .join(F.broadcast(bmax), F.col("_bb") < F.col("bkt"), "left")
             .groupBy("bkt")
             .agg(F.max("_bm").alias("_m1_pre"))
