@@ -7628,15 +7628,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the roaring-bitmap pattern that turns distinct-set operations
         into integer ops, emitted NEXT TO the exact join-based counts
         so the row proves bitmap == exact.  Bits stay below 2^31 so
-        no signed-overflow shift exists in either engine."""
-        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        no signed-overflow shift exists in either engine.
 
-        def bitmap(t):
+        The two distinct user sets build ONCE from a single events pass
+        (one (type, user) distinct, checkpointed); the bitmap packing
+        and the exact join/union counts are all projections of that
+        checkpoint — previously each branch re-scanned events and
+        re-ran its own distinct, four distincts for two sets."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        sets = (
+            e.filter(F.col("event_type").isin("purchase", "view"))
+            .select("event_type", "user_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        pa = sets.filter(F.col("event_type") == "purchase").select("user_id")
+        pv = sets.filter(F.col("event_type") == "view").select("user_id")
+
+        def bitmap(dset):
             return (
-                e.filter(F.col("event_type") == t)
-                .select("user_id")
-                .distinct()
-                .select(
+                dset.select(
                     F.floor(F.col("user_id") / 32).cast("bigint").alias("w"),
                     (F.col("user_id") % 32).cast("int").alias("_b"),
                 )
@@ -7648,8 +7659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
             )
 
-        ba = bitmap("purchase").withColumnRenamed("word", "wa")
-        bb = bitmap("view").withColumnRenamed("word", "wb")
+        ba = bitmap(pa).withColumnRenamed("word", "wa")
+        bb = bitmap(pv).withColumnRenamed("word", "wb")
         j = ba.join(bb, on="w", how="full").select(
             F.coalesce(F.col("wa"), F.lit(0)).alias("wa"),
             F.coalesce(F.col("wb"), F.lit(0)).alias("wb"),
@@ -7662,12 +7673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .cast("bigint")
             .alias("u_bitmap"),
         )
-        pa = e.filter(F.col("event_type") == "purchase").select(
-            "user_id"
-        ).distinct()
-        pv = e.filter(F.col("event_type") == "view").select(
-            "user_id"
-        ).distinct()
         ex = (
             pa.join(pv, on="user_id")
             .agg(F.count("*").cast("bigint").alias("i_exact"))
