@@ -5544,28 +5544,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Bipartite link prediction over the part-order graph: for part
         pairs co-purchased in >= 2 orders, the common-neighbor count plus
         resource-allocation (sum 1/deg) and Adamic-Adar (sum 1/ln deg)
-        scores, where deg is the shared order's part-degree.  Pair
-        generation is the per-order self-equi-join (fanout quadratic only
-        in the bounded per-order part count, like brand_cooccurrence) —
-        never corpus-quadratic.  Counts/degrees are exact ints; each
-        score term is one divide (RA exact; AA's ln + the tiny per-pair
-        float sum ride the 9-digit round)."""
+        scores, where deg is the shared order's part-degree.  ONE
+        order-keyed shuffle total (the brand_cooccurrence shape): the
+        per-order distinct part set aggregates via collect_set — bounded
+        by the order's line count, never the corpus — the degree IS the
+        set size, and the quadratic pair expansion happens in-row over
+        the sorted array, so no distinct relation, degree join, or
+        self-join ever materializes.  Counts/degrees are exact ints;
+        each score term is one divide (RA exact; AA's ln + the tiny
+        per-pair float sum ride the 9-digit round)."""
         li = _t(spark, sf_dir, "lineitem")
-        ob = li.select("l_orderkey", "l_partkey").distinct()
-        deg = ob.groupBy("l_orderkey").agg(
-            F.count("*").cast("bigint").alias("_deg")
+        baskets = (
+            li.select("l_orderkey", "l_partkey")
+            .groupBy("l_orderkey")
+            .agg(F.array_sort(F.collect_set("l_partkey")).alias("_ps"))
         )
-        obd = ob.join(deg, on="l_orderkey")
-        x = obd.select(
-            F.col("l_orderkey").alias("_o"),
-            F.col("l_partkey").alias("part_a"),
-            F.col("_deg"),
+        ps = F.col("_ps")
+        pair_arr = F.flatten(
+            F.transform(
+                ps,
+                lambda a, i: F.transform(
+                    F.slice(ps, i + F.lit(2), F.size(ps)),
+                    lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                ),
+            )
         )
-        y = obd.select(
-            F.col("l_orderkey").alias("_o"),
-            F.col("l_partkey").alias("part_b"),
+        pairs = (
+            baskets.filter(F.size("_ps") >= 2)
+            .select(
+                F.size("_ps").cast("bigint").alias("_deg"),
+                F.explode(pair_arr).alias("_p"),
+            )
+            .select(F.col("_p.part_a"), F.col("_p.part_b"), "_deg")
         )
-        pairs = x.join(y, on="_o").filter(F.col("part_a") < F.col("part_b"))
         d = F.col("_deg").cast("double")
         return (
             pairs.groupBy("part_a", "part_b")
