@@ -937,8 +937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         row-normalized transition probability — the product-analytics
         "what do users do next" matrix.  lag() per user plus one
         short-key aggregation; probabilities divide exact integer
-        counts.  Registered after the round-5 window; round-6 window
-        material."""
+        counts.  The |types|^2 counts table checkpoints once — the
+        row-total branch would otherwise rebuild the whole
+        scan -> user-shuffle -> window-sort subtree.  Registered after
+        the round-5 window; round-6 window material."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         pairs = (
@@ -949,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("event_type").alias("to_type"),
             )
             .agg(F.count("*").alias("_n"))
+            .localCheckpoint(eager=False)
         )
         tot = pairs.groupBy("from_type").agg(F.sum("_n").alias("_row_n"))
         return pairs.join(F.broadcast(tot), on="from_type").select(
@@ -966,14 +969,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Churn snapshot: users whose LAST event predates the corpus
         horizon by more than 12 hours — one per-user max aggregation
         against a broadcast one-row corpus max, all comparisons in
-        exact integer microseconds.  Registered after the round-5
-        window; round-6 window material."""
+        exact integer microseconds.  The horizon is the max of the
+        per-user maxima, so it derives from the checkpointed per-user
+        table instead of a second full events scan.  Registered after
+        the round-5 window; round-6 window material."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         last = e.groupBy("user_id").agg(
             F.max(F.unix_micros("ts")).alias("last_us"),
             F.count("*").alias("n_events"),
-        )
-        horizon = e.agg(F.max(F.unix_micros("ts")).alias("max_us"))
+        ).localCheckpoint(eager=False)
+        horizon = last.agg(F.max("last_us").alias("max_us"))
         week_us = 12 * 3600 * 1_000_000
         return (
             last.join(F.broadcast(horizon))
@@ -1018,12 +1023,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         many returned in week w+1 — distinct (user, week) pairs
         self-joined on the adjacent week.  The distinct collapse
         happens before the join, so the join touches user-week rows,
-        not events.  All-integer counts, one final ratio.  Registered
-        after the round-5 window; round-6 window material."""
+        not events — and it checkpoints once, since three branches
+        (weekly actives, the shifted week, the semi-join probe) consume
+        it and would each re-run the events scan + distinct otherwise.
+        All-integer counts, one final ratio.  Registered after the
+        round-5 window; round-6 window material."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
-        uw = e.select(
-            "user_id", F.weekofyear("ts").alias("week")
-        ).distinct()
+        uw = (
+            e.select("user_id", F.weekofyear("ts").alias("week"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         cur = uw.groupBy("week").agg(F.count("*").alias("n_active"))
         nxt = uw.select("user_id", (F.col("week") - 1).alias("week"))
         ret = (
