@@ -545,7 +545,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         first = e.groupBy("user_id").agg(
             F.min(F.to_date("ts")).alias("day")
         )
-        per_day = first.groupBy("day").agg(F.count("*").alias("new_users"))
+        # both self-join sides consume the tiny day relation; without the
+        # checkpoint each rebuilds the events scan + first-seen aggregate
+        per_day = (
+            first.groupBy("day")
+            .agg(F.count("*").alias("new_users"))
+            .localCheckpoint(eager=False)
+        )
         rhs = per_day.select(
             F.col("day").alias("_d2"), F.col("new_users").alias("_n2")
         )
@@ -6577,11 +6583,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Degrees and histogram counts are exact int64; alpha's ln sum
         rides the 9-digit round."""
         li = _t(spark, sf_dir, "lineitem")
+        # histogram and MLE stats both consume the degree table; the
+        # checkpoint keeps the distinct + degree aggregate to one build
         deg = (
             li.select("l_orderkey", "l_partkey")
             .distinct()
             .groupBy("l_partkey")
             .agg(F.count("*").cast("bigint").alias("degree"))
+            .localCheckpoint(eager=False)
         )
         hist = deg.groupBy("degree").agg(
             F.count("*").cast("bigint").alias("n_parts")
