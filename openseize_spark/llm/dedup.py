@@ -51,6 +51,17 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     cache exists.  The callback captures only the Java-side handle (not
     the Python DataFrame, which would keep ``result`` alive) and guards
     against the JVM being gone at interpreter shutdown.
+
+    Composition nuance: when the result is an INTERMEDIATE of a larger
+    lazy plan (e.g. verify -> triangle_count), dropping it releases the
+    cache before that outer plan executes, so the candidate subtree
+    recomputes inside the one outer execution — bounded (the number of
+    in-plan consumers, <= 3) and value-identical.  The iterative
+    consumers where the cache matters most (connected_components,
+    pagerank) run an action in-call while the intermediate is alive, so
+    they always hit the cache.  A caller that re-executes a verify
+    result many times keeps the cache by simply holding the reference —
+    the lifetime IS the reference's.
     """
     import weakref
 
