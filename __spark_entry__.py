@@ -5342,12 +5342,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sort at any scale).  Growth divides two exact int64 unit sums
         once."""
         li = _t(spark, sf_dir, "lineitem")
+        # both calendar self-join sides consume the tiny month relation;
+        # checkpoint so the lineitem scan + aggregate runs once
         monthly = (
             li.groupBy(
                 F.year("l_shipdate").cast("bigint").alias("yr"),
                 F.month("l_shipdate").cast("bigint").alias("mo"),
             )
             .agg(F.sum(_rev_units()).cast("bigint").alias("rev_units"))
+            .localCheckpoint(eager=False)
         )
         prev = monthly.select(
             (F.col("yr") + 1).alias("yr"),
@@ -6962,9 +6965,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             + 1
         ).cast("bigint")
         cents = F.round(F.col("value") * 100).cast("bigint")
+        # train and test both consume the <=31-row daily series;
+        # checkpoint so the events scan + aggregate runs once
         daily = e.groupBy(day.alias("day")).agg(
             F.sum(cents).cast("bigint").alias("x")
-        )
+        ).localCheckpoint(eager=False)
         train = daily.filter(F.col("day") <= 23)
         arr = F.array_sort(F.collect_list(F.struct("day", "x")))
         vals = F.transform(arr, lambda s: s["x"].cast("double"))
