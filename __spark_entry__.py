@@ -7779,9 +7779,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("p_size").cast("bigint").alias("size"),
             F.round(F.col("l_quantity")).cast("bigint").alias("q"),
         )
+        # three consumers (totals, both inequality-join sides) of the
+        # bounded brand-size weight table; checkpoint so the fact join +
+        # aggregate runs once
         w = j.groupBy("p_brand", "size").agg(
             F.sum("q").cast("bigint").alias("wt")
-        )
+        ).localCheckpoint(eager=False)
         tot = w.groupBy("p_brand").agg(
             F.sum("wt").cast("bigint").alias("_tot")
         )
@@ -8018,7 +8021,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 )
                 >= 14
             ).cast("bigint").alias("conv"),
-        )
+        ).localCheckpoint(eager=False)
+        # ^ checkpointed: the median, MAD, fence, and both count branches
+        # all consume the per-user table and would each re-run the full
+        # events scan + aggregate otherwise
         med = pu.agg(F.percentile(F.col("x"), F.lit(0.5)).alias("_med"))
         j = pu.crossJoin(F.broadcast(med))
         dev = F.abs(F.col("x").cast("double") - F.col("_med"))
@@ -8078,9 +8084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("user_id").isNotNull() & F.col("value").isNotNull()
         )
         cents = F.round(F.col("value") * 100).cast("bigint")
+        # the cut aggregate and the decile assignment both consume the
+        # per-user table; checkpoint so the events pass runs once
         pu = e.groupBy("user_id").agg(
             F.sum(cents).cast("bigint").alias("x")
-        )
+        ).localCheckpoint(eager=False)
         cuts = pu.agg(
             *[
                 F.percentile(F.col("x"), F.lit(i / 10.0)).alias(f"_c{i}")
@@ -8100,6 +8108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count("*").cast("bigint").alias("n_users"),
                 F.sum("x").cast("bigint").alias("spend_cents"),
             )
+            # ten rows, three consumers (total, both cumulative sides)
+            .localCheckpoint(eager=False)
         )
         tot = per.agg(F.sum("spend_cents").cast("bigint").alias("_tot"))
         b = per.select(
