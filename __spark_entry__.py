@@ -5758,7 +5758,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("user_id")
             .agg(F.min(day).alias("day"))
         )
-        d = fe.groupBy("day").agg(F.count("*").cast("bigint").alias("deaths"))
+        # <= 31 day rows, two consumers per level (both sides of each
+        # inequality self-join); checkpoints keep the events passes to
+        # two (first-event build + the all-user risk denominator)
+        d = (
+            fe.groupBy("day")
+            .agg(F.count("*").cast("bigint").alias("deaths"))
+            .localCheckpoint(eager=False)
+        )
         ntot = e.agg(
             F.countDistinct("user_id").cast("bigint").alias("_N")
         )
@@ -5775,6 +5782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .crossJoin(F.broadcast(ntot))
             .withColumn("at_risk", (F.col("_N") - F.col("_prior")))
+            .localCheckpoint(eager=False)
         )
         term = F.log(
             1
@@ -7020,30 +7028,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (document-level co-occurrence): which vocabulary pairs appear
         together more than independence predicts — the collocation /
         topic-structure signal.  Presence sets are restricted to the
-        top-30 vocabulary BEFORE pairing (per-doc fanout bounded at
-        30*29/2); counts are exact int64 and the PMI log argument is a
-        ratio of exact integer products."""
+        top-30 vocabulary BEFORE pairing, so the per-doc set is bounded
+        at 30 and the quadratic pairing happens IN-ROW over one
+        collect_set aggregate (the market-basket shape): one doc-keyed
+        shuffle total, no presence self-join, and the doc frequencies
+        derive from the same checkpointed set table.  Counts are exact
+        int64 and the PMI log argument is a ratio of exact integer
+        products."""
         docs = _t(spark, sf_dir, "documents")
         top = llm_text.vocab_stats(docs, top_k=30).select("word")
         norm = dedup.normalize_text(F.col("text"))
         words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
-        dw = (
+        gs = (
             docs.filter(F.col("text").isNotNull())
             .select("doc_id", F.explode(words).alias("word"))
             .join(F.broadcast(top), on="word")
-            .distinct()
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("word")).alias("_ws"))
+            .localCheckpoint(eager=False)
         )
         n_docs = docs.filter(F.col("text").isNotNull()).agg(
             F.count("*").cast("bigint").alias("_N")
         )
-        df_w = dw.groupBy("word").agg(
-            F.count("*").cast("bigint").alias("_df")
+        df_w = (
+            gs.select(F.explode("_ws").alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("_df"))
         )
-        a = dw.select(F.col("doc_id").alias("_d"), F.col("word").alias("word_a"))
-        b = dw.select(F.col("doc_id").alias("_d"), F.col("word").alias("word_b"))
+        ws = F.col("_ws")
+        pair_arr = F.flatten(
+            F.transform(
+                ws,
+                lambda x, i: F.transform(
+                    F.slice(ws, i + F.lit(2), F.size(ws)),
+                    lambda y: F.struct(x.alias("word_a"), y.alias("word_b")),
+                ),
+            )
+        )
         pairs = (
-            a.join(b, on="_d")
-            .filter(F.col("word_a") < F.col("word_b"))
+            gs.filter(F.size("_ws") >= 2)
+            .select(F.explode(pair_arr).alias("_p"))
+            .select("_p.word_a", "_p.word_b")
             .groupBy("word_a", "word_b")
             .agg(F.count("*").cast("bigint").alias("n_ab"))
             .filter(F.col("n_ab") >= 5)
@@ -7398,6 +7423,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("w2").isNotNull())
             .groupBy("w1", "w2")
             .agg(F.count("*").cast("bigint").alias("c12"))
+            # four consumers (left/right continuation counts, type total,
+            # output rows); the checkpoint keeps the token explode +
+            # per-doc window to ONE pass instead of four
+            .localCheckpoint(eager=False)
         )
         c1 = bi.groupBy("w1").agg(
             F.sum("c12").cast("bigint").alias("_c1"),
