@@ -5095,9 +5095,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rather than summed, so no order-dependent float total exists;
         marginals ride broadcast joins on the bounded key sets."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        # 35-row grid, four consumers (marginals, total, output);
+        # checkpoint so the events scan + aggregate runs once
         cells = e.groupBy(
             "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
-        ).agg(F.count("*").cast("bigint").alias("observed"))
+        ).agg(F.count("*").cast("bigint").alias("observed")).localCheckpoint(
+            eager=False
+        )
         rows = cells.groupBy("event_type").agg(
             F.sum("observed").cast("bigint").alias("_rt")
         )
@@ -5903,9 +5907,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (n_ij/N) * log2(n_ij*N / (n_i*n_j)) with the log argument
         formed from exact integer products."""
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        # 35-row grid, four consumers (marginals, total, output);
+        # checkpoint so the events scan + aggregate runs once
         cells = e.groupBy(
             "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
-        ).agg(F.count("*").cast("bigint").alias("n_ij"))
+        ).agg(F.count("*").cast("bigint").alias("n_ij")).localCheckpoint(
+            eager=False
+        )
         rows = cells.groupBy("event_type").agg(
             F.sum("n_ij").cast("bigint").alias("_ri")
         )
@@ -6115,10 +6123,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             + 1
         ).cast("bigint")
         cents = F.round(F.col("value") * 100).cast("bigint")
+        # <= 31-row day series feeding both range-join sides, and the
+        # trend table feeding both the seasonal means and the output —
+        # checkpoints keep the events pass and the range join to one each
         daily = e.groupBy(
             day.alias("day"),
             F.dayofweek("ts").cast("bigint").alias("dow"),
-        ).agg(F.sum(cents).cast("bigint").alias("x"))
+        ).agg(F.sum(cents).cast("bigint").alias("x")).localCheckpoint(
+            eager=False
+        )
         b = daily.select(
             F.col("day").alias("_bday"), F.col("x").alias("_bx")
         )
@@ -6140,6 +6153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn(
                 "dev", F.col("x").cast("double") - F.col("trend")
             )
+            .localCheckpoint(eager=False)
         )
         seas = tr.groupBy("dow").agg(
             (F.sum("dev") / F.count("*").cast("double")).alias("seasonal")
@@ -6177,9 +6191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             + 1
         ).cast("bigint")
         cents = F.round(F.col("value") * 100).cast("bigint")
+        # day series feeds both inequality-join sides; the cumulative
+        # table feeds the total and the output — checkpoint each once
         daily = e.groupBy(day.alias("day")).agg(
             F.sum(cents).cast("bigint").alias("x")
-        )
+        ).localCheckpoint(eager=False)
         b = daily.select(
             F.col("day").alias("_bday"), F.col("x").alias("_bx")
         )
@@ -6190,6 +6206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.count("*").cast("bigint").alias("k"),
                 F.sum("_bx").cast("bigint").alias("s_k"),
             )
+            .localCheckpoint(eager=False)
         )
         tot = cum.agg(
             F.max("k").cast("bigint").alias("_n"),
