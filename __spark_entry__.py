@@ -6291,9 +6291,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         toks = docs.select(
             "doc_id", F.col("lang"), F.explode(words).alias("w")
         )
+        # vocab-x-langs bounded; three consumers (totals, vocab, the
+        # model densify join) — checkpoint so the token explode +
+        # count aggregate runs once for training (scoring re-explodes
+        # at doc grain by necessity)
         cnt = toks.groupBy("lang", "w").agg(
             F.count("*").cast("bigint").alias("cnt")
-        )
+        ).localCheckpoint(eager=False)
         tot = cnt.groupBy("lang").agg(
             F.sum("cnt").cast("bigint").alias("tot")
         )
