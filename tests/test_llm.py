@@ -1006,6 +1006,32 @@ class TestSourceOverlap:
         assert row.shared_grams == 1 and row.grams_a == 1 and row.grams_b == 1
         assert row.jaccard == 1.0
 
+    def test_single_amplified_shuffle_no_self_join(self, spark):
+        # scale contract of the market-basket shape: the exploded gram
+        # stream aggregates straight to a per-gram source set, so the
+        # plan carries NO join on the gram key (the old distinct +
+        # self-join shape exchanged the vocabulary twice more) and no
+        # SortMergeJoin at all — pairs expand in-row from the bounded
+        # sorted array.
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "A"),
+                (2, "alpha beta gamma omega", "B"),
+                (3, "alpha beta gamma nu", "C"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = dedup.source_overlap(df, n=3)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the grouped set table is checkpointed, so the collect_set
+        # aggregate lives in the checkpoint job; the final plan must
+        # show the in-row expansion (Generate explode over the pair
+        # array) and no join on the gram key at all
+        assert "SortMergeJoin" not in plan, plan
+        assert "Generate explode" in plan, plan
+        assert "Exchange hashpartitioning(_g#" not in plan, plan
+
 
 class TestBpePairCounts:
     def test_weighted_pair_counts(self, spark):

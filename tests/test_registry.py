@@ -48,3 +48,22 @@ def test_no_duplicate_registrations_in_source():
         keys = re.findall(pat, src)
         dups = [k for k, c in Counter(keys).items() if c > 1]
         assert not dups, f"duplicate registrations: {dups}"
+
+
+def test_market_basket_queries_have_no_pair_self_join(spark):
+    """Scale contract for the in-row pair-expansion rewrites: the
+    bounded-set co-occurrence queries must generate pairs from one
+    collect_set aggregate, never a self-join of the exploded relation
+    (the shape they replaced exchanged the vocabulary/order relation
+    2-3 extra times)."""
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("brand_cooccurrence", "link_prediction", "word_pmi"):
+        df = qs[name](spark, sf)
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the collect_set aggregate lives inside the checkpoint-build
+        # job; the final plan must show the in-row pair explode and no
+        # sort-merge join anywhere (totals ride broadcast joins)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "Generate explode" in plan, (name, plan)
