@@ -509,20 +509,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         aggregate (broadcast), crosses with the distinct type list
         (broadcast — bounded by the type vocabulary), and left-joins the
         pre-aggregated daily counts; raw events are touched exactly
-        once.  Registered after the round-5 window; round-6 window
-        material."""
+        once — the span and the type list both derive from the
+        CHECKPOINTED daily aggregate (they are its min/max and key
+        projection), not from separate raw scans.  Registered after the
+        round-5 window; round-6 window material."""
         e = _events(spark, sf_dir)
         daily = e.groupBy(
             F.col("event_type"), F.to_date("ts").alias("day")
-        ).agg(F.count("*").alias("_n"))
-        span = e.agg(
-            F.min(F.to_date("ts")).alias("_lo"),
-            F.max(F.to_date("ts")).alias("_hi"),
+        ).agg(F.count("*").alias("_n")).localCheckpoint(eager=False)
+        span = daily.agg(
+            F.min("day").alias("_lo"),
+            F.max("day").alias("_hi"),
         )
         spine = span.select(
             F.explode(F.sequence("_lo", "_hi")).alias("day")
         )
-        types = e.select("event_type").distinct()
+        types = daily.select("event_type").distinct()
         grid = spine.crossJoin(F.broadcast(types))
         return grid.join(daily, ["event_type", "day"], "left").select(
             "event_type",
@@ -5293,40 +5295,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_theilsen_slope(spark, sf_dir):
         """Theil-Sen robust trend per user: the median of all pairwise
         slopes — insensitive to the outliers that tilt value_trend's
-        OLS.  Pairs come from a per-user rank self-join (quadratic only
-        in the bounded per-user history); each slope divides the exact
-        integer cent delta by the exact microsecond gap once, and the
-        median interpolates the identical float multiset in both
-        engines (the rolling_median percentile contract)."""
+        OLS.  ONE user-keyed shuffle total (the market-basket shape):
+        each user's bounded history aggregates to an in-row array and
+        the quadratic pair expansion happens inside the row — the slope
+        is symmetric ((v2-v1)/(t2-t1) == (v1-v2)/(t1-t2)), so the
+        unordered in-row combinations produce the identical slope
+        multiset the old rank self-join did, without the second window
+        build or any join.  Generate preserves the user partitioning,
+        so the final percentile aggregate is exchange-free.  Each slope
+        divides the exact integer cent delta by the exact microsecond
+        gap once, and the median interpolates the identical float
+        multiset in both engines (the rolling_median percentile
+        contract)."""
         e = _events(spark, sf_dir).filter(
             F.col("value").isNotNull() & F.col("user_id").isNotNull()
         )
-        w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        r = e.select(
+        g = e.select(
             "user_id",
-            F.row_number().over(w).alias("_rn"),
-            F.round(F.col("value") * 100).cast("bigint").alias("_vc"),
-            F.unix_micros("ts").alias("_us"),
-        )
-        a = r.select(
-            F.col("user_id"),
-            F.col("_rn").alias("_i"),
-            F.col("_vc").alias("_v1"),
-            F.col("_us").alias("_t1"),
-        )
-        b = r.select(
-            F.col("user_id"),
-            F.col("_rn").alias("_j"),
-            F.col("_vc").alias("_v2"),
-            F.col("_us").alias("_t2"),
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            ).alias("_pt"),
+        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
+        pts = F.col("_pts")
+        pair_arr = F.flatten(
+            F.transform(
+                pts,
+                lambda p1, i: F.transform(
+                    F.slice(pts, i + F.lit(2), F.size(pts)),
+                    lambda p2: F.struct(
+                        p1["t"].alias("_t1"),
+                        p1["v"].alias("_v1"),
+                        p2["t"].alias("_t2"),
+                        p2["v"].alias("_v2"),
+                    ),
+                ),
+            )
         )
         pairs = (
-            a.join(b, on="user_id")
-            .filter((F.col("_j") > F.col("_i")) & (F.col("_t2") != F.col("_t1")))
-            .withColumn(
-                "_slope",
-                ((F.col("_v2") - F.col("_v1")) * 1000000).cast("double")
-                / (F.col("_t2") - F.col("_t1")).cast("double"),
+            g.filter(F.size("_pts") >= 2)
+            .select("user_id", F.explode(pair_arr).alias("_p"))
+            .filter(F.col("_p._t2") != F.col("_p._t1"))
+            .select(
+                "user_id",
+                (
+                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
+                        "double"
+                    )
+                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
+                ).alias("_slope"),
             )
         )
         return pairs.groupBy("user_id").agg(
@@ -7890,6 +7907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.when(F.col("event_type") == "view", 1).otherwise(0)
                 ).cast("bigint").alias("cb"),
             )
+            # <=1024 bin rows, three consumers (totals, both cumulative
+            # sides); checkpoint so the events pass runs once
+            .localCheckpoint(eager=False)
         )
         tot = c.agg(
             F.sum("ca").cast("bigint").alias("_na"),
