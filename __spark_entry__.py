@@ -1076,9 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         the LM quality score into a mixture decision.  Registered after
         the round-5 window; round-6 window material."""
         docs = _t(spark, sf_dir, "documents")
+        # the tercile cuts and the bucketing both consume the scored
+        # table; checkpoint so the LM train + score pass runs once
         scored = llm_text.unigram_logprob(docs).join(
             docs.select("doc_id", "lang"), on="doc_id"
-        )
+        ).localCheckpoint(eager=False)
         cuts = scored.agg(
             F.percentile(F.col("score"), F.lit(1.0 / 3.0)).alias("c1"),
             F.percentile(F.col("score"), F.lit(2.0 / 3.0)).alias("c2"),
