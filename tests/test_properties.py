@@ -793,3 +793,102 @@ class TestMarkovProperty:
             rt[a] += c
         exp = {k: (c, round(c / rt[k[0]], 9)) for k, c in cnt.items()}
         assert got == exp
+
+
+class TestTheilSenProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """The in-row pair expansion must reproduce the rank-self-join
+        semantics exactly: all unordered event pairs with distinct
+        timestamps, slope = cent-delta * 1e6 / microsecond-gap, median
+        by interpolated percentile."""
+        import statistics
+
+        rows = []
+        eid = 0
+        for uid in range(data.draw(st.integers(1, 3))):
+            for _ in range(data.draw(st.integers(0, 6))):
+                # microsecond timestamps a day past the epoch; draw from
+                # a small grid so equal-timestamp pairs actually occur
+                t_us = 86_400_000_000 + data.draw(
+                    st.integers(0, 4)
+                ) * 1_000_000
+                cents = data.draw(st.integers(-500, 500))
+                rows.append((eid, uid, t_us, cents / 100.0))
+                eid += 1
+        if not rows:
+            return
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, t_us long, value double"
+        ).selectExpr(
+            "event_id",
+            "user_id",
+            "timestamp_micros(t_us) as ts",
+            "value",
+        )
+
+        from pyspark.sql import functions as F
+
+        g = df.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.round(F.col("value") * 100).cast("bigint").alias("v"),
+            ).alias("_pt"),
+        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
+        pts = F.col("_pts")
+        pair_arr = F.flatten(
+            F.transform(
+                pts,
+                lambda p1, i: F.transform(
+                    F.slice(pts, i + F.lit(2), F.size(pts)),
+                    lambda p2: F.struct(
+                        p1["t"].alias("_t1"),
+                        p1["v"].alias("_v1"),
+                        p2["t"].alias("_t2"),
+                        p2["v"].alias("_v2"),
+                    ),
+                ),
+            )
+        )
+        got = {
+            r.user_id: (r.n_pairs, r.median_slope)
+            for r in g.filter(F.size("_pts") >= 2)
+            .select("user_id", F.explode(pair_arr).alias("_p"))
+            .filter(F.col("_p._t2") != F.col("_p._t1"))
+            .select(
+                "user_id",
+                (
+                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
+                        "double"
+                    )
+                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
+                ).alias("_slope"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.round(F.expr("percentile(_slope, 0.5)"), 9).alias(
+                    "median_slope"
+                ),
+            )
+            .collect()
+        }
+
+        exp = {}
+        by_user = {}
+        for _, uid, t_us, v in rows:
+            by_user.setdefault(uid, []).append((t_us, round(v * 100)))
+        for uid, evs in by_user.items():
+            slopes = [
+                (v2 - v1) * 1_000_000 / (t2 - t1)
+                for i, (t1, v1) in enumerate(evs)
+                for (t2, v2) in evs[i + 1 :]
+                if t2 != t1
+            ]
+            if slopes:
+                # statistics.median matches interpolated percentile(0.5)
+                # for both odd and even counts
+                exp[uid] = (len(slopes), round(statistics.median(slopes), 9))
+        assert got == exp
