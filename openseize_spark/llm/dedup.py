@@ -52,16 +52,26 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     the Python DataFrame, which would keep ``result`` alive) and guards
     against the JVM being gone at interpreter shutdown.
 
-    Composition nuance: when the result is an INTERMEDIATE of a larger
-    lazy plan (e.g. verify -> triangle_count), dropping it releases the
-    cache before that outer plan executes, so the candidate subtree
-    recomputes inside the one outer execution — bounded (the number of
-    in-plan consumers, <= 3) and value-identical.  The iterative
-    consumers where the cache matters most (connected_components,
-    pagerank) run an action in-call while the intermediate is alive, so
-    they always hit the cache.  A caller that re-executes a verify
-    result many times keeps the cache by simply holding the reference —
-    the lifetime IS the reference's.
+    Composition nuance: a consumer that folds the result into a larger
+    LAZY plan and drops the intermediate at return would release the
+    cache before that outer plan executes, recomputing the candidate
+    subtree per in-plan consumer (bounded, value-identical — but the
+    cost the persist exists to avoid).  Consumers in this package
+    therefore MATERIALIZE in-call while the intermediate is alive and
+    always hit the cache: connected_components / pagerank run actions
+    per round, and triangle_count eagerly localCheckpoints its edge
+    list.  A caller that re-executes a verify result many times keeps
+    the cache by simply holding the reference — the lifetime IS the
+    reference's.
+
+    Known limitation (fix prototyped for round 10 in
+    tools/r10_cache_refcount_prototype.py): ``persist`` returns self,
+    so the finalizer unpersists the CALLER's ``pairs`` object — two
+    verify results built over the SAME pairs DataFrame share one cache,
+    and dropping the first result releases it for the survivor (which
+    then recomputes, value-identical).  Build candidate pairs per
+    verify call, or hold every result, until the refcounted release
+    lands.
     """
     import weakref
 
@@ -476,9 +486,16 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns (id, n_triangles) for nodes in at least one triangle.
     """
-    # three consumers of the edge list; checkpoint so a possibly
-    # expensive upstream pair-generation plan executes once
-    edges = edges.localCheckpoint(eager=False)
+    # Three consumers of the edge list; checkpoint so a possibly
+    # expensive upstream pair-generation plan executes once.  The
+    # checkpoint is EAGER (matching connected_components / pagerank):
+    # when the edges come from a verify operator whose candidate cache
+    # is tied to the verify result's lifetime (_release_cache_with),
+    # building the checkpoint in-call — while the caller still holds
+    # that result — is what lets the edge materialization hit the
+    # cache; a lazy checkpoint would first run after the intermediate
+    # is dropped and recompute the candidate pipeline per consumer.
+    edges = edges.localCheckpoint(eager=True)
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, on="y")

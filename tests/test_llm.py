@@ -1672,28 +1672,54 @@ class TestClusterCohesion:
         # the internal pairs.persist() must not outlive its use: the
         # weakref finalizer unpersists it when the returned plan is
         # garbage-collected (a long-lived driver session running many
-        # verify calls must not accumulate candidate caches)
+        # verify calls must not accumulate candidate caches).
+        # Compare SETS of persistent-RDD ids, not map sizes: Spark's
+        # asynchronous ContextCleaner may drop stale cached RDDs left
+        # by earlier tests between snapshots under the shared session
+        # fixture, so size equality is racy — what must hold is that
+        # every id INTRODUCED by the verify call is gone after the
+        # result is dropped.
         import gc
+        import time
 
-        jmap = spark.sparkContext._jsc.getPersistentRDDs
+        def rdd_ids():
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet()
+                .iterator()
+            )
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        def wait_released(new_ids, timeout=10.0):
+            deadline = time.monotonic() + timeout
+            while time.monotonic() < deadline:
+                gc.collect()
+                if not (rdd_ids() & new_ids):
+                    return True
+                time.sleep(0.1)
+            return False
+
         gc.collect()
-        before = jmap().size()
+        before = rdd_ids()
         docs = spark.createDataFrame(
             [(1, "abcdef"), (2, "abcdeg")], "doc_id long, text string"
         )
         pairs = spark.createDataFrame([(1, 2)], "a long, b long")
         out = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
         out.collect()
-        assert jmap().size() > before, "candidate cache never materialized"
+        new = rdd_ids() - before
+        assert new, "candidate cache never materialized"
         del out
-        gc.collect()
-        assert jmap().size() == before, "candidate cache leaked after drop"
+        assert wait_released(new), "candidate cache leaked after drop"
         out2 = dedup.containment_verify(docs, pairs, k=3)
         out2.collect()
-        assert jmap().size() > before
+        new2 = rdd_ids() - before
+        assert new2, "candidate cache never materialized"
         del out2
-        gc.collect()
-        assert jmap().size() == before
+        assert wait_released(new2), "candidate cache leaked after drop"
 
 
 class TestHllByGroup:
