@@ -33,8 +33,17 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Tie ``cached``'s cache lifetime to the returned ``result``.
+# Refcounts for caches whose lifetime is tied to result DataFrames:
+# semanticHash(analyzed plan) -> [live-result count, Java DataFrame].
+# Keyed on the canonicalized-plan hash because that is CacheManager's
+# own equality unit — two persists of semantically equal plans share
+# ONE cache entry, so they must share one refcount.
+_CACHE_REFS: dict[int, list] = {}
+
+
+def release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie ``cached``'s cache lifetime to the returned ``result``,
+    refcounted across results that share the same cache entry.
 
     The candidate-verify operators persist their ``pairs`` input because
     it feeds several consumers INSIDE the lazily-returned plan, so a
@@ -45,46 +54,73 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     CacheManager forever (the leak class fixed in sampling.py /
     similarity.py, where in-function actions allow eager unpersist).
 
-    This registers a ``weakref.finalize`` on the result DataFrame that
-    unpersists the cached input when the result is garbage-collected on
-    the driver — i.e. exactly when no plan that could still read the
-    cache exists.  The callback captures only the Java-side handle (not
-    the Python DataFrame, which would keep ``result`` alive) and guards
-    against the JVM being gone at interpreter shutdown.
+    Mechanism: at call time the cache's refcount — keyed by the
+    ANALYZED PLAN's ``semanticHash``, CacheManager's own equality unit —
+    is incremented; a ``weakref.finalize`` on the result decrements it,
+    and the unpersist fires only at zero.  Two verify results built
+    over the same pairs input (or over semantically equal plans, which
+    Spark backs with one cache entry) therefore keep the cache alive
+    until the LAST of them is dropped — dropping the first no longer
+    starves the survivor, the failure mode of the round-8
+    finalizer-per-result version.  The callback captures only the hash
+    key (never the Python DataFrames, which would keep ``result``
+    alive) and guards against the JVM being gone at interpreter
+    shutdown.
 
     Composition nuance: a consumer that folds the result into a larger
     LAZY plan and drops the intermediate at return would release the
     cache before that outer plan executes, recomputing the candidate
     subtree per in-plan consumer (bounded, value-identical — but the
-    cost the persist exists to avoid).  Consumers in this package
-    therefore MATERIALIZE in-call while the intermediate is alive and
-    always hit the cache: connected_components / pagerank run actions
-    per round, and triangle_count eagerly localCheckpoints its edge
-    list.  A caller that re-executes a verify result many times keeps
-    the cache by simply holding the reference — the lifetime IS the
-    reference's.
-
-    Known limitation (fix prototyped for round 10 in
-    tools/r10_cache_refcount_prototype.py): ``persist`` returns self,
-    so the finalizer unpersists the CALLER's ``pairs`` object — two
-    verify results built over the SAME pairs DataFrame share one cache,
-    and dropping the first result releases it for the survivor (which
-    then recomputes, value-identical).  Build candidate pairs per
-    verify call, or hold every result, until the refcounted release
-    lands.
+    cost the persist exists to avoid).  Consumers either MATERIALIZE
+    in-call while the intermediate is alive (connected_components /
+    pagerank run actions per round; triangle_count eagerly
+    localCheckpoints its edge list) or keep the intermediate alive for
+    the outer result's lifetime with ``tie_lifetime``.  A caller that
+    re-executes a verify result many times keeps the cache by simply
+    holding the reference — the lifetime IS the reference's.
     """
     import weakref
 
-    jdf = cached._jdf
+    key = cached._jdf.queryExecution().analyzed().semanticHash()
+    ent = _CACHE_REFS.setdefault(key, [0, cached._jdf])
+    ent[0] += 1
 
-    def _release(jdf=jdf):
+    def _release(key=key):
+        ent = _CACHE_REFS.get(key)
+        if ent is None:
+            return
+        ent[0] -= 1
+        if ent[0] > 0:
+            return
+        _CACHE_REFS.pop(key, None)
         try:
-            jdf.unpersist(False)
+            ent[1].unpersist(False)
         except Exception:
             pass  # gateway already shut down
 
     weakref.finalize(result, _release)
     return result
+
+
+# internal callers predate the public name
+_release_cache_with = release_cache_with
+
+
+def tie_lifetime(outer: DataFrame, *inner: DataFrame) -> DataFrame:
+    """Keep ``inner`` DataFrames referenced for as long as ``outer``
+    lives.
+
+    For builders that compose a verify result (whose internal candidate
+    cache is scoped to that result's lifetime) into a larger LAZY plan
+    and would otherwise drop the intermediate at return: anchoring the
+    intermediates on the returned DataFrame keeps their caches alive
+    until the composed result itself is dropped, so the outer execution
+    still hits them.  Pure driver-side bookkeeping — no plan change.
+    """
+    outer._os_lifetime_refs = getattr(outer, "_os_lifetime_refs", ()) + tuple(
+        inner
+    )
+    return outer
 
 
 def decontaminate(

@@ -1721,6 +1721,57 @@ class TestClusterCohesion:
         del out2
         assert wait_released(new2), "candidate cache leaked after drop"
 
+    def test_shared_pairs_cache_survives_first_drop(self, spark):
+        # the refcounted release: two verify results over the SAME
+        # pairs DataFrame share one cache entry (CacheManager keys on
+        # the canonicalized plan), so dropping the FIRST result must
+        # NOT release the cache the second still reads — only the LAST
+        # drop unpersists.
+        import gc
+        import time
+
+        def rdd_ids():
+            it = (
+                spark.sparkContext._jsc.getPersistentRDDs()
+                .keySet()
+                .iterator()
+            )
+            ids = set()
+            while it.hasNext():
+                ids.add(it.next())
+            return ids
+
+        gc.collect()
+        before = rdd_ids()
+        refs_before = set(dedup._CACHE_REFS)
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abcdefghiX"), (3, "zzzzyyyyxxxx")],
+            "doc_id long, text string",
+        )
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "a long, b long")
+        r1 = dedup.jaccard_verify(docs, pairs, k=3, threshold=0.0)
+        r2 = dedup.containment_verify(docs, pairs, k=3)
+        r1.collect()
+        r2.collect()
+        new = rdd_ids() - before
+        assert new, "candidate cache never materialized"
+        del r1
+        gc.collect()
+        assert rdd_ids() & new, (
+            "dropping the first result released the cache the second "
+            "result still holds"
+        )
+        r2.collect()  # survivor must still execute against a live cache
+        del r2
+        deadline = time.monotonic() + 10.0
+        while time.monotonic() < deadline and (rdd_ids() & new):
+            gc.collect()
+            time.sleep(0.1)
+        assert not (rdd_ids() & new), "cache leaked after last drop"
+        assert not (
+            set(dedup._CACHE_REFS) - refs_before
+        ), "refcount registry leaked entries introduced by this test"
+
 
 class TestHllByGroup:
     def test_groups_match_single_group_runs(self, spark):
