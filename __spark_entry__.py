@@ -2337,18 +2337,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sf = _signal(spark, sf_dir)
         analytic = op_fir.hilbert_analytic(sf, hspec)
         # persist the shared analytic subtree: events and amplitudes both
-        # derive from it and would otherwise recompute the FIR window
+        # derive from it and would otherwise recompute the FIR window.
+        # The cache releases with the returned DataFrame (refcounted
+        # finalizer) — plan-neutral, no CacheManager entry outlives the
+        # result in a long-lived session.
         ph = op_fir.envelope_phase(analytic).persist()
         events = coupling.phase_events(
             ph.select("recording_id", "channel", "t", "phase"), target=0.5, tol=0.05
         )
         amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
-        return coupling.pac_estimate(amp, events, window=32).select(
+        out = coupling.pac_estimate(amp, events, window=32).select(
             "channel",
             "offset",
             F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
             "n_events",
         )
+        return dedup.release_cache_with(out, ph)
 
     q["pac"] = q_pac
 
@@ -2724,12 +2728,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(i, (n * a) // b) for i, (a, b) in enumerate(_SURROGATE_FRACS)],
             "surrogate_id int, shift bigint",
         )
-        return coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
+        out = coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
             "channel",
             "surrogate_id",
             "offset",
             F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
         )
+        # cache releases with the returned DataFrame (refcounted)
+        return dedup.release_cache_with(out, ph)
 
     q["pac_surrogates"] = q_pac_surrogates
 
@@ -4618,7 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node_m = cc.groupBy("component").agg(
             F.count("*").cast("bigint").alias("n_nodes")
         )
-        return (
+        out = (
             node_m.join(pair_m, on="component")
             .withColumn(
                 "cohesion",
@@ -4627,6 +4633,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )
+        # dup's cache materializes during connected_components' in-call
+        # rounds and pair_m reads it inside the returned plan; release
+        # it with the returned DataFrame (refcounted, plan-neutral)
+        return dedup.release_cache_with(out, dup)
 
     q["cluster_cohesion"] = q_cluster_cohesion
 
@@ -4757,8 +4767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (shingle drift vs bit drift vs shared prefixes).  Union-ing
         candidate GENERATORS is cheap (each is bounded); only the
         union reaches the expensive verify."""
-        from pyspark import StorageLevel
-
         docs = _t(spark, sf_dir, "documents")
         sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
         lsh = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select("a", "b")
@@ -4767,9 +4775,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b"
         )
         cand = lsh.union(sim).union(snm).distinct()
-        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # The verify result has exactly ONE consumer here: the canonical
+        # edge build inside connected_components, which materializes via
+        # its own lazy localCheckpoint on the first in-call action (the
+        # returned component plan reads the final round's checkpoint,
+        # never the verify output, with include_self_pairs=False).  The
+        # old .persist() therefore paid a cache write that was never
+        # read back — and leaked its CacheManager entry.  The verify
+        # call's INTERNAL candidate cache serves its three in-plan
+        # consumers during that single materialization and releases when
+        # `dup` goes out of scope at return.
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
         cc = dedup.connected_components(
             dup.select("a", "b"), include_self_pairs=False
         )
@@ -4863,7 +4879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vp = dedup.jaccard_verify(
             docs, tagged.select("a", "b").distinct(), k=5, threshold=0.8
         ).select("a", "b", F.lit(1).alias("_v"))
-        return (
+        out = (
             tagged.join(vp, on=["a", "b"], how="left")
             .groupBy("family")
             .agg(
@@ -4879,6 +4895,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )
+        # tagged feeds two consumers inside the returned plan (the
+        # verify's candidate build and the per-family join); release its
+        # cache with the returned DataFrame.  vp is a verify result
+        # whose INTERNAL candidate cache is scoped to vp's lifetime —
+        # anchor it on the result so the cache is still live when the
+        # outer plan executes (it was previously dropped at return,
+        # releasing the cache before any action ran).
+        out = dedup.tie_lifetime(out, vp)
+        return dedup.release_cache_with(out, tagged)
 
     q["blocking_yield"] = q_blocking_yield
 
