@@ -852,6 +852,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("est_matches"),
             )
         )
+        # NOTE (round-9 measurement): anchoring `exact` on the result
+        # (tie_lifetime, keeping verify's internal candidate cache live
+        # at execution) was tried and is ~15% SLOWER at sf0.01 here —
+        # all four cand reads are IDENTICAL subtrees of one plan over
+        # the checkpointed sigs, so ReusedExchange already shares the
+        # banding shuffle and the cache write is pure overhead.  The
+        # build-time release (the finalizer firing when `exact`'s
+        # pre-join handle drops) is the measured-faster shape for this
+        # query; blocking_yield, whose candidate reads are NOT
+        # identical subtrees, measures 24% faster WITH the anchor.
         return est.join(exact, on=["a", "b"]).select(
             "a",
             "b",
@@ -4876,9 +4886,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = df.withColumn("family", F.lit(name))
             tagged = t if tagged is None else tagged.union(t)
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-        vp = dedup.jaccard_verify(
+        # keep a handle on the verify RESULT itself: its internal
+        # candidate cache is finalizer-scoped to THIS object — a
+        # .select() derivative would not carry the finalizer, and
+        # dropping the result at build time releases the cache before
+        # any action runs
+        vr = dedup.jaccard_verify(
             docs, tagged.select("a", "b").distinct(), k=5, threshold=0.8
-        ).select("a", "b", F.lit(1).alias("_v"))
+        )
+        vp = vr.select("a", "b", F.lit(1).alias("_v"))
         out = (
             tagged.join(vp, on=["a", "b"], how="left")
             .groupBy("family")
@@ -4897,12 +4913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # tagged feeds two consumers inside the returned plan (the
         # verify's candidate build and the per-family join); release its
-        # cache with the returned DataFrame.  vp is a verify result
-        # whose INTERNAL candidate cache is scoped to vp's lifetime —
-        # anchor it on the result so the cache is still live when the
-        # outer plan executes (it was previously dropped at return,
-        # releasing the cache before any action ran).
-        out = dedup.tie_lifetime(out, vp)
+        # cache with the returned DataFrame.  vr's internal candidate
+        # cache is scoped to vr's lifetime — anchor it on the result so
+        # the cache is still live when the outer plan executes (it was
+        # previously dropped at build time, releasing the cache before
+        # any action ran).
+        out = dedup.tie_lifetime(out, vr)
         return dedup.release_cache_with(out, tagged)
 
     q["blocking_yield"] = q_blocking_yield
