@@ -130,6 +130,93 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+def _theilsen_slope(e: DataFrame, max_inrow: int = 1000) -> DataFrame:
+    """Theil-Sen pairwise-slope median per user, guarded for unbounded
+    histories: users with at most ``max_inrow`` events expand their
+    C(n,2) pairs IN-ROW (one collect_list per user, quadratic fan-out
+    inside the row — the market-basket shape, cheapest when histories
+    are bounded); users above the threshold take the rank-self-join arm
+    (row_number window + equi join on (user, rank_a < rank_b)), which
+    spreads the same quadratic work across the partition instead of
+    concentrating ~48 bytes/pair in a single row (n=10k ≈ 2.3 GiB).
+
+    Both arms emit the IDENTICAL slope multiset: a pair's slope is
+    orientation-symmetric bit-exactly ((-a)/(-b) == a/b in IEEE), so
+    neither collect_list order nor rank order affects any value, and
+    the per-user median interpolates the same float multiset either
+    way.  The count that routes a user is a window aggregate over the
+    same user-keyed exchange every arm already needs — the guard costs
+    no extra shuffle, and each event row feeds exactly one arm.
+    """
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("_t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_v"),
+    ).withColumn("_n", F.count("*").over(W.partitionBy("user_id")))
+    small = base.filter((F.col("_n") <= max_inrow) & (F.col("_n") >= 2))
+    big = base.filter(F.col("_n") > max_inrow)
+
+    # arm A: bounded histories — in-row pair expansion
+    g = small.select(
+        "user_id",
+        F.struct(F.col("_t").alias("t"), F.col("_v").alias("v")).alias("_pt"),
+    ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
+    pts = F.col("_pts")
+    pair_arr = F.flatten(
+        F.transform(
+            pts,
+            lambda p1, i: F.transform(
+                F.slice(pts, i + F.lit(2), F.size(pts)),
+                lambda p2: F.struct(
+                    p1["t"].alias("_t1"),
+                    p1["v"].alias("_v1"),
+                    p2["t"].alias("_t2"),
+                    p2["v"].alias("_v2"),
+                ),
+            ),
+        )
+    )
+    slope_a = (
+        ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast("double")
+        / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
+    )
+    pairs_small = (
+        g.select("user_id", F.explode(pair_arr).alias("_p"))
+        .filter(F.col("_p._t2") != F.col("_p._t1"))
+        .select("user_id", slope_a.alias("_slope"))
+    )
+
+    # arm B: unbounded histories — rank self-join (any total order
+    # yields the same unordered-pair multiset)
+    wr = W.partitionBy("user_id").orderBy("_t", "_v")
+    ranked = big.withColumn("_r", F.row_number().over(wr))
+    ra, rb = ranked.alias("_A"), ranked.alias("_B")
+    slope_b = (
+        ((F.col("_B._v") - F.col("_A._v")) * 1000000).cast("double")
+        / (F.col("_B._t") - F.col("_A._t")).cast("double")
+    )
+    pairs_big = (
+        ra.join(
+            rb,
+            (F.col("_A.user_id") == F.col("_B.user_id"))
+            & (F.col("_A._r") < F.col("_B._r")),
+        )
+        .filter(F.col("_B._t") != F.col("_A._t"))
+        .select(F.col("_A.user_id").alias("user_id"), slope_b.alias("_slope"))
+    )
+
+    return (
+        pairs_small.unionByName(pairs_big)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(_slope, 0.5)"), 9).alias(
+                "median_slope_cps"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------ entry/smoke
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: band power per channel of a masked, standardized signal
@@ -5338,79 +5425,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_theilsen_slope(spark, sf_dir):
         """Theil-Sen robust trend per user: the median of all pairwise
         slopes — insensitive to the outliers that tilt value_trend's
-        OLS.  ONE user-keyed shuffle total (the market-basket shape):
-        each user's bounded history aggregates to an in-row array and
-        the quadratic pair expansion happens inside the row — the slope
-        is symmetric ((v2-v1)/(t2-t1) == (v1-v2)/(t1-t2)), so the
-        unordered in-row combinations produce the identical slope
-        multiset the old rank self-join did, without the second window
-        build or any join.  Generate preserves the user partitioning,
-        so the final percentile aggregate is exchange-free.  Each slope
-        divides the exact integer cent delta by the exact microsecond
-        gap once, and the median interpolates the identical float
-        multiset in both engines (the rolling_median percentile
-        contract).
-
-        BOUNDED-HISTORY ASSUMPTION: the in-row expansion materializes
-        all C(n,2) pair structs of one user's history inside a single
-        row, so — unlike the fixed-bound market-basket rewrites
-        (top-30 vocab, per-order line count) — the per-row cost is
-        data-dependent: a power user with n events concentrates the
-        full O(n^2) expansion in one row/task (~48 bytes per pair;
-        n=10k ≈ 2.3 GiB in one row).  This shape is correct for
-        per-user event histories bounded to a few thousand rows (the
-        events table here: tens per user).  For unbounded histories
-        use the rank self-join shape instead (window rank + equi
-        self-join on user_id with rank_a < rank_b), which spreads the
-        same quadratic work across the partition — a per-user count
-        guard with that fallback is queued as a round-10 plan change
-        (this is an ever-checked-in-r8 query; see COVERAGE.md
-        "Round-10 batch plan")."""
+        OLS.  Delegates to the guarded ``_theilsen_slope`` helper:
+        bounded histories expand their C(n,2) pairs IN-ROW off one
+        user-keyed shuffle (the market-basket shape), while histories
+        past the 1000-event guard take the rank-self-join arm that
+        spreads the quadratic fan-out across the partition instead of
+        concentrating it in a single row — the power-user protection
+        the in-row shape alone lacks.  Both arms emit the identical
+        slope multiset (pair slopes are orientation-symmetric
+        bit-exactly), each slope divides the exact integer cent delta
+        by the exact microsecond gap once, and the median interpolates
+        the identical float multiset in both engines (the
+        rolling_median percentile contract)."""
         e = _events(spark, sf_dir).filter(
             F.col("value").isNotNull() & F.col("user_id").isNotNull()
         )
-        g = e.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("t"),
-                F.round(F.col("value") * 100).cast("bigint").alias("v"),
-            ).alias("_pt"),
-        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
-        pts = F.col("_pts")
-        pair_arr = F.flatten(
-            F.transform(
-                pts,
-                lambda p1, i: F.transform(
-                    F.slice(pts, i + F.lit(2), F.size(pts)),
-                    lambda p2: F.struct(
-                        p1["t"].alias("_t1"),
-                        p1["v"].alias("_v1"),
-                        p2["t"].alias("_t2"),
-                        p2["v"].alias("_v2"),
-                    ),
-                ),
-            )
-        )
-        pairs = (
-            g.filter(F.size("_pts") >= 2)
-            .select("user_id", F.explode(pair_arr).alias("_p"))
-            .filter(F.col("_p._t2") != F.col("_p._t1"))
-            .select(
-                "user_id",
-                (
-                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
-                        "double"
-                    )
-                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
-                ).alias("_slope"),
-            )
-        )
-        return pairs.groupBy("user_id").agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(
-                F.expr("percentile(_slope, 0.5)"), 9
-            ).alias("median_slope_cps"),
-        )
+        return _theilsen_slope(e)
 
     q["theilsen_slope"] = q_theilsen_slope
 

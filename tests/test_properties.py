@@ -799,11 +799,17 @@ class TestTheilSenProperty:
     @given(data=st.data())
     @settings(**SETTINGS)
     def test_matches_python_brute_force(self, spark, data):
-        """The in-row pair expansion must reproduce the rank-self-join
-        semantics exactly: all unordered event pairs with distinct
-        timestamps, slope = cent-delta * 1e6 / microsecond-gap, median
-        by interpolated percentile."""
+        """The guarded production helper must reproduce the brute-force
+        semantics exactly in BOTH arms: all unordered event pairs with
+        distinct timestamps, slope = cent-delta * 1e6 / microsecond-gap,
+        median by interpolated percentile.  The drawn ``max_inrow``
+        routes users through the in-row expansion (large threshold),
+        the rank-self-join fallback (threshold below every history), or
+        a mix (threshold inside the count range) — results must be
+        identical regardless."""
         import statistics
+
+        import __spark_entry__ as entry
 
         rows = []
         eid = 0
@@ -828,52 +834,13 @@ class TestTheilSenProperty:
             "value",
         )
 
-        from pyspark.sql import functions as F
-
-        g = df.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("t"),
-                F.round(F.col("value") * 100).cast("bigint").alias("v"),
-            ).alias("_pt"),
-        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
-        pts = F.col("_pts")
-        pair_arr = F.flatten(
-            F.transform(
-                pts,
-                lambda p1, i: F.transform(
-                    F.slice(pts, i + F.lit(2), F.size(pts)),
-                    lambda p2: F.struct(
-                        p1["t"].alias("_t1"),
-                        p1["v"].alias("_v1"),
-                        p2["t"].alias("_t2"),
-                        p2["v"].alias("_v2"),
-                    ),
-                ),
-            )
-        )
+        # 1000: every user in-row; 1: every user through the self-join
+        # arm; 3: histories of 4-6 events fall through the guard while
+        # smaller ones stay in-row
+        max_inrow = data.draw(st.sampled_from([1, 3, 1000]))
         got = {
-            r.user_id: (r.n_pairs, r.median_slope)
-            for r in g.filter(F.size("_pts") >= 2)
-            .select("user_id", F.explode(pair_arr).alias("_p"))
-            .filter(F.col("_p._t2") != F.col("_p._t1"))
-            .select(
-                "user_id",
-                (
-                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
-                        "double"
-                    )
-                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
-                ).alias("_slope"),
-            )
-            .groupBy("user_id")
-            .agg(
-                F.count("*").cast("bigint").alias("n_pairs"),
-                F.round(F.expr("percentile(_slope, 0.5)"), 9).alias(
-                    "median_slope"
-                ),
-            )
-            .collect()
+            r.user_id: (r.n_pairs, r.median_slope_cps)
+            for r in entry._theilsen_slope(df, max_inrow=max_inrow).collect()
         }
 
         exp = {}
