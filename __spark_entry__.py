@@ -8541,6 +8541,18 @@ _BM25_QUERIES = {
 # spill to round 10, where they join the committed re-gate batch —
 # see the ROUND-10 RE-GATE HEAD comment at the boundary.
 _GATE_PRIORITY = [
+    # R10-BATCH STAGING NOTE: this branch pre-stages the round-10
+    # plan-change batch.  When it merges in round 10 (after
+    # CORRECTNESS_r09 lands), rotate this list: drop the 50 r9-checked
+    # conversions below and promote the boundary tail — the two IIR
+    # re-gates, the 9 spilled conversions, then the round-10 re-gates
+    # staged on this branch: "er_pipeline", "blocking_yield" (plan
+    # changed: persist removed / verify result anchored),
+    # "theilsen_slope" (guarded dual-arm), and the plan-neutral
+    # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
+    # (refcounted release; executed plans verified hash-identical,
+    # see COVERAGE.md).  minhash_estimate got a comment only — no
+    # re-gate.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
