@@ -46,31 +46,45 @@ def main() -> None:
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     minmax = new.get("query_minmax", {})
     bad = []
+    # Global box-drift factor: the MEDIAN per-query ratio across the
+    # frozen set.  Round 9 measured sessions where every query —
+    # including paths untouched for 8 rounds — moved +12-19% together
+    # (shared-host speed drift); dividing each ratio by the median
+    # separates "the box got slower" from "this query's plan got
+    # slower".  A real regression moves a query AHEAD of the fleet.
+    ratios = sorted(
+        t / old["queries"][q]
+        for q, t in new["queries"].items()
+        if old["queries"].get(q)
+    )
+    drift = ratios[len(ratios) // 2] if ratios else 1.0
     print(f"total: {old['value']:.2f}s -> {new['value']:.2f}s "
-          f"({new['value'] / old['value']:.2f}x)")
+          f"({new['value'] / old['value']:.2f}x; "
+          f"median per-query drift {drift:.2f}x)")
     for q, t in new["queries"].items():
         p = old["queries"].get(q)
         if p is None:
             print(f"  {q}: (new) {t}s")
             continue
         note = ""
-        if t > p * thresh:
+        adj = t / (p * drift)
+        if adj > thresh:
             lo, hi = minmax.get(q, (t, t))
             # regression is "real" only if even the new run's best rep
-            # is above threshold x the old median
-            if lo > p * thresh:
-                note = " REGRESSION"
+            # is above threshold x the drift-adjusted old median
+            if lo / (p * drift) > thresh:
+                note = f" REGRESSION ({adj:.2f}x drift-adjusted)"
                 bad.append(q)
             else:
-                note = f" (noisy: min {lo}s within band)"
-        elif t < p / thresh:
-            note = " improved"
+                note = f" (noisy: min {lo}s within drift-adjusted band)"
+        elif adj < 1 / thresh:
+            note = f" improved ({adj:.2f}x drift-adjusted)"
         if note:
             print(f"  {q}: {p}s -> {t}s{note}")
     if bad:
         print(f"\nregressed: {bad}")
         sys.exit(1)
-    print("\nno real regressions")
+    print("\nno real regressions (drift-adjusted)")
 
 
 if __name__ == "__main__":
