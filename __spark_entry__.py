@@ -2173,6 +2173,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_count"] = q_triangle_count
 
+    def q_k_core(spark, sf_dir):
+        """k-core of the verified near-dup graph (llm/dedup.py k_core):
+        iterative peeling until every surviving node has >= 2 in-core
+        neighbors — separates dense duplicate families from the
+        borderline chains and stars single-linkage components glue
+        together.  Unrolled-idempotent contract: Spark breaks at the
+        fixed point and raises if 12 rounds did not converge; the
+        oracle unrolls exactly 12 idempotent peels, so both engines
+        reach the identical core.  Round-10 registration (staged on
+        the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.k_core(dup.select("a", "b"), k=2).select(
+            F.col("id").alias("doc_id"), "core_degree"
+        )
+
+    q["k_core"] = q_k_core
+
     def q_embedding_dedup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         base = emb.select(
@@ -10180,6 +10200,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["triangle_count"] = _dedup.triangle_count_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["k_core"] = _dedup.k_core_oracle_sql(
+        core_k=2, rounds=12, k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8

@@ -1541,6 +1541,129 @@ def snapshot_diff(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 12,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The ``k``-core of the undirected pair graph: the maximal subgraph
+    in which every node has degree >= ``k`` — on a near-dup graph it
+    separates genuinely dense duplicate families (cores) from the
+    borderline chains and stars that single-linkage components glue
+    together, the fourth iterative-algorithm shape beside connected
+    components, PageRank, and k-means.
+
+    Iterative peeling: each round computes degrees and drops every edge
+    touching a node with degree < k.  The step is IDEMPOTENT at the
+    fixed point, so running any number of rounds >= the true peeling
+    depth yields the k-core exactly — the loop breaks early at the
+    fixed point (one edge-count row to the driver per round, never
+    edges) and RAISES if ``rounds`` did not converge, because the
+    DuckDB oracle unrolls exactly ``rounds`` idempotent steps and a
+    truncated peel would silently return a supergraph.
+
+    Scale shape per round: one degree aggregation (map-side combined)
+    plus two semi joins of the shrinking edge list against the
+    surviving-node table, all keyed on node ids; lineage is cut per
+    round with an eager localCheckpoint (the connected_components /
+    pagerank discipline).  Peeling depth is bounded by the graph's
+    degeneracy ordering — a handful of rounds on near-dup graphs.
+
+    Returns (id, core_degree) for k-core members, core_degree = the
+    node's degree WITHIN the core.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    n_edges = e.count()
+    with small_intermediate_coalesce(edges.sparkSession):
+        for _ in range(rounds):
+            if n_edges == 0:
+                converged = True
+                break
+            und = e.select(F.col("a").alias("x")).union(
+                e.select(F.col("b").alias("x"))
+            )
+            keep = (
+                und.groupBy("x")
+                .agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("x")
+            )
+            ne = (
+                e.join(keep.withColumnRenamed("x", "a"), on="a", how="left_semi")
+                .join(keep.withColumnRenamed("x", "b"), on="b", how="left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_new = ne.count()
+            if n_new == n_edges:
+                converged = True
+                break
+            e, n_edges = ne, n_new
+    if not converged:
+        raise RuntimeError(
+            f"k_core: peeling did not reach its fixed point in {rounds} "
+            f"rounds; the unrolled oracle would compare against a "
+            f"truncated (super-)graph"
+        )
+    return (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+
+
+def k_core_oracle_sql(
+    core_k: int = 2,
+    rounds: int = 12,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`k_core` over the verified MinHash pair
+    graph: the vp CTE chain, then ``rounds`` unrolled peeling steps —
+    idempotent past the fixed point, and the Spark side raises unless
+    it converged within the same ``rounds``, so both engines peel to
+    the identical core."""
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, e0 AS MATERIALIZED (
+          SELECT a, b FROM vp WHERE a <> b
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", d{i} AS (
+          SELECT x, count(*) AS c FROM (
+            SELECT a AS x FROM e{i-1} UNION ALL SELECT b AS x FROM e{i-1}
+          ) GROUP BY x
+        ), s{i} AS (SELECT x FROM d{i} WHERE c >= {core_k}),
+        e{i} AS MATERIALIZED (
+          SELECT a, b FROM e{i-1}
+          WHERE a IN (SELECT x FROM s{i}) AND b IN (SELECT x FROM s{i})
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+          SELECT a AS x FROM e{rounds} UNION ALL SELECT b AS x FROM e{rounds}
+        ) GROUP BY x"""
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,

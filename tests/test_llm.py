@@ -1398,6 +1398,61 @@ class TestTriangleCount:
         assert out == {1: 1, 2: 1, 3: 1}
 
 
+def _brute_k_core(edges, k):
+    """Reference peeling: repeatedly drop nodes with degree < k."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        weak = {n for n, d in deg.items() if d < k}
+        if not weak:
+            return deg
+        es = {e for e in es if e[0] not in weak and e[1] not in weak}
+
+
+class TestKCore:
+    def test_known_graph(self, spark):
+        # K4 on {1,2,3,4} (2-core AND 3-core) + pendant edge 4-5 +
+        # chain 6-7-8 + a 3-cycle 9-10-11 (2-core but not 3-core)
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(4, 5), (6, 7), (7, 8), (9, 10), (10, 11), (9, 11)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        two = {r.id: r.core_degree for r in dedup.k_core(df, k=2).collect()}
+        assert two == {1: 3, 2: 3, 3: 3, 4: 3, 9: 2, 10: 2, 11: 2}
+        three = {r.id: r.core_degree for r in dedup.k_core(df, k=3).collect()}
+        assert three == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_cascading_peel(self, spark):
+        # a chain hanging off a triangle peels layer by layer: the
+        # chain's removal lowers no triangle degree below 2, but a
+        # 4-cycle with one chord loses nothing while k=2 yet fully
+        # dissolves at k=3 only after the chord-free corners go first
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        out = {r.id: r.core_degree for r in dedup.k_core(
+            spark.createDataFrame(edges, "a long, b long"), k=2
+        ).collect()}
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_empty_core(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+        assert dedup.k_core(df, k=2).count() == 0
+
+    def test_matches_brute_force(self, spark):
+        # deterministic pseudo-random graph, several k values
+        edges = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "a long, b long"
+        )
+        for k in (2, 3, 4):
+            got = {
+                r.id: r.core_degree
+                for r in dedup.k_core(df, k=k).collect()
+            }
+            assert got == _brute_k_core(edges, k), f"k={k}"
+
+
 class TestBloomDecontaminate:
     def test_no_false_negatives(self, spark):
         docs = spark.createDataFrame(
