@@ -900,6 +900,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sentence_stats"] = q_sentence_stats
 
+    def q_c4_clean(spark, sf_dir):
+        """C4-style cleaning at sentence grain (llm/text.py c4_clean):
+        doc-level drops for brace/lorem-ipsum/javascript content,
+        sentence-level keeps for terminally-punctuated sentences of
+        >= 3 words.  A deterministic subset (doc_id % 13 == 0) is
+        augmented with offending content so the doc rules actually
+        fire under the gate; both engines replay the identical
+        augmentation.  One codegen scan, no shuffle.  Round-10
+        registration (staged on the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        aug = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" Lorem ipsum {dolor}.")),
+            ).otherwise(F.col("text")),
+        )
+        return llm_text.c4_clean(aug, min_words=3)
+
+    q["c4_clean"] = q_c4_clean
+
     def q_minhash_estimate(spark, sf_dir):
         """Estimator-quality audit: for every LSH candidate pair, the
         MinHash Jaccard ESTIMATE (matching signature slots / 64) next
@@ -10005,6 +10026,38 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(greatest(n_sentences, 1) AS DOUBLE), 9)
                  AS words_per_sentence
         FROM agg
+    """
+
+    o["c4_clean"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN text || ' Lorem ipsum {dolor}.'
+                      ELSE text END AS text
+          FROM documents WHERE text IS NOT NULL
+        ), s AS (
+          SELECT doc_id,
+                 (contains(text, '{') OR contains(text, '}')
+                  OR contains(lower(text), 'lorem ipsum')
+                  OR contains(lower(text), 'javascript')) AS dropped_doc,
+                 regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents
+          FROM aug
+        ), kk AS (
+          SELECT doc_id, dropped_doc, sents,
+                 list_filter(sents,
+                   x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                        w -> len(w) > 0)) >= 3) AS kept
+          FROM s
+        )
+        SELECT doc_id, dropped_doc,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN dropped_doc THEN 0 ELSE len(kept) END
+                    AS BIGINT) AS n_kept,
+               CASE WHEN dropped_doc OR len(kept) = 0 THEN NULL
+                    ELSE array_to_string(list_transform(kept, x -> trim(x)),
+                                         ' ')
+               END AS clean_text
+        FROM kk
     """
 
     o["cdc_apply"] = """

@@ -119,6 +119,59 @@ def quality_prune(
     )
 
 
+def c4_clean(
+    docs: DataFrame,
+    min_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al.) adapted to sentence grain —
+    the corpus carries no line structure, so sentences stand in for
+    lines exactly as word windows stand in for paragraphs in
+    chunk_dedup:
+
+    - DOC rules: drop the whole document if it contains a curly brace
+      (code), "lorem ipsum", or "javascript" (case-insensitive).
+    - SENTENCE rules: keep only sentences that END IN TERMINAL
+      PUNCTUATION (enforced by construction — sentences are extracted
+      with ``[^.!?]+[.!?]+``, so a trailing unterminated fragment never
+      matches) and carry at least ``min_words`` words.
+
+    Everything is codegen string/array built-ins over one scan — no
+    shuffle, no UDF; the regex is RE2-safe (no lookaround) so a SQL
+    oracle replays it verbatim.  Returns (id, dropped_doc, n_sentences,
+    n_kept, clean_text) with clean_text NULL for dropped docs and for
+    docs with no surviving sentence.
+    """
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    doc_bad = (
+        txt.contains("{")
+        | txt.contains("}")
+        | low.contains("lorem ipsum")
+        | low.contains("javascript")
+    )
+    sents = F.regexp_extract_all(txt, F.lit(r"[^.!?]+[.!?]+"), 0)
+    wc = lambda s: F.size(  # noqa: E731 — shared word-count idiom
+        F.filter(F.split(F.trim(s), r"\s+"), lambda w: F.length(w) > 0)
+    )
+    kept = F.filter(sents, lambda s: wc(s) >= min_words)
+    # the lambda must be single-arg: passing F.trim directly would let
+    # transform() bind the element INDEX to trim's optional second
+    # parameter (the trim-character set), silently trimming nothing
+    clean = F.array_join(F.transform(kept, lambda s: F.trim(s)), " ")
+    n_kept = F.when(doc_bad, F.lit(0)).otherwise(F.size(kept))
+    return docs.filter(txt.isNotNull()).select(
+        F.col(id_col),
+        doc_bad.alias("dropped_doc"),
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        n_kept.cast("bigint").alias("n_kept"),
+        F.when(doc_bad | (F.size(kept) == 0), F.lit(None).cast("string"))
+        .otherwise(clean)
+        .alias("clean_text"),
+    )
+
+
 _LANG_MARKERS = {
     "en": (" the ", " and ", " is "),
     "de": (" der ", " und ", " ist "),

@@ -1918,3 +1918,39 @@ class TestContainmentVerify:
         # distinct 2-shingles: both docs have exactly {ab, ba}
         assert (r.n_a, r.n_b, r.inter) == (2, 2, 2)
         assert r.cont_a == 1.0 and r.cont_b == 1.0
+
+
+class TestC4Clean:
+    def test_rules(self, spark):
+        from openseize_spark.llm.text import c4_clean
+
+        df = spark.createDataFrame(
+            [
+                (1, "This is a good sentence. Another fine one follows!"),
+                (2, "Too short. Ok? This sentence has enough words."),
+                (3, "function() { return 1; } looks like code."),
+                (4, "Plenty of Lorem Ipsum filler text here."),
+                (5, "An unterminated trailing fragment never matches"),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in c4_clean(df, min_words=3).collect()}
+        assert 6 not in out  # null text filtered
+        r1 = out[1]
+        assert not r1.dropped_doc and r1.n_sentences == 2 and r1.n_kept == 2
+        assert (
+            r1.clean_text
+            == "This is a good sentence. Another fine one follows!"
+        )
+        r2 = out[2]
+        # "Too short." (2 words) and "Ok?" (1 word) drop; one survivor
+        assert r2.n_sentences == 3 and r2.n_kept == 1
+        assert r2.clean_text == "This sentence has enough words."
+        assert out[3].dropped_doc and out[3].n_kept == 0
+        assert out[3].clean_text is None
+        assert out[4].dropped_doc  # case-insensitive lorem ipsum
+        r5 = out[5]
+        # no terminal punctuation anywhere -> zero sentences, NULL text
+        assert r5.n_sentences == 0 and r5.n_kept == 0
+        assert r5.clean_text is None and not r5.dropped_doc
