@@ -2214,6 +2214,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["k_core"] = q_k_core
 
+    def q_label_propagation(spark, sf_dir):
+        """Deterministic synchronous label propagation (llm/dedup.py
+        label_propagation) over the verified near-dup graph: 4 fixed
+        majority rounds with self-inclusion and a total (count DESC,
+        label ASC) tie-break, so the result is a pure function of the
+        graph — no random tie-breaks, no convergence claim, and the
+        oracle unrolls the identical rounds.  Splits thin-bridged
+        duplicate families the single-linkage components merge.
+        Round-10 registration (staged on the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.label_propagation(dup.select("a", "b"), rounds=4).select(
+            F.col("id").alias("doc_id"), "label"
+        )
+
+    q["label_propagation"] = q_label_propagation
+
     def q_embedding_dedup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         base = emb.select(
@@ -10256,6 +10275,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["k_core"] = _dedup.k_core_oracle_sql(
         core_k=2, rounds=12, k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["label_propagation"] = _dedup.label_propagation_oracle_sql(
+        rounds=4, k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8

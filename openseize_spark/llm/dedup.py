@@ -1664,6 +1664,122 @@ def k_core_oracle_sql(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation over the undirected pair graph:
+    every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors AND itself, ties broken by
+    the SMALLEST label.  Communities denser than their surroundings
+    converge to one label — on a near-dup graph this splits the giant
+    single-linkage component into families connected only by thin
+    bridges, the structure connected components cannot see.
+
+    Determinism contract: classic LPA iterates to convergence with
+    RANDOM tie-breaks and can oscillate under synchronous updates; this
+    variant runs a FIXED ``rounds`` synchronous rounds with a total
+    tie-break order (count DESC, label ASC) and self-inclusion (which
+    damps two-cycle oscillation), so the output is a pure function of
+    the graph and both engines replay it exactly — the oracle unrolls
+    the same rounds with the same tie-break.
+
+    Scale shape per round: one |E| join against the |V|-row label
+    table, a (node, label)-keyed count, and an argmax via one ordered
+    struct max — all node-keyed exchanges; lineage cut per round with
+    an eager checkpoint (the CC / PageRank / k-core discipline).
+
+    Returns (id, label) after ``rounds`` rounds.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    und = (
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(edges.sparkSession):
+        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        labels = (
+            und.select(F.col("x").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            votes = (
+                und.join(
+                    labels.select(
+                        F.col("id").alias("y"), F.col("label")
+                    ),
+                    on="y",
+                )
+                .select(F.col("x").alias("id"), "label")
+                .union(labels.select("id", "label"))  # self-vote
+                .groupBy("id", "label")
+                .agg(F.count("*").alias("_c"))
+            )
+            # argmax by (count DESC, label ASC): max of (count, -label)
+            labels = (
+                votes.groupBy("id")
+                .agg(
+                    F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl")))
+                    .alias("_m")
+                )
+                .select("id", (-F.col("_m._nl")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    rounds: int = 4,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`label_propagation` over the verified
+    MinHash pair graph: the vp CTE chain, then ``rounds`` unrolled
+    synchronous majority rounds with the identical (count DESC, label
+    ASC) tie-break."""
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, und AS MATERIALIZED (
+          SELECT DISTINCT * FROM (
+            SELECT a AS x, b AS y FROM vp WHERE a <> b
+            UNION ALL SELECT b AS x, a AS y FROM vp WHERE a <> b
+          )
+        ), l0 AS (
+          SELECT DISTINCT x AS id, x AS label FROM und
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", v{i} AS (
+          SELECT id, label, count(*) AS c FROM (
+            SELECT und.x AS id, l{i-1}.label
+            FROM und JOIN l{i-1} ON und.y = l{i-1}.id
+            UNION ALL SELECT id, label FROM l{i-1}
+          ) GROUP BY id, label
+        ), l{i} AS MATERIALIZED (
+          SELECT id, label FROM v{i}
+          QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY c DESC, label ASC
+          ) = 1
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT id AS doc_id, label FROM l{rounds}"""
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,

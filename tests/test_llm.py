@@ -1954,3 +1954,55 @@ class TestC4Clean:
         # no terminal punctuation anywhere -> zero sentences, NULL text
         assert r5.n_sentences == 0 and r5.n_kept == 0
         assert r5.clean_text is None and not r5.dropped_doc
+
+
+class TestLabelPropagation:
+    def test_two_cliques_one_bridge(self, spark):
+        # K4 {1..4} -- bridge 4-5 -- K4 {5..8}: after 4 rounds each
+        # clique carries its minimum id; the bridge endpoints stay with
+        # their own (denser) side
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        edges += [(a, b) for a in range(5, 9) for b in range(a + 1, 9)]
+        edges += [(4, 5)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        out = {
+            r.id: r.label
+            for r in dedup.label_propagation(df, rounds=4).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 5}
+
+    def test_matches_python_replay(self, spark):
+        # deterministic pseudo-random graph vs an exact python replay
+        # of the fixed-round synchronous rule
+        edges = sorted(
+            {
+                tuple(sorted(((i * 5) % 17, (i * 9 + 2) % 17)))
+                for i in range(40)
+            }
+        )
+        edges = [e for e in edges if e[0] != e[1]]
+        rounds = 4
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        lab = {n: n for n in nbrs}
+        for _ in range(rounds):
+            nxt = {}
+            for n in nbrs:
+                votes = {}
+                for m in nbrs[n]:
+                    votes[lab[m]] = votes.get(lab[m], 0) + 1
+                votes[lab[n]] = votes.get(lab[n], 0) + 1  # self-vote
+                nxt[n] = min(
+                    votes, key=lambda l: (-votes[l], l)
+                )
+            lab = nxt
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "a long, b long"
+        )
+        got = {
+            r.id: r.label
+            for r in dedup.label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == lab
