@@ -8612,7 +8612,10 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.
+    # re-gate.  This branch also registers THREE new queries (312
+    # total): "k_core", "c4_clean", "label_propagation" — each fully
+    # oracled, audited (type/diff/plan/vanilla), and pytest-covered;
+    # include them in the r10 head so they gate in their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
