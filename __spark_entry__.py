@@ -5729,6 +5729,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cuped_adjust"] = q_cuped_adjust
 
+    def q_cuped_stratified(spark, sf_dir):
+        """Group-wise CUPED: the cuped_adjust experiment post-stratified
+        by pre-period engagement tier (per-user pre-period event count,
+        tercile cuts npre <= 30 'low', <= 36 'mid', else 'high').
+        theta and the covariate mean are computed WITHIN each tier from
+        exact int64 cent moments (the value_hour_corr discipline), so
+        stratification absorbs the engagement-mix difference between
+        arms that a single global theta leaves on the table.  A tier
+        whose pre-period covariate is constant has zero variance:
+        theta is nullif-guarded to NULL in both engines and the
+        adjusted mean falls back to the raw post mean
+        (coalesce(theta, 0)).  Tier moments are a bounded 3-row
+        broadcast; the per-user table aggregates once and each side of
+        the join is a short-key combine — no extra corpus shuffle over
+        plain CUPED.  Round-10 registration (staged on the r10-batch
+        branch)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        half = sampling.HASH_SPACE // 2
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        per_user = (
+            e.groupBy("user_id")
+            .agg(
+                F.sum(F.when(pre, cents).otherwise(0))
+                .cast("bigint")
+                .alias("x"),
+                F.sum(F.when(~pre, cents).otherwise(0))
+                .cast("bigint")
+                .alias("y"),
+                F.sum(F.when(pre, 1).otherwise(0))
+                .cast("bigint")
+                .alias("_npre"),
+            )
+            .withColumn(
+                "tier",
+                F.when(F.col("_npre") <= 30, "low")
+                .when(F.col("_npre") <= 36, "mid")
+                .otherwise("high"),
+            )
+            .withColumn(
+                "arm",
+                F.when(
+                    sampling.salted_hash(F.col("user_id"), "ab6") < half, "A"
+                ).otherwise("B"),
+            )
+        )
+        g = per_user.groupBy("tier").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("x").cast("bigint").alias("_sx"),
+            F.sum("y").cast("bigint").alias("_sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        )
+        arms = per_user.groupBy("tier", "arm").agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("_ax"),
+            F.sum("y").cast("bigint").alias("_ay"),
+        )
+        theta = (
+            F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        ).cast("double") / F.nullif(
+            F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
+            F.lit(0),
+        ).cast("double")
+        xbar = F.col("_sx").cast("double") / F.col("_n").cast("double")
+        nu = F.col("n_users").cast("double")
+        mean_post = F.col("_ay").cast("double") / nu
+        mean_adj = (
+            F.col("_ay").cast("double")
+            - F.coalesce(theta, F.lit(0.0))
+            * (F.col("_ax").cast("double") - nu * xbar)
+        ) / nu
+        return arms.join(F.broadcast(g), "tier").select(
+            "tier",
+            "arm",
+            "n_users",
+            F.round(mean_post, 9).alias("mean_post_cents"),
+            F.round(mean_adj, 9).alias("mean_adj_cents"),
+            F.round(theta, 9).alias("theta"),
+        )
+
+    q["cuped_stratified"] = q_cuped_stratified
+
     def q_link_prediction(spark, sf_dir):
         """Bipartite link prediction over the part-order graph: for part
         pairs co-purchased in >= 2 orders, the common-neighbor count plus
@@ -7778,6 +7863,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["padding_waste"] = q_padding_waste
 
+    def q_packing_efficiency(spark, sf_dir):
+        """Sequence-packing efficiency: bucketed shelf packing — the
+        distributed closed form of first-fit-decreasing — vs the
+        fractional lower bound.  Docs longer than the context C=128 are
+        pre-chunked greedily (len div C full bins at zero waste; the
+        remainder joins its length bucket), so the semantics are total
+        over any length distribution.  Each width-16 length bucket
+        packs into shelves holding slots = C div upper docs (upper =
+        the bucket's inclusive ceiling), needing
+        (n + slots - 1) div slots bins — FFD run shelf-wise, where a
+        doc shares a shelf only with docs of its own bucket (the
+        classic shelf/harmonic bound, within one bucket-width of true
+        FFD).  All counts and wastes are exact int64; the two
+        efficiency ratios divide once at the end.  One corpus scan,
+        one <=8-row bucket aggregation, the global comparison row a
+        1-row broadcast — nothing here grows with the corpus except
+        the scan.  Round-10 registration (staged on the r10-batch
+        branch)."""
+        C, W = 128, 16
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        d = (
+            docs.select(
+                llm_text.token_count(F.col("text"))
+                .cast("bigint")
+                .alias("len")
+            )
+            .filter(F.col("len") > 0)
+            .select(
+                "len",
+                F.expr(f"len div {C}").cast("bigint").alias("full_bins"),
+                (F.col("len") % C).cast("bigint").alias("rem"),
+            )
+        )
+        per = (
+            d.filter(F.col("rem") > 0)
+            .withColumn("bucket", F.expr(f"(rem - 1) div {W}").cast("bigint"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("rem").cast("bigint").alias("sum_len"),
+            )
+            .withColumn("upper_len", ((F.col("bucket") + 1) * W).cast("bigint"))
+            .withColumn(
+                "slots_per_bin",
+                F.expr(f"{C} div upper_len").cast("bigint"),
+            )
+            .withColumn(
+                "bins",
+                F.expr("(n_docs + slots_per_bin - 1) div slots_per_bin")
+                .cast("bigint"),
+            )
+            .withColumn(
+                "waste_tokens",
+                (F.col("bins") * C - F.col("sum_len")).cast("bigint"),
+            )
+        )
+        shelf = per.agg(F.sum("bins").cast("bigint").alias("_shelf_bins"))
+        raw = d.agg(
+            F.sum("full_bins").cast("bigint").alias("_full_bins"),
+            F.sum("len").cast("bigint").alias("_total_len"),
+        )
+        g = raw.crossJoin(shelf).select(
+            (F.col("_full_bins") + F.col("_shelf_bins"))
+            .cast("bigint")
+            .alias("_total_bins"),
+            F.expr(f"(_total_len + {C} - 1) div {C}")
+            .cast("bigint")
+            .alias("_lb_bins"),
+            "_total_len",
+        )
+        return per.crossJoin(F.broadcast(g)).select(
+            "bucket",
+            "upper_len",
+            "slots_per_bin",
+            "n_docs",
+            "sum_len",
+            "bins",
+            "waste_tokens",
+            F.col("_total_bins").alias("total_bins"),
+            F.col("_lb_bins").alias("lb_bins"),
+            F.round(
+                F.col("_total_len").cast("double")
+                / (F.col("_total_bins") * C).cast("double"),
+                9,
+            ).alias("efficiency"),
+            F.round(
+                F.col("_total_len").cast("double")
+                / (F.col("_lb_bins") * C).cast("double"),
+                9,
+            ).alias("lb_efficiency"),
+        )
+
+    q["packing_efficiency"] = q_packing_efficiency
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -8612,10 +8793,12 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers THREE new queries (312
-    # total): "k_core", "c4_clean", "label_propagation" — each fully
-    # oracled, audited (type/diff/plan/vanilla), and pytest-covered;
-    # include them in the r10 head so they gate in their first round.
+    # re-gate.  This branch also registers FIVE new queries (314
+    # total): "k_core", "c4_clean", "label_propagation",
+    # "cuped_stratified", "packing_efficiency" — each fully oracled,
+    # audited (type/diff/plan/shuffle-invariance/float-order/vanilla),
+    # and pytest-covered; include them in the r10 head so they gate in
+    # their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -11628,6 +11811,59 @@ def oracle_sql() -> dict[str, str]:
                round({_theta_sql}, 9) AS theta
         FROM arms CROSS JOIN g"""
 
+    _theta_strat_sql = (
+        "(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE))"
+    )
+    o["cuped_stratified"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 0
+                               ELSE CAST(round(value * 100) AS BIGINT)
+                          END) AS BIGINT) AS y,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS npre,
+                 CASE WHEN {_ab_h} < {_ab_half} THEN 'A' ELSE 'B' END AS arm
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ), pt AS (
+          SELECT *,
+                 CASE WHEN npre <= 30 THEN 'low'
+                      WHEN npre <= 36 THEN 'mid'
+                      ELSE 'high' END AS tier
+          FROM pu
+        ), g AS (
+          SELECT tier,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pt GROUP BY tier
+        ), arms AS (
+          SELECT tier, arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS ax,
+                 CAST(sum(y) AS BIGINT) AS ay
+          FROM pt GROUP BY tier, arm
+        )
+        SELECT a.tier AS tier, a.arm AS arm, a.n_users AS n_users,
+               round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+                 AS mean_post_cents,
+               round(
+                 (CAST(ay AS DOUBLE)
+                  - coalesce({_theta_strat_sql}, 0)
+                    * (CAST(ax AS DOUBLE)
+                       - CAST(n_users AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+                 / CAST(n_users AS DOUBLE), 9) AS mean_adj_cents,
+               round({_theta_strat_sql}, 9) AS theta
+        FROM arms a JOIN g ON a.tier = g.tier"""
+
     o["link_prediction"] = """
         WITH ob AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -12768,6 +13004,53 @@ def oracle_sql() -> dict[str, str]:
                                9)
                END AS saving_ratio
         FROM per CROSS JOIN g"""
+
+    o["packing_efficiency"] = """
+        WITH d0 AS (
+          SELECT CAST(CASE WHEN length(nt) = 0 THEN 0
+                      ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1
+                      END AS BIGINT) AS len
+          FROM (
+            SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                     AS nt
+            FROM documents WHERE text IS NOT NULL
+          )
+        ), d AS (
+          SELECT len,
+                 CAST(len // 128 AS BIGINT) AS full_bins,
+                 CAST(len % 128 AS BIGINT) AS rem
+          FROM d0 WHERE len > 0
+        ), per AS (
+          SELECT CAST((rem - 1) // 16 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(rem) AS BIGINT) AS sum_len
+          FROM d WHERE rem > 0 GROUP BY 1
+        ), per2 AS (
+          SELECT bucket, n_docs, sum_len,
+                 CAST((bucket + 1) * 16 AS BIGINT) AS upper_len,
+                 CAST(128 // ((bucket + 1) * 16) AS BIGINT)
+                   AS slots_per_bin
+          FROM per
+        ), per3 AS (
+          SELECT bucket, n_docs, sum_len, upper_len, slots_per_bin,
+                 CAST((n_docs + slots_per_bin - 1) // slots_per_bin
+                      AS BIGINT) AS bins
+          FROM per2
+        ), g AS (
+          SELECT CAST((SELECT sum(bins) FROM per3) + sum(full_bins)
+                      AS BIGINT) AS total_bins,
+                 CAST((sum(len) + 127) // 128 AS BIGINT) AS lb_bins,
+                 CAST(sum(len) AS BIGINT) AS total_len
+          FROM d
+        )
+        SELECT bucket, upper_len, slots_per_bin, n_docs, sum_len, bins,
+               CAST(bins * 128 - sum_len AS BIGINT) AS waste_tokens,
+               total_bins, lb_bins,
+               round(CAST(total_len AS DOUBLE)
+                     / CAST(total_bins * 128 AS DOUBLE), 9) AS efficiency,
+               round(CAST(total_len AS DOUBLE)
+                     / CAST(lb_bins * 128 AS DOUBLE), 9) AS lb_efficiency
+        FROM per3 CROSS JOIN g"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

@@ -859,3 +859,94 @@ class TestTheilSenProperty:
                 # for both odd and even counts
                 exp[uid] = (len(slopes), round(statistics.median(slopes), 9))
         assert got == exp
+
+
+class TestPackingEfficiencyProperty:
+    def test_shelf_bins_bracket_ffd_and_lower_bound(self, spark):
+        """The bucketed shelf closed form must be a VALID packing (its
+        bin count can't beat true first-fit-decreasing run on the same
+        capacity-chunked lengths) and FFD in turn can't beat the
+        fractional lower bound — so lb_bins <= ffd_bins <= total_bins.
+        Run on the real sf0.001 corpus so the brute force sees the
+        production length distribution."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["packing_efficiency"](spark, sf).collect()
+        assert rows
+        g = rows[0]
+        # per-bucket shelf arithmetic is internally consistent
+        for r in rows:
+            assert r.upper_len == (r.bucket + 1) * 16
+            assert r.slots_per_bin == 128 // r.upper_len
+            assert r.bins * r.slots_per_bin >= r.n_docs
+            assert (r.bins - 1) * r.slots_per_bin < r.n_docs
+            assert r.waste_tokens == r.bins * 128 - r.sum_len
+            assert (g.total_bins, g.lb_bins) == (rows[0].total_bins,
+                                                 rows[0].lb_bins)
+
+        # brute-force FFD on the identical chunked lengths
+        from openseize_spark.llm import text as llm_text
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        lens = [
+            r.len
+            for r in docs.filter(F.col("text").isNotNull())
+            .select(llm_text.token_count(F.col("text")).alias("len"))
+            .filter(F.col("len") > 0)
+            .collect()
+        ]
+        pieces = []
+        full = 0
+        for n in lens:
+            full += n // 128
+            if n % 128:
+                pieces.append(n % 128)
+        bins = []
+        for p in sorted(pieces, reverse=True):
+            for i, b in enumerate(bins):
+                if b + p <= 128:
+                    bins[i] = b + p
+                    break
+            else:
+                bins.append(p)
+        ffd_bins = len(bins) + full
+        assert g.lb_bins <= ffd_bins <= g.total_bins
+        assert g.lb_bins == -(-sum(lens) // 128)
+        assert 0.0 < g.efficiency <= g.lb_efficiency <= 1.0
+
+
+class TestCupedStratifiedProperty:
+    def test_tiers_partition_users_and_preserve_tier_means(self, spark):
+        """Within each tier the CUPED adjustment is mean-preserving:
+        sum over arms of n_users * mean_adj equals the same sum of
+        mean_post (the correction term telescopes to
+        -theta * (sum_x_tier - n_tier * xbar_tier) = 0 because xbar is
+        the WITHIN-tier covariate mean).  Tier/arm cells must also
+        partition the experiment's user population exactly."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["cuped_stratified"](spark, sf).collect()
+        assert rows
+        e = entry._events(spark, sf).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        n_users = e.select("user_id").distinct().count()
+        assert sum(r.n_users for r in rows) == n_users
+        assert len({(r.tier, r.arm) for r in rows}) == len(rows)
+
+        from collections import defaultdict
+
+        post = defaultdict(float)
+        adj = defaultdict(float)
+        for r in rows:
+            post[r.tier] += r.n_users * r.mean_post_cents
+            adj[r.tier] += r.n_users * r.mean_adj_cents
+            assert r.theta is None or np.isfinite(r.theta)
+        for tier in post:
+            # 9-decimal rounding of the per-arm means bounds the
+            # telescoping error by n_users * 5e-10
+            assert abs(post[tier] - adj[tier]) <= 1e-6 * max(
+                1.0, abs(post[tier])
+            )
