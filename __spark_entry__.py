@@ -8840,6 +8840,40 @@ _GATE_PRIORITY = [
     # the code + plan-shape-test changes.
 ]
 
+# READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
+# and this branch merges): replace _GATE_PRIORITY's head with this
+# list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
+# spilled conversions (backlog reaches ZERO), the five new
+# registrations staged on this branch, the six staged re-gates (plan
+# changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
+# insurance: pac / pac_surrogates / cluster_cohesion), then 28
+# freshness re-gates — the oldest ever-checked driver evidence (all
+# latest-checked in round 1; zero code change, they re-confirm the
+# flagship signal/relational layers on current code).  The 10
+# remaining r01-latest rows (extend_even, extend_odd, mult_along_time,
+# scalar_mult, distinct_pairs, rank_parts, moving_average,
+# filtered_revenue, fingerprint, stopword_score_by_lang) head the
+# round-11 freshness queue with the r03 cohort.
+_GATE_PRIORITY_R10 = [
+    "sosfilt_full", "sosfilt_blocks_full",
+    "dp_noised_counts", "user_erasure",
+    "bitmap_setops", "join_fanout_audit", "dedup_rate_by_source",
+    "null_profile", "top_values_csv", "dataset_card", "sql_entry",
+    "k_core", "c4_clean", "label_propagation",
+    "cuped_stratified", "packing_efficiency",
+    "er_pipeline", "blocking_yield", "theilsen_slope",
+    "pac", "pac_surrogates", "cluster_cohesion",
+    # 28 freshness re-gates (latest driver row: round 1)
+    "pricing_summary", "running_total", "time_slice", "channel_select",
+    "mask_compact", "interval_mask", "signal_add", "signal_stats",
+    "standardize", "band_power", "power_norm", "nearest_bin",
+    "segment_mean", "event_window_avg", "synth_signal", "decimate",
+    "detrend_linear", "pad", "extend_edge", "expand_upsample",
+    "mult_along_channel", "squeeze_expand", "set_ops", "pivot_status",
+    "rollup_revenue", "priority_exists", "top_customers_by_orders",
+    "text_stats",
+]
+
 
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
