@@ -7959,6 +7959,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["packing_efficiency"] = q_packing_efficiency
 
+    def q_priority_sample(spark, sf_dir):
+        """Priority sampling (Duffield-Lund-Thorup): the 50 documents
+        with the largest integer priorities w * 2^32 div (h + 1) —
+        weighted sampling without replacement whose tau-adjusted
+        weights make subset sums unbiased (llm/sampling.priority_sample).
+        One codegen projection + one TakeOrdered(k+1); the survivors
+        are control-sized and rank via a broadcast inequality
+        self-join, never a data-bearing single-partition window."""
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.priority_sample(
+            docs, k=50, weight_col="n_chars", key_col="doc_id", seed="pri"
+        )
+
+    q["priority_sample"] = q_priority_sample
+
+    def q_hits_scores(spark, sf_dir):
+        """HITS hubs/authorities over the bipartite customer -> part
+        purchase graph (llm/dedup.hits): 3 max-normalized rounds in
+        exact integer units — broad-basket customers score as hubs,
+        widely-bought parts as authorities.  The fifth iterative-
+        algorithm shape; per round the checkpointed edge list (stored
+        partitioned on each join key) meets two |V|-row score tables."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        return dedup.hits(edges, iters=3, scale=10**6)
+
+    q["hits_scores"] = q_hits_scores
+
+    def q_rouge_pairs(spark, sf_dir):
+        """ROUGE-1/ROUGE-2 recall/precision/F1 per document pair
+        (llm/text.rouge_n) — the n-gram-overlap generation-eval metric
+        and the fuzzy-containment decontamination signal.  The pair
+        fixture is consecutive doc_ids (a pure equi-join on
+        doc_id + 1 — zero windows, zero ranks); production callers
+        supply eval pairs keyed by prompt id or LSH candidates.  All
+        counts exact int64, one division per ratio."""
+        docs = _t(spark, sf_dir, "documents")
+        pairs = docs.select(F.col("doc_id").alias("ref_id")).join(
+            docs.select(
+                (F.col("doc_id") - 1).alias("ref_id"),
+                F.col("doc_id").alias("cand_id"),
+            ),
+            on="ref_id",
+        )
+        return llm_text.rouge_n(pairs, docs)
+
+    q["rouge_pairs"] = q_rouge_pairs
+
+    def q_nb_calibration(spark, sf_dir):
+        """Margin-binned calibration of the naive-Bayes language
+        classifier: decision margin (top log-score minus runner-up,
+        both already 9-digit-rounded and bit-identical across engines)
+        bucketed into width-1/4 bands capped at 9, each band's doc
+        count and argmax accuracy — the reliability table that decides
+        a routing threshold (completes train / score / evaluate /
+        CALIBRATE for the classifier loop).  The margin difference,
+        the division by the DYADIC band width (exact in IEEE), and
+        floor are engine-identical ops on identical inputs; accuracy
+        is one division of exact int64 counts."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        per_doc = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 2)
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("_rn") == 1, F.col("score_lang"))
+                ).alias("pred_lang"),
+                F.max(F.when(F.col("_rn") == 1, F.col("log_score"))).alias(
+                    "_s1"
+                ),
+                F.max(F.when(F.col("_rn") == 2, F.col("log_score"))).alias(
+                    "_s2"
+                ),
+            )
+        )
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        band = F.least(
+            F.floor((F.col("_s1") - F.col("_s2")) / F.lit(0.25)),
+            F.lit(9).cast("bigint"),
+        ).cast("bigint")
+        ok = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+        return (
+            per_doc.join(truth, on="doc_id")
+            .select(band.alias("margin_band"), ok.alias("_ok"))
+            .groupBy("margin_band")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("_ok").cast("bigint").alias("n_correct"),
+                F.round(
+                    F.sum("_ok").cast("double")
+                    / F.count("*").cast("double"),
+                    9,
+                ).alias("accuracy"),
+            )
+        )
+
+    q["nb_calibration"] = q_nb_calibration
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -8793,12 +8903,13 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers FIVE new queries (314
+    # re-gate.  This branch also registers NINE new queries (318
     # total): "k_core", "c4_clean", "label_propagation",
-    # "cuped_stratified", "packing_efficiency" — each fully oracled,
-    # audited (type/diff/plan/shuffle-invariance/float-order/vanilla),
-    # and pytest-covered; include them in the r10 head so they gate in
-    # their first round.
+    # "cuped_stratified", "packing_efficiency", "priority_sample",
+    # "hits_scores", "rouge_pairs", "nb_calibration" — each fully
+    # oracled, audited (type/diff/plan/shuffle-invariance/float-order/
+    # vanilla), and pytest-covered; include them in the r10 head so
+    # they gate in their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -8843,14 +8954,16 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the five new
+# spilled conversions (backlog reaches ZERO), the nine new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 28
+# insurance: pac / pac_surrogates / cluster_cohesion), then 24
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 10
-# remaining r01-latest rows (extend_even, extend_odd, mult_along_time,
+# flagship signal/relational layers on current code).  The 14
+# remaining r01-latest rows (rollup_revenue, priority_exists,
+# top_customers_by_orders, text_stats — displaced by the four newest
+# registrations — plus extend_even, extend_odd, mult_along_time,
 # scalar_mult, distinct_pairs, rank_parts, moving_average,
 # filtered_revenue, fingerprint, stopword_score_by_lang) head the
 # round-11 freshness queue with the r03 cohort.
@@ -8861,17 +8974,16 @@ _GATE_PRIORITY_R10 = [
     "null_profile", "top_values_csv", "dataset_card", "sql_entry",
     "k_core", "c4_clean", "label_propagation",
     "cuped_stratified", "packing_efficiency",
+    "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 28 freshness re-gates (latest driver row: round 1)
+    # 24 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
     "detrend_linear", "pad", "extend_edge", "expand_upsample",
     "mult_along_channel", "squeeze_expand", "set_ops", "pivot_status",
-    "rollup_revenue", "priority_exists", "top_customers_by_orders",
-    "text_stats",
 ]
 
 
@@ -13085,6 +13197,52 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(total_len AS DOUBLE)
                      / CAST(lb_bins * 128 AS DOUBLE), 9) AS lb_efficiency
         FROM per3 CROSS JOIN g"""
+
+    o["priority_sample"] = sampling.priority_sample_oracle_sql(
+        k=50, weight_expr="n_chars", key_col="doc_id", seed="pri"
+    )
+
+    o["hits_scores"] = dedup.hits_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        iters=3,
+        scale=10**6,
+    )
+
+    o["rouge_pairs"] = llm_text.rouge_n_oracle_sql(
+        pairs_sql="""
+          SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+    )
+
+    o["nb_calibration"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        ranked AS (
+          SELECT doc_id, score_lang, log_score,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY log_score DESC, score_lang
+                 ) AS rn
+          FROM nb
+        ), per_doc AS (
+          SELECT doc_id,
+                 max(CASE WHEN rn = 1 THEN score_lang END) AS pred_lang,
+                 max(CASE WHEN rn = 1 THEN log_score END) AS s1,
+                 max(CASE WHEN rn = 2 THEN log_score END) AS s2
+          FROM ranked WHERE rn <= 2 GROUP BY doc_id
+        ), j AS (
+          SELECT CAST(least(floor((p.s1 - p.s2) / 0.25), 9) AS BIGINT)
+                   AS margin_band,
+                 CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+          FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        )
+        SELECT margin_band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ok) AS BIGINT) AS n_correct,
+               round(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                 AS accuracy
+        FROM j GROUP BY margin_band"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

@@ -1908,6 +1908,166 @@ def pagerank_oracle_sql(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed
+    bipartite edge list in EXACT integer arithmetic — the fifth
+    iterative-algorithm shape beside connected components, PageRank,
+    k-means, and k-core.  On a user→item interaction graph the hub
+    score finds broad consumers and the authority score finds
+    widely-consumed items; on a citation/link graph it separates
+    directories from destinations.
+
+    Scores live in integer ``scale`` units.  Each round: authority =
+    sum of incoming hub units (one edge equi-join + dst-keyed sum),
+    max-normalized back to ~``scale`` (the integer two-step
+    ``s div greatest(max div scale, 1)`` keeps the top node in
+    [scale, 2*scale) rather than exactly at scale — ordering is
+    unaffected and every step stays replayable); then hub = sum of
+    outgoing authority units, max-normalized the same way.  Normalization divides by
+    ``greatest(max_units div scale, 1)`` — two int64 floor divisions
+    on non-negative operands (Spark ``div`` == DuckDB ``//`` there),
+    never a float, never a product that can overflow: summed units
+    stay below ``max_degree * scale``, so int64 holds for degrees up
+    to ~9e12 at the default scale.  ``iters`` is fixed (bounded plan
+    depth, no convergence collect); the classic L2 normalization is
+    deliberately traded for max-normalization because sqrt is not
+    integer-replayable — relative ordering per side is unaffected.
+
+    Scale shape per round: two equi-joins of the (pre-partitioned,
+    checkpointed) edge list against score tables of |V| short rows,
+    two short-key sums — the PageRank discipline: the edge list is
+    stored TWICE, hash-partitioned on src and on dst, so the per-round
+    joins move only the |V|-row score tables (two |E| shuffles total
+    across the whole run, not two per round).  The one-row max rides
+    broadcast cross joins.
+
+    Returns (node_type 'hub'|'auth', id, score) with score =
+    units / scale.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    S = int(scale)
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        # store the edge list hash-partitioned on each round's join key
+        # (src for the auth step, dst for the hub step) so only |V|-row
+        # score tables move per round
+        e_src = edges.select(src_col, dst_col).repartition(
+            n_part, src_col
+        ).localCheckpoint(eager=True)
+        e_dst = e_src.repartition(n_part, dst_col).localCheckpoint(
+            eager=True
+        )
+        hubs = e_src.select(F.col(src_col).alias("id")).distinct().select(
+            "id", F.lit(S).cast("bigint").alias("u")
+        ).localCheckpoint(eager=True)
+        auths = None
+        for _ in range(iters):
+            a_raw = (
+                e_src.join(
+                    hubs.withColumnRenamed("id", src_col), on=src_col
+                )
+                .groupBy(dst_col)
+                .agg(F.sum("u").cast("bigint").alias("s"))
+            )
+            a_max = a_raw.agg(F.max("s").alias("_m"))
+            auths = (
+                a_raw.crossJoin(F.broadcast(a_max))
+                .select(
+                    F.col(dst_col).alias("id"),
+                    F.expr(f"s div greatest(_m div {S}, 1)")
+                    .cast("bigint")
+                    .alias("u"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            h_raw = (
+                e_dst.join(
+                    auths.withColumnRenamed("id", dst_col), on=dst_col
+                )
+                .groupBy(src_col)
+                .agg(F.sum("u").cast("bigint").alias("s"))
+            )
+            h_max = h_raw.agg(F.max("s").alias("_m"))
+            hubs = (
+                h_raw.crossJoin(F.broadcast(h_max))
+                .select(
+                    F.col(src_col).alias("id"),
+                    F.expr(f"s div greatest(_m div {S}, 1)")
+                    .cast("bigint")
+                    .alias("u"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = hubs.select(
+        F.lit("hub").alias("node_type"),
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("u").cast("double") / F.lit(float(S))).alias("score"),
+    ).unionByName(
+        auths.select(
+            F.lit("auth").alias("node_type"),
+            F.col("id").cast("bigint").alias("id"),
+            (F.col("u").cast("double") / F.lit(float(S))).alias("score"),
+        )
+    )
+    return out
+
+
+def hits_oracle_sql(
+    edges_cte: str,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`hits`: ``edges_cte`` must define a CTE
+    body selecting (src, dst); the ``iters`` rounds unroll with the
+    identical integer floor divisions (``//`` == Spark ``div`` on the
+    non-negative units)."""
+    S = int(scale)
+    ctes = [
+        f"""WITH e AS MATERIALIZED ({edges_cte}),
+        h0 AS (SELECT DISTINCT src AS id, CAST({S} AS BIGINT) AS u
+               FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""", ar{i} AS (
+          SELECT e.dst, CAST(sum(h{i-1}.u) AS BIGINT) AS s
+          FROM e JOIN h{i-1} ON e.src = h{i-1}.id GROUP BY e.dst
+        ), am{i} AS (SELECT max(s) AS m FROM ar{i}),
+        a{i} AS MATERIALIZED (
+          SELECT ar{i}.dst AS id,
+                 CAST(s // greatest(m // {S}, 1) AS BIGINT) AS u
+          FROM ar{i} CROSS JOIN am{i}
+        ), hr{i} AS (
+          SELECT e.src, CAST(sum(a{i}.u) AS BIGINT) AS s
+          FROM e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src
+        ), hm{i} AS (SELECT max(s) AS m FROM hr{i}),
+        h{i} AS MATERIALIZED (
+          SELECT hr{i}.src AS id,
+                 CAST(s // greatest(m // {S}, 1) AS BIGINT) AS u
+          FROM hr{i} CROSS JOIN hm{i}
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT 'hub' AS node_type, CAST(id AS BIGINT) AS id,
+               CAST(u AS DOUBLE) / {float(S)!r} AS score
+        FROM h{iters}
+        UNION ALL
+        SELECT 'auth' AS node_type, CAST(id AS BIGINT) AS id,
+               CAST(u AS DOUBLE) / {float(S)!r} AS score
+        FROM a{iters}"""
+    )
+
+
 # ------------------------------------------------------------- bloom filter
 def bloom_positions(fp_col, m: int, k: int):
     """The ``k`` Bloom bit positions of a fingerprint column: salted

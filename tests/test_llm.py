@@ -2006,3 +2006,212 @@ class TestLabelPropagation:
             for r in dedup.label_propagation(df, rounds=rounds).collect()
         }
         assert got == lab
+
+
+class TestPrioritySample:
+    """priority_sample vs an exact python replay of the integer
+    priority/tau/estimator arithmetic (llm/sampling.priority_sample)."""
+
+    @staticmethod
+    def _brute(rows, k, seed="pri"):
+        import hashlib
+
+        HS = 1 << 32
+        scored = []
+        for key, w in rows:
+            h = int(
+                hashlib.md5(f"{seed}:{key}".encode()).hexdigest()[:8], 16
+            )
+            scored.append((key, w, (w * HS) // (h + 1)))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        tau = scored[k][2] if len(scored) > k else 0
+        return {
+            key: (w, q, float(max(w, tau))) for key, w, q in scored[:k]
+        }
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def test_matches_python_brute_force(self, spark):
+        from openseize_spark.llm import sampling
+
+        rows = [(i, 10 + (i * 37) % 500) for i in range(200)]
+        out = sampling.priority_sample(
+            self._df(spark, rows), k=20, weight_col="n_chars"
+        ).collect()
+        got = {
+            r.key: (r.weight, r.priority_units, r.est_weight) for r in out
+        }
+        assert got == self._brute(rows, 20)
+
+    def test_small_population_kept_whole(self, spark):
+        from openseize_spark.llm import sampling
+
+        rows = [(i, 100 + i) for i in range(5)]
+        out = sampling.priority_sample(
+            self._df(spark, rows), k=20, weight_col="n_chars"
+        ).collect()
+        # n <= k: everything kept, tau = 0, est weight == raw weight
+        assert len(out) == 5
+        for r in out:
+            assert r.est_weight == float(r.weight)
+
+    def test_partition_invariance(self, spark):
+        from openseize_spark.llm import sampling
+
+        rows = [(i, 1 + (i * 13) % 97) for i in range(300)]
+        a = sampling.priority_sample(
+            self._df(spark, rows).repartition(7), k=25, weight_col="n_chars"
+        ).collect()
+        b = sampling.priority_sample(
+            self._df(spark, rows).coalesce(1), k=25, weight_col="n_chars"
+        ).collect()
+        key = lambda r: r.key
+        assert sorted(a, key=key) == sorted(b, key=key)
+
+    def test_estimator_floor_is_tau(self, spark):
+        from openseize_spark.llm import sampling
+
+        rows = [(i, 10 + (i * 37) % 500) for i in range(200)]
+        out = sampling.priority_sample(
+            self._df(spark, rows), k=20, weight_col="n_chars"
+        ).collect()
+        # every sampled row's estimate >= its raw weight (max(w, tau))
+        assert all(r.est_weight >= float(r.weight) for r in out)
+        # and the smallest estimates all equal tau/2^32 (the clamp)
+        est = sorted(r.est_weight for r in out)
+        assert est[0] == est[1]  # at least two rows hit the tau floor
+
+
+class TestHits:
+    """hits vs an exact python replay of the integer recursion."""
+
+    @staticmethod
+    def _brute(edges, iters=3, S=10**6):
+        srcs = {s for s, _ in edges}
+        hubs = {s: S for s in srcs}
+        auths = {}
+        for _ in range(iters):
+            raw = {}
+            for s, d in edges:
+                raw[d] = raw.get(d, 0) + hubs[s]
+            m = max(raw.values())
+            auths = {d: v // max(m // S, 1) for d, v in raw.items()}
+            raw = {}
+            for s, d in edges:
+                raw[s] = raw.get(s, 0) + auths[d]
+            m = max(raw.values())
+            hubs = {s: v // max(m // S, 1) for s, v in raw.items()}
+        return hubs, auths
+
+    def test_matches_python_brute_force(self, spark):
+        edges = [
+            (u, p)
+            for u in range(1, 8)
+            for p in range(101, 109)
+            if (u * p) % 3 != 0
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = dedup.hits(df, iters=3).collect()
+        hubs, auths = self._brute(edges)
+        got_h = {r.id: r.score for r in out if r.node_type == "hub"}
+        got_a = {r.id: r.score for r in out if r.node_type == "auth"}
+        assert got_h == {k: v / 1e6 for k, v in hubs.items()}
+        assert got_a == {k: v / 1e6 for k, v in auths.items()}
+
+    def test_authority_ordering(self, spark):
+        # star: item 100 bought by all 5 users, item 200 by one
+        edges = [(u, 100) for u in range(5)] + [(0, 200)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {
+            (r.node_type, r.id): r.score
+            for r in dedup.hits(df, iters=2).collect()
+        }
+        assert out[("auth", 100)] > out[("auth", 200)]
+        # the broad consumer (user 0 buys both) out-hubs the rest
+        assert out[("hub", 0)] >= max(
+            out[("hub", u)] for u in range(1, 5)
+        )
+
+    def test_partition_invariance(self, spark):
+        edges = [(u, 100 + (u * 7) % 13) for u in range(40)] + [
+            (u, 100 + (u * 11) % 13) for u in range(40)
+        ]
+        df = spark.createDataFrame(sorted(set(edges)), "src long, dst long")
+        a = sorted(
+            dedup.hits(df.repartition(9), iters=2).collect(),
+            key=lambda r: (r.node_type, r.id),
+        )
+        b = sorted(
+            dedup.hits(df.coalesce(1), iters=2).collect(),
+            key=lambda r: (r.node_type, r.id),
+        )
+        assert a == b
+
+
+class TestRougeN:
+    def _run(self, spark, ref, cand):
+        docs = spark.createDataFrame(
+            [(1, ref), (2, cand)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2)], "ref_id long, cand_id long")
+        out = text.rouge_n(pairs, docs).collect()
+        return {r.n: r for r in out}
+
+    def test_hand_computed_example(self, spark):
+        got = self._run(
+            spark, "the cat sat on the mat", "the cat ran on the mat"
+        )
+        r1 = got[1]
+        # unigram clipped overlap: the(2) cat(1) on(1) mat(1) = 5 of 6
+        assert (r1.overlap, r1.ref_total, r1.cand_total) == (5, 6, 6)
+        assert r1.recall == r1.precision == r1.f1 == round(5 / 6, 9)
+        r2 = got[2]
+        # bigrams: "the cat", "on the", "the mat" shared = 3 of 5
+        assert (r2.overlap, r2.ref_total, r2.cand_total) == (3, 5, 5)
+        assert r2.recall == round(3 / 5, 9)
+
+    def test_identical_pair_scores_one(self, spark):
+        got = self._run(spark, "a b c d e", "a b  C d e")  # normalization
+        assert got[1].f1 == 1.0 and got[2].f1 == 1.0
+
+    def test_empty_bigram_side_is_null(self, spark):
+        got = self._run(spark, "single", "two words here")
+        assert got[2].ref_total == 0
+        # recall's denominator is the empty side -> NULL; precision and
+        # the collapsed F1 = 2*ov/(tr+tc) still have mass to divide by
+        assert got[2].recall is None
+        assert got[2].precision == 0.0 and got[2].f1 == 0.0
+        assert got[2].overlap == 0
+        # both sides empty -> every ratio NULL
+        both = self._run(spark, "one", "two")
+        assert both[2].recall is None and both[2].f1 is None
+
+    def test_disjoint_pair_scores_zero(self, spark):
+        got = self._run(spark, "alpha beta gamma", "delta epsilon zeta")
+        assert got[1].overlap == 0 and got[1].f1 == 0.0
+
+    def test_clipping_uses_min_count(self, spark):
+        # ref has 'the' x3, cand x1 -> clipped contribution is 1
+        got = self._run(spark, "the the the end", "the end")
+        assert got[1].overlap == 2  # the(1) + end(1)
+        assert got[1].recall == 0.5 and got[1].precision == 1.0
+
+
+class TestNbCalibration:
+    def test_bands_partition_the_corpus(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["nb_calibration"](spark, sf).collect()
+        assert rows
+        n_docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("text").isNotNull())
+            .count()
+        )
+        assert sum(r.n_docs for r in rows) == n_docs
+        for r in rows:
+            assert 0 <= r.margin_band <= 9
+            assert 0 <= r.n_correct <= r.n_docs
+            assert r.accuracy == round(r.n_correct / r.n_docs, 9)

@@ -950,3 +950,69 @@ class TestCupedStratifiedProperty:
             assert abs(post[tier] - adj[tier]) <= 1e-6 * max(
                 1.0, abs(post[tier])
             )
+
+
+class TestRougeNProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_counter_brute_force(self, spark, data):
+        """rouge_n must equal the textbook clipped-count definition:
+        overlap_n = sum over grams of min(count_ref, count_cand), with
+        recall/precision/F1 derived by single divisions.  Texts are
+        drawn from a 4-word alphabet so clipping (repeated grams) and
+        empty-overlap cases actually occur; messy whitespace exercises
+        the shared normalization."""
+        from collections import Counter
+
+        from openseize_spark.llm import text as llm_text
+
+        words = ["aa", "bb", "cc", "dd"]
+        texts = []
+        for _ in range(data.draw(st.integers(2, 4))):
+            ws = data.draw(st.lists(st.sampled_from(words), max_size=8))
+            sep = data.draw(st.sampled_from([" ", "  ", " \t "]))
+            texts.append(sep.join(ws))
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        pair_list = [
+            (a, b)
+            for a in range(len(texts))
+            for b in range(len(texts))
+            if a != b
+        ]
+        pairs = spark.createDataFrame(
+            pair_list, "ref_id long, cand_id long"
+        )
+        got = {
+            (r.ref_id, r.cand_id, r.n): (
+                r.overlap, r.ref_total, r.cand_total,
+                r.recall, r.precision, r.f1,
+            )
+            for r in llm_text.rouge_n(pairs, docs).collect()
+        }
+
+        def grams(t, n):
+            ws = [w for w in t.lower().strip().split() if w]
+            if n == 1:
+                return ws
+            return [
+                " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+            ]
+
+        exp = {}
+        for a, b in pair_list:
+            for n in (1, 2):
+                cr, cc = Counter(grams(texts[a], n)), Counter(
+                    grams(texts[b], n)
+                )
+                ov = sum(min(v, cc[g]) for g, v in cr.items())
+                tr, tc = sum(cr.values()), sum(cc.values())
+                exp[(a, b, n)] = (
+                    ov, tr, tc,
+                    round(ov / tr, 9) if tr else None,
+                    round(ov / tc, 9) if tc else None,
+                    round(2 * ov / (tr + tc), 9) if tr + tc else None,
+                )
+        assert got == exp
