@@ -8069,6 +8069,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nb_calibration"] = q_nb_calibration
 
+    def q_gram_novelty(spark, sf_dir):
+        """Per-document 8-gram novelty in ingestion order
+        (llm/dedup.gram_novelty): the fraction of a doc's distinct
+        gram fingerprints first seen in THIS doc — the crawl-
+        saturation signal and the incremental-dedup drop score.  One
+        gram explode, two md5-keyed aggregates, one id rollup; exact
+        ints until the final division."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.gram_novelty(docs, n=8)
+
+    q["gram_novelty"] = q_gram_novelty
+
+    def q_kappa_classifiers(spark, sf_dir):
+        """Cohen's kappa agreement between the two language
+        classifiers the repo ships — the trained naive-Bayes argmax
+        (nb_lang_scores) and the marker-heuristic language_id — the
+        inter-rater check that decides whether a cheap heuristic can
+        replace the trained model for routing.  The (pred_nb,
+        pred_marker) contingency is at most |langs|^2 cells; po, pe,
+        and kappa = (N*agree - S) / (N^2 - S) with S = sum of
+        row*column marginal products are each ONE division of exact
+        int64 operands (the textbook float po/pe subtraction is
+        algebraically collapsed so no intermediate float combines)."""
+        docs = _t(spark, sf_dir, "documents")
+        nb = q_nb_lang_scores(spark, sf_dir)
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        p1 = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("score_lang").alias("_p1"))
+        )
+        p2 = llm_text.language_id(docs).select(
+            "doc_id", F.col("lang_pred").alias("_p2")
+        )
+        # the contingency table is bounded (|langs|^2 cells) but has
+        # three consumers (totals, row marginals, column marginals)
+        cells = (
+            p1.join(p2, on="doc_id")
+            .groupBy("_p1", "_p2")
+            .agg(F.count("*").cast("bigint").alias("_n"))
+            .localCheckpoint(eager=False)
+        )
+        tot = cells.agg(
+            F.sum("_n").cast("bigint").alias("_N"),
+            F.sum(
+                F.when(F.col("_p1") == F.col("_p2"), F.col("_n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("_A"),
+        )
+        rows_m = cells.groupBy("_p1").agg(
+            F.sum("_n").cast("bigint").alias("_r")
+        )
+        cols_m = cells.groupBy("_p2").agg(
+            F.sum("_n").cast("bigint").alias("_c")
+        )
+        s = (
+            rows_m.join(cols_m, rows_m._p1 == cols_m._p2)
+            .agg(
+                F.coalesce(F.sum(F.col("_r") * F.col("_c")), F.lit(0))
+                .cast("bigint")
+                .alias("_S")
+            )
+        )
+        return tot.crossJoin(F.broadcast(s)).select(
+            F.col("_N").alias("n_docs"),
+            F.col("_A").alias("n_agree"),
+            F.round(
+                F.col("_A").cast("double") / F.col("_N").cast("double"), 9
+            ).alias("po"),
+            F.round(
+                F.col("_S").cast("double")
+                / (F.col("_N") * F.col("_N")).cast("double"),
+                9,
+            ).alias("pe"),
+            F.round(
+                (F.col("_N") * F.col("_A") - F.col("_S")).cast("double")
+                / F.nullif(
+                    (F.col("_N") * F.col("_N") - F.col("_S")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("kappa"),
+        )
+
+    q["kappa_classifiers"] = q_kappa_classifiers
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -8903,13 +8996,14 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers NINE new queries (318
+    # re-gate.  This branch also registers ELEVEN new queries (320
     # total): "k_core", "c4_clean", "label_propagation",
     # "cuped_stratified", "packing_efficiency", "priority_sample",
-    # "hits_scores", "rouge_pairs", "nb_calibration" — each fully
-    # oracled, audited (type/diff/plan/shuffle-invariance/float-order/
-    # vanilla), and pytest-covered; include them in the r10 head so
-    # they gate in their first round.
+    # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
+    # "kappa_classifiers" — each fully oracled, audited
+    # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
+    # pytest-covered; include them in the r10 head so they gate in
+    # their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -8954,19 +9048,20 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the nine new
+# spilled conversions (backlog reaches ZERO), the eleven new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 24
+# insurance: pac / pac_surrogates / cluster_cohesion), then 22
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 14
-# remaining r01-latest rows (rollup_revenue, priority_exists,
-# top_customers_by_orders, text_stats — displaced by the four newest
-# registrations — plus extend_even, extend_odd, mult_along_time,
-# scalar_mult, distinct_pairs, rank_parts, moving_average,
-# filtered_revenue, fingerprint, stopword_score_by_lang) head the
-# round-11 freshness queue with the r03 cohort.
+# flagship signal/relational layers on current code).  The 16
+# remaining r01-latest rows (set_ops, pivot_status, rollup_revenue,
+# priority_exists, top_customers_by_orders, text_stats — displaced by
+# the six newest registrations — plus extend_even, extend_odd,
+# mult_along_time, scalar_mult, distinct_pairs, rank_parts,
+# moving_average, filtered_revenue, fingerprint,
+# stopword_score_by_lang) head the round-11 freshness queue with the
+# r03 cohort.
 _GATE_PRIORITY_R10 = [
     "sosfilt_full", "sosfilt_blocks_full",
     "dp_noised_counts", "user_erasure",
@@ -8975,15 +9070,16 @@ _GATE_PRIORITY_R10 = [
     "k_core", "c4_clean", "label_propagation",
     "cuped_stratified", "packing_efficiency",
     "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
+    "gram_novelty", "kappa_classifiers",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 24 freshness re-gates (latest driver row: round 1)
+    # 22 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
     "detrend_linear", "pad", "extend_edge", "expand_upsample",
-    "mult_along_channel", "squeeze_expand", "set_ops", "pivot_status",
+    "mult_along_channel", "squeeze_expand",
 ]
 
 
@@ -13243,6 +13339,45 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
                  AS accuracy
         FROM j GROUP BY margin_band"""
+
+    o["gram_novelty"] = dedup.gram_novelty_oracle_sql(n=8)
+
+    o["kappa_classifiers"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        p1 AS (
+          SELECT doc_id, score_lang AS p1 FROM (
+            SELECT doc_id, score_lang,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY log_score DESC, score_lang
+                   ) AS rn
+            FROM nb
+          ) WHERE rn = 1
+        ), p2 AS (
+          SELECT doc_id, lang_pred AS p2 FROM ({o["language_id"]})
+        ), cells AS (
+          SELECT p1.p1, p2.p2, CAST(count(*) AS BIGINT) AS n
+          FROM p1 JOIN p2 USING (doc_id)
+          GROUP BY p1.p1, p2.p2
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS N,
+                 CAST(sum(CASE WHEN p1 = p2 THEN n ELSE 0 END) AS BIGINT)
+                   AS A
+          FROM cells
+        ), rm AS (
+          SELECT p1 AS l, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY p1
+        ), cm AS (
+          SELECT p2 AS l, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY p2
+        ), sm AS (
+          SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS S
+          FROM rm JOIN cm ON rm.l = cm.l
+        )
+        SELECT N AS n_docs, A AS n_agree,
+               round(CAST(A AS DOUBLE) / CAST(N AS DOUBLE), 9) AS po,
+               round(CAST(S AS DOUBLE) / CAST(N * N AS DOUBLE), 9) AS pe,
+               round(CAST(N * A - S AS DOUBLE)
+                     / nullif(CAST(N * N - S AS DOUBLE), 0.0), 9) AS kappa
+        FROM tot CROSS JOIN sm"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

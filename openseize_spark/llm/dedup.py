@@ -442,6 +442,84 @@ def dup_span_detect_oracle_sql(n: int = 8) -> str:
         GROUP BY doc_id"""
 
 
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY in ingestion (id) order: the
+    fraction of a document's distinct word ``n``-gram fingerprints
+    whose globally FIRST occurrence (minimum doc id) is this document.
+    The temporal complement of :func:`dup_span_detect`'s symmetric
+    duplication fraction — novelty falling over an ingestion window is
+    the "the crawl is re-fetching what we already have" saturation
+    signal corpus-growth studies track, and low-novelty NEW documents
+    are the incremental-dedup drop candidates.
+
+    Scale shape: the gram explode is the only row amplification; the
+    (id, gram) distinct and the per-gram min(id) aggregate both key on
+    the 16-byte md5 with partial combine; the per-doc rollup keys on
+    the id.  All-integer until the final division (same operands both
+    engines).
+
+    Returns (id, n_grams, n_novel, novelty) over DISTINCT grams;
+    documents with fewer than ``n`` words have no grams and are
+    omitted.
+    """
+    grams = _word_gram_fps(docs, text_col, id_col, n).distinct()
+    firsts = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    return (
+        grams.join(firsts, on="_g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
+def gram_novelty_oracle_sql(n: int = 8) -> str:
+    """DuckDB SQL equal to gram_novelty: same normalization, gram
+    fingerprints, DISTINCT (id, gram) pairs, per-gram min id, rollup."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(wl[u.i:(u.i + {n} - 1)], ' ')) AS g
+          FROM w, unnest(generate_series(1, len(wl) - {n} + 1)) AS u(i)
+          WHERE len(wl) >= {n}
+        ), firsts AS (
+          SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN first_id = doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS novelty
+        FROM grams JOIN firsts USING (g)
+        GROUP BY doc_id"""
+
+
 def levenshtein_verify(
     docs: DataFrame,
     pairs: DataFrame,

@@ -2215,3 +2215,108 @@ class TestNbCalibration:
             assert 0 <= r.margin_band <= 9
             assert 0 <= r.n_correct <= r.n_docs
             assert r.accuracy == round(r.n_correct / r.n_docs, 9)
+
+
+class TestGramNovelty:
+    @staticmethod
+    def _brute(texts, n):
+        def grams(t):
+            ws = [w for w in t.lower().strip().split() if w]
+            return {
+                " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+            }
+        gsets = {i: grams(t) for i, t in texts}
+        first = {}
+        for i in sorted(gsets):
+            for g in gsets[i]:
+                first.setdefault(g, i)
+        return {
+            i: (
+                len(gs),
+                sum(1 for g in gs if first[g] == i),
+                round(sum(1 for g in gs if first[g] == i) / len(gs), 9),
+            )
+            for i, gs in gsets.items()
+            if gs
+        }
+
+    def test_matches_python_brute_force(self, spark):
+        texts = [
+            (1, "a b c d e"),
+            (2, "a b c d e"),            # exact copy -> novelty 0
+            (3, "c d e f g"),            # partial overlap with 1
+            (4, "x y z w v"),            # all new -> novelty 1
+            (5, "a b"),                  # too short for n=3, omitted
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        out = dedup.gram_novelty(df, n=3)
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in out.collect()
+        }
+        assert got == self._brute(texts, 3)
+        assert got[1][2] == 1.0 and got[2][2] == 0.0 and got[4][2] == 1.0
+
+    def test_repeated_gram_counted_once(self, spark):
+        # "a b a b" has positional grams [a b, b a, a b] -> 2 DISTINCT
+        df = spark.createDataFrame(
+            [(1, "a b a b")], "doc_id long, text string"
+        )
+        r = dedup.gram_novelty(df, n=2).collect()[0]
+        assert r.n_grams == 2 and r.novelty == 1.0
+
+    def test_order_is_ingestion_order(self, spark):
+        # the LOWER id owns first occurrence regardless of row order
+        df = spark.createDataFrame(
+            [(9, "p q r s"), (2, "p q r s")], "doc_id long, text string"
+        ).repartition(4)
+        got = {
+            r.doc_id: r.novelty
+            for r in dedup.gram_novelty(df, n=2).collect()
+        }
+        assert got[2] == 1.0 and got[9] == 0.0
+
+
+class TestKappaClassifiers:
+    def test_kappa_matches_python_recompute(self, spark):
+        """The kappa arithmetic must equal a python recompute from the
+        two classifier outputs (which are themselves oracled by
+        nb_confusion / language_id); also pins the po/pe/kappa identity
+        kappa ~= (po - pe) / (1 - pe)."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        row = entry.queries()["kappa_classifiers"](spark, sf).collect()[0]
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        q = entry.queries()
+        nb = q["nb_lang_scores"](spark, sf)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        p1 = {
+            r.doc_id: r.score_lang
+            for r in nb.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .collect()
+        }
+        p2 = {
+            r.doc_id: r.lang_pred
+            for r in text.language_id(docs).collect()
+        }
+        both = [(p1[d], p2[d]) for d in p1 if d in p2]
+        N = len(both)
+        A = sum(1 for a, b in both if a == b)
+        labels = {a for a, _ in both} | {b for _, b in both}
+        S = sum(
+            sum(1 for a, _ in both if a == l)
+            * sum(1 for _, b in both if b == l)
+            for l in labels
+        )
+        assert (row.n_docs, row.n_agree) == (N, A)
+        assert row.po == round(A / N, 9)
+        assert row.pe == round(S / (N * N), 9)
+        assert row.kappa == round((N * A - S) / (N * N - S), 9)
+        assert abs(row.kappa - (row.po - row.pe) / (1 - row.pe)) < 1e-6
