@@ -8162,6 +8162,171 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kappa_classifiers"] = q_kappa_classifiers
 
+    def q_ndcg_eval(spark, sf_dir):
+        """NDCG@10 of the BM25 ranker per query — the graded-relevance
+        ranking metric that completes the retrieval-eval family
+        (recall@k, overlap@10, footrule).  Graded relevance = number
+        of DISTINCT query terms present in the document (deterministic
+        and exact); gains (2^rel - 1) use an integer shift, each
+        positional term (gain / log2(rank + 1)) quantizes to integer
+        1e-9 units (the bm25 discipline) so the per-query DCG and
+        ideal-DCG sums are exact int64 — no float accumulates across
+        rows.  The ideal ordering sorts the retrieved set by rel desc
+        (tie order cannot change the sum: equal rel at swapped
+        positions contribute identical terms), the standard @k
+        normalization over the retrieved list.  NDCG divides two exact
+        int64 unit sums once."""
+        docs = _t(spark, sf_dir, "documents")
+        bm = q_bm25_topk(spark, sf_dir).select(
+            "query_id", "doc_id", "rank"
+        )
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = (
+            docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(words).alias("word"))
+            .distinct()
+        )
+        qt = spark.createDataFrame(
+            [
+                (qid, w)
+                for qid, s in _BM25_QUERIES.items()
+                for w in sorted(set(s.split()))
+            ],
+            "query_id int, word string",
+        )
+        rel_tbl = (
+            F.broadcast(qt)
+            .join(toks, on="word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").cast("bigint").alias("_rel"))
+        )
+        scored = bm.join(rel_tbl, on=["query_id", "doc_id"], how="left").select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.coalesce(F.col("_rel"), F.lit(0)).cast("bigint").alias("_rel"),
+        )
+        # pyspark's shiftleft() only takes a literal bit count — the
+        # column-valued shift goes through the SQL expression
+        gain = F.expr(
+            "CAST(shiftleft(1, CAST(_rel AS INT)) - 1 AS DOUBLE)"
+        )
+        units = lambda rank_col: F.round(
+            gain / F.log2(rank_col.cast("double") + F.lit(1.0)) * 1e9
+        ).cast("bigint")
+        w_ideal = W.partitionBy("query_id").orderBy(
+            F.desc("_rel"), F.asc("doc_id")
+        )
+        both = scored.withColumn(
+            "_irank", F.row_number().over(w_ideal).cast("bigint")
+        ).select(
+            "query_id",
+            units(F.col("rank")).alias("_du"),
+            units(F.col("_irank")).alias("_iu"),
+        )
+        return both.groupBy("query_id").agg(
+            F.sum("_du").cast("bigint").alias("dcg_units"),
+            F.sum("_iu").cast("bigint").alias("idcg_units"),
+            F.round(
+                F.sum("_du").cast("double")
+                / F.nullif(F.sum("_iu").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("ndcg"),
+        )
+
+    q["ndcg_eval"] = q_ndcg_eval
+
+    def q_roc_auc_binned(spark, sf_dir):
+        """Binned exact ROC-AUC of the NB classifier's en-vs-rest
+        decision value — the per-token margin (en log-score minus the
+        best other language's, over the en token count; the standard
+        one-vs-rest reduction) — the threshold-free discrimination
+        metric completing accuracy / confusion / calibration / kappa.
+        The score is binned onto a FIXED bounded grid (dyadic width
+        1/1024 over [-0.5, 0.5), 1024 bins — the ks_binned discipline:
+        at 100 TB the rank-sum over raw distinct scores is unbounded,
+        the histogram is not), a pure engine-identical IEEE chain on
+        bit-identical inputs (one division per doc).  AUC uses the
+        Mann-Whitney histogram form with midrank tie handling, doubled
+        to stay integer: 2U = sum over bins of pos(b) *
+        (2 * neg_below(b) + neg_at(b)); cumulative neg_below comes
+        from a broadcast inequality self-join over the BOUNDED bin
+        relation (no single-partition window).  One division at the
+        end."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        per_doc = nb.groupBy("doc_id").agg(
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("log_score"))
+            ).alias("_sen"),
+            F.max(
+                F.when(F.col("score_lang") != "en", F.col("log_score"))
+            ).alias("_sot"),
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("n_tokens"))
+            ).alias("_nt"),
+        )
+        en = per_doc.join(truth, on="doc_id")
+        margin = (F.col("_sen") - F.col("_sot")) / F.col("_nt").cast(
+            "double"
+        )
+        bin_ = F.least(
+            F.greatest(
+                F.floor((margin + F.lit(0.5)) * F.lit(1024.0)), F.lit(0)
+            ),
+            F.lit(1023),
+        ).cast("bigint")
+        hist = (
+            en.select(
+                bin_.alias("_b"),
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("_p"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.sum("_p").cast("bigint").alias("_pos"),
+                F.sum(1 - F.col("_p")).cast("bigint").alias("_neg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        below = (
+            hist.alias("a")
+            .join(
+                F.broadcast(
+                    hist.select(
+                        F.col("_b").alias("_b2"), F.col("_neg").alias("_n2")
+                    )
+                ),
+                F.col("_b2") < F.col("_b"),
+                "left",
+            )
+            .groupBy("_b", "_pos", "_neg")
+            .agg(
+                F.coalesce(F.sum("_n2"), F.lit(0))
+                .cast("bigint")
+                .alias("_nb")
+            )
+        )
+        return below.agg(
+            F.sum("_pos").cast("bigint").alias("n_pos"),
+            F.sum("_neg").cast("bigint").alias("n_neg"),
+            F.sum(F.col("_pos") * (2 * F.col("_nb") + F.col("_neg")))
+            .cast("bigint")
+            .alias("u2"),
+            F.round(
+                F.sum(
+                    F.col("_pos") * (2 * F.col("_nb") + F.col("_neg"))
+                ).cast("double")
+                / F.nullif(
+                    (2 * F.sum("_pos") * F.sum("_neg")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("auc"),
+        )
+
+    q["roc_auc_binned"] = q_roc_auc_binned
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -8996,14 +9161,14 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers ELEVEN new queries (320
+    # re-gate.  This branch also registers THIRTEEN new queries (322
     # total): "k_core", "c4_clean", "label_propagation",
     # "cuped_stratified", "packing_efficiency", "priority_sample",
     # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
-    # "kappa_classifiers" — each fully oracled, audited
-    # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
-    # pytest-covered; include them in the r10 head so they gate in
-    # their first round.
+    # "kappa_classifiers", "ndcg_eval", "roc_auc_binned" — each fully
+    # oracled, audited (type/diff/plan/shuffle-invariance/float-order/
+    # vanilla), and pytest-covered; include them in the r10 head so
+    # they gate in their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -9048,20 +9213,20 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the eleven new
+# spilled conversions (backlog reaches ZERO), the thirteen new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 22
+# insurance: pac / pac_surrogates / cluster_cohesion), then 20
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 16
-# remaining r01-latest rows (set_ops, pivot_status, rollup_revenue,
-# priority_exists, top_customers_by_orders, text_stats — displaced by
-# the six newest registrations — plus extend_even, extend_odd,
-# mult_along_time, scalar_mult, distinct_pairs, rank_parts,
-# moving_average, filtered_revenue, fingerprint,
-# stopword_score_by_lang) head the round-11 freshness queue with the
-# r03 cohort.
+# flagship signal/relational layers on current code).  The 18
+# remaining r01-latest rows (mult_along_channel, squeeze_expand,
+# set_ops, pivot_status, rollup_revenue, priority_exists,
+# top_customers_by_orders, text_stats — displaced by the eight newest
+# registrations — plus extend_even, extend_odd, mult_along_time,
+# scalar_mult, distinct_pairs, rank_parts, moving_average,
+# filtered_revenue, fingerprint, stopword_score_by_lang) head the
+# round-11 freshness queue with the r03 cohort.
 _GATE_PRIORITY_R10 = [
     "sosfilt_full", "sosfilt_blocks_full",
     "dp_noised_counts", "user_erasure",
@@ -9070,16 +9235,15 @@ _GATE_PRIORITY_R10 = [
     "k_core", "c4_clean", "label_propagation",
     "cuped_stratified", "packing_efficiency",
     "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
-    "gram_novelty", "kappa_classifiers",
+    "gram_novelty", "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 22 freshness re-gates (latest driver row: round 1)
+    # 20 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
     "detrend_linear", "pad", "extend_edge", "expand_upsample",
-    "mult_along_channel", "squeeze_expand",
 ]
 
 
@@ -13378,6 +13542,95 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(N * A - S AS DOUBLE)
                      / nullif(CAST(N * N - S AS DOUBLE), 0.0), 9) AS kappa
         FROM tot CROSS JOIN sm"""
+
+    _ndcg_qt_vals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid, s in _BM25_QUERIES.items()
+        for w in sorted(set(s.split()))
+    )
+    o["ndcg_eval"] = f"""
+        WITH bm AS (
+          SELECT query_id, doc_id, rank FROM ({o["bm25_topk"]})
+        ), toks AS (
+          SELECT DISTINCT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), qt (query_id, word) AS (VALUES {_ndcg_qt_vals}),
+        rel_tbl AS (
+          SELECT qt.query_id, toks.doc_id,
+                 CAST(count(*) AS BIGINT) AS rel
+          FROM qt JOIN toks USING (word)
+          GROUP BY qt.query_id, toks.doc_id
+        ), scored AS (
+          SELECT bm.query_id, bm.doc_id, bm.rank,
+                 CAST(coalesce(r.rel, 0) AS BIGINT) AS rel
+          FROM bm LEFT JOIN rel_tbl r
+            ON r.query_id = bm.query_id AND r.doc_id = bm.doc_id
+        ), gains AS (
+          SELECT query_id,
+                 CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                            / log2(CAST(rank AS DOUBLE) + 1.0) * 1e9)
+                      AS BIGINT) AS du,
+                 CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                            / log2(CAST(irank AS DOUBLE) + 1.0) * 1e9)
+                      AS BIGINT) AS iu
+          FROM (
+            SELECT query_id, doc_id, rank, rel,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY rel DESC, doc_id
+                   ) AS BIGINT) AS irank
+            FROM scored
+          )
+        )
+        SELECT query_id,
+               CAST(sum(du) AS BIGINT) AS dcg_units,
+               CAST(sum(iu) AS BIGINT) AS idcg_units,
+               round(CAST(sum(du) AS DOUBLE)
+                     / nullif(CAST(sum(iu) AS DOUBLE), 0.0), 9) AS ndcg
+        FROM gains GROUP BY query_id"""
+
+    o["roc_auc_binned"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        per_doc AS (
+          SELECT doc_id,
+                 max(CASE WHEN score_lang = 'en' THEN log_score END)
+                   AS sen,
+                 max(CASE WHEN score_lang <> 'en' THEN log_score END)
+                   AS sot,
+                 max(CASE WHEN score_lang = 'en' THEN n_tokens END) AS nt
+          FROM nb GROUP BY doc_id
+        ), en AS (
+          SELECT p.sen, p.sot, p.nt, d.lang
+          FROM per_doc p JOIN documents d USING (doc_id)
+        ), h AS (
+          SELECT CAST(least(greatest(floor(
+                   ((sen - sot) / CAST(nt AS DOUBLE) + 0.5) * 1024.0
+                 ), 0), 1023) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS neg
+          FROM en GROUP BY 1
+        ), cum AS (
+          SELECT a.b, a.pos, a.neg,
+                 CAST(coalesce(sum(c.n2), 0) AS BIGINT) AS nbelow
+          FROM h a LEFT JOIN (SELECT b AS b2, neg AS n2 FROM h) c
+            ON c.b2 < a.b
+          GROUP BY a.b, a.pos, a.neg
+        )
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               CAST(sum(pos * (2 * nbelow + neg)) AS BIGINT) AS u2,
+               round(CAST(sum(pos * (2 * nbelow + neg)) AS DOUBLE)
+                     / nullif(CAST(2 * sum(pos) * sum(neg) AS DOUBLE),
+                              0.0), 9) AS auc
+        FROM cum"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

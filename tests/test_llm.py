@@ -2320,3 +2320,101 @@ class TestKappaClassifiers:
         assert row.pe == round(S / (N * N), 9)
         assert row.kappa == round((N * A - S) / (N * N - S), 9)
         assert abs(row.kappa - (row.po - row.pe) / (1 - row.pe)) < 1e-6
+
+
+class TestNdcgEval:
+    def test_matches_python_recompute(self, spark):
+        """Recompute NDCG@10 in python from the (independently oracled)
+        BM25 lists and the raw texts — identical rel grading,
+        quantization, and ideal ordering."""
+        import math
+
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r.query_id: (r.dcg_units, r.idcg_units, r.ndcg)
+            for r in entry.queries()["ndcg_eval"](spark, sf).collect()
+        }
+
+        bm = entry.queries()["bm25_topk"](spark, sf).collect()
+        texts = {
+            r.doc_id: set(
+                w for w in r.text.lower().strip().split() if w
+            )
+            for r in spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("text").isNotNull())
+            .collect()
+        }
+        qterms = {
+            qid: set(s.split()) for qid, s in entry._BM25_QUERIES.items()
+        }
+        exp = {}
+        for qid in qterms:
+            rows = sorted(
+                [r for r in bm if r.query_id == qid], key=lambda r: r.rank
+            )
+            rels = [
+                len(qterms[qid] & texts.get(r.doc_id, set())) for r in rows
+            ]
+            u = lambda rel, rank: int(
+                round((float((1 << rel) - 1) / math.log2(rank + 1.0)) * 1e9)
+            )
+            dcg = sum(u(rel, r.rank) for rel, r in zip(rels, rows))
+            # ideal order: rel desc (tie order irrelevant to the sum)
+            idcg = sum(
+                u(rel, i + 1)
+                for i, rel in enumerate(sorted(rels, reverse=True))
+            )
+            exp[qid] = (dcg, idcg, round(dcg / idcg, 9) if idcg else None)
+        assert got == exp
+        for dcg, idcg, ndcg in got.values():
+            assert 0 < dcg <= idcg and 0 < ndcg <= 1.0
+
+
+class TestRocAucBinned:
+    def test_matches_python_recompute(self, spark):
+        """Recompute the binned Mann-Whitney AUC in python from the
+        (independently oracled) NB scores: same one-vs-rest margin,
+        same fixed 1024-bin grid, same midrank tie handling, same
+        single division."""
+        import math
+
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        row = entry.queries()["roc_auc_binned"](spark, sf).collect()[0]
+
+        nb = entry.queries()["nb_lang_scores"](spark, sf).collect()
+        sen, sot, nt = {}, {}, {}
+        for r in nb:
+            if r.score_lang == "en":
+                sen[r.doc_id] = r.log_score
+                nt[r.doc_id] = r.n_tokens
+            else:
+                sot[r.doc_id] = max(
+                    sot.get(r.doc_id, float("-inf")), r.log_score
+                )
+        langs = {
+            r.doc_id: r.lang
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+        }
+        hist = {}
+        for d in sen:
+            s = (sen[d] - sot[d]) / float(nt[d])
+            b = min(max(math.floor((s + 0.5) * 1024.0), 0), 1023)
+            p, n = hist.get(b, (0, 0))
+            if langs[d] == "en":
+                hist[b] = (p + 1, n)
+            else:
+                hist[b] = (p, n + 1)
+        n_pos = sum(p for p, _ in hist.values())
+        n_neg = sum(n for _, n in hist.values())
+        u2 = 0
+        for b, (p, n) in hist.items():
+            nbelow = sum(n2 for b2, (_, n2) in hist.items() if b2 < b)
+            u2 += p * (2 * nbelow + n)
+        assert (row.n_pos, row.n_neg, row.u2) == (n_pos, n_neg, u2)
+        assert row.auc == round(u2 / (2 * n_pos * n_neg), 9)
+        # the margin must separate en docs better than chance
+        assert row.auc > 0.55
