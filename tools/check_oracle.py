@@ -61,7 +61,14 @@ def main():
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    sys.path.insert(0, "/root/repo")
+    # resolve the repo from THIS script's location, not a hardcoded
+    # path — running the tool inside a scratch clone must check the
+    # clone's registry, not /root/repo's (a hardcoded path silently
+    # re-verified the wrong tree when proving the round-10 merge)
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     import __spark_entry__ as entrymod
     from openseize_spark.session import get_spark
 
@@ -79,6 +86,13 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     results = {}
+    unknown = only - set(qs)
+    if unknown:
+        sys.exit(
+            f"unknown query names (not in this tree's registry): "
+            f"{sorted(unknown)} — a silent skip here once masked an "
+            f"un-run window"
+        )
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -148,7 +162,7 @@ def main():
         import subprocess
 
         head = subprocess.run(
-            ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+            ["git", "-C", repo, "rev-parse", "HEAD"],
             capture_output=True,
             text=True,
         ).stdout.strip()

@@ -296,7 +296,11 @@ def _probe(names, oracles, sf_dir="/root/testdata/sf0.01") -> int:
 
 
 def main() -> int:
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __spark_entry__ as entrymod
 
     args = sys.argv[1:]

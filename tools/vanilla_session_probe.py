@@ -35,7 +35,12 @@ def main():
 
     ref = json.load(open(ref_path))["queries"]
 
-    sys.path.insert(0, "/root/repo")
+    # resolve the repo from this script's location (see check_oracle.py:
+    # a hardcoded /root/repo silently probes the wrong tree in a clone)
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
