@@ -8327,6 +8327,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["roc_auc_binned"] = q_roc_auc_binned
 
+    def q_bfs_distances(spark, sf_dir):
+        """Multi-source BFS (llm/dedup.bfs_distances) over the
+        undirected customer-part purchase graph: exact hop distance
+        from the seed customers (custkey % 97 == 0) up to 4 hops —
+        the neighborhood-expansion / blast-radius query, sixth
+        iterative-algorithm shape.  Customer and part keys share an
+        integer space, so node ids disambiguate as 2k / 2k+1.  Per
+        hop one frontier equi-join against the checkpointed edge list
+        + one anti-join; all-integer."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        seeds = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 97 == 0)
+            .select((F.col("c_custkey") * 2).cast("bigint").alias("id"))
+        )
+        return dedup.bfs_distances(edges, seeds, max_hops=4)
+
+    q["bfs_distances"] = q_bfs_distances
+
+    def q_target_encode(spark, sf_dir):
+        """Leave-one-out target encoding of the customer nation key by
+        account balance — the standard high-cardinality categorical
+        encoder for tabular ML, with the row's own target excluded so
+        the feature does not leak the label: enc_i =
+        (group_sum - x_i) / (group_count - 1).  Cents are exact
+        int64, the group moments come from ONE aggregation broadcast
+        back (no window), each encode is a single division of
+        identical int64 operands — emitted UNROUNDED because the IEEE
+        quotient is bit-equal across engines while round-at-9 would
+        re-introduce an engine-specific tie-break (the label_centroids
+        lesson); nullif-guarded for singleton groups."""
+        c = _t(spark, sf_dir, "customer")
+        cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+        base = c.select(
+            "c_custkey", "c_nationkey", cents.alias("_c")
+        )
+        g = base.groupBy("c_nationkey").agg(
+            F.sum("_c").cast("bigint").alias("_s"),
+            F.count("*").cast("bigint").alias("_n"),
+        )
+        return base.join(F.broadcast(g), on="c_nationkey").select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("_c").alias("acctbal_cents"),
+            (
+                (F.col("_s") - F.col("_c")).cast("double")
+                / F.nullif((F.col("_n") - 1).cast("double"), F.lit(0.0))
+            ).alias("loo_cents"),
+        )
+
+    q["target_encode"] = q_target_encode
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -9161,14 +9222,15 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers THIRTEEN new queries (322
+    # re-gate.  This branch also registers FIFTEEN new queries (324
     # total): "k_core", "c4_clean", "label_propagation",
     # "cuped_stratified", "packing_efficiency", "priority_sample",
     # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
-    # "kappa_classifiers", "ndcg_eval", "roc_auc_binned" — each fully
-    # oracled, audited (type/diff/plan/shuffle-invariance/float-order/
-    # vanilla), and pytest-covered; include them in the r10 head so
-    # they gate in their first round.
+    # "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
+    # "bfs_distances", "target_encode" — each fully oracled, audited
+    # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
+    # pytest-covered; include them in the r10 head so they gate in
+    # their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -9213,16 +9275,17 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the thirteen new
+# spilled conversions (backlog reaches ZERO), the fifteen new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 20
+# insurance: pac / pac_surrogates / cluster_cohesion), then 18
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 18
-# remaining r01-latest rows (mult_along_channel, squeeze_expand,
+# flagship signal/relational layers on current code).  The 20
+# remaining r01-latest rows (extend_edge, expand_upsample,
+# mult_along_channel, squeeze_expand,
 # set_ops, pivot_status, rollup_revenue, priority_exists,
-# top_customers_by_orders, text_stats — displaced by the eight newest
+# top_customers_by_orders, text_stats — displaced by the ten newest
 # registrations — plus extend_even, extend_odd, mult_along_time,
 # scalar_mult, distinct_pairs, rank_parts, moving_average,
 # filtered_revenue, fingerprint, stopword_score_by_lang) head the
@@ -9236,14 +9299,15 @@ _GATE_PRIORITY_R10 = [
     "cuped_stratified", "packing_efficiency",
     "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
     "gram_novelty", "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
+    "bfs_distances", "target_encode",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 20 freshness re-gates (latest driver row: round 1)
+    # 18 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
-    "detrend_linear", "pad", "extend_edge", "expand_upsample",
+    "detrend_linear", "pad",
 ]
 
 
@@ -13631,6 +13695,35 @@ def oracle_sql() -> dict[str, str]:
                      / nullif(CAST(2 * sum(pos) * sum(neg) AS DOUBLE),
                               0.0), 9) AS auc
         FROM cum"""
+
+    o["bfs_distances"] = dedup.bfs_distances_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS a,
+                          CAST(l.l_partkey * 2 + 1 AS BIGINT) AS b
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        seeds_cte="""
+          SELECT CAST(c_custkey * 2 AS BIGINT) AS id
+          FROM customer WHERE c_custkey % 97 = 0""",
+        max_hops=4,
+    )
+
+    o["target_encode"] = """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS c
+          FROM customer
+        ), g AS (
+          SELECT c_nationkey,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY c_nationkey
+        )
+        SELECT CAST(b.c_custkey AS BIGINT) AS custkey,
+               CAST(b.c_nationkey AS BIGINT) AS nationkey,
+               b.c AS acctbal_cents,
+               CAST(g.s - b.c AS DOUBLE)
+                 / nullif(CAST(g.n - 1 AS DOUBLE), 0.0) AS loo_cents
+        FROM base b JOIN g USING (c_nationkey)"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

@@ -2146,6 +2146,115 @@ def hits_oracle_sql(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected pair graph:
+    the exact hop distance from the nearest seed, up to ``max_hops`` —
+    the sixth iterative-algorithm shape (after connected components,
+    PageRank, k-means, k-core, label propagation, HITS).  On the
+    near-dup graph it measures contamination BLAST RADIUS (how far a
+    flagged document's duplication neighborhood extends); on an
+    interaction graph it is the collaborative-filtering neighborhood
+    expansion.
+
+    All-integer: distances are hop counts, frontier membership is set
+    algebra (anti-join), nothing floats.  ``max_hops`` is fixed —
+    bounded plan depth, no convergence collect — and the loop breaks
+    early via a count() on the (already materialized) frontier when it
+    empties, so no empty rounds are planned.
+
+    Scale shape per hop: one equi-join of the (pre-partitioned,
+    checkpointed) undirected edge list against the frontier (only
+    frontier-adjacent edges flow), one distinct, one anti-join against
+    the visited set — the textbook distributed frontier expansion.
+    The visited set is re-checkpointed per hop so lineage stays flat.
+
+    Returns (id, dist) for every node within ``max_hops`` of a seed
+    (seeds at dist 0); unreached nodes are absent.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        und = (
+            edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(
+                edges.select(
+                    F.col(b_col).alias("x"), F.col(a_col).alias("y")
+                )
+            )
+            .repartition(n_part, "x")
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            seeds.select(F.col(seed_col).alias("id"))
+            .distinct()
+            .select("id", F.lit(0).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist
+        for hop in range(1, max_hops + 1):
+            if frontier.count() == 0:
+                break
+            nxt = (
+                und.join(
+                    frontier.withColumnRenamed("id", "x").select("x"),
+                    on="x",
+                )
+                .select(F.col("y").alias("id"))
+                .distinct()
+                .join(dist.select("id"), on="id", how="left_anti")
+                .select("id", F.lit(hop).cast("bigint").alias("dist"))
+            )
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = dist.filter(F.col("dist") == hop)
+    return dist
+
+
+def bfs_distances_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 4,
+) -> str:
+    """DuckDB replay of :func:`bfs_distances`: ``edges_cte`` selects
+    (a, b), ``seeds_cte`` selects (id); hops unroll as materialized
+    frontier CTEs (the engine's early break on an empty frontier is
+    value-neutral — an empty frontier contributes no rows either way).
+    """
+    ctes = [
+        f"""WITH e0 AS ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM e0
+          UNION ALL SELECT b AS x, a AS y FROM e0
+        ),
+        d0 AS MATERIALIZED (
+          SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist
+          FROM ({seeds_cte})
+        )"""
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f""", f{h} AS (
+          SELECT DISTINCT und.y AS id FROM und
+          JOIN d{h-1} ON und.x = d{h-1}.id AND d{h-1}.dist = {h - 1}
+        ), d{h} AS MATERIALIZED (
+          SELECT id, dist FROM d{h-1}
+          UNION ALL
+          SELECT f{h}.id, CAST({h} AS BIGINT) AS dist FROM f{h}
+          WHERE f{h}.id NOT IN (SELECT id FROM d{h-1})
+        )"""
+        )
+    return "".join(ctes) + f"""
+        SELECT id, dist FROM d{max_hops}"""
+
+
 # ------------------------------------------------------------- bloom filter
 def bloom_positions(fp_col, m: int, k: int):
     """The ``k`` Bloom bit positions of a fingerprint column: salted

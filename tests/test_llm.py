@@ -2418,3 +2418,111 @@ class TestRocAucBinned:
         assert row.auc == round(u2 / (2 * n_pos * n_neg), 9)
         # the margin must separate en docs better than chance
         assert row.auc > 0.55
+
+
+class TestBfsDistances:
+    @staticmethod
+    def _brute(edges, seeds, max_hops):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, max_hops + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        nxt.add(v)
+            for v in nxt:
+                dist[v] = h
+            frontier = nxt
+            if not frontier:
+                break
+        return dist
+
+    def _run(self, spark, edges, seeds, max_hops):
+        e = spark.createDataFrame(edges, "a long, b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        return {
+            r.id: r.dist
+            for r in dedup.bfs_distances(e, s, max_hops=max_hops).collect()
+        }
+
+    def test_matches_python_brute_force(self, spark):
+        # two chains sharing a hub + an unreachable island
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7), (8, 9)]
+        for hops in (1, 2, 4):
+            got = self._run(spark, edges, [1], hops)
+            assert got == self._brute(edges, [1], hops), f"hops={hops}"
+        # island absent at any hop budget
+        assert 8 not in self._run(spark, edges, [1], 4)
+
+    def test_multi_source_takes_nearest(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        got = self._run(spark, edges, [1, 5], 4)
+        assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+    def test_early_break_on_empty_frontier(self, spark):
+        # diameter 1; max_hops 4 must not add rows or fail
+        got = self._run(spark, [(1, 2)], [1], 4)
+        assert got == {1: 0, 2: 1}
+
+    def test_isolated_seed_kept_at_zero(self, spark):
+        got = self._run(spark, [(1, 2)], [99], 3)
+        assert got == {99: 0}
+
+
+class TestTargetEncode:
+    def test_matches_python_recompute(self, spark):
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["target_encode"](spark, sf).collect()
+        c = spark.read.parquet(f"{sf}/customer.parquet").collect()
+        cents = {r.c_custkey: int(round(r.c_acctbal * 100)) for r in c}
+        groups = {}
+        for r in c:
+            s, n = groups.get(r.c_nationkey, (0, 0))
+            groups[r.c_nationkey] = (s + cents[r.c_custkey], n + 1)
+        assert len(rows) == len(c)
+        for r in rows:
+            s, n = groups[r.nationkey]
+            assert r.acctbal_cents == cents[r.custkey]
+            if n == 1:
+                assert r.loo_cents is None
+            else:
+                assert r.loo_cents == (s - cents[r.custkey]) / (n - 1)
+
+    def test_loo_excludes_own_row(self, spark):
+        # two-row group: each row's encoding is exactly the OTHER value
+        df = spark.createDataFrame(
+            [(1, 10, 100.0), (2, 10, 300.0), (3, 20, 50.0)],
+            "c_custkey long, c_nationkey long, c_acctbal double",
+        )
+        import __spark_entry__  # noqa: F401 — same formula, inline here
+        from pyspark.sql import functions as FF
+
+        cents = FF.round(FF.col("c_acctbal") * 100).cast("bigint")
+        base = df.select("c_custkey", "c_nationkey", cents.alias("_c"))
+        g = base.groupBy("c_nationkey").agg(
+            FF.sum("_c").cast("bigint").alias("_s"),
+            FF.count("*").cast("bigint").alias("_n"),
+        )
+        out = {
+            r.c_custkey: r.loo
+            for r in base.join(FF.broadcast(g), on="c_nationkey")
+            .select(
+                "c_custkey",
+                (
+                    (FF.col("_s") - FF.col("_c")).cast("double")
+                    / FF.nullif(
+                        (FF.col("_n") - 1).cast("double"), FF.lit(0.0)
+                    )
+                ).alias("loo"),
+            )
+            .collect()
+        }
+        assert out[1] == 30000.0 and out[2] == 10000.0
+        assert out[3] is None
