@@ -3740,6 +3740,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_cusum"] = q_streaming_cusum
 
+    def q_streaming_hll(spark, sf_dir):
+        """Streaming HyperLogLog distinct-user registers per event type
+        (streaming/stateful.streaming_hll) — the mergeable-sketch
+        family on the streaming surface, fourth applyInPandasWithState
+        operator: bounded 2^5-register state per key, emitted as an
+        exact-int64 summary after each of three sequential
+        ts-range micro-batch files.  Batch cuts are pure integer
+        microsecond arithmetic (span = (hi - lo) div 3) so the oracle
+        replays them; per-key batch_idx counts the batches THE KEY
+        appeared in (the oracle ranks its present prefixes).  The
+        float estimate is computed HERE from the streamed integers —
+        one multiply + one divide (+ the linear-counting ln branch),
+        the hll_estimate expression shape."""
+        import os
+        import shutil
+
+        from openseize_spark.llm.sketch import _hll_alpha
+        from openseize_spark.streaming.stateful import streaming_hll
+
+        b = 5
+        m = 1 << b
+        alpha = _hll_alpha(m)
+        e = (
+            _events(spark, sf_dir)
+            .filter(
+                F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
+            .select(
+                "event_type", "user_id", F.unix_micros("ts").alias("_us")
+            )
+        )
+        d = _gate_tmp(
+            spark, "shll_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        row = e.agg(
+            F.min("_us").alias("lo"), F.max("_us").alias("hi")
+        ).collect()[0]
+        lo, span = row.lo, (row.hi - row.lo) // 3
+        conds = [
+            F.col("_us") < lo + span,
+            (F.col("_us") >= lo + span) & (F.col("_us") < lo + 2 * span),
+            F.col("_us") >= lo + 2 * span,
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_hll(stream, b=b)
+        qname = "gate_streaming_hll"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        res = spark.table(qname)
+        raw = F.lit(alpha * m * m * float(1 << 32)) / F.col("sum_units")
+        est = F.when(
+            (F.col("n_empty") > 0) & (raw <= 2.5 * m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+        ).otherwise(raw)
+        return res.select(
+            "event_type",
+            "batch_idx",
+            "npresent",
+            "n_empty",
+            "sum_units",
+            F.round(est, 6).alias("est_distinct"),
+        )
+
+    q["streaming_hll"] = q_streaming_hll
+
     def q_pipeline_chain(spark, sf_dir):
         """Pipeline.append chaining (reference tools/pipeline.py:16-124):
         decimate -> standardize -> FIR appended with kwargs bound and
@@ -9222,12 +9304,13 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers FIFTEEN new queries (324
+    # re-gate.  This branch also registers SIXTEEN new queries (325
     # total): "k_core", "c4_clean", "label_propagation",
     # "cuped_stratified", "packing_efficiency", "priority_sample",
     # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
     # "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
-    # "bfs_distances", "target_encode" — each fully oracled, audited
+    # "bfs_distances", "target_encode", "streaming_hll" (the fourth
+    # applyInPandasWithState surface) — each fully oracled, audited
     # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
     # pytest-covered; include them in the r10 head so they gate in
     # their first round.
@@ -9275,17 +9358,17 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the fifteen new
+# spilled conversions (backlog reaches ZERO), the sixteen new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 18
+# insurance: pac / pac_surrogates / cluster_cohesion), then 17
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 20
-# remaining r01-latest rows (extend_edge, expand_upsample,
+# flagship signal/relational layers on current code).  The 21
+# remaining r01-latest rows (pad, extend_edge, expand_upsample,
 # mult_along_channel, squeeze_expand,
 # set_ops, pivot_status, rollup_revenue, priority_exists,
-# top_customers_by_orders, text_stats — displaced by the ten newest
+# top_customers_by_orders, text_stats — displaced by the eleven newest
 # registrations — plus extend_even, extend_odd, mult_along_time,
 # scalar_mult, distinct_pairs, rank_parts, moving_average,
 # filtered_revenue, fingerprint, stopword_score_by_lang) head the
@@ -9299,15 +9382,15 @@ _GATE_PRIORITY_R10 = [
     "cuped_stratified", "packing_efficiency",
     "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
     "gram_novelty", "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
-    "bfs_distances", "target_encode",
+    "bfs_distances", "target_encode", "streaming_hll",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 18 freshness re-gates (latest driver row: round 1)
+    # 17 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
-    "detrend_linear", "pad",
+    "detrend_linear",
 ]
 
 
@@ -10363,6 +10446,64 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, event_id, CAST(s AS BIGINT) AS s, alarm FROM r
     """
+
+    from openseize_spark.llm.sketch import _hll_alpha as _ha
+
+    _shll_h = sampling.salted_hash_sql("user_id", "hll")
+    _shll_alpha_lit = repr(_ha(32) * 32 * 32 * float(1 << 32))
+    o["streaming_hll"] = f"""
+        WITH e AS (
+          SELECT event_type, user_id, epoch_us(ts) AS us
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), bounds AS (
+          SELECT min(us) AS lo, (max(us) - min(us)) // 3 AS span FROM e
+        ), tagged AS (
+          SELECT e.event_type, e.user_id,
+                 CASE WHEN us < lo + span THEN 0
+                      WHEN us < lo + 2 * span THEN 1
+                      ELSE 2 END AS gb
+          FROM e CROSS JOIN bounds
+        ), present AS (
+          SELECT event_type, gb,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY gb
+                 ) - 1 AS BIGINT) AS batch_idx
+          FROM (SELECT DISTINCT event_type, gb FROM tagged)
+        ), hx AS (
+          SELECT event_type, gb,
+                 {_shll_h} // {1 << 27} AS bucket,
+                 {_shll_h} % {1 << 27} AS rest
+          FROM tagged
+        ), regs AS (
+          SELECT p.event_type, p.batch_idx, hx.bucket,
+                 CAST(max(CASE WHEN rest = 0 THEN 28
+                               ELSE 28 - length(bin(rest)) END)
+                      AS BIGINT) AS m_j
+          FROM present p
+          JOIN hx ON hx.event_type = p.event_type AND hx.gb <= p.gb
+          GROUP BY p.event_type, p.batch_idx, hx.bucket
+        ), agg AS (
+          SELECT event_type, batch_idx,
+                 CAST(count(*) AS BIGINT) AS npresent,
+                 CAST(sum(CAST(pow(2.0, 32 - m_j) AS BIGINT)) AS BIGINT)
+                   AS sp
+          FROM regs GROUP BY event_type, batch_idx
+        ), one AS (
+          SELECT event_type, batch_idx, npresent,
+                 CAST(32 - npresent AS BIGINT) AS n_empty,
+                 CAST(sp + (32 - npresent) * (1::BIGINT << 32) AS BIGINT)
+                   AS sum_units
+          FROM agg
+        )
+        SELECT event_type, batch_idx, npresent, n_empty, sum_units,
+               round(CASE WHEN n_empty > 0
+                          AND {_shll_alpha_lit} / sum_units <= 80.0
+                     THEN 32.0 * ln(32.0 / n_empty)
+                     ELSE {_shll_alpha_lit} / sum_units
+                     END, 6) AS est_distinct
+        FROM one"""
 
     o["partition_pruning"] = """
         SELECT CAST(ts AS DATE) AS day, event_type,
