@@ -9394,6 +9394,16 @@ _GATE_PRIORITY_R10 = [
 ]
 
 
+# ROTATION PRE-APPLIED ON THIS BRANCH: r10-batch merges into main only
+# at round-10 start, AFTER CORRECTNESS_r09 lands (staging/README.md),
+# so the round-10 window above becomes the active gate head at exactly
+# the moment it should — the round-10 runbook collapses to
+# merge + local replica, with no manual list edit to get wrong.  The
+# round-9 window names stay registered; they simply drop below the
+# 50-slot boundary as freshly-driver-checked rows.
+_GATE_PRIORITY = _GATE_PRIORITY_R10
+
+
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
