@@ -1016,3 +1016,101 @@ class TestRougeNProperty:
                     round(2 * ov / (tr + tc), 9) if tr + tc else None,
                 )
         assert got == exp
+
+
+class TestPrioritySampleProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Drawn population sizes, weights, and k — including k >= n
+        (whole population kept, tau = 0) and heavy weight ties (the
+        key tiebreak decides) — must reproduce the exact integer
+        priority/tau/estimator arithmetic."""
+        import hashlib
+
+        from openseize_spark.llm import sampling
+
+        n = data.draw(st.integers(1, 40))
+        k = data.draw(st.integers(1, 12))
+        rows = [
+            (i, data.draw(st.integers(1, 5)) * 10) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {
+            r.key: (r.weight, r.priority_units, r.est_weight)
+            for r in sampling.priority_sample(
+                df, k=k, weight_col="n_chars"
+            ).collect()
+        }
+        HS = 1 << 32
+        scored = []
+        for key, w in rows:
+            h = int(
+                hashlib.md5(f"pri:{key}".encode()).hexdigest()[:8], 16
+            )
+            scored.append((key, w, (w * HS) // (h + 1)))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        tau = scored[k][2] if len(scored) > k else 0
+        exp = {
+            key: (w, q, float(max(w, tau)))
+            for key, w, q in scored[:k]
+        }
+        assert got == exp
+
+
+class TestBfsDistancesProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Random small graphs, random seed sets, random hop budgets —
+        the frontier expansion must equal a python BFS exactly,
+        including unreached nodes being absent and isolated seeds at
+        distance zero."""
+        n_nodes = data.draw(st.integers(2, 10))
+        edges = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, n_nodes - 1),
+                    st.integers(0, n_nodes - 1),
+                ).filter(lambda e: e[0] != e[1]),
+                min_size=1,
+                max_size=15,
+                unique=True,
+            )
+        )
+        seeds = data.draw(
+            st.lists(
+                st.integers(0, n_nodes - 1),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        hops = data.draw(st.integers(1, 4))
+
+        from openseize_spark.llm import dedup
+
+        e = spark.createDataFrame(edges, "a long, b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        got = {
+            r.id: r.dist
+            for r in dedup.bfs_distances(e, s, max_hops=hops).collect()
+        }
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {x: 0 for x in seeds}
+        frontier = set(seeds)
+        for h in range(1, hops + 1):
+            nxt = {
+                v
+                for u in frontier
+                for v in adj.get(u, ())
+                if v not in dist
+            }
+            for v in nxt:
+                dist[v] = h
+            frontier = nxt
+        assert got == dist
