@@ -1114,3 +1114,94 @@ class TestBfsDistancesProperty:
                 dist[v] = h
             frontier = nxt
         assert got == dist
+
+
+class TestHitsProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Random bipartite edge sets and round counts against the
+        exact integer recursion (max-normalization via the two-step
+        floor division)."""
+        edges = data.draw(
+            st.lists(
+                st.tuples(st.integers(1, 6), st.integers(101, 106)),
+                min_size=1,
+                max_size=14,
+                unique=True,
+            )
+        )
+        iters = data.draw(st.integers(1, 3))
+
+        from openseize_spark.llm import dedup
+
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        out = dedup.hits(df, iters=iters).collect()
+
+        S = 10**6
+        hubs = {s: S for s, _ in edges}
+        auths = {}
+        for _ in range(iters):
+            raw = {}
+            for s, d in edges:
+                raw[d] = raw.get(d, 0) + hubs[s]
+            m = max(raw.values())
+            auths = {d: v // max(m // S, 1) for d, v in raw.items()}
+            raw = {}
+            for s, d in edges:
+                raw[s] = raw.get(s, 0) + auths[d]
+            m = max(raw.values())
+            hubs = {s: v // max(m // S, 1) for s, v in raw.items()}
+        got_h = {r.id: r.score for r in out if r.node_type == "hub"}
+        got_a = {r.id: r.score for r in out if r.node_type == "auth"}
+        assert got_h == {k: v / 1e6 for k, v in hubs.items()}
+        assert got_a == {k: v / 1e6 for k, v in auths.items()}
+
+
+class TestGramNoveltyProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Drawn corpora from a tiny alphabet (so cross-doc gram
+        collisions actually occur) with drawn n."""
+        n = data.draw(st.integers(2, 3))
+        words = ["aa", "bb", "cc"]
+        texts = []
+        for i in range(data.draw(st.integers(1, 5))):
+            ws = data.draw(
+                st.lists(st.sampled_from(words), max_size=6)
+            )
+            texts.append((i, " ".join(ws)))
+
+        from openseize_spark.llm import dedup
+
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in dedup.gram_novelty(df, n=n).collect()
+        }
+
+        def grams(t):
+            ws = [w for w in t.lower().strip().split() if w]
+            return {
+                " ".join(ws[i : i + n])
+                for i in range(len(ws) - n + 1)
+            }
+
+        gsets = {i: grams(t) for i, t in texts}
+        first = {}
+        for i in sorted(gsets):
+            for g in gsets[i]:
+                first.setdefault(g, i)
+        exp = {
+            i: (
+                len(gs),
+                sum(1 for g in gs if first[g] == i),
+                round(
+                    sum(1 for g in gs if first[g] == i) / len(gs), 9
+                ),
+            )
+            for i, gs in gsets.items()
+            if gs
+        }
+        assert got == exp
