@@ -328,3 +328,14 @@ class TestStreamingHll:
         assert got[0] == self._batch_summary([1, 2, 3])
         assert got[1] == got[0]  # pure duplicates: registers unmoved
         assert got[2] == self._batch_summary([1, 2, 3, 4])
+
+    def test_absent_batch_advances_nothing(self, spark, tmp_path):
+        """A key with no rows in a micro-batch emits nothing for it and
+        its per-key batch counter does not advance — the contract the
+        oracle's rank-over-present-batches batch_idx relies on."""
+        batches = [[1, 2], [], [3]]
+        got = self._run(spark, tmp_path, batches)
+        # outputs exist for the key's two PRESENT batches, indexed 0, 1
+        assert set(got) == {0, 1}
+        assert got[0] == self._batch_summary([1, 2])
+        assert got[1] == self._batch_summary([1, 2, 3])
