@@ -8097,6 +8097,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rouge_pairs"] = q_rouge_pairs
 
+    def q_rouge_verify(spark, sf_dir):
+        """ROUGE-1/2 verification over the MinHash-LSH candidate pairs
+        — the composed fuzzy-containment decontamination pass the
+        rouge_n docstring advertises: candidates come from the
+        banding stack (never all-pairs), the clipped n-gram overlap
+        then grades HOW MUCH of the reference document the candidate
+        reproduces (recall) vs dilutes (precision) — the graded signal
+        a binary Jaccard threshold flattens.  Composes two
+        independently-gated layers; all counts exact int64, one
+        division per ratio."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        pairs = cand.select(
+            F.col("a").alias("ref_id"), F.col("b").alias("cand_id")
+        )
+        return llm_text.rouge_n(pairs, docs)
+
+    q["rouge_verify"] = q_rouge_verify
+
     def q_nb_calibration(spark, sf_dir):
         """Margin-binned calibration of the naive-Bayes language
         classifier: decision margin (top log-score minus runner-up,
@@ -9304,13 +9326,14 @@ _GATE_PRIORITY = [
     # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
     # (refcounted release; executed plans verified hash-identical,
     # see COVERAGE.md).  minhash_estimate got a comment only — no
-    # re-gate.  This branch also registers SIXTEEN new queries (325
+    # re-gate.  This branch also registers SEVENTEEN new queries (326
     # total): "k_core", "c4_clean", "label_propagation",
     # "cuped_stratified", "packing_efficiency", "priority_sample",
     # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
     # "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
     # "bfs_distances", "target_encode", "streaming_hll" (the fourth
-    # applyInPandasWithState surface) — each fully oracled, audited
+    # applyInPandasWithState surface), "rouge_verify" (ROUGE over the
+    # LSH candidate stack) — each fully oracled, audited
     # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
     # pytest-covered; include them in the r10 head so they gate in
     # their first round.
@@ -9358,17 +9381,18 @@ _GATE_PRIORITY = [
 # READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
 # and this branch merges): replace _GATE_PRIORITY's head with this
 # list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
-# spilled conversions (backlog reaches ZERO), the sixteen new
+# spilled conversions (backlog reaches ZERO), the seventeen new
 # registrations staged on this branch, the six staged re-gates (plan
 # changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
-# insurance: pac / pac_surrogates / cluster_cohesion), then 17
+# insurance: pac / pac_surrogates / cluster_cohesion), then 16
 # freshness re-gates — the oldest ever-checked driver evidence (all
 # latest-checked in round 1; zero code change, they re-confirm the
-# flagship signal/relational layers on current code).  The 21
-# remaining r01-latest rows (pad, extend_edge, expand_upsample,
+# flagship signal/relational layers on current code).  The 22
+# remaining r01-latest rows (detrend_linear, pad, extend_edge,
+# expand_upsample,
 # mult_along_channel, squeeze_expand,
 # set_ops, pivot_status, rollup_revenue, priority_exists,
-# top_customers_by_orders, text_stats — displaced by the eleven newest
+# top_customers_by_orders, text_stats — displaced by the twelve newest
 # registrations — plus extend_even, extend_odd, mult_along_time,
 # scalar_mult, distinct_pairs, rank_parts, moving_average,
 # filtered_revenue, fingerprint, stopword_score_by_lang) head the
@@ -9382,15 +9406,14 @@ _GATE_PRIORITY_R10 = [
     "cuped_stratified", "packing_efficiency",
     "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
     "gram_novelty", "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
-    "bfs_distances", "target_encode", "streaming_hll",
+    "bfs_distances", "target_encode", "streaming_hll", "rouge_verify",
     "er_pipeline", "blocking_yield", "theilsen_slope",
     "pac", "pac_surrogates", "cluster_cohesion",
-    # 17 freshness re-gates (latest driver row: round 1)
+    # 16 freshness re-gates (latest driver row: round 1)
     "pricing_summary", "running_total", "time_slice", "channel_select",
     "mask_compact", "interval_mask", "signal_add", "signal_stats",
     "standardize", "band_power", "power_norm", "nearest_bin",
     "segment_mean", "event_window_avg", "synth_signal", "decimate",
-    "detrend_linear",
 ]
 
 
@@ -13689,6 +13712,10 @@ def oracle_sql() -> dict[str, str]:
         pairs_sql="""
           SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+    )
+
+    o["rouge_verify"] = llm_text.rouge_n_oracle_sql(
+        pairs_sql=dedup.lsh_candidates_sql(k=5, num_hashes=64, bands=8)
     )
 
     o["nb_calibration"] = f"""

@@ -1430,6 +1430,20 @@ def _vpairs_ctes(
     return _cand_ctes(k, num_hashes, bands) + _verify_ctes(k, threshold)
 
 
+def lsh_candidates_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8
+) -> str:
+    """DuckDB query selecting the portable-md5 LSH candidate pairs
+    ``(ref_id, cand_id)`` — the composition hook for verify-stage
+    operators (rouge_verify, jaccard/containment/levenshtein gates)
+    that consume candidates rather than re-deriving them."""
+    return (
+        _cand_ctes(k, num_hashes, bands)
+        + """
+        SELECT a AS ref_id, b AS cand_id FROM cand"""
+    )
+
+
 def minhash_dedup_oracle_sql(
     k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
 ) -> str:

@@ -2526,3 +2526,32 @@ class TestTargetEncode:
         }
         assert out[1] == 30000.0 and out[2] == 10000.0
         assert out[3] is None
+
+
+class TestRougeVerify:
+    def test_composes_lsh_candidates_with_rouge(self, spark):
+        """rouge_verify must equal rouge_n run directly over the LSH
+        candidate pairs — the composition adds nothing but plumbing."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r.ref_id, r.cand_id, r.n): (r.overlap, r.recall, r.f1)
+            for r in entry.queries()["rouge_verify"](spark, sf).collect()
+        }
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        pairs = cand.select(
+            F.col("a").alias("ref_id"), F.col("b").alias("cand_id")
+        )
+        exp = {
+            (r.ref_id, r.cand_id, r.n): (r.overlap, r.recall, r.f1)
+            for r in text.rouge_n(pairs, docs).collect()
+        }
+        assert got == exp
+        assert got  # the candidate set is non-empty at sf0.001
+        # candidates are near-dups: overlap signal should be present
+        assert any(v[0] > 0 for v in got.values())
