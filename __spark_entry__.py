@@ -130,6 +130,93 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e
 
 
+def _theilsen_slope(e: DataFrame, max_inrow: int = 1000) -> DataFrame:
+    """Theil-Sen pairwise-slope median per user, guarded for unbounded
+    histories: users with at most ``max_inrow`` events expand their
+    C(n,2) pairs IN-ROW (one collect_list per user, quadratic fan-out
+    inside the row — the market-basket shape, cheapest when histories
+    are bounded); users above the threshold take the rank-self-join arm
+    (row_number window + equi join on (user, rank_a < rank_b)), which
+    spreads the same quadratic work across the partition instead of
+    concentrating ~48 bytes/pair in a single row (n=10k ≈ 2.3 GiB).
+
+    Both arms emit the IDENTICAL slope multiset: a pair's slope is
+    orientation-symmetric bit-exactly ((-a)/(-b) == a/b in IEEE), so
+    neither collect_list order nor rank order affects any value, and
+    the per-user median interpolates the same float multiset either
+    way.  The count that routes a user is a window aggregate over the
+    same user-keyed exchange every arm already needs — the guard costs
+    no extra shuffle, and each event row feeds exactly one arm.
+    """
+    base = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("_t"),
+        F.round(F.col("value") * 100).cast("bigint").alias("_v"),
+    ).withColumn("_n", F.count("*").over(W.partitionBy("user_id")))
+    small = base.filter((F.col("_n") <= max_inrow) & (F.col("_n") >= 2))
+    big = base.filter(F.col("_n") > max_inrow)
+
+    # arm A: bounded histories — in-row pair expansion
+    g = small.select(
+        "user_id",
+        F.struct(F.col("_t").alias("t"), F.col("_v").alias("v")).alias("_pt"),
+    ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
+    pts = F.col("_pts")
+    pair_arr = F.flatten(
+        F.transform(
+            pts,
+            lambda p1, i: F.transform(
+                F.slice(pts, i + F.lit(2), F.size(pts)),
+                lambda p2: F.struct(
+                    p1["t"].alias("_t1"),
+                    p1["v"].alias("_v1"),
+                    p2["t"].alias("_t2"),
+                    p2["v"].alias("_v2"),
+                ),
+            ),
+        )
+    )
+    slope_a = (
+        ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast("double")
+        / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
+    )
+    pairs_small = (
+        g.select("user_id", F.explode(pair_arr).alias("_p"))
+        .filter(F.col("_p._t2") != F.col("_p._t1"))
+        .select("user_id", slope_a.alias("_slope"))
+    )
+
+    # arm B: unbounded histories — rank self-join (any total order
+    # yields the same unordered-pair multiset)
+    wr = W.partitionBy("user_id").orderBy("_t", "_v")
+    ranked = big.withColumn("_r", F.row_number().over(wr))
+    ra, rb = ranked.alias("_A"), ranked.alias("_B")
+    slope_b = (
+        ((F.col("_B._v") - F.col("_A._v")) * 1000000).cast("double")
+        / (F.col("_B._t") - F.col("_A._t")).cast("double")
+    )
+    pairs_big = (
+        ra.join(
+            rb,
+            (F.col("_A.user_id") == F.col("_B.user_id"))
+            & (F.col("_A._r") < F.col("_B._r")),
+        )
+        .filter(F.col("_B._t") != F.col("_A._t"))
+        .select(F.col("_A.user_id").alias("user_id"), slope_b.alias("_slope"))
+    )
+
+    return (
+        pairs_small.unionByName(pairs_big)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(_slope, 0.5)"), 9).alias(
+                "median_slope_cps"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------ entry/smoke
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: band power per channel of a masked, standardized signal
@@ -813,6 +900,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sentence_stats"] = q_sentence_stats
 
+    def q_c4_clean(spark, sf_dir):
+        """C4-style cleaning at sentence grain (llm/text.py c4_clean):
+        doc-level drops for brace/lorem-ipsum/javascript content,
+        sentence-level keeps for terminally-punctuated sentences of
+        >= 3 words.  A deterministic subset (doc_id % 13 == 0) is
+        augmented with offending content so the doc rules actually
+        fire under the gate; both engines replay the identical
+        augmentation.  One codegen scan, no shuffle.  Round-10
+        registration (staged on the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        aug = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" Lorem ipsum {dolor}.")),
+            ).otherwise(F.col("text")),
+        )
+        return llm_text.c4_clean(aug, min_words=3)
+
+    q["c4_clean"] = q_c4_clean
+
     def q_minhash_estimate(spark, sf_dir):
         """Estimator-quality audit: for every LSH candidate pair, the
         MinHash Jaccard ESTIMATE (matching signature slots / 64) next
@@ -852,6 +960,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .alias("est_matches"),
             )
         )
+        # NOTE (round-9 measurement): anchoring `exact` on the result
+        # (tie_lifetime, keeping verify's internal candidate cache live
+        # at execution) was tried and is ~15% SLOWER at sf0.01 here —
+        # all four cand reads are IDENTICAL subtrees of one plan over
+        # the checkpointed sigs, so ReusedExchange already shares the
+        # banding shuffle and the cache write is pure overhead.  The
+        # build-time release (the finalizer firing when `exact`'s
+        # pre-join handle drops) is the measured-faster shape for this
+        # query; blocking_yield, whose candidate reads are NOT
+        # identical subtrees, measures 24% faster WITH the anchor.
         return est.join(exact, on=["a", "b"]).select(
             "a",
             "b",
@@ -2076,6 +2194,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["triangle_count"] = q_triangle_count
 
+    def q_k_core(spark, sf_dir):
+        """k-core of the verified near-dup graph (llm/dedup.py k_core):
+        iterative peeling until every surviving node has >= 2 in-core
+        neighbors — separates dense duplicate families from the
+        borderline chains and stars single-linkage components glue
+        together.  Unrolled-idempotent contract: Spark breaks at the
+        fixed point and raises if 12 rounds did not converge; the
+        oracle unrolls exactly 12 idempotent peels, so both engines
+        reach the identical core.  Round-10 registration (staged on
+        the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.k_core(dup.select("a", "b"), k=2).select(
+            F.col("id").alias("doc_id"), "core_degree"
+        )
+
+    q["k_core"] = q_k_core
+
+    def q_label_propagation(spark, sf_dir):
+        """Deterministic synchronous label propagation (llm/dedup.py
+        label_propagation) over the verified near-dup graph: 4 fixed
+        majority rounds with self-inclusion and a total (count DESC,
+        label ASC) tie-break, so the result is a pure function of the
+        graph — no random tie-breaks, no convergence claim, and the
+        oracle unrolls the identical rounds.  Splits thin-bridged
+        duplicate families the single-linkage components merge.
+        Round-10 registration (staged on the r10-batch branch)."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.label_propagation(dup.select("a", "b"), rounds=4).select(
+            F.col("id").alias("doc_id"), "label"
+        )
+
+    q["label_propagation"] = q_label_propagation
+
     def q_embedding_dedup(spark, sf_dir):
         emb = _t(spark, sf_dir, "embeddings")
         base = emb.select(
@@ -2337,18 +2494,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sf = _signal(spark, sf_dir)
         analytic = op_fir.hilbert_analytic(sf, hspec)
         # persist the shared analytic subtree: events and amplitudes both
-        # derive from it and would otherwise recompute the FIR window
+        # derive from it and would otherwise recompute the FIR window.
+        # The cache releases with the returned DataFrame (refcounted
+        # finalizer) — plan-neutral, no CacheManager entry outlives the
+        # result in a long-lived session.
         ph = op_fir.envelope_phase(analytic).persist()
         events = coupling.phase_events(
             ph.select("recording_id", "channel", "t", "phase"), target=0.5, tol=0.05
         )
         amp = ph.select("recording_id", "channel", "t", F.col("amplitude").alias("v"))
-        return coupling.pac_estimate(amp, events, window=32).select(
+        out = coupling.pac_estimate(amp, events, window=32).select(
             "channel",
             "offset",
             F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
             "n_events",
         )
+        return dedup.release_cache_with(out, ph)
 
     q["pac"] = q_pac
 
@@ -2724,12 +2885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [(i, (n * a) // b) for i, (a, b) in enumerate(_SURROGATE_FRACS)],
             "surrogate_id int, shift bigint",
         )
-        return coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
+        out = coupling.pac_surrogates(amp, events, 32, shifts, n_samples=n).select(
             "channel",
             "surrogate_id",
             "offset",
             F.round("mean_sq_amp", 9).alias("mean_sq_amp"),
         )
+        # cache releases with the returned DataFrame (refcounted)
+        return dedup.release_cache_with(out, ph)
 
     q["pac_surrogates"] = q_pac_surrogates
 
@@ -3576,6 +3739,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.sql(f"SELECT user_id, event_id, s, alarm FROM {qname}")
 
     q["streaming_cusum"] = q_streaming_cusum
+
+    def q_streaming_hll(spark, sf_dir):
+        """Streaming HyperLogLog distinct-user registers per event type
+        (streaming/stateful.streaming_hll) — the mergeable-sketch
+        family on the streaming surface, fourth applyInPandasWithState
+        operator: bounded 2^5-register state per key, emitted as an
+        exact-int64 summary after each of three sequential
+        ts-range micro-batch files.  Batch cuts are pure integer
+        microsecond arithmetic (span = (hi - lo) div 3) so the oracle
+        replays them; per-key batch_idx counts the batches THE KEY
+        appeared in (the oracle ranks its present prefixes).  The
+        float estimate is computed HERE from the streamed integers —
+        one multiply + one divide (+ the linear-counting ln branch),
+        the hll_estimate expression shape."""
+        import os
+        import shutil
+
+        from openseize_spark.llm.sketch import _hll_alpha
+        from openseize_spark.streaming.stateful import streaming_hll
+
+        b = 5
+        m = 1 << b
+        alpha = _hll_alpha(m)
+        e = (
+            _events(spark, sf_dir)
+            .filter(
+                F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
+            .select(
+                "event_type", "user_id", F.unix_micros("ts").alias("_us")
+            )
+        )
+        d = _gate_tmp(
+            spark, "shll_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        row = e.agg(
+            F.min("_us").alias("lo"), F.max("_us").alias("hi")
+        ).collect()[0]
+        lo, span = row.lo, (row.hi - row.lo) // 3
+        conds = [
+            F.col("_us") < lo + span,
+            (F.col("_us") >= lo + span) & (F.col("_us") < lo + 2 * span),
+            F.col("_us") >= lo + 2 * span,
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_hll(stream, b=b)
+        qname = "gate_streaming_hll"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        res = spark.table(qname)
+        raw = F.lit(alpha * m * m * float(1 << 32)) / F.col("sum_units")
+        est = F.when(
+            (F.col("n_empty") > 0) & (raw <= 2.5 * m),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_empty")),
+        ).otherwise(raw)
+        return res.select(
+            "event_type",
+            "batch_idx",
+            "npresent",
+            "n_empty",
+            "sum_units",
+            F.round(est, 6).alias("est_distinct"),
+        )
+
+    q["streaming_hll"] = q_streaming_hll
 
     def q_pipeline_chain(spark, sf_dir):
         """Pipeline.append chaining (reference tools/pipeline.py:16-124):
@@ -4618,7 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         node_m = cc.groupBy("component").agg(
             F.count("*").cast("bigint").alias("n_nodes")
         )
-        return (
+        out = (
             node_m.join(pair_m, on="component")
             .withColumn(
                 "cohesion",
@@ -4627,6 +4872,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )
+        # dup's cache materializes during connected_components' in-call
+        # rounds and pair_m reads it inside the returned plan; release
+        # it with the returned DataFrame (refcounted, plan-neutral)
+        return dedup.release_cache_with(out, dup)
 
     q["cluster_cohesion"] = q_cluster_cohesion
 
@@ -4757,8 +5006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (shingle drift vs bit drift vs shared prefixes).  Union-ing
         candidate GENERATORS is cheap (each is bounded); only the
         union reaches the expensive verify."""
-        from pyspark import StorageLevel
-
         docs = _t(spark, sf_dir, "documents")
         sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
         lsh = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select("a", "b")
@@ -4767,9 +5014,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "a", "b"
         )
         cand = lsh.union(sim).union(snm).distinct()
-        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        # The verify result has exactly ONE consumer here: the canonical
+        # edge build inside connected_components, which materializes via
+        # its own lazy localCheckpoint on the first in-call action (the
+        # returned component plan reads the final round's checkpoint,
+        # never the verify output, with include_self_pairs=False).  The
+        # old .persist() therefore paid a cache write that was never
+        # read back — and leaked its CacheManager entry.  The verify
+        # call's INTERNAL candidate cache serves its three in-plan
+        # consumers during that single materialization and releases when
+        # `dup` goes out of scope at return.
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
         cc = dedup.connected_components(
             dup.select("a", "b"), include_self_pairs=False
         )
@@ -4860,10 +5115,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             t = df.withColumn("family", F.lit(name))
             tagged = t if tagged is None else tagged.union(t)
         tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-        vp = dedup.jaccard_verify(
+        # keep a handle on the verify RESULT itself: its internal
+        # candidate cache is finalizer-scoped to THIS object — a
+        # .select() derivative would not carry the finalizer, and
+        # dropping the result at build time releases the cache before
+        # any action runs
+        vr = dedup.jaccard_verify(
             docs, tagged.select("a", "b").distinct(), k=5, threshold=0.8
-        ).select("a", "b", F.lit(1).alias("_v"))
-        return (
+        )
+        vp = vr.select("a", "b", F.lit(1).alias("_v"))
+        out = (
             tagged.join(vp, on=["a", "b"], how="left")
             .groupBy("family")
             .agg(
@@ -4879,6 +5140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             )
         )
+        # tagged feeds two consumers inside the returned plan (the
+        # verify's candidate build and the per-family join); release its
+        # cache with the returned DataFrame.  vr's internal candidate
+        # cache is scoped to vr's lifetime — anchor it on the result so
+        # the cache is still live when the outer plan executes (it was
+        # previously dropped at build time, releasing the cache before
+        # any action ran).
+        out = dedup.tie_lifetime(out, vr)
+        return dedup.release_cache_with(out, tagged)
 
     q["blocking_yield"] = q_blocking_yield
 
@@ -5297,79 +5567,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_theilsen_slope(spark, sf_dir):
         """Theil-Sen robust trend per user: the median of all pairwise
         slopes — insensitive to the outliers that tilt value_trend's
-        OLS.  ONE user-keyed shuffle total (the market-basket shape):
-        each user's bounded history aggregates to an in-row array and
-        the quadratic pair expansion happens inside the row — the slope
-        is symmetric ((v2-v1)/(t2-t1) == (v1-v2)/(t1-t2)), so the
-        unordered in-row combinations produce the identical slope
-        multiset the old rank self-join did, without the second window
-        build or any join.  Generate preserves the user partitioning,
-        so the final percentile aggregate is exchange-free.  Each slope
-        divides the exact integer cent delta by the exact microsecond
-        gap once, and the median interpolates the identical float
-        multiset in both engines (the rolling_median percentile
-        contract).
-
-        BOUNDED-HISTORY ASSUMPTION: the in-row expansion materializes
-        all C(n,2) pair structs of one user's history inside a single
-        row, so — unlike the fixed-bound market-basket rewrites
-        (top-30 vocab, per-order line count) — the per-row cost is
-        data-dependent: a power user with n events concentrates the
-        full O(n^2) expansion in one row/task (~48 bytes per pair;
-        n=10k ≈ 2.3 GiB in one row).  This shape is correct for
-        per-user event histories bounded to a few thousand rows (the
-        events table here: tens per user).  For unbounded histories
-        use the rank self-join shape instead (window rank + equi
-        self-join on user_id with rank_a < rank_b), which spreads the
-        same quadratic work across the partition — a per-user count
-        guard with that fallback is queued as a round-10 plan change
-        (this is an ever-checked-in-r8 query; see COVERAGE.md
-        "Round-10 batch plan")."""
+        OLS.  Delegates to the guarded ``_theilsen_slope`` helper:
+        bounded histories expand their C(n,2) pairs IN-ROW off one
+        user-keyed shuffle (the market-basket shape), while histories
+        past the 1000-event guard take the rank-self-join arm that
+        spreads the quadratic fan-out across the partition instead of
+        concentrating it in a single row — the power-user protection
+        the in-row shape alone lacks.  Both arms emit the identical
+        slope multiset (pair slopes are orientation-symmetric
+        bit-exactly), each slope divides the exact integer cent delta
+        by the exact microsecond gap once, and the median interpolates
+        the identical float multiset in both engines (the
+        rolling_median percentile contract)."""
         e = _events(spark, sf_dir).filter(
             F.col("value").isNotNull() & F.col("user_id").isNotNull()
         )
-        g = e.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("t"),
-                F.round(F.col("value") * 100).cast("bigint").alias("v"),
-            ).alias("_pt"),
-        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
-        pts = F.col("_pts")
-        pair_arr = F.flatten(
-            F.transform(
-                pts,
-                lambda p1, i: F.transform(
-                    F.slice(pts, i + F.lit(2), F.size(pts)),
-                    lambda p2: F.struct(
-                        p1["t"].alias("_t1"),
-                        p1["v"].alias("_v1"),
-                        p2["t"].alias("_t2"),
-                        p2["v"].alias("_v2"),
-                    ),
-                ),
-            )
-        )
-        pairs = (
-            g.filter(F.size("_pts") >= 2)
-            .select("user_id", F.explode(pair_arr).alias("_p"))
-            .filter(F.col("_p._t2") != F.col("_p._t1"))
-            .select(
-                "user_id",
-                (
-                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
-                        "double"
-                    )
-                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
-                ).alias("_slope"),
-            )
-        )
-        return pairs.groupBy("user_id").agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(
-                F.expr("percentile(_slope, 0.5)"), 9
-            ).alias("median_slope_cps"),
-        )
+        return _theilsen_slope(e)
 
     q["theilsen_slope"] = q_theilsen_slope
 
@@ -5597,6 +5810,91 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["cuped_adjust"] = q_cuped_adjust
+
+    def q_cuped_stratified(spark, sf_dir):
+        """Group-wise CUPED: the cuped_adjust experiment post-stratified
+        by pre-period engagement tier (per-user pre-period event count,
+        tercile cuts npre <= 30 'low', <= 36 'mid', else 'high').
+        theta and the covariate mean are computed WITHIN each tier from
+        exact int64 cent moments (the value_hour_corr discipline), so
+        stratification absorbs the engagement-mix difference between
+        arms that a single global theta leaves on the table.  A tier
+        whose pre-period covariate is constant has zero variance:
+        theta is nullif-guarded to NULL in both engines and the
+        adjusted mean falls back to the raw post mean
+        (coalesce(theta, 0)).  Tier moments are a bounded 3-row
+        broadcast; the per-user table aggregates once and each side of
+        the join is a short-key combine — no extra corpus shuffle over
+        plain CUPED.  Round-10 registration (staged on the r10-batch
+        branch)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        half = sampling.HASH_SPACE // 2
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        pre = F.col("ts") < F.lit("2024-01-16").cast("timestamp")
+        per_user = (
+            e.groupBy("user_id")
+            .agg(
+                F.sum(F.when(pre, cents).otherwise(0))
+                .cast("bigint")
+                .alias("x"),
+                F.sum(F.when(~pre, cents).otherwise(0))
+                .cast("bigint")
+                .alias("y"),
+                F.sum(F.when(pre, 1).otherwise(0))
+                .cast("bigint")
+                .alias("_npre"),
+            )
+            .withColumn(
+                "tier",
+                F.when(F.col("_npre") <= 30, "low")
+                .when(F.col("_npre") <= 36, "mid")
+                .otherwise("high"),
+            )
+            .withColumn(
+                "arm",
+                F.when(
+                    sampling.salted_hash(F.col("user_id"), "ab6") < half, "A"
+                ).otherwise("B"),
+            )
+        )
+        g = per_user.groupBy("tier").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("x").cast("bigint").alias("_sx"),
+            F.sum("y").cast("bigint").alias("_sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("_sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("_sxx"),
+        )
+        arms = per_user.groupBy("tier", "arm").agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("_ax"),
+            F.sum("y").cast("bigint").alias("_ay"),
+        )
+        theta = (
+            F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        ).cast("double") / F.nullif(
+            F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx"),
+            F.lit(0),
+        ).cast("double")
+        xbar = F.col("_sx").cast("double") / F.col("_n").cast("double")
+        nu = F.col("n_users").cast("double")
+        mean_post = F.col("_ay").cast("double") / nu
+        mean_adj = (
+            F.col("_ay").cast("double")
+            - F.coalesce(theta, F.lit(0.0))
+            * (F.col("_ax").cast("double") - nu * xbar)
+        ) / nu
+        return arms.join(F.broadcast(g), "tier").select(
+            "tier",
+            "arm",
+            "n_users",
+            F.round(mean_post, 9).alias("mean_post_cents"),
+            F.round(mean_adj, 9).alias("mean_adj_cents"),
+            F.round(theta, 9).alias("theta"),
+        )
+
+    q["cuped_stratified"] = q_cuped_stratified
 
     def q_link_prediction(spark, sf_dir):
         """Bipartite link prediction over the part-order graph: for part
@@ -7647,6 +7945,553 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["padding_waste"] = q_padding_waste
 
+    def q_packing_efficiency(spark, sf_dir):
+        """Sequence-packing efficiency: bucketed shelf packing — the
+        distributed closed form of first-fit-decreasing — vs the
+        fractional lower bound.  Docs longer than the context C=128 are
+        pre-chunked greedily (len div C full bins at zero waste; the
+        remainder joins its length bucket), so the semantics are total
+        over any length distribution.  Each width-16 length bucket
+        packs into shelves holding slots = C div upper docs (upper =
+        the bucket's inclusive ceiling), needing
+        (n + slots - 1) div slots bins — FFD run shelf-wise, where a
+        doc shares a shelf only with docs of its own bucket (the
+        classic shelf/harmonic bound, within one bucket-width of true
+        FFD).  All counts and wastes are exact int64; the two
+        efficiency ratios divide once at the end.  One corpus scan,
+        one <=8-row bucket aggregation, the global comparison row a
+        1-row broadcast — nothing here grows with the corpus except
+        the scan.  Round-10 registration (staged on the r10-batch
+        branch)."""
+        C, W = 128, 16
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        d = (
+            docs.select(
+                llm_text.token_count(F.col("text"))
+                .cast("bigint")
+                .alias("len")
+            )
+            .filter(F.col("len") > 0)
+            .select(
+                "len",
+                F.expr(f"len div {C}").cast("bigint").alias("full_bins"),
+                (F.col("len") % C).cast("bigint").alias("rem"),
+            )
+        )
+        per = (
+            d.filter(F.col("rem") > 0)
+            .withColumn("bucket", F.expr(f"(rem - 1) div {W}").cast("bigint"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("rem").cast("bigint").alias("sum_len"),
+            )
+            .withColumn("upper_len", ((F.col("bucket") + 1) * W).cast("bigint"))
+            .withColumn(
+                "slots_per_bin",
+                F.expr(f"{C} div upper_len").cast("bigint"),
+            )
+            .withColumn(
+                "bins",
+                F.expr("(n_docs + slots_per_bin - 1) div slots_per_bin")
+                .cast("bigint"),
+            )
+            .withColumn(
+                "waste_tokens",
+                (F.col("bins") * C - F.col("sum_len")).cast("bigint"),
+            )
+        )
+        shelf = per.agg(F.sum("bins").cast("bigint").alias("_shelf_bins"))
+        raw = d.agg(
+            F.sum("full_bins").cast("bigint").alias("_full_bins"),
+            F.sum("len").cast("bigint").alias("_total_len"),
+        )
+        g = raw.crossJoin(shelf).select(
+            (F.col("_full_bins") + F.col("_shelf_bins"))
+            .cast("bigint")
+            .alias("_total_bins"),
+            F.expr(f"(_total_len + {C} - 1) div {C}")
+            .cast("bigint")
+            .alias("_lb_bins"),
+            "_total_len",
+        )
+        return per.crossJoin(F.broadcast(g)).select(
+            "bucket",
+            "upper_len",
+            "slots_per_bin",
+            "n_docs",
+            "sum_len",
+            "bins",
+            "waste_tokens",
+            F.col("_total_bins").alias("total_bins"),
+            F.col("_lb_bins").alias("lb_bins"),
+            F.round(
+                F.col("_total_len").cast("double")
+                / (F.col("_total_bins") * C).cast("double"),
+                9,
+            ).alias("efficiency"),
+            F.round(
+                F.col("_total_len").cast("double")
+                / (F.col("_lb_bins") * C).cast("double"),
+                9,
+            ).alias("lb_efficiency"),
+        )
+
+    q["packing_efficiency"] = q_packing_efficiency
+
+    def q_priority_sample(spark, sf_dir):
+        """Priority sampling (Duffield-Lund-Thorup): the 50 documents
+        with the largest integer priorities w * 2^32 div (h + 1) —
+        weighted sampling without replacement whose tau-adjusted
+        weights make subset sums unbiased (llm/sampling.priority_sample).
+        One codegen projection + one TakeOrdered(k+1); the survivors
+        are control-sized and rank via a broadcast inequality
+        self-join, never a data-bearing single-partition window."""
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.priority_sample(
+            docs, k=50, weight_col="n_chars", key_col="doc_id", seed="pri"
+        )
+
+    q["priority_sample"] = q_priority_sample
+
+    def q_hits_scores(spark, sf_dir):
+        """HITS hubs/authorities over the bipartite customer -> part
+        purchase graph (llm/dedup.hits): 3 max-normalized rounds in
+        exact integer units — broad-basket customers score as hubs,
+        widely-bought parts as authorities.  The fifth iterative-
+        algorithm shape; per round the checkpointed edge list (stored
+        partitioned on each join key) meets two |V|-row score tables."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                F.col("o_custkey").alias("src"),
+                F.col("l_partkey").alias("dst"),
+            )
+            .distinct()
+        )
+        return dedup.hits(edges, iters=3, scale=10**6)
+
+    q["hits_scores"] = q_hits_scores
+
+    def q_rouge_pairs(spark, sf_dir):
+        """ROUGE-1/ROUGE-2 recall/precision/F1 per document pair
+        (llm/text.rouge_n) — the n-gram-overlap generation-eval metric
+        and the fuzzy-containment decontamination signal.  The pair
+        fixture is consecutive doc_ids (a pure equi-join on
+        doc_id + 1 — zero windows, zero ranks); production callers
+        supply eval pairs keyed by prompt id or LSH candidates.  All
+        counts exact int64, one division per ratio."""
+        docs = _t(spark, sf_dir, "documents")
+        pairs = docs.select(F.col("doc_id").alias("ref_id")).join(
+            docs.select(
+                (F.col("doc_id") - 1).alias("ref_id"),
+                F.col("doc_id").alias("cand_id"),
+            ),
+            on="ref_id",
+        )
+        return llm_text.rouge_n(pairs, docs)
+
+    q["rouge_pairs"] = q_rouge_pairs
+
+    def q_rouge_verify(spark, sf_dir):
+        """ROUGE-1/2 verification over the MinHash-LSH candidate pairs
+        — the composed fuzzy-containment decontamination pass the
+        rouge_n docstring advertises: candidates come from the
+        banding stack (never all-pairs), the clipped n-gram overlap
+        then grades HOW MUCH of the reference document the candidate
+        reproduces (recall) vs dilutes (precision) — the graded signal
+        a binary Jaccard threshold flattens.  Composes two
+        independently-gated layers; all counts exact int64, one
+        division per ratio."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        pairs = cand.select(
+            F.col("a").alias("ref_id"), F.col("b").alias("cand_id")
+        )
+        return llm_text.rouge_n(pairs, docs)
+
+    q["rouge_verify"] = q_rouge_verify
+
+    def q_nb_calibration(spark, sf_dir):
+        """Margin-binned calibration of the naive-Bayes language
+        classifier: decision margin (top log-score minus runner-up,
+        both already 9-digit-rounded and bit-identical across engines)
+        bucketed into width-1/4 bands capped at 9, each band's doc
+        count and argmax accuracy — the reliability table that decides
+        a routing threshold (completes train / score / evaluate /
+        CALIBRATE for the classifier loop).  The margin difference,
+        the division by the DYADIC band width (exact in IEEE), and
+        floor are engine-identical ops on identical inputs; accuracy
+        is one division of exact int64 counts."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        per_doc = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 2)
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("_rn") == 1, F.col("score_lang"))
+                ).alias("pred_lang"),
+                F.max(F.when(F.col("_rn") == 1, F.col("log_score"))).alias(
+                    "_s1"
+                ),
+                F.max(F.when(F.col("_rn") == 2, F.col("log_score"))).alias(
+                    "_s2"
+                ),
+            )
+        )
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        band = F.least(
+            F.floor((F.col("_s1") - F.col("_s2")) / F.lit(0.25)),
+            F.lit(9).cast("bigint"),
+        ).cast("bigint")
+        ok = F.when(F.col("pred_lang") == F.col("lang"), 1).otherwise(0)
+        return (
+            per_doc.join(truth, on="doc_id")
+            .select(band.alias("margin_band"), ok.alias("_ok"))
+            .groupBy("margin_band")
+            .agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum("_ok").cast("bigint").alias("n_correct"),
+                F.round(
+                    F.sum("_ok").cast("double")
+                    / F.count("*").cast("double"),
+                    9,
+                ).alias("accuracy"),
+            )
+        )
+
+    q["nb_calibration"] = q_nb_calibration
+
+    def q_gram_novelty(spark, sf_dir):
+        """Per-document 8-gram novelty in ingestion order
+        (llm/dedup.gram_novelty): the fraction of a doc's distinct
+        gram fingerprints first seen in THIS doc — the crawl-
+        saturation signal and the incremental-dedup drop score.  One
+        gram explode, two md5-keyed aggregates, one id rollup; exact
+        ints until the final division."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.gram_novelty(docs, n=8)
+
+    q["gram_novelty"] = q_gram_novelty
+
+    def q_kappa_classifiers(spark, sf_dir):
+        """Cohen's kappa agreement between the two language
+        classifiers the repo ships — the trained naive-Bayes argmax
+        (nb_lang_scores) and the marker-heuristic language_id — the
+        inter-rater check that decides whether a cheap heuristic can
+        replace the trained model for routing.  The (pred_nb,
+        pred_marker) contingency is at most |langs|^2 cells; po, pe,
+        and kappa = (N*agree - S) / (N^2 - S) with S = sum of
+        row*column marginal products are each ONE division of exact
+        int64 operands (the textbook float po/pe subtraction is
+        algebraically collapsed so no intermediate float combines)."""
+        docs = _t(spark, sf_dir, "documents")
+        nb = q_nb_lang_scores(spark, sf_dir)
+        w = W.partitionBy("doc_id").orderBy(
+            F.desc("log_score"), F.asc("score_lang")
+        )
+        p1 = (
+            nb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", F.col("score_lang").alias("_p1"))
+        )
+        p2 = llm_text.language_id(docs).select(
+            "doc_id", F.col("lang_pred").alias("_p2")
+        )
+        # the contingency table is bounded (|langs|^2 cells) but has
+        # three consumers (totals, row marginals, column marginals)
+        cells = (
+            p1.join(p2, on="doc_id")
+            .groupBy("_p1", "_p2")
+            .agg(F.count("*").cast("bigint").alias("_n"))
+            .localCheckpoint(eager=False)
+        )
+        tot = cells.agg(
+            F.sum("_n").cast("bigint").alias("_N"),
+            F.sum(
+                F.when(F.col("_p1") == F.col("_p2"), F.col("_n")).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("_A"),
+        )
+        rows_m = cells.groupBy("_p1").agg(
+            F.sum("_n").cast("bigint").alias("_r")
+        )
+        cols_m = cells.groupBy("_p2").agg(
+            F.sum("_n").cast("bigint").alias("_c")
+        )
+        s = (
+            rows_m.join(cols_m, rows_m._p1 == cols_m._p2)
+            .agg(
+                F.coalesce(F.sum(F.col("_r") * F.col("_c")), F.lit(0))
+                .cast("bigint")
+                .alias("_S")
+            )
+        )
+        return tot.crossJoin(F.broadcast(s)).select(
+            F.col("_N").alias("n_docs"),
+            F.col("_A").alias("n_agree"),
+            F.round(
+                F.col("_A").cast("double") / F.col("_N").cast("double"), 9
+            ).alias("po"),
+            F.round(
+                F.col("_S").cast("double")
+                / (F.col("_N") * F.col("_N")).cast("double"),
+                9,
+            ).alias("pe"),
+            F.round(
+                (F.col("_N") * F.col("_A") - F.col("_S")).cast("double")
+                / F.nullif(
+                    (F.col("_N") * F.col("_N") - F.col("_S")).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("kappa"),
+        )
+
+    q["kappa_classifiers"] = q_kappa_classifiers
+
+    def q_ndcg_eval(spark, sf_dir):
+        """NDCG@10 of the BM25 ranker per query — the graded-relevance
+        ranking metric that completes the retrieval-eval family
+        (recall@k, overlap@10, footrule).  Graded relevance = number
+        of DISTINCT query terms present in the document (deterministic
+        and exact); gains (2^rel - 1) use an integer shift, each
+        positional term (gain / log2(rank + 1)) quantizes to integer
+        1e-9 units (the bm25 discipline) so the per-query DCG and
+        ideal-DCG sums are exact int64 — no float accumulates across
+        rows.  The ideal ordering sorts the retrieved set by rel desc
+        (tie order cannot change the sum: equal rel at swapped
+        positions contribute identical terms), the standard @k
+        normalization over the retrieved list.  NDCG divides two exact
+        int64 unit sums once."""
+        docs = _t(spark, sf_dir, "documents")
+        bm = q_bm25_topk(spark, sf_dir).select(
+            "query_id", "doc_id", "rank"
+        )
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = (
+            docs.filter(F.col("text").isNotNull())
+            .select("doc_id", F.explode(words).alias("word"))
+            .distinct()
+        )
+        qt = spark.createDataFrame(
+            [
+                (qid, w)
+                for qid, s in _BM25_QUERIES.items()
+                for w in sorted(set(s.split()))
+            ],
+            "query_id int, word string",
+        )
+        rel_tbl = (
+            F.broadcast(qt)
+            .join(toks, on="word")
+            .groupBy("query_id", "doc_id")
+            .agg(F.count("*").cast("bigint").alias("_rel"))
+        )
+        scored = bm.join(rel_tbl, on=["query_id", "doc_id"], how="left").select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.coalesce(F.col("_rel"), F.lit(0)).cast("bigint").alias("_rel"),
+        )
+        # pyspark's shiftleft() only takes a literal bit count — the
+        # column-valued shift goes through the SQL expression
+        gain = F.expr(
+            "CAST(shiftleft(1, CAST(_rel AS INT)) - 1 AS DOUBLE)"
+        )
+        units = lambda rank_col: F.round(
+            gain / F.log2(rank_col.cast("double") + F.lit(1.0)) * 1e9
+        ).cast("bigint")
+        w_ideal = W.partitionBy("query_id").orderBy(
+            F.desc("_rel"), F.asc("doc_id")
+        )
+        both = scored.withColumn(
+            "_irank", F.row_number().over(w_ideal).cast("bigint")
+        ).select(
+            "query_id",
+            units(F.col("rank")).alias("_du"),
+            units(F.col("_irank")).alias("_iu"),
+        )
+        return both.groupBy("query_id").agg(
+            F.sum("_du").cast("bigint").alias("dcg_units"),
+            F.sum("_iu").cast("bigint").alias("idcg_units"),
+            F.round(
+                F.sum("_du").cast("double")
+                / F.nullif(F.sum("_iu").cast("double"), F.lit(0.0)),
+                9,
+            ).alias("ndcg"),
+        )
+
+    q["ndcg_eval"] = q_ndcg_eval
+
+    def q_roc_auc_binned(spark, sf_dir):
+        """Binned exact ROC-AUC of the NB classifier's en-vs-rest
+        decision value — the per-token margin (en log-score minus the
+        best other language's, over the en token count; the standard
+        one-vs-rest reduction) — the threshold-free discrimination
+        metric completing accuracy / confusion / calibration / kappa.
+        The score is binned onto a FIXED bounded grid (dyadic width
+        1/1024 over [-0.5, 0.5), 1024 bins — the ks_binned discipline:
+        at 100 TB the rank-sum over raw distinct scores is unbounded,
+        the histogram is not), a pure engine-identical IEEE chain on
+        bit-identical inputs (one division per doc).  AUC uses the
+        Mann-Whitney histogram form with midrank tie handling, doubled
+        to stay integer: 2U = sum over bins of pos(b) *
+        (2 * neg_below(b) + neg_at(b)); cumulative neg_below comes
+        from a broadcast inequality self-join over the BOUNDED bin
+        relation (no single-partition window).  One division at the
+        end."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        per_doc = nb.groupBy("doc_id").agg(
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("log_score"))
+            ).alias("_sen"),
+            F.max(
+                F.when(F.col("score_lang") != "en", F.col("log_score"))
+            ).alias("_sot"),
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("n_tokens"))
+            ).alias("_nt"),
+        )
+        en = per_doc.join(truth, on="doc_id")
+        margin = (F.col("_sen") - F.col("_sot")) / F.col("_nt").cast(
+            "double"
+        )
+        bin_ = F.least(
+            F.greatest(
+                F.floor((margin + F.lit(0.5)) * F.lit(1024.0)), F.lit(0)
+            ),
+            F.lit(1023),
+        ).cast("bigint")
+        hist = (
+            en.select(
+                bin_.alias("_b"),
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("_p"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.sum("_p").cast("bigint").alias("_pos"),
+                F.sum(1 - F.col("_p")).cast("bigint").alias("_neg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        below = (
+            hist.alias("a")
+            .join(
+                F.broadcast(
+                    hist.select(
+                        F.col("_b").alias("_b2"), F.col("_neg").alias("_n2")
+                    )
+                ),
+                F.col("_b2") < F.col("_b"),
+                "left",
+            )
+            .groupBy("_b", "_pos", "_neg")
+            .agg(
+                F.coalesce(F.sum("_n2"), F.lit(0))
+                .cast("bigint")
+                .alias("_nb")
+            )
+        )
+        return below.agg(
+            F.sum("_pos").cast("bigint").alias("n_pos"),
+            F.sum("_neg").cast("bigint").alias("n_neg"),
+            F.sum(F.col("_pos") * (2 * F.col("_nb") + F.col("_neg")))
+            .cast("bigint")
+            .alias("u2"),
+            F.round(
+                F.sum(
+                    F.col("_pos") * (2 * F.col("_nb") + F.col("_neg"))
+                ).cast("double")
+                / F.nullif(
+                    (2 * F.sum("_pos") * F.sum("_neg")).cast("double"),
+                    F.lit(0.0),
+                ),
+                9,
+            ).alias("auc"),
+        )
+
+    q["roc_auc_binned"] = q_roc_auc_binned
+
+    def q_bfs_distances(spark, sf_dir):
+        """Multi-source BFS (llm/dedup.bfs_distances) over the
+        undirected customer-part purchase graph: exact hop distance
+        from the seed customers (custkey % 97 == 0) up to 4 hops —
+        the neighborhood-expansion / blast-radius query, sixth
+        iterative-algorithm shape.  Customer and part keys share an
+        integer space, so node ids disambiguate as 2k / 2k+1.  Per
+        hop one frontier equi-join against the checkpointed edge list
+        + one anti-join; all-integer."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        seeds = (
+            _t(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 97 == 0)
+            .select((F.col("c_custkey") * 2).cast("bigint").alias("id"))
+        )
+        return dedup.bfs_distances(edges, seeds, max_hops=4)
+
+    q["bfs_distances"] = q_bfs_distances
+
+    def q_target_encode(spark, sf_dir):
+        """Leave-one-out target encoding of the customer nation key by
+        account balance — the standard high-cardinality categorical
+        encoder for tabular ML, with the row's own target excluded so
+        the feature does not leak the label: enc_i =
+        (group_sum - x_i) / (group_count - 1).  Cents are exact
+        int64, the group moments come from ONE aggregation broadcast
+        back (no window), each encode is a single division of
+        identical int64 operands — emitted UNROUNDED because the IEEE
+        quotient is bit-equal across engines while round-at-9 would
+        re-introduce an engine-specific tie-break (the label_centroids
+        lesson); nullif-guarded for singleton groups."""
+        c = _t(spark, sf_dir, "customer")
+        cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+        base = c.select(
+            "c_custkey", "c_nationkey", cents.alias("_c")
+        )
+        g = base.groupBy("c_nationkey").agg(
+            F.sum("_c").cast("bigint").alias("_s"),
+            F.count("*").cast("bigint").alias("_n"),
+        )
+        return base.join(F.broadcast(g), on="c_nationkey").select(
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("_c").alias("acctbal_cents"),
+            (
+                (F.col("_s") - F.col("_c")).cast("double")
+                / F.nullif((F.col("_n") - 1).cast("double"), F.lit(0.0))
+            ).alias("loo_cents"),
+        )
+
+    q["target_encode"] = q_target_encode
+
     def q_tokenizer_fertility(spark, sf_dir):
         """Tokenizer fertility per language — subword pieces per
         whitespace word, the multilingual tokenizer-efficiency metric
@@ -8470,6 +9315,28 @@ _BM25_QUERIES = {
 # spill to round 10, where they join the committed re-gate batch —
 # see the ROUND-10 RE-GATE HEAD comment at the boundary.
 _GATE_PRIORITY = [
+    # R10-BATCH STAGING NOTE: this branch pre-stages the round-10
+    # plan-change batch.  When it merges in round 10 (after
+    # CORRECTNESS_r09 lands), rotate this list: drop the 50 r9-checked
+    # conversions below and promote the boundary tail — the two IIR
+    # re-gates, the 9 spilled conversions, then the round-10 re-gates
+    # staged on this branch: "er_pipeline", "blocking_yield" (plan
+    # changed: persist removed / verify result anchored),
+    # "theilsen_slope" (guarded dual-arm), and the plan-neutral
+    # insurance re-gates "pac", "pac_surrogates", "cluster_cohesion"
+    # (refcounted release; executed plans verified hash-identical,
+    # see COVERAGE.md).  minhash_estimate got a comment only — no
+    # re-gate.  This branch also registers SEVENTEEN new queries (326
+    # total): "k_core", "c4_clean", "label_propagation",
+    # "cuped_stratified", "packing_efficiency", "priority_sample",
+    # "hits_scores", "rouge_pairs", "nb_calibration", "gram_novelty",
+    # "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
+    # "bfs_distances", "target_encode", "streaming_hll" (the fourth
+    # applyInPandasWithState surface), "rouge_verify" (ROUGE over the
+    # LSH candidate stack) — each fully oracled, audited
+    # (type/diff/plan/shuffle-invariance/float-order/vanilla), and
+    # pytest-covered; include them in the r10 head so they gate in
+    # their first round.
     # round-9 window: the storage-layer tail plus the remaining
     # never-checked backlog, ordered: graph/retrieval shapes,
     # join-strategy + layout gates, event analytics, privacy head
@@ -8510,6 +9377,54 @@ _GATE_PRIORITY = [
     # Their names enter this list in round 10, in the same commit as
     # the code + plan-shape-test changes.
 ]
+
+# READY-TO-SWAP round-10 window (execute AFTER CORRECTNESS_r09 lands
+# and this branch merges): replace _GATE_PRIORITY's head with this
+# list.  Composition: the two stale-`no_oracle` IIR re-gates, the 9
+# spilled conversions (backlog reaches ZERO), the seventeen new
+# registrations staged on this branch, the six staged re-gates (plan
+# changed: er_pipeline / blocking_yield / theilsen_slope; plan-neutral
+# insurance: pac / pac_surrogates / cluster_cohesion), then 16
+# freshness re-gates — the oldest ever-checked driver evidence (all
+# latest-checked in round 1; zero code change, they re-confirm the
+# flagship signal/relational layers on current code).  The 22
+# remaining r01-latest rows (detrend_linear, pad, extend_edge,
+# expand_upsample,
+# mult_along_channel, squeeze_expand,
+# set_ops, pivot_status, rollup_revenue, priority_exists,
+# top_customers_by_orders, text_stats — displaced by the twelve newest
+# registrations — plus extend_even, extend_odd, mult_along_time,
+# scalar_mult, distinct_pairs, rank_parts, moving_average,
+# filtered_revenue, fingerprint, stopword_score_by_lang) head the
+# round-11 freshness queue with the r03 cohort.
+_GATE_PRIORITY_R10 = [
+    "sosfilt_full", "sosfilt_blocks_full",
+    "dp_noised_counts", "user_erasure",
+    "bitmap_setops", "join_fanout_audit", "dedup_rate_by_source",
+    "null_profile", "top_values_csv", "dataset_card", "sql_entry",
+    "k_core", "c4_clean", "label_propagation",
+    "cuped_stratified", "packing_efficiency",
+    "priority_sample", "hits_scores", "rouge_pairs", "nb_calibration",
+    "gram_novelty", "kappa_classifiers", "ndcg_eval", "roc_auc_binned",
+    "bfs_distances", "target_encode", "streaming_hll", "rouge_verify",
+    "er_pipeline", "blocking_yield", "theilsen_slope",
+    "pac", "pac_surrogates", "cluster_cohesion",
+    # 16 freshness re-gates (latest driver row: round 1)
+    "pricing_summary", "running_total", "time_slice", "channel_select",
+    "mask_compact", "interval_mask", "signal_add", "signal_stats",
+    "standardize", "band_power", "power_norm", "nearest_bin",
+    "segment_mean", "event_window_avg", "synth_signal", "decimate",
+]
+
+
+# ROTATION PRE-APPLIED ON THIS BRANCH: r10-batch merges into main only
+# at round-10 start, AFTER CORRECTNESS_r09 lands (staging/README.md),
+# so the round-10 window above becomes the active gate head at exactly
+# the moment it should — the round-10 runbook collapses to
+# merge + local replica, with no manual list edit to get wrong.  The
+# round-9 window names stay registered; they simply drop below the
+# 50-slot boundary as freshly-driver-checked rows.
+_GATE_PRIORITY = _GATE_PRIORITY_R10
 
 
 def _gate_order(q: dict) -> dict:
@@ -9565,6 +10480,64 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, CAST(s AS BIGINT) AS s, alarm FROM r
     """
 
+    from openseize_spark.llm.sketch import _hll_alpha as _ha
+
+    _shll_h = sampling.salted_hash_sql("user_id", "hll")
+    _shll_alpha_lit = repr(_ha(32) * 32 * 32 * float(1 << 32))
+    o["streaming_hll"] = f"""
+        WITH e AS (
+          SELECT event_type, user_id, epoch_us(ts) AS us
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), bounds AS (
+          SELECT min(us) AS lo, (max(us) - min(us)) // 3 AS span FROM e
+        ), tagged AS (
+          SELECT e.event_type, e.user_id,
+                 CASE WHEN us < lo + span THEN 0
+                      WHEN us < lo + 2 * span THEN 1
+                      ELSE 2 END AS gb
+          FROM e CROSS JOIN bounds
+        ), present AS (
+          SELECT event_type, gb,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY gb
+                 ) - 1 AS BIGINT) AS batch_idx
+          FROM (SELECT DISTINCT event_type, gb FROM tagged)
+        ), hx AS (
+          SELECT event_type, gb,
+                 {_shll_h} // {1 << 27} AS bucket,
+                 {_shll_h} % {1 << 27} AS rest
+          FROM tagged
+        ), regs AS (
+          SELECT p.event_type, p.batch_idx, hx.bucket,
+                 CAST(max(CASE WHEN rest = 0 THEN 28
+                               ELSE 28 - length(bin(rest)) END)
+                      AS BIGINT) AS m_j
+          FROM present p
+          JOIN hx ON hx.event_type = p.event_type AND hx.gb <= p.gb
+          GROUP BY p.event_type, p.batch_idx, hx.bucket
+        ), agg AS (
+          SELECT event_type, batch_idx,
+                 CAST(count(*) AS BIGINT) AS npresent,
+                 CAST(sum(CAST(pow(2.0, 32 - m_j) AS BIGINT)) AS BIGINT)
+                   AS sp
+          FROM regs GROUP BY event_type, batch_idx
+        ), one AS (
+          SELECT event_type, batch_idx, npresent,
+                 CAST(32 - npresent AS BIGINT) AS n_empty,
+                 CAST(sp + (32 - npresent) * (1::BIGINT << 32) AS BIGINT)
+                   AS sum_units
+          FROM agg
+        )
+        SELECT event_type, batch_idx, npresent, n_empty, sum_units,
+               round(CASE WHEN n_empty > 0
+                          AND {_shll_alpha_lit} / sum_units <= 80.0
+                     THEN 32.0 * ln(32.0 / n_empty)
+                     ELSE {_shll_alpha_lit} / sum_units
+                     END, 6) AS est_distinct
+        FROM one"""
+
     o["partition_pruning"] = """
         SELECT CAST(ts AS DATE) AS day, event_type,
                CAST(count(*) AS BIGINT) AS n,
@@ -9904,6 +10877,38 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
 
+    o["c4_clean"] = """
+        WITH aug AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN text || ' Lorem ipsum {dolor}.'
+                      ELSE text END AS text
+          FROM documents WHERE text IS NOT NULL
+        ), s AS (
+          SELECT doc_id,
+                 (contains(text, '{') OR contains(text, '}')
+                  OR contains(lower(text), 'lorem ipsum')
+                  OR contains(lower(text), 'javascript')) AS dropped_doc,
+                 regexp_extract_all(text, '[^.!?]+[.!?]+') AS sents
+          FROM aug
+        ), kk AS (
+          SELECT doc_id, dropped_doc, sents,
+                 list_filter(sents,
+                   x -> len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                        w -> len(w) > 0)) >= 3) AS kept
+          FROM s
+        )
+        SELECT doc_id, dropped_doc,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CAST(CASE WHEN dropped_doc THEN 0 ELSE len(kept) END
+                    AS BIGINT) AS n_kept,
+               CASE WHEN dropped_doc OR len(kept) = 0 THEN NULL
+                    ELSE array_to_string(list_transform(kept, x -> trim(x)),
+                                         ' ')
+               END AS clean_text
+        FROM kk
+    """
+
     o["cdc_apply"] = """
         WITH changes AS (
           SELECT doc_id AS c_id, 'updated ' || text AS c_text,
@@ -10097,6 +11102,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["triangle_count"] = _dedup.triangle_count_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["k_core"] = _dedup.k_core_oracle_sql(
+        core_k=2, rounds=12, k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["label_propagation"] = _dedup.label_propagation_oracle_sql(
+        rounds=4, k=5, num_hashes=64, bands=8, threshold=0.8
     )
     o["dedup_clusters"] = _dedup.dedup_clusters_oracle_sql(
         k=5, num_hashes=64, bands=8, threshold=0.8
@@ -11444,6 +12455,59 @@ def oracle_sql() -> dict[str, str]:
                round({_theta_sql}, 9) AS theta
         FROM arms CROSS JOIN g"""
 
+    _theta_strat_sql = (
+        "(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(nullif(n * sxx - sx * sx, 0) AS DOUBLE))"
+    )
+    o["cuped_stratified"] = f"""
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN CAST(round(value * 100) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 0
+                               ELSE CAST(round(value * 100) AS BIGINT)
+                          END) AS BIGINT) AS y,
+                 CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS npre,
+                 CASE WHEN {_ab_h} < {_ab_half} THEN 'A' ELSE 'B' END AS arm
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+          GROUP BY user_id
+        ), pt AS (
+          SELECT *,
+                 CASE WHEN npre <= 30 THEN 'low'
+                      WHEN npre <= 36 THEN 'mid'
+                      ELSE 'high' END AS tier
+          FROM pu
+        ), g AS (
+          SELECT tier,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM pt GROUP BY tier
+        ), arms AS (
+          SELECT tier, arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS ax,
+                 CAST(sum(y) AS BIGINT) AS ay
+          FROM pt GROUP BY tier, arm
+        )
+        SELECT a.tier AS tier, a.arm AS arm, a.n_users AS n_users,
+               round(CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE), 9)
+                 AS mean_post_cents,
+               round(
+                 (CAST(ay AS DOUBLE)
+                  - coalesce({_theta_strat_sql}, 0)
+                    * (CAST(ax AS DOUBLE)
+                       - CAST(n_users AS DOUBLE)
+                         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+                 / CAST(n_users AS DOUBLE), 9) AS mean_adj_cents,
+               round({_theta_strat_sql}, 9) AS theta
+        FROM arms a JOIN g ON a.tier = g.tier"""
+
     o["link_prediction"] = """
         WITH ob AS (
           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
@@ -12584,6 +13648,260 @@ def oracle_sql() -> dict[str, str]:
                                9)
                END AS saving_ratio
         FROM per CROSS JOIN g"""
+
+    o["packing_efficiency"] = """
+        WITH d0 AS (
+          SELECT CAST(CASE WHEN length(nt) = 0 THEN 0
+                      ELSE (length(nt) - length(replace(nt, ' ', ''))) + 1
+                      END AS BIGINT) AS len
+          FROM (
+            SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                     AS nt
+            FROM documents WHERE text IS NOT NULL
+          )
+        ), d AS (
+          SELECT len,
+                 CAST(len // 128 AS BIGINT) AS full_bins,
+                 CAST(len % 128 AS BIGINT) AS rem
+          FROM d0 WHERE len > 0
+        ), per AS (
+          SELECT CAST((rem - 1) // 16 AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(rem) AS BIGINT) AS sum_len
+          FROM d WHERE rem > 0 GROUP BY 1
+        ), per2 AS (
+          SELECT bucket, n_docs, sum_len,
+                 CAST((bucket + 1) * 16 AS BIGINT) AS upper_len,
+                 CAST(128 // ((bucket + 1) * 16) AS BIGINT)
+                   AS slots_per_bin
+          FROM per
+        ), per3 AS (
+          SELECT bucket, n_docs, sum_len, upper_len, slots_per_bin,
+                 CAST((n_docs + slots_per_bin - 1) // slots_per_bin
+                      AS BIGINT) AS bins
+          FROM per2
+        ), g AS (
+          SELECT CAST((SELECT sum(bins) FROM per3) + sum(full_bins)
+                      AS BIGINT) AS total_bins,
+                 CAST((sum(len) + 127) // 128 AS BIGINT) AS lb_bins,
+                 CAST(sum(len) AS BIGINT) AS total_len
+          FROM d
+        )
+        SELECT bucket, upper_len, slots_per_bin, n_docs, sum_len, bins,
+               CAST(bins * 128 - sum_len AS BIGINT) AS waste_tokens,
+               total_bins, lb_bins,
+               round(CAST(total_len AS DOUBLE)
+                     / CAST(total_bins * 128 AS DOUBLE), 9) AS efficiency,
+               round(CAST(total_len AS DOUBLE)
+                     / CAST(lb_bins * 128 AS DOUBLE), 9) AS lb_efficiency
+        FROM per3 CROSS JOIN g"""
+
+    o["priority_sample"] = sampling.priority_sample_oracle_sql(
+        k=50, weight_expr="n_chars", key_col="doc_id", seed="pri"
+    )
+
+    o["hits_scores"] = dedup.hits_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        iters=3,
+        scale=10**6,
+    )
+
+    o["rouge_pairs"] = llm_text.rouge_n_oracle_sql(
+        pairs_sql="""
+          SELECT a.doc_id AS ref_id, b.doc_id AS cand_id
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1"""
+    )
+
+    o["rouge_verify"] = llm_text.rouge_n_oracle_sql(
+        pairs_sql=dedup.lsh_candidates_sql(k=5, num_hashes=64, bands=8)
+    )
+
+    o["nb_calibration"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        ranked AS (
+          SELECT doc_id, score_lang, log_score,
+                 row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY log_score DESC, score_lang
+                 ) AS rn
+          FROM nb
+        ), per_doc AS (
+          SELECT doc_id,
+                 max(CASE WHEN rn = 1 THEN score_lang END) AS pred_lang,
+                 max(CASE WHEN rn = 1 THEN log_score END) AS s1,
+                 max(CASE WHEN rn = 2 THEN log_score END) AS s2
+          FROM ranked WHERE rn <= 2 GROUP BY doc_id
+        ), j AS (
+          SELECT CAST(least(floor((p.s1 - p.s2) / 0.25), 9) AS BIGINT)
+                   AS margin_band,
+                 CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+          FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        )
+        SELECT margin_band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ok) AS BIGINT) AS n_correct,
+               round(CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 9)
+                 AS accuracy
+        FROM j GROUP BY margin_band"""
+
+    o["gram_novelty"] = dedup.gram_novelty_oracle_sql(n=8)
+
+    o["kappa_classifiers"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        p1 AS (
+          SELECT doc_id, score_lang AS p1 FROM (
+            SELECT doc_id, score_lang,
+                   row_number() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY log_score DESC, score_lang
+                   ) AS rn
+            FROM nb
+          ) WHERE rn = 1
+        ), p2 AS (
+          SELECT doc_id, lang_pred AS p2 FROM ({o["language_id"]})
+        ), cells AS (
+          SELECT p1.p1, p2.p2, CAST(count(*) AS BIGINT) AS n
+          FROM p1 JOIN p2 USING (doc_id)
+          GROUP BY p1.p1, p2.p2
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS N,
+                 CAST(sum(CASE WHEN p1 = p2 THEN n ELSE 0 END) AS BIGINT)
+                   AS A
+          FROM cells
+        ), rm AS (
+          SELECT p1 AS l, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY p1
+        ), cm AS (
+          SELECT p2 AS l, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY p2
+        ), sm AS (
+          SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS S
+          FROM rm JOIN cm ON rm.l = cm.l
+        )
+        SELECT N AS n_docs, A AS n_agree,
+               round(CAST(A AS DOUBLE) / CAST(N AS DOUBLE), 9) AS po,
+               round(CAST(S AS DOUBLE) / CAST(N * N AS DOUBLE), 9) AS pe,
+               round(CAST(N * A - S AS DOUBLE)
+                     / nullif(CAST(N * N - S AS DOUBLE), 0.0), 9) AS kappa
+        FROM tot CROSS JOIN sm"""
+
+    _ndcg_qt_vals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid, s in _BM25_QUERIES.items()
+        for w in sorted(set(s.split()))
+    )
+    o["ndcg_eval"] = f"""
+        WITH bm AS (
+          SELECT query_id, doc_id, rank FROM ({o["bm25_topk"]})
+        ), toks AS (
+          SELECT DISTINCT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), qt (query_id, word) AS (VALUES {_ndcg_qt_vals}),
+        rel_tbl AS (
+          SELECT qt.query_id, toks.doc_id,
+                 CAST(count(*) AS BIGINT) AS rel
+          FROM qt JOIN toks USING (word)
+          GROUP BY qt.query_id, toks.doc_id
+        ), scored AS (
+          SELECT bm.query_id, bm.doc_id, bm.rank,
+                 CAST(coalesce(r.rel, 0) AS BIGINT) AS rel
+          FROM bm LEFT JOIN rel_tbl r
+            ON r.query_id = bm.query_id AND r.doc_id = bm.doc_id
+        ), gains AS (
+          SELECT query_id,
+                 CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                            / log2(CAST(rank AS DOUBLE) + 1.0) * 1e9)
+                      AS BIGINT) AS du,
+                 CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                            / log2(CAST(irank AS DOUBLE) + 1.0) * 1e9)
+                      AS BIGINT) AS iu
+          FROM (
+            SELECT query_id, doc_id, rank, rel,
+                   CAST(row_number() OVER (
+                     PARTITION BY query_id ORDER BY rel DESC, doc_id
+                   ) AS BIGINT) AS irank
+            FROM scored
+          )
+        )
+        SELECT query_id,
+               CAST(sum(du) AS BIGINT) AS dcg_units,
+               CAST(sum(iu) AS BIGINT) AS idcg_units,
+               round(CAST(sum(du) AS DOUBLE)
+                     / nullif(CAST(sum(iu) AS DOUBLE), 0.0), 9) AS ndcg
+        FROM gains GROUP BY query_id"""
+
+    o["roc_auc_binned"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        per_doc AS (
+          SELECT doc_id,
+                 max(CASE WHEN score_lang = 'en' THEN log_score END)
+                   AS sen,
+                 max(CASE WHEN score_lang <> 'en' THEN log_score END)
+                   AS sot,
+                 max(CASE WHEN score_lang = 'en' THEN n_tokens END) AS nt
+          FROM nb GROUP BY doc_id
+        ), en AS (
+          SELECT p.sen, p.sot, p.nt, d.lang
+          FROM per_doc p JOIN documents d USING (doc_id)
+        ), h AS (
+          SELECT CAST(least(greatest(floor(
+                   ((sen - sot) / CAST(nt AS DOUBLE) + 0.5) * 1024.0
+                 ), 0), 1023) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS neg
+          FROM en GROUP BY 1
+        ), cum AS (
+          SELECT a.b, a.pos, a.neg,
+                 CAST(coalesce(sum(c.n2), 0) AS BIGINT) AS nbelow
+          FROM h a LEFT JOIN (SELECT b AS b2, neg AS n2 FROM h) c
+            ON c.b2 < a.b
+          GROUP BY a.b, a.pos, a.neg
+        )
+        SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg,
+               CAST(sum(pos * (2 * nbelow + neg)) AS BIGINT) AS u2,
+               round(CAST(sum(pos * (2 * nbelow + neg)) AS DOUBLE)
+                     / nullif(CAST(2 * sum(pos) * sum(neg) AS DOUBLE),
+                              0.0), 9) AS auc
+        FROM cum"""
+
+    o["bfs_distances"] = dedup.bfs_distances_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT CAST(o.o_custkey * 2 AS BIGINT) AS a,
+                          CAST(l.l_partkey * 2 + 1 AS BIGINT) AS b
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+        seeds_cte="""
+          SELECT CAST(c_custkey * 2 AS BIGINT) AS id
+          FROM customer WHERE c_custkey % 97 = 0""",
+        max_hops=4,
+    )
+
+    o["target_encode"] = """
+        WITH base AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS c
+          FROM customer
+        ), g AS (
+          SELECT c_nationkey,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM base GROUP BY c_nationkey
+        )
+        SELECT CAST(b.c_custkey AS BIGINT) AS custkey,
+               CAST(b.c_nationkey AS BIGINT) AS nationkey,
+               b.c AS acctbal_cents,
+               CAST(g.s - b.c AS DOUBLE)
+                 / nullif(CAST(g.n - 1 AS DOUBLE), 0.0) AS loo_cents
+        FROM base b JOIN g USING (c_nationkey)"""
 
     o["tokenizer_fertility"] = """
         WITH toks AS (

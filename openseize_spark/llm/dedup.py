@@ -33,8 +33,17 @@ def normalize_text(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
-def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Tie ``cached``'s cache lifetime to the returned ``result``.
+# Refcounts for caches whose lifetime is tied to result DataFrames:
+# semanticHash(analyzed plan) -> [live-result count, Java DataFrame].
+# Keyed on the canonicalized-plan hash because that is CacheManager's
+# own equality unit — two persists of semantically equal plans share
+# ONE cache entry, so they must share one refcount.
+_CACHE_REFS: dict[int, list] = {}
+
+
+def release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Tie ``cached``'s cache lifetime to the returned ``result``,
+    refcounted across results that share the same cache entry.
 
     The candidate-verify operators persist their ``pairs`` input because
     it feeds several consumers INSIDE the lazily-returned plan, so a
@@ -45,46 +54,73 @@ def _release_cache_with(result: DataFrame, cached: DataFrame) -> DataFrame:
     CacheManager forever (the leak class fixed in sampling.py /
     similarity.py, where in-function actions allow eager unpersist).
 
-    This registers a ``weakref.finalize`` on the result DataFrame that
-    unpersists the cached input when the result is garbage-collected on
-    the driver — i.e. exactly when no plan that could still read the
-    cache exists.  The callback captures only the Java-side handle (not
-    the Python DataFrame, which would keep ``result`` alive) and guards
-    against the JVM being gone at interpreter shutdown.
+    Mechanism: at call time the cache's refcount — keyed by the
+    ANALYZED PLAN's ``semanticHash``, CacheManager's own equality unit —
+    is incremented; a ``weakref.finalize`` on the result decrements it,
+    and the unpersist fires only at zero.  Two verify results built
+    over the same pairs input (or over semantically equal plans, which
+    Spark backs with one cache entry) therefore keep the cache alive
+    until the LAST of them is dropped — dropping the first no longer
+    starves the survivor, the failure mode of the round-8
+    finalizer-per-result version.  The callback captures only the hash
+    key (never the Python DataFrames, which would keep ``result``
+    alive) and guards against the JVM being gone at interpreter
+    shutdown.
 
     Composition nuance: a consumer that folds the result into a larger
     LAZY plan and drops the intermediate at return would release the
     cache before that outer plan executes, recomputing the candidate
     subtree per in-plan consumer (bounded, value-identical — but the
-    cost the persist exists to avoid).  Consumers in this package
-    therefore MATERIALIZE in-call while the intermediate is alive and
-    always hit the cache: connected_components / pagerank run actions
-    per round, and triangle_count eagerly localCheckpoints its edge
-    list.  A caller that re-executes a verify result many times keeps
-    the cache by simply holding the reference — the lifetime IS the
-    reference's.
-
-    Known limitation (fix prototyped for round 10 in
-    tools/r10_cache_refcount_prototype.py): ``persist`` returns self,
-    so the finalizer unpersists the CALLER's ``pairs`` object — two
-    verify results built over the SAME pairs DataFrame share one cache,
-    and dropping the first result releases it for the survivor (which
-    then recomputes, value-identical).  Build candidate pairs per
-    verify call, or hold every result, until the refcounted release
-    lands.
+    cost the persist exists to avoid).  Consumers either MATERIALIZE
+    in-call while the intermediate is alive (connected_components /
+    pagerank run actions per round; triangle_count eagerly
+    localCheckpoints its edge list) or keep the intermediate alive for
+    the outer result's lifetime with ``tie_lifetime``.  A caller that
+    re-executes a verify result many times keeps the cache by simply
+    holding the reference — the lifetime IS the reference's.
     """
     import weakref
 
-    jdf = cached._jdf
+    key = cached._jdf.queryExecution().analyzed().semanticHash()
+    ent = _CACHE_REFS.setdefault(key, [0, cached._jdf])
+    ent[0] += 1
 
-    def _release(jdf=jdf):
+    def _release(key=key):
+        ent = _CACHE_REFS.get(key)
+        if ent is None:
+            return
+        ent[0] -= 1
+        if ent[0] > 0:
+            return
+        _CACHE_REFS.pop(key, None)
         try:
-            jdf.unpersist(False)
+            ent[1].unpersist(False)
         except Exception:
             pass  # gateway already shut down
 
     weakref.finalize(result, _release)
     return result
+
+
+# internal callers predate the public name
+_release_cache_with = release_cache_with
+
+
+def tie_lifetime(outer: DataFrame, *inner: DataFrame) -> DataFrame:
+    """Keep ``inner`` DataFrames referenced for as long as ``outer``
+    lives.
+
+    For builders that compose a verify result (whose internal candidate
+    cache is scoped to that result's lifetime) into a larger LAZY plan
+    and would otherwise drop the intermediate at return: anchoring the
+    intermediates on the returned DataFrame keeps their caches alive
+    until the composed result itself is dropped, so the outer execution
+    still hits them.  Pure driver-side bookkeeping — no plan change.
+    """
+    outer._os_lifetime_refs = getattr(outer, "_os_lifetime_refs", ()) + tuple(
+        inner
+    )
+    return outer
 
 
 def decontaminate(
@@ -403,6 +439,84 @@ def dup_span_detect_oracle_sql(n: int = 8) -> str:
                CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(count(*) AS DOUBLE) AS dup_frac
         FROM grams JOIN gd USING (g)
+        GROUP BY doc_id"""
+
+
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY in ingestion (id) order: the
+    fraction of a document's distinct word ``n``-gram fingerprints
+    whose globally FIRST occurrence (minimum doc id) is this document.
+    The temporal complement of :func:`dup_span_detect`'s symmetric
+    duplication fraction — novelty falling over an ingestion window is
+    the "the crawl is re-fetching what we already have" saturation
+    signal corpus-growth studies track, and low-novelty NEW documents
+    are the incremental-dedup drop candidates.
+
+    Scale shape: the gram explode is the only row amplification; the
+    (id, gram) distinct and the per-gram min(id) aggregate both key on
+    the 16-byte md5 with partial combine; the per-doc rollup keys on
+    the id.  All-integer until the final division (same operands both
+    engines).
+
+    Returns (id, n_grams, n_novel, novelty) over DISTINCT grams;
+    documents with fewer than ``n`` words have no grams and are
+    omitted.
+    """
+    grams = _word_gram_fps(docs, text_col, id_col, n).distinct()
+    firsts = grams.groupBy("_g").agg(F.min("_id").alias("_first"))
+    return (
+        grams.join(firsts, on="_g")
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
+def gram_novelty_oracle_sql(n: int = 8) -> str:
+    """DuckDB SQL equal to gram_novelty: same normalization, gram
+    fingerprints, DISTINCT (id, gram) pairs, per-gram min id, rollup."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT DISTINCT doc_id,
+                 md5(array_to_string(wl[u.i:(u.i + {n} - 1)], ' ')) AS g
+          FROM w, unnest(generate_series(1, len(wl) - {n} + 1)) AS u(i)
+          WHERE len(wl) >= {n}
+        ), firsts AS (
+          SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN first_id = doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 9) AS novelty
+        FROM grams JOIN firsts USING (g)
         GROUP BY doc_id"""
 
 
@@ -1316,6 +1430,20 @@ def _vpairs_ctes(
     return _cand_ctes(k, num_hashes, bands) + _verify_ctes(k, threshold)
 
 
+def lsh_candidates_sql(
+    k: int = 5, num_hashes: int = 64, bands: int = 8
+) -> str:
+    """DuckDB query selecting the portable-md5 LSH candidate pairs
+    ``(ref_id, cand_id)`` — the composition hook for verify-stage
+    operators (rouge_verify, jaccard/containment/levenshtein gates)
+    that consume candidates rather than re-deriving them."""
+    return (
+        _cand_ctes(k, num_hashes, bands)
+        + """
+        SELECT a AS ref_id, b AS cand_id FROM cand"""
+    )
+
+
 def minhash_dedup_oracle_sql(
     k: int = 5, num_hashes: int = 64, bands: int = 8, threshold: float = 0.8
 ) -> str:
@@ -1505,6 +1633,245 @@ def snapshot_diff(
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 12,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """The ``k``-core of the undirected pair graph: the maximal subgraph
+    in which every node has degree >= ``k`` — on a near-dup graph it
+    separates genuinely dense duplicate families (cores) from the
+    borderline chains and stars that single-linkage components glue
+    together, the fourth iterative-algorithm shape beside connected
+    components, PageRank, and k-means.
+
+    Iterative peeling: each round computes degrees and drops every edge
+    touching a node with degree < k.  The step is IDEMPOTENT at the
+    fixed point, so running any number of rounds >= the true peeling
+    depth yields the k-core exactly — the loop breaks early at the
+    fixed point (one edge-count row to the driver per round, never
+    edges) and RAISES if ``rounds`` did not converge, because the
+    DuckDB oracle unrolls exactly ``rounds`` idempotent steps and a
+    truncated peel would silently return a supergraph.
+
+    Scale shape per round: one degree aggregation (map-side combined)
+    plus two semi joins of the shrinking edge list against the
+    surviving-node table, all keyed on node ids; lineage is cut per
+    round with an eager localCheckpoint (the connected_components /
+    pagerank discipline).  Peeling depth is bounded by the graph's
+    degeneracy ordering — a handful of rounds on near-dup graphs.
+
+    Returns (id, core_degree) for k-core members, core_degree = the
+    node's degree WITHIN the core.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    e = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    n_edges = e.count()
+    with small_intermediate_coalesce(edges.sparkSession):
+        for _ in range(rounds):
+            if n_edges == 0:
+                converged = True
+                break
+            und = e.select(F.col("a").alias("x")).union(
+                e.select(F.col("b").alias("x"))
+            )
+            keep = (
+                und.groupBy("x")
+                .agg(F.count("*").alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("x")
+            )
+            ne = (
+                e.join(keep.withColumnRenamed("x", "a"), on="a", how="left_semi")
+                .join(keep.withColumnRenamed("x", "b"), on="b", how="left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_new = ne.count()
+            if n_new == n_edges:
+                converged = True
+                break
+            e, n_edges = ne, n_new
+    if not converged:
+        raise RuntimeError(
+            f"k_core: peeling did not reach its fixed point in {rounds} "
+            f"rounds; the unrolled oracle would compare against a "
+            f"truncated (super-)graph"
+        )
+    return (
+        e.select(F.col("a").alias("id"))
+        .union(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )
+
+
+def k_core_oracle_sql(
+    core_k: int = 2,
+    rounds: int = 12,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`k_core` over the verified MinHash pair
+    graph: the vp CTE chain, then ``rounds`` unrolled peeling steps —
+    idempotent past the fixed point, and the Spark side raises unless
+    it converged within the same ``rounds``, so both engines peel to
+    the identical core."""
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, e0 AS MATERIALIZED (
+          SELECT a, b FROM vp WHERE a <> b
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", d{i} AS (
+          SELECT x, count(*) AS c FROM (
+            SELECT a AS x FROM e{i-1} UNION ALL SELECT b AS x FROM e{i-1}
+          ) GROUP BY x
+        ), s{i} AS (SELECT x FROM d{i} WHERE c >= {core_k}),
+        e{i} AS MATERIALIZED (
+          SELECT a, b FROM e{i-1}
+          WHERE a IN (SELECT x FROM s{i}) AND b IN (SELECT x FROM s{i})
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT x AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+          SELECT a AS x FROM e{rounds} UNION ALL SELECT b AS x FROM e{rounds}
+        ) GROUP BY x"""
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Synchronous label propagation over the undirected pair graph:
+    every node starts labeled with its own id; each round it adopts the
+    most frequent label among its neighbors AND itself, ties broken by
+    the SMALLEST label.  Communities denser than their surroundings
+    converge to one label — on a near-dup graph this splits the giant
+    single-linkage component into families connected only by thin
+    bridges, the structure connected components cannot see.
+
+    Determinism contract: classic LPA iterates to convergence with
+    RANDOM tie-breaks and can oscillate under synchronous updates; this
+    variant runs a FIXED ``rounds`` synchronous rounds with a total
+    tie-break order (count DESC, label ASC) and self-inclusion (which
+    damps two-cycle oscillation), so the output is a pure function of
+    the graph and both engines replay it exactly — the oracle unrolls
+    the same rounds with the same tie-break.
+
+    Scale shape per round: one |E| join against the |V|-row label
+    table, a (node, label)-keyed count, and an argmax via one ordered
+    struct max — all node-keyed exchanges; lineage cut per round with
+    an eager checkpoint (the CC / PageRank / k-core discipline).
+
+    Returns (id, label) after ``rounds`` rounds.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    und = (
+        edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+        .union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+        .filter(F.col("x") != F.col("y"))
+        .distinct()
+    )
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(edges.sparkSession):
+        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        labels = (
+            und.select(F.col("x").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            votes = (
+                und.join(
+                    labels.select(
+                        F.col("id").alias("y"), F.col("label")
+                    ),
+                    on="y",
+                )
+                .select(F.col("x").alias("id"), "label")
+                .union(labels.select("id", "label"))  # self-vote
+                .groupBy("id", "label")
+                .agg(F.count("*").alias("_c"))
+            )
+            # argmax by (count DESC, label ASC): max of (count, -label)
+            labels = (
+                votes.groupBy("id")
+                .agg(
+                    F.max(F.struct(F.col("_c"), (-F.col("label")).alias("_nl")))
+                    .alias("_m")
+                )
+                .select("id", (-F.col("_m._nl")).alias("label"))
+                .localCheckpoint(eager=True)
+            )
+    return labels
+
+
+def label_propagation_oracle_sql(
+    rounds: int = 4,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`label_propagation` over the verified
+    MinHash pair graph: the vp CTE chain, then ``rounds`` unrolled
+    synchronous majority rounds with the identical (count DESC, label
+    ASC) tie-break."""
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, und AS MATERIALIZED (
+          SELECT DISTINCT * FROM (
+            SELECT a AS x, b AS y FROM vp WHERE a <> b
+            UNION ALL SELECT b AS x, a AS y FROM vp WHERE a <> b
+          )
+        ), l0 AS (
+          SELECT DISTINCT x AS id, x AS label FROM und
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f""", v{i} AS (
+          SELECT id, label, count(*) AS c FROM (
+            SELECT und.x AS id, l{i-1}.label
+            FROM und JOIN l{i-1} ON und.y = l{i-1}.id
+            UNION ALL SELECT id, label FROM l{i-1}
+          ) GROUP BY id, label
+        ), l{i} AS MATERIALIZED (
+          SELECT id, label FROM v{i}
+          QUALIFY row_number() OVER (
+            PARTITION BY id ORDER BY c DESC, label ASC
+          ) = 1
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT id AS doc_id, label FROM l{rounds}"""
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
@@ -1631,6 +1998,275 @@ def pagerank_oracle_sql(
                CAST(u AS DOUBLE) / {float(S)!r} AS pagerank
         FROM r{iters}"""
     )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed
+    bipartite edge list in EXACT integer arithmetic — the fifth
+    iterative-algorithm shape beside connected components, PageRank,
+    k-means, and k-core.  On a user→item interaction graph the hub
+    score finds broad consumers and the authority score finds
+    widely-consumed items; on a citation/link graph it separates
+    directories from destinations.
+
+    Scores live in integer ``scale`` units.  Each round: authority =
+    sum of incoming hub units (one edge equi-join + dst-keyed sum),
+    max-normalized back to ~``scale`` (the integer two-step
+    ``s div greatest(max div scale, 1)`` keeps the top node in
+    [scale, 2*scale) rather than exactly at scale — ordering is
+    unaffected and every step stays replayable); then hub = sum of
+    outgoing authority units, max-normalized the same way.  Normalization divides by
+    ``greatest(max_units div scale, 1)`` — two int64 floor divisions
+    on non-negative operands (Spark ``div`` == DuckDB ``//`` there),
+    never a float, never a product that can overflow: summed units
+    stay below ``max_degree * scale``, so int64 holds for degrees up
+    to ~9e12 at the default scale.  ``iters`` is fixed (bounded plan
+    depth, no convergence collect); the classic L2 normalization is
+    deliberately traded for max-normalization because sqrt is not
+    integer-replayable — relative ordering per side is unaffected.
+
+    Scale shape per round: two equi-joins of the (pre-partitioned,
+    checkpointed) edge list against score tables of |V| short rows,
+    two short-key sums — the PageRank discipline: the edge list is
+    stored TWICE, hash-partitioned on src and on dst, so the per-round
+    joins move only the |V|-row score tables (two |E| shuffles total
+    across the whole run, not two per round).  The one-row max rides
+    broadcast cross joins.
+
+    Returns (node_type 'hub'|'auth', id, score) with score =
+    units / scale.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    S = int(scale)
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        # store the edge list hash-partitioned on each round's join key
+        # (src for the auth step, dst for the hub step) so only |V|-row
+        # score tables move per round
+        e_src = edges.select(src_col, dst_col).repartition(
+            n_part, src_col
+        ).localCheckpoint(eager=True)
+        e_dst = e_src.repartition(n_part, dst_col).localCheckpoint(
+            eager=True
+        )
+        hubs = e_src.select(F.col(src_col).alias("id")).distinct().select(
+            "id", F.lit(S).cast("bigint").alias("u")
+        ).localCheckpoint(eager=True)
+        auths = None
+        for _ in range(iters):
+            a_raw = (
+                e_src.join(
+                    hubs.withColumnRenamed("id", src_col), on=src_col
+                )
+                .groupBy(dst_col)
+                .agg(F.sum("u").cast("bigint").alias("s"))
+            )
+            a_max = a_raw.agg(F.max("s").alias("_m"))
+            auths = (
+                a_raw.crossJoin(F.broadcast(a_max))
+                .select(
+                    F.col(dst_col).alias("id"),
+                    F.expr(f"s div greatest(_m div {S}, 1)")
+                    .cast("bigint")
+                    .alias("u"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            h_raw = (
+                e_dst.join(
+                    auths.withColumnRenamed("id", dst_col), on=dst_col
+                )
+                .groupBy(src_col)
+                .agg(F.sum("u").cast("bigint").alias("s"))
+            )
+            h_max = h_raw.agg(F.max("s").alias("_m"))
+            hubs = (
+                h_raw.crossJoin(F.broadcast(h_max))
+                .select(
+                    F.col(src_col).alias("id"),
+                    F.expr(f"s div greatest(_m div {S}, 1)")
+                    .cast("bigint")
+                    .alias("u"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = hubs.select(
+        F.lit("hub").alias("node_type"),
+        F.col("id").cast("bigint").alias("id"),
+        (F.col("u").cast("double") / F.lit(float(S))).alias("score"),
+    ).unionByName(
+        auths.select(
+            F.lit("auth").alias("node_type"),
+            F.col("id").cast("bigint").alias("id"),
+            (F.col("u").cast("double") / F.lit(float(S))).alias("score"),
+        )
+    )
+    return out
+
+
+def hits_oracle_sql(
+    edges_cte: str,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`hits`: ``edges_cte`` must define a CTE
+    body selecting (src, dst); the ``iters`` rounds unroll with the
+    identical integer floor divisions (``//`` == Spark ``div`` on the
+    non-negative units)."""
+    S = int(scale)
+    ctes = [
+        f"""WITH e AS MATERIALIZED ({edges_cte}),
+        h0 AS (SELECT DISTINCT src AS id, CAST({S} AS BIGINT) AS u
+               FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""", ar{i} AS (
+          SELECT e.dst, CAST(sum(h{i-1}.u) AS BIGINT) AS s
+          FROM e JOIN h{i-1} ON e.src = h{i-1}.id GROUP BY e.dst
+        ), am{i} AS (SELECT max(s) AS m FROM ar{i}),
+        a{i} AS MATERIALIZED (
+          SELECT ar{i}.dst AS id,
+                 CAST(s // greatest(m // {S}, 1) AS BIGINT) AS u
+          FROM ar{i} CROSS JOIN am{i}
+        ), hr{i} AS (
+          SELECT e.src, CAST(sum(a{i}.u) AS BIGINT) AS s
+          FROM e JOIN a{i} ON e.dst = a{i}.id GROUP BY e.src
+        ), hm{i} AS (SELECT max(s) AS m FROM hr{i}),
+        h{i} AS MATERIALIZED (
+          SELECT hr{i}.src AS id,
+                 CAST(s // greatest(m // {S}, 1) AS BIGINT) AS u
+          FROM hr{i} CROSS JOIN hm{i}
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT 'hub' AS node_type, CAST(id AS BIGINT) AS id,
+               CAST(u AS DOUBLE) / {float(S)!r} AS score
+        FROM h{iters}
+        UNION ALL
+        SELECT 'auth' AS node_type, CAST(id AS BIGINT) AS id,
+               CAST(u AS DOUBLE) / {float(S)!r} AS score
+        FROM a{iters}"""
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected pair graph:
+    the exact hop distance from the nearest seed, up to ``max_hops`` —
+    the sixth iterative-algorithm shape (after connected components,
+    PageRank, k-means, k-core, label propagation, HITS).  On the
+    near-dup graph it measures contamination BLAST RADIUS (how far a
+    flagged document's duplication neighborhood extends); on an
+    interaction graph it is the collaborative-filtering neighborhood
+    expansion.
+
+    All-integer: distances are hop counts, frontier membership is set
+    algebra (anti-join), nothing floats.  ``max_hops`` is fixed —
+    bounded plan depth, no convergence collect — and the loop breaks
+    early via a count() on the (already materialized) frontier when it
+    empties, so no empty rounds are planned.
+
+    Scale shape per hop: one equi-join of the (pre-partitioned,
+    checkpointed) undirected edge list against the frontier (only
+    frontier-adjacent edges flow), one distinct, one anti-join against
+    the visited set — the textbook distributed frontier expansion.
+    The visited set is re-checkpointed per hop so lineage stays flat.
+
+    Returns (id, dist) for every node within ``max_hops`` of a seed
+    (seeds at dist 0); unreached nodes are absent.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        und = (
+            edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(
+                edges.select(
+                    F.col(b_col).alias("x"), F.col(a_col).alias("y")
+                )
+            )
+            .repartition(n_part, "x")
+            .localCheckpoint(eager=True)
+        )
+        dist = (
+            seeds.select(F.col(seed_col).alias("id"))
+            .distinct()
+            .select("id", F.lit(0).cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = dist
+        for hop in range(1, max_hops + 1):
+            if frontier.count() == 0:
+                break
+            nxt = (
+                und.join(
+                    frontier.withColumnRenamed("id", "x").select("x"),
+                    on="x",
+                )
+                .select(F.col("y").alias("id"))
+                .distinct()
+                .join(dist.select("id"), on="id", how="left_anti")
+                .select("id", F.lit(hop).cast("bigint").alias("dist"))
+            )
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = dist.filter(F.col("dist") == hop)
+    return dist
+
+
+def bfs_distances_oracle_sql(
+    edges_cte: str,
+    seeds_cte: str,
+    max_hops: int = 4,
+) -> str:
+    """DuckDB replay of :func:`bfs_distances`: ``edges_cte`` selects
+    (a, b), ``seeds_cte`` selects (id); hops unroll as materialized
+    frontier CTEs (the engine's early break on an empty frontier is
+    value-neutral — an empty frontier contributes no rows either way).
+    """
+    ctes = [
+        f"""WITH e0 AS ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM e0
+          UNION ALL SELECT b AS x, a AS y FROM e0
+        ),
+        d0 AS MATERIALIZED (
+          SELECT DISTINCT id, CAST(0 AS BIGINT) AS dist
+          FROM ({seeds_cte})
+        )"""
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f""", f{h} AS (
+          SELECT DISTINCT und.y AS id FROM und
+          JOIN d{h-1} ON und.x = d{h-1}.id AND d{h-1}.dist = {h - 1}
+        ), d{h} AS MATERIALIZED (
+          SELECT id, dist FROM d{h-1}
+          UNION ALL
+          SELECT f{h}.id, CAST({h} AS BIGINT) AS dist FROM f{h}
+          WHERE f{h}.id NOT IN (SELECT id FROM d{h-1})
+        )"""
+        )
+    return "".join(ctes) + f"""
+        SELECT id, dist FROM d{max_hops}"""
 
 
 # ------------------------------------------------------------- bloom filter

@@ -911,3 +911,128 @@ def epoch_repeat_oracle_sql(
           LATERAL (SELECT CAST(unnest(generate_series(1, copies)) AS BIGINT)
                    AS epoch) g
         WHERE copies > 0"""
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "pri",
+) -> DataFrame:
+    """Weighted sampling without replacement via *priority sampling*
+    (Duffield, Lund & Thorup, JACM 2007): each row gets priority
+    ``q = w / u`` with ``u`` uniform on (0, 1]; the ``k`` largest
+    priorities form the sample, and the threshold ``tau`` (the
+    (k+1)-th priority) yields the unbiased per-row weight estimator
+    ``w_hat = max(w, tau)`` — subset-sum estimates over the sample are
+    unbiased for the population.  The quality-weighted subset pass of
+    a corpus pipeline ("keep 50k docs, preferring long/high-score
+    ones, with reweighting so corpus statistics stay estimable").
+
+    Determinism/portability: ``u = (h + 1) / 2^32`` from the portable
+    salted hash, so the priority in natural weight units is exactly
+    ``q = w * 2^32 / (h + 1)`` — computed as the EXACT int64 floor
+    division ``w * 2^32 div (h + 1)``.  No float decides membership,
+    the estimator ``max(w, tau)`` is a pure integer ``greatest``, and
+    the DuckDB oracle replays every comparison bit-for-bit.  Ties at
+    the boundary break on the key.  ``w`` must be a positive integer
+    below 2^31 (the numerator stays under 2^63).
+
+    Scale shape: one codegen projection (md5 + integer ops) and ONE
+    distributed TakeOrdered(k+1) — no global sort, no shuffle of the
+    corpus.  The k+1 survivors are control-sized (same category as
+    k-means centroids): they are eagerly checkpointed, ranked via a
+    broadcast inequality self-join (no single-partition window), and
+    the one-row tau rides a broadcast cross join.
+
+    Returns (key, weight, priority_units, est_weight) for the ``k``
+    sampled rows, where ``est_weight = max(w, tau)`` (exact int64,
+    emitted as a lossless double).
+    """
+    w = F.col(weight_col).cast("bigint")
+    h = salted_hash(F.col(key_col), seed)
+    scored = df.select(
+        F.col(key_col).alias("key"),
+        w.alias("weight"),
+        (w * F.lit(HASH_SPACE)).cast("bigint").alias("_num"),
+        (h + 1).alias("_den"),
+    ).select(
+        "key", "weight", F.expr("_num div _den").alias("priority_units")
+    )
+    top = (
+        scored.orderBy(F.desc("priority_units"), F.asc("key"))
+        .limit(k + 1)
+        .localCheckpoint(eager=True)
+    )
+    b = top.select(
+        F.col("priority_units").alias("_bq"), F.col("key").alias("_bk")
+    )
+    ranked = (
+        top.join(
+            F.broadcast(b),
+            (F.col("_bq") > F.col("priority_units"))
+            | (
+                (F.col("_bq") == F.col("priority_units"))
+                & (F.col("_bk") < F.col("key"))
+            ),
+            "left",
+        )
+        .groupBy("key", "weight", "priority_units")
+        .agg(F.count("_bk").cast("bigint").alias("_nbefore"))
+    )
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("_nbefore") == k, F.col("priority_units"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("_nbefore") <= k - 1)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "key",
+            "weight",
+            "priority_units",
+            F.greatest(F.col("weight"), F.col("_tau"))
+            .cast("double")
+            .alias("est_weight"),
+        )
+    )
+
+
+def priority_sample_oracle_sql(
+    k: int,
+    weight_expr: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: str = "pri",
+    table: str = "documents",
+) -> str:
+    """DuckDB replay of :func:`priority_sample`: identical integer
+    priorities, rank via row_number (total order matches the engine's
+    (priority DESC, key ASC) tiebreak), tau = the (k+1)-th priority."""
+    h = salted_hash_sql(key_col, seed)
+    return f"""
+        WITH scored AS (
+          SELECT {key_col} AS key,
+                 CAST({weight_expr} AS BIGINT) AS weight,
+                 (CAST({weight_expr} AS BIGINT) * {HASH_SPACE})
+                   // ({h} + 1) AS priority_units
+          FROM {table}
+        ), ranked AS (
+          SELECT key, weight, priority_units,
+                 row_number() OVER (
+                   ORDER BY priority_units DESC, key
+                 ) AS rn
+          FROM scored
+        ), tau AS (
+          SELECT CAST(coalesce(
+                   max(CASE WHEN rn = {k + 1} THEN priority_units END), 0
+                 ) AS BIGINT) AS t
+          FROM ranked WHERE rn <= {k + 1}
+        )
+        SELECT key, weight, priority_units,
+               CAST(greatest(weight, tau.t) AS DOUBLE) AS est_weight
+        FROM ranked CROSS JOIN tau WHERE rn <= {k}"""

@@ -119,6 +119,59 @@ def quality_prune(
     )
 
 
+def c4_clean(
+    docs: DataFrame,
+    min_words: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al.) adapted to sentence grain —
+    the corpus carries no line structure, so sentences stand in for
+    lines exactly as word windows stand in for paragraphs in
+    chunk_dedup:
+
+    - DOC rules: drop the whole document if it contains a curly brace
+      (code), "lorem ipsum", or "javascript" (case-insensitive).
+    - SENTENCE rules: keep only sentences that END IN TERMINAL
+      PUNCTUATION (enforced by construction — sentences are extracted
+      with ``[^.!?]+[.!?]+``, so a trailing unterminated fragment never
+      matches) and carry at least ``min_words`` words.
+
+    Everything is codegen string/array built-ins over one scan — no
+    shuffle, no UDF; the regex is RE2-safe (no lookaround) so a SQL
+    oracle replays it verbatim.  Returns (id, dropped_doc, n_sentences,
+    n_kept, clean_text) with clean_text NULL for dropped docs and for
+    docs with no surviving sentence.
+    """
+    txt = F.col(text_col)
+    low = F.lower(txt)
+    doc_bad = (
+        txt.contains("{")
+        | txt.contains("}")
+        | low.contains("lorem ipsum")
+        | low.contains("javascript")
+    )
+    sents = F.regexp_extract_all(txt, F.lit(r"[^.!?]+[.!?]+"), 0)
+    wc = lambda s: F.size(  # noqa: E731 — shared word-count idiom
+        F.filter(F.split(F.trim(s), r"\s+"), lambda w: F.length(w) > 0)
+    )
+    kept = F.filter(sents, lambda s: wc(s) >= min_words)
+    # the lambda must be single-arg: passing F.trim directly would let
+    # transform() bind the element INDEX to trim's optional second
+    # parameter (the trim-character set), silently trimming nothing
+    clean = F.array_join(F.transform(kept, lambda s: F.trim(s)), " ")
+    n_kept = F.when(doc_bad, F.lit(0)).otherwise(F.size(kept))
+    return docs.filter(txt.isNotNull()).select(
+        F.col(id_col),
+        doc_bad.alias("dropped_doc"),
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        n_kept.cast("bigint").alias("n_kept"),
+        F.when(doc_bad | (F.size(kept) == 0), F.lit(None).cast("string"))
+        .otherwise(clean)
+        .alias("clean_text"),
+    )
+
+
 _LANG_MARKERS = {
     "en": (" the ", " and ", " is "),
     "de": (" der ", " und ", " ist "),
@@ -1744,3 +1797,187 @@ def hashed_doc_features_oracle_sql(dim: int = 64, seed: str = "fh") -> str:
                CAST(sum(v * v) AS BIGINT) AS l2sq,
                CAST(sum(v * (b % 2 * 2 - 1)) AS BIGINT) AS probe_dot
         FROM buckets GROUP BY doc_id"""
+
+
+def rouge_n(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_col: str = "ref_id",
+    cand_col: str = "cand_id",
+) -> DataFrame:
+    """ROUGE-1 and ROUGE-2 (Lin 2004) for every (reference, candidate)
+    document pair: clipped n-gram overlap — sum over grams of
+    min(count_ref, count_cand) — with recall (the ROUGE score proper),
+    precision, and F1.  The summarization/generation eval metric, and
+    the fuzzy-containment signal exact-fingerprint decontamination
+    misses; ``pairs`` is any bounded pair table (eval pairs keyed by a
+    shared prompt id, LSH candidates, adjacent ids).
+
+    All counts are exact int64; each ratio is ONE division of two
+    exact integers (F1 = 2*overlap / (ref_total + cand_total), the
+    algebraic collapse of 2PR/(P+R)), rounded once at 9 decimals —
+    no float accumulates.  Pairs with an empty side emit NULL ratios
+    via nullif.
+
+    Scale shape: one corpus scan explodes grams (unigrams + zipped
+    bigrams, both codegen array ops), one (doc, n, gram)-keyed partial
+    aggregation; the overlap is two equi-joins that fan out only on
+    the PAIRED docs' shared grams (candidate-bounded, never corpus
+    all-pairs), and per-pair totals join on the pair keys.  Returns
+    (ref_id, cand_id, n, overlap, ref_total, cand_total, recall,
+    precision, f1) — one row per pair per n in {1, 2}.
+    """
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), words.alias("_ws")
+    )
+    uni = base.select(
+        "_id", F.lit(1).cast("bigint").alias("n"),
+        F.explode("_ws").alias("gram"),
+    )
+    ws = F.col("_ws")
+    bi_arr = F.transform(
+        F.slice(ws, 1, F.size(ws) - 1),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(ws, i + F.lit(2))),
+    )
+    bi = base.filter(F.size("_ws") >= 2).select(
+        "_id", F.lit(2).cast("bigint").alias("n"),
+        F.explode(bi_arr).alias("gram"),
+    )
+    grams = uni.unionByName(bi)
+    gc = grams.groupBy("_id", "n", "gram").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = gc.groupBy("_id", "n").agg(
+        F.sum("cnt").cast("bigint").alias("total")
+    )
+    p = pairs.select(
+        F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
+    )
+    ov = (
+        p.join(
+            gc.select(
+                F.col("_id").alias("ref_id"), "n", "gram",
+                F.col("cnt").alias("_cr"),
+            ),
+            on="ref_id",
+        )
+        .join(
+            gc.select(
+                F.col("_id").alias("cand_id"), "n", "gram",
+                F.col("cnt").alias("_cc"),
+            ),
+            on=["cand_id", "n", "gram"],
+        )
+        .groupBy("ref_id", "cand_id", "n")
+        .agg(F.sum(F.least("_cr", "_cc")).cast("bigint").alias("overlap"))
+    )
+    skel = p.crossJoin(
+        F.broadcast(
+            p.sparkSession.range(1, 3).select(
+                F.col("id").cast("bigint").alias("n")
+            )
+        )
+    )
+    res = (
+        skel.join(
+            tot.select(F.col("_id").alias("ref_id"), "n",
+                       F.col("total").alias("_tr")),
+            on=["ref_id", "n"], how="left",
+        )
+        .join(
+            tot.select(F.col("_id").alias("cand_id"), "n",
+                       F.col("total").alias("_tc")),
+            on=["cand_id", "n"], how="left",
+        )
+        .join(ov, on=["ref_id", "cand_id", "n"], how="left")
+        .select(
+            "ref_id", "cand_id", "n",
+            F.coalesce(F.col("overlap"), F.lit(0))
+            .cast("bigint").alias("overlap"),
+            F.coalesce(F.col("_tr"), F.lit(0)).cast("bigint")
+            .alias("ref_total"),
+            F.coalesce(F.col("_tc"), F.lit(0)).cast("bigint")
+            .alias("cand_total"),
+        )
+    )
+    ovd = F.coalesce(F.col("overlap"), F.lit(0)).cast("double")
+    return res.select(
+        "ref_id", "cand_id", "n", "overlap", "ref_total", "cand_total",
+        F.round(
+            ovd / F.nullif(F.col("ref_total").cast("double"), F.lit(0.0)), 9
+        ).alias("recall"),
+        F.round(
+            ovd / F.nullif(F.col("cand_total").cast("double"), F.lit(0.0)), 9
+        ).alias("precision"),
+        F.round(
+            F.lit(2.0) * ovd
+            / F.nullif(
+                (F.col("ref_total") + F.col("cand_total")).cast("double"),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("f1"),
+    )
+
+
+def rouge_n_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB replay of :func:`rouge_n` over ``documents``;
+    ``pairs_sql`` is a query selecting (ref_id, cand_id)."""
+    return f"""
+        WITH p AS ({pairs_sql}),
+        w AS (
+          SELECT doc_id AS id,
+                 list_filter(
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ), x -> len(x) > 0) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT id, CAST(1 AS BIGINT) AS n, u.g AS gram
+          FROM w, unnest(wl) AS u(g)
+          UNION ALL
+          SELECT id, CAST(2 AS BIGINT) AS n,
+                 wl[r.i] || ' ' || wl[r.i + 1] AS gram
+          FROM w, unnest(range(1, len(wl))) AS r(i)
+          WHERE len(wl) >= 2
+        ), gc AS (
+          SELECT id, n, gram, CAST(count(*) AS BIGINT) AS cnt
+          FROM grams GROUP BY id, n, gram
+        ), tot AS (
+          SELECT id, n, CAST(sum(cnt) AS BIGINT) AS total
+          FROM gc GROUP BY id, n
+        ), ov AS (
+          SELECT p.ref_id, p.cand_id, a.n,
+                 CAST(sum(least(a.cnt, b.cnt)) AS BIGINT) AS overlap
+          FROM p
+          JOIN gc a ON a.id = p.ref_id
+          JOIN gc b ON b.id = p.cand_id AND b.n = a.n AND b.gram = a.gram
+          GROUP BY p.ref_id, p.cand_id, a.n
+        ), skel AS (
+          SELECT p.ref_id, p.cand_id, CAST(nn.n AS BIGINT) AS n
+          FROM p CROSS JOIN (VALUES (1), (2)) AS nn(n)
+        ), res AS (
+          SELECT s.ref_id, s.cand_id, s.n,
+                 CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+                 CAST(coalesce(tr.total, 0) AS BIGINT) AS ref_total,
+                 CAST(coalesce(tc.total, 0) AS BIGINT) AS cand_total
+          FROM skel s
+          LEFT JOIN tot tr ON tr.id = s.ref_id AND tr.n = s.n
+          LEFT JOIN tot tc ON tc.id = s.cand_id AND tc.n = s.n
+          LEFT JOIN ov ON ov.ref_id = s.ref_id
+                      AND ov.cand_id = s.cand_id AND ov.n = s.n
+        )
+        SELECT ref_id, cand_id, n, overlap, ref_total, cand_total,
+               round(CAST(overlap AS DOUBLE)
+                     / nullif(CAST(ref_total AS DOUBLE), 0.0), 9) AS recall,
+               round(CAST(overlap AS DOUBLE)
+                     / nullif(CAST(cand_total AS DOUBLE), 0.0), 9)
+                 AS precision,
+               round(2.0 * CAST(overlap AS DOUBLE)
+                     / nullif(CAST(ref_total + cand_total AS DOUBLE), 0.0),
+                     9) AS f1
+        FROM res"""

@@ -203,3 +203,91 @@ def streaming_rate_limit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_OUT = (
+    "event_type string, batch_idx bigint, npresent bigint, "
+    "n_empty bigint, sum_units bigint"
+)
+_HLL_STATE = "regs array<bigint>, nb bigint"
+
+
+def make_stateful_hll(b: int = 5, seed: str = "hll"):
+    """Build the applyInPandasWithState function for a streaming
+    HyperLogLog: per key, carried state is the 2^b register maxima
+    (the same salted-md5 registers as the batch
+    ``llm/sketch.hll_sketch`` — bucket = h div 2^(32-b), rank = 28 -
+    bit_length(rest), rest == 0 -> 28+1) plus a batch counter.  After
+    each micro-batch the key emits its register SUMMARY in exact
+    int64: npresent, n_empty, and the harmonic denominator
+    ``sum_units = sum(2^(32 - m_j)) + n_empty * 2^32`` — the float
+    estimate belongs to the CONSUMER (one multiply + one divide from
+    these integers, same expression as the batch hll_estimate), so the
+    stream itself is all-integer and replays bit-for-bit.
+    """
+    import hashlib
+
+    m = 1 << b
+    rest_bits = 32 - b
+    rest_mod = 1 << rest_bits
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            regs_list, nb = state.get
+            regs = list(regs_list)
+        else:
+            regs, nb = [0] * m, 0
+        for pdf in pdfs:
+            for val in pdf["user_id"].tolist():
+                h = int(
+                    hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:8],
+                    16,
+                )
+                bucket = h // rest_mod
+                rest = h % rest_mod
+                rho = (
+                    rest_bits + 1
+                    if rest == 0
+                    else rest_bits + 1 - rest.bit_length()
+                )
+                if rho > regs[bucket]:
+                    regs[bucket] = rho
+            npresent = sum(1 for r in regs if r > 0)
+            sum_units = sum(
+                (1 << (32 - r)) for r in regs if r > 0
+            ) + (m - npresent) * (1 << 32)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "batch_idx": [nb],
+                    "npresent": [npresent],
+                    "n_empty": [m - npresent],
+                    "sum_units": [sum_units],
+                }
+            )
+            nb += 1
+        state.update((regs, int(nb)))
+
+    return fn
+
+
+def streaming_hll(events_stream, b: int = 5, seed: str = "hll"):
+    """Per-key streaming HyperLogLog distinct-count registers — the
+    mergeable-sketch family lifted onto the streaming surface (the
+    fourth applyInPandasWithState operator beside streaming_sosfilt,
+    streaming_cusum, and streaming_rate_limit): a live dashboard's
+    "distinct users per event type so far" without keeping the
+    distinct sets in state.  State is 2^b int64 register maxima per
+    key — BOUNDED regardless of stream length or cardinality, the
+    whole point of the sketch; after each micro-batch the key emits
+    its exact-integer register summary, equal by construction to the
+    batch ``hll_sketch`` over every row seen so far (register max is
+    commutative/associative/idempotent, so micro-batch boundaries
+    cannot change it)."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        make_stateful_hll(b=b, seed=seed),
+        outputStructType=_HLL_OUT,
+        stateStructType=_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

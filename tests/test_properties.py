@@ -799,11 +799,17 @@ class TestTheilSenProperty:
     @given(data=st.data())
     @settings(**SETTINGS)
     def test_matches_python_brute_force(self, spark, data):
-        """The in-row pair expansion must reproduce the rank-self-join
-        semantics exactly: all unordered event pairs with distinct
-        timestamps, slope = cent-delta * 1e6 / microsecond-gap, median
-        by interpolated percentile."""
+        """The guarded production helper must reproduce the brute-force
+        semantics exactly in BOTH arms: all unordered event pairs with
+        distinct timestamps, slope = cent-delta * 1e6 / microsecond-gap,
+        median by interpolated percentile.  The drawn ``max_inrow``
+        routes users through the in-row expansion (large threshold),
+        the rank-self-join fallback (threshold below every history), or
+        a mix (threshold inside the count range) — results must be
+        identical regardless."""
         import statistics
+
+        import __spark_entry__ as entry
 
         rows = []
         eid = 0
@@ -828,52 +834,13 @@ class TestTheilSenProperty:
             "value",
         )
 
-        from pyspark.sql import functions as F
-
-        g = df.select(
-            "user_id",
-            F.struct(
-                F.unix_micros("ts").alias("t"),
-                F.round(F.col("value") * 100).cast("bigint").alias("v"),
-            ).alias("_pt"),
-        ).groupBy("user_id").agg(F.collect_list("_pt").alias("_pts"))
-        pts = F.col("_pts")
-        pair_arr = F.flatten(
-            F.transform(
-                pts,
-                lambda p1, i: F.transform(
-                    F.slice(pts, i + F.lit(2), F.size(pts)),
-                    lambda p2: F.struct(
-                        p1["t"].alias("_t1"),
-                        p1["v"].alias("_v1"),
-                        p2["t"].alias("_t2"),
-                        p2["v"].alias("_v2"),
-                    ),
-                ),
-            )
-        )
+        # 1000: every user in-row; 1: every user through the self-join
+        # arm; 3: histories of 4-6 events fall through the guard while
+        # smaller ones stay in-row
+        max_inrow = data.draw(st.sampled_from([1, 3, 1000]))
         got = {
-            r.user_id: (r.n_pairs, r.median_slope)
-            for r in g.filter(F.size("_pts") >= 2)
-            .select("user_id", F.explode(pair_arr).alias("_p"))
-            .filter(F.col("_p._t2") != F.col("_p._t1"))
-            .select(
-                "user_id",
-                (
-                    ((F.col("_p._v2") - F.col("_p._v1")) * 1000000).cast(
-                        "double"
-                    )
-                    / (F.col("_p._t2") - F.col("_p._t1")).cast("double")
-                ).alias("_slope"),
-            )
-            .groupBy("user_id")
-            .agg(
-                F.count("*").cast("bigint").alias("n_pairs"),
-                F.round(F.expr("percentile(_slope, 0.5)"), 9).alias(
-                    "median_slope"
-                ),
-            )
-            .collect()
+            r.user_id: (r.n_pairs, r.median_slope_cps)
+            for r in entry._theilsen_slope(df, max_inrow=max_inrow).collect()
         }
 
         exp = {}
@@ -891,4 +858,350 @@ class TestTheilSenProperty:
                 # statistics.median matches interpolated percentile(0.5)
                 # for both odd and even counts
                 exp[uid] = (len(slopes), round(statistics.median(slopes), 9))
+        assert got == exp
+
+
+class TestPackingEfficiencyProperty:
+    def test_shelf_bins_bracket_ffd_and_lower_bound(self, spark):
+        """The bucketed shelf closed form must be a VALID packing (its
+        bin count can't beat true first-fit-decreasing run on the same
+        capacity-chunked lengths) and FFD in turn can't beat the
+        fractional lower bound — so lb_bins <= ffd_bins <= total_bins.
+        Run on the real sf0.001 corpus so the brute force sees the
+        production length distribution."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["packing_efficiency"](spark, sf).collect()
+        assert rows
+        g = rows[0]
+        # per-bucket shelf arithmetic is internally consistent
+        for r in rows:
+            assert r.upper_len == (r.bucket + 1) * 16
+            assert r.slots_per_bin == 128 // r.upper_len
+            assert r.bins * r.slots_per_bin >= r.n_docs
+            assert (r.bins - 1) * r.slots_per_bin < r.n_docs
+            assert r.waste_tokens == r.bins * 128 - r.sum_len
+            assert (g.total_bins, g.lb_bins) == (rows[0].total_bins,
+                                                 rows[0].lb_bins)
+
+        # brute-force FFD on the identical chunked lengths
+        from openseize_spark.llm import text as llm_text
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        lens = [
+            r.len
+            for r in docs.filter(F.col("text").isNotNull())
+            .select(llm_text.token_count(F.col("text")).alias("len"))
+            .filter(F.col("len") > 0)
+            .collect()
+        ]
+        pieces = []
+        full = 0
+        for n in lens:
+            full += n // 128
+            if n % 128:
+                pieces.append(n % 128)
+        bins = []
+        for p in sorted(pieces, reverse=True):
+            for i, b in enumerate(bins):
+                if b + p <= 128:
+                    bins[i] = b + p
+                    break
+            else:
+                bins.append(p)
+        ffd_bins = len(bins) + full
+        assert g.lb_bins <= ffd_bins <= g.total_bins
+        assert g.lb_bins == -(-sum(lens) // 128)
+        assert 0.0 < g.efficiency <= g.lb_efficiency <= 1.0
+
+
+class TestCupedStratifiedProperty:
+    def test_tiers_partition_users_and_preserve_tier_means(self, spark):
+        """Within each tier the CUPED adjustment is mean-preserving:
+        sum over arms of n_users * mean_adj equals the same sum of
+        mean_post (the correction term telescopes to
+        -theta * (sum_x_tier - n_tier * xbar_tier) = 0 because xbar is
+        the WITHIN-tier covariate mean).  Tier/arm cells must also
+        partition the experiment's user population exactly."""
+        import __spark_entry__ as entry
+
+        sf = "/root/testdata/sf0.001"
+        rows = entry.queries()["cuped_stratified"](spark, sf).collect()
+        assert rows
+        e = entry._events(spark, sf).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        n_users = e.select("user_id").distinct().count()
+        assert sum(r.n_users for r in rows) == n_users
+        assert len({(r.tier, r.arm) for r in rows}) == len(rows)
+
+        from collections import defaultdict
+
+        post = defaultdict(float)
+        adj = defaultdict(float)
+        for r in rows:
+            post[r.tier] += r.n_users * r.mean_post_cents
+            adj[r.tier] += r.n_users * r.mean_adj_cents
+            assert r.theta is None or np.isfinite(r.theta)
+        for tier in post:
+            # 9-decimal rounding of the per-arm means bounds the
+            # telescoping error by n_users * 5e-10
+            assert abs(post[tier] - adj[tier]) <= 1e-6 * max(
+                1.0, abs(post[tier])
+            )
+
+
+class TestRougeNProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_counter_brute_force(self, spark, data):
+        """rouge_n must equal the textbook clipped-count definition:
+        overlap_n = sum over grams of min(count_ref, count_cand), with
+        recall/precision/F1 derived by single divisions.  Texts are
+        drawn from a 4-word alphabet so clipping (repeated grams) and
+        empty-overlap cases actually occur; messy whitespace exercises
+        the shared normalization."""
+        from collections import Counter
+
+        from openseize_spark.llm import text as llm_text
+
+        words = ["aa", "bb", "cc", "dd"]
+        texts = []
+        for _ in range(data.draw(st.integers(2, 4))):
+            ws = data.draw(st.lists(st.sampled_from(words), max_size=8))
+            sep = data.draw(st.sampled_from([" ", "  ", " \t "]))
+            texts.append(sep.join(ws))
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        pair_list = [
+            (a, b)
+            for a in range(len(texts))
+            for b in range(len(texts))
+            if a != b
+        ]
+        pairs = spark.createDataFrame(
+            pair_list, "ref_id long, cand_id long"
+        )
+        got = {
+            (r.ref_id, r.cand_id, r.n): (
+                r.overlap, r.ref_total, r.cand_total,
+                r.recall, r.precision, r.f1,
+            )
+            for r in llm_text.rouge_n(pairs, docs).collect()
+        }
+
+        def grams(t, n):
+            ws = [w for w in t.lower().strip().split() if w]
+            if n == 1:
+                return ws
+            return [
+                " ".join(ws[i : i + 2]) for i in range(len(ws) - 1)
+            ]
+
+        exp = {}
+        for a, b in pair_list:
+            for n in (1, 2):
+                cr, cc = Counter(grams(texts[a], n)), Counter(
+                    grams(texts[b], n)
+                )
+                ov = sum(min(v, cc[g]) for g, v in cr.items())
+                tr, tc = sum(cr.values()), sum(cc.values())
+                exp[(a, b, n)] = (
+                    ov, tr, tc,
+                    round(ov / tr, 9) if tr else None,
+                    round(ov / tc, 9) if tc else None,
+                    round(2 * ov / (tr + tc), 9) if tr + tc else None,
+                )
+        assert got == exp
+
+
+class TestPrioritySampleProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Drawn population sizes, weights, and k — including k >= n
+        (whole population kept, tau = 0) and heavy weight ties (the
+        key tiebreak decides) — must reproduce the exact integer
+        priority/tau/estimator arithmetic."""
+        import hashlib
+
+        from openseize_spark.llm import sampling
+
+        n = data.draw(st.integers(1, 40))
+        k = data.draw(st.integers(1, 12))
+        rows = [
+            (i, data.draw(st.integers(1, 5)) * 10) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = {
+            r.key: (r.weight, r.priority_units, r.est_weight)
+            for r in sampling.priority_sample(
+                df, k=k, weight_col="n_chars"
+            ).collect()
+        }
+        HS = 1 << 32
+        scored = []
+        for key, w in rows:
+            h = int(
+                hashlib.md5(f"pri:{key}".encode()).hexdigest()[:8], 16
+            )
+            scored.append((key, w, (w * HS) // (h + 1)))
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        tau = scored[k][2] if len(scored) > k else 0
+        exp = {
+            key: (w, q, float(max(w, tau)))
+            for key, w, q in scored[:k]
+        }
+        assert got == exp
+
+
+class TestBfsDistancesProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Random small graphs, random seed sets, random hop budgets —
+        the frontier expansion must equal a python BFS exactly,
+        including unreached nodes being absent and isolated seeds at
+        distance zero."""
+        n_nodes = data.draw(st.integers(2, 10))
+        edges = data.draw(
+            st.lists(
+                st.tuples(
+                    st.integers(0, n_nodes - 1),
+                    st.integers(0, n_nodes - 1),
+                ).filter(lambda e: e[0] != e[1]),
+                min_size=1,
+                max_size=15,
+                unique=True,
+            )
+        )
+        seeds = data.draw(
+            st.lists(
+                st.integers(0, n_nodes - 1),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        hops = data.draw(st.integers(1, 4))
+
+        from openseize_spark.llm import dedup
+
+        e = spark.createDataFrame(edges, "a long, b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "id long")
+        got = {
+            r.id: r.dist
+            for r in dedup.bfs_distances(e, s, max_hops=hops).collect()
+        }
+
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dist = {x: 0 for x in seeds}
+        frontier = set(seeds)
+        for h in range(1, hops + 1):
+            nxt = {
+                v
+                for u in frontier
+                for v in adj.get(u, ())
+                if v not in dist
+            }
+            for v in nxt:
+                dist[v] = h
+            frontier = nxt
+        assert got == dist
+
+
+class TestHitsProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Random bipartite edge sets and round counts against the
+        exact integer recursion (max-normalization via the two-step
+        floor division)."""
+        edges = data.draw(
+            st.lists(
+                st.tuples(st.integers(1, 6), st.integers(101, 106)),
+                min_size=1,
+                max_size=14,
+                unique=True,
+            )
+        )
+        iters = data.draw(st.integers(1, 3))
+
+        from openseize_spark.llm import dedup
+
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        out = dedup.hits(df, iters=iters).collect()
+
+        S = 10**6
+        hubs = {s: S for s, _ in edges}
+        auths = {}
+        for _ in range(iters):
+            raw = {}
+            for s, d in edges:
+                raw[d] = raw.get(d, 0) + hubs[s]
+            m = max(raw.values())
+            auths = {d: v // max(m // S, 1) for d, v in raw.items()}
+            raw = {}
+            for s, d in edges:
+                raw[s] = raw.get(s, 0) + auths[d]
+            m = max(raw.values())
+            hubs = {s: v // max(m // S, 1) for s, v in raw.items()}
+        got_h = {r.id: r.score for r in out if r.node_type == "hub"}
+        got_a = {r.id: r.score for r in out if r.node_type == "auth"}
+        assert got_h == {k: v / 1e6 for k, v in hubs.items()}
+        assert got_a == {k: v / 1e6 for k, v in auths.items()}
+
+
+class TestGramNoveltyProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_brute_force(self, spark, data):
+        """Drawn corpora from a tiny alphabet (so cross-doc gram
+        collisions actually occur) with drawn n."""
+        n = data.draw(st.integers(2, 3))
+        words = ["aa", "bb", "cc"]
+        texts = []
+        for i in range(data.draw(st.integers(1, 5))):
+            ws = data.draw(
+                st.lists(st.sampled_from(words), max_size=6)
+            )
+            texts.append((i, " ".join(ws)))
+
+        from openseize_spark.llm import dedup
+
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+            for r in dedup.gram_novelty(df, n=n).collect()
+        }
+
+        def grams(t):
+            ws = [w for w in t.lower().strip().split() if w]
+            return {
+                " ".join(ws[i : i + n])
+                for i in range(len(ws) - n + 1)
+            }
+
+        gsets = {i: grams(t) for i, t in texts}
+        first = {}
+        for i in sorted(gsets):
+            for g in gsets[i]:
+                first.setdefault(g, i)
+        exp = {
+            i: (
+                len(gs),
+                sum(1 for g in gs if first[g] == i),
+                round(
+                    sum(1 for g in gs if first[g] == i) / len(gs), 9
+                ),
+            )
+            for i, gs in gsets.items()
+            if gs
+        }
         assert got == exp

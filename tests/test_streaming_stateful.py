@@ -232,3 +232,110 @@ class TestStreamingRateLimit:
         # events 100-102 accepted, 103 rejected
         assert [exp[i][1] for i in range(8)] == [True] * 5 + [False] * 3
         assert [exp[100 + j][1] for j in range(4)] == [True, True, True, False]
+
+
+class TestStreamingHll:
+    def _run(self, spark, tmp_path, batches, b=5):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from openseize_spark.streaming.stateful import streaming_hll
+
+        rows = []
+        for bi, users in enumerate(batches):
+            for j, u in enumerate(users):
+                rows.append(("t0", u, bi * 1000 + j))
+        df = spark.createDataFrame(
+            rows, "event_type string, user_id long, _us long"
+        )
+        for bi in range(len(batches)):
+            df.filter(
+                (F.col("_us") >= bi * 1000)
+                & (F.col("_us") < (bi + 1) * 1000)
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(str(tmp_path), f"batch_{bi}")
+            )
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(str(tmp_path), "batch_*"))
+        )
+        out = streaming_hll(stream, b=b)
+        qn = f"t_shll_{os.path.basename(str(tmp_path))}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qn)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            r.batch_idx: (r.npresent, r.n_empty, r.sum_units)
+            for r in spark.sql(f"SELECT * FROM {qn}").collect()
+        }
+
+    @staticmethod
+    def _batch_summary(users, b=5):
+        import hashlib
+
+        m = 1 << b
+        rb = 32 - b
+        regs = [0] * m
+        for u in users:
+            h = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:8], 16)
+            bucket, rest = h // (1 << rb), h % (1 << rb)
+            rho = rb + 1 if rest == 0 else rb + 1 - rest.bit_length()
+            regs[bucket] = max(regs[bucket], rho)
+        npresent = sum(1 for r in regs if r > 0)
+        su = sum((1 << (32 - r)) for r in regs if r > 0) + (
+            m - npresent
+        ) * (1 << 32)
+        return npresent, m - npresent, su
+
+    def test_final_state_equals_batch_sketch(self, spark, tmp_path):
+        """After the last micro-batch the registers must equal the
+        batch hll_sketch over every row seen — register max is
+        order-insensitive, so batch boundaries cannot change it.
+        Cross-checked against the batch module itself, not just the
+        python replay."""
+        from openseize_spark.llm.sketch import hll_sketch
+
+        batches = [list(range(40)), list(range(20, 60)), [7, 99, 100]]
+        got = self._run(spark, tmp_path, batches)
+        all_users = [u for bat in batches for u in bat]
+        assert got[2] == self._batch_summary(all_users)
+
+        df = spark.createDataFrame(
+            [(u,) for u in all_users], "user_id long"
+        )
+        sk = {
+            r.bucket: r.m_j
+            for r in hll_sketch(df, "user_id", b=5).collect()
+        }
+        npresent = len(sk)
+        su = sum(1 << (32 - v) for v in sk.values()) + (32 - npresent) * (
+            1 << 32
+        )
+        assert got[2] == (npresent, 32 - npresent, su)
+
+    def test_prefixes_and_duplicates(self, spark, tmp_path):
+        """Each emitted row is the sketch of the PREFIX; duplicate
+        users across batches cannot move the registers."""
+        batches = [[1, 2, 3], [3, 2, 1], [4]]
+        got = self._run(spark, tmp_path, batches)
+        assert got[0] == self._batch_summary([1, 2, 3])
+        assert got[1] == got[0]  # pure duplicates: registers unmoved
+        assert got[2] == self._batch_summary([1, 2, 3, 4])
+
+    def test_absent_batch_advances_nothing(self, spark, tmp_path):
+        """A key with no rows in a micro-batch emits nothing for it and
+        its per-key batch counter does not advance — the contract the
+        oracle's rank-over-present-batches batch_idx relies on."""
+        batches = [[1, 2], [], [3]]
+        got = self._run(spark, tmp_path, batches)
+        # outputs exist for the key's two PRESENT batches, indexed 0, 1
+        assert set(got) == {0, 1}
+        assert got[0] == self._batch_summary([1, 2])
+        assert got[1] == self._batch_summary([1, 2, 3])
