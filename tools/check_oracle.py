@@ -67,7 +67,7 @@ def main():
     # re-verified the wrong tree when proving the round-10 merge)
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
     sys.path.insert(0, repo)
     import __spark_entry__ as entrymod
     from openseize_spark.session import get_spark

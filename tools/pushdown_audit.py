@@ -98,7 +98,7 @@ def main() -> None:
     import os
 
     sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        0, os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
     )
     import __spark_entry__ as entrymod
     from openseize_spark.session import get_spark

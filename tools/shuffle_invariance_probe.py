@@ -56,7 +56,7 @@ def main() -> int:
     import os
 
     sys.path.insert(
-        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        0, os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
     )
     import __spark_entry__ as entrymod
 

@@ -39,7 +39,7 @@ def main():
     # a hardcoded /root/repo silently probes the wrong tree in a clone)
     import os
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.dirname(os.path.realpath(__file__)))
     sys.path.insert(0, repo)
     from pyspark.sql import SparkSession
 
