@@ -9220,6 +9220,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ship_delay_quantiles"] = q_ship_delay_quantiles
 
+    # ---- round-11 surface: graph quality + retrieval eval ----------
+
+    def q_modularity(spark, sf_dir):
+        """Newman modularity of the label-propagation communities over
+        the verified near-dup graph (llm/dedup.py modularity) — the
+        standard did-the-communities-mean-anything score, emitted per
+        community so the decomposition itself is oracle-checked.  Every
+        input (e_in, deg_sum, m) is an exact int64 count; each row does
+        two IEEE divisions and one subtraction on identical integers in
+        both engines, so no float accumulates across rows.  The edge
+        list is checkpointed once while the verify result is live (its
+        candidate cache serves the materialization), and labels reuse
+        that checkpoint — the verify pipeline runs exactly once.
+        Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        edges = (
+            dup.select("a", "b")
+            .filter(F.col("a") != F.col("b"))
+            .localCheckpoint(eager=True)
+        )
+        labels = dedup.label_propagation(edges, rounds=4)
+        return dedup.modularity(edges, labels)
+
+    q["modularity"] = q_modularity
+
+    def q_assortativity(spark, sf_dir):
+        """Degree assortativity of the verified near-dup graph
+        (llm/dedup.py assortativity): do hub documents link to other
+        hubs (templated boilerplate families) or to leaves (stars of
+        near-copies around one original)?  Exact-moment Pearson over
+        the symmetrized edge list — all sums int64, one division
+        (the value_hour_corr discipline).  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.assortativity(dup.select("a", "b"))
+
+    q["assortativity"] = q_assortativity
+
+    def q_clustering_buckets(spark, sf_dir):
+        """Local clustering-coefficient distribution of the verified
+        near-dup graph (llm/dedup.py clustering_buckets): per node with
+        degree >= 2, 2*tri/(d*(d-1)) binned onto ten integer buckets by
+        pure integer floor division (non-negative operands, so Spark
+        div == DuckDB //) — clique-like duplicate families land in
+        bucket 9, stars and chains in bucket 0, and the query emits 10
+        rows instead of |V| floats.  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        return dedup.clustering_buckets(dup.select("a", "b"))
+
+    q["clustering_buckets"] = q_clustering_buckets
+
+    def q_mrr_eval(spark, sf_dir):
+        """Mean-reciprocal-rank harness for the IVF index: per query,
+        where does the TRUE nearest neighbor (brute-force rank 1) land
+        in the IVF top-5?  Reciprocal ranks are exact integers in
+        1/2520 units (2520 = lcm(1..10), so 2520/rank is exact for any
+        retrieval depth up to 10) — the scaled-integer discipline that
+        keeps the metric order-independent; the one division happens
+        per row at the end.  A miss scores 0, kept as its own flag
+        column.  Composes the two already-oracled retrieval replays
+        (knn_cosine truth, ivf_topk candidates) like ann_recall does.
+        Round-11 registration."""
+        truth1 = (
+            q_knn_cosine(spark, sf_dir)
+            .filter(F.col("rank") == 1)
+            .select("q_id", "vec_id")
+        )
+        cand = q_ivf_topk(spark, sf_dir).select(
+            F.col("q_id").alias("_q2"),
+            F.col("vec_id").alias("_v2"),
+            F.col("rank").alias("_rank"),
+        )
+        j = truth1.join(
+            cand,
+            (truth1.q_id == F.col("_q2")) & (truth1.vec_id == F.col("_v2")),
+            "left",
+        )
+        rr_units = F.coalesce(
+            F.expr("CAST(2520 div _rank AS BIGINT)"), F.lit(0).cast("bigint")
+        )
+        return j.select(
+            "q_id",
+            F.col("_rank").cast("bigint").alias("found_rank"),
+            rr_units.alias("rr_units"),
+            F.round(rr_units.cast("double") / F.lit(2520.0), 9).alias("rr"),
+        )
+
+    q["mrr_eval"] = q_mrr_eval
+
+    def q_tfidf_cosine_capped(spark, sf_dir):
+        """The 100-TB arm of tfidf_cosine_pairs: identical sparse
+        posting-list cosine, but the df prune composes the relative cut
+        with an ABSOLUTE cap (df <= min(5% * N, 256)).  The sf1 scaling
+        bench measured the purely-relative cut at exponent 1.58 (38x
+        cost for 10x data: df_cap grows with N, so per-term pair
+        fan-out grows ~N^2); the absolute cap bounds every posting list
+        at 256 regardless of corpus size, making the candidate stream
+        linear in the vocabulary.  At the sf0.01/sf0.001 gate scales
+        5% * N < 256, so this twin is bit-identical to the uncapped
+        reference semantics there — the divergence exists only at the
+        scales the cap is for (the minhash_dedup / minhash_dedup_prod
+        twin pattern).  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.tfidf_cosine_pairs(
+            docs, threshold=0.3, max_df_pct=5, max_df_abs=256
+        )
+
+    q["tfidf_cosine_capped"] = q_tfidf_cosine_capped
+
     return _gate_order(q)
 
 
@@ -14279,5 +14396,33 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
                round(quantile_cont(lag_days, 0.99), 6) AS p99_days
         FROM j GROUP BY o_orderpriority"""
+
+    # ---- round-11 surface: graph quality + retrieval eval ----------
+
+    o["modularity"] = _dedup.modularity_oracle_sql(
+        rounds=4, k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["assortativity"] = _dedup.assortativity_oracle_sql(
+        k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    o["clustering_buckets"] = _dedup.clustering_buckets_oracle_sql(
+        k=5, num_hashes=64, bands=8, threshold=0.8
+    )
+    # mrr_eval composes the two already-oracled retrieval replays, the
+    # ann_recall pattern; reciprocal rank in exact 1/2520 units
+    o["mrr_eval"] = f"""
+        SELECT t.q_id,
+               CAST(c.rank AS BIGINT) AS found_rank,
+               CAST(coalesce(2520 // c.rank, 0) AS BIGINT) AS rr_units,
+               round(CAST(coalesce(2520 // c.rank, 0) AS DOUBLE)
+                     / 2520.0, 9) AS rr
+        FROM ({o["knn_cosine"]}) t
+        LEFT JOIN ({o["ivf_topk"]}) c
+          ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+        WHERE t.rank = 1"""
+
+    o["tfidf_cosine_capped"] = llm_text.tfidf_cosine_pairs_oracle_sql(
+        threshold=0.3, max_df_pct=5, max_df_abs=256
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -624,6 +624,184 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a node partition over an undirected graph
+    given as canonical edges (a < b, a != b) — the standard quality
+    score for the communities label_propagation finds on the near-dup
+    graph (is a family denser inside than its degree mass predicts?).
+
+    Per community c the contribution is e_c/m - (D_c / 2m)^2 with
+    e_c = edges inside c, D_c = sum of member degrees, m = |E|; total
+    modularity is the sum.  Every input is an exact int64 count, so
+    each output row does two IEEE divisions and one subtraction on
+    identical integers in both engines — no float accumulates across
+    rows (the per-community rows ARE the decomposition; the oracle
+    replays them cell by cell).
+
+    Scale shape: degrees and e_c are |E|-keyed aggregates; the label
+    table joins in at |V| (node-keyed equi joins); the one-row m
+    aggregate rides a broadcast cross join.  ``labels`` must cover
+    every node in ``edges`` (label_propagation's output does).
+
+    Returns (label, n_nodes, e_in, deg_sum, contribution).
+    """
+    # three consumers of the edge list (degrees, e_in, m); checkpoint
+    # so an expensive upstream pair-generation plan executes once
+    edges = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    und = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    lab = labels.select(F.col("id"), F.col("label"))
+    m_df = edges.agg(F.count("*").cast("bigint").alias("m"))
+    deg = und.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    la = lab.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+    e_in = (
+        edges.join(la, on="a")
+        .join(lb, on="b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    d_c = (
+        deg.join(lab, on="id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("deg_sum"),
+        )
+    )
+    out = (
+        d_c.join(e_in, on="label", how="left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce(F.col("e_c"), F.lit(0)).cast("bigint").alias("e_in"),
+            "deg_sum",
+            F.round(
+                F.coalesce(F.col("e_c"), F.lit(0)).cast("double")
+                / F.col("m").cast("double")
+                - (F.col("deg_sum") * F.col("deg_sum")).cast("double")
+                / (F.lit(4) * F.col("m") * F.col("m")).cast("double"),
+                9,
+            ).alias("contribution"),
+        )
+    )
+    return out
+
+
+def assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected graph given as canonical
+    edges (a < b, a != b): the Pearson correlation of endpoint degrees
+    over the DIRECTED (symmetrized) edge list — do the hubs of the
+    near-dup graph link to other hubs (templated boilerplate families)
+    or to leaves (star-shaped near-copies of one original)?
+
+    With both edge directions present the x and y marginals coincide,
+    so r collapses to (n*Sxy - Sx^2) / (n*Sxx - Sx^2) with every sum an
+    exact int64 (degrees are bounded counts) — one IEEE division at the
+    end, the exact-moment-correlation discipline (value_hour_corr).
+
+    Scale shape: one degree aggregate plus two node-keyed equi joins of
+    the edge list against the |V|-row degree table; the final one-row
+    aggregate is a bounded SinglePartition reduce.
+
+    Returns one row (n, sum_d, sum_d2, sum_dxdy, assortativity).
+    """
+    # two consumers of the edge list (degree build + the edge scan the
+    # degrees join back onto); checkpoint so an expensive upstream
+    # pair-generation plan executes once (triangle_count discipline)
+    edges = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    und = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = und.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    dx = deg.select(F.col("id").alias("x"), F.col("d").alias("_dx"))
+    dy = deg.select(F.col("id").alias("y"), F.col("d").alias("_dy"))
+    s = (
+        und.join(dx, on="x")
+        .join(dy, on="y")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_dx").cast("bigint").alias("sum_d"),
+            F.sum(F.col("_dx") * F.col("_dx")).cast("bigint").alias("sum_d2"),
+            F.sum(F.col("_dx") * F.col("_dy")).cast("bigint").alias("sum_dxdy"),
+        )
+    )
+    return s.select(
+        "n",
+        "sum_d",
+        "sum_d2",
+        "sum_dxdy",
+        F.round(
+            (F.col("n") * F.col("sum_dxdy") - F.col("sum_d") * F.col("sum_d")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sum_d2") - F.col("sum_d") * F.col("sum_d")).cast(
+                "double"
+            ),
+            9,
+        ).alias("assortativity"),
+    )
+
+
+def clustering_buckets(edges: DataFrame) -> DataFrame:
+    """Distribution of local clustering coefficients over an undirected
+    graph given as canonical edges (a < b, a != b): per node with
+    degree >= 2 the coefficient 2*tri / (d*(d-1)), binned onto ten
+    integer buckets — the shape diagnostic separating clique-like
+    duplicate families (bucket 9) from star/chain structures
+    (bucket 0) without emitting |V| float rows.
+
+    Binning is pure integer floor division — bucket =
+    min(9, (20*tri) div (d*(d-1))) on provably non-negative operands,
+    so Spark's truncating ``div`` and DuckDB's flooring ``//`` agree
+    and no float exists anywhere in the query.
+
+    Scale shape: triangle_count's two-join wedge enumeration (its
+    eager checkpoint materializes the edge list once for all three
+    consumers here: wedges, closing join, degrees), one |V|-keyed
+    degree aggregate, a broadcast-sized left join, and a 10-row final
+    aggregate.
+
+    Returns (bucket, n_nodes, sum_tri).
+    """
+    edges = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    tri = triangle_count(edges)
+    und = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = und.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    j = (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, on="id", how="left")
+        .select(
+            "id",
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("t"),
+        )
+    )
+    bucket = F.least(
+        F.lit(9).cast("bigint"),
+        F.expr("CAST((20 * t) div (d * (d - 1)) AS BIGINT)"),
+    )
+    return (
+        j.select(bucket.alias("bucket"), "t")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("t").cast("bigint").alias("sum_tri"),
+        )
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 8,
@@ -1828,17 +2006,17 @@ def label_propagation(
     return labels
 
 
-def label_propagation_oracle_sql(
+def _label_prop_ctes(
     rounds: int = 4,
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 8,
     threshold: float = 0.8,
 ) -> str:
-    """DuckDB replay of :func:`label_propagation` over the verified
-    MinHash pair graph: the vp CTE chain, then ``rounds`` unrolled
-    synchronous majority rounds with the identical (count DESC, label
-    ASC) tie-break."""
+    """CTE chain through the label-propagation rounds: verified pairs
+    ``vp`` -> symmetric edges ``und`` -> ``l0`` .. ``l{rounds}`` with
+    the (count DESC, label ASC) tie-break — the shared prefix for the
+    community queries (label_propagation, modularity)."""
     ctes = [
         _vpairs_ctes(k, num_hashes, bands, threshold),
         """, und AS MATERIALIZED (
@@ -1865,10 +2043,160 @@ def label_propagation_oracle_sql(
           ) = 1
         )"""
         )
+    return "".join(ctes)
+
+
+def label_propagation_oracle_sql(
+    rounds: int = 4,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`label_propagation` over the verified
+    MinHash pair graph: the vp CTE chain, then ``rounds`` unrolled
+    synchronous majority rounds with the identical (count DESC, label
+    ASC) tie-break."""
     return (
-        "".join(ctes)
+        _label_prop_ctes(rounds, k, num_hashes, bands, threshold)
         + f"""
         SELECT id AS doc_id, label FROM l{rounds}"""
+    )
+
+
+def modularity_oracle_sql(
+    rounds: int = 4,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of the modularity query: Newman modularity of the
+    label-propagation communities over the verified near-dup graph.
+    Per community c: e_in (edges inside c), deg_sum (sum of member
+    degrees), and the contribution e_in/m - (deg_sum)^2/(4 m^2) — all
+    inputs exact int64, two divisions and one subtraction per row."""
+    return (
+        _label_prop_ctes(rounds, k, num_hashes, bands, threshold)
+        + f""", lab AS (
+          SELECT id, label FROM l{rounds}
+        ), edges AS (
+          SELECT a, b FROM vp WHERE a <> b
+        ), mm AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+        ), deg AS (
+          SELECT x AS id, CAST(count(*) AS BIGINT) AS d
+          FROM und GROUP BY x
+        ), e_in AS (
+          SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+          FROM edges
+          JOIN lab la ON edges.a = la.id
+          JOIN lab lb ON edges.b = lb.id
+          WHERE la.label = lb.label
+          GROUP BY la.label
+        ), d_c AS (
+          SELECT la.label,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg.d) AS BIGINT) AS deg_sum
+          FROM deg JOIN lab la ON deg.id = la.id
+          GROUP BY la.label
+        )
+        SELECT d_c.label, d_c.n_nodes,
+               CAST(coalesce(e_in.e_c, 0) AS BIGINT) AS e_in,
+               d_c.deg_sum,
+               round(CAST(coalesce(e_in.e_c, 0) AS DOUBLE)
+                       / CAST(mm.m AS DOUBLE)
+                     - CAST(d_c.deg_sum * d_c.deg_sum AS DOUBLE)
+                       / CAST(4 * mm.m * mm.m AS DOUBLE), 9)
+                 AS contribution
+        FROM d_c
+        LEFT JOIN e_in ON d_c.label = e_in.label
+        CROSS JOIN mm"""
+    )
+
+
+def assortativity_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of the degree-assortativity query: Pearson
+    correlation of endpoint degrees over the DIRECTED (symmetrized)
+    edge list of the verified near-dup graph.  With both directions
+    present the x and y marginals coincide, so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — every sum exact int64, one
+    division at the end."""
+    return (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + """, und AS MATERIALIZED (
+          SELECT DISTINCT * FROM (
+            SELECT a AS x, b AS y FROM vp WHERE a <> b
+            UNION ALL SELECT b AS x, a AS y FROM vp WHERE a <> b
+          )
+        ), deg AS (
+          SELECT x AS id, CAST(count(*) AS BIGINT) AS d
+          FROM und GROUP BY x
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dx.d) AS BIGINT) AS sum_d,
+                 CAST(sum(dx.d * dx.d) AS BIGINT) AS sum_d2,
+                 CAST(sum(dx.d * dy.d) AS BIGINT) AS sum_dxdy
+          FROM und
+          JOIN deg dx ON und.x = dx.id
+          JOIN deg dy ON und.y = dy.id
+        )
+        SELECT n, sum_d, sum_d2, sum_dxdy,
+               round(CAST(n * sum_dxdy - sum_d * sum_d AS DOUBLE)
+                     / CAST(n * sum_d2 - sum_d * sum_d AS DOUBLE), 9)
+                 AS assortativity
+        FROM s"""
+    )
+
+
+def clustering_buckets_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of the clustering-coefficient distribution: per
+    node with degree >= 2, the local coefficient 2*tri/(d*(d-1)) binned
+    onto 10 integer buckets by pure integer floor division (operands
+    non-negative, so DuckDB ``//`` and Spark ``div`` agree), bucket 9
+    capped so coefficient 1.0 lands in the top bin."""
+    return (
+        _vpairs_ctes(k, num_hashes, bands, threshold)
+        + """, edges AS (
+          SELECT a, b FROM vp WHERE a <> b
+        ), und AS MATERIALIZED (
+          SELECT DISTINCT * FROM (
+            SELECT a AS x, b AS y FROM edges
+            UNION ALL SELECT b AS x, a AS y FROM edges
+          )
+        ), deg AS (
+          SELECT x AS id, CAST(count(*) AS BIGINT) AS d
+          FROM und GROUP BY x
+        ), tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM edges e1
+          JOIN edges e2 ON e1.b = e2.a
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), tri_n AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+            SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+          ) GROUP BY id
+        )
+        SELECT least(9, (20 * coalesce(tri_n.t, 0))
+                        // (deg.d * (deg.d - 1))) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(coalesce(tri_n.t, 0)) AS BIGINT) AS sum_tri
+        FROM deg
+        LEFT JOIN tri_n ON deg.id = tri_n.id
+        WHERE deg.d >= 2
+        GROUP BY 1"""
     )
 
 

@@ -1212,6 +1212,7 @@ def tfidf_cosine_pairs(
     round_digits: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df_abs: int | None = None,
 ) -> DataFrame:
     """Sparse TF-IDF cosine all-pairs similarity via a posting-list
     self-join (the Bayardo et al. "scaling up all pairs" shape) — the
@@ -1231,6 +1232,20 @@ def tfidf_cosine_pairs(
     norms exact; the final cosine divides once through IEEE-exact
     double sqrt — identical on any engine.  Returns (id_a, id_b,
     dot_units, cosine) for cosine >= threshold, id_a < id_b.
+
+    100 TB caveat and the ``max_df_abs`` fix: a purely RELATIVE df cut
+    lets every surviving posting list grow with the corpus (df_cap =
+    pct% of N), so candidate pairs grow ~quadratically in N — measured
+    at the 10x scaling bench as a 38x cost step (exponent 1.58) while
+    every other headline query stayed sublinear.  Passing an absolute
+    cap composes ``df <= min(pct% * N, max_df_abs)``: per-term pair
+    fan-out is then bounded by C(max_df_abs, 2) regardless of corpus
+    size and the candidate stream grows linearly with the vocabulary.
+    Terms squeezed out by the absolute cap are the weakest-idf ones in
+    the surviving band — the same recall-for-scale trade IVF makes
+    against brute-force cosine.  Choose max_df_abs >= pct% * N at
+    verification scale so the capped variant is bit-identical to the
+    reference semantics there.
     """
     scale = float(10**round_digits)
     norm = normalize_text(F.col(text_col))
@@ -1248,10 +1263,13 @@ def tfidf_cosine_pairs(
         F.log(F.col("_n").cast("double") / F.col("_df").cast("double")) * scale,
         0,
     ).cast("bigint")
+    df_cut = F.col("_df") * 100 <= F.lit(max_df_pct) * F.col("_n")
+    if max_df_abs is not None:
+        df_cut = df_cut & (F.col("_df") <= F.lit(int(max_df_abs)))
     post = (
         dw.join(df_tbl, on="_w")
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("_df") * 100 <= F.lit(max_df_pct) * F.col("_n"))
+        .filter(df_cut)
         .select("_w", "_id", (F.col("_tf") * idf_units).alias("_su"))
         # zero-weight postings (idf == 0: the word is in every doc)
         # contribute nothing to dot or norm, and an all-zero doc would
@@ -1296,11 +1314,20 @@ def tfidf_cosine_pairs(
 
 
 def tfidf_cosine_pairs_oracle_sql(
-    threshold: float = 0.3, max_df_pct: int = 5, round_digits: int = 4
+    threshold: float = 0.3,
+    max_df_pct: int = 5,
+    round_digits: int = 4,
+    max_df_abs: int | None = None,
 ) -> str:
     """DuckDB SQL equal to tfidf_cosine_pairs: identical tokenization,
-    integer TF-IDF units, df pruning, posting join, and cosine."""
+    integer TF-IDF units, df pruning (relative, plus the optional
+    absolute cap), posting join, and cosine."""
     scale = float(10**round_digits)
+    abs_cut = (
+        f"\n            AND dfreq.df <= {int(max_df_abs)}"
+        if max_df_abs is not None
+        else ""
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id, u.w AS w
@@ -1323,7 +1350,7 @@ def tfidf_cosine_pairs_oracle_sql(
                    ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
                    * {scale}) AS BIGINT) AS su
           FROM dw JOIN dfreq USING (w) CROSS JOIN n
-          WHERE dfreq.df * 100 <= {max_df_pct} * n.nd
+          WHERE dfreq.df * 100 <= {max_df_pct} * n.nd{abs_cut}
             AND dw.tf * CAST(round(
                   ln(CAST(n.nd AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
                   * {scale}) AS BIGINT) <> 0

@@ -352,6 +352,114 @@ class TestTriangleCountProperty:
         assert got == exp
 
 
+class TestModularityProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_formula(self, spark, data):
+        from openseize_spark.llm.dedup import modularity
+
+        n = data.draw(st.integers(3, 9))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [p for p in all_pairs if data.draw(st.booleans())]
+        if not edges:
+            edges = [all_pairs[0]]
+        nodes = sorted({v for e in edges for v in e})
+        lab = {v: data.draw(st.integers(0, 2)) for v in nodes}
+
+        m = len(edges)
+        deg = {v: 0 for v in nodes}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        exp = {}
+        for c in sorted(set(lab.values())):
+            members = [v for v in nodes if lab[v] == c]
+            e_in = sum(1 for a, b in edges if lab[a] == c and lab[b] == c)
+            ds = sum(deg[v] for v in members)
+            contrib = e_in / m - (ds * ds) / (4 * m * m)
+            exp[c] = (len(members), e_in, ds, contrib)
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        ldf = spark.createDataFrame(
+            [(v, lab[v]) for v in nodes], "id long, label long"
+        )
+        got = {r.label: r for r in modularity(edf, ldf).collect()}
+        assert set(got) == set(exp)
+        for c, (n_nodes, e_in, ds, contrib) in exp.items():
+            r = got[c]
+            assert (r.n_nodes, r.e_in, r.deg_sum) == (n_nodes, e_in, ds)
+            assert abs(r.contribution - contrib) < 1e-9
+
+
+class TestAssortativityProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_sums(self, spark, data):
+        from openseize_spark.llm.dedup import assortativity
+
+        n = data.draw(st.integers(3, 9))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [p for p in all_pairs if data.draw(st.booleans())]
+        if not edges:
+            edges = [all_pairs[0], all_pairs[-1]]
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        directed = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+        nn = len(directed)
+        sx = sum(deg[a] for a, _ in directed)
+        sxx = sum(deg[a] * deg[a] for a, _ in directed)
+        sxy = sum(deg[a] * deg[b] for a, b in directed)
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        r = assortativity(edf).collect()[0]
+        assert (r.n, r.sum_d, r.sum_d2, r.sum_dxdy) == (nn, sx, sxx, sxy)
+        den = nn * sxx - sx * sx
+        if den != 0:
+            assert abs(r.assortativity - (nn * sxy - sx * sx) / den) < 1e-9
+
+
+class TestClusteringBucketsProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_enumeration(self, spark, data):
+        from openseize_spark.llm.dedup import clustering_buckets
+
+        n = data.draw(st.integers(3, 9))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [p for p in all_pairs if data.draw(st.booleans())]
+        if not edges:
+            edges = [all_pairs[0]]
+        es = set(edges)
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        tri = {}
+        for a in range(n):
+            for b in range(a + 1, n):
+                for c in range(b + 1, n):
+                    if (a, b) in es and (b, c) in es and (a, c) in es:
+                        for v in (a, b, c):
+                            tri[v] = tri.get(v, 0) + 1
+        exp = {}
+        for v, d in deg.items():
+            if d < 2:
+                continue
+            t = tri.get(v, 0)
+            bucket = min(9, (20 * t) // (d * (d - 1)))
+            nn, ts = exp.get(bucket, (0, 0))
+            exp[bucket] = (nn + 1, ts + t)
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        got = {
+            r.bucket: (r.n_nodes, r.sum_tri)
+            for r in clustering_buckets(edf).collect()
+        }
+        assert got == exp
+
+
 class TestBigramLogprobProperty:
     @given(data=st.data())
     @settings(**SETTINGS)
