@@ -9337,6 +9337,219 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["tfidf_cosine_capped"] = q_tfidf_cosine_capped
 
+    # ---- round-11 surface: rank statistics + exact-moment matrix ---
+
+    def q_mannwhitney_binned(spark, sf_dir):
+        """Binned Mann-Whitney U between the purchase and view value
+        distributions — the rank-sum complement to ks_binned (same 1024
+        equi-width cent bins), asking "is one distribution
+        stochastically larger" where KS asks "are they different
+        anywhere".  The roc_auc_binned discipline end to end: ranks are
+        unbounded at scale, so values bin onto a FIXED grid first and
+        ties stay integer via doubled midranks (2R = 2*cum_before + t
+        + 1); 2U and the tie-corrected variance pieces are exact int64
+        (K = (n+1)n(n-1) - sum(t^3 - t)), and the AUC-equivalent
+        U/(na*nb) and tie-corrected z each combine those exact integers
+        in one closed-form double expression.  Returns one row
+        (na, nb, two_u, sum_t3_t, auc, z)."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        c = (
+            e.filter(F.col("event_type").isin("purchase", "view"))
+            .groupBy(binc.alias("bin"))
+            .agg(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("bigint").alias("ca"),
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).cast("bigint").alias("cb"),
+            )
+            # <=1024 bin rows, consumed by totals + the cumulative side
+            .localCheckpoint(eager=False)
+        )
+        tot = c.agg(
+            F.sum("ca").cast("bigint").alias("_na"),
+            F.sum("cb").cast("bigint").alias("_nb"),
+        )
+        b2 = c.select(
+            F.col("bin").alias("_bb"),
+            (F.col("ca") + F.col("cb")).alias("_bt"),
+        )
+        cum = (
+            c.join(F.broadcast(b2), F.col("_bb") <= F.col("bin"))
+            .groupBy("bin", "ca", "cb")
+            .agg(F.sum("_bt").cast("bigint").alias("_cum_incl"))
+        )
+        t = F.col("ca") + F.col("cb")
+        two_r = (F.col("_cum_incl") - t) * 2 + t + 1  # doubled midrank
+        per_bin = cum.select(
+            (F.col("ca") * two_r).cast("bigint").alias("_ra2"),
+            ((t * t * t - t)).cast("bigint").alias("_t3t"),
+        )
+        s = per_bin.agg(
+            F.sum("_ra2").cast("bigint").alias("_two_ra"),
+            F.sum("_t3t").cast("bigint").alias("_sum_t3t"),
+        ).crossJoin(F.broadcast(tot))
+        na, nb = F.col("_na"), F.col("_nb")
+        n = na + nb
+        two_u = F.col("_two_ra") - na * (na + 1)
+        kk = ((n + 1) * n * (n - 1) - F.col("_sum_t3t")).cast("double")
+        var4 = (
+            na.cast("double")
+            * nb.cast("double")
+            * kk
+            / (F.lit(3.0) * n.cast("double") * (n - 1).cast("double"))
+        )
+        z = (two_u - na * nb).cast("double") / F.sqrt(var4)
+        return s.select(
+            na.alias("na"),
+            nb.alias("nb"),
+            two_u.cast("bigint").alias("two_u"),
+            F.col("_sum_t3t").alias("sum_t3_t"),
+            F.round(
+                two_u.cast("double")
+                / (F.lit(2.0) * na.cast("double") * nb.cast("double")),
+                9,
+            ).alias("auc"),
+            F.round(z, 9).alias("z"),
+        )
+
+    q["mannwhitney_binned"] = q_mannwhitney_binned
+
+    def q_spearman_binned(spark, sf_dir):
+        """Binned Spearman rank correlation between purchase value and
+        hour of day — the monotone-association complement to
+        value_hour_corr's Pearson (which sees only linear structure).
+        Values bin onto the fixed 1024-cent grid, hours are already a
+        24-bin grid; both coordinates become exact integer DOUBLED
+        midranks via the broadcast cumulative trick, so every moment
+        (Sx, Sy, Sxx, Syy, Sxy over 2R values) is an exact int64 sum
+        and rho combines them in one closed-form double expression.
+        Bounded-n contract: Sxy <= n*(2n)^2 caps n around 1.3e6 rows
+        per gate before int64 overflow — per-segment use at 100 TB
+        (the theilsen bounded-history class).  Returns one row."""
+        e = _events(spark, sf_dir).filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        rows = e.select(
+            binc.alias("_bx"), F.hour("ts").cast("bigint").alias("_by")
+        ).localCheckpoint(eager=False)
+
+        def midranks(df, col):
+            cnt = df.groupBy(F.col(col).alias("_b")).agg(
+                F.count("*").cast("bigint").alias("_t")
+            )
+            c2 = cnt.select(
+                F.col("_b").alias("_b2"), F.col("_t").alias("_t2")
+            )
+            return (
+                cnt.join(F.broadcast(c2), F.col("_b2") <= F.col("_b"))
+                .groupBy("_b", "_t")
+                .agg(F.sum("_t2").cast("bigint").alias("_ci"))
+                .select(
+                    F.col("_b"),
+                    ((F.col("_ci") - F.col("_t")) * 2 + F.col("_t") + 1)
+                    .cast("bigint")
+                    .alias("_r2"),
+                )
+            )
+        rx = midranks(rows, "_bx").select(
+            F.col("_b").alias("_bx"), F.col("_r2").alias("_rx")
+        )
+        ry = midranks(rows, "_by").select(
+            F.col("_b").alias("_by"), F.col("_r2").alias("_ry")
+        )
+        j = rows.join(F.broadcast(rx), on="_bx").join(
+            F.broadcast(ry), on="_by"
+        )
+        s = j.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("_rx").cast("bigint").alias("sum_rx"),
+            F.sum("_ry").cast("bigint").alias("sum_ry"),
+            F.sum(F.col("_rx") * F.col("_rx")).cast("bigint").alias("sum_rx2"),
+            F.sum(F.col("_ry") * F.col("_ry")).cast("bigint").alias("sum_ry2"),
+            F.sum(F.col("_rx") * F.col("_ry")).cast("bigint").alias("sum_rxy"),
+        )
+        nn = F.col("n").cast("double")
+        sx, sy = F.col("sum_rx").cast("double"), F.col("sum_ry").cast("double")
+        rho = (nn * F.col("sum_rxy").cast("double") - sx * sy) / (
+            F.sqrt(nn * F.col("sum_rx2").cast("double") - sx * sx)
+            * F.sqrt(nn * F.col("sum_ry2").cast("double") - sy * sy)
+        )
+        return s.select(
+            "n", "sum_rx", "sum_ry", "sum_rx2", "sum_ry2", "sum_rxy",
+            F.round(rho, 9).alias("rho"),
+        )
+
+    q["spearman_binned"] = q_spearman_binned
+
+    def q_corr_matrix(spark, sf_dir):
+        """Exact-moment Pearson correlation matrix (upper triangle) of
+        the four lineitem numerics in ONE pass — the multi-column
+        feature-screening shape: every raw/product moment accumulates
+        as an exact integer in cent units (DECIMAL(38,0) sums on the
+        Spark side, HUGEINT in DuckDB, because sum(price_cents^2)
+        overflows int64 at bench scale), so the sums are
+        order-invariant where a float corr() matrix is not; each of the
+        six correlations combines its exact moments in one closed-form
+        double expression.  Returns 6 rows (col_a, col_b, n, corr)."""
+        li = _t(spark, sf_dir, "lineitem")
+        cols = {
+            "quantity": F.round(F.col("l_quantity")).cast("bigint"),
+            "price": F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+            "discount": F.round(F.col("l_discount") * 100).cast("bigint"),
+            "tax": F.round(F.col("l_tax") * 100).cast("bigint"),
+        }
+        names = list(cols)
+        dec = "decimal(38,0)"
+        aggs = [F.count("*").cast("bigint").alias("n")]
+        for a in names:
+            aggs.append(F.sum(cols[a].cast(dec)).alias(f"s_{a}"))
+            aggs.append(
+                F.sum((cols[a] * cols[a]).cast(dec)).alias(f"s_{a}_{a}")
+            )
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                aggs.append(
+                    F.sum((cols[a] * cols[b]).cast(dec)).alias(f"s_{a}_{b}")
+                )
+        s = li.agg(*aggs)
+
+        def corr(a, b):
+            nn = F.col("n").cast("double")
+            sa = F.col(f"s_{a}").cast("double")
+            sb = F.col(f"s_{b}").cast("double")
+            return (nn * F.col(f"s_{a}_{b}").cast("double") - sa * sb) / (
+                F.sqrt(nn * F.col(f"s_{a}_{a}").cast("double") - sa * sa)
+                * F.sqrt(nn * F.col(f"s_{b}_{b}").cast("double") - sb * sb)
+            )
+        pairs = [
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.round(corr(a, b), 9).alias("corr"),
+            )
+            for i, a in enumerate(names)
+            for b in names[i + 1:]
+        ]
+        return s.select(
+            "n", F.explode(F.array(*pairs)).alias("_p")
+        ).select("_p.col_a", "_p.col_b", "n", "_p.corr")
+
+    q["corr_matrix"] = q_corr_matrix
+
     return _gate_order(q)
 
 
@@ -14423,6 +14636,134 @@ def oracle_sql() -> dict[str, str]:
 
     o["tfidf_cosine_capped"] = llm_text.tfidf_cosine_pairs_oracle_sql(
         threshold=0.3, max_df_pct=5, max_df_abs=256
+    )
+
+    # ---- round-11 surface: rank statistics + exact-moment matrix ---
+
+    o["mannwhitney_binned"] = """
+        WITH c AS (
+          SELECT CAST(floor(CAST(CAST(round(value * 100) AS BIGINT) * 1024
+                                 AS DOUBLE) / 49003.0) AS BIGINT) AS bin,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND event_type IN ('purchase', 'view')
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb
+          FROM c
+        ), cum AS (
+          SELECT a.bin, a.ca, a.cb,
+                 CAST(sum(b.ca + b.cb) AS BIGINT) AS cum_incl
+          FROM c a JOIN c b ON b.bin <= a.bin
+          GROUP BY a.bin, a.ca, a.cb
+        ), s AS (
+          SELECT CAST(sum(ca * ((cum_incl - (ca + cb)) * 2
+                               + (ca + cb) + 1)) AS BIGINT) AS two_ra,
+                 CAST(sum((ca + cb) * (ca + cb) * (ca + cb)
+                          - (ca + cb)) AS BIGINT) AS sum_t3t
+          FROM cum
+        )
+        SELECT na, nb,
+               CAST(two_ra - na * (na + 1) AS BIGINT) AS two_u,
+               sum_t3t AS sum_t3_t,
+               round(CAST(two_ra - na * (na + 1) AS DOUBLE)
+                     / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+                     9) AS auc,
+               round(CAST(two_ra - na * (na + 1) - na * nb AS DOUBLE)
+                     / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                            * CAST((na + nb + 1) * (na + nb)
+                                   * (na + nb - 1) - sum_t3t AS DOUBLE)
+                            / (3.0 * CAST(na + nb AS DOUBLE)
+                               * CAST(na + nb - 1 AS DOUBLE))), 9) AS z
+        FROM s CROSS JOIN tot"""
+
+    o["spearman_binned"] = """
+        WITH r AS (
+          SELECT CAST(floor(CAST(CAST(round(value * 100) AS BIGINT) * 1024
+                                 AS DOUBLE) / 49003.0) AS BIGINT) AS bx,
+                 CAST(hour(ts) AS BIGINT) AS bh
+          FROM events
+          WHERE user_id IS NOT NULL AND value IS NOT NULL
+            AND event_type = 'purchase'
+        ), cx AS (
+          SELECT bx, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY bx
+        ), rx AS (
+          SELECT a.bx,
+                 CAST((sum(b.t) - a.t) * 2 + a.t + 1 AS BIGINT) AS r2
+          FROM cx a JOIN cx b ON b.bx <= a.bx
+          GROUP BY a.bx, a.t
+        ), cy AS (
+          SELECT bh, CAST(count(*) AS BIGINT) AS t FROM r GROUP BY bh
+        ), ry AS (
+          SELECT a.bh,
+                 CAST((sum(b.t) - a.t) * 2 + a.t + 1 AS BIGINT) AS r2
+          FROM cy a JOIN cy b ON b.bh <= a.bh
+          GROUP BY a.bh, a.t
+        ), s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(rx.r2) AS BIGINT) AS sum_rx,
+                 CAST(sum(ry.r2) AS BIGINT) AS sum_ry,
+                 CAST(sum(rx.r2 * rx.r2) AS BIGINT) AS sum_rx2,
+                 CAST(sum(ry.r2 * ry.r2) AS BIGINT) AS sum_ry2,
+                 CAST(sum(rx.r2 * ry.r2) AS BIGINT) AS sum_rxy
+          FROM r JOIN rx ON r.bx = rx.bx JOIN ry ON r.bh = ry.bh
+        )
+        SELECT n, sum_rx, sum_ry, sum_rx2, sum_ry2, sum_rxy,
+               round((CAST(n AS DOUBLE) * CAST(sum_rxy AS DOUBLE)
+                      - CAST(sum_rx AS DOUBLE) * CAST(sum_ry AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sum_rx2 AS DOUBLE)
+                             - CAST(sum_rx AS DOUBLE)
+                               * CAST(sum_rx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(sum_ry2 AS DOUBLE)
+                               - CAST(sum_ry AS DOUBLE)
+                                 * CAST(sum_ry AS DOUBLE))), 9) AS rho
+        FROM s"""
+
+    _cm_cols = {
+        "quantity": "CAST(round(l_quantity) AS BIGINT)",
+        "price": "CAST(round(l_extendedprice * 100) AS BIGINT)",
+        "discount": "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax": "CAST(round(l_tax * 100) AS BIGINT)",
+    }
+    _cm_names = list(_cm_cols)
+    _cm_sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for _a in _cm_names:
+        _cm_sums.append(f"sum({_cm_cols[_a]}) AS s_{_a}")
+        _cm_sums.append(
+            f"sum({_cm_cols[_a]} * {_cm_cols[_a]}) AS s_{_a}_{_a}"
+        )
+    for _i, _a in enumerate(_cm_names):
+        for _b in _cm_names[_i + 1:]:
+            _cm_sums.append(
+                f"sum({_cm_cols[_a]} * {_cm_cols[_b]}) AS s_{_a}_{_b}"
+            )
+
+    def _cm_corr(a, b):
+        return (
+            f"round((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+            f" * sqrt(CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 9)"
+        )
+
+    _cm_arms = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, {_cm_corr(a, b)} AS corr"
+        f" FROM s"
+        for i, a in enumerate(_cm_names)
+        for b in _cm_names[i + 1:]
+    )
+    o["corr_matrix"] = (
+        "WITH s AS (SELECT "
+        + ", ".join(_cm_sums)
+        + " FROM lineitem) "
+        + _cm_arms
     )
 
     return {k: v.strip() for k, v in o.items()}

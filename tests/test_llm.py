@@ -2555,3 +2555,128 @@ class TestRougeVerify:
         assert got  # the candidate set is non-empty at sf0.001
         # candidates are near-dups: overlap signal should be present
         assert any(v[0] > 0 for v in got.values())
+
+
+class TestRankStatsBruteForce:
+    """mannwhitney_binned / spearman_binned / corr_matrix vs exact
+    python replays over the real sf0.001 tables — catches the
+    both-engines-agree-but-wrong class the oracle gate cannot."""
+
+    @staticmethod
+    def _events_pd():
+        import duckdb
+
+        return duckdb.sql(
+            "SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,"
+            " CAST(hour(ts) AS BIGINT) AS h"
+            " FROM '/root/testdata/sf0.001/events.parquet'"
+            " WHERE user_id IS NOT NULL AND value IS NOT NULL"
+        ).df()
+
+    @staticmethod
+    def _midranks(vals):
+        """value -> doubled midrank (2R) over the multiset, via sort."""
+        import collections
+
+        cnt = collections.Counter(vals)
+        out, below = {}, 0
+        for v in sorted(cnt):
+            t = cnt[v]
+            out[v] = 2 * below + t + 1
+            below += t
+        return out
+
+    def test_mannwhitney_matches_sorted_replay(self, spark):
+        import math
+
+        import __spark_entry__ as entry
+
+        df = self._events_pd()
+        df = df[df.event_type.isin(["purchase", "view"])]
+        bins = (df.c * 1024 / 49003.0).apply(math.floor).astype(int)
+        a = bins[df.event_type == "purchase"].tolist()
+        b = bins[df.event_type == "view"].tolist()
+        r2 = self._midranks(a + b)
+        na, nb, n = len(a), len(b), len(a) + len(b)
+        two_ra = sum(r2[v] for v in a)
+        two_u = two_ra - na * (na + 1)
+        import collections
+
+        t3t = sum(
+            t**3 - t for t in collections.Counter(a + b).values()
+        )
+        kk = (n + 1) * n * (n - 1) - t3t
+        var4 = na * nb * float(kk) / (3.0 * n * (n - 1))
+        z = (two_u - na * nb) / math.sqrt(var4)
+        auc = two_u / (2.0 * na * nb)
+
+        r = (
+            entry.queries()["mannwhitney_binned"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )[0]
+        assert (r.na, r.nb, r.two_u, r.sum_t3_t) == (na, nb, two_u, t3t)
+        assert abs(r.auc - auc) < 1e-9
+        assert abs(r.z - z) < 1e-9
+
+    def test_spearman_matches_sorted_replay(self, spark):
+        import math
+
+        import __spark_entry__ as entry
+
+        df = self._events_pd()
+        df = df[df.event_type == "purchase"]
+        bx = (df.c * 1024 / 49003.0).apply(math.floor).astype(int).tolist()
+        bh = df.h.tolist()
+        rx, ry = self._midranks(bx), self._midranks(bh)
+        xs = [rx[v] for v in bx]
+        ys = [ry[v] for v in bh]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        rho = (n * sxy - sx * sy) / (
+            math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        )
+
+        r = (
+            entry.queries()["spearman_binned"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        )[0]
+        assert (r.n, r.sum_rx, r.sum_ry) == (n, sx, sy)
+        assert (r.sum_rx2, r.sum_ry2, r.sum_rxy) == (sxx, syy, sxy)
+        assert abs(r.rho - rho) < 1e-9
+
+    def test_corr_matrix_matches_numpy(self, spark):
+        import duckdb
+        import numpy as np
+
+        import __spark_entry__ as entry
+
+        pdf = duckdb.sql(
+            "SELECT CAST(round(l_quantity) AS BIGINT) AS quantity,"
+            " CAST(round(l_extendedprice * 100) AS BIGINT) AS price,"
+            " CAST(round(l_discount * 100) AS BIGINT) AS discount,"
+            " CAST(round(l_tax * 100) AS BIGINT) AS tax"
+            " FROM '/root/testdata/sf0.001/lineitem.parquet'"
+        ).df()
+        m = np.corrcoef(
+            np.stack(
+                [pdf.quantity, pdf.price, pdf.discount, pdf.tax]
+            ).astype(float)
+        )
+        names = ["quantity", "price", "discount", "tax"]
+        got = {
+            (r.col_a, r.col_b): (r.n, r.corr)
+            for r in entry.queries()["corr_matrix"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert len(got) == 6
+        for i, a in enumerate(names):
+            for j in range(i + 1, len(names)):
+                n, corr = got[(a, names[j])]
+                assert n == len(pdf)
+                assert abs(corr - m[i, j]) < 1e-7
