@@ -9550,6 +9550,223 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["corr_matrix"] = q_corr_matrix
 
+    # ---- round-11 surface: dedup diagnostics + privacy distance ----
+
+    def q_bleu_verify(spark, sf_dir):
+        """BLEU-2 over the MinHash-LSH candidate pairs — the
+        precision-side generation/contamination metric completing
+        ROUGE's recall side, composed from the independently-gated
+        rouge_n layer (clipped n-gram overlaps and totals are its exact
+        int64 outputs, pivoted to one row per pair).  p1/p2 are one
+        division each; the brevity penalty exp(1 - ref/cand) is a
+        single closed-form double (libm exp agrees across engines to
+        1 ulp — same acceptance as the ln-based LM scores); bleu2 =
+        bp * sqrt(p1*p2).  Pairs with no bigram side emit NULL (the
+        rouge nullif contract).  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        pairs = cand.select(
+            F.col("a").alias("ref_id"), F.col("b").alias("cand_id")
+        )
+        r = llm_text.rouge_n(pairs, docs)
+        piv = r.groupBy("ref_id", "cand_id").agg(
+            F.max(F.when(F.col("n") == 1, F.col("overlap"))).alias("_o1"),
+            F.max(F.when(F.col("n") == 1, F.col("ref_total"))).alias("_r1"),
+            F.max(F.when(F.col("n") == 1, F.col("cand_total"))).alias("_c1"),
+            F.max(F.when(F.col("n") == 2, F.col("overlap"))).alias("_o2"),
+            F.max(F.when(F.col("n") == 2, F.col("cand_total"))).alias("_c2"),
+        )
+        p1 = F.col("_o1").cast("double") / F.nullif(
+            F.col("_c1").cast("double"), F.lit(0.0)
+        )
+        p2 = F.col("_o2").cast("double") / F.nullif(
+            F.col("_c2").cast("double"), F.lit(0.0)
+        )
+        bp = F.when(F.col("_r1") <= F.col("_c1"), F.lit(1.0)).otherwise(
+            F.exp(
+                F.lit(1.0)
+                - F.col("_r1").cast("double") / F.col("_c1").cast("double")
+            )
+        )
+        return piv.select(
+            "ref_id",
+            "cand_id",
+            F.col("_r1").cast("bigint").alias("ref_len"),
+            F.col("_c1").cast("bigint").alias("cand_len"),
+            F.round(p1, 9).alias("p1"),
+            F.round(p2, 9).alias("p2"),
+            F.round(bp, 9).alias("bp"),
+            F.round(bp * F.sqrt(p1 * p2), 9).alias("bleu2"),
+        )
+
+    q["bleu_verify"] = q_bleu_verify
+
+    def q_dedup_threshold_sweep(spark, sf_dir):
+        """Near-dup yield curve: the LSH candidates verified ONCE at
+        jaccard >= 0.5 (exact integer inter/union counts), then counted
+        against the whole threshold grid 50..95% by pure integer
+        cross-multiplication (inter*100 >= pct*union — no float CDF).
+        The session_gap_sweep shape for dedup policy: how many pairs
+        and flagged docs does each candidate threshold cost, from one
+        verify pass instead of ten.  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        vr = dedup.jaccard_verify(
+            docs, cand, k=5, threshold=0.5, with_counts=True
+        )
+        grid = F.explode(
+            F.array(*[F.lit(50 + 5 * i).cast("bigint") for i in range(10)])
+        )
+        hit = (
+            F.col("inter") * 100 >= F.col("pct") * F.col("union_sz")
+        ).cast("bigint")
+        return (
+            vr.select("a", "b", "inter", "union_sz", grid.alias("pct"))
+            .groupBy("pct")
+            .agg(
+                F.sum(hit).cast("bigint").alias("n_pairs"),
+                F.countDistinct(
+                    F.when(
+                        F.col("inter") * 100
+                        >= F.col("pct") * F.col("union_sz"),
+                        F.col("b"),
+                    )
+                )
+                .cast("bigint")
+                .alias("n_docs_flagged"),
+            )
+        )
+
+    q["dedup_threshold_sweep"] = q_dedup_threshold_sweep
+
+    def q_cluster_size_dist(spark, sf_dir):
+        """Duplicate-family size profile: the connected components of
+        the verified near-dup graph aggregated to a size histogram
+        (how many pairs-families, triples, bigger blobs) — the corpus
+        health metric a dedup rollout reports before deleting anything.
+        Pure integer counts over the independently-gated CC layer.
+        Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        cc = dedup.connected_components(
+            dup.select("a", "b"), include_self_pairs=False
+        )
+        sizes = cc.groupBy("component").agg(
+            F.count("*").cast("bigint").alias("_sz")
+        )
+        return sizes.groupBy(F.col("_sz").alias("cluster_size")).agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            (F.count("*") * F.col("_sz")).cast("bigint").alias("n_docs"),
+        )
+
+    q["cluster_size_dist"] = q_cluster_size_dist
+
+    def q_t_closeness(spark, sf_dir):
+        """t-closeness per quasi-identifier group — the distributional
+        privacy audit k-anonymity and l-diversity miss: a group can be
+        large and diverse yet still leak if its sensitive-attribute
+        distribution differs from the table's.  Sensitive attribute =
+        the l_diversity 1000-unit acctbal band (ordered), distance =
+        1-D earth-mover on the ordered bands: t = sum_j |cumP_j -
+        cumQ_j| / (m-1).  Exact integers throughout: the numerator is
+        sum_j |cum_g_j * N - cum_all_j * n_g| (cross-multiplied
+        cumulative counts over the bounded band grid), one division at
+        the end.  All joins are broadcast over <=125 groups x <=21
+        bands.  Returns (nationkey, mktsegment, n_rows, emd_num, t)."""
+        c = _t(spark, sf_dir, "customer")
+        band = F.floor(
+            (F.col("c_acctbal") + 10000.0) / F.lit(1000.0)
+        ).cast("bigint")
+        cell = (
+            c.groupBy(
+                F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                F.col("c_mktsegment").alias("mktsegment"),
+                band.alias("_band"),
+            )
+            .agg(F.count("*").cast("bigint").alias("_cnt"))
+            # bounded (<=125*21 rows), consumed by every layer below
+            .localCheckpoint(eager=False)
+        )
+        gtot = cell.groupBy("_band").agg(
+            F.sum("_cnt").cast("bigint").alias("_nb")
+        )
+        nn = gtot.agg(
+            F.sum("_nb").cast("bigint").alias("_N"),
+            F.count("*").cast("bigint").alias("_m"),
+        )
+        grp = cell.groupBy("nationkey", "mktsegment").agg(
+            F.sum("_cnt").cast("bigint").alias("_ng")
+        )
+        # dense (group x band) grid so cumulative sums carry across
+        # bands the group lacks
+        grid = grp.crossJoin(F.broadcast(gtot.select("_band")))
+        dense = grid.join(cell, on=["nationkey", "mktsegment", "_band"], how="left").select(
+            "nationkey",
+            "mktsegment",
+            "_band",
+            "_ng",
+            F.coalesce(F.col("_cnt"), F.lit(0)).cast("bigint").alias("_c"),
+        )
+        b2 = gtot.select(
+            F.col("_band").alias("_b2"), F.col("_nb").alias("_nb2")
+        )
+        cum = (
+            dense.join(F.broadcast(b2), F.col("_b2") <= F.col("_band"))
+            .groupBy("nationkey", "mktsegment", "_band", "_ng")
+            .agg(F.sum("_nb2").cast("bigint").alias("_cum_all"))
+        )
+        d2 = dense.select(
+            "nationkey",
+            "mktsegment",
+            F.col("_band").alias("_b3"),
+            F.col("_c").alias("_c3"),
+        )
+        cumg = (
+            cum.join(
+                F.broadcast(d2),
+                (F.col("_b3") <= F.col("_band"))
+                & (cum.nationkey == d2.nationkey)
+                & (cum.mktsegment == d2.mktsegment),
+            )
+            .groupBy(cum.nationkey, cum.mktsegment, "_band", "_ng", "_cum_all")
+            .agg(F.sum("_c3").cast("bigint").alias("_cum_g"))
+        )
+        term = F.abs(
+            F.col("_cum_g") * F.col("_N") - F.col("_cum_all") * F.col("_ng")
+        ).cast("bigint")
+        return (
+            cumg.crossJoin(F.broadcast(nn))
+            .groupBy("nationkey", "mktsegment", "_ng", "_N", "_m")
+            .agg(F.sum(term).cast("bigint").alias("emd_num"))
+            .select(
+                "nationkey",
+                "mktsegment",
+                F.col("_ng").alias("n_rows"),
+                "emd_num",
+                F.round(
+                    F.col("emd_num").cast("double")
+                    / (
+                        F.col("_ng").cast("double")
+                        * F.col("_N").cast("double")
+                        * (F.col("_m") - 1).cast("double")
+                    ),
+                    9,
+                ).alias("t"),
+            )
+        )
+
+    q["t_closeness"] = q_t_closeness
+
     return _gate_order(q)
 
 
@@ -14765,5 +14982,132 @@ def oracle_sql() -> dict[str, str]:
         + " FROM lineitem) "
         + _cm_arms
     )
+
+    # ---- round-11 surface: dedup diagnostics + privacy distance ----
+
+    # bleu_verify pivots the independently-gated rouge_n replay over the
+    # LSH candidates and applies the BLEU-2 closed form per row
+    o["bleu_verify"] = f"""
+        WITH r AS ({llm_text.rouge_n_oracle_sql(
+            pairs_sql=_dedup.lsh_candidates_sql(k=5, num_hashes=64, bands=8)
+        )}),
+        piv AS (
+          SELECT ref_id, cand_id,
+                 max(CASE WHEN n = 1 THEN "overlap" END) AS o1,
+                 max(CASE WHEN n = 1 THEN ref_total END) AS r1,
+                 max(CASE WHEN n = 1 THEN cand_total END) AS c1,
+                 max(CASE WHEN n = 2 THEN "overlap" END) AS o2,
+                 max(CASE WHEN n = 2 THEN cand_total END) AS c2
+          FROM r GROUP BY ref_id, cand_id
+        )
+        SELECT ref_id, cand_id,
+               CAST(r1 AS BIGINT) AS ref_len,
+               CAST(c1 AS BIGINT) AS cand_len,
+               round(CAST(o1 AS DOUBLE) / nullif(CAST(c1 AS DOUBLE), 0.0),
+                     9) AS p1,
+               round(CAST(o2 AS DOUBLE) / nullif(CAST(c2 AS DOUBLE), 0.0),
+                     9) AS p2,
+               round(CASE WHEN r1 <= c1 THEN 1.0
+                     ELSE exp(1.0 - CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                     END, 9) AS bp,
+               round((CASE WHEN r1 <= c1 THEN 1.0
+                      ELSE exp(1.0 - CAST(r1 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                      END)
+                     * sqrt((CAST(o1 AS DOUBLE)
+                             / nullif(CAST(c1 AS DOUBLE), 0.0))
+                            * (CAST(o2 AS DOUBLE)
+                               / nullif(CAST(c2 AS DOUBLE), 0.0))), 9)
+                 AS bleu2
+        FROM piv"""
+
+    # the sweep verifies once at 0.5 (same float-division filter as the
+    # vp CTE) and counts the grid by integer cross-multiplication
+    o["dedup_threshold_sweep"] = (
+        _dedup._cand_ctes(5, 64, 8)
+        + _dedup._verify_ctes(5, 0.5)
+        + """, pc AS (
+          SELECT i.a, i.b, CAST(i.i AS BIGINT) AS it,
+                 CAST(za.n + zb.n - i.i AS BIGINT) AS un
+          FROM inter i
+          JOIN sz za ON za.doc_id = i.a
+          JOIN sz zb ON zb.doc_id = i.b
+          WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.5
+        ), grid AS (
+          SELECT CAST(50 + 5 * g.g AS BIGINT) AS pct
+          FROM unnest(generate_series(0, 9)) AS g(g)
+        )
+        SELECT pct,
+               CAST(sum(CASE WHEN it * 100 >= pct * un THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT CASE WHEN it * 100 >= pct * un THEN b
+                          END) AS BIGINT) AS n_docs_flagged
+        FROM pc CROSS JOIN grid
+        GROUP BY pct"""
+    )
+
+    o["cluster_size_dist"] = f"""
+        SELECT sz AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(count(*) * sz AS BIGINT) AS n_docs
+        FROM (
+          SELECT component, CAST(count(*) AS BIGINT) AS sz
+          FROM ({o["dedup_clusters"]})
+          GROUP BY component
+        )
+        GROUP BY sz"""
+
+    o["t_closeness"] = """
+        WITH cell AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                 c_mktsegment AS mktsegment,
+                 CAST(floor((c_acctbal + CAST(10000 AS DOUBLE))
+                            / CAST(1000 AS DOUBLE)) AS BIGINT) AS band,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM customer
+          GROUP BY 1, 2, 3
+        ), gtot AS (
+          SELECT band, CAST(sum(cnt) AS BIGINT) AS nb
+          FROM cell GROUP BY band
+        ), nn AS (
+          SELECT CAST(sum(nb) AS BIGINT) AS N,
+                 CAST(count(*) AS BIGINT) AS m
+          FROM gtot
+        ), grp AS (
+          SELECT nationkey, mktsegment, CAST(sum(cnt) AS BIGINT) AS ng
+          FROM cell GROUP BY nationkey, mktsegment
+        ), dense AS (
+          SELECT g.nationkey, g.mktsegment, t.band, g.ng,
+                 CAST(coalesce(c.cnt, 0) AS BIGINT) AS c
+          FROM grp g
+          CROSS JOIN (SELECT band FROM gtot) t
+          LEFT JOIN cell c ON c.nationkey = g.nationkey
+                          AND c.mktsegment = g.mktsegment
+                          AND c.band = t.band
+        ), cum AS (
+          SELECT d.nationkey, d.mktsegment, d.band, d.ng,
+                 CAST(sum(b2.nb) AS BIGINT) AS cum_all
+          FROM dense d JOIN gtot b2 ON b2.band <= d.band
+          GROUP BY d.nationkey, d.mktsegment, d.band, d.ng
+        ), cumg AS (
+          SELECT cum.nationkey, cum.mktsegment, cum.band, cum.ng,
+                 cum.cum_all,
+                 CAST(sum(d3.c) AS BIGINT) AS cum_g
+          FROM cum JOIN dense d3
+            ON d3.nationkey = cum.nationkey
+           AND d3.mktsegment = cum.mktsegment
+           AND d3.band <= cum.band
+          GROUP BY cum.nationkey, cum.mktsegment, cum.band, cum.ng,
+                   cum.cum_all
+        )
+        SELECT cumg.nationkey, cumg.mktsegment,
+               cumg.ng AS n_rows,
+               CAST(sum(abs(cum_g * nn.N - cum_all * cumg.ng)) AS BIGINT)
+                 AS emd_num,
+               round(CAST(sum(abs(cum_g * nn.N - cum_all * cumg.ng))
+                          AS DOUBLE)
+                     / (CAST(cumg.ng AS DOUBLE) * CAST(nn.N AS DOUBLE)
+                        * CAST(nn.m - 1 AS DOUBLE)), 9) AS t
+        FROM cumg CROSS JOIN nn
+        GROUP BY cumg.nationkey, cumg.mktsegment, cumg.ng, nn.N, nn.m"""
 
     return {k: v.strip() for k, v in o.items()}

@@ -2680,3 +2680,176 @@ class TestRankStatsBruteForce:
                 n, corr = got[(a, names[j])]
                 assert n == len(pdf)
                 assert abs(corr - m[i, j]) < 1e-7
+
+
+class TestBleuVerifyBruteForce:
+    """BLEU-2 pivot/formula vs a from-scratch python BLEU on synthetic
+    docs (clipped n-gram counts, brevity penalty, geometric mean)."""
+
+    @staticmethod
+    def _bleu(ref, cand):
+        import math
+        from collections import Counter
+
+        def grams(ws, n):
+            return Counter(tuple(ws[i:i + n]) for i in range(len(ws) - n + 1))
+
+        r, c = ref.split(), cand.split()
+        out = {}
+        for n in (1, 2):
+            gr, gc = grams(r, n), grams(c, n)
+            clip = sum(min(gc[g], gr.get(g, 0)) for g in gc)
+            out[n] = (clip, sum(gc.values()))
+        p1 = out[1][0] / out[1][1] if out[1][1] else None
+        p2 = out[2][0] / out[2][1] if out[2][1] else None
+        bp = 1.0 if len(r) <= len(c) else math.exp(1.0 - len(r) / len(c))
+        bleu = (
+            bp * math.sqrt(p1 * p2)
+            if p1 is not None and p2 is not None
+            else None
+        )
+        return len(r), len(c), p1, p2, bp, bleu
+
+    def test_matches_python(self, spark):
+        import pyspark.sql.functions as F
+
+        from openseize_spark.llm import text as llm_text
+
+        docs_rows = [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat today"),
+            (2, "a dog ran far away from the cat and the mat entirely"),
+            (3, "the cat sat"),
+            (4, "one"),
+        ]
+        pairs_rows = [(0, 1), (0, 2), (2, 3), (0, 4), (3, 0)]
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs_rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        pairs = spark.createDataFrame(
+            pairs_rows, "ref_id long, cand_id long"
+        )
+        r = llm_text.rouge_n(pairs, docs)
+        piv = r.groupBy("ref_id", "cand_id").agg(
+            F.max(F.when(F.col("n") == 1, F.col("overlap"))).alias("o1"),
+            F.max(F.when(F.col("n") == 1, F.col("ref_total"))).alias("r1"),
+            F.max(F.when(F.col("n") == 1, F.col("cand_total"))).alias("c1"),
+            F.max(F.when(F.col("n") == 2, F.col("overlap"))).alias("o2"),
+            F.max(F.when(F.col("n") == 2, F.col("cand_total"))).alias("c2"),
+        )
+        p1 = F.col("o1") / F.nullif(F.col("c1").cast("double"), F.lit(0.0))
+        p2 = F.col("o2") / F.nullif(F.col("c2").cast("double"), F.lit(0.0))
+        bp = F.when(F.col("r1") <= F.col("c1"), F.lit(1.0)).otherwise(
+            F.exp(1.0 - F.col("r1").cast("double") / F.col("c1").cast("double"))
+        )
+        got = {
+            (r_.ref_id, r_.cand_id): r_
+            for r_ in piv.select(
+                "ref_id", "cand_id", "r1", "c1",
+                p1.alias("p1"), p2.alias("p2"), bp.alias("bp"),
+                (bp * F.sqrt(p1 * p2)).alias("bleu2"),
+            ).collect()
+        }
+        texts = dict(docs_rows)
+        for ref_id, cand_id in pairs_rows:
+            rl, cl, p1e, p2e, bpe, bleue = self._bleu(
+                texts[ref_id], texts[cand_id]
+            )
+            g = got[(ref_id, cand_id)]
+            assert (g.r1, g.c1) == (rl, cl)
+            for a, b in ((g.p1, p1e), (g.p2, p2e), (g.bp, bpe), (g.bleu2, bleue)):
+                if b is None:
+                    assert a is None
+                else:
+                    assert abs(a - b) < 1e-12
+
+
+class TestDedupDiagnosticsConsistency:
+    """Cross-query invariants pinning the sweep and size histogram to
+    the independently-gated dedup layers at sf0.001."""
+
+    def test_sweep_monotone_and_anchored_at_80(self, spark):
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        sweep = {
+            r.pct: (r.n_pairs, r.n_docs_flagged)
+            for r in qs["dedup_threshold_sweep"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert sorted(sweep) == [50, 55, 60, 65, 70, 75, 80, 85, 90, 95]
+        pcts = sorted(sweep)
+        for a, b in zip(pcts, pcts[1:]):
+            assert sweep[a][0] >= sweep[b][0]
+            assert sweep[a][1] >= sweep[b][1]
+        # the 80% grid point IS the minhash_dedup working point: pairs
+        # with jaccard >= 0.8 == the verified vp edge set
+        from openseize_spark.llm import dedup as d
+
+        docs = entry._t(spark, "/root/testdata/sf0.001", "documents")
+        sigs = d.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
+        cand = d.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        vp = d.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        assert sweep[80][0] == vp.count()
+
+    def test_size_dist_covers_all_clustered_docs(self, spark):
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        dist = qs["cluster_size_dist"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        clusters = qs["dedup_clusters"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert sum(r.n_docs for r in dist) == len(clusters)
+        assert sum(r.n_clusters for r in dist) == len(
+            {r.component for r in clusters}
+        )
+        assert all(r.cluster_size >= 2 for r in dist)
+
+
+class TestTClosenessBruteForce:
+    def test_matches_python_emd(self, spark):
+        import math
+        from collections import Counter, defaultdict
+
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        pdf = duckdb.sql(
+            "SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,"
+            " CAST(floor((c_acctbal + CAST(10000 AS DOUBLE))"
+            " / CAST(1000 AS DOUBLE)) AS BIGINT) AS band"
+            " FROM '/root/testdata/sf0.001/customer.parquet'"
+        ).df()
+        rows = list(zip(pdf.nat, pdf.seg, pdf.band))
+        bands = sorted({b for _, _, b in rows})
+        N, m = len(rows), len(bands)
+        gband = Counter(b for _, _, b in rows)
+        groups = defaultdict(Counter)
+        for nat, seg, b in rows:
+            groups[(nat, seg)][b] += 1
+        exp = {}
+        for key, cnt in groups.items():
+            ng = sum(cnt.values())
+            cum_g = cum_all = num = 0
+            for b in bands:
+                cum_g += cnt.get(b, 0)
+                cum_all += gband[b]
+                num += abs(cum_g * N - cum_all * ng)
+            exp[key] = (ng, num, num / (ng * N * (m - 1)))
+        got = {
+            (r.nationkey, r.mktsegment): (r.n_rows, r.emd_num, r.t)
+            for r in entry.queries()["t_closeness"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert set(got) == set(exp)
+        for k, (ng, num, t) in exp.items():
+            assert got[k][0] == ng
+            assert got[k][1] == num
+            assert abs(got[k][2] - t) < 1e-9
