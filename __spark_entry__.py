@@ -9767,6 +9767,134 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["t_closeness"] = q_t_closeness
 
+    # ---- round-11 surface: window/rollup/DSP-feature shapes ---------
+
+    def q_reset_running_sum(spark, sf_dir):
+        """Running spend since the last purchase, per user — the
+        conditional-reset cumulative window (segmented scan): segment
+        id = cumulative purchase count (each purchase STARTS a new
+        segment), running value = cumulative sum within (user,
+        segment).  Two stacked windows over ONE user-keyed exchange
+        (the second window partitions by a superset key with the same
+        ordering, so no second shuffle).  Value terms quantize to exact
+        cents before summing (no float accumulates across rows).
+        Round-11 registration."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        seg = F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).over(w)
+        d = e.select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(cents, F.lit(0)).alias("_c"),
+            seg.cast("bigint").alias("segment"),
+        )
+        w2 = W.partitionBy("user_id", "segment").orderBy("ts", "event_id")
+        return d.select(
+            "event_id",
+            "user_id",
+            "segment",
+            F.sum("_c").over(w2).cast("bigint").alias("run_cents"),
+        )
+
+    q["reset_running_sum"] = q_reset_running_sum
+
+    def q_grouping_sets_revenue(spark, sf_dir):
+        """Explicit GROUPING SETS — (flag, status), (flag), () — with
+        GROUPING() flags distinguishing subtotal NULLs from data NULLs:
+        the mixed-granularity report shape cube/rollup families don't
+        pin (a cube emits all 4 sets; this emits exactly 3).  Revenue
+        in exact 1e-4 units.  Round-11 registration."""
+        li = _t(spark, sf_dir, "lineitem")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
+        li.select(
+            "l_returnflag", "l_linestatus", rev.alias("_rev")
+        ).createOrReplaceTempView("_gs_lineitem")
+        return spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+                   CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+                   CAST(sum(_rev) AS BIGINT) AS rev_units,
+                   count(*) AS n_lines
+            FROM _gs_lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            """
+        )
+
+    q["grouping_sets_revenue"] = q_grouping_sets_revenue
+
+    def q_merge_partials(spark, sf_dir):
+        """Two-level mergeable aggregation: daily partial aggregates
+        (count / exact-unit sum / min / max) merged into monthly totals
+        USING ONLY THE PARTIALS — the incremental-rollup contract every
+        warehouse materialization relies on (merge(sum)=sum of sums,
+        merge(min)=min of mins...).  The oracle aggregates the raw rows
+        straight to months, so the gate proves the merge is lossless.
+        Partial layer is a day-keyed map-side-combined aggregate; the
+        merge shuffles only ~days rows.  Round-11 registration."""
+        li = _t(spark, sf_dir, "lineitem")
+        rev = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+        ).cast("bigint")
+        daily = li.groupBy(
+            F.date_trunc("day", F.col("l_shipdate")).alias("_day")
+        ).agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(rev).cast("bigint").alias("_rev"),
+            F.min(rev).cast("bigint").alias("_mn"),
+            F.max(rev).cast("bigint").alias("_mx"),
+        )
+        return daily.groupBy(
+            F.date_trunc("month", F.col("_day")).alias("month")
+        ).agg(
+            F.sum("_n").cast("bigint").alias("n_lines"),
+            F.sum("_rev").cast("bigint").alias("rev_units"),
+            F.min("_mn").cast("bigint").alias("min_units"),
+            F.max("_mx").cast("bigint").alias("max_units"),
+        )
+
+    q["merge_partials"] = q_merge_partials
+
+    def q_zero_crossing_rate(spark, sf_dir):
+        """Zero-crossing count per 256-sample frame per channel — the
+        classic cheap spectral-content feature (audio/EEG activity
+        detection) computed without any FFT.  The signal's dyadic v
+        recenters to v - 0.5 exactly; a crossing is a strictly negative
+        product of consecutive centered samples (exact float compare on
+        dyadics), counted within tumbling frames (frame = t div 256,
+        non-negative so Spark div == DuckDB //).  One channel-keyed
+        window pass + one (channel, frame) aggregate.  Round-11
+        registration."""
+        sig = _signal(spark, sf_dir)
+        w = W.partitionBy("recording_id", "channel").orderBy("t")
+        c = F.col("v") - F.lit(0.5)
+        prev = F.lag(c).over(w)
+        d = sig.df.select(
+            "recording_id",
+            "channel",
+            F.expr("CAST(t div 256 AS BIGINT)").alias("frame"),
+            F.expr("CAST((t - 1) div 256 AS BIGINT)").alias("_pframe"),
+            ((prev * c < 0) & F.col("t").isNotNull()).cast("bigint").alias(
+                "_x"
+            ),
+        )
+        cross = F.when(
+            (F.col("_pframe") == F.col("frame")) & (F.col("_x") == 1), 1
+        ).otherwise(0)
+        return d.groupBy("recording_id", "channel", "frame").agg(
+            F.sum(cross).cast("bigint").alias("n_cross"),
+            F.count("*").cast("bigint").alias("n_samples"),
+        )
+
+    q["zero_crossing_rate"] = q_zero_crossing_rate
+
     return _gate_order(q)
 
 
@@ -15109,5 +15237,73 @@ def oracle_sql() -> dict[str, str]:
                         * CAST(nn.m - 1 AS DOUBLE)), 9) AS t
         FROM cumg CROSS JOIN nn
         GROUP BY cumg.nationkey, cumg.mktsegment, cumg.ng, nn.N, nn.m"""
+
+    # ---- round-11 surface: window/rollup/DSP-feature shapes ---------
+
+    o["reset_running_sum"] = """
+        WITH d AS (
+          SELECT event_id, user_id, ts,
+                 CAST(coalesce(CAST(round(value * 100) AS BIGINT), 0)
+                      AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS BIGINT) AS segment
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT event_id, user_id, segment,
+               CAST(sum(c) OVER (
+                 PARTITION BY user_id, segment ORDER BY ts, event_id
+               ) AS BIGINT) AS run_cents
+        FROM d"""
+
+    o["grouping_sets_revenue"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                 AS rev_units,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())"""
+
+    # the oracle aggregates raw rows straight to months — equality with
+    # the Spark two-level partial merge proves the merge is lossless
+    o["merge_partials"] = """
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+                 AS month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                 AS rev_units,
+               CAST(min(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                 AS min_units,
+               CAST(max(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS BIGINT)
+                 AS max_units
+        FROM lineitem
+        GROUP BY 1"""
+
+    o["zero_crossing_rate"] = (
+        "WITH "
+        + signal_cte(NCH)
+        + """, d AS (
+          SELECT recording_id, channel,
+                 t // 256 AS frame,
+                 (t - 1) // 256 AS pframe,
+                 CASE WHEN (lag(v) OVER (
+                        PARTITION BY recording_id, channel ORDER BY t
+                      ) - 0.5) * (v - 0.5) < 0 THEN 1 ELSE 0 END AS x
+          FROM signal
+        )
+        SELECT recording_id, channel, CAST(frame AS BIGINT) AS frame,
+               CAST(sum(CASE WHEN pframe = frame AND x = 1 THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_cross,
+               CAST(count(*) AS BIGINT) AS n_samples
+        FROM d GROUP BY recording_id, channel, frame"""
+    )
 
     return {k: v.strip() for k, v in o.items()}

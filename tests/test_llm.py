@@ -2853,3 +2853,71 @@ class TestTClosenessBruteForce:
             assert got[k][0] == ng
             assert got[k][1] == num
             assert abs(got[k][2] - t) < 1e-9
+
+
+class TestWindowRollupBruteForce:
+    """reset_running_sum / zero_crossing_rate vs python replays over the
+    real sf0.001 tables."""
+
+    def test_reset_running_sum_matches_replay(self, spark):
+        from collections import defaultdict
+
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        pdf = duckdb.sql(
+            "SELECT event_id, user_id, ts, event_type,"
+            " coalesce(CAST(round(value * 100) AS BIGINT), 0) AS c"
+            " FROM '/root/testdata/sf0.001/events.parquet'"
+            " WHERE user_id IS NOT NULL ORDER BY user_id, ts, event_id"
+        ).df()
+        exp = {}
+        seg = defaultdict(int)
+        run = defaultdict(int)
+        for r in pdf.itertuples():
+            u = r.user_id
+            if r.event_type == "purchase":
+                seg[u] += 1
+                run[(u, seg[u])] = 0
+            run[(u, seg[u])] += int(r.c)
+            exp[r.event_id] = (seg[u], run[(u, seg[u])])
+        got = {
+            r.event_id: (r.segment, r.run_cents)
+            for r in entry.queries()["reset_running_sum"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert got == exp
+
+    def test_zero_crossing_rate_matches_numpy(self, spark):
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        pdf = duckdb.sql(
+            "SELECT CAST(l_orderkey % 4 AS INT) AS channel,"
+            " CAST(row_number() OVER (PARTITION BY l_orderkey % 4"
+            "   ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)"
+            "   - 1 AS BIGINT) AS t,"
+            " CAST((l_partkey*7 + l_linenumber*13 + l_suppkey*3) % 1024"
+            "   AS DOUBLE) / 1024.0 AS v"
+            " FROM '/root/testdata/sf0.001/lineitem.parquet'"
+            " ORDER BY channel, t"
+        ).df()
+        exp = {}
+        for ch in sorted(pdf.channel.unique()):
+            vs = (pdf[pdf.channel == ch].v - 0.5).tolist()
+            for i, v in enumerate(vs):
+                frame = i // 256
+                key = (ch, frame)
+                n, s = exp.get(key, (0, 0))
+                x = 1 if i % 256 != 0 and vs[i - 1] * v < 0 else 0
+                exp[key] = (n + x, s + 1)
+        got = {
+            (r.channel, r.frame): (r.n_cross, r.n_samples)
+            for r in entry.queries()["zero_crossing_rate"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert got == exp
