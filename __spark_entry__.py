@@ -9895,6 +9895,201 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zero_crossing_rate"] = q_zero_crossing_rate
 
+    # ---- round-11 surface: PR curve, MAP, stationary distribution --
+
+    def q_pr_auc_binned(spark, sf_dir):
+        """Binned average precision (PR-AUC) of the NB en-vs-rest
+        margin — the class-imbalance-honest complement to
+        roc_auc_binned, sharing its exact decision value and fixed
+        1024-bin dyadic grid.  Sweeping thresholds from the top bin
+        down, each bin's step term is the exact rational
+        pos_b * TP_b / (P * (TP_b + FP_b)) (delta-recall times
+        precision, right-step AP); every term quantizes to integer 1e-9
+        units before summing (the ndcg discipline), so no float
+        accumulates.  Cumulative TP/FP come from a broadcast inequality
+        self-join over the bounded bin relation.  Returns one row
+        (n_pos, n_neg, ap_units, pr_auc).  Round-11 registration."""
+        nb = q_nb_lang_scores(spark, sf_dir)
+        truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+        per_doc = nb.groupBy("doc_id").agg(
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("log_score"))
+            ).alias("_sen"),
+            F.max(
+                F.when(F.col("score_lang") != "en", F.col("log_score"))
+            ).alias("_sot"),
+            F.max(
+                F.when(F.col("score_lang") == "en", F.col("n_tokens"))
+            ).alias("_nt"),
+        )
+        en = per_doc.join(truth, on="doc_id")
+        margin = (F.col("_sen") - F.col("_sot")) / F.col("_nt").cast(
+            "double"
+        )
+        bin_ = F.least(
+            F.greatest(
+                F.floor((margin + F.lit(0.5)) * F.lit(1024.0)), F.lit(0)
+            ),
+            F.lit(1023),
+        ).cast("bigint")
+        hist = (
+            en.select(
+                bin_.alias("_b"),
+                F.when(F.col("lang") == "en", 1).otherwise(0).alias("_p"),
+            )
+            .groupBy("_b")
+            .agg(
+                F.sum("_p").cast("bigint").alias("_pos"),
+                F.sum(1 - F.col("_p")).cast("bigint").alias("_neg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        tot = hist.agg(
+            F.sum("_pos").cast("bigint").alias("_P"),
+            F.sum("_neg").cast("bigint").alias("_N"),
+        )
+        above = (
+            hist.alias("a")
+            .join(
+                F.broadcast(
+                    hist.select(
+                        F.col("_b").alias("_b2"),
+                        F.col("_pos").alias("_p2"),
+                        F.col("_neg").alias("_n2"),
+                    )
+                ),
+                F.col("_b2") >= F.col("_b"),
+            )
+            .groupBy("_b", "_pos")
+            .agg(
+                F.sum("_p2").cast("bigint").alias("_tp"),
+                F.sum("_n2").cast("bigint").alias("_fp"),
+            )
+        )
+        term = F.round(
+            F.lit(1e9)
+            * (F.col("_pos") * F.col("_tp")).cast("double")
+            / (F.col("_P") * (F.col("_tp") + F.col("_fp"))).cast("double")
+        ).cast("bigint")
+        return (
+            above.crossJoin(F.broadcast(tot))
+            .select("_P", "_N", term.alias("_u"))
+            .groupBy("_P", "_N")
+            .agg(F.sum("_u").cast("bigint").alias("ap_units"))
+            .select(
+                F.col("_P").alias("n_pos"),
+                F.col("_N").alias("n_neg"),
+                "ap_units",
+                F.round(F.col("ap_units").cast("double") / F.lit(1e9), 9)
+                .alias("pr_auc"),
+            )
+        )
+
+    q["pr_auc_binned"] = q_pr_auc_binned
+
+    def q_map_eval(spark, sf_dir):
+        """MAP@5 of the IVF index against the brute-force truth —
+        the order-sensitive retrieval metric completing recall@5
+        (ann_recall) and MRR (mrr_eval).  Average precision per query
+        uses exact 1/60 units (60 = lcm(1..5), so rel_i * 60 *
+        hits_i / i is a pure integer for every cutoff i): ap_units =
+        sum_i rel_i * (60 * hits_i div i), AP = units / (60 * R).  The
+        per-query cumulative hit count is a 5-row window per query —
+        hash-partitioned by query id, bounded partitions.  Round-11
+        registration."""
+        truth = q_knn_cosine(spark, sf_dir).select(
+            F.col("q_id").alias("_qt"), F.col("vec_id").alias("_vt")
+        )
+        cand = q_ivf_topk(spark, sf_dir).select("q_id", "vec_id", "rank")
+        j = cand.join(
+            truth,
+            (cand.q_id == F.col("_qt")) & (cand.vec_id == F.col("_vt")),
+            "left",
+        ).select(
+            "q_id",
+            "rank",
+            F.col("_vt").isNotNull().cast("bigint").alias("_rel"),
+        )
+        w = W.partitionBy("q_id").orderBy("rank")
+        d = j.select(
+            "q_id",
+            "rank",
+            "_rel",
+            F.sum("_rel").over(w).cast("bigint").alias("_hits"),
+        )
+        unit = F.col("_rel") * F.expr(
+            "CAST((60 * _hits) div rank AS BIGINT)"
+        )
+        return d.groupBy("q_id").agg(
+            F.max("_hits").cast("bigint").alias("n_rel"),
+            F.sum(unit).cast("bigint").alias("ap_units"),
+            F.round(
+                F.sum(unit).cast("double")
+                / F.nullif(
+                    (F.lit(60) * F.max("_hits")).cast("double"), F.lit(0.0)
+                ),
+                9,
+            ).alias("ap"),
+        )
+
+    q["map_eval"] = q_map_eval
+
+    def q_stationary_markov(spark, sf_dir):
+        """Stationary distribution of the user-behavior Markov chain:
+        8 unrolled power-iteration rounds over the (5x5) event-type
+        transition matrix, ENTIRELY in integer arithmetic — pi lives in
+        1e12 units and every term is (pi_i * c_ij) div r_i on provably
+        non-negative int64 operands (Spark's truncating div == DuckDB's
+        flooring //), so both engines replay every round bit-for-bit
+        with no float anywhere (the pagerank discipline; flooring leaks
+        < 5e-12 mass per round, deterministically).  The transition
+        table is the one full events pass, checkpointed; each round is
+        a 25-row broadcast join.  Returns (event_type, pi_units, pi).
+        Round-11 registration."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        t = (
+            e.select(
+                F.col("event_type").alias("_from"),
+                F.lead("event_type").over(w).alias("_to"),
+            )
+            .filter(F.col("_to").isNotNull())
+            .groupBy("_from", "_to")
+            .agg(F.count("*").cast("bigint").alias("_n"))
+            .localCheckpoint(eager=False)
+        )
+        rt = t.groupBy("_from").agg(F.sum("_n").cast("bigint").alias("_rt"))
+        trans = t.join(F.broadcast(rt), on="_from").localCheckpoint(
+            eager=False
+        )
+        S = 10**12
+        pi = trans.select("_from").distinct().select(
+            F.col("_from").alias("_state"),
+            F.lit(S // 5).cast("bigint").alias("_u"),
+        )
+        for _ in range(8):
+            pi = (
+                trans.join(
+                    F.broadcast(pi),
+                    trans._from == F.col("_state"),
+                )
+                .select(
+                    F.col("_to").alias("_state2"),
+                    F.expr("CAST((_u * _n) div _rt AS BIGINT)").alias("_c"),
+                )
+                .groupBy(F.col("_state2").alias("_state"))
+                .agg(F.sum("_c").cast("bigint").alias("_u"))
+            )
+        return pi.select(
+            F.col("_state").alias("event_type"),
+            F.col("_u").alias("pi_units"),
+            F.round(F.col("_u").cast("double") / F.lit(float(S)), 9).alias(
+                "pi"
+            ),
+        )
+
+    q["stationary_markov"] = q_stationary_markov
+
     return _gate_order(q)
 
 
@@ -15304,6 +15499,110 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END) AS BIGINT) AS n_cross,
                CAST(count(*) AS BIGINT) AS n_samples
         FROM d GROUP BY recording_id, channel, frame"""
+    )
+
+    # ---- round-11 surface: PR curve, MAP, stationary distribution --
+
+    o["pr_auc_binned"] = f"""
+        WITH nb AS ({o["nb_lang_scores"]}),
+        per_doc AS (
+          SELECT doc_id,
+                 max(CASE WHEN score_lang = 'en' THEN log_score END) AS sen,
+                 max(CASE WHEN score_lang <> 'en' THEN log_score END) AS sot,
+                 max(CASE WHEN score_lang = 'en' THEN n_tokens END) AS nt
+          FROM nb GROUP BY doc_id
+        ), hist AS (
+          SELECT least(greatest(floor(((per_doc.sen - per_doc.sot)
+                                       / CAST(nt AS DOUBLE) + 0.5)
+                                      * 1024.0), 0), 1023) AS b,
+                 CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN d.lang = 'en' THEN 0 ELSE 1 END)
+                      AS BIGINT) AS neg
+          FROM per_doc JOIN documents d USING (doc_id)
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS P,
+                 CAST(sum(neg) AS BIGINT) AS N
+          FROM hist
+        ), above AS (
+          SELECT a.b, a.pos,
+                 CAST(sum(h2.pos) AS BIGINT) AS tp,
+                 CAST(sum(h2.neg) AS BIGINT) AS fp
+          FROM hist a JOIN hist h2 ON h2.b >= a.b
+          GROUP BY a.b, a.pos
+        )
+        SELECT tot.P AS n_pos, tot.N AS n_neg,
+               CAST(sum(CAST(round(1e9 * CAST(pos * tp AS DOUBLE)
+                                   / CAST(tot.P * (tp + fp) AS DOUBLE))
+                             AS BIGINT)) AS BIGINT) AS ap_units,
+               round(CAST(sum(CAST(round(1e9 * CAST(pos * tp AS DOUBLE)
+                                         / CAST(tot.P * (tp + fp)
+                                                AS DOUBLE)) AS BIGINT))
+                          AS DOUBLE) / 1e9, 9) AS pr_auc
+        FROM above CROSS JOIN tot
+        GROUP BY tot.P, tot.N"""
+
+    o["map_eval"] = f"""
+        WITH t AS ({o["knn_cosine"]}),
+        c AS ({o["ivf_topk"]}),
+        j AS (
+          SELECT c.q_id, c.rank,
+                 CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM c LEFT JOIN t
+            ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+        ), d AS (
+          SELECT q_id, rank, rel,
+                 CAST(sum(rel) OVER (
+                   PARTITION BY q_id ORDER BY rank
+                 ) AS BIGINT) AS hits
+          FROM j
+        )
+        SELECT q_id,
+               CAST(max(hits) AS BIGINT) AS n_rel,
+               CAST(sum(rel * ((60 * hits) // rank)) AS BIGINT)
+                 AS ap_units,
+               round(CAST(sum(rel * ((60 * hits) // rank)) AS DOUBLE)
+                     / nullif(CAST(60 * max(hits) AS DOUBLE), 0.0), 9)
+                 AS ap
+        FROM d GROUP BY q_id"""
+
+    _sm_ctes = ["""
+        WITH s AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events WHERE user_id IS NOT NULL
+        ), t AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM s WHERE to_type IS NOT NULL
+          GROUP BY from_type, to_type
+        ), rt AS (
+          SELECT from_type, CAST(sum(n) AS BIGINT) AS rt FROM t
+          GROUP BY from_type
+        ), trans AS (
+          SELECT t.from_type, t.to_type, t.n, rt.rt
+          FROM t JOIN rt ON rt.from_type = t.from_type
+        ), p0 AS (
+          SELECT DISTINCT from_type AS state,
+                 CAST(200000000000 AS BIGINT) AS u
+          FROM trans
+        )"""]
+    for _i in range(1, 9):
+        _sm_ctes.append(f""", p{_i} AS (
+          SELECT trans.to_type AS state,
+                 CAST(sum((p{_i-1}.u * trans.n) // trans.rt) AS BIGINT)
+                   AS u
+          FROM trans JOIN p{_i-1} ON trans.from_type = p{_i-1}.state
+          GROUP BY trans.to_type
+        )""")
+    o["stationary_markov"] = (
+        "".join(_sm_ctes)
+        + """
+        SELECT state AS event_type, u AS pi_units,
+               round(CAST(u AS DOUBLE) / 1e12, 9) AS pi
+        FROM p8"""
     )
 
     return {k: v.strip() for k, v in o.items()}

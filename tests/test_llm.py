@@ -2921,3 +2921,113 @@ class TestWindowRollupBruteForce:
             ).collect()
         }
         assert got == exp
+
+
+class TestEvalCurvesBruteForce:
+    """pr_auc_binned / map_eval / stationary_markov vs python replays
+    built from the independently-gated layer outputs at sf0.001."""
+
+    def test_pr_auc_matches_replay(self, spark):
+        import math
+        from collections import defaultdict
+
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        nb = qs["nb_lang_scores"](spark, "/root/testdata/sf0.001").collect()
+        per = defaultdict(dict)
+        for r in nb:
+            per[r.doc_id][r.score_lang] = (r.log_score, r.n_tokens)
+        truth = dict(
+            duckdb.sql(
+                "SELECT doc_id, lang FROM"
+                " '/root/testdata/sf0.001/documents.parquet'"
+            ).fetchall()
+        )
+        hist = defaultdict(lambda: [0, 0])
+        for doc_id, scores in per.items():
+            sen, nt = scores["en"]
+            sot = max(v[0] for k, v in scores.items() if k != "en")
+            b = min(max(math.floor(((sen - sot) / nt + 0.5) * 1024.0), 0), 1023)
+            hist[b][0 if truth[doc_id] == "en" else 1] += 1
+        P = sum(v[0] for v in hist.values())
+        N = sum(v[1] for v in hist.values())
+        units = 0
+        for b, (pos, neg) in hist.items():
+            tp = sum(v[0] for b2, v in hist.items() if b2 >= b)
+            fp = sum(v[1] for b2, v in hist.items() if b2 >= b)
+            units += round(1e9 * (pos * tp) / (P * (tp + fp)))
+        r = qs["pr_auc_binned"](spark, "/root/testdata/sf0.001").collect()[0]
+        assert (r.n_pos, r.n_neg, r.ap_units) == (P, N, units)
+        assert abs(r.pr_auc - units / 1e9) < 1e-12
+
+    def test_map_matches_replay(self, spark):
+        from collections import defaultdict
+
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        sf = "/root/testdata/sf0.001"
+        truth = defaultdict(set)
+        for r in qs["knn_cosine"](spark, sf).collect():
+            truth[r.q_id].add(r.vec_id)
+        cand = defaultdict(list)
+        for r in qs["ivf_topk"](spark, sf).collect():
+            cand[r.q_id].append((r.rank, r.vec_id))
+        exp = {}
+        for q_id, lst in cand.items():
+            lst.sort()
+            hits = units = 0
+            for rank, vec in lst:
+                rel = 1 if vec in truth[q_id] else 0
+                hits += rel
+                units += rel * ((60 * hits) // rank)
+            exp[q_id] = (hits, units)
+        got = {
+            r.q_id: (r.n_rel, r.ap_units, r.ap)
+            for r in qs["map_eval"](spark, sf).collect()
+        }
+        assert set(got) == set(exp)
+        for q_id, (hits, units) in exp.items():
+            assert got[q_id][:2] == (hits, units)
+            if hits:
+                assert abs(got[q_id][2] - units / (60.0 * hits)) < 1e-12
+
+    def test_stationary_markov_matches_int_replay(self, spark):
+        from collections import defaultdict
+
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        pdf = duckdb.sql(
+            "WITH s AS (SELECT event_type AS f, lead(event_type) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id) AS t"
+            " FROM '/root/testdata/sf0.001/events.parquet'"
+            " WHERE user_id IS NOT NULL)"
+            " SELECT f, t, count(*) AS n FROM s WHERE t IS NOT NULL"
+            " GROUP BY f, t"
+        ).df()
+        trans = defaultdict(dict)
+        rt = defaultdict(int)
+        for r in pdf.itertuples():
+            trans[r.f][r.t] = int(r.n)
+            rt[r.f] += int(r.n)
+        pi = {s: 10**12 // 5 for s in trans}
+        for _ in range(8):
+            nxt = defaultdict(int)
+            for s, u in pi.items():
+                for t2, n in trans.get(s, {}).items():
+                    nxt[t2] += (u * n) // rt[s]
+            pi = dict(nxt)
+        got = {
+            r.event_type: r.pi_units
+            for r in entry.queries()["stationary_markov"](
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        assert got == pi
+        # mass is conserved up to the deterministic flooring leak
+        assert 10**12 - sum(got.values()) < 8 * 25
