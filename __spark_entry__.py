@@ -10090,6 +10090,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stationary_markov"] = q_stationary_markov
 
+    def q_ppr_seeded(spark, sf_dir):
+        """Personalized PageRank from the doc_id % 5 == 0 seed set over
+        the verified near-dup graph (llm/dedup.personalized_pagerank) —
+        TrustRank-style proximity to trusted documents, the seventh
+        iterative-algorithm shape.  Exact integer units throughout
+        (the pagerank discipline: u div deg contributions, 17/20
+        damping, seed-only base term), so the oracle unrolls all 5
+        rounds bit-for-bit.  The sparse rank table covers only the
+        seeds' reachable set — the property that makes PPR cheaper
+        than global PageRank at 100 TB.  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        seeds = docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        return dedup.personalized_pagerank(
+            dup.select("a", "b"), seeds, iters=5
+        )
+
+    q["ppr_seeded"] = q_ppr_seeded
+
+    def q_conductance(spark, sf_dir):
+        """Conductance of the label-propagation communities over the
+        verified near-dup graph (llm/dedup.conductance) — the
+        cut-quality complement to modularity: cut_c = vol_c - 2*e_c
+        and phi_c = cut / min(vol, 2m - vol), every input an exact
+        int64 count, one division per community (NULL when the
+        community is the whole graph).  Round-11 registration."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        edges = (
+            dup.select("a", "b")
+            .filter(F.col("a") != F.col("b"))
+            .localCheckpoint(eager=True)
+        )
+        labels = dedup.label_propagation(edges, rounds=4)
+        return dedup.conductance(edges, labels)
+
+    q["conductance"] = q_conductance
+
     return _gate_order(q)
 
 
@@ -15603,6 +15651,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT state AS event_type, u AS pi_units,
                round(CAST(u AS DOUBLE) / 1e12, 9) AS pi
         FROM p8"""
+    )
+
+    o["ppr_seeded"] = _dedup.personalized_pagerank_oracle_sql(
+        seed_pred="x % 5 = 0",
+        iters=5,
+        k=5,
+        num_hashes=64,
+        bands=8,
+        threshold=0.8,
+    )
+    o["conductance"] = _dedup.conductance_oracle_sql(
+        rounds=4, k=5, num_hashes=64, bands=8, threshold=0.8
     )
 
     return {k: v.strip() for k, v in o.items()}

@@ -802,6 +802,276 @@ def clustering_buckets(edges: DataFrame) -> DataFrame:
     )
 
 
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Conductance of each community of a node partition over an
+    undirected graph given as canonical edges (a < b, a != b) — the
+    cut-quality score complementing modularity: how much of a
+    community's edge volume leaks across its boundary.  phi_c =
+    cut_c / min(vol_c, 2m - vol_c) with cut_c = D_c - 2*e_c — every
+    input an exact int64 count, one division per row (NULL when the
+    denominator is 0: the community IS the whole graph).
+
+    Scale shape: identical to :func:`modularity` — |E|-keyed degree and
+    e_in aggregates, |V| label joins, broadcast one-row m.
+
+    Returns (label, n_nodes, cut, vol, conductance).
+    """
+    edges = edges.filter(F.col("a") != F.col("b")).localCheckpoint(eager=True)
+    und = edges.select(F.col("a").alias("x"), F.col("b").alias("y")).union(
+        edges.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    lab = labels.select(F.col("id"), F.col("label"))
+    m_df = edges.agg(F.count("*").cast("bigint").alias("m"))
+    deg = und.groupBy(F.col("x").alias("id")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    la = lab.select(F.col("id").alias("a"), F.col("label").alias("_la"))
+    lb = lab.select(F.col("id").alias("b"), F.col("label").alias("_lb"))
+    e_in = (
+        edges.join(la, on="a")
+        .join(lb, on="b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    d_c = (
+        deg.join(lab, on="id")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("vol"),
+        )
+    )
+    cut = F.col("vol") - 2 * F.coalesce(F.col("e_c"), F.lit(0))
+    den = F.least(F.col("vol"), 2 * F.col("m") - F.col("vol"))
+    return (
+        d_c.join(e_in, on="label", how="left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            "n_nodes",
+            cut.cast("bigint").alias("cut"),
+            "vol",
+            F.round(
+                cut.cast("double")
+                / F.nullif(den.cast("double"), F.lit(0.0)),
+                9,
+            ).alias("conductance"),
+        )
+    )
+
+
+def conductance_oracle_sql(
+    rounds: int = 4,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of the conductance query over the
+    label-propagation communities: the shared label CTE chain, then
+    per-community cut/volume from exact integer counts."""
+    return (
+        _label_prop_ctes(rounds, k, num_hashes, bands, threshold)
+        + f""", lab AS (
+          SELECT id, label FROM l{rounds}
+        ), edges AS (
+          SELECT a, b FROM vp WHERE a <> b
+        ), mm AS (
+          SELECT CAST(count(*) AS BIGINT) AS m FROM edges
+        ), deg AS (
+          SELECT x AS id, CAST(count(*) AS BIGINT) AS d
+          FROM und GROUP BY x
+        ), e_in AS (
+          SELECT la.label, CAST(count(*) AS BIGINT) AS e_c
+          FROM edges
+          JOIN lab la ON edges.a = la.id
+          JOIN lab lb ON edges.b = lb.id
+          WHERE la.label = lb.label
+          GROUP BY la.label
+        ), d_c AS (
+          SELECT la.label,
+                 CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg.d) AS BIGINT) AS vol
+          FROM deg JOIN lab la ON deg.id = la.id
+          GROUP BY la.label
+        )
+        SELECT d_c.label, d_c.n_nodes,
+               CAST(d_c.vol - 2 * coalesce(e_in.e_c, 0) AS BIGINT) AS cut,
+               d_c.vol,
+               round(CAST(d_c.vol - 2 * coalesce(e_in.e_c, 0) AS DOUBLE)
+                     / nullif(CAST(least(d_c.vol, 2 * mm.m - d_c.vol)
+                                   AS DOUBLE), 0.0), 9) AS conductance
+        FROM d_c
+        LEFT JOIN e_in ON d_c.label = e_in.label
+        CROSS JOIN mm"""
+    )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    scale: int = 10**12,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Personalized PageRank over an undirected pair graph (damping
+    0.85, teleport restricted to ``seeds``) in EXACT integer
+    arithmetic — proximity to a trusted seed set (TrustRank-style
+    quality propagation, seeded community discovery), the seventh
+    iterative-algorithm shape.
+
+    Identical integer discipline to :func:`pagerank`: ranks in
+    ``scale`` units, per-edge contribution ``u div deg``, update
+    ``base + (17 * s) div 20`` — but the base term
+    ``(3 * scale) div (20 * n_seeds)`` lands ONLY on seed nodes, and
+    iteration starts from the all-mass-on-seeds vector
+    (``scale div n_seeds``).  All floor divisions on non-negative
+    int64 operands (Spark ``div`` == DuckDB ``//``), so the oracle
+    unrolls every round bit-for-bit.
+
+    Scale shape per iteration: one pre-partitioned |E| join + one
+    node-keyed sum (the edge list shuffles ONCE total); seeds join in
+    at |V| via broadcast; non-seed nodes with zero inflow drop out of
+    the sparse rank table and re-enter only via real paths — the rank
+    table stays proportional to the seeds' reachable set, exactly the
+    property that makes PPR cheaper than global PageRank at 100 TB.
+
+    Returns (id, degree, ppr) for nodes with nonzero rank mass.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    S = int(scale)
+    und = edges.select(
+        F.col(a_col).alias("x"), F.col(b_col).alias("y")
+    ).union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(edges.sparkSession):
+        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        deg = und.groupBy("x").agg(
+            F.count("*").alias("deg")
+        ).localCheckpoint(eager=True)
+        seed_ids = (
+            seeds.select(F.col("id").alias("x"))
+            .join(deg.select("x"), on="x")
+            .localCheckpoint(eager=True)
+        )
+        ns_df = seed_ids.agg(F.count("*").alias("ns"))
+        ranks = (
+            deg.join(
+                seed_ids.withColumn("_is_seed", F.lit(1)), on="x", how="left"
+            )
+            .crossJoin(F.broadcast(ns_df))
+            .select(
+                "x",
+                "deg",
+                F.when(
+                    F.col("_is_seed").isNotNull(), F.expr(f"{S} div ns")
+                )
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("u"),
+            )
+        )
+        base = F.when(
+            F.col("_is_seed").isNotNull(),
+            F.expr(f"(3 * {S}) div (20 * ns)"),
+        ).otherwise(F.lit(0))
+        for _ in range(iters):
+            contrib = (
+                und.join(
+                    ranks.select("x", F.expr("u div deg").alias("c")),
+                    on="x",
+                )
+                .groupBy("y")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                deg.join(contrib, deg.x == contrib.y, "left")
+                .join(
+                    seed_ids.withColumn("_is_seed", F.lit(1)),
+                    on="x",
+                    how="left",
+                )
+                .crossJoin(F.broadcast(ns_df))
+                .select(
+                    "x",
+                    "deg",
+                    (
+                        base
+                        + F.expr("(17 * coalesce(s, 0)) div 20")
+                    ).cast("bigint").alias("u"),
+                )
+                .filter(F.col("u") > 0)
+                .localCheckpoint(eager=True)
+            )
+    return ranks.select(
+        F.col("x").alias("id"),
+        F.col("deg").cast("bigint").alias("degree"),
+        F.col("u").alias("ppr_units"),
+        (F.col("u").cast("double") / F.lit(float(S))).alias("ppr"),
+    )
+
+
+def personalized_pagerank_oracle_sql(
+    seed_pred: str,
+    iters: int = 5,
+    scale: int = 10**12,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of :func:`personalized_pagerank` over the verified
+    MinHash pair graph; ``seed_pred`` is a SQL predicate over the node
+    id column ``x`` selecting the seed set."""
+    S = int(scale)
+    ctes = [
+        _vpairs_ctes(k, num_hashes, bands, threshold),
+        """, und AS MATERIALIZED (
+          SELECT a AS x, b AS y FROM vp
+          UNION ALL SELECT b AS x, a AS y FROM vp
+        ), deg AS MATERIALIZED (
+          SELECT x, count(*) AS deg FROM und GROUP BY x
+        )""",
+        f""", sd AS MATERIALIZED (
+          SELECT x FROM deg WHERE {seed_pred}
+        ), ns AS (SELECT count(*) AS ns FROM sd)""",
+        f""", r0 AS (
+          SELECT deg.x, deg.deg,
+                 CASE WHEN sd.x IS NOT NULL THEN {S} // ns.ns
+                      ELSE 0 END AS u
+          FROM deg LEFT JOIN sd ON deg.x = sd.x CROSS JOIN ns
+        )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f""", c{i} AS (
+          SELECT und.y, sum(r{i-1}.u // r{i-1}.deg) AS s
+          FROM und JOIN r{i-1} ON und.x = r{i-1}.x
+          GROUP BY und.y
+        ), r{i} AS MATERIALIZED (
+          SELECT deg.x, deg.deg,
+                 (CASE WHEN sd.x IS NOT NULL
+                       THEN (3 * {S}) // (20 * ns.ns) ELSE 0 END)
+                 + (17 * coalesce(c{i}.s, 0)) // 20 AS u
+          FROM deg
+          LEFT JOIN c{i} ON deg.x = c{i}.y
+          LEFT JOIN sd ON deg.x = sd.x
+          CROSS JOIN ns
+        )"""
+        )
+    return (
+        "".join(ctes)
+        + f"""
+        SELECT x AS id, CAST(deg AS BIGINT) AS degree,
+               CAST(u AS BIGINT) AS ppr_units,
+               CAST(u AS DOUBLE) / {float(S)} AS ppr
+        FROM r{iters} WHERE u > 0"""
+    )
+
+
 def source_overlap(
     docs: DataFrame,
     n: int = 8,

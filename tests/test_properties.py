@@ -460,6 +460,96 @@ class TestClusteringBucketsProperty:
         assert got == exp
 
 
+class TestConductanceProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_formula(self, spark, data):
+        from openseize_spark.llm.dedup import conductance
+
+        n = data.draw(st.integers(3, 9))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [p for p in all_pairs if data.draw(st.booleans())]
+        if not edges:
+            edges = [all_pairs[0]]
+        nodes = sorted({v for e in edges for v in e})
+        lab = {v: data.draw(st.integers(0, 2)) for v in nodes}
+        m = len(edges)
+        deg = {v: 0 for v in nodes}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        exp = {}
+        for c in sorted(set(lab.values())):
+            members = [v for v in nodes if lab[v] == c]
+            e_in = sum(1 for a, b in edges if lab[a] == c and lab[b] == c)
+            vol = sum(deg[v] for v in members)
+            cut = vol - 2 * e_in
+            den = min(vol, 2 * m - vol)
+            phi = cut / den if den else None
+            exp[c] = (len(members), cut, vol, phi)
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        ldf = spark.createDataFrame(
+            [(v, lab[v]) for v in nodes], "id long, label long"
+        )
+        got = {r.label: r for r in conductance(edf, ldf).collect()}
+        assert set(got) == set(exp)
+        for c, (n_nodes, cut, vol, phi) in exp.items():
+            r = got[c]
+            assert (r.n_nodes, r.cut, r.vol) == (n_nodes, cut, vol)
+            if phi is None:
+                assert r.conductance is None
+            else:
+                assert abs(r.conductance - phi) < 1e-9
+
+
+class TestPersonalizedPagerankProperty:
+    @given(data=st.data())
+    @settings(**SETTINGS)
+    def test_matches_python_int_replay(self, spark, data):
+        from openseize_spark.llm.dedup import personalized_pagerank
+
+        n = data.draw(st.integers(3, 8))
+        all_pairs = [(a, b) for a in range(n) for b in range(a + 1, n)]
+        edges = [p for p in all_pairs if data.draw(st.booleans())]
+        if not edges:
+            edges = [all_pairs[0]]
+        nodes = sorted({v for e in edges for v in e})
+        seeds = [v for v in nodes if data.draw(st.booleans())]
+        if not seeds:
+            seeds = [nodes[0]]
+        S = 10**12
+        deg = {v: 0 for v in nodes}
+        adj = {v: [] for v in nodes}
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+            adj[a].append(b)
+            adj[b].append(a)
+        ns = len(seeds)
+        u = {v: (S // ns if v in seeds else 0) for v in nodes}
+        for _ in range(3):
+            inflow = {v: 0 for v in nodes}
+            for v in nodes:
+                c = u[v] // deg[v]
+                for w in adj[v]:
+                    inflow[w] += c
+            u = {
+                v: ((3 * S) // (20 * ns) if v in seeds else 0)
+                + (17 * inflow[v]) // 20
+                for v in nodes
+            }
+        exp = {v: (deg[v], x) for v, x in u.items() if x > 0}
+
+        edf = spark.createDataFrame(edges, "a long, b long")
+        sdf = spark.createDataFrame([(s,) for s in seeds], "id long")
+        got = {
+            r.id: (r.degree, r.ppr_units)
+            for r in personalized_pagerank(edf, sdf, iters=3).collect()
+        }
+        assert got == exp
+
+
 class TestBigramLogprobProperty:
     @given(data=st.data())
     @settings(**SETTINGS)
