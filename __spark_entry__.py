@@ -10345,6 +10345,38 @@ _GATE_PRIORITY_R10 = [
 _GATE_PRIORITY = _GATE_PRIORITY_R10
 
 
+# READY-TO-SWAP round-11 window (execute at round-11 start, AFTER
+# CORRECTNESS_r10 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R11`
+# below — one line, no list edit).  Composition: the 22 r01-latest
+# freshness re-gates the r10 window could not fit (named in round 9 as
+# the round-11 head; zero code change), the 21 round-10-session
+# registrations (all battery-verified + brute-force-pytested this
+# round, never driver-checked), and the first 7 of the r03 freshness
+# cohort (tools/freshness_queue.py order).  22 + 21 + 7 = 50.
+_GATE_PRIORITY_R11 = [
+    # 22 r01 freshness re-gates (committed round-11 head since round 9)
+    "top_customers_by_orders", "priority_exists", "filtered_revenue",
+    "rank_parts", "rollup_revenue", "pivot_status", "set_ops",
+    "distinct_pairs", "detrend_linear", "scalar_mult",
+    "mult_along_channel", "mult_along_time", "pad", "moving_average",
+    "extend_even", "extend_edge", "extend_odd", "squeeze_expand",
+    "expand_upsample", "text_stats", "stopword_score_by_lang",
+    "fingerprint",
+    # 21 new registrations from the round-10 session (conversions)
+    "modularity", "assortativity", "clustering_buckets", "mrr_eval",
+    "tfidf_cosine_capped", "mannwhitney_binned", "spearman_binned",
+    "corr_matrix", "bleu_verify", "dedup_threshold_sweep",
+    "cluster_size_dist", "t_closeness", "reset_running_sum",
+    "grouping_sets_revenue", "merge_partials", "zero_crossing_rate",
+    "pr_auc_binned", "map_eval", "stationary_markov", "ppr_seeded",
+    "conductance",
+    # 7 r03 freshness re-gates (freshness_queue head after the r01s)
+    "revenue_by_nation", "sliding_energy", "sosfiltfilt_ellip",
+    "token_count_by_source", "repetition_stats", "pii_scan",
+    "path_pairing",
+]
+
+
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

@@ -742,8 +742,15 @@ def assortativity(edges: DataFrame) -> DataFrame:
             (F.col("n") * F.col("sum_dxdy") - F.col("sum_d") * F.col("sum_d")).cast(
                 "double"
             )
-            / (F.col("n") * F.col("sum_d2") - F.col("sum_d") * F.col("sum_d")).cast(
-                "double"
+            # zero degree variance (a regular graph: single edge,
+            # perfect matching, cycle) makes r undefined — NULL, not a
+            # divide-by-zero throw (hypothesis found the ANSI error)
+            / F.nullif(
+                (
+                    F.col("n") * F.col("sum_d2")
+                    - F.col("sum_d") * F.col("sum_d")
+                ).cast("double"),
+                F.lit(0.0),
             ),
             9,
         ).alias("assortativity"),
@@ -2418,7 +2425,8 @@ def assortativity_oracle_sql(
         )
         SELECT n, sum_d, sum_d2, sum_dxdy,
                round(CAST(n * sum_dxdy - sum_d * sum_d AS DOUBLE)
-                     / CAST(n * sum_d2 - sum_d * sum_d AS DOUBLE), 9)
+                     / nullif(CAST(n * sum_d2 - sum_d * sum_d AS DOUBLE),
+                              0.0), 9)
                  AS assortativity
         FROM s"""
     )

@@ -418,6 +418,9 @@ class TestAssortativityProperty:
         den = nn * sxx - sx * sx
         if den != 0:
             assert abs(r.assortativity - (nn * sxy - sx * sx) / den) < 1e-9
+        else:
+            # regular graph: zero degree variance, r undefined -> NULL
+            assert r.assortativity is None
 
 
 class TestClusteringBucketsProperty:
