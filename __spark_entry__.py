@@ -10138,6 +10138,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["conductance"] = q_conductance
 
+    def q_setsim_pairs(spark, sf_dir):
+        """EXACT-threshold set-similarity self-join via AllPairs/PPJoin
+        prefix filtering (llm/dedup.set_similarity_join; Bayardo
+        WWW'07, Xiao WWW'08): every doc pair with 8-shingle Jaccard
+        >= 1/2, no blocking and no MinHash approximation — each doc
+        indexes only its (1-t)s+1 globally-RAREST shingles, and two
+        docs missing a common prefix shingle provably sit under the
+        threshold.  The deterministic-complete counterpart to the
+        minhash_dedup recall bound (reference parity: the same
+        near-dup surface as core/products.py shingle dedup).  All
+        equi-joins + one per-doc window; exact int64 inter/union.
+        Registered after the round-10/11 windows; round-12 window
+        material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.set_similarity_join(docs, k=8, t_num=1, t_den=2)
+
+    q["setsim_pairs"] = q_setsim_pairs
+
+    def q_winnow_pairs(spark, sf_dir):
+        """Winnowing fingerprint match detection (llm/dedup
+        .winnow_pairs; Schleimer-Wilkerson-Aiken SIGMOD'03 / MOSS):
+        5-gram hashes -> sliding window-of-4 minima with rightmost
+        tie-break (one per-doc window frame over a packed
+        hash*2^20+(2^20-pos) key), fingerprints appearing in > 20 docs
+        dropped as boilerplate (the bound that keeps the fp self-join
+        linear), shared-fingerprint counts per pair.  Unlike MinHash
+        the sketch preserves match POSITIONS; guarantee: any shared
+        substring of length >= w+k-1 = 8 chars yields a shared
+        fingerprint.  Registered after the round-10/11 windows;
+        round-12 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.winnow_pairs(docs, k=5, w=4, max_df=20, min_shared=3)
+
+    q["winnow_pairs"] = q_winnow_pairs
+
+    def q_heavy_ngrams(spark, sf_dir):
+        """Exact corpus heavy hitters — 8-grams with count*(k+1) > N,
+        k=200 — via a mergeable Misra-Gries summary (llm/sketch
+        .misra_gries_heavy; Agarwal et al. PODS'12): one Arrow-batched
+        scan builds k-counter summaries per partition (their union is
+        a pigeonhole-guaranteed superset of the heavy hitters under
+        ANY partitioning), a broadcast semi-join recounts the <=
+        32*k candidates exactly.  O(k) task state, no full-vocabulary
+        shuffle — the cliche/boilerplate-phrase detector a 100 TB
+        text pipeline runs before dedup.  Deterministic exact output;
+        the sketch only prunes.  Registered after the round-10/11
+        windows; round-12 window material."""
+        from openseize_spark.llm import sketch
+
+        docs = _t(spark, sf_dir, "documents")
+        grams = (
+            docs.filter(F.col("text").isNotNull())
+            .select(dedup.normalize_text(F.col("text")).alias("_txt"))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, greatest(length(_txt) - 7,"
+                        " 0)), i -> substring(_txt, i, 8))"
+                    )
+                ).alias("item")
+            )
+        )
+        return sketch.misra_gries_heavy(grams, "item", k=200)
+
+    q["heavy_ngrams"] = q_heavy_ngrams
+
+    def q_incident_windows(spark, sf_dir):
+        """Big-big interval range join via time bucketing (operators/
+        relational.range_join_buckets): +/-30 min incident windows
+        around high-value error events joined against ALL events with
+        NO equi key — the case Spark's planner can only nested-loop,
+        re-expressed as interval-to-bucket explosion (fan-out <= 3 at
+        a 30-min bucket) + a plain hash equi-join on the bucket, each
+        qualifying pair exactly once because a point owns exactly one
+        bucket.  Blast-radius accounting per incident: exact event
+        count + cents sum.  Registered after the round-10/11 windows;
+        round-12 window material."""
+        ev = _events(spark, sf_dir)
+        half = 30 * 60 * 1_000_000
+        inc = ev.filter(
+            (F.col("event_type") == "error") & (F.col("value") >= 150.0)
+        ).select(
+            F.col("event_id").alias("incident_id"),
+            (F.unix_micros("ts") - half).alias("lo"),
+            (F.unix_micros("ts") + half).alias("hi"),
+        )
+        pts = ev.select(
+            F.unix_micros("ts").alias("t"),
+            F.round(F.col("value") * 100).cast("bigint").alias("_v"),
+        )
+        joined = rel.range_join_buckets(inc, pts, bucket=half)
+        return joined.groupBy("incident_id").agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("_v").cast("bigint").alias("sum_cents"),
+        )
+
+    q["incident_windows"] = q_incident_windows
+
+    def q_woe_encode(spark, sf_dir):
+        """Weight-of-evidence encoding of (event_type, hour) against
+        the high-value label (value > 50) — the credit-scoring-lineage
+        categorical encoder that complements leave-one-out
+        target_encode: woe = ln(smoothed positive share / smoothed
+        negative share), +0.5 Laplace on each cell against
+        +0.5*n_categories on each total.  Counts are exact int64 from
+        ONE aggregation; the single ln per category is emitted
+        UNROUNDED (identical operand order both engines -> bit-equal
+        IEEE, the target_encode lesson).  Registered after the
+        round-10/11 windows; round-12 window material."""
+        ev = _events(spark, sf_dir)
+        g = (
+            ev.select(
+                "event_type",
+                F.hour("ts").cast("bigint").alias("hr"),
+                F.when(F.col("value") > 50.0, 1).otherwise(0).alias("_y"),
+            )
+            .groupBy("event_type", "hr")
+            .agg(
+                F.sum("_y").cast("bigint").alias("pos"),
+                F.sum(1 - F.col("_y")).cast("bigint").alias("neg"),
+            )
+        )
+        tot = g.agg(
+            F.sum("pos").cast("bigint").alias("_pt"),
+            F.sum("neg").cast("bigint").alias("_nt"),
+            F.count("*").cast("bigint").alias("_c"),
+        )
+        half_c = F.lit(0.5) * F.col("_c").cast("double")
+        return g.crossJoin(F.broadcast(tot)).select(
+            "event_type",
+            "hr",
+            "pos",
+            "neg",
+            F.ln(
+                (
+                    (F.col("pos").cast("double") + F.lit(0.5))
+                    / (F.col("_pt").cast("double") + half_c)
+                )
+                / (
+                    (F.col("neg").cast("double") + F.lit(0.5))
+                    / (F.col("_nt").cast("double") + half_c)
+                )
+            ).alias("woe"),
+        )
+
+    q["woe_encode"] = q_woe_encode
+
     return _gate_order(q)
 
 
@@ -15696,5 +15843,57 @@ def oracle_sql() -> dict[str, str]:
     o["conductance"] = _dedup.conductance_oracle_sql(
         rounds=4, k=5, num_hashes=64, bands=8, threshold=0.8
     )
+
+    o["setsim_pairs"] = _dedup.set_similarity_join_oracle_sql(
+        k=8, t_num=1, t_den=2
+    )
+    o["winnow_pairs"] = _dedup.winnow_pairs_oracle_sql(
+        k=5, w=4, max_df=20, min_shared=3
+    )
+    o["heavy_ngrams"] = _sketch.misra_gries_heavy_oracle_sql(
+        inner=r"""SELECT substring(nt, i, 8) AS item
+          FROM (SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                  AS nt FROM documents WHERE text IS NOT NULL) n,
+          unnest(generate_series(1, greatest(length(nt) - 7, 0))) AS u(i)""",
+        k=200,
+    )
+    o["incident_windows"] = """
+        WITH inc AS (
+          SELECT event_id AS incident_id,
+                 epoch_us(ts) - 1800000000 AS lo,
+                 epoch_us(ts) + 1800000000 AS hi
+          FROM events WHERE event_type = 'error' AND value >= 150.0
+        ), pt AS (
+          SELECT epoch_us(ts) AS t,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT incident_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(v) AS BIGINT) AS sum_cents
+        FROM inc JOIN pt ON pt.t >= inc.lo AND pt.t < inc.hi
+        GROUP BY incident_id
+    """
+    o["woe_encode"] = """
+        WITH g AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pos,
+                 CAST(sum(CASE WHEN value > 50.0 THEN 0 ELSE 1 END)
+                   AS BIGINT) AS neg
+          FROM events GROUP BY 1, 2
+        ), tot AS (
+          SELECT CAST(sum(pos) AS BIGINT) AS pt,
+                 CAST(sum(neg) AS BIGINT) AS nt,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM g
+        )
+        SELECT event_type, hr, pos, neg,
+               ln(((CAST(pos AS DOUBLE) + 0.5)
+                   / (CAST(pt AS DOUBLE) + 0.5 * CAST(c AS DOUBLE)))
+                  / ((CAST(neg AS DOUBLE) + 0.5)
+                     / (CAST(nt AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))))
+                 AS woe
+        FROM g, tot
+    """
 
     return {k: v.strip() for k, v in o.items()}

@@ -3216,3 +3216,295 @@ def blocking_yield_oracle_sql(
         FROM tagged t LEFT JOIN vp v ON v.a = t.a AND v.b = t.b
         GROUP BY family"""
     )
+
+
+# --------------------------------------------------------------- AllPairs
+
+
+def set_similarity_join(
+    docs: DataFrame,
+    k: int = 8,
+    t_num: int = 1,
+    t_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-threshold set-similarity self-join via prefix filtering
+    (AllPairs, Bayardo et al. WWW'07; PPJoin length filter, Xiao et al.
+    WWW'08): every pair with Jaccard(shingles(a), shingles(b)) >=
+    t_num/t_den, with NO blocking key and NO hashing approximation —
+    the exact complement to the probabilistic MinHash-banding path
+    (reference parity: the same near-dup surface as
+    /root/reference/src/openseize/... shingle dedup, but with a proof
+    of completeness instead of a recall bound).
+
+    Scale shape: a doc whose k-shingle set has size s only indexes its
+    p = s - ceil(t*s) + 1 RAREST shingles (global document-frequency
+    ascending, ties by shingle) — if two docs share NO prefix shingle,
+    their Jaccard is provably < t, so the candidate join touches only
+    prefix postings (p ≈ (1-t)s + 1 per doc), never the full inverted
+    index; the size filter t*max(|a|,|b|) <= min(|a|,|b|) prunes the
+    rest before verification.  Everything is equi-joins + one per-doc
+    window (row_number over the doc's own shingles — bounded by text
+    length); no all-pairs, no SinglePartition, no driver collect.
+
+    Returns (a, b, inter, uni) — exact int64 intersection / union
+    sizes for every qualifying pair.
+    """
+    norm = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        normalize_text(F.col(text_col)).alias("_txt"),
+    )
+    postings = norm.select(
+        "_id", F.explode(_shingle_expr(F.col("_txt"), k)).alias("s")
+    )
+    dfreq = postings.groupBy("s").agg(F.count("*").alias("_df"))
+    sz = postings.groupBy("_id").agg(F.count("*").alias("_sz"))
+
+    w = Window.partitionBy("_id").orderBy("_df", "s")
+    ordered = (
+        postings.join(dfreq, "s")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sz, "_id")
+    )
+    # p = sz - ceil(t*sz) + 1, all-integer: ceil(a/b) = (a + b - 1) div b
+    prefix = ordered.filter(
+        F.col("_rn")
+        <= F.col("_sz")
+        - F.expr(f"(_sz * {t_num} + {t_den} - 1) DIV {t_den}")
+        + 1
+    ).select("_id", "s", "_sz")
+
+    pa = prefix.select(
+        F.col("_id").alias("a"), F.col("s"), F.col("_sz").alias("_sa")
+    )
+    pb = prefix.select(
+        F.col("_id").alias("b"), F.col("s"), F.col("_sz").alias("_sb")
+    )
+    cand = (
+        pa.join(pb, "s")
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.greatest("_sa", "_sb") * t_num
+            <= F.least("_sa", "_sb") * t_den
+        )
+        .select("a", "b", "_sa", "_sb")
+        .distinct()
+    )
+
+    ia = postings.select(F.col("_id").alias("a"), "s")
+    ib = postings.select(F.col("_id").alias("b"), "s")
+    inter = (
+        cand.join(ia, "a")
+        .join(ib, ["b", "s"])
+        .groupBy("a", "b", "_sa", "_sb")
+        .agg(F.count("*").alias("inter"))
+    )
+    uni = (F.col("_sa") + F.col("_sb") - F.col("inter")).cast("bigint")
+    return (
+        inter.withColumn("uni", uni)
+        .filter(F.col("inter") * t_den >= F.lit(t_num) * F.col("uni"))
+        .select(
+            "a", "b", F.col("inter").cast("bigint").alias("inter"), "uni"
+        )
+    )
+
+
+def set_similarity_join_oracle_sql(
+    k: int = 8, t_num: int = 1, t_den: int = 2
+) -> str:
+    """DuckDB replay of ``set_similarity_join``: the operator is EXACT,
+    so the oracle is the naive all-pairs intersection with the same
+    threshold — completeness of the prefix filter is what's on trial."""
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS nt
+          FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+          SELECT DISTINCT doc_id, substring(nt, i, {k}) AS s
+          FROM norm,
+               unnest(generate_series(1, greatest(length(nt) - {k - 1}, 0)))
+               AS u(i)
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+          FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT i.a, i.b, CAST(i AS BIGINT) AS inter,
+               CAST(za.n + zb.n - i AS BIGINT) AS uni
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.a
+        JOIN sz zb ON zb.doc_id = i.b
+        WHERE i * {t_den} >= {t_num} * (za.n + zb.n - i)
+    """
+
+
+# -------------------------------------------------------------- winnowing
+
+
+_POS_BASE = 1 << 20  # position field of the packed winnowing key
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a window
+    of w consecutive hashes, and select each window's minimum (ties
+    broken toward the RIGHTMOST position, per the paper's robust
+    variant).  Guarantees: any shared substring of length >= w + k - 1
+    yields at least one shared fingerprint, and the selected density is
+    ~2/(w+1) of all grams — a compact sketch that, unlike MinHash,
+    preserves match POSITIONS.
+
+    Spark shape: the k-gram hash stream is one in-row ``transform`` +
+    explode (no shuffle), the sliding minimum is a single per-doc
+    window frame (ROWS BETWEEN CURRENT AND w-1 FOLLOWING) over the
+    packed key h * 2^20 + (2^20 - pos) — min(key) IS (min hash,
+    rightmost tie) — and the distinct selected keys decode back to
+    (pos, fp).  One doc-keyed exchange total; rows per doc bounded by
+    text length.
+
+    Returns (doc_id, pos, fp): fp is the portable 32-bit md5-prefix
+    hash of the k-gram starting at 1-based offset pos.
+    """
+    norm = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        normalize_text(F.col(text_col)).alias("_txt"),
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(least(length(_txt), "
+                f"{_POS_BASE - 1}) - {k} + 1, 0)), i -> named_struct("
+                f"'pos', CAST(i AS BIGINT), "
+                f"'h', CAST(conv(substring(md5(substring(_txt, i, {k})), "
+                f"1, 8), 16, 10) AS BIGINT)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        F.col("g.pos").alias("pos"),
+        (
+            F.col("g.h") * _POS_BASE + (F.lit(_POS_BASE) - F.col("g.pos"))
+        ).alias("_key"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    frame = wspec.rowsBetween(0, w - 1)
+    keyed = grams.select(
+        "doc_id",
+        "pos",
+        F.min("_key").over(frame).alias("_mk"),
+        F.count("*").over(wspec.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("_npos"),
+    )
+    sel = (
+        keyed.filter(F.col("pos") <= F.col("_npos") - w + 1)
+        .select("doc_id", "_mk")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_BASE) - F.col("_mk") % _POS_BASE).alias("pos"),
+        F.expr(f"_mk DIV {_POS_BASE}").alias("fp"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    max_df: int = 20,
+    min_shared: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style match detection over winnowing fingerprints: drop
+    fingerprints appearing in more than ``max_df`` documents (shared
+    boilerplate — the paper's 'ignore common code' step, and the bound
+    that keeps the self-join linear: each surviving fingerprint fans
+    out to at most C(max_df, 2) pairs), then count distinct shared
+    fingerprints per document pair.  Returns (a, b, shared) for pairs
+    sharing >= min_shared fingerprints."""
+    fps = (
+        winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    pruned = fps.join(rare, "fp")
+    pa = pruned.select(F.col("doc_id").alias("a"), "fp")
+    pb = pruned.select(F.col("doc_id").alias("b"), "fp")
+    return (
+        pa.join(pb, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
+def _winnow_ctes(k: int, w: int) -> str:
+    gram_hash = _HASH32_SQL.format(expr=f"substring(nt, i, {k})")
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, {_NORM_SQL} AS nt
+          FROM documents WHERE text IS NOT NULL
+        ), g AS (
+          SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                 {gram_hash} * {_POS_BASE} + ({_POS_BASE} - i) AS kkey
+          FROM norm,
+               unnest(generate_series(1,
+                 greatest(least(length(nt), {_POS_BASE - 1}) - {k} + 1, 0)))
+               AS u(i)
+        ), wm AS (
+          SELECT doc_id, pos,
+                 min(kkey) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk,
+                 count(*) OVER (PARTITION BY doc_id) AS npos
+          FROM g
+        ), sel AS (
+          SELECT DISTINCT doc_id, mk FROM wm WHERE pos <= npos - {w} + 1
+        )"""
+
+
+def winnow_fingerprints_oracle_sql(k: int = 5, w: int = 4) -> str:
+    """DuckDB replay of ``winnow_fingerprints``."""
+    return _winnow_ctes(k, w) + f"""
+        SELECT doc_id,
+               CAST({_POS_BASE} - mk % {_POS_BASE} AS BIGINT) AS pos,
+               CAST(mk // {_POS_BASE} AS BIGINT) AS fp
+        FROM sel
+    """
+
+
+def winnow_pairs_oracle_sql(
+    k: int = 5, w: int = 4, max_df: int = 20, min_shared: int = 3
+) -> str:
+    """DuckDB replay of ``winnow_pairs``."""
+    return _winnow_ctes(k, w) + f""", fps AS (
+          SELECT DISTINCT doc_id, CAST(mk // {_POS_BASE} AS BIGINT) AS fp
+          FROM sel
+        ), rare AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_df}
+        ), pruned AS (
+          SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON r.fp = f.fp
+        )
+        SELECT pa.doc_id AS a, pb.doc_id AS b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM pruned pa JOIN pruned pb
+          ON pa.fp = pb.fp AND pa.doc_id < pb.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}
+    """

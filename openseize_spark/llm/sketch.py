@@ -467,3 +467,80 @@ def hll_estimate_by_oracle_sql(
                round(abs(est_distinct - exact_distinct)
                      / exact_distinct, 6) AS rel_err
         FROM est"""
+
+
+# ------------------------------------------------------------ Misra-Gries
+
+
+def mg_compress(counts: dict, k: int) -> dict:
+    """One Misra-Gries merge/compress step (Agarwal et al., PODS'12
+    "Mergeable summaries", Thm 1): if more than k counters are live,
+    subtract the (k+1)-th largest counter value from ALL counters and
+    drop the non-positive ones.  The total weight subtracted from any
+    single item across a whole stream of such steps is <= n/(k+1), so
+    every item with true frequency > n/(k+1) keeps a positive counter —
+    the summary is a SUPERSET of the heavy hitters no matter how the
+    stream was partitioned or merge-ordered.  Pure function so the
+    guarantee is unit/property-testable off-cluster."""
+    if len(counts) <= k:
+        return counts
+    sub = sorted(counts.values(), reverse=True)[k]
+    return {x: c - sub for x, c in counts.items() if c > sub}
+
+
+def misra_gries_heavy(
+    items: DataFrame, col: str = "item", k: int = 200
+) -> DataFrame:
+    """EXACT heavy hitters — every item with count * (k+1) > N — found
+    with two scans and O(k) state per task, never a full-vocabulary
+    shuffle:
+
+    1. one ``mapInPandas`` scan builds a k-counter Misra-Gries summary
+       per partition (Arrow-batched; dict updates per batch, compress
+       via ``mg_compress``).  The union of per-partition summaries is a
+       guaranteed superset of the global heavy hitters (pigeonhole: an
+       item with global share > 1/(k+1) exceeds that share in some
+       partition), so correctness is partition-invariant even though
+       each summary is not;
+    2. the bounded candidate set (<= num_partitions * k rows) broadcast
+       semi-joins a recount scan, and the exact counts gate the final
+       answer — output is exact and deterministic, the sketch only ever
+       PRUNES.
+
+    Contrast with Count-Min (``countmin_sketch``): MG needs no width
+    tuning and gives a deterministic superset, at the cost of the
+    second scan.  Returns (item, cnt) with cnt * (k+1) > N.
+    """
+    import pandas as pd
+
+    src = items.select(F.col(col).cast("string").alias("item"))
+    n_total = src.count()
+
+    def _mg(batches):
+        counts: dict = {}
+        for pdf in batches:
+            for v, c in pdf["item"].value_counts().items():
+                counts[v] = counts.get(v, 0) + int(c)
+            counts = mg_compress(counts, k)
+        yield pd.DataFrame({"item": list(counts.keys())})
+
+    cand = src.mapInPandas(_mg, schema="item string").distinct()
+    exact = (
+        src.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    return exact.filter(F.col("cnt") * (k + 1) > F.lit(n_total))
+
+
+def misra_gries_heavy_oracle_sql(inner: str, k: int = 200) -> str:
+    """DuckDB replay: the operator's output is exact, so the oracle is
+    the plain frequency filter over the same item stream ``inner``
+    (a SQL relation with one column ``item``)."""
+    return f"""
+        WITH items AS ({inner}),
+        n AS (SELECT count(*) AS n FROM items)
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt
+        FROM items GROUP BY item
+        HAVING count(*) * {k + 1} > (SELECT n FROM n)
+    """

@@ -410,3 +410,46 @@ def salted_join(
     )
     out = l2.join(r2, on=[key, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def range_join_buckets(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo: str = "lo",
+    hi: str = "hi",
+    t: str = "t",
+    bucket: int = 1,
+) -> DataFrame:
+    """Big-big interval x point range join via time bucketing — the
+    scale path when NEITHER side fits in a broadcast (the broadcast
+    range-semi-join in ``q_interval_mask`` covers the small-dim case;
+    Spark's own planner falls back to BroadcastNestedLoop for pure
+    theta joins, which is a non-starter when both sides are 100 TB).
+
+    Each interval [lo, hi) explodes to the coarse buckets it covers
+    (fan-out bounded by ceil(interval_span / bucket) + 1 — pick
+    ``bucket`` near the typical span so it stays O(1)); each point maps
+    to exactly ONE bucket, so after the bucket equi-join + exact range
+    filter every qualifying (interval, point) pair appears exactly
+    once — no distinct needed.  The join is a plain hash equi-join on
+    the bucket key: shuffles partition by time bucket, AQE handles
+    bucket skew, and nothing is nested-loop.
+
+    All of lo/hi/t must be non-negative int64 on the same scale
+    (e.g. epoch micros); hi is exclusive.  Returns the joined rows
+    (interval columns + point columns) without the helper bucket.
+    """
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.expr(f"{lo} DIV {bucket}"),
+                F.expr(f"({hi} - 1) DIV {bucket}"),
+            )
+        ),
+    )
+    pt = points.withColumn("_b", F.expr(f"{t} DIV {bucket}"))
+    out = iv.join(pt, "_b").filter(
+        (F.col(t) >= F.col(lo)) & (F.col(t) < F.col(hi))
+    )
+    return out.drop("_b")

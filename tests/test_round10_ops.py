@@ -1,0 +1,330 @@
+"""Round-10-session operators: prefix-filter set-similarity join,
+winnowing fingerprints, Misra-Gries heavy hitters, bucketed range join,
+WOE encoding.
+
+Each operator gets (a) a pure-python brute-force or property check of
+the ALGORITHM (both-engines-wrong insurance — the DuckDB oracle gate
+can't catch a shared misconception), and (b) a small Spark run compared
+against that brute force.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from openseize_spark.llm import dedup, sketch
+
+PROP = dict(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------- prefix filter (python)
+
+
+def _brute_jaccard_pairs(sets: dict, t_num: int, t_den: int):
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * t_den >= t_num * uni:
+                out.add((a, b))
+    return out
+
+
+def _prefix_filter_pairs(sets: dict, t_num: int, t_den: int):
+    """Python mirror of llm/dedup.set_similarity_join's plan: global
+    df order (df asc, token asc), per-set prefix p = s - ceil(t*s) + 1,
+    candidates = prefix-postings self-join + size filter, then exact
+    verify."""
+    df: dict = {}
+    for s in sets.values():
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    prefixes = {}
+    for i, s in sets.items():
+        sz = len(s)
+        if sz == 0:
+            continue
+        p = sz - (sz * t_num + t_den - 1) // t_den + 1
+        ordered = sorted(s, key=lambda tok: (df[tok], tok))
+        prefixes[i] = set(ordered[:p])
+    cand = set()
+    post: dict = {}
+    for i, pref in prefixes.items():
+        for tok in pref:
+            post.setdefault(tok, []).append(i)
+    for tok, ids in post.items():
+        for x in ids:
+            for y in ids:
+                if x < y and t_num * max(
+                    len(sets[x]), len(sets[y])
+                ) <= t_den * min(len(sets[x]), len(sets[y])):
+                    cand.add((x, y))
+    out = set()
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        uni = len(sets[a] | sets[b])
+        if inter * t_den >= t_num * uni:
+            out.add((a, b))
+    return out
+
+
+@given(
+    data=st.lists(
+        st.sets(st.integers(0, 25), max_size=12),
+        min_size=2,
+        max_size=12,
+    ),
+    t=st.sampled_from([(1, 2), (4, 5), (1, 4), (2, 3)]),
+)
+@settings(**PROP)
+def test_prefix_filter_complete(data, t):
+    """The prefix filter must be COMPLETE: candidates pruned by the
+    rarest-prefix rule can never contain a qualifying pair."""
+    sets = {i: s for i, s in enumerate(data)}
+    t_num, t_den = t
+    assert _prefix_filter_pairs(sets, t_num, t_den) == _brute_jaccard_pairs(
+        sets, t_num, t_den
+    )
+
+
+def test_set_similarity_join_spark(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "a completely different document about spark"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, None),
+        (5, "short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a, r.b): (r.inter, r.uni)
+        for r in dedup.set_similarity_join(
+            docs, k=5, t_num=1, t_den=2
+        ).collect()
+    }
+
+    def shingles(txt):
+        txt = " ".join(txt.lower().split())
+        return {txt[i : i + 5] for i in range(len(txt) - 4)}
+
+    sets = {i: shingles(t) for i, t in rows if t is not None and len(t) >= 5}
+    want = {}
+    for a, b in _brute_jaccard_pairs(sets, 1, 2):
+        inter = len(sets[a] & sets[b])
+        want[(a, b)] = (inter, len(sets[a] | sets[b]))
+    assert got == want
+    assert (0, 3) in got and got[(0, 3)][0] == got[(0, 3)][1]  # exact dup
+
+
+# --------------------------------------------------- winnowing (python)
+
+
+def _winnow_select(hashes, w):
+    """Reference winnowing (Schleimer et al. Fig. 5 semantics): for each
+    window of w hashes select the min, ties to the RIGHTMOST; return the
+    distinct (pos, hash) selected set.  Positions are 1-based."""
+    out = set()
+    n = len(hashes)
+    for j in range(0, n - w + 1):
+        best = j
+        for i in range(j + 1, j + w):
+            if hashes[i] <= hashes[best]:
+                best = i
+        out.add((best + 1, hashes[best]))
+    return out
+
+
+@given(
+    hashes=st.lists(st.integers(0, 7), min_size=4, max_size=40),
+    w=st.integers(2, 6),
+)
+@settings(**PROP)
+def test_winnow_packed_key_matches_reference(hashes, w):
+    """The packed-key trick (min of h*B + (B - pos)) must reproduce the
+    paper's min-with-rightmost-tie selection exactly, including heavy
+    tie streams (hash alphabet of 8 forces ties)."""
+    if len(hashes) < w:
+        return
+    B = 1 << 20
+    n = len(hashes)
+    got = set()
+    for j in range(0, n - w + 1):
+        mk = min(
+            hashes[i] * B + (B - (i + 1)) for i in range(j, j + w)
+        )
+        got.add((B - mk % B, mk // B))
+    assert got == _winnow_select(hashes, w)
+
+
+def test_winnow_fingerprints_spark(spark):
+    rows = [
+        (0, "abcdefabcdefabcdef"),
+        (1, "abcdefabcdefabcdef"),
+        (2, "zzzzzzzzzzzzzzzzzz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k, w = 5, 4
+    fps = dedup.winnow_fingerprints(docs, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+
+    import hashlib
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for doc_id, txt in rows:
+        grams = [txt[i : i + k] for i in range(len(txt) - k + 1)]
+        want = _winnow_select([h32(g) for g in grams], w)
+        assert by_doc[doc_id] == want, doc_id
+    # identical docs -> identical fingerprint sets; disjoint alphabets
+    # -> disjoint fingerprints
+    f0 = {fp for _, fp in by_doc[0]}
+    f2 = {fp for _, fp in by_doc[2]}
+    assert f0 == {fp for _, fp in by_doc[1]}
+    assert not (f0 & f2)
+
+
+# ------------------------------------------------- Misra-Gries (python)
+
+
+@given(
+    stream=st.lists(st.integers(0, 9), min_size=1, max_size=300),
+    k=st.integers(1, 8),
+    cuts=st.lists(st.integers(0, 300), max_size=4),
+)
+@settings(**PROP)
+def test_mg_partition_summaries_superset(stream, k, cuts):
+    """Union of per-partition MG summaries contains every global heavy
+    hitter, for ANY partitioning of the stream (the property that makes
+    misra_gries_heavy partition-invariant)."""
+    n = len(stream)
+    bounds = sorted({0, n, *[min(c, n) for c in cuts]})
+    cand = set()
+    for lo, hi in zip(bounds, bounds[1:]):
+        counts: dict = {}
+        for x in stream[lo:hi]:
+            counts[x] = counts.get(x, 0) + 1
+            counts = sketch.mg_compress(counts, k)
+        cand |= set(counts)
+    exact: dict = {}
+    for x in stream:
+        exact[x] = exact.get(x, 0) + 1
+    heavy = {x for x, c in exact.items() if c * (k + 1) > n}
+    assert heavy <= cand
+
+
+def test_misra_gries_heavy_spark(spark):
+    vals = ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(40)]
+    items = spark.createDataFrame(
+        [(v,) for v in vals], "item string"
+    ).repartition(5)
+    got = {
+        r.item: r.cnt
+        for r in sketch.misra_gries_heavy(items, "item", k=3).collect()
+    }
+    n = len(vals)
+    want = {
+        v: c
+        for v, c in pd.Series(vals).value_counts().items()
+        if c * 4 > n
+    }
+    assert got == want == {"a": 50}
+
+
+# ------------------------------------------------ bucketed range join
+
+
+@given(
+    ivals=st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 40)),
+        min_size=1,
+        max_size=12,
+    ),
+    pts=st.lists(st.integers(0, 160), min_size=1, max_size=30),
+    bucket=st.sampled_from([1, 3, 7, 16, 64]),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_buckets_exact(spark, ivals, pts, bucket):
+    """Bucketed range join == naive theta join, each pair exactly once,
+    for arbitrary bucket widths (including widths smaller and larger
+    than every interval)."""
+    from openseize_spark.operators import relational as rel
+
+    iv = spark.createDataFrame(
+        [(i, lo, lo + span) for i, (lo, span) in enumerate(ivals)],
+        "iid bigint, lo bigint, hi bigint",
+    )
+    pt = spark.createDataFrame(
+        [(j, t) for j, t in enumerate(pts)], "pid bigint, t bigint"
+    )
+    got = sorted(
+        (r.iid, r.pid)
+        for r in rel.range_join_buckets(iv, pt, bucket=bucket).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lo, span) in enumerate(ivals)
+        for j, t in enumerate(pts)
+        if lo <= t < lo + span
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------ WOE
+
+
+def test_woe_encode_known_values(spark, tmp_path):
+    """WOE on a hand-computable table: two categories with known
+    pos/neg splits."""
+    import __spark_entry__ as entry
+
+    rows = []
+    eid = 0
+    # hour 0, type 'click': 3 pos (value 60), 1 neg (value 10)
+    for v in (60.0, 60.0, 60.0, 10.0):
+        rows.append((eid, "2024-01-01 00:10:00", 1, "click", v, "{}"))
+        eid += 1
+    # hour 5, type 'view': 1 pos, 4 neg
+    for v in (70.0, 5.0, 5.0, 5.0, 5.0):
+        rows.append((eid, "2024-01-01 05:10:00", 2, "view", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    out = {
+        (r.event_type, r.hr): r
+        for r in entry.queries()["woe_encode"](spark, d).collect()
+    }
+    c = 2
+    pt, nt = 4, 5
+    r = out[("click", 0)]
+    assert (r.pos, r.neg) == (3, 1)
+    assert r.woe == pytest.approx(
+        math.log(((3 + 0.5) / (pt + 0.5 * c)) / ((1 + 0.5) / (nt + 0.5 * c)))
+    )
+    r = out[("view", 5)]
+    assert (r.pos, r.neg) == (1, 4)
+    assert r.woe == pytest.approx(
+        math.log(((1 + 0.5) / (pt + 0.5 * c)) / ((4 + 0.5) / (nt + 0.5 * c)))
+    )
