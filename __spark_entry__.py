@@ -10142,7 +10142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """EXACT-threshold set-similarity self-join via AllPairs/PPJoin
         prefix filtering (llm/dedup.set_similarity_join; Bayardo
         WWW'07, Xiao WWW'08): every doc pair with 8-shingle Jaccard
-        >= 1/2, no blocking and no MinHash approximation — each doc
+        >= 4/5, no blocking and no MinHash approximation — each doc
         indexes only its (1-t)s+1 globally-RAREST shingles, and two
         docs missing a common prefix shingle provably sit under the
         threshold.  The deterministic-complete counterpart to the
@@ -10152,7 +10152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Registered after the round-10/11 windows; round-12 window
         material."""
         docs = _t(spark, sf_dir, "documents")
-        return dedup.set_similarity_join(docs, k=8, t_num=1, t_den=2)
+        return dedup.set_similarity_join(docs, k=8, t_num=4, t_den=5)
 
     q["setsim_pairs"] = q_setsim_pairs
 
@@ -10284,6 +10284,133 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["woe_encode"] = q_woe_encode
+
+    def q_isotonic_calibration(spark, sf_dir):
+        """Isotonic regression of the high-value rate over hour-of-day
+        via the MINIMAX formulation iso(i) = max_{l<=i} min_{j>=i}
+        mean(l..j) — exactly the pool-adjacent-violators fit
+        (Robertson/Wright/Dykstra 1988, Thm 1.4.4) but expressed as
+        bounded joins instead of the inherently sequential PAVA loop:
+        the 24 hour bins come from ONE events aggregation, segment
+        means over the 24*25/2 = 300 (l, j) ranges and the minimax
+        reduce over them are joins of 24-row broadcast dims, and every
+        value is an exact int64 (segment means quantized to 1e-9
+        units with DIV before the min/max lattice, so both engines
+        compare identical integers).  The monotone-calibration step a
+        reliability pipeline runs after nb_calibration's binning.
+        Registered after the round-10/11 windows; round-12 window
+        material."""
+        ev = _events(spark, sf_dir)
+        # the 24-row bin table feeds FOUR consumers (l/j/m dims + the
+        # final join) — checkpoint it so events is aggregated once,
+        # not five times (the recompute class the plan sweep hunts)
+        bins = (
+            ev.groupBy(F.hour("ts").cast("bigint").alias("hr"))
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        bl = bins.select(F.col("hr").alias("l"))
+        bj = bins.select(F.col("hr").alias("j"))
+        bm = bins.select(F.col("hr").alias("m"), "n", "s")
+        segs = (
+            bl.join(F.broadcast(bj), F.col("l") <= F.col("j"))
+            .join(
+                F.broadcast(bm),
+                (F.col("m") >= F.col("l")) & (F.col("m") <= F.col("j")),
+            )
+            .groupBy("l", "j")
+            .agg(
+                F.sum("s").cast("bigint").alias("_ss"),
+                F.sum("n").cast("bigint").alias("_sn"),
+            )
+            .select(
+                "l", "j", F.expr("(_ss * 1000000000) DIV _sn").alias("_mu")
+            )
+        )
+        bi = bins.select(F.col("hr").alias("i"))
+        iso = (
+            segs.join(
+                F.broadcast(bi),
+                (F.col("l") <= F.col("i")) & (F.col("j") >= F.col("i")),
+            )
+            .groupBy("i", "l")
+            .agg(F.min("_mu").alias("_mn"))
+            .groupBy("i")
+            .agg(F.max("_mn").cast("bigint").alias("iso_units"))
+        )
+        return bins.join(iso, bins.hr == iso.i).select(
+            "hr",
+            "n",
+            "s",
+            F.expr("(s * 1000000000) DIV n").alias("rate_units"),
+            "iso_units",
+        )
+
+    q["isotonic_calibration"] = q_isotonic_calibration
+
+    def q_sprt_ab(spark, sf_dir):
+        """Wald's sequential probability-ratio test (1945) per day over
+        the time-ordered purchase stream: H1 'high-value share is 0.6'
+        vs H0 '0.5', alpha = beta = 0.05.  Each trial adds ln(1.2) or
+        ln(0.8) to the log-likelihood ratio; the day decides at the
+        first crossing of +/-ln(19).  The increments are the two
+        CONSTANTS quantized driver-side to integer 1e-9 units (the
+        fir-taps pattern: identical literals embedded in both engines),
+        so the running sum is an exact int64 cumulative window and the
+        first-crossing argmin is deterministic (rn is unique on
+        (ts, event_id)).  The early-stopping experiment monitor that
+        complements the fixed-horizon ab_test_zscore.  Registered
+        after the round-10/11 windows; round-12 window material."""
+        A, B, TH = 182321557, -223143551, 2944438979
+        base = (
+            _events(spark, sf_dir)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.to_date("ts").alias("day"),
+                "ts",
+                "event_id",
+                F.when(F.col("value") > 50.0, F.lit(A))
+                .otherwise(F.lit(B))
+                .alias("_inc"),
+            )
+        )
+        w = W.partitionBy("day").orderBy("ts", "event_id")
+        r = base.select(
+            "day",
+            F.row_number().over(w).alias("rn"),
+            F.sum("_inc")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("llr"),
+        )
+        crossed = (
+            r.filter((F.col("llr") >= TH) | (F.col("llr") <= -TH))
+            .groupBy("day")
+            .agg(
+                F.min("rn").cast("bigint").alias("n_decide"),
+                F.expr("min_by(llr, rn)").alias("_llr_at"),
+            )
+        )
+        totals = base.groupBy("day").agg(
+            F.count("*").cast("bigint").alias("n_trials")
+        )
+        # chained whens, NOT when/otherwise: a day with no crossing has
+        # NULL _llr_at, and otherwise('accept_h0') would swallow it
+        return totals.join(crossed, "day", "left").select(
+            "day",
+            "n_trials",
+            F.when(F.col("_llr_at") >= TH, F.lit("accept_h1"))
+            .when(F.col("_llr_at") <= -TH, F.lit("accept_h0"))
+            .otherwise(F.lit("inconclusive"))
+            .alias("decision"),
+            "n_decide",
+        )
+
+    q["sprt_ab"] = q_sprt_ab
 
     return _gate_order(q)
 
@@ -15845,7 +15972,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     o["setsim_pairs"] = _dedup.set_similarity_join_oracle_sql(
-        k=8, t_num=1, t_den=2
+        k=8, t_num=4, t_den=5
     )
     o["winnow_pairs"] = _dedup.winnow_pairs_oracle_sql(
         k=5, w=4, max_df=20, min_shared=3
@@ -15894,6 +16021,64 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(nt AS DOUBLE) + 0.5 * CAST(c AS DOUBLE))))
                  AS woe
         FROM g, tot
+    """
+    o["isotonic_calibration"] = """
+        WITH bins AS (
+          SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS s
+          FROM events GROUP BY 1
+        ), segs AS (
+          SELECT l.hr AS l, j.hr AS j,
+                 (sum(m.s) * 1000000000) // sum(m.n) AS mu
+          FROM bins l
+          JOIN bins j ON l.hr <= j.hr
+          JOIN bins m ON m.hr BETWEEN l.hr AND j.hr
+          GROUP BY 1, 2
+        ), inner_min AS (
+          SELECT i.hr AS i, sg.l, min(sg.mu) AS mn
+          FROM bins i
+          JOIN segs sg ON sg.l <= i.hr AND sg.j >= i.hr
+          GROUP BY 1, 2
+        ), iso AS (
+          SELECT i, CAST(max(mn) AS BIGINT) AS iso_units
+          FROM inner_min GROUP BY i
+        )
+        SELECT b.hr, b.n, b.s,
+               CAST((b.s * 1000000000) // b.n AS BIGINT) AS rate_units,
+               iso.iso_units
+        FROM bins b JOIN iso ON iso.i = b.hr
+    """
+    o["sprt_ab"] = """
+        WITH base AS (
+          SELECT CAST(ts AS DATE) AS day, ts, event_id,
+                 CASE WHEN value > 50.0 THEN 182321557
+                      ELSE -223143551 END AS inc
+          FROM events WHERE event_type = 'purchase'
+        ), r AS (
+          SELECT day,
+                 row_number() OVER (PARTITION BY day
+                   ORDER BY ts, event_id) AS rn,
+                 sum(inc) OVER (PARTITION BY day ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS llr
+          FROM base
+        ), crossed AS (
+          SELECT day, CAST(min(rn) AS BIGINT) AS n_decide,
+                 min_by(llr, rn) AS llr_at
+          FROM r WHERE llr >= 2944438979 OR llr <= -2944438979
+          GROUP BY day
+        ), totals AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS n_trials
+          FROM base GROUP BY day
+        )
+        SELECT t.day, t.n_trials,
+               CASE WHEN c.llr_at >= 2944438979 THEN 'accept_h1'
+                    WHEN c.llr_at <= -2944438979 THEN 'accept_h0'
+                    ELSE 'inconclusive' END AS decision,
+               c.n_decide
+        FROM totals t LEFT JOIN crossed c ON c.day = t.day
     """
 
     return {k: v.strip() for k, v in o.items()}

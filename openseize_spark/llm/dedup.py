@@ -3292,21 +3292,29 @@ def set_similarity_join(
         .distinct()
     )
 
-    ia = postings.select(F.col("_id").alias("a"), "s")
-    ib = postings.select(F.col("_id").alias("b"), "s")
+    # verify with an in-row sorted-set intersection: two equi-joins
+    # bring each doc's whole (distinct) shingle array to the candidate
+    # row, size(array_intersect) is O(|set|) per pair with NO join
+    # amplification — re-joining exploded postings would materialize
+    # |candidates| * |set| rows before the group-count
+    sets = norm.select(
+        "_id", _shingle_expr(F.col("_txt"), k).alias("_set")
+    )
+    sa = sets.select(F.col("_id").alias("a"), F.col("_set").alias("_seta"))
+    sb = sets.select(F.col("_id").alias("b"), F.col("_set").alias("_setb"))
     inter = (
-        cand.join(ia, "a")
-        .join(ib, ["b", "s"])
-        .groupBy("a", "b", "_sa", "_sb")
-        .agg(F.count("*").alias("inter"))
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("_seta", "_setb")).cast("bigint"),
+        )
     )
     uni = (F.col("_sa") + F.col("_sb") - F.col("inter")).cast("bigint")
     return (
         inter.withColumn("uni", uni)
         .filter(F.col("inter") * t_den >= F.lit(t_num) * F.col("uni"))
-        .select(
-            "a", "b", F.col("inter").cast("bigint").alias("inter"), "uni"
-        )
+        .select("a", "b", "inter", "uni")
     )
 
 

@@ -328,3 +328,129 @@ def test_woe_encode_known_values(spark, tmp_path):
     assert r.woe == pytest.approx(
         math.log(((1 + 0.5) / (pt + 0.5 * c)) / ((4 + 0.5) / (nt + 0.5 * c)))
     )
+
+
+# --------------------------------------------- isotonic (minimax = PAVA)
+
+
+def _pava(y, wts):
+    """Classic pool-adjacent-violators on weighted means (Fractions in,
+    Fractions out)."""
+    from fractions import Fraction
+
+    blocks = [[Fraction(v), Fraction(w)] for v, w in zip(y, wts)]
+    out = []
+    for v, w in blocks:
+        out.append([v * w, w])
+        while len(out) > 1 and out[-2][0] * out[-1][1] >= out[-1][0] * out[-2][1]:
+            s2, w2 = out.pop()
+            out[-1][0] += s2
+            out[-1][1] += w2
+    fit = []
+    for s, w in out:
+        fit.extend([s / w] * int(w) if False else [])
+    # expand by block widths tracked separately
+    res = []
+    i = 0
+    widths = []
+    # recompute widths by re-running with indices
+    blocks2 = [[Fraction(v) * Fraction(w), Fraction(w), 1] for v, w in zip(y, wts)]
+    out2 = []
+    for s, w, c in blocks2:
+        out2.append([s, w, c])
+        while len(out2) > 1 and out2[-2][0] * out2[-1][1] >= out2[-1][0] * out2[-2][1]:
+            s2, w2, c2 = out2.pop()
+            out2[-1][0] += s2
+            out2[-1][1] += w2
+            out2[-1][2] += c2
+    for s, w, c in out2:
+        res.extend([s / w] * c)
+    return res
+
+
+def _minimax_iso(y, wts):
+    """iso(i) = max_{l<=i} min_{j>=i} weighted_mean(l..j), exact
+    Fractions — the formulation the Spark query evaluates."""
+    from fractions import Fraction
+
+    n = len(y)
+    out = []
+    for i in range(n):
+        best = None
+        for l in range(0, i + 1):
+            worst = None
+            for j in range(i, n):
+                s = sum(Fraction(y[m]) * wts[m] for m in range(l, j + 1))
+                w = sum(Fraction(wts[m]) for m in range(l, j + 1))
+                m_ = s / w
+                worst = m_ if worst is None or m_ < worst else worst
+            best = worst if best is None or worst > best else best
+        out.append(best)
+    return out
+
+
+@given(
+    y=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    wts=st.lists(st.integers(1, 9), min_size=8, max_size=8),
+)
+@settings(**PROP)
+def test_minimax_equals_pava(y, wts):
+    wts = wts[: len(y)]
+    assert _minimax_iso(y, wts) == _pava(y, wts)
+
+
+def test_isotonic_calibration_monotone(spark):
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["isotonic_calibration"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .orderBy("hr")
+        .collect()
+    )
+    iso = [r.iso_units for r in rows]
+    assert iso == sorted(iso), "isotonic fit must be nondecreasing"
+    # the fit stays within the observed rate envelope
+    rates = [r.rate_units for r in rows]
+    assert min(rates) <= min(iso) and max(iso) <= max(rates)
+
+
+# ----------------------------------------------------------------- SPRT
+
+
+def test_sprt_ab_brute_force(spark):
+    """Replay the per-day first-crossing logic in plain python over the
+    same parquet and compare decisions + stopping times."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        str(r.day): (r.n_trials, r.decision, r.n_decide)
+        for r in entry.queries()["sprt_ab"](spark, sf).collect()
+    }
+    A, B, TH = 182321557, -223143551, 2944438979
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT CAST(ts AS DATE) AS day, value FROM
+        '{sf}/events.parquet' WHERE event_type = 'purchase'
+        ORDER BY day, ts, event_id"""
+    ).fetchall()
+    byday: dict = {}
+    for day, value in rows:
+        byday.setdefault(str(day), []).append(value)
+    want = {}
+    for day, vals in byday.items():
+        llr, decide, nd = 0, "inconclusive", None
+        for i, v in enumerate(vals, 1):
+            llr += A if v > 50.0 else B
+            if llr >= TH:
+                decide, nd = "accept_h1", i
+                break
+            if llr <= -TH:
+                decide, nd = "accept_h0", i
+                break
+        want[day] = (len(vals), decide, nd)
+    assert got == want
