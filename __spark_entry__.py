@@ -10412,6 +10412,89 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sprt_ab"] = q_sprt_ab
 
+    def q_pca_power_iteration(spark, sf_dir):
+        """Dominant principal component of the first 8 embedding
+        dimensions via power iteration on an EXACT integer covariance
+        matrix — the registry's first linear-algebra shape: embedding
+        values quantize to 1e-6 units, the raw/product moments
+        accumulate as DECIMAL(38,0) (the corr_matrix discipline, so
+        the scaled covariance n^2*cov = n*M - S1*S2 is order-exact),
+        and each of the 8 unrolled iterations is an 8x8
+        matrix-vector product over integers with a sign*(abs div
+        maxabs) renormalization — truncation spelled identically in
+        both engines because Spark div truncates while DuckDB //
+        floors.  Every intermediate is an integer, so the result is
+        bit-equal under ANY partitioning even before convergence.  At
+        100 TB the covariance build is one pair-exploded aggregation
+        (64 cells); the iteration moves 8-row tables.  Registered
+        after the round-10/11 windows; round-12 window material."""
+        D, VS, ROUNDS = 8, 10**6, 8
+        dec = "decimal(38,0)"
+        emb = _t(spark, sf_dir, "embeddings")
+        x = emb.select(
+            "vec_id",
+            F.posexplode(F.slice("embedding", 1, D)).alias("_p", "_xf"),
+        ).select(
+            "vec_id",
+            (F.col("_p") + 1).cast("bigint").alias("d"),
+            F.round(F.col("_xf").cast("double") * VS)
+            .cast("bigint")
+            .alias("xu"),
+        )
+        s = x.groupBy("d").agg(
+            F.sum(F.col("xu").cast(dec)).alias("S"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        xa = x.select(
+            "vec_id", F.col("d").alias("d1"), F.col("xu").alias("x1")
+        )
+        xb = x.select(
+            "vec_id", F.col("d").alias("d2"), F.col("xu").alias("x2")
+        )
+        mm = (
+            xa.join(xb, "vec_id")
+            .groupBy("d1", "d2")
+            .agg(F.sum((F.col("x1") * F.col("x2")).cast(dec)).alias("M"))
+        )
+        sa = s.select(F.col("d").alias("d1"), F.col("S").alias("S1"), "n")
+        sb = s.select(F.col("d").alias("d2"), F.col("S").alias("S2"))
+        cmat = (
+            mm.join(F.broadcast(sa), "d1")
+            .join(F.broadcast(sb), "d2")
+            .select(
+                "d1",
+                "d2",
+                F.expr(
+                    "CASE WHEN (n * M - S1 * S2) < 0 THEN "
+                    "-CAST(abs(n * M - S1 * S2) div n AS BIGINT) "
+                    "ELSE CAST(abs(n * M - S1 * S2) div n AS BIGINT) END"
+                ).alias("c"),
+            )
+        )
+        # the distributed part ends at the D*D exact covariance — the
+        # iteration itself moves 64 rows to the driver and runs in
+        # python ints (the kmeans/kcenter bounded-collect precedent;
+        # arbitrary-precision, so it reproduces HUGEINT semantics
+        # exactly), which beats 8 rounds of 8-row Spark jobs
+        cells = {(r.d1, r.d2): int(r.c) for r in cmat.collect()}
+        v = {d: VS for d in range(1, D + 1)}
+        for _ in range(ROUNDS):
+            raw = {
+                i: sum(cells[(i, j)] * v[j] for j in range(1, D + 1))
+                for i in range(1, D + 1)
+            }
+            m = max(abs(x) for x in raw.values())
+            v = {
+                i: (-((-x if x < 0 else x) * VS // m) if x < 0
+                    else (x * VS // m))
+                for i, x in raw.items()
+            }
+        return spark.createDataFrame(
+            sorted(v.items()), "d bigint, v_units bigint"
+        )
+
+    q["pca_power_iteration"] = q_pca_power_iteration
+
     return _gate_order(q)
 
 
@@ -16080,5 +16163,53 @@ def oracle_sql() -> dict[str, str]:
                c.n_decide
         FROM totals t LEFT JOIN crossed c ON c.day = t.day
     """
+
+    _pca_ctes = ["""
+        WITH x AS (
+          SELECT vec_id, CAST(d AS BIGINT) AS d,
+                 CAST(round(emb[d] * 1000000) AS BIGINT) AS xu
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings),
+               unnest(generate_series(1, 8)) AS u(d)
+        ), s AS (
+          SELECT d, sum(CAST(xu AS HUGEINT)) AS S,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM x GROUP BY d
+        ), mm AS (
+          SELECT a.d AS d1, b.d AS d2,
+                 sum(CAST(a.xu AS HUGEINT) * CAST(b.xu AS HUGEINT)) AS M
+          FROM x a JOIN x b ON a.vec_id = b.vec_id
+          GROUP BY 1, 2
+        ), cmat AS MATERIALIZED (
+          SELECT mm.d1, mm.d2,
+                 CASE WHEN (s1.n * mm.M - s1.S * s2.S) < 0
+                      THEN -CAST(abs(s1.n * mm.M - s1.S * s2.S) // s1.n
+                                 AS BIGINT)
+                      ELSE CAST(abs(s1.n * mm.M - s1.S * s2.S) // s1.n
+                                AS BIGINT) END AS c
+          FROM mm JOIN s s1 ON s1.d = mm.d1 JOIN s s2 ON s2.d = mm.d2
+        ), v0 AS (
+          SELECT d AS j, CAST(1000000 AS BIGINT) AS v FROM s
+        )"""]
+    for _r in range(1, 9):
+        _pca_ctes.append(f""", raw{_r} AS MATERIALIZED (
+          SELECT d1, sum(CAST(c AS HUGEINT) * v{_r - 1}.v) AS raw
+          FROM cmat JOIN v{_r - 1} ON v{_r - 1}.j = cmat.d2
+          GROUP BY d1
+        ), m{_r} AS (
+          SELECT max(abs(raw)) AS m FROM raw{_r}
+        ), v{_r} AS (
+          SELECT d1 AS j,
+                 CASE WHEN raw < 0
+                      THEN -CAST((abs(raw) * 1000000) // m AS BIGINT)
+                      ELSE CAST((abs(raw) * 1000000) // m AS BIGINT)
+                 END AS v
+          FROM raw{_r}, m{_r}
+        )""")
+    o["pca_power_iteration"] = (
+        "".join(_pca_ctes)
+        + """
+        SELECT j AS d, v AS v_units FROM v8"""
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -454,3 +454,64 @@ def test_sprt_ab_brute_force(spark):
                 break
         want[day] = (len(vals), decide, nd)
     assert got == want
+
+
+# ------------------------------------------------ PCA (power iteration)
+
+
+def test_pca_power_iteration_vs_numpy(spark, tmp_path):
+    """On data with a strong dominant direction, 8 integer power
+    rounds must align with numpy's top eigenvector; and an exact
+    python replay of the quantized pipeline must match bit-for-bit."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(400, 8)) * 0.02
+    direction = np.array([3, 1, -2, 0.5, 0, 1, -1, 2], dtype=float)
+    direction /= np.linalg.norm(direction)
+    base += np.outer(rng.normal(size=400) * 0.3, direction)
+    rows = [
+        (i, [float(x) for x in base[i]] + [0.0] * 56, 0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/embeddings.parquet")
+    got = {
+        r.d: r.v_units
+        for r in entry.queries()["pca_power_iteration"](spark, d).collect()
+    }
+
+    # exact python replay from the float32-quantized values
+    xs = np.array(
+        [[float(np.float32(v)) for v in r[1][:8]] for r in rows]
+    )
+    xu = np.round(xs * 10**6).astype(object)  # python ints
+    n = len(xu)
+    S = [int(sum(xu[:, j])) for j in range(8)]
+    M = [[int(sum(int(a) * int(b) for a, b in zip(xu[:, i], xu[:, j])))
+          for j in range(8)] for i in range(8)]
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    C = [[tdiv(n * M[i][j] - S[i] * S[j], n) for j in range(8)]
+         for i in range(8)]
+    v = [10**6] * 8
+    for _ in range(8):
+        raw = [sum(C[i][j] * v[j] for j in range(8)) for i in range(8)]
+        m = max(abs(x) for x in raw)
+        v = [tdiv(x * 10**6, m) for x in raw]
+    assert got == {i + 1: v[i] for i in range(8)}
+
+    # direction agreement with numpy's exact dominant eigenvector
+    cov = np.cov(xs.T)
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argmax(w)]
+    mine = np.array([got[i + 1] for i in range(8)], dtype=float)
+    mine /= np.linalg.norm(mine)
+    assert abs(float(np.dot(top, mine))) > 0.999
