@@ -109,6 +109,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _ring_vnodes(n_shards: int, vnodes_per_shard: int):
+    """Consistent-hash ring constants for q_consistent_hash_ring:
+    (vnode_hash, shard) sorted by hash, computed driver-side with the
+    same md5-prefix scheme as sampling.salted_hash so both engines
+    embed IDENTICAL literals (the fir-taps pattern).  Collisions would
+    make min-by ties engine-dependent, so they are asserted away."""
+    import hashlib
+
+    vn = []
+    for s in range(n_shards):
+        for v in range(vnodes_per_shard):
+            h = int(
+                hashlib.md5(f"ring:s{s}#v{v}".encode()).hexdigest()[:8], 16
+            )
+            vn.append((h, s))
+    assert len({h for h, _ in vn}) == len(vn), "vnode hash collision"
+    return sorted(vn)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS). Depending on the Spark
     build this surfaces as bigint (legacy nanosAsLong) or natively as
@@ -10495,6 +10514,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pca_power_iteration"] = q_pca_power_iteration
 
+    def q_peak_concurrency(spark, sf_dir):
+        """Sweep-line peak concurrency: treat every event as a 30-min
+        session [ts, ts+30m) and find, per event type, the maximum
+        number of simultaneously-open sessions and the first instant
+        it is reached — the classic +1/-1 boundary sweep (one union,
+        one per-type cumulative window) instead of a quadratic
+        interval self-join.  Ordering ties by (t, delta) puts closes
+        before opens at the same instant (half-open semantics), and
+        although the running sum is order-ambiguous WITHIN a tie
+        group, the multiset of its values there is {base+1..base+g}
+        (or the mirror for closes) under any order, so the (t, cum)
+        row set — and hence the max and its first t — is
+        deterministic.  Registered after the round-10/11 windows;
+        round-12 window material."""
+        dur = 30 * 60 * 1_000_000
+        base = _events(spark, sf_dir).select(
+            "event_type", F.unix_micros("ts").alias("_t0")
+        )
+        sweep = base.select(
+            "event_type", F.col("_t0").alias("t"), F.lit(1).alias("delta")
+        ).unionByName(
+            base.select(
+                "event_type",
+                (F.col("_t0") + dur).alias("t"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        w = W.partitionBy("event_type").orderBy("t", "delta")
+        cum = sweep.select(
+            "event_type",
+            "t",
+            F.sum("delta")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint")
+            .alias("cum"),
+        ).withColumn(
+            "_pk",
+            F.max("cum").over(
+                W.partitionBy("event_type").rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+        )
+        return (
+            cum.filter(F.col("cum") == F.col("_pk"))
+            .groupBy("event_type")
+            .agg(
+                F.max("cum").alias("peak"),
+                F.min("t").alias("first_peak_t"),
+            )
+        )
+
+    q["peak_concurrency"] = q_peak_concurrency
+
+    def q_consistent_hash_ring(spark, sf_dir):
+        """Consistent-hash ring rebalance audit (Karger et al.,
+        STOC'97): documents assigned to the first virtual node
+        clockwise on an 8-shard ring (16 vnodes each), then again
+        after shard 8 joins, emitting the (shard_before, shard_after,
+        n) transition matrix.  THE ring invariant — adding a shard
+        only moves keys TO the new shard, never between old ones — is
+        visible in the output (off-diagonal rows all land on 8) and
+        pinned by a pytest.  The ring complement to
+        q_rendezvous_shards' highest-random-weight scheme.  Vnode
+        hashes are 144 driver-side md5 constants (the fir-taps
+        pattern) embedded as a sorted in-row array, so assignment is
+        an O(vnodes) row-local scan — no join amplification, no
+        shuffle before the final count.  Registered after the
+        round-10/11 windows; round-12 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        kh = sampling.salted_hash(F.col("doc_id"), "ring")
+
+        def assign_expr(n_shards):
+            vn = _ring_vnodes(n_shards, 16)
+            arr = ",".join(
+                f"named_struct('vh', CAST({vh} AS BIGINT), "
+                f"'shard', CAST({s} AS BIGINT))"
+                for vh, s in vn
+            )
+            fallback = vn[0][1]  # wrap-around: smallest vnode hash
+            return (
+                f"coalesce(try_element_at(filter(array({arr}), "
+                f"x -> x.vh >= _kh), 1).shard, CAST({fallback} AS BIGINT))"
+            )
+
+        keyed = docs.select(kh.alias("_kh"))
+        return (
+            keyed.select(
+                F.expr(assign_expr(8)).alias("shard_before"),
+                F.expr(assign_expr(9)).alias("shard_after"),
+            )
+            .groupBy("shard_before", "shard_after")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+
+    q["consistent_hash_ring"] = q_consistent_hash_ring
+
     return _gate_order(q)
 
 
@@ -16211,5 +16327,57 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT j AS d, v AS v_units FROM v8"""
     )
+
+    o["peak_concurrency"] = """
+        WITH base AS (
+          SELECT event_type, epoch_us(ts) AS t0 FROM events
+        ), sweep AS (
+          SELECT event_type, t0 AS t, 1 AS delta FROM base
+          UNION ALL
+          SELECT event_type, t0 + 1800000000 AS t, -1 AS delta FROM base
+        ), cum AS (
+          SELECT event_type, t,
+                 sum(delta) OVER (PARTITION BY event_type
+                   ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM sweep
+        ), pk AS (
+          SELECT event_type, t, cum,
+                 max(cum) OVER (PARTITION BY event_type) AS pk
+          FROM cum
+        )
+        SELECT event_type, CAST(max(cum) AS BIGINT) AS peak,
+               CAST(min(t) AS BIGINT) AS first_peak_t
+        FROM pk WHERE cum = pk GROUP BY event_type
+    """
+
+    from openseize_spark.llm.sampling import salted_hash_sql as _shs
+
+    def _ring_assign_cte(tag, n_shards):
+        vn = _ring_vnodes(n_shards, 16)
+        vals = ", ".join(f"({vh}, {s})" for vh, s in vn)
+        fb = vn[0][1]
+        return f"""{tag} AS (
+          SELECT k.doc_id,
+                 coalesce(min_by(v.shard, v.vh)
+                            FILTER (WHERE v.vh >= k.kh),
+                          {fb}) AS shard
+          FROM keys k
+          LEFT JOIN (SELECT * FROM (VALUES {vals}) AS t(vh, shard)) v
+            ON v.vh >= k.kh
+          GROUP BY k.doc_id
+        )"""
+
+    o["consistent_hash_ring"] = f"""
+        WITH keys AS (
+          SELECT doc_id, {_shs("doc_id", "ring")} AS kh FROM documents
+        ), {_ring_assign_cte("a8", 8)}, {_ring_assign_cte("a9", 9)}
+        SELECT CAST(a8.shard AS BIGINT) AS shard_before,
+               CAST(a9.shard AS BIGINT) AS shard_after,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+        GROUP BY 1, 2
+    """
 
     return {k: v.strip() for k, v in o.items()}

@@ -515,3 +515,93 @@ def test_pca_power_iteration_vs_numpy(spark, tmp_path):
     mine = np.array([got[i + 1] for i in range(8)], dtype=float)
     mine /= np.linalg.norm(mine)
     assert abs(float(np.dot(top, mine))) > 0.999
+
+
+# ------------------------------------------------- sweep-line concurrency
+
+
+def test_peak_concurrency_brute_force(spark):
+    """Sweep-line peak == brute-force max over boundary instants on the
+    real sf0.001 events."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.event_type: (r.peak, r.first_peak_t)
+        for r in entry.queries()["peak_concurrency"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""SELECT event_type, epoch_us(ts) FROM '{sf}/events.parquet'
+        ORDER BY 1, 2"""
+    ).fetchall()
+    dur = 30 * 60 * 1_000_000
+    bytype: dict = {}
+    for et, t0 in rows:
+        bytype.setdefault(et, []).append(t0)
+    for et, starts in bytype.items():
+        best, best_t = -1, None
+        for t in sorted(
+            set(starts) | {s + dur for s in starts}
+        ):  # candidate instants
+            c = sum(1 for s in starts if s <= t < s + dur)
+            if c > best:
+                best, best_t = c, t
+        assert got[et][0] == best, et
+        assert got[et][1] == best_t, et
+
+
+@given(
+    starts=st.lists(st.integers(0, 40), min_size=1, max_size=25),
+    dur=st.integers(1, 12),
+)
+@settings(**PROP)
+def test_sweep_line_tie_groups_deterministic(starts, dur):
+    """The (t, cum-multiset) of the sweep is order-invariant within tie
+    groups: peak and first-peak-time from a shuffled processing order
+    equal the canonical one."""
+    import random
+
+    events = [(s, 1) for s in starts] + [(s + dur, -1) for s in starts]
+
+    def run(order):
+        cum, rows = 0, []
+        for t, d in order:
+            cum += d
+            rows.append((t, cum))
+        peak = max(c for _, c in rows)
+        first = min(t for t, c in rows if c == peak)
+        return peak, first
+
+    canonical = run(sorted(events))
+    rng = random.Random(0)
+    for _ in range(5):
+        ev = events[:]
+        rng.shuffle(ev)
+        ev.sort(key=lambda x: (x[0], x[1]))  # stable sort keeps shuffle
+        assert run(ev) == canonical
+
+
+# ------------------------------------------------ consistent-hash ring
+
+
+def test_consistent_hash_ring_invariant(spark):
+    """Adding a shard to the ring may only move keys TO the new shard —
+    every off-diagonal transition lands on shard 8 — and the moved
+    fraction is a minority of keys."""
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["consistent_hash_ring"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    total = sum(r.n for r in rows)
+    moved = 0
+    for r in rows:
+        if r.shard_before != r.shard_after:
+            assert r.shard_after == 8, (r.shard_before, r.shard_after)
+            moved += r.n
+    assert 0 < moved < total / 2
+    # every original shard still holds keys (no mass eviction)
+    assert {r.shard_before for r in rows} == set(range(8))
