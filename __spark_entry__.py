@@ -10611,6 +10611,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["consistent_hash_ring"] = q_consistent_hash_ring
 
+    def q_spatial_eps_pairs(spark, sf_dir):
+        """2-D spatial self-join (llm/similarity.grid_eps_pairs): all
+        embedding pairs within L2 eps = 0.05 in the first two
+        dimensions via uniform grid bucketing — each point owns ONE
+        eps-sized cell, one side explodes to its 3x3 neighborhood
+        (fan-out 9, the 2-D analog of range_join_buckets' interval
+        explosion), a hash equi-join on the cell key, then an exact
+        integer distance gate.  The DBSCAN region-query / spatial-join
+        pattern; completeness because pairs within eps differ by <= 1
+        cell per axis.  Registered after the round-10/11 windows;
+        round-12 window material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        return similarity.grid_eps_pairs(emb, eps_units=50_000)
+
+    q["spatial_eps_pairs"] = q_spatial_eps_pairs
+
+    def q_dag_layers(spark, sf_dir):
+        """Longest-path layering of the near-dup DAG (llm/dedup
+        .dag_layers): the verified Jaccard >= 0.8 pairs directed
+        a -> b (acyclic by a < b) relax through 8 max-rounds to the
+        dependency-height histogram — the scheduling-depth statistic
+        and the eighth iterative-algorithm shape (fixed-rounds
+        saturation spec, every level an exact int64).  Registered
+        after the round-10/11 windows; round-12 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        edges = (
+            dup.select("a", "b")
+            .filter(F.col("a") < F.col("b"))
+            .localCheckpoint(eager=True)
+        )
+        return dedup.dag_layers(edges, rounds=8)
+
+    q["dag_layers"] = q_dag_layers
+
     return _gate_order(q)
 
 
@@ -16379,5 +16418,14 @@ def oracle_sql() -> dict[str, str]:
         FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
         GROUP BY 1, 2
     """
+
+    from openseize_spark.llm import similarity as _similarity
+
+    o["spatial_eps_pairs"] = _similarity.grid_eps_pairs_oracle_sql(
+        eps_units=50_000
+    )
+    o["dag_layers"] = _dedup.dag_layers_oracle_sql(
+        rounds=8, k=5, num_hashes=64, bands=8, threshold=0.8
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -3516,3 +3516,79 @@ def winnow_pairs_oracle_sql(
         GROUP BY 1, 2
         HAVING count(*) >= {min_shared}
     """
+
+
+# ------------------------------------------------------------- DAG layers
+
+
+def dag_layers(edges: DataFrame, rounds: int = 8) -> DataFrame:
+    """Longest-path layering of a DAG by iterated relaxation — the
+    topological-level statistic (scheduling depth / dependency height):
+    level(v) = length of the longest path ending at v, computed as
+    ``rounds`` rounds of level(v) = max(level(v), max over edges (u,v)
+    of level(u) + 1).  Inputs must be acyclic; the dedup graph directed
+    a -> b with a < b is acyclic by construction.  Levels saturate at
+    ``rounds`` — a chain deeper than that reports ``rounds`` — which
+    makes the result a deterministic spec independent of convergence
+    (the stationary_markov fixed-rounds discipline).  Each round is one
+    equi-join + one max-aggregate; the edge set is the only large
+    input and should be checkpointed by the caller when it feeds all
+    rounds.  Returns the level histogram (lv, n_docs)."""
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .distinct()
+    )
+    lv = nodes.select("v", F.lit(0).cast("bigint").alias("lv"))
+    for _ in range(rounds):
+        # lv feeds BOTH the carry arm and the bump join — checkpoint
+        # each round or the plan doubles per round (2^rounds exchanges;
+        # the pca_power_iteration lesson)
+        lv = lv.localCheckpoint(eager=False)
+        bumped = (
+            edges.join(lv, edges.a == lv.v)
+            .select(F.col("b").alias("v"), (F.col("lv") + 1).alias("lv"))
+        )
+        lv = (
+            lv.unionByName(bumped)
+            .groupBy("v")
+            .agg(F.max("lv").alias("lv"))
+        )
+    return lv.groupBy("lv").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+
+
+def dag_layers_oracle_sql(
+    rounds: int = 8,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """DuckDB replay of ``dag_layers`` over the verified near-dup pairs
+    directed a -> b: the shared vp CTE chain, then ``rounds`` unrolled
+    relaxation rounds.  Each lv{r} references lv{r-1} twice (carry +
+    bump), so the CTEs are MATERIALIZED against exponential inlining
+    (the pca_power_iteration lesson)."""
+    ctes = [_vpairs_ctes(k, num_hashes, bands, threshold)]
+    ctes.append(""", e AS MATERIALIZED (
+          SELECT a, b FROM vp WHERE a < b
+        ), lv0 AS (
+          SELECT v, CAST(0 AS BIGINT) AS lv FROM (
+            SELECT a AS v FROM e UNION SELECT b AS v FROM e
+          )
+        )""")
+    for r in range(1, rounds + 1):
+        ctes.append(f""", lv{r} AS MATERIALIZED (
+          SELECT v, CAST(max(lv) AS BIGINT) AS lv FROM (
+            SELECT v, lv FROM lv{r - 1}
+            UNION ALL
+            SELECT e.b AS v, lv{r - 1}.lv + 1 AS lv
+            FROM e JOIN lv{r - 1} ON e.a = lv{r - 1}.v
+          ) GROUP BY v
+        )""")
+    return "".join(ctes) + f"""
+        SELECT lv, CAST(count(*) AS BIGINT) AS n_docs
+        FROM lv{rounds} GROUP BY lv
+    """

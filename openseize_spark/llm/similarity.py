@@ -1045,3 +1045,98 @@ def kcenter_greedy(
         sel.append((r, int(far.vec_id), int(far.d2)))
         sel_vecs.append(list(far.q))
     return sel
+
+
+def grid_eps_pairs(
+    emb: DataFrame,
+    eps_units: int = 50_000,
+    scale: int = 10**6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All point pairs within L2 distance eps in the first two embedding
+    dimensions, via uniform grid bucketing — the spatial self-join /
+    DBSCAN region-query pattern: each point lands in ONE eps-sized grid
+    cell, one side explodes to its 3x3 cell neighborhood (bounded
+    fan-out 9), the join is a plain hash equi-join on the cell key, and
+    an exact integer distance check finishes.  Any pair within eps has
+    cell coordinates differing by at most 1 on each axis, so the
+    candidate set is complete; each qualifying pair appears exactly
+    once (the plain side owns one cell, a < b on ids).  Contrast with
+    the 1-D time bucketing of relational.range_join_buckets and the
+    LSH/IVF buckets in this module: same no-all-pairs discipline, 2-D
+    geometry.
+
+    Coordinates quantize to 1/scale units; cells shift by +2*scale so
+    the floor-division is on non-negative ints (Spark DIV truncates,
+    floor needed).  Returns (a, b, d2u) with d2u the exact squared
+    integer distance (<= eps_units^2).
+    """
+    pts = emb.select(
+        F.col(id_col).alias("_id"),
+        F.round(
+            F.expr(f"CAST(element_at({vec_col}, 1) AS DOUBLE)") * scale
+        )
+        .cast("bigint")
+        .alias("xu"),
+        F.round(
+            F.expr(f"CAST(element_at({vec_col}, 2) AS DOUBLE)") * scale
+        )
+        .cast("bigint")
+        .alias("yu"),
+    ).withColumn(
+        "_cx", F.expr(f"(xu + {2 * scale}) DIV {eps_units}")
+    ).withColumn(
+        "_cy", F.expr(f"(yu + {2 * scale}) DIV {eps_units}")
+    )
+    left = (
+        pts.withColumn("_dx", F.expr("explode(array(-1, 0, 1))"))
+        .withColumn("_dy", F.expr("explode(array(-1, 0, 1))"))
+        .select(
+            F.col("_id").alias("a"),
+            F.col("xu").alias("xa"),
+            F.col("yu").alias("ya"),
+            (F.col("_cx") + F.col("_dx")).alias("_jx"),
+            (F.col("_cy") + F.col("_dy")).alias("_jy"),
+        )
+    )
+    right = pts.select(
+        F.col("_id").alias("b"),
+        F.col("xu").alias("xb"),
+        F.col("yu").alias("yb"),
+        F.col("_cx").alias("_jx"),
+        F.col("_cy").alias("_jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        left.join(right, ["_jx", "_jy"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("d2u", d2.cast("bigint"))
+        .filter(F.col("d2u") <= eps_units * eps_units)
+        .select("a", "b", "d2u")
+    )
+
+
+def grid_eps_pairs_oracle_sql(
+    eps_units: int = 50_000, scale: int = 10**6
+) -> str:
+    """DuckDB replay of ``grid_eps_pairs``: the operator is exact, so
+    the oracle is the naive all-pairs distance filter."""
+    return f"""
+        WITH p AS (
+          SELECT vec_id,
+                 CAST(round(emb[1] * {scale}) AS BIGINT) AS xu,
+                 CAST(round(emb[2] * {scale}) AS BIGINT) AS yu
+          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings)
+        )
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               CAST((a.xu - b.xu) * (a.xu - b.xu)
+                    + (a.yu - b.yu) * (a.yu - b.yu) AS BIGINT) AS d2u
+        FROM p a JOIN p b ON a.vec_id < b.vec_id
+        WHERE (a.xu - b.xu) * (a.xu - b.xu)
+              + (a.yu - b.yu) * (a.yu - b.yu)
+              <= {eps_units * eps_units}
+    """

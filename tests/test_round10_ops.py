@@ -605,3 +605,86 @@ def test_consistent_hash_ring_invariant(spark):
     assert 0 < moved < total / 2
     # every original shard still holds keys (no mass eviction)
     assert {r.shard_before for r in rows} == set(range(8))
+
+
+# --------------------------------------------------- spatial grid join
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(-400000, 400000), st.integers(-400000, 400000)
+        ),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    ),
+    eps=st.sampled_from([30000, 50000, 120000]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grid_eps_pairs_exact(spark, pts, eps):
+    """Grid-bucketed spatial join == brute-force distance filter,
+    including pairs straddling cell boundaries."""
+    from openseize_spark.llm import similarity
+
+    rows = [
+        (i, [x / 10**6, y / 10**6] + [0.0] * 62)
+        for i, (x, y) in enumerate(pts)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    got = {
+        (r.a, r.b): r.d2u
+        for r in similarity.grid_eps_pairs(emb, eps_units=eps).collect()
+    }
+    # brute force over the SAME float32-quantized coordinates
+    import numpy as np
+
+    q = [
+        (
+            int(round(float(np.float32(x / 10**6)) * 10**6)),
+            int(round(float(np.float32(y / 10**6)) * 10**6)),
+        )
+        for x, y in pts
+    ]
+    want = {}
+    for i in range(len(q)):
+        for j in range(i + 1, len(q)):
+            d2 = (q[i][0] - q[j][0]) ** 2 + (q[i][1] - q[j][1]) ** 2
+            if d2 <= eps * eps:
+                want[(i, j)] = d2
+    assert got == want
+
+
+# -------------------------------------------------------- DAG layering
+
+
+def test_dag_layers_brute_force(spark):
+    """Relaxation layering == python longest-path on a hand DAG, and
+    saturation caps deeper chains at `rounds`."""
+    edges = [
+        (0, 1), (1, 2), (2, 3),          # chain depth 3
+        (0, 4), (4, 3),                  # diamond into 3
+        (5, 6),                          # separate short chain
+        (10, 11), (11, 12), (12, 13), (13, 14), (14, 15),  # depth 5
+    ]
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {r.lv: r.n_docs for r in dedup.dag_layers(df, rounds=8).collect()}
+
+    import collections
+
+    lv = collections.defaultdict(int)
+    for _ in range(8):
+        nxt = dict(lv)
+        for u, v in edges:
+            nxt[v] = max(nxt.get(v, 0), lv[u] + 1)
+        for n in {x for e in edges for x in e}:
+            nxt.setdefault(n, 0)
+        lv = collections.defaultdict(int, nxt)
+    want = collections.Counter(lv[n] for n in {x for e in edges for x in e})
+    assert got == dict(want)
+    # saturation: rounds=2 caps the depth-5 chain
+    got2 = {r.lv: r.n_docs for r in dedup.dag_layers(df, rounds=2).collect()}
+    assert max(got2) == 2
