@@ -67,3 +67,95 @@ def zorder_key_sql(a: str, b: str, bits: int = 21) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)
+
+
+def with_hilbert_key(
+    df,
+    x: str,
+    y: str,
+    bits: int = 6,
+    out: str = "hd",
+):
+    """Hilbert-curve index d of the cell (x, y) on a 2^bits x 2^bits
+    grid — the space-filling-curve layout key with strictly better
+    locality than ``zorder_key``: consecutive d values are ALWAYS
+    4-adjacent cells (Morton order jumps across quadrant seams), so
+    files clustered by d carry tighter per-file min/max ranges on both
+    dimensions.
+
+    The classic top-down quadrant walk (Wikipedia xy2d): at each level
+    s = 2^i the quadrant bits (rx, ry) contribute s^2 * ((3*rx) XOR
+    ry), then the frame is reflected/swapped.  x and y mutate per
+    level, so this is a per-level PROJECTION transformer (one
+    withColumns step per level keeps the expression tree linear —
+    folding it into a single Column would copy the subtree ~3x per
+    level).  Pure integer CASE/shift arithmetic, codegen-friendly, no
+    UDF; identical algebra is emitted for the DuckDB oracle by
+    ``hilbert_ctes_sql``.  Inputs must already lie in [0, 2^bits).
+    Returns df with the int64 ``out`` column added (helper columns
+    dropped)."""
+    from pyspark.sql import functions as F
+
+    n = 1 << bits
+    cur = df.withColumn("_hx", F.col(x).cast("long")).withColumn(
+        "_hy", F.col(y).cast("long")
+    ).withColumn(out, F.lit(0).cast("long"))
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(F.lit(1))
+        flip = (ry == 0) & (rx == 1)
+        swap = ry == 0
+        x1 = F.when(flip, F.lit(n - 1) - F.col("_hx")).otherwise(
+            F.col("_hx")
+        )
+        y1 = F.when(flip, F.lit(n - 1) - F.col("_hy")).otherwise(
+            F.col("_hy")
+        )
+        cur = cur.withColumns(
+            {
+                out: F.col(out)
+                + F.lit(s * s) * (rx * 3).bitwiseXOR(ry),
+                "_hx": F.when(swap, y1).otherwise(x1),
+                "_hy": F.when(swap, x1).otherwise(y1),
+            }
+        )
+    return cur.drop("_hx", "_hy")
+
+
+def hilbert_ctes_sql(
+    inner: str, x: str = "x", y: str = "y", bits: int = 6
+) -> str:
+    """DuckDB CTE chain replaying ``with_hilbert_key`` over the relation
+    ``inner`` (must expose integer columns x, y plus any carried
+    columns named in the final select).  Exposes the result as
+    ``hsteps(x, y, hd, ...)`` where hd is the Hilbert index."""
+    n = 1 << bits
+    ctes = [
+        f"""h{bits} AS (
+          SELECT *, CAST({x} AS BIGINT) AS _hx, CAST({y} AS BIGINT)
+                 AS _hy, CAST(0 AS BIGINT) AS _hd
+          FROM ({inner})
+        )"""
+    ]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        prev = f"h{i + 1}"
+        ctes.append(f"""h{i} AS (
+          SELECT * EXCLUDE (_hx, _hy, _hd),
+                 _hd + {s * s} * xor(3 * ((_hx >> {i}) & 1),
+                                     ((_hy >> {i}) & 1)) AS _hd,
+                 CASE WHEN ((_hy >> {i}) & 1) = 0 THEN
+                      CASE WHEN ((_hx >> {i}) & 1) = 1
+                           THEN {n - 1} - _hy ELSE _hy END
+                      ELSE _hx END AS _hx,
+                 CASE WHEN ((_hy >> {i}) & 1) = 0 THEN
+                      CASE WHEN ((_hx >> {i}) & 1) = 1
+                           THEN {n - 1} - _hx ELSE _hx END
+                      ELSE _hy END AS _hy
+          FROM {prev}
+        )""")
+    ctes.append(
+        "hsteps AS (SELECT * EXCLUDE (_hx, _hy), _hd AS hd FROM h0)"
+    )
+    return ",\n        ".join(ctes)

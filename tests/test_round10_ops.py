@@ -688,3 +688,89 @@ def test_dag_layers_brute_force(spark):
     # saturation: rounds=2 caps the depth-5 chain
     got2 = {r.lv: r.n_docs for r in dedup.dag_layers(df, rounds=2).collect()}
     assert max(got2) == 2
+
+
+# -------------------------------------------------------- Hilbert curve
+
+
+def _hilbert_ref(x, y, bits):
+    n = 1 << bits
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_bijection(spark):
+    from openseize_spark.functions.scalar import with_hilbert_key
+
+    bits = 4
+    n = 1 << bits
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)],
+        "x bigint, y bigint",
+    )
+    got = {
+        (r.x, r.y): r.hd
+        for r in with_hilbert_key(cells, "x", "y", bits=bits).collect()
+    }
+    for (x, y), hd in got.items():
+        assert hd == _hilbert_ref(x, y, bits), (x, y)
+    assert sorted(got.values()) == list(range(n * n))  # bijection
+    # curve continuity: consecutive d are 4-adjacent cells
+    byd = {d: xy for xy, d in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = byd[d], byd[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_beats_zorder_on_range_query_clustering(spark):
+    """The measurable layout win (Moon et al. 1996): a rectangular
+    range predicate touches FEWER contiguous index runs — i.e. fewer
+    files after clustering — under Hilbert order than Morton order."""
+    import random
+
+    from openseize_spark.functions.scalar import (
+        with_hilbert_key,
+        zorder_key,
+    )
+
+    bits = 5
+    n = 1 << bits
+    cells = spark.createDataFrame(
+        [(x, y) for x in range(n) for y in range(n)],
+        "x bigint, y bigint",
+    )
+    rows = (
+        with_hilbert_key(cells, "x", "y", bits=bits)
+        .withColumn("zd", zorder_key(F.col("x"), F.col("y"), bits=bits))
+        .collect()
+    )
+    hd = {(r.x, r.y): r.hd for r in rows}
+    zd = {(r.x, r.y): r.zd for r in rows}
+
+    def runs(idx, box):
+        ds = sorted(idx[c] for c in box)
+        return 1 + sum(1 for a, b in zip(ds, ds[1:]) if b != a + 1)
+
+    rng = random.Random(42)
+    hruns = zruns = 0
+    for _ in range(50):
+        x0, y0 = rng.randrange(n - 4), rng.randrange(n - 4)
+        w, h = rng.randrange(2, 8), rng.randrange(2, 8)
+        box = [
+            (x, y)
+            for x in range(x0, min(n, x0 + w))
+            for y in range(y0, min(n, y0 + h))
+        ]
+        hruns += runs(hd, box)
+        zruns += runs(zd, box)
+    assert hruns < zruns
