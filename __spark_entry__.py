@@ -10682,6 +10682,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hilbert_layout"] = q_hilbert_layout
 
+    def q_streaming_asof(spark, sf_dir):
+        """Streaming point-in-time feature enrichment (streaming/sinks
+        .asof_enrich): purchases arrive as 4 micro-batches and each
+        batch as-of joins (backward) against the STATIC click history —
+        the feature-store correctness rule applied on the ingest path,
+        and the 14th streaming surface.  Per-row enrichment carries no
+        cross-row state, so the accumulated output is independent of
+        batch boundaries; the oracle is the one-shot DuckDB ASOF LEFT
+        JOIN rolled up per day.  Registered after the round-10/11
+        windows; round-12 window material."""
+        import os
+
+        from openseize_spark.streaming import sinks
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        e = _events(spark, sf_dir)
+        src = _gate_tmp(spark, f"asof_src_{tag}")
+        if not os.path.exists(os.path.join(src, "_SUCCESS")):
+            e.repartition(4, F.col("user_id")).write.mode(
+                "overwrite"
+            ).parquet(src)
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts"
+        )
+        tgt = _gate_tmp(spark, f"asof_tgt_{tag}")
+        out = sinks.asof_enrich(
+            spark, src, e.schema, clicks, tgt,
+            query_name=f"gate_asof_{tag}",
+        )
+        return out.groupBy(F.to_date("ts").alias("day")).agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.count("lag_us").cast("bigint").alias("n_attributed"),
+            F.sum("lag_us").cast("bigint").alias("sum_lag_us"),
+        )
+
+    q["streaming_asof"] = q_streaming_asof
+
     return _gate_order(q)
 
 
@@ -16472,6 +16509,22 @@ def oracle_sql() -> dict[str, str]:
         )}
         SELECT x, y, hd, CAST({_zsql("x", "y", 6)} AS BIGINT) AS zd
         FROM hsteps
+    """
+
+    o["streaming_asof"] = """
+        WITH j AS (
+          SELECT p.ts AS pts, c.ts AS cts
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          ASOF LEFT JOIN
+               (SELECT * FROM events WHERE event_type = 'click') c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
+        )
+        SELECT CAST(pts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(cts) AS BIGINT) AS n_attributed,
+               CAST(sum(epoch_us(pts) - epoch_us(cts)) AS BIGINT)
+                 AS sum_lag_us
+        FROM j GROUP BY 1
     """
 
     return {k: v.strip() for k, v in o.items()}

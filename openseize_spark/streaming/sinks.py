@@ -110,3 +110,78 @@ def upsert_user_state(
             F.sum("value").alias("sum_value"),
         )
     return spark.read.parquet(state_dir)
+
+
+def asof_enrich(
+    spark,
+    src_dir: str,
+    schema,
+    static_right: DataFrame,
+    target_dir: str,
+    query_name: str = "stream_asof",
+) -> DataFrame:
+    """Point-in-time-correct streaming feature enrichment: each
+    micro-batch's purchase rows are as-of joined (backward) against a
+    STATIC click-history table via the batch
+    ``operators/relational.asof_join`` inside ``foreachBatch`` — the
+    feature-store rule that a training feature may only use information
+    available AT event time, applied on the ingest path.
+
+    Why the gate can check it: the enrichment of a row depends only on
+    that row and the static table, so the accumulated output is
+    provably independent of micro-batch boundaries (unlike windowed
+    aggregates, there is no cross-row state) — stream over an N-file
+    source must equal the one-shot batch as-of join, which is exactly
+    what the oracle and the boundary-invariance pytest assert.
+
+    Scale shape: per batch one tagged-union window pass keyed on
+    user — the static side would be broadcast or pre-bucketed on the
+    key at 100 TB; output appends, no target rewrite.  Returns the
+    accumulated (event_id, ts, user_id, lag_us) rows.
+    """
+    from openseize_spark.operators.relational import asof_join
+
+    out_dir = os.path.join(target_dir, "asof_out")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
+        purchases = batch_df.filter(
+            F.col("event_type") == "purchase"
+        ).select("user_id", "event_id", "ts")
+        joined = asof_join(
+            purchases,
+            static_right,
+            on="user_id",
+            left_t="ts",
+            right_t="ts",
+            payload=["event_id"],
+            suffix="_click",
+        )
+        joined.select(
+            "user_id",
+            "event_id",
+            "ts",
+            (F.unix_micros("ts") - F.unix_micros("ts_click")).alias(
+                "lag_us"
+            ),
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .writeStream.foreachBatch(enrich_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, event_id bigint, ts timestamp,"
+            " lag_us bigint",
+        )
+    return spark.read.parquet(out_dir)

@@ -774,3 +774,70 @@ def test_hilbert_beats_zorder_on_range_query_clustering(spark):
         hruns += runs(hd, box)
         zruns += runs(zd, box)
     assert hruns < zruns
+
+
+# ------------------------------------------- streaming as-of enrichment
+
+
+def test_streaming_asof_boundary_invariance(spark, tmp_path):
+    """The accumulated streaming as-of output must equal the one-shot
+    batch as-of join regardless of micro-batch boundaries (1-file vs
+    4-file source cuts)."""
+    import pandas as pd
+
+    from openseize_spark.operators.relational import asof_join
+    from openseize_spark.streaming import sinks
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        for m in range(10):
+            rows.append(
+                (eid, f"2024-01-02 0{u}:{m:02d}:00", u,
+                 "click" if m % 3 else "purchase", float(m), "{}")
+            )
+            eid += 1
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts string, user_id bigint,"
+            " event_type string, value double, props string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    clicks = df.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+
+    def run(nfiles, tag):
+        src = str(tmp_path / f"src{tag}")
+        df.repartition(nfiles, "user_id").write.mode("overwrite").parquet(
+            src
+        )
+        out = sinks.asof_enrich(
+            spark, src, df.schema, clicks, str(tmp_path / f"tgt{tag}"),
+            query_name=f"t_asof_{tag}",
+        )
+        return sorted(
+            (r.user_id, r.event_id, r.lag_us) for r in out.collect()
+        )
+
+    one, four = run(1, "a"), run(4, "b")
+    assert one == four
+    # equals the one-shot batch as-of join
+    purchases = df.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    batch = asof_join(
+        purchases, clicks, on="user_id", left_t="ts", right_t="ts",
+        payload=["event_id"], suffix="_click",
+    ).select(
+        "user_id",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros("ts_click")).alias("lag_us"),
+    )
+    want = sorted((r.user_id, r.event_id, r.lag_us) for r in batch.collect())
+    assert one == want
+    # sanity: every user's first event is a purchase with no prior click
+    assert any(l is None for _, _, l in one)
+    assert any(l is not None and l > 0 for _, _, l in one)
