@@ -10719,6 +10719,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_asof"] = q_streaming_asof
 
+    def q_greedy_set_cover(spark, sf_dir):
+        """Greedy maximum-coverage subset selection (llm/sampling
+        .greedy_set_cover; Nemhauser-Wolsey-Fisher 1978): up to 8
+        documents, each maximizing newly-covered 8-shingles — the
+        (1-1/e)-approximate submodular greedy that seeds diverse
+        training mixtures, with deterministic smallest-id tie-break.
+        One eagerly-checkpointed postings build, one anti-join + count
+        per step, a single argmax row to the driver per step (the
+        kcenter precedent), and the per-step covered-set checkpoint
+        (the twice-consumed-state idiom).  Registered after the
+        round-10/11 windows; round-12 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return sampling.greedy_set_cover(docs, k=8, steps=8)
+
+    q["greedy_set_cover"] = q_greedy_set_cover
+
     return _gate_order(q)
 
 
@@ -16526,5 +16542,11 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_lag_us
         FROM j GROUP BY 1
     """
+
+    from openseize_spark.llm import sampling as _sampling
+
+    o["greedy_set_cover"] = _sampling.greedy_set_cover_oracle_sql(
+        k=8, steps=8
+    )
 
     return {k: v.strip() for k, v in o.items()}

@@ -1036,3 +1036,117 @@ def priority_sample_oracle_sql(
         SELECT key, weight, priority_units,
                CAST(greatest(weight, tau.t) AS DOUBLE) AS est_weight
         FROM ranked CROSS JOIN tau WHERE rn <= {k}"""
+
+
+# -------------------------------------------------------- greedy cover
+
+
+def greedy_set_cover(
+    docs: DataFrame,
+    k: int = 8,
+    steps: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy maximum-coverage data-subset selection (the classic
+    (1 - 1/e)-approximate submodular greedy; Nemhauser-Wolsey-Fisher
+    1978): pick up to ``steps`` documents, each maximizing the count of
+    k-shingles NOT yet covered by earlier picks — the coverage-driven
+    subset selection LLM pipelines use to seed diverse training
+    mixtures.  Ties break to the smallest doc id, so the selection is
+    fully deterministic.
+
+    Scale shape: the postings table (doc, shingle) is built once and
+    eagerly checkpointed (every step rescans it); each step is one
+    anti-join against the covered-shingle set + a count aggregation,
+    with only the single argmax row moving to the driver (the
+    kmeans/kcenter bounded-collect precedent).  The covered set feeds
+    TWO consumers per step (gain anti-join + next union), so it is
+    checkpointed per step — the twice-consumed-iteration-state idiom.
+    Stops early when nothing new can be covered.
+
+    Returns (step, doc_id, gain, covered_total) — all exact int64.
+    """
+    from openseize_spark.llm.dedup import _shingle_expr, normalize_text
+
+    norm = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        normalize_text(F.col(text_col)).alias("_txt"),
+    )
+    postings = norm.select(
+        "_id", F.explode(_shingle_expr(F.col("_txt"), k)).alias("s")
+    ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    covered = None
+    picks = []
+    for step in range(1, steps + 1):
+        uncovered = (
+            postings
+            if covered is None
+            else postings.join(covered, "s", "left_anti")
+        )
+        top = (
+            uncovered.groupBy("_id")
+            .agg(F.count("*").alias("g"))
+            .orderBy(F.desc("g"), "_id")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].g == 0:
+            break
+        doc_id, gain = int(top[0]._id), int(top[0].g)
+        new_cov = postings.filter(F.col("_id") == doc_id).select("s")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+        picks.append((step, doc_id, gain, covered.count()))
+    return spark.createDataFrame(
+        picks,
+        "step bigint, doc_id bigint, gain bigint, covered_total bigint",
+    )
+
+
+def greedy_set_cover_oracle_sql(k: int = 8, steps: int = 8) -> str:
+    """DuckDB replay of ``greedy_set_cover``: unrolled greedy steps;
+    the covered-set CTEs are referenced twice per step (gain anti-join
+    + next union) and so are MATERIALIZED."""
+    from openseize_spark.llm.dedup import _NORM_SQL
+
+    ctes = [f"""
+        WITH p AS MATERIALIZED (
+          SELECT DISTINCT doc_id AS _id, substring(nt, i, {k}) AS s
+          FROM (SELECT doc_id, {_NORM_SQL} AS nt
+                FROM documents WHERE text IS NOT NULL) n,
+               unnest(generate_series(1, greatest(length(nt) - {k - 1},
+                 0))) AS u(i)
+        )"""]
+    for r in range(1, steps + 1):
+        if r == 1:
+            gain_src = "SELECT _id, count(*) AS g FROM p GROUP BY _id"
+        else:
+            gain_src = f"""SELECT p._id, count(*) AS g
+              FROM p LEFT JOIN c{r - 1} cv ON cv.s = p.s
+              WHERE cv.s IS NULL GROUP BY p._id"""
+        ctes.append(f""", s{r} AS MATERIALIZED (
+          SELECT _id, CAST(g AS BIGINT) AS g FROM ({gain_src})
+          WHERE g > 0 ORDER BY g DESC, _id LIMIT 1
+        )""")
+        prev_cov = (
+            ""
+            if r == 1
+            else f"SELECT s FROM c{r - 1} UNION "
+        )
+        ctes.append(f""", c{r} AS MATERIALIZED (
+          {prev_cov}SELECT DISTINCT p.s FROM p JOIN s{r} ON p._id = s{r}._id
+        )""")
+    arms = "\n          UNION ALL ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS step, _id AS doc_id, g AS gain,
+               CAST((SELECT count(*) FROM c{r}) AS BIGINT)
+                 AS covered_total
+            FROM s{r}"""
+        for r in range(1, steps + 1)
+    )
+    return "".join(ctes) + f"\n        {arms}"

@@ -841,3 +841,48 @@ def test_streaming_asof_boundary_invariance(spark, tmp_path):
     # sanity: every user's first event is a purchase with no prior click
     assert any(l is None for _, _, l in one)
     assert any(l is not None and l > 0 for _, _, l in one)
+
+
+# ------------------------------------------------- greedy set cover
+
+
+def test_greedy_set_cover_brute_force(spark):
+    """Spark greedy selection == python greedy with the same
+    (max gain, min id) tie-break, including early stop when a doc's
+    shingles are fully covered."""
+    from openseize_spark.llm.sampling import greedy_set_cover
+
+    rows = [
+        (0, "aaaaabbbbbccccc"),       # shingles from 3 zones
+        (1, "aaaaabbbbb"),            # subset of doc 0
+        (2, "dddddeeeee"),            # disjoint
+        (3, "cccccddddd"),            # bridges 0 and 2
+        (4, "aaaaa"),                 # fully inside doc 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        (r.step, r.doc_id, r.gain, r.covered_total)
+        for r in greedy_set_cover(docs, k=5, steps=8)
+        .orderBy("step")
+        .collect()
+    ]
+
+    def shingles(t):
+        return {t[i : i + 5] for i in range(len(t) - 4)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    covered: set = set()
+    want = []
+    for step in range(1, 9):
+        gains = sorted(
+            ((len(s - covered), -i) for i, s in sets.items()),
+            key=lambda x: (-x[0], -x[1]),
+        )
+        g, negi = gains[0]
+        if g == 0:
+            break
+        covered |= sets[-negi]
+        want.append((step, -negi, g, len(covered)))
+    assert got == want
+    # the greedy terminated before 8 steps (universe exhausts)
+    assert len(got) < 8
