@@ -10735,6 +10735,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["greedy_set_cover"] = q_greedy_set_cover
 
+    def q_fs_linkage(spark, sf_dir):
+        """Fellegi-Sunter probabilistic record linkage (llm/dedup
+        .fellegi_sunter_scores; JASA 1969) over the LSH candidate
+        stream: per-pair agreement on (lang, source, length band) maps
+        to an exact-int64 log-likelihood-ratio score via fixed (m, u)
+        weights quantized to 1e-9 units (the fir-taps constant
+        pattern), with the classic match / review / non-match
+        three-way decision at posterior-odds 100:1 thresholds — the
+        statistical-scoring layer on top of the blocking families.
+        Registered after the round-10/11 windows; round-12 window
+        material."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        return dedup.fellegi_sunter_scores(docs, cand)
+
+    q["fs_linkage"] = q_fs_linkage
+
     return _gate_order(q)
 
 
@@ -16547,6 +16567,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["greedy_set_cover"] = _sampling.greedy_set_cover_oracle_sql(
         k=8, steps=8
+    )
+    o["fs_linkage"] = _dedup.fellegi_sunter_oracle_sql(
+        k=5, num_hashes=64, bands=8
     )
 
     return {k: v.strip() for k, v in o.items()}

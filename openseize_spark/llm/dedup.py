@@ -3592,3 +3592,128 @@ def dag_layers_oracle_sql(
         SELECT lv, CAST(count(*) AS BIGINT) AS n_docs
         FROM lv{rounds} GROUP BY lv
     """
+
+
+# --------------------------------------------------------- Fellegi-Sunter
+
+# Fixed match/non-match agreement probabilities (m, u) per comparison
+# field and the derived log-likelihood weights in integer 1e-9 units
+# (the fir-taps pattern: python-computed literals embedded identically
+# in both engines).  agree -> ln(m/u), disagree -> ln((1-m)/(1-u)).
+_FS_WEIGHTS = {
+    # field: (agree_units, disagree_units)
+    "lang": (1335001067, -2708050201),      # m=0.95, u=0.25
+    "source": (1504077397, -2079441542),    # m=0.90, u=0.20
+    "len": (2079441542, -1504077397),       # m=0.80, u=0.10
+}
+_FS_UPPER = 4605170186   # ln(100):  posterior odds 100:1 -> match
+_FS_LOWER = -4605170186  # ln(0.01): odds 1:100 -> non-match
+
+
+def fellegi_sunter_scores(
+    docs: DataFrame,
+    cand: DataFrame,
+    id_col: str = "doc_id",
+    len_band: int = 50,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969) over a
+    candidate pair stream: each pair's agreement vector on (lang,
+    source, n_chars band) maps to a log-likelihood-ratio score — the
+    sum of per-field ln(m/u) / ln((1-m)/(1-u)) weights — and the
+    classic three-way decision (match / review / non-match) at fixed
+    posterior-odds thresholds.  The statistical-scoring layer on top
+    of the blocking families (LSH banding / SimHash / SNM): blocking
+    bounds WHICH pairs are compared, FS decides WHAT a comparison
+    means.
+
+    Weights are integer 1e-9-unit constants (``_FS_WEIGHTS``) so the
+    score is an exact int64 sum; all joins are id-keyed equi-joins
+    against the (small) projected attribute table.  Returns
+    (a, b, score_units, decision).
+    """
+    attrs = docs.select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col("lang").alias("_lang"),
+        F.col("source").alias("_src"),
+        F.expr(f"CAST(n_chars DIV {len_band} AS BIGINT)").alias("_band"),
+    )
+    aa = attrs.select(
+        F.col("_id").alias("a"),
+        F.col("_lang").alias("_la"),
+        F.col("_src").alias("_sa"),
+        F.col("_band").alias("_ba"),
+    )
+    bb = attrs.select(
+        F.col("_id").alias("b"),
+        F.col("_lang").alias("_lb"),
+        F.col("_src").alias("_sb"),
+        F.col("_band").alias("_bb"),
+    )
+    wl, ws, wb = (
+        _FS_WEIGHTS["lang"],
+        _FS_WEIGHTS["source"],
+        _FS_WEIGHTS["len"],
+    )
+    score = (
+        F.when(F.col("_la") == F.col("_lb"), F.lit(wl[0])).otherwise(
+            F.lit(wl[1])
+        )
+        + F.when(F.col("_sa") == F.col("_sb"), F.lit(ws[0])).otherwise(
+            F.lit(ws[1])
+        )
+        + F.when(F.col("_ba") == F.col("_bb"), F.lit(wb[0])).otherwise(
+            F.lit(wb[1])
+        )
+    ).cast("bigint")
+    return (
+        cand.select("a", "b")
+        .join(aa, "a")
+        .join(bb, "b")
+        .select("a", "b", score.alias("score_units"))
+        .withColumn(
+            "decision",
+            F.when(F.col("score_units") >= _FS_UPPER, F.lit("match"))
+            .when(F.col("score_units") <= _FS_LOWER, F.lit("non_match"))
+            .otherwise(F.lit("review")),
+        )
+    )
+
+
+def fellegi_sunter_oracle_sql(
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 8,
+    len_band: int = 50,
+) -> str:
+    """DuckDB replay of ``fellegi_sunter_scores`` over the LSH candidate
+    chain: same integer weight literals, same CASE arithmetic."""
+    wl, ws, wb = (
+        _FS_WEIGHTS["lang"],
+        _FS_WEIGHTS["source"],
+        _FS_WEIGHTS["len"],
+    )
+    return (
+        _cand_ctes(k, num_hashes, bands)
+        + f""", attrs AS (
+          SELECT doc_id AS id, lang,
+                 source, n_chars // {len_band} AS band
+          FROM documents
+        ), scored AS (
+          SELECT c.a, c.b,
+                 CAST(
+                   (CASE WHEN x.lang = y.lang THEN {wl[0]}
+                         ELSE {wl[1]} END)
+                 + (CASE WHEN x.source = y.source THEN {ws[0]}
+                         ELSE {ws[1]} END)
+                 + (CASE WHEN x.band = y.band THEN {wb[0]}
+                         ELSE {wb[1]} END) AS BIGINT) AS score_units
+          FROM cand c
+          JOIN attrs x ON x.id = c.a
+          JOIN attrs y ON y.id = c.b
+        )
+        SELECT a, b, score_units,
+               CASE WHEN score_units >= {_FS_UPPER} THEN 'match'
+                    WHEN score_units <= {_FS_LOWER} THEN 'non_match'
+                    ELSE 'review' END AS decision
+        FROM scored"""
+    )

@@ -886,3 +886,49 @@ def test_greedy_set_cover_brute_force(spark):
     assert got == want
     # the greedy terminated before 8 steps (universe exhausts)
     assert len(got) < 8
+
+
+# --------------------------------------------------- Fellegi-Sunter
+
+
+def test_fellegi_sunter_scores_known_values(spark):
+    """Hand-built pairs hit all three decisions with exactly the
+    weights the constants table implies."""
+    import math
+
+    from openseize_spark.llm.dedup import (
+        _FS_LOWER,
+        _FS_UPPER,
+        _FS_WEIGHTS,
+        fellegi_sunter_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "t", "en", "src0", 100),
+            (1, "t", "en", "src0", 120),   # all three agree with 0
+            (2, "t", "de", "src1", 900),   # all three disagree with 0
+            (3, "t", "en", "src1", 130),   # lang+band agree, source not
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a bigint, b bigint"
+    )
+    got = {
+        (r.a, r.b): (r.score_units, r.decision)
+        for r in fellegi_sunter_scores(docs, cand).collect()
+    }
+    wl, ws, wb = (
+        _FS_WEIGHTS["lang"],
+        _FS_WEIGHTS["source"],
+        _FS_WEIGHTS["len"],
+    )
+    assert got[(0, 1)] == (wl[0] + ws[0] + wb[0], "match")
+    assert got[(0, 2)] == (wl[1] + ws[1] + wb[1], "non_match")
+    assert got[(0, 3)] == (wl[0] + ws[1] + wb[0], "review")
+    # the weight constants really are the quantized log-likelihoods
+    assert wl[0] == round(math.log(0.95 / 0.25) * 1e9)
+    assert ws[1] == round(math.log(0.10 / 0.80) * 1e9)
+    assert _FS_UPPER == round(math.log(100.0) * 1e9) == -_FS_LOWER
