@@ -10755,6 +10755,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fs_linkage"] = q_fs_linkage
 
+    def q_bom_rollup(spark, sf_dir):
+        """Hierarchical subtree rollup — the bill-of-materials /
+        org-chart shape, i.e. the recursive-CTE capability Spark lacks
+        natively: parts form a 4-ary tree via parent(k) = (k-1) div 4
+        and every node needs its SUBTREE cost and node count.
+        Expressed as the fixed-point iteration total_r(v) = own(v) +
+        sum over children of total_{r-1}(child) — after depth rounds
+        the totals are the exact subtree aggregates; 12 rounds cover
+        4^12 ~ 16.7M keys (sf1000), documented headroom rather than a
+        saturation cap since the rollup must CONVERGE to be correct.
+        One |V|-row hash join + aggregate per round, exact int64
+        cents; the oracle is DuckDB's NATIVE WITH RECURSIVE ancestor
+        closure — the engine-completeness contrast this query exists
+        to pin.  Returns the top-of-tree rows (k < 64).  Registered
+        after the round-10/11 windows; round-12 window material."""
+        p = _t(spark, sf_dir, "part")
+        own = (
+            p.select(
+                F.col("p_partkey").cast("bigint").alias("k"),
+                F.round(F.col("p_retailprice") * 100)
+                .cast("bigint")
+                .alias("own_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        edges = (
+            own.filter(F.col("k") > 0)
+            .select(
+                F.col("k").alias("c"),
+                F.expr("CAST((k - 1) DIV 4 AS BIGINT)").alias("parent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        total = own.select(
+            "k",
+            F.col("own_cents").alias("sub_cents"),
+            F.lit(1).cast("bigint").alias("n_nodes"),
+        )
+        for _ in range(12):
+            cs = (
+                edges.join(total, edges.c == total.k)
+                .groupBy("parent")
+                .agg(
+                    F.sum("sub_cents").alias("_cs"),
+                    F.sum("n_nodes").alias("_cn"),
+                )
+            )
+            total = (
+                own.join(cs, own.k == cs.parent, "left")
+                .select(
+                    "k",
+                    (
+                        F.col("own_cents") + F.coalesce("_cs", F.lit(0))
+                    ).cast("bigint").alias("sub_cents"),
+                    (F.lit(1) + F.coalesce("_cn", F.lit(0)))
+                    .cast("bigint")
+                    .alias("n_nodes"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return total.filter(F.col("k") < 64).select(
+            "k", "sub_cents", "n_nodes"
+        )
+
+    q["bom_rollup"] = q_bom_rollup
+
     return _gate_order(q)
 
 
@@ -16571,5 +16637,23 @@ def oracle_sql() -> dict[str, str]:
     o["fs_linkage"] = _dedup.fellegi_sunter_oracle_sql(
         k=5, num_hashes=64, bands=8
     )
+
+    o["bom_rollup"] = """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey AS a FROM part
+          UNION ALL
+          SELECT node, (a - 1) // 4 FROM anc WHERE a > 0
+        ), own AS (
+          SELECT p_partkey AS k,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS own_cents
+          FROM part
+        )
+        SELECT anc.a AS k,
+               CAST(sum(own.own_cents) AS BIGINT) AS sub_cents,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM anc JOIN own ON own.k = anc.node
+        WHERE anc.a < 64
+        GROUP BY anc.a
+    """
 
     return {k: v.strip() for k, v in o.items()}

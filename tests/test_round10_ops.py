@@ -932,3 +932,45 @@ def test_fellegi_sunter_scores_known_values(spark):
     assert wl[0] == round(math.log(0.95 / 0.25) * 1e9)
     assert ws[1] == round(math.log(0.10 / 0.80) * 1e9)
     assert _FS_UPPER == round(math.log(100.0) * 1e9) == -_FS_LOWER
+
+
+# --------------------------------------------------------- BOM rollup
+
+
+def test_bom_rollup_brute_force(spark, tmp_path):
+    """Iterative subtree rollup == python recursion over the same
+    4-ary tree, on a synthetic part table small enough to verify by
+    hand."""
+    import __spark_entry__ as entry
+
+    n = 85  # spans 4 levels of the 4-ary tree
+    rows = [(k, f"p{k}", "B", "T", 1, float(k) + 0.5) for k in range(n)]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/part.parquet")
+    got = {
+        r.k: (r.sub_cents, r.n_nodes)
+        for r in entry.queries()["bom_rollup"](spark, d).collect()
+    }
+
+    import functools
+
+    own = {k: round((k + 0.5) * 100) for k in range(n)}
+    children: dict = {}
+    for k in range(1, n):
+        children.setdefault((k - 1) // 4, []).append(k)
+
+    @functools.lru_cache(maxsize=None)
+    def sub(k):
+        c_tot = sum(sub(c)[0] for c in children.get(k, []))
+        c_n = sum(sub(c)[1] for c in children.get(k, []))
+        return own[k] + c_tot, 1 + c_n
+
+    want = {k: sub(k) for k in range(min(n, 64))}
+    assert got == want
+    # the root's subtree covers everything
+    assert got[0] == (sum(own.values()), n)
