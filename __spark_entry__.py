@@ -4111,9 +4111,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tfidf_cosine_pairs): posting-list self-join over df-pruned rare
         terms, integer-unit weights, IEEE-exact cosine.  The lexical
         near-dup complement to MinHash banding.  Registered after the
-        round-5 window; round-6 window material."""
+        round-5 window; driver-green since round 6.
+
+        Round-11 plan change (r10 verdict order #2): the registered
+        call now passes ``max_df_abs=256`` — the sf1 scaling bench
+        measured the purely-relative df cut at exponent 1.58 (candidate
+        pairs grow ~N^2 once 5%*N outruns any fixed posting bound), and
+        the absolute cap bounds per-term fan-out at C(256,2) regardless
+        of corpus size.  At every gate scale 5%*N < 256, so the cap is
+        INERT there: capped and uncapped outputs are bit-identical and
+        the oracle hash cannot move (proved by a capped-vs-uncapped
+        DuckDB diff + tools/plan_neutrality.py at sf0.001/sf0.01/sf0.1;
+        named re-gate slot consumed in the same commit).  The uncapped
+        arm stays available as the explicit opt-in
+        ``llm_text.tfidf_cosine_pairs(docs, ..., max_df_abs=None)``."""
         docs = _t(spark, sf_dir, "documents")
-        return llm_text.tfidf_cosine_pairs(docs, threshold=0.3, max_df_pct=5)
+        return llm_text.tfidf_cosine_pairs(
+            docs, threshold=0.3, max_df_pct=5, max_df_abs=256
+        )
 
     q["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
 
@@ -11025,18 +11040,26 @@ _GATE_PRIORITY_R10 = [
 # merge + local replica, with no manual list edit to get wrong.  The
 # round-9 window names stay registered; they simply drop below the
 # 50-slot boundary as freshly-driver-checked rows.
-_GATE_PRIORITY = _GATE_PRIORITY_R10
+# (Round-10 history: `_GATE_PRIORITY = _GATE_PRIORITY_R10`; rebound to
+# the R11 window below at round-11 start after CORRECTNESS_r10 landed
+# 50/50 — r10 verdict order #1.)
 
 
-# READY-TO-SWAP round-11 window (execute at round-11 start, AFTER
-# CORRECTNESS_r10 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R11`
-# below — one line, no list edit).  Composition: the 22 r01-latest
-# freshness re-gates the r10 window could not fit (named in round 9 as
-# the round-11 head; zero code change), the 21 round-10-session
-# registrations (all battery-verified + brute-force-pytested this
-# round, never driver-checked), and the first 7 of the r03 freshness
-# cohort (tools/freshness_queue.py order).  22 + 21 + 7 = 50.
+# ACTIVE round-11 window (activated at round-11 start per the r10
+# verdict order #1, after CORRECTNESS_r10 landed 50/50).  Composition
+# as committed in round 10 — the 22 r01-latest freshness re-gates, the
+# 21 round-10-session registrations (never driver-checked), and the
+# r03 freshness cohort head — with ONE r10-verdict-ordered amendment:
+# order #2 flips the registered `tfidf_cosine_pairs` to the
+# max_df_abs=256 default (the one measured superlinear path, sf1
+# e=1.58), and the no-silent-edit rule requires the plan-change
+# re-gate slot in the same commit.  The window was full at 50, so the
+# re-gate takes slot 1 and the LAST r03 freshness entry
+# (`path_pairing`, zero code change, pure freshness) spills to the
+# head of the round-12 queue.  22 + 21 + 1 + 6 = 50.
 _GATE_PRIORITY_R11 = [
+    # named plan-change re-gate (r10 verdict order #2): capped default
+    "tfidf_cosine_pairs",
     # 22 r01 freshness re-gates (committed round-11 head since round 9)
     "top_customers_by_orders", "priority_exists", "filtered_revenue",
     "rank_parts", "rollup_revenue", "pivot_status", "set_ops",
@@ -11053,11 +11076,14 @@ _GATE_PRIORITY_R11 = [
     "grouping_sets_revenue", "merge_partials", "zero_crossing_rate",
     "pr_auc_binned", "map_eval", "stationary_markov", "ppr_seeded",
     "conductance",
-    # 7 r03 freshness re-gates (freshness_queue head after the r01s)
+    # 6 r03 freshness re-gates (freshness_queue head after the r01s;
+    # `path_pairing` displaced to the round-12 queue head by the
+    # tfidf_cosine_pairs plan-change re-gate above)
     "revenue_by_nation", "sliding_energy", "sosfiltfilt_ellip",
     "token_count_by_source", "repetition_stats", "pii_scan",
-    "path_pairing",
 ]
+
+_GATE_PRIORITY = _GATE_PRIORITY_R11
 
 
 def _gate_order(q: dict) -> dict:
@@ -12893,7 +12919,7 @@ def oracle_sql() -> dict[str, str]:
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
     o["bigram_logprob"] = llm_text.bigram_logprob_oracle_sql(round_digits=9)
     o["tfidf_cosine_pairs"] = llm_text.tfidf_cosine_pairs_oracle_sql(
-        threshold=0.3, max_df_pct=5, round_digits=4
+        threshold=0.3, max_df_pct=5, round_digits=4, max_df_abs=256
     )
     o["doc_chunks"] = llm_text.doc_chunks_oracle_sql(chunk_words=64, stride=48)
     o["jsonl_roundtrip"] = (
