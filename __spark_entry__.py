@@ -10777,10 +10777,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         and every node needs its SUBTREE cost and node count.
         Expressed as the fixed-point iteration total_r(v) = own(v) +
         sum over children of total_{r-1}(child) — after depth rounds
-        the totals are the exact subtree aggregates; 12 rounds cover
-        4^12 ~ 16.7M keys (sf1000), documented headroom rather than a
-        saturation cap since the rollup must CONVERGE to be correct.
-        One |V|-row hash join + aggregate per round, exact int64
+        the totals are the exact subtree aggregates.  The round count
+        is DERIVED, not fixed: one bounded scalar collect reads
+        max(p_partkey) and the driver walks parent(k) to the root to
+        get the exact tree depth (r11 advice fix — the old fixed 12
+        rounds claimed 4^12 ~ 16.7M keys covers sf1000, but TPC-H sf1000
+        has ~200M part keys, depth 14, and even make_sfN's stride-10M
+        sf1 copies exceed 16.7M: the totals would have silently stopped
+        short of convergence exactly at the scales the headroom note
+        advertised).  Deriving depth makes convergence unconditional
+        at ANY corpus size — and cheaper at gate scale (6 rounds, not
+        12).  One |V|-row hash join + aggregate per round, exact int64
         cents; the oracle is DuckDB's NATIVE WITH RECURSIVE ancestor
         closure — the engine-completeness contrast this query exists
         to pin.  Returns the top-of-tree rows (k < 64).  Registered
@@ -10808,7 +10815,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("own_cents").alias("sub_cents"),
             F.lit(1).cast("bigint").alias("n_nodes"),
         )
-        for _ in range(12):
+        # exact tree depth of the deepest key: a single-scalar collect
+        # (bounded control flow, house precedent) then an O(depth)
+        # parent-walk in python ints — never trust a fixed headroom
+        max_k = int(own.agg(F.max("k")).collect()[0][0] or 0)
+        depth = 0
+        while max_k > 0:
+            max_k = (max_k - 1) // 4
+            depth += 1
+        for _ in range(depth):
             cs = (
                 edges.join(total, edges.c == total.k)
                 .groupBy("parent")

@@ -1067,11 +1067,22 @@ def grid_eps_pairs(
     LSH/IVF buckets in this module: same no-all-pairs discipline, 2-D
     geometry.
 
-    Coordinates quantize to 1/scale units; cells shift by +2*scale so
-    the floor-division is on non-negative ints (Spark DIV truncates,
-    floor needed).  Returns (a, b, d2u) with d2u the exact squared
-    integer distance (<= eps_units^2).
+    Coordinates quantize to 1/scale units; the cell index is an
+    EXPLICIT floor division valid for any sign — ``u DIV e`` minus one
+    when the remainder is nonzero and u is negative (r11 advice fix:
+    the previous ``(u + 2*scale) DIV e`` shift relied on an implicit
+    [-2, ...) input domain, and coordinates below -2 would mis-bucket
+    via DIV's truncation toward zero, silently dropping qualifying
+    pairs).  Returns (a, b, d2u) with d2u the exact squared integer
+    distance (<= eps_units^2).
     """
+
+    def _floor_div(col: str, e: int) -> str:
+        # floor(u / e) for e > 0, any-sign u, in pure int64 arithmetic
+        return (
+            f"({col} DIV {e}) - (CASE WHEN {col} % {e} <> 0 "
+            f"AND {col} < 0 THEN 1 ELSE 0 END)"
+        )
     pts = emb.select(
         F.col(id_col).alias("_id"),
         F.round(
@@ -1085,9 +1096,9 @@ def grid_eps_pairs(
         .cast("bigint")
         .alias("yu"),
     ).withColumn(
-        "_cx", F.expr(f"(xu + {2 * scale}) DIV {eps_units}")
+        "_cx", F.expr(_floor_div("xu", eps_units))
     ).withColumn(
-        "_cy", F.expr(f"(yu + {2 * scale}) DIV {eps_units}")
+        "_cy", F.expr(_floor_div("yu", eps_units))
     )
     left = (
         pts.withColumn("_dx", F.expr("explode(array(-1, 0, 1))"))

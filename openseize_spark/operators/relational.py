@@ -438,8 +438,16 @@ def range_join_buckets(
     All of lo/hi/t must be non-negative int64 on the same scale
     (e.g. epoch micros); hi is exclusive.  Returns the joined rows
     (interval columns + point columns) without the helper bucket.
+
+    Degenerate intervals (hi <= lo) are dropped BEFORE the explode
+    (r11 advice fix): they contain no points under half-open
+    semantics, but without the guard F.sequence(lo DIV b,
+    (hi-1) DIV b) has start > stop and Spark generates a DESCENDING
+    sequence — O(span/bucket) spurious bucket rows per bad interval
+    that survive the equi-join and are only discarded by the exact
+    range filter.
     """
-    iv = intervals.withColumn(
+    iv = intervals.filter(F.expr(f"{hi} > {lo}")).withColumn(
         "_b",
         F.explode(
             F.sequence(

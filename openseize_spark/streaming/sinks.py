@@ -138,12 +138,20 @@ def asof_enrich(
     user — the static side would be broadcast or pre-bucketed on the
     key at 100 TB; output appends, no target rewrite.  Returns the
     accumulated (event_id, ts, user_id, lag_us) rows.
+
+    The output and checkpoint directories are derived from
+    ``query_name`` (r11 advice fix: a fixed ``asof_out`` subdir plus a
+    checkpoint-less start meant two concurrent invocations sharing a
+    target_dir would rmtree and append into each other's output).
+    Callers running concurrent streams pass distinct query_names.
     """
     from openseize_spark.operators.relational import asof_join
 
-    out_dir = os.path.join(target_dir, "asof_out")
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    out_dir = os.path.join(target_dir, f"{query_name}_out")
+    ckpt_dir = os.path.join(target_dir, f"{query_name}_ckpt")
+    for d in (out_dir, ckpt_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
 
     def enrich_batch(batch_df: DataFrame, batch_id: int) -> None:
         purchases = batch_df.filter(
@@ -173,6 +181,7 @@ def asof_enrich(
         .parquet(src_dir)
         .writeStream.foreachBatch(enrich_batch)
         .queryName(query_name)
+        .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )

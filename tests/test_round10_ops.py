@@ -252,7 +252,11 @@ def test_misra_gries_heavy_spark(spark):
 
 @given(
     ivals=st.lists(
-        st.tuples(st.integers(0, 100), st.integers(1, 40)),
+        # spans down to -40: degenerate intervals (hi <= lo) contain
+        # no points and must contribute no pairs — and no exploded
+        # bucket rows (the r11 guard; an unguarded descending
+        # F.sequence used to emit O(span/bucket) spurious rows)
+        st.tuples(st.integers(0, 100), st.integers(-40, 40)),
         min_size=1,
         max_size=12,
     ),
@@ -264,7 +268,7 @@ def test_misra_gries_heavy_spark(spark):
 def test_range_join_buckets_exact(spark, ivals, pts, bucket):
     """Bucketed range join == naive theta join, each pair exactly once,
     for arbitrary bucket widths (including widths smaller and larger
-    than every interval)."""
+    than every interval) and degenerate (empty) intervals."""
     from openseize_spark.operators import relational as rel
 
     iv = spark.createDataFrame(
@@ -613,7 +617,13 @@ def test_consistent_hash_ring_invariant(spark):
 @given(
     pts=st.lists(
         st.tuples(
-            st.integers(-400000, 400000), st.integers(-400000, 400000)
+            # +/- 4.0 after the 1e-6 scaling: WELL below the old
+            # implicit [-2, ...) domain, so this range regresses the
+            # r11 sign-safe floor-division fix (truncating DIV on a
+            # shifted negative coordinate mis-bucketed and dropped
+            # qualifying pairs)
+            st.integers(-4000000, 4000000),
+            st.integers(-4000000, 4000000),
         ),
         min_size=2,
         max_size=30,
@@ -625,7 +635,8 @@ def test_consistent_hash_ring_invariant(spark):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_grid_eps_pairs_exact(spark, pts, eps):
     """Grid-bucketed spatial join == brute-force distance filter,
-    including pairs straddling cell boundaries."""
+    including pairs straddling cell boundaries and any-sign
+    coordinates."""
     from openseize_spark.llm import similarity
 
     rows = [
@@ -974,3 +985,37 @@ def test_bom_rollup_brute_force(spark, tmp_path):
     assert got == want
     # the root's subtree covers everything
     assert got[0] == (sum(own.values()), n)
+
+
+def test_bom_rollup_deep_sparse_chain(spark, tmp_path):
+    """Regression for the r11 derived-round-count fix: a sparse
+    ancestor CHAIN whose deepest key sits at tree depth 13 — one
+    level past the old fixed 12 rounds, so the old code would have
+    returned the top node's subtree total silently missing the
+    deepest leaf.  The derived parent-walk depth converges at any
+    key magnitude."""
+    import __spark_entry__ as entry
+
+    keys = []
+    k = 50_000_000  # depth-13 node of the 4-ary tree
+    while k > 0:
+        keys.append(k)
+        k = (k - 1) // 4
+    assert len(keys) == 13
+    rows = [(k, f"p{k}", "B", "T", 1, 1.00) for k in keys]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/part.parquet")
+    got = {
+        r.k: (r.sub_cents, r.n_nodes)
+        for r in entry.queries()["bom_rollup"](spark, d).collect()
+    }
+    # the chain keys under 64 are 2, 11, 47 (depths 1-3); each
+    # subtree is the rest of the 13-node chain at 100 cents each —
+    # k=2's total counts all 13 nodes including the depth-13 leaf
+    # the old fixed-12-round code would have missed
+    assert got == {2: (1300, 13), 11: (1200, 12), 47: (1100, 11)}
