@@ -11101,6 +11101,40 @@ _GATE_PRIORITY_R11 = [
 _GATE_PRIORITY = _GATE_PRIORITY_R11
 
 
+# READY-TO-SWAP round-12 window (execute at round-12 start, AFTER
+# CORRECTNESS_r11 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R12` —
+# one line, no list edit).  Composition (r10 verdict order #3): the 17
+# round-10-continuation registrations (each battery-verified at
+# registration AND independently re-run by the r10 judge — 17/17
+# match; never driver-checked), then `path_pairing` (displaced from
+# the r11 window by the tfidf_cosine_pairs plan-change re-gate), then
+# the remaining r03 freshness cohort (14) and the head of the r04
+# cohort (18), in tools/freshness_queue.py order.  17 + 1 + 14 + 18
+# = 50.  Queries registered in the round-11 session are round-13
+# window material and sit BELOW this list in the freshness queue.
+_GATE_PRIORITY_R12 = [
+    # 17 continuation conversions (registered round 10, never checked)
+    "setsim_pairs", "winnow_pairs", "heavy_ngrams", "incident_windows",
+    "woe_encode", "isotonic_calibration", "sprt_ab",
+    "pca_power_iteration", "peak_concurrency", "consistent_hash_ring",
+    "spatial_eps_pairs", "dag_layers", "hilbert_layout",
+    "streaming_asof", "greedy_set_cover", "fs_linkage", "bom_rollup",
+    # displaced r03 freshness re-gate (see the r11 window note)
+    "path_pairing",
+    # 14 remaining r03 freshness re-gates (freshness_queue order)
+    "path_mismatched", "embedding_norms", "ngram_jaccard",
+    "embedding_dedup", "sosfiltfilt_blocks", "lfilter_blocks",
+    "filtfilt_blocks", "sosfilt_cheby1", "sosfilt_cheby2", "notch",
+    "supplier_topbal", "lsh_topk", "quality_score", "language_id",
+    # 18 r04 freshness re-gates (freshness_queue head of the r04 cohort)
+    "event_deltas", "sessionize", "tumbling_hour", "fir_kaiser",
+    "fir_remez", "fir_hamming", "envelope", "psd_ci", "dedup_exact",
+    "knn_cosine", "ivf_topk", "kmeans_assign", "welch_psd",
+    "welch_psd_blocks", "stft", "stft_blocks", "sosfilt",
+    "sosfilt_blocks",
+]
+
+
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
