@@ -4114,20 +4114,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         round-5 window; driver-green since round 6.
 
         Round-11 plan change (r10 verdict order #2): the registered
-        call now passes ``max_df_abs=256`` — the sf1 scaling bench
+        call now passes an absolute df cap — the sf1 scaling bench
         measured the purely-relative df cut at exponent 1.58 (candidate
         pairs grow ~N^2 once 5%*N outruns any fixed posting bound), and
-        the absolute cap bounds per-term fan-out at C(256,2) regardless
-        of corpus size.  At every gate scale 5%*N < 256, so the cap is
-        INERT there: capped and uncapped outputs are bit-identical and
-        the oracle hash cannot move (proved by a capped-vs-uncapped
-        DuckDB diff + tools/plan_neutrality.py at sf0.001/sf0.01/sf0.1;
-        named re-gate slot consumed in the same commit).  The uncapped
-        arm stays available as the explicit opt-in
-        ``llm_text.tfidf_cosine_pairs(docs, ..., max_df_abs=None)``."""
+        the absolute cap bounds per-term fan-out at C(cap,2) regardless
+        of corpus size.  The cap VALUE is 512, not the ordered 256,
+        via the order's own escape hatch ("if recall is poor at
+        realistic df distributions, raise the cap"): the Heaps-law
+        recall study (tools/heaps_recall.py, order #4) measured
+        near-dup-pair recall at N=50k of 94.6% under cap 256 but 99.8%
+        under cap 512 at only 1.4x the cost (COVERAGE.md has the full
+        frontier table).  At every gate scale 5%*N <= 250 < 512, so
+        the cap is INERT there: capped and uncapped outputs are
+        bit-identical and the oracle hash cannot move (proved by a
+        capped-vs-uncapped DuckDB diff + tools/plan_neutrality.py at
+        sf0.001/sf0.01/sf0.1; named re-gate slot consumed in the same
+        commit).  The uncapped arm stays available as the explicit
+        opt-in ``llm_text.tfidf_cosine_pairs(docs, ...,
+        max_df_abs=None)``; the registered ``tfidf_cosine_capped``
+        twin keeps the tighter 256 cap as the max-scale arm."""
         docs = _t(spark, sf_dir, "documents")
         return llm_text.tfidf_cosine_pairs(
-            docs, threshold=0.3, max_df_pct=5, max_df_abs=256
+            docs, threshold=0.3, max_df_pct=5, max_df_abs=512
         )
 
     q["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
@@ -12968,7 +12976,7 @@ def oracle_sql() -> dict[str, str]:
     o["unigram_logprob"] = llm_text.unigram_logprob_oracle_sql(round_digits=9)
     o["bigram_logprob"] = llm_text.bigram_logprob_oracle_sql(round_digits=9)
     o["tfidf_cosine_pairs"] = llm_text.tfidf_cosine_pairs_oracle_sql(
-        threshold=0.3, max_df_pct=5, round_digits=4, max_df_abs=256
+        threshold=0.3, max_df_pct=5, round_digits=4, max_df_abs=512
     )
     o["doc_chunks"] = llm_text.doc_chunks_oracle_sql(chunk_words=64, stride=48)
     o["jsonl_roundtrip"] = (
