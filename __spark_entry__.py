@@ -10859,6 +10859,170 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bom_rollup"] = q_bom_rollup
 
+    # ---- round-11 session registrations (round-13 window material) ----
+
+    def q_ancestor_chain(spark, sf_dir):
+        """Path-to-root ancestor closure — the UPWARD direction of the
+        recursive-CTE capability, pairing `bom_rollup`'s downward
+        subtree rollup (r10 verdict stretch #8): the 5 most expensive
+        parts (price DESC, key ASC tie-break) are seeds, and every
+        ancestor on their chains to the root of the 4-ary tree
+        parent(k) = (k-1) div 4 is returned with how many seed chains
+        pass through it and its minimum distance from a seed.
+
+        Spark shape — IN-list/semi-join, NOT iteration: the seed keys
+        are a bounded 5-row collect, the full ancestor closure is a
+        driver-side python parent-walk (<= 5 * depth keys, exact
+        integer arithmetic), and the single distributed step is one
+        broadcast hash join of the tiny chain table against part — at
+        100 TB the ancestor key IN-list prunes partitions/row-groups
+        at the scan, which is precisely why the ancestor direction
+        does NOT need bom_rollup's per-level relaxation.  The oracle
+        is DuckDB's native WITH RECURSIVE walking the same chains.
+        Registered after the round-11/12 windows; round-13 window
+        material."""
+        p = _t(spark, sf_dir, "part")
+        seeds = [
+            int(r.k)
+            for r in p.select(
+                F.col("p_partkey").cast("bigint").alias("k"),
+                "p_retailprice",
+            )
+            .orderBy(F.col("p_retailprice").desc(), F.col("k"))
+            .limit(5)
+            .collect()
+        ]
+        # exact python closure: (ancestor k) -> [seed coverage, min depth]
+        cover: dict[int, list] = {}
+        for s in seeds:
+            k, d = s, 0
+            while k > 0:
+                ent = cover.setdefault(k, [0, d])
+                ent[0] += 1
+                ent[1] = min(ent[1], d)
+                k, d = (k - 1) // 4, d + 1
+        chain = spark.createDataFrame(
+            sorted((k, v[0], v[1]) for k, v in cover.items()),
+            "k bigint, n_seeds bigint, min_depth bigint",
+        )
+        return p.join(
+            F.broadcast(chain), p.p_partkey == chain.k
+        ).select(
+            "k",
+            "n_seeds",
+            "min_depth",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("own_cents"),
+        )
+
+    q["ancestor_chain"] = q_ancestor_chain
+
+    def q_fastss_pairs(spark, sf_dir):
+        """Edit-distance-1 identifier linkage (llm/text
+        .fastss_ed1_pairs; Bocek et al. 2007): all customer-name pairs
+        at Levenshtein distance exactly 1, found by a deletion-
+        neighborhood EQUI-join — each name explodes to length+1
+        deletion variants (bounded in-row fan-out), variant posting
+        lists are bounded by the alphabet, and the exact levenshtein=1
+        gate finishes.  The fuzzy-ID / typo record-linkage primitive;
+        never all-pairs, unlike the brute-force oracle.  Registered
+        after the round-11/12 windows; round-13 window material."""
+        c = _t(spark, sf_dir, "customer")
+        return llm_text.fastss_ed1_pairs(c, col="c_name")
+
+    q["fastss_pairs"] = q_fastss_pairs
+
+    def q_apriori_triples(spark, sf_dir):
+        """Frequent 3-itemset mining with the a-priori prune (Agrawal
+        & Srikant 1994): baskets are orders, items are part brands,
+        and a brand triple is reported when its support clears 20
+        basis points of all orders — after L1 (>= 1000 bp) restricts
+        the basket stream and every 2-subset of a candidate triple is
+        checked against L2 (>= 180 bp), the downward-closure prune
+        that makes Apriori beat counting all C(|items|,3) triples.
+
+        Scale shape: basket expansion is bounded in-row fan-out (an
+        order has <= ~13 distinct brands, so <= C(13,2) pair and
+        C(13,3) triple rows per order at ANY corpus size); supports
+        are map-side-combinable counts; L1/L2 are tiny (<= |brands|^2)
+        broadcast semi-joins; thresholds are exact integer
+        basis-point arithmetic (support * 10000 >= bp * n_orders), no
+        float compare.  Registered after the round-11/12 windows;
+        round-13 window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        pt = _t(spark, sf_dir, "part")
+        ob = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .select(
+                F.col("l_orderkey").alias("o"),
+                F.col("p_brand").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = ob.select("o").distinct().agg(
+            F.count("*").cast("bigint").alias("_n")
+        )
+        s1 = ob.groupBy("b").agg(F.count("*").cast("bigint").alias("_c"))
+        l1 = (
+            s1.crossJoin(F.broadcast(n))
+            .filter(F.col("_c") * 10000 >= 1000 * F.col("_n"))
+            .select("b")
+        )
+        ob1 = ob.join(F.broadcast(l1), on="b").select("o", "b")
+        ob1 = ob1.localCheckpoint(eager=False)  # 3 join consumers below
+        pa = ob1.select("o", F.col("b").alias("b1"))
+        pb = ob1.select("o", F.col("b").alias("b2"))
+        pc = ob1.select("o", F.col("b").alias("b3"))
+        p2 = pa.join(pb, on="o").filter(F.col("b1") < F.col("b2"))
+        s2 = p2.groupBy("b1", "b2").agg(
+            F.count("*").cast("bigint").alias("_c")
+        )
+        l2 = (
+            s2.crossJoin(F.broadcast(n))
+            .filter(F.col("_c") * 10000 >= 180 * F.col("_n"))
+            .select("b1", "b2")
+            .localCheckpoint(eager=False)  # 3 prune consumers below
+        )
+        t3 = (
+            pa.join(pb, on="o")
+            .filter(F.col("b1") < F.col("b2"))
+            .join(pc, on="o")
+            .filter(F.col("b2") < F.col("b3"))
+        )
+        t3p = (
+            t3.join(F.broadcast(l2), on=["b1", "b2"])
+            .join(
+                F.broadcast(
+                    l2.select(
+                        F.col("b1").alias("b1"),
+                        F.col("b2").alias("b3"),
+                    )
+                ),
+                on=["b1", "b3"],
+            )
+            .join(
+                F.broadcast(
+                    l2.select(
+                        F.col("b1").alias("b2"),
+                        F.col("b2").alias("b3"),
+                    )
+                ),
+                on=["b2", "b3"],
+            )
+        )
+        s3 = t3p.groupBy("b1", "b2", "b3").agg(
+            F.count("*").cast("bigint").alias("support")
+        )
+        return (
+            s3.crossJoin(F.broadcast(n))
+            .filter(F.col("support") * 10000 >= 20 * F.col("_n"))
+            .select("b1", "b2", "b3", "support")
+        )
+
+    q["apriori_triples"] = q_apriori_triples
+
     return _gate_order(q)
 
 
@@ -16737,6 +16901,71 @@ def oracle_sql() -> dict[str, str]:
         FROM anc JOIN own ON own.k = anc.node
         WHERE anc.a < 64
         GROUP BY anc.a
+    """
+
+    # ---- round-11 session oracles (round-13 window material) ----
+
+    o["ancestor_chain"] = """
+        WITH RECURSIVE seeds AS (
+          SELECT p_partkey AS seed FROM part
+          ORDER BY p_retailprice DESC, p_partkey LIMIT 5
+        ), chain AS (
+          SELECT seed, CAST(seed AS BIGINT) AS k,
+                 CAST(0 AS BIGINT) AS depth
+          FROM seeds
+          UNION ALL
+          SELECT seed, (k - 1) // 4, depth + 1
+          FROM chain WHERE (k - 1) // 4 > 0
+        ), agg AS (
+          SELECT k, CAST(count(DISTINCT seed) AS BIGINT) AS n_seeds,
+                 CAST(min(depth) AS BIGINT) AS min_depth
+          FROM chain GROUP BY k
+        )
+        SELECT agg.k, agg.n_seeds, agg.min_depth,
+               CAST(round(p_retailprice * 100) AS BIGINT) AS own_cents
+        FROM agg JOIN part ON part.p_partkey = agg.k
+    """
+
+    o["fastss_pairs"] = llm_text.fastss_ed1_pairs_oracle_sql(
+        table="customer", col="c_name"
+    )
+
+    o["apriori_triples"] = """
+        WITH ob AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, p_brand AS b
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+        ), n AS (
+          SELECT count(DISTINCT o) AS n FROM ob
+        ), s1 AS (
+          SELECT b, count(*) AS c FROM ob GROUP BY b
+        ), l1 AS (
+          SELECT b FROM s1, n WHERE c * 10000 >= 1000 * n.n
+        ), ob1 AS MATERIALIZED (
+          SELECT o, b FROM ob WHERE b IN (SELECT b FROM l1)
+        ), p2 AS (
+          SELECT a.o, a.b AS b1, bb.b AS b2
+          FROM ob1 a JOIN ob1 bb ON a.o = bb.o AND a.b < bb.b
+        ), s2 AS (
+          SELECT b1, b2, count(*) AS c FROM p2 GROUP BY b1, b2
+        ), l2 AS MATERIALIZED (
+          SELECT b1, b2 FROM s2, n WHERE c * 10000 >= 180 * n.n
+        ), t3 AS (
+          SELECT a.o, a.b AS b1, bb.b AS b2, cc.b AS b3
+          FROM ob1 a
+          JOIN ob1 bb ON a.o = bb.o AND a.b < bb.b
+          JOIN ob1 cc ON a.o = cc.o AND bb.b < cc.b
+        ), t3p AS (
+          SELECT t3.b1, t3.b2, t3.b3
+          FROM t3
+          JOIN l2 x ON x.b1 = t3.b1 AND x.b2 = t3.b2
+          JOIN l2 y ON y.b1 = t3.b1 AND y.b2 = t3.b3
+          JOIN l2 z ON z.b1 = t3.b2 AND z.b2 = t3.b3
+        ), s3 AS (
+          SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS support
+          FROM t3p GROUP BY b1, b2, b3
+        )
+        SELECT b1, b2, b3, support
+        FROM s3, n WHERE support * 10000 >= 20 * n.n
     """
 
     return {k: v.strip() for k, v in o.items()}

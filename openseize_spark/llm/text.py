@@ -2008,3 +2008,73 @@ def rouge_n_oracle_sql(pairs_sql: str) -> str:
                      / nullif(CAST(ref_total + cand_total AS DOUBLE), 0.0),
                      9) AS f1
         FROM res"""
+
+
+def fastss_ed1_pairs(
+    df: DataFrame, col: str = "c_name"
+) -> DataFrame:
+    """All DISTINCT value pairs at Levenshtein distance exactly 1 via
+    the FastSS deletion-neighborhood join (Bocek et al. 2007, "Fast
+    Similarity Search in Large Dictionaries") — the fuzzy ID / typo
+    linkage primitive: two strings are within edit distance 1 iff
+    they share a member of their 1-deletion neighborhoods (the string
+    itself plus every single-character deletion), so the candidate
+    stage is a plain hash EQUI-join on the variant key instead of an
+    all-pairs theta join.
+
+    Scale shape: each value of length L explodes to L+1 variants
+    (bounded in-row fan-out), each variant's posting list is bounded
+    by the alphabet size (only |alphabet| strings map onto a given
+    deletion skeleton at one position), so candidate pairs per variant
+    are O(|alphabet|^2) regardless of corpus size — the same
+    no-all-pairs discipline as MinHash banding, for edit distance.
+    The exact ``levenshtein(a, b) = 1`` gate finishes (both engines
+    implement standard Levenshtein, so the filter is
+    engine-portable).  Returns (name_a, name_b), name_a < name_b,
+    deduplicated (a substitution pair shares one variant but an
+    insertion/deletion pair can share two).
+    """
+    w = F.col(col)
+    vocab = (
+        df.filter(w.isNotNull())
+        .select(w.alias("_w"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # variant i=0 is the identity; i>=1 deletes character i
+    variants = F.expr(
+        "transform(sequence(0, length(_w)), i -> CASE WHEN i = 0 "
+        "THEN _w ELSE concat(substring(_w, 1, i - 1), "
+        "substring(_w, i + 1)) END)"
+    )
+    posts = vocab.select(
+        F.explode(variants).alias("_v"), F.col("_w")
+    )
+    a = posts.select(F.col("_v"), F.col("_w").alias("name_a"))
+    b = posts.select(F.col("_v"), F.col("_w").alias("name_b"))
+    return (
+        a.join(b, on="_v")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
+
+
+def fastss_ed1_pairs_oracle_sql(
+    table: str = "customer", col: str = "c_name"
+) -> str:
+    """DuckDB replay of ``fastss_ed1_pairs``: the operator is exact,
+    so the oracle is the brute-force all-pairs Levenshtein filter
+    (length-blocked; ED-1 strings differ in length by at most 1)."""
+    return f"""
+        WITH v AS (
+          SELECT DISTINCT {col} AS w FROM {table}
+          WHERE {col} IS NOT NULL
+        )
+        SELECT a.w AS name_a, b.w AS name_b
+        FROM v a JOIN v b
+          ON a.w < b.w
+         AND len(b.w) BETWEEN len(a.w) - 1 AND len(a.w) + 1
+        WHERE levenshtein(a.w, b.w) = 1
+    """
