@@ -11023,6 +11023,154 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["apriori_triples"] = q_apriori_triples
 
+    def q_sssp_delta(spark, sf_dir):
+        """Budget-bounded weighted shortest paths (llm/dedup
+        .sssp_bounded): Bellman-Ford with frontier-only relaxation
+        over a derived 1024-node directed graph — nodes are part-key
+        buckets, edges (l_partkey % 1024) -> ((l_partkey * 7 +
+        l_orderkey) % 1024) with integer weight (l_partkey +
+        l_suppkey) % 9 + 1 (min over duplicate edges), source node 0,
+        horizon 64.  The weighted upgrade of bfs_distances; the
+        oracle is DuckDB's native recursive state-space walk.  All
+        arithmetic is exact int64, so the result is bit-equal under
+        any relaxation order.  Registered after the round-11/12
+        windows; round-13 window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        edges = (
+            li.select(
+                (F.col("l_partkey") % 1024).cast("bigint").alias("u"),
+                ((F.col("l_partkey") * 7 + F.col("l_orderkey")) % 1024)
+                .cast("bigint")
+                .alias("v"),
+                ((F.col("l_partkey") + F.col("l_suppkey")) % 9 + 1)
+                .cast("bigint")
+                .alias("w"),
+            )
+            .groupBy("u", "v")
+            .agg(F.min("w").alias("w"))
+        )
+        return dedup.sssp_bounded(edges, source=0, budget=64)
+
+    q["sssp_delta"] = q_sssp_delta
+
+    def q_heaps_law_fit(spark, sf_dir):
+        """Heaps'-law vocabulary growth curve + log-log slope
+        (llm/text.heaps_law_fit): distinct-word counts at ten
+        doc-id-decile corpus prefixes and the least-squares beta of
+        ln V ~ alpha + beta ln n — the corpus statistic that justifies
+        the TF-IDF absolute-df-cap default (COVERAGE.md round-11
+        note): discriminative terms keep low df when beta > 0.  No
+        global sort (prefix membership is integer threshold
+        arithmetic), quantized-ln integer regression moments,
+        DECIMAL(38,0)/HUGEINT sums, one final division.  Registered
+        after the round-11/12 windows; round-13 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.heaps_law_fit(docs)
+
+    q["heaps_law_fit"] = q_heaps_law_fit
+
+    def q_stratified_ate(spark, sf_dir):
+        """Stratified average-treatment-effect estimation (coarsened
+        exact matching / propensity stratification, Rosenbaum & Rubin
+        1983 family): units are customers, treatment is the
+        deterministic c_custkey parity, outcome is lifetime order
+        value in exact cents (left join to orders, 0 when none), and
+        strata are the (nationkey, mktsegment) covariate cells —
+        the estimator compares arms only WITHIN a cell, then
+        size-weights cell effects into the overall ATE.
+
+        Exactness: per-cell arm sums/counts are exact int64; each arm
+        mean is one IEEE division (bit-equal, emitted unrounded); the
+        cross-cell ATE uses the quantize-then-aggregate house style —
+        per-cell units round((1e6 * n * (St*nc - Sc*nt)) / (nt*nc))
+        sum as exact integers, ONE final division scales — so no
+        order-dependent float summation.  Cells missing an arm are
+        excluded from both the table and the weight mass (standard
+        common-support trimming).  Scale shape: one join-aggregate to
+        get outcomes, one cell aggregation, a broadcast of ~|cells|
+        rows; nothing quadratic.  Registered after the round-11/12
+        windows; round-13 window material."""
+        c = _t(spark, sf_dir, "customer")
+        od = _t(spark, sf_dir, "orders")
+        spend = od.groupBy("o_custkey").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("_y")
+        )
+        units = (
+            c.join(spend, c.c_custkey == spend.o_custkey, "left")
+            .select(
+                F.col("c_nationkey").cast("bigint").alias("nationkey"),
+                F.col("c_mktsegment").alias("mktsegment"),
+                (F.col("c_custkey") % 2 == 0).cast("int").alias("_t"),
+                F.coalesce("_y", F.lit(0)).cast("bigint").alias("_y"),
+            )
+        )
+        cells = (
+            units.groupBy("nationkey", "mktsegment")
+            .agg(
+                F.sum(F.when(F.col("_t") == 1, F.col("_y")))
+                .cast("bigint")
+                .alias("_st"),
+                F.count(F.when(F.col("_t") == 1, F.lit(1)))
+                .cast("bigint")
+                .alias("n_treated"),
+                F.sum(F.when(F.col("_t") == 0, F.col("_y")))
+                .cast("bigint")
+                .alias("_sc"),
+                F.count(F.when(F.col("_t") == 0, F.lit(1)))
+                .cast("bigint")
+                .alias("n_control"),
+            )
+            .filter(
+                (F.col("n_treated") > 0) & (F.col("n_control") > 0)
+            )
+            .localCheckpoint(eager=False)  # table + ATE consumers
+        )
+        n_cell = (F.col("n_treated") + F.col("n_control")).cast("bigint")
+        # exact integer per-cell term: sign * (abs div) is spelled out
+        # because Spark div truncates while DuckDB // floors (the
+        # pca_power_iteration precedent); operands are DECIMAL(38,0),
+        # the quotient provably fits int64
+        term_units = cells.select(
+            n_cell.alias("_n"),
+            F.expr(
+                "CAST(1000000 AS DECIMAL(38,0))"
+                " * (n_treated + n_control)"
+                " * (CAST(_st AS DECIMAL(38,0)) * n_control"
+                "    - CAST(_sc AS DECIMAL(38,0)) * n_treated)"
+            ).alias("_x"),
+            F.expr(
+                "CAST(n_treated AS DECIMAL(38,0)) * n_control"
+            ).alias("_d"),
+        ).select(
+            "_n",
+            F.expr(
+                "CASE WHEN _x < 0 THEN"
+                " -CAST((-_x) div _d AS BIGINT)"
+                " ELSE CAST(_x div _d AS BIGINT) END"
+            ).alias("_u"),
+        )
+        ate = term_units.agg(
+            (
+                F.sum("_u").cast("double")
+                / (F.sum("_n").cast("double") * 1e6)
+            ).alias("ate_cents")
+        )
+        return cells.crossJoin(F.broadcast(ate)).select(
+            "nationkey",
+            "mktsegment",
+            "n_treated",
+            "n_control",
+            (F.col("_st").cast("double") / F.col("n_treated").cast("double"))
+            .alias("mean_treated_cents"),
+            (F.col("_sc").cast("double") / F.col("n_control").cast("double"))
+            .alias("mean_control_cents"),
+            "ate_cents",
+        )
+
+    q["stratified_ate"] = q_stratified_ate
+
     return _gate_order(q)
 
 
@@ -16966,6 +17114,66 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT b1, b2, b3, support
         FROM s3, n WHERE support * 10000 >= 20 * n.n
+    """
+
+    o["sssp_delta"] = _dedup.sssp_bounded_oracle_sql(
+        edges_cte="""
+          SELECT u, v, CAST(min(w) AS BIGINT) AS w FROM (
+            SELECT l_partkey % 1024 AS u,
+                   (l_partkey * 7 + l_orderkey) % 1024 AS v,
+                   (l_partkey + l_suppkey) % 9 + 1 AS w
+            FROM lineitem
+          ) GROUP BY u, v
+        """,
+        source=0,
+        budget=64,
+    )
+
+    o["heaps_law_fit"] = llm_text.heaps_law_fit_oracle_sql()
+
+    o["stratified_ate"] = """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders GROUP BY o_custkey
+        ), units AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                 c_mktsegment AS mktsegment,
+                 CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS t,
+                 CAST(coalesce(y, 0) AS BIGINT) AS y
+          FROM customer LEFT JOIN spend ON c_custkey = o_custkey
+        ), cells AS MATERIALIZED (
+          SELECT nationkey, mktsegment,
+                 CAST(sum(CASE WHEN t = 1 THEN y END) AS BIGINT) AS st,
+                 CAST(count(CASE WHEN t = 1 THEN 1 END) AS BIGINT)
+                   AS n_treated,
+                 CAST(sum(CASE WHEN t = 0 THEN y END) AS BIGINT) AS sc,
+                 CAST(count(CASE WHEN t = 0 THEN 1 END) AS BIGINT)
+                   AS n_control
+          FROM units GROUP BY nationkey, mktsegment
+          HAVING n_treated > 0 AND n_control > 0
+        ), terms AS (
+          SELECT n_treated + n_control AS n,
+                 CAST(1000000 AS HUGEINT) * (n_treated + n_control)
+                   * (CAST(st AS HUGEINT) * n_control
+                      - CAST(sc AS HUGEINT) * n_treated) AS x,
+                 CAST(n_treated AS HUGEINT) * n_control AS d
+          FROM cells
+        ), ate AS (
+          SELECT CAST(sum(CASE WHEN x < 0
+                          THEN -CAST((-x) // d AS BIGINT)
+                          ELSE CAST(x // d AS BIGINT) END) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) * 1e6) AS ate_cents
+          FROM terms
+        )
+        SELECT nationkey, mktsegment, n_treated, n_control,
+               CAST(st AS DOUBLE) / CAST(n_treated AS DOUBLE)
+                 AS mean_treated_cents,
+               CAST(sc AS DOUBLE) / CAST(n_control AS DOUBLE)
+                 AS mean_control_cents,
+               ate_cents
+        FROM cells, ate
     """
 
     return {k: v.strip() for k, v in o.items()}

@@ -2875,6 +2875,106 @@ def bfs_distances_oracle_sql(
         SELECT id, dist FROM d{max_hops}"""
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    source: int,
+    budget: int = 64,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+) -> DataFrame:
+    """Budget-bounded single-source shortest paths over a WEIGHTED
+    directed graph — distributed Bellman-Ford with frontier-only
+    relaxation, the seventh iterative-algorithm shape (and the
+    weighted upgrade of :func:`bfs_distances`): per round, only nodes
+    whose tentative distance improved join the (checkpointed,
+    pre-partitioned) edge list, candidate distances above ``budget``
+    are pruned (the delta-stepping-style horizon that keeps both the
+    state and the round count bounded: with integer weights >= 1 the
+    loop provably terminates within ``budget`` rounds), and a min
+    re-aggregation merges candidates into the distance table.
+
+    All-integer: weights and distances are exact int64, so the result
+    is bit-equal under any partitioning and any relaxation order.
+    The per-round early-exit count moves one scalar; the edge list is
+    checkpointed once and re-read every round.
+
+    Returns (node, dist) for every node reachable within total weight
+    ``budget`` (source at 0); unreachable nodes are absent.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        e = (
+            edges.select(
+                F.col(u_col).alias("u"),
+                F.col(v_col).alias("v"),
+                F.col(w_col).cast("bigint").alias("w"),
+            )
+            .repartition(n_part, "u")
+            .localCheckpoint(eager=True)
+        )
+        dist = spark.createDataFrame(
+            [(int(source), 0)], "node bigint, dist bigint"
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        for _ in range(int(budget)):
+            cand = (
+                e.join(frontier.withColumnRenamed("node", "u"), on="u")
+                .select(
+                    F.col("v").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"),
+                )
+                .filter(F.col("dist") <= F.lit(int(budget)))
+            )
+            new = (
+                dist.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = new.join(
+                dist.select(
+                    "node", F.col("dist").alias("_old")
+                ),
+                on="node",
+                how="left",
+            ).filter(
+                F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+            ).select("node", "dist").localCheckpoint(eager=True)
+            dist = new
+            if frontier.count() == 0:
+                break
+        return dist
+
+
+def sssp_bounded_oracle_sql(
+    edges_cte: str, source: int, budget: int = 64
+) -> str:
+    """DuckDB replay of :func:`sssp_bounded` via a native recursive
+    walk: ``edges_cte`` selects (u, v, w).  The recursive UNION
+    (distinct) enumerates every distinct (node, dist) state within the
+    budget — bounded by |V| * budget rows since distances are
+    integers — and the final min-aggregation extracts the shortest;
+    relaxation order cannot matter because the state space, not a
+    schedule, is what recursion explores."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({edges_cte}),
+        walk AS (
+          SELECT CAST({int(source)} AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS dist
+          UNION
+          SELECT e.v, walk.dist + e.w
+          FROM walk JOIN e ON e.u = walk.node
+          WHERE walk.dist + e.w <= {int(budget)}
+        )
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        FROM walk GROUP BY node
+    """
+
+
 # ------------------------------------------------------------- bloom filter
 def bloom_positions(fp_col, m: int, k: int):
     """The ``k`` Bloom bit positions of a fingerprint column: salted

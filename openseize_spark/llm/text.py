@@ -2078,3 +2078,166 @@ def fastss_ed1_pairs_oracle_sql(
          AND len(b.w) BETWEEN len(a.w) - 1 AND len(a.w) + 1
         WHERE levenshtein(a.w, b.w) = 1
     """
+
+
+def heaps_law_fit(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and log-log slope fit: the
+    distinct-word count V(n) at ten corpus prefixes (by ``id_col``
+    value deciles — NO global sort/rank, so no single-partition
+    window: each word needs only its min doc id, each prefix count is
+    a conditional aggregate) plus the least-squares exponent beta of
+    ln V ~ alpha + beta ln n.  The corpus-statistics companion of the
+    TF-IDF absolute-df-cap study (tools/heaps_recall.py): beta is the
+    measured vocabulary-growth rate that makes an absolute df cap
+    safe on real corpora.
+
+    Exactness: ln values quantize to 1e-9 integer units in BOTH
+    engines before any aggregation (ties at the 0.5-unit boundary
+    would need the engines' libm to differ by ~1e-10 relative — 20
+    values, negligible), the regression moments accumulate as
+    DECIMAL(38,0)/HUGEINT (products of 1e10-unit values overflow
+    int64), and beta is ONE final double division.  Returns ten rows
+    (k, n_docs, vocab, beta) with beta constant.
+    """
+    d = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("bigint").alias("_id"),
+        F.col(text_col).alias("_t"),
+    )
+    m = d.agg((F.max("_id") + 1).cast("bigint").alias("_M"))
+    words = F.filter(
+        F.split(normalize_text(F.col("_t")), " "),
+        lambda s: F.length(s) > 0,
+    )
+    firsts = (
+        d.select("_id", F.explode(words).alias("_w"))
+        .groupBy("_w")
+        .agg(F.min("_id").alias("_fid"))
+    )
+
+    def bin_col(idc):
+        # smallest k in 1..10 with id < (M*k) DIV 10, else 10 —
+        # integer thresholds spelled identically in the oracle
+        c = None
+        for k in range(1, 10):
+            cond = idc < F.expr(f"(_M * {k}) DIV 10")
+            c = F.when(cond, k) if c is None else c.when(cond, k)
+        return c.otherwise(10).cast("bigint")
+
+    wb = (
+        firsts.crossJoin(F.broadcast(m))
+        .select(bin_col(F.col("_fid")).alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count("*").cast("bigint").alias("_wc"))
+    )
+    db = (
+        d.crossJoin(F.broadcast(m))
+        .select(bin_col(F.col("_id")).alias("_bin"))
+        .groupBy("_bin")
+        .agg(F.count("*").cast("bigint").alias("_dc"))
+    )
+    spark = docs.sparkSession
+    ck = spark.createDataFrame([(k,) for k in range(1, 11)], "k bigint")
+    cum = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ten rows total: the single-partition cumulative window is a
+    # bounded control-flow aggregate, not a data-bearing funnel
+    ten = (
+        ck.join(wb, ck.k == wb._bin, "left")
+        .join(db, ck.k == db._bin, "left")
+        .select(
+            "k",
+            F.coalesce("_dc", F.lit(0)).alias("_dc"),
+            F.coalesce("_wc", F.lit(0)).alias("_wc"),
+        )
+        .select(
+            "k",
+            F.sum("_dc").over(cum).cast("bigint").alias("n_docs"),
+            F.sum("_wc").over(cum).cast("bigint").alias("vocab"),
+        )
+        .localCheckpoint(eager=False)  # consumed by fit + output
+    )
+    xu = F.round(
+        F.log(F.greatest(F.col("n_docs"), F.lit(1)).cast("double"))
+        * 1_000_000_000
+    ).cast("bigint")
+    yu = F.round(
+        F.log(F.greatest(F.col("vocab"), F.lit(1)).cast("double"))
+        * 1_000_000_000
+    ).cast("bigint")
+    dec = "decimal(38,0)"
+    pts = ten.select(xu.alias("_x"), yu.alias("_y"))
+    fit = pts.agg(
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_sxx"),
+    ).select(
+        (
+            (F.lit(10).cast(dec) * F.col("_sxy") - F.col("_sx") * F.col("_sy"))
+            .cast("double")
+            / (F.lit(10).cast(dec) * F.col("_sxx") - F.col("_sx") * F.col("_sx"))
+            .cast("double")
+        ).alias("beta")
+    )
+    return ten.crossJoin(F.broadcast(fit)).select(
+        "k", "n_docs", "vocab", "beta"
+    )
+
+
+def heaps_law_fit_oracle_sql() -> str:
+    """DuckDB replay of :func:`heaps_law_fit`: identical tokenization,
+    decile thresholds, 1e-9 ln quantization, HUGEINT moments."""
+    bins_f = " ".join(
+        f"WHEN fid < (M * {k}) // 10 THEN {k}" for k in range(1, 10)
+    )
+    bins_d = " ".join(
+        f"WHEN _id < (M * {k}) // 10 THEN {k}" for k in range(1, 10)
+    )
+    return f"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id AS _id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), m AS (
+          SELECT max(_id) + 1 AS M FROM d
+        ), firsts AS (
+          SELECT u.w AS w, min(_id) AS fid
+          FROM d, unnest(wl) AS u(w) WHERE len(u.w) > 0
+          GROUP BY u.w
+        ), wb AS (
+          SELECT (CASE {bins_f} ELSE 10 END) AS bin, count(*) AS c
+          FROM firsts, m GROUP BY 1
+        ), db AS (
+          SELECT (CASE {bins_d} ELSE 10 END) AS bin, count(*) AS c
+          FROM d, m GROUP BY 1
+        ), ck AS (
+          SELECT unnest(range(1, 11)) AS k
+        ), ten AS MATERIALIZED (
+          SELECT k,
+            CAST(coalesce((SELECT sum(c) FROM db WHERE db.bin <= ck.k),
+                          0) AS BIGINT) AS n_docs,
+            CAST(coalesce((SELECT sum(c) FROM wb WHERE wb.bin <= ck.k),
+                          0) AS BIGINT) AS vocab
+          FROM ck
+        ), pts AS (
+          SELECT CAST(round(ln(CAST(greatest(n_docs, 1) AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS x,
+                 CAST(round(ln(CAST(greatest(vocab, 1) AS DOUBLE))
+                      * 1000000000) AS BIGINT) AS y
+          FROM ten
+        ), fit AS (
+          SELECT CAST(10 * sum(CAST(x AS HUGEINT) * y)
+                      - sum(CAST(x AS HUGEINT)) * sum(CAST(y AS HUGEINT))
+                      AS DOUBLE)
+               / CAST(10 * sum(CAST(x AS HUGEINT) * x)
+                      - sum(CAST(x AS HUGEINT)) * sum(CAST(x AS HUGEINT))
+                      AS DOUBLE) AS beta
+          FROM pts
+        )
+        SELECT k, n_docs, vocab, beta FROM ten, fit
+    """
