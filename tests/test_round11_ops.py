@@ -1,0 +1,320 @@
+"""Round-11-session operators: ancestor chain closure, FastSS
+edit-distance-1 join, Apriori frequent triples, budget-bounded weighted
+SSSP, Heaps-law fit, stratified ATE.
+
+Each operator gets a pure-python brute-force or property check of the
+ALGORITHM (both-engines-wrong insurance — the DuckDB oracle gate can't
+catch a shared misconception), plus a small Spark run compared against
+that brute force.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+
+PROP = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ------------------------------------------------------- ancestor chain
+
+
+def test_ancestor_chain_brute_force(spark, tmp_path):
+    """Chain closure == python recursion; seeds are the price-desc,
+    key-asc top 5."""
+    import __spark_entry__ as entry
+
+    n = 300
+    # prices descend with key so seeds are keys 0..4; a tie at the top
+    # exercises the key tie-break
+    rows = [
+        (k, f"p{k}", "B", "T", 1, 999.99 if k in (0, 1) else float(n - k))
+        for k in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey bigint, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/part.parquet")
+    got = {
+        r.k: (r.n_seeds, r.min_depth, r.own_cents)
+        for r in entry.queries()["ancestor_chain"](spark, d).collect()
+    }
+
+    prices = {k: rows[k][5] for k in range(n)}
+    seeds = sorted(range(n), key=lambda k: (-prices[k], k))[:5]
+    cover: dict = {}
+    for s in seeds:
+        k, dep = s, 0
+        while k > 0:
+            ent = cover.setdefault(k, [0, dep])
+            ent[0] += 1
+            ent[1] = min(ent[1], dep)
+            k, dep = (k - 1) // 4, dep + 1
+    want = {
+        k: (v[0], v[1], round(prices[k] * 100)) for k, v in cover.items()
+    }
+    assert got == want
+
+
+# ----------------------------------------------------------- FastSS ED-1
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc0", min_size=1, max_size=6),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+@settings(**PROP)
+def test_fastss_ed1_pairs_exact(spark, words):
+    """Deletion-neighborhood join == brute-force Levenshtein==1 over
+    every pair, including insertion/deletion pairs of unequal length."""
+    from openseize_spark.llm import text as llm_text
+
+    df = spark.createDataFrame([(w,) for w in words], "c_name string")
+    got = sorted(
+        (r.name_a, r.name_b)
+        for r in llm_text.fastss_ed1_pairs(df, col="c_name").collect()
+    )
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if _lev(a, b) == 1
+    )
+    assert got == want
+
+
+# ------------------------------------------------------- Apriori triples
+
+
+def test_apriori_triples_brute_force(spark, tmp_path):
+    """Apriori with the downward-closure prune == brute-force support
+    counting with the same basis-point thresholds."""
+    import __spark_entry__ as entry
+
+    # 40 orders, brands chosen so some pairs/triples clear the bars
+    # and others don't
+    baskets = {}
+    for o in range(40):
+        bs = {f"B{o % 3}", f"B{(o // 2) % 4}"}
+        if o % 5 == 0:
+            bs.add("B9")
+        if o % 2 == 0:
+            bs.add("B7")
+        baskets[o] = bs
+    li, pt = [], []
+    pk = 0
+    brand_key: dict = {}
+    for o, bs in baskets.items():
+        for b in sorted(bs):
+            if b not in brand_key:
+                brand_key[b] = len(brand_key)
+            li.append((o, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O"))
+            pt.append((pk, f"p{pk}", b, "T", 1, 1.0))
+            pk += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [r + (None,) for r in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        pt,
+        "p_partkey bigint, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+
+    got = {
+        (r.b1, r.b2, r.b3): r.support
+        for r in entry.queries()["apriori_triples"](spark, d).collect()
+    }
+
+    n = len(baskets)
+    s1: dict = {}
+    for bs in baskets.values():
+        for b in bs:
+            s1[b] = s1.get(b, 0) + 1
+    l1 = {b for b, c in s1.items() if c * 10000 >= 1000 * n}
+    s2: dict = {}
+    for bs in baskets.values():
+        for a, b in itertools.combinations(sorted(bs & l1), 2):
+            s2[(a, b)] = s2.get((a, b), 0) + 1
+    l2 = {p for p, c in s2.items() if c * 10000 >= 180 * n}
+    s3: dict = {}
+    for bs in baskets.values():
+        for a, b, c in itertools.combinations(sorted(bs & l1), 3):
+            if (a, b) in l2 and (a, c) in l2 and (b, c) in l2:
+                s3[(a, b, c)] = s3.get((a, b, c), 0) + 1
+    want = {t: c for t, c in s3.items() if c * 10000 >= 20 * n}
+    assert got == want
+
+
+# ------------------------------------------------------- bounded SSSP
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 9), st.integers(0, 9), st.integers(1, 5)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.sampled_from([3, 8, 20]),
+)
+@settings(**PROP)
+def test_sssp_bounded_vs_dijkstra(spark, edges, budget):
+    """Frontier Bellman-Ford == python Dijkstra truncated at the
+    budget, on arbitrary small weighted digraphs (parallel edges
+    collapse to min weight, as in the registered query)."""
+    import heapq
+
+    from openseize_spark.llm import dedup
+
+    emin: dict = {}
+    for u, v, w in edges:
+        emin[(u, v)] = min(emin.get((u, v), w), w)
+    adj: dict = {}
+    for (u, v), w in emin.items():
+        adj.setdefault(u, []).append((v, w))
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, budget + 1):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd <= budget and nd < dist.get(v, budget + 1):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+
+    edf = spark.createDataFrame(
+        [(u, v, w) for (u, v), w in emin.items()],
+        "u bigint, v bigint, w bigint",
+    )
+    got = {
+        r.node: r.dist
+        for r in dedup.sssp_bounded(edf, source=0, budget=budget).collect()
+    }
+    assert got == dist
+
+
+# ------------------------------------------------------- Heaps-law fit
+
+
+def test_heaps_law_fit_brute_force(spark, tmp_path):
+    """Decile curve and slope == python reference on a synthetic
+    corpus with genuinely growing vocabulary."""
+    import __spark_entry__ as entry
+
+    n = 200
+    texts = []
+    for i in range(n):
+        # each doc introduces word w{i} and reuses early words
+        texts.append(f"w{i} w0 w1 w{i // 2}")
+    df = spark.createDataFrame(
+        [(i, texts[i], "en", "src", len(texts[i])) for i in range(n)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    rows = entry.queries()["heaps_law_fit"](spark, d).collect()
+    got = {r.k: (r.n_docs, r.vocab) for r in rows}
+    betas = {r.beta for r in rows}
+    assert len(betas) == 1
+
+    m = n  # max doc_id + 1
+    tk = {k: (m * k) // 10 for k in range(1, 11)}
+    want = {}
+    xs, ys = [], []
+    for k in range(1, 11):
+        ids = [i for i in range(n) if i < tk[k]]
+        vocab = set()
+        for i in ids:
+            vocab.update(texts[i].split())
+        want[k] = (len(ids), len(vocab))
+        xs.append(round(math.log(max(len(ids), 1)) * 1e9))
+        ys.append(round(math.log(max(len(vocab), 1)) * 1e9))
+    assert got == want
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    beta = float(10 * sxy - sx * sy) / float(10 * sxx - sx * sx)
+    assert betas.pop() == pytest.approx(beta, rel=1e-12)
+
+
+# ------------------------------------------------------ stratified ATE
+
+
+def test_stratified_ate_brute_force(spark, tmp_path):
+    """Cell table and quantized ATE == hand computation on a tiny
+    synthetic population with a known effect."""
+    import __spark_entry__ as entry
+
+    # 2 nations x 1 segment; treated (even keys) spend 100.00 more
+    custs, orders = [], []
+    oid = 0
+    for ck in range(40):
+        nat = (ck // 2) % 2  # decoupled from the parity treatment
+        custs.append((ck, f"Customer#{ck:09d}", nat, 0.0, "SEG"))
+        base = 500.0 + 10.0 * nat
+        spend = base + (100.0 if ck % 2 == 0 else 0.0)
+        orders.append(
+            (oid, ck, "O", spend, None, "1-URGENT")
+        )
+        oid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        custs,
+        "c_custkey bigint, c_name string, c_nationkey bigint,"
+        " c_acctbal double, c_mktsegment string",
+    ).write.parquet(d + "/customer.parquet")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).write.parquet(d + "/orders.parquet")
+
+    rows = entry.queries()["stratified_ate"](spark, d).collect()
+    assert len(rows) == 2  # one cell per nation
+    for r in rows:
+        assert r.n_treated == 10 and r.n_control == 10
+        assert r.mean_treated_cents - r.mean_control_cents == pytest.approx(
+            10000.0
+        )
+        # exact quantized ATE: every cell term is +100.00 exactly
+        assert r.ate_cents == pytest.approx(10000.0)
