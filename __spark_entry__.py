@@ -11171,6 +11171,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_ate"] = q_stratified_ate
 
+    def q_pivot_scc(spark, sf_dir):
+        """Strongly connected component of a pivot node — the
+        forward-backward (FW-BW) SCC step (Fleischer-Hendrickson-
+        Pinar 2000): the pivot's SCC is exactly (forward-reachable
+        set) INTERSECT (backward-reachable set), each computed by the
+        frontier closure llm/dedup.sssp_bounded with unit weights
+        (budget = 64 hops bounds the closure depth; the graph's
+        diameter is far below it).  First DIRECTED-graph component
+        query in the registry (dedup_clusters et al. are undirected).
+        Same derived 1024-node graph as sssp_delta; pivot 0.  Returns
+        the SCC members with their forward and backward hop
+        distances.  Registered after the round-11/12 windows;
+        round-13 window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        edges = (
+            li.select(
+                (F.col("l_partkey") % 1024).cast("bigint").alias("u"),
+                ((F.col("l_partkey") * 7 + F.col("l_orderkey")) % 1024)
+                .cast("bigint")
+                .alias("v"),
+            )
+            .distinct()
+            .withColumn("w", F.lit(1).cast("bigint"))
+        )
+        fwd = dedup.sssp_bounded(edges, source=0, budget=64)
+        bwd = dedup.sssp_bounded(
+            edges.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            ),
+            source=0,
+            budget=64,
+        )
+        return fwd.join(
+            bwd.select("node", F.col("dist").alias("dist_bwd")),
+            on="node",
+        ).select(
+            "node",
+            F.col("dist").alias("dist_fwd"),
+            "dist_bwd",
+        )
+
+    q["pivot_scc"] = q_pivot_scc
+
+    def q_term_burstiness(spark, sf_dir):
+        """Term burstiness (Church & Gale 1995 dispersion): the
+        variance-to-mean ratio of per-document counts for the 20
+        highest-total terms — bursty terms (VMR >> 1) are content
+        words, evenly-sprinkled terms (VMR ~ 1, Poisson-like) are
+        function words; a standard corpus-quality / keyword signal.
+        Exact integer moments over ALL docs including zero-count ones
+        (VMR = (N*S2 - S1^2)/(N*S1), one final double division);
+        top-20 by (total DESC, term ASC) is a deterministic bounded
+        sort.  One token aggregation, one scalar N broadcast — no
+        joins on the doc axis.  Registered after the round-11/12
+        windows; round-13 window material."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        words = F.filter(
+            F.split(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                " ",
+            ),
+            lambda s: F.length(s) > 0,
+        )
+        n = docs.agg(F.count("*").cast("bigint").alias("_N"))
+        tc = (
+            docs.select("doc_id", F.explode(words).alias("_w"))
+            .groupBy("doc_id", "_w")
+            .agg(F.count("*").cast("bigint").alias("_c"))
+        )
+        mom = tc.groupBy("_w").agg(
+            F.sum("_c").cast("bigint").alias("total"),
+            F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_s2"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+        return (
+            mom.crossJoin(F.broadcast(n))
+            .select(
+                F.col("_w").alias("term"),
+                "total",
+                "df",
+                # DECIMAL(38,0) before multiplying: total^2 outruns
+                # int64 on a big corpus and Spark wraps where DuckDB
+                # promotes to HUGEINT (the corr_matrix discipline)
+                (
+                    (
+                        F.col("_N").cast("decimal(38,0)") * F.col("_s2")
+                        - F.col("total").cast("decimal(38,0)")
+                        * F.col("total")
+                    ).cast("double")
+                    / (
+                        F.col("_N").cast("decimal(38,0)") * F.col("total")
+                    ).cast("double")
+                ).alias("vmr"),
+            )
+            .orderBy(F.col("total").desc(), "term")
+            .limit(20)
+        )
+
+    q["term_burstiness"] = q_term_burstiness
+
     return _gate_order(q)
 
 
@@ -17174,6 +17276,61 @@ def oracle_sql() -> dict[str, str]:
                  AS mean_control_cents,
                ate_cents
         FROM cells, ate
+    """
+
+    o["pivot_scc"] = """
+        WITH RECURSIVE e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey % 1024 AS u,
+                 (l_partkey * 7 + l_orderkey) % 1024 AS v
+          FROM lineitem
+        ), fwd AS (
+          SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          UNION
+          SELECT e.v, fwd.dist + 1 FROM fwd JOIN e ON e.u = fwd.node
+          WHERE fwd.dist + 1 <= 64
+        ), bwd AS (
+          SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+          UNION
+          SELECT e.u, bwd.dist + 1 FROM bwd JOIN e ON e.v = bwd.node
+          WHERE bwd.dist + 1 <= 64
+        ), f AS (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist_fwd
+          FROM fwd GROUP BY node
+        ), b AS (
+          SELECT node, CAST(min(dist) AS BIGINT) AS dist_bwd
+          FROM bwd GROUP BY node
+        )
+        SELECT f.node, f.dist_fwd, b.dist_bwd
+        FROM f JOIN b ON f.node = b.node
+    """
+
+    o["term_burstiness"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                   ' ') AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), n AS (
+          SELECT CAST(count(*) AS BIGINT) AS N FROM d
+        ), tc AS (
+          SELECT doc_id, u.w AS w, CAST(count(*) AS BIGINT) AS c
+          FROM d, unnest(wl) AS u(w) WHERE len(u.w) > 0
+          GROUP BY doc_id, u.w
+        ), mom AS (
+          SELECT w AS term,
+                 CAST(sum(c) AS BIGINT) AS total,
+                 CAST(sum(c * c) AS BIGINT) AS s2,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM tc GROUP BY w
+        )
+        SELECT term, total, df,
+               CAST(CAST(N AS HUGEINT) * s2
+                    - CAST(total AS HUGEINT) * total AS DOUBLE)
+                 / CAST(CAST(N AS HUGEINT) * total AS DOUBLE) AS vmr
+        FROM mom, n
+        ORDER BY total DESC, term ASC
+        LIMIT 20
     """
 
     return {k: v.strip() for k, v in o.items()}

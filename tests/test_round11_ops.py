@@ -318,3 +318,94 @@ def test_stratified_ate_brute_force(spark, tmp_path):
         )
         # exact quantized ATE: every cell term is +100.00 exactly
         assert r.ate_cents == pytest.approx(10000.0)
+
+
+# ------------------------------------------------------- pivot SCC
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**PROP)
+def test_pivot_scc_fwbw(spark, edges):
+    """Forward-closure INTERSECT backward-closure == Tarjan-style
+    python SCC membership of the pivot, on arbitrary small digraphs."""
+    from openseize_spark.llm import dedup
+
+    emin = sorted(set(edges))
+    adj: dict = {}
+    radj: dict = {}
+    for u, v in emin:
+        adj.setdefault(u, set()).add(v)
+        radj.setdefault(v, set()).add(u)
+
+    def closure(a: dict) -> set:
+        seen, todo = {0}, [0]
+        while todo:
+            u = todo.pop()
+            for v in a.get(u, ()):
+                if v not in seen:
+                    seen.add(v)
+                    todo.append(v)
+        return seen
+
+    want = closure(adj) & closure(radj)
+
+    edf = spark.createDataFrame(
+        [(u, v, 1) for u, v in emin], "u bigint, v bigint, w bigint"
+    )
+    fwd = dedup.sssp_bounded(edf, source=0, budget=64)
+    bwd = dedup.sssp_bounded(
+        edf.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "w"
+        ),
+        source=0,
+        budget=64,
+    )
+    got = {
+        r.node
+        for r in fwd.join(bwd.select("node"), on="node").collect()
+    }
+    assert got == want
+
+
+# -------------------------------------------------- term burstiness
+
+
+def test_term_burstiness_brute_force(spark, tmp_path):
+    """VMR over all docs (zero counts included) == python reference
+    on a corpus with one bursty and one uniform term."""
+    import __spark_entry__ as entry
+
+    n = 20
+    texts = []
+    for i in range(n):
+        t = ["base"]  # once per doc: Poisson-like, VMR < 1 here
+        if i < 4:
+            t += ["bursty"] * 10  # concentrated in few docs
+        texts.append(" ".join(t))
+    df = spark.createDataFrame(
+        [(i, texts[i], "en", "s", len(texts[i])) for i in range(n)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    rows = entry.queries()["term_burstiness"](spark, d).collect()
+    got = {r.term: (r.total, r.df, r.vmr) for r in rows}
+
+    def vmr(counts):
+        s1 = sum(counts)
+        s2 = sum(c * c for c in counts)
+        return float(n * s2 - s1 * s1) / float(n * s1)
+
+    b_counts = [10 if i < 4 else 0 for i in range(n)]
+    u_counts = [1] * n
+    assert got["bursty"] == (40, 4, pytest.approx(vmr(b_counts), rel=1e-12))
+    assert got["base"] == (20, 20, pytest.approx(vmr(u_counts), rel=1e-12))
+    # the uniform term is sub-Poisson, the bursty one super-Poisson
+    assert got["base"][2] < 1.0 < got["bursty"][2]
