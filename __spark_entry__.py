@@ -11273,6 +11273,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_burstiness"] = q_term_burstiness
 
+    def q_ols_by_type(spark, sf_dir):
+        """Per-group ordinary-least-squares trend: slope and intercept
+        of value vs time for each event type, from EXACT integer
+        moments — the grouped linear-feature complement of the robust
+        `theilsen_slope`.  Times shift to micros past the global min
+        (one scalar broadcast; keeps t^2 sums ~1e28, far inside
+        DECIMAL(38,0)/HUGEINT), values quantize to 1e-6 units, the
+        five moments (n, St, Sv, Stv, Stt) accumulate as
+        DECIMAL(38,0)/HUGEINT with casts BEFORE every product, and
+        slope/intercept are single IEEE divisions of identical
+        operands — bit-equal under any partitioning.  Registered
+        after the round-11/12 windows; round-13 window material."""
+        e = _events(spark, sf_dir)
+        t0 = e.agg(F.min(F.unix_micros("ts")).alias("_t0"))
+        dec = "decimal(38,0)"
+        base = e.crossJoin(F.broadcast(t0)).select(
+            "event_type",
+            (F.unix_micros("ts") - F.col("_t0"))
+            .cast("bigint")
+            .alias("_t"),
+            F.round(F.col("value") * 1_000_000)
+            .cast("bigint")
+            .alias("_v"),
+        )
+        mom = base.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("_t").cast(dec)).alias("_st"),
+            F.sum(F.col("_v").cast(dec)).alias("_sv"),
+            F.sum((F.col("_t").cast(dec) * F.col("_v")).cast(dec)).alias(
+                "_stv"
+            ),
+            F.sum((F.col("_t").cast(dec) * F.col("_t")).cast(dec)).alias(
+                "_stt"
+            ),
+        )
+        num = (
+            F.col("n").cast(dec) * F.col("_stv")
+            - F.col("_st") * F.col("_sv")
+        ).cast("double")
+        den = (
+            F.col("n").cast(dec) * F.col("_stt")
+            - F.col("_st") * F.col("_st")
+        ).cast("double")
+        slope = num / den
+        intercept = (
+            F.col("_sv").cast("double")
+            - slope * F.col("_st").cast("double")
+        ) / F.col("n").cast("double")
+        return mom.select(
+            "event_type",
+            "n",
+            slope.alias("slope_units_per_us"),
+            intercept.alias("intercept_units"),
+        )
+
+    q["ols_by_type"] = q_ols_by_type
+
     return _gate_order(q)
 
 
@@ -17331,6 +17388,35 @@ def oracle_sql() -> dict[str, str]:
         FROM mom, n
         ORDER BY total DESC, term ASC
         LIMIT 20
+    """
+
+    o["ols_by_type"] = """
+        WITH t0 AS (
+          SELECT min(epoch_us(ts)) AS t0 FROM events
+        ), base AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) - t0 AS BIGINT) AS t,
+                 CAST(round(value * 1000000) AS BIGINT) AS v
+          FROM events, t0
+        ), mom AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(t AS HUGEINT) * v) AS stv,
+                 sum(CAST(t AS HUGEINT) * t) AS stt
+          FROM base GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(CAST(n AS HUGEINT) * stv - st * sv AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE)
+                 AS slope_units_per_us,
+               (CAST(sv AS DOUBLE)
+                - (CAST(CAST(n AS HUGEINT) * stv - st * sv AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE))
+                  * CAST(st AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS intercept_units
+        FROM mom
     """
 
     return {k: v.strip() for k, v in o.items()}

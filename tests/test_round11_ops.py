@@ -409,3 +409,49 @@ def test_term_burstiness_brute_force(spark, tmp_path):
     assert got["base"] == (20, 20, pytest.approx(vmr(u_counts), rel=1e-12))
     # the uniform term is sub-Poisson, the bursty one super-Poisson
     assert got["base"][2] < 1.0 < got["bursty"][2]
+
+
+# ------------------------------------------------------- grouped OLS
+
+
+def test_ols_by_type_brute_force(spark, tmp_path):
+    """Exact-moment grouped OLS == numpy lstsq on a hand-built series
+    with a known slope and intercept."""
+    import numpy as np
+    import __spark_entry__ as entry
+
+    rows = []
+    eid = 0
+    base_us = 86_400_000_000  # a day past the epoch (house rule)
+    for typ, slope, icept in [("a", 2.5, 10.0), ("b", -1.25, 40.0)]:
+        for i in range(50):
+            t_us = base_us + i * 60_000_000
+            v = icept + slope * i  # exact in binary: .25 steps
+            rows.append((eid, t_us, eid % 7, typ, v, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts_us bigint, user_id bigint,"
+        " event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/events.parquet")
+    got = {
+        r.event_type: (r.n, r.slope_units_per_us, r.intercept_units)
+        for r in entry.queries()["ols_by_type"](spark, d).collect()
+    }
+    # reference: per-minute slope s maps to s*1e6 units / 60e6 us
+    for typ, slope, icept in [("a", 2.5, 10.0), ("b", -1.25, 40.0)]:
+        n, s_got, i_got = got[typ]
+        assert n == 50
+        assert s_got * 60_000_000 == pytest.approx(slope * 1e6, rel=1e-9)
+        # intercept is at the GLOBAL min time (t=0 shift), which for
+        # both groups is base_us, so it equals the series intercept
+        assert i_got == pytest.approx(icept * 1e6, rel=1e-9)
