@@ -11330,6 +11330,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ols_by_type"] = q_ols_by_type
 
+    def q_temporal_reach(spark, sf_dir):
+        """Time-respecting reachability (llm/dedup.temporal_reach;
+        Holme & Saramäki 2012): earliest arrival from supplier #1 over
+        the bipartite supplier<->customer interaction graph, where an
+        order on day t creates edges both ways usable only at times
+        >= the arrival time — the contact-tracing / diffusion
+        primitive, and the eighth iterative shape (fixpoint frontier
+        relaxation, NO fixed round cap).  Node ids disambiguate as
+        customer 2k / supplier 2k+1; times are exact epoch days.  The
+        oracle is a native recursive state-space walk.  Registered
+        after the round-11/12 windows; round-13 window material."""
+        li = _t(spark, sf_dir, "lineitem")
+        od = _t(spark, sf_dir, "orders")
+        base = li.join(od, li.l_orderkey == od.o_orderkey).select(
+            (F.col("o_custkey") * 2).cast("bigint").alias("c"),
+            (F.col("l_suppkey") * 2 + 1).cast("bigint").alias("s"),
+            # timezone-free day arithmetic: o_orderdate is
+            # TIMESTAMP_NTZ (no unix_micros) and casting through
+            # TIMESTAMP would make the value depend on the session
+            # timezone — the vanilla-session trap
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+        edges = (
+            base.select(F.col("s").alias("u"), F.col("c").alias("v"), "t")
+            .unionByName(
+                base.select(
+                    F.col("c").alias("u"), F.col("s").alias("v"), "t"
+                )
+            )
+            .distinct()
+        )
+        return dedup.temporal_reach(edges, source=3)
+
+    q["temporal_reach"] = q_temporal_reach
+
+    def q_sp_counting(spark, sf_dir):
+        """Shortest-path counting from customer #0 (llm/dedup
+        .sp_counting; Brandes 2001 forward phase) over the undirected
+        customer-part purchase graph (the bfs_distances graph): each
+        level's sigma is the predecessor-sigma sum, i.e. the number
+        of distinct shortest paths — the betweenness-centrality
+        building block and the ninth iterative shape.  Sigma runs as
+        DECIMAL(38,0)/HUGEINT end to end (hub-dense graphs overflow
+        int64 within a few levels).  4 levels, anti-join visited set.
+        Registered after the round-11/12 windows; round-13 window
+        material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        return dedup.sp_counting(edges, source=0, max_hops=4)
+
+    q["sp_counting"] = q_sp_counting
+
+    def q_bpe_learn(spark, sf_dir):
+        """First three byte-pair-encoding merges learned from the
+        corpus (llm/text.bpe_learn; Sennrich et al. 2016) — the REAL
+        iterative BPE trainer: weighted adjacent-pair counts, the
+        (count DESC, pair ASC) winner, and a leftmost-non-overlapping
+        corpus-wide merge per round, expressed position-based (run
+        parity via two per-word windows) so both engines execute the
+        identical greedy scan.  Upgrades the one-shot
+        `bpe_pair_counts` to the actual training loop; all windows
+        partition per word, the winner is a broadcast 1-row table,
+        nothing collects.  Registered after the round-11/12 windows;
+        round-13 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bpe_learn(docs, rounds=3)
+
+    q["bpe_learn"] = q_bpe_learn
+
     return _gate_order(q)
 
 
@@ -17389,6 +17471,31 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY total DESC, term ASC
         LIMIT 20
     """
+
+    o["bpe_learn"] = llm_text.bpe_learn_oracle_sql(rounds=3)
+
+    o["sp_counting"] = _dedup.sp_counting_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        source=0,
+        max_hops=4,
+    )
+
+    o["temporal_reach"] = _dedup.temporal_reach_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT u, v, t FROM (
+            SELECT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s,
+                   CAST(CAST(o_orderdate AS DATE)
+                        - DATE '1970-01-01' AS BIGINT) AS t
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          ), (VALUES (0), (1)) AS dir(d),
+          LATERAL (SELECT CASE WHEN d = 0 THEN s ELSE c END AS u,
+                          CASE WHEN d = 0 THEN c ELSE s END AS v) x
+        """,
+        source=3,
+    )
 
     o["ols_by_type"] = """
         WITH t0 AS (

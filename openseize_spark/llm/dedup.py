@@ -2975,6 +2975,210 @@ def sssp_bounded_oracle_sql(
     """
 
 
+def sp_counting(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Shortest-path COUNTING from a single source over an undirected
+    pair graph — the forward phase of Brandes' betweenness algorithm
+    (Brandes 2001): level-synchronous BFS where each newly-reached
+    node's sigma is the SUM of the sigmas of its predecessors on the
+    previous level (sigma(v) = number of distinct shortest source->v
+    paths), up to ``max_hops`` levels.
+
+    Path counts explode combinatorially with depth, so sigma
+    accumulates as DECIMAL(38,0) end to end (a hub-dense graph
+    overflows int64 within a few levels, and Spark wraps where DuckDB
+    promotes — the term_burstiness overflow discipline).  Everything
+    else is the :func:`bfs_distances` frontier shape: one equi-join
+    of the checkpointed undirected edge list per level, one
+    sum-aggregation, one anti-join against the visited set.
+
+    Returns (id, dist, sigma) for every node within ``max_hops``
+    (source at dist 0 with sigma 1).
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    dec = "decimal(38,0)"
+    with small_intermediate_coalesce(spark):
+        und = (
+            edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(
+                edges.select(
+                    F.col(b_col).alias("x"), F.col(a_col).alias("y")
+                )
+            )
+            .distinct()
+            .repartition(n_part, "x")
+            .localCheckpoint(eager=True)
+        )
+        done = spark.createDataFrame(
+            [(int(source), 0, 1)], "id bigint, dist int, sigma bigint"
+        ).select(
+            "id", "dist", F.col("sigma").cast(dec).alias("sigma")
+        ).localCheckpoint(eager=True)
+        frontier = done
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                und.join(
+                    frontier.select(
+                        F.col("id").alias("x"), "sigma"
+                    ),
+                    on="x",
+                )
+                .groupBy(F.col("y").alias("id"))
+                .agg(F.sum("sigma").cast(dec).alias("sigma"))
+                .join(done.select("id"), on="id", how="left_anti")
+                .select(
+                    "id", F.lit(hop).cast("int").alias("dist"), "sigma"
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            done = done.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return done
+
+
+def sp_counting_oracle_sql(
+    edges_cte: str, source: int, max_hops: int = 4
+) -> str:
+    """DuckDB replay of :func:`sp_counting`: levels unroll as
+    materialized CTEs (the bfs_distances oracle shape) with HUGEINT
+    sigma sums cast to DECIMAL(38,0) to match the engine schema."""
+    ctes = [
+        f"""WITH e0 AS ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT DISTINCT x, y FROM (
+            SELECT a AS x, b AS y FROM e0
+            UNION ALL SELECT b AS x, a AS y FROM e0
+          )
+        ),
+        d0 AS MATERIALIZED (
+          SELECT CAST({int(source)} AS BIGINT) AS id,
+                 CAST(0 AS INT) AS dist,
+                 CAST(1 AS DECIMAL(38,0)) AS sigma
+        )"""
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f""", f{h} AS MATERIALIZED (
+          SELECT und.y AS id,
+                 CAST(sum(CAST(d{h-1}.sigma AS HUGEINT))
+                      AS DECIMAL(38,0)) AS sigma
+          FROM und JOIN d{h-1}
+            ON und.x = d{h-1}.id AND d{h-1}.dist = {h - 1}
+          WHERE und.y NOT IN (SELECT id FROM d{h-1})
+          GROUP BY und.y
+        ), d{h} AS MATERIALIZED (
+          SELECT id, dist, sigma FROM d{h-1}
+          UNION ALL
+          SELECT id, CAST({h} AS INT) AS dist, sigma FROM f{h}
+        )"""
+        )
+    return "".join(ctes) + f"""
+        SELECT id, dist, sigma FROM d{max_hops}"""
+
+
+def temporal_reach(
+    edges: DataFrame,
+    source: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    t_col: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability (earliest-arrival paths) over a
+    TEMPORAL graph: an edge (u, v, t) is usable only at time t >= the
+    arrival time at u, so arrival(v) = min over usable edges of t —
+    the contact-tracing / information-diffusion primitive (Holme &
+    Saramäki 2012), and the eighth iterative-algorithm shape: a
+    frontier relaxation like :func:`sssp_bounded` but with the
+    time-monotonicity constraint in the join predicate instead of an
+    additive weight.
+
+    The loop runs to FIXPOINT with no fixed round cap (the bom_rollup
+    lesson): arrival times are drawn from the finite set of edge
+    timestamps and only decrease, so termination is guaranteed within
+    |distinct t| rounds; the early-exit scalar count ends it as soon
+    as a round improves nothing (a generous safety bound guards
+    against bugs, not data).  All-integer, bit-equal under any
+    relaxation order.  Returns (node, arrival) for reachable nodes;
+    the source reports arrival 0.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        e = (
+            edges.select(
+                F.col(u_col).alias("u"),
+                F.col(v_col).alias("v"),
+                F.col(t_col).cast("bigint").alias("t"),
+            )
+            .repartition(n_part, "u")
+            .localCheckpoint(eager=True)
+        )
+        arr = spark.createDataFrame(
+            [(int(source), 0)], "node bigint, arrival bigint"
+        ).localCheckpoint(eager=True)
+        frontier = arr
+        for _ in range(10_000):  # safety only; fixpoint exits first
+            cand = (
+                e.join(
+                    frontier.withColumnRenamed("node", "u"), on="u"
+                )
+                .filter(F.col("t") >= F.col("arrival"))
+                .select(F.col("v").alias("node"), F.col("t").alias("arrival"))
+            )
+            new = (
+                arr.unionByName(cand)
+                .groupBy("node")
+                .agg(F.min("arrival").alias("arrival"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = new.join(
+                arr.select("node", F.col("arrival").alias("_old")),
+                on="node",
+                how="left",
+            ).filter(
+                F.col("_old").isNull()
+                | (F.col("arrival") < F.col("_old"))
+            ).select("node", "arrival").localCheckpoint(eager=True)
+            arr = new
+            if frontier.count() == 0:
+                break
+        return arr
+
+
+def temporal_reach_oracle_sql(edges_cte: str, source: int) -> str:
+    """DuckDB replay of :func:`temporal_reach` via a native recursive
+    state walk: ``edges_cte`` selects (u, v, t).  The recursion
+    enumerates every distinct (node, arrival) state reachable under
+    time monotonicity — bounded by |E| + 1 states since every arrival
+    is some edge's timestamp — and min-aggregation extracts the
+    earliest; relaxation order cannot matter because recursion
+    explores the state space, not a schedule."""
+    return f"""
+        WITH RECURSIVE e AS MATERIALIZED ({edges_cte}),
+        walk AS (
+          SELECT CAST({int(source)} AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS arrival
+          UNION
+          SELECT e.v, e.t
+          FROM walk JOIN e ON e.u = walk.node AND e.t >= walk.arrival
+        )
+        SELECT node, CAST(min(arrival) AS BIGINT) AS arrival
+        FROM walk GROUP BY node
+    """
+
+
 # ------------------------------------------------------------- bloom filter
 def bloom_positions(fp_col, m: int, k: int):
     """The ``k`` Bloom bit positions of a fingerprint column: salted

@@ -2241,3 +2241,226 @@ def heaps_law_fit_oracle_sql() -> str:
         )
         SELECT k, n_docs, vocab, beta FROM ten, fit
     """
+
+
+def bpe_learn(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the first ``rounds`` byte-pair-encoding merges (Sennrich
+    et al. 2016) over the corpus vocabulary — the REAL iterative BPE
+    trainer, upgrading the one-shot `bpe_pair_counts`: per round, (1)
+    count adjacent symbol pairs weighted by word frequency (every
+    adjacency counts, the textbook statistic), (2) pick the most
+    frequent pair (count DESC, pair ASC tie-break), (3) merge it
+    corpus-wide with LEFTMOST NON-OVERLAPPING semantics.
+
+    The merge is position-based, not string-replace: match positions
+    where (tok_i, tok_i+1) equals the winning pair group into runs of
+    consecutive positions (runs longer than 1 only when p1 == p2, the
+    "a a a" case), and within each run the 1st, 3rd, 5th... match
+    merges — exactly the greedy left-to-right scan, spelled as two
+    window functions so BOTH engines run the identical algorithm (a
+    space-padded replace() would silently skip shared-boundary
+    occurrences).
+
+    Everything is per-word: the explode is bounded by word length,
+    the windows partition on the word, the winning pair is a
+    broadcast 1-row table (no collect), and the per-round state is
+    lazily checkpointed (it feeds both the merge and the output row).
+    Returns ``rounds`` rows (round, pair, merged, weighted_count).
+    """
+    spark = docs.sparkSession
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda s: F.length(s) > 0,
+    )
+    wf = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.explode(words).alias("_wd"))
+        .groupBy("_wd")
+        .agg(F.count("*").cast("bigint").alias("_wt"))
+    )
+    seq = wf.select(
+        "_wd",
+        "_wt",
+        F.split(
+            F.trim(F.regexp_replace(F.col("_wd"), "(.)", "$1 ")), " "
+        ).alias("_toks"),
+    ).localCheckpoint(eager=False)
+
+    out_rows = []
+    for r in range(1, int(rounds) + 1):
+        tokpos = seq.select(
+            "_wd", "_wt", F.posexplode("_toks").alias("_i", "_tok")
+        )
+        w_word = Window.partitionBy("_wd").orderBy("_i")
+        tp = tokpos.withColumn("_nxt", F.lead("_tok").over(w_word))
+        cnts = (
+            tp.filter(F.col("_nxt").isNotNull())
+            .groupBy(
+                F.concat_ws(" ", "_tok", "_nxt").alias("pair")
+            )
+            .agg(F.sum("_wt").cast("bigint").alias("weighted_count"))
+        )
+        top1 = (
+            cnts.orderBy(
+                F.col("weighted_count").desc(), F.col("pair").asc()
+            )
+            .limit(1)
+            .select(
+                "pair",
+                F.replace(
+                    F.col("pair"), F.lit(" "), F.lit("")
+                ).alias("merged"),
+                "weighted_count",
+            )
+            .localCheckpoint(eager=False)  # merge + output consumers
+        )
+        out_rows.append(
+            top1.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "pair",
+                "merged",
+                "weighted_count",
+            )
+        )
+        # leftmost non-overlapping merge, position/run-parity form
+        tb = tp.crossJoin(F.broadcast(top1))
+        p1 = F.try_element_at(F.split("pair", " "), F.lit(1))
+        p2 = F.try_element_at(F.split("pair", " "), F.lit(2))
+        m = tb.filter(
+            (F.col("_tok") == p1) & (F.col("_nxt") == p2)
+        ).select("_wd", "_i")
+        w_m = Window.partitionBy("_wd").orderBy("_i")
+        runs = m.withColumn(
+            "_grp", F.col("_i") - F.row_number().over(w_m)
+        )
+        w_run = Window.partitionBy("_wd", "_grp").orderBy("_i")
+        kept = runs.withColumn(
+            "_rk", F.row_number().over(w_run)
+        ).filter(F.col("_rk") % 2 == 1).select(
+            "_wd", F.col("_i").alias("_ki")
+        )
+        # join twice against kept positions: merge-start and absorbed
+        starts = kept.select(
+            F.col("_wd").alias("_swd"), F.col("_ki").alias("_si")
+        )
+        absorbs = kept.select(
+            F.col("_wd").alias("_awd"),
+            (F.col("_ki") + 1).alias("_ai"),
+        )
+        newtoks = (
+            tb.join(
+                starts,
+                (tb._wd == starts._swd) & (tb._i == starts._si),
+                "left",
+            )
+            .join(
+                absorbs,
+                (tb._wd == absorbs._awd) & (tb._i == absorbs._ai),
+                "left",
+            )
+            .filter(F.col("_ai").isNull())  # drop absorbed tokens
+            .select(
+                "_wd",
+                "_wt",
+                "_i",
+                F.when(F.col("_si").isNotNull(), F.col("merged"))
+                .otherwise(F.col("_tok"))
+                .alias("_tok"),
+            )
+        )
+        seq = (
+            newtoks.groupBy("_wd", "_wt")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("_i", "_tok"))
+                    ),
+                    lambda s: s._tok,
+                ).alias("_toks")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def bpe_learn_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB replay of :func:`bpe_learn`: identical tokenization,
+    weighted adjacent-pair counts, (count DESC, pair ASC) winner, and
+    the SAME position/run-parity leftmost-non-overlapping merge,
+    unrolled one materialized CTE chain per round."""
+    parts = [
+        """
+        WITH wf AS MATERIALIZED (
+          SELECT u.w AS wd, CAST(count(*) AS BIGINT) AS wt
+          FROM (
+            SELECT string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+          GROUP BY u.w
+        ), seq0 AS MATERIALIZED (
+          SELECT wd, wt,
+                 trim(regexp_replace(wd, '(.)', '\\1 ', 'g')) AS sq
+          FROM wf
+        )"""
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f""", tok{r} AS MATERIALIZED (
+          SELECT wd, wt, CAST(u.i AS BIGINT) AS i,
+                 list_extract(toks, u.i) AS tok,
+                 lead(list_extract(toks, u.i))
+                   OVER (PARTITION BY wd ORDER BY u.i) AS nxt
+          FROM (SELECT wd, wt, string_split(sq, ' ') AS toks
+                FROM seq{r-1}),
+               unnest(range(1, len(toks) + 1)) AS u(i)
+        ), top{r} AS MATERIALIZED (
+          SELECT pair, replace(pair, ' ', '') AS merged,
+                 CAST(c AS BIGINT) AS c
+          FROM (
+            SELECT tok || ' ' || nxt AS pair, sum(wt) AS c
+            FROM tok{r} WHERE nxt IS NOT NULL GROUP BY 1
+          )
+          ORDER BY c DESC, pair ASC LIMIT 1
+        ), kept{r} AS MATERIALIZED (
+          SELECT wd, i FROM (
+            SELECT wd, i,
+                   row_number() OVER (PARTITION BY wd, grp ORDER BY i)
+                     AS rk
+            FROM (
+              SELECT t.wd, t.i,
+                     t.i - row_number() OVER (PARTITION BY t.wd
+                                              ORDER BY t.i) AS grp
+              FROM tok{r} t, top{r} tp
+              WHERE t.tok = split_part(tp.pair, ' ', 1)
+                AND t.nxt = split_part(tp.pair, ' ', 2)
+            )
+          ) WHERE rk % 2 = 1
+        ), seq{r} AS MATERIALIZED (
+          SELECT t.wd, t.wt,
+                 string_agg(CASE WHEN ks.i IS NOT NULL THEN tp.merged
+                                 ELSE t.tok END, ' ' ORDER BY t.i) AS sq
+          FROM tok{r} t
+          CROSS JOIN top{r} tp
+          LEFT JOIN kept{r} ks ON ks.wd = t.wd AND ks.i = t.i
+          LEFT JOIN kept{r} ka ON ka.wd = t.wd AND ka.i = t.i - 1
+          WHERE ka.i IS NULL
+          GROUP BY t.wd, t.wt
+        )"""
+        )
+    finals = "\n          UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged,"
+        f" c AS weighted_count FROM top{r}"
+        for r in range(1, int(rounds) + 1)
+    )
+    return "".join(parts) + "\n        " + finals

@@ -455,3 +455,157 @@ def test_ols_by_type_brute_force(spark, tmp_path):
         # intercept is at the GLOBAL min time (t=0 shift), which for
         # both groups is base_us, so it equals the series intercept
         assert i_got == pytest.approx(icept * 1e6, rel=1e-9)
+
+
+# --------------------------------------------------- temporal reach
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.integers(0, 20)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**PROP)
+def test_temporal_reach_brute_force(spark, edges):
+    """Fixpoint frontier relaxation == python earliest-arrival
+    label-correcting reference on arbitrary temporal digraphs."""
+    from openseize_spark.llm import dedup
+
+    es = sorted(set(edges))
+    arr = {0: 0}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in es:
+            if u in arr and t >= arr[u] and t < arr.get(v, 10**9):
+                arr[v] = t
+                changed = True
+
+    edf = spark.createDataFrame(es, "u bigint, v bigint, t bigint")
+    got = {
+        r.node: r.arrival
+        for r in dedup.temporal_reach(edf, source=0).collect()
+    }
+    assert got == arr
+
+
+# ------------------------------------------------- sp counting
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(10, 19)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(**PROP)
+def test_sp_counting_vs_reference(spark, edges):
+    """Level-synchronous sigma accumulation == python BFS path
+    counting on arbitrary bipartite graphs."""
+    from openseize_spark.llm import dedup
+
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {0: 0}
+    sigma = {0: 1}
+    frontier = [0]
+    for hop in range(1, 5):
+        nxt: dict = {}
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt[v] = nxt.get(v, 0) + sigma[u]
+        if not nxt:
+            break
+        for v, s in nxt.items():
+            dist[v] = hop
+            sigma[v] = s
+        frontier = list(nxt)
+
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges], "a bigint, b bigint"
+    )
+    got = {
+        r.id: (r.dist, int(r.sigma))
+        for r in dedup.sp_counting(edf, source=0, max_hops=4).collect()
+    }
+    want = {v: (dist[v], sigma[v]) for v in dist}
+    assert got == want
+
+
+# ----------------------------------------------------- BPE learn
+
+
+def _bpe_reference(word_weights: dict, rounds: int):
+    """Textbook BPE: weighted adjacent-pair counts, (count DESC, pair
+    ASC) winner, leftmost non-overlapping merge."""
+    seqs = {w: list(w) for w in word_weights}
+    out = []
+    for _ in range(rounds):
+        counts: dict = {}
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + word_weights[w]
+        if not counts:
+            break
+        (p1, p2), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((f"{p1} {p2}", p1 + p2, c))
+        for w, toks in seqs.items():
+            new, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == p1
+                    and toks[i + 1] == p2
+                ):
+                    new.append(p1 + p2)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            seqs[w] = new
+    return out
+
+
+def test_bpe_learn_brute_force(spark, tmp_path):
+    """Engine BPE == textbook python BPE, including the run-parity
+    case (repeated 'aa' merges) and weighted counts."""
+    import __spark_entry__ as entry
+
+    corpus = {
+        "banana": 5,   # 'a n' twice per word -> likely first merge
+        "bandana": 3,
+        "aaaa": 4,     # run-parity: (a,a) counts 3x per word
+        "naan": 2,
+    }
+    rows, did = [], 0
+    for w, c in corpus.items():
+        for _ in range(c):
+            rows.append((did, w, "en", "s", len(w)))
+            did += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    got = [
+        (r.pair, r.merged, r.weighted_count)
+        for r in entry.queries()["bpe_learn"](spark, d)
+        .orderBy("round")
+        .collect()
+    ]
+    want = _bpe_reference(corpus, 3)
+    assert got == want
