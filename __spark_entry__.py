@@ -11223,9 +11223,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Exact integer moments over ALL docs including zero-count ones
         (VMR = (N*S2 - S1^2)/(N*S1), one final double division);
         top-20 by (total DESC, term ASC) is a deterministic bounded
-        sort.  One token aggregation, one scalar N broadcast — no
-        joins on the doc axis.  Registered after the round-11/12
-        windows; round-13 window material."""
+        sort.  ONE scan of the text column: explode_outer keeps
+        token-less docs as a null-token row, so the doc count N
+        derives from the same per-doc aggregate instead of a second
+        full pass over the corpus's widest column (the r11 plan-sweep
+        found the original two-scan shape re-reading text just to
+        count rows).  Registered after the round-11/12 windows;
+        round-13 window material."""
         docs = _t(spark, sf_dir, "documents").filter(
             F.col("text").isNotNull()
         )
@@ -11236,12 +11240,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             lambda s: F.length(s) > 0,
         )
-        n = docs.agg(F.count("*").cast("bigint").alias("_N"))
-        tc = (
-            docs.select("doc_id", F.explode(words).alias("_w"))
+        tc0 = (
+            docs.select("doc_id", F.explode_outer(words).alias("_w"))
             .groupBy("doc_id", "_w")
             .agg(F.count("*").cast("bigint").alias("_c"))
+            .localCheckpoint(eager=False)  # N + moments consumers
         )
+        n = tc0.select("doc_id").distinct().agg(
+            F.count("*").cast("bigint").alias("_N")
+        )
+        tc = tc0.filter(F.col("_w").isNotNull())
         mom = tc.groupBy("_w").agg(
             F.sum("_c").cast("bigint").alias("total"),
             F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_s2"),
