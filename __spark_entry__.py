@@ -11667,11 +11667,13 @@ _GATE_PRIORITY_R11 = [
     "token_count_by_source", "repetition_stats", "pii_scan",
 ]
 
-_GATE_PRIORITY = _GATE_PRIORITY_R11
+# (Round-11 history: `_GATE_PRIORITY = _GATE_PRIORITY_R11`; rebound to
+# the pre-committed R12 window at round-12 start per the r11 verdict
+# order #1, after CORRECTNESS_r11 landed 50/50 green.)
 
 
-# READY-TO-SWAP round-12 window (execute at round-12 start, AFTER
-# CORRECTNESS_r11 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R12` —
+# Round-12 window, ACTIVE (pre-committed in round 11, activated at
+# round-12 start by rebinding `_GATE_PRIORITY = _GATE_PRIORITY_R12` —
 # one line, no list edit).  Composition (r10 verdict order #3): the 17
 # round-10-continuation registrations (each battery-verified at
 # registration AND independently re-run by the r10 judge — 17/17
@@ -11702,6 +11704,8 @@ _GATE_PRIORITY_R12 = [
     "welch_psd_blocks", "stft", "stft_blocks", "sosfilt",
     "sosfilt_blocks",
 ]
+
+_GATE_PRIORITY = _GATE_PRIORITY_R12
 
 
 def _gate_order(q: dict) -> dict:

@@ -2901,6 +2901,13 @@ def sssp_bounded(
 
     Returns (node, dist) for every node reachable within total weight
     ``budget`` (source at 0); unreachable nodes are absent.
+
+    Precondition (ENFORCED): all weights must be integers >= 1.  The
+    ``budget`` doubles as the hop bound only under that assumption —
+    with w <= 0 edges the engine would hop-truncate at ``budget``
+    rounds while the oracle's weight-bounded recursion keeps walking,
+    a silent divergence (r11 ADVICE).  A bounded scalar ``min(w)``
+    check rejects such inputs up front.
     """
     from openseize_spark.session import small_intermediate_coalesce
 
@@ -2916,6 +2923,12 @@ def sssp_bounded(
             .repartition(n_part, "u")
             .localCheckpoint(eager=True)
         )
+        min_w = e.agg(F.min("w").alias("m")).collect()[0]["m"]
+        if min_w is not None and min_w < 1:
+            raise ValueError(
+                "sssp_bounded requires integer weights >= 1 (budget "
+                f"doubles as the hop bound); got min weight {min_w}"
+            )
         dist = spark.createDataFrame(
             [(int(source), 0)], "node bigint, dist bigint"
         ).localCheckpoint(eager=True)
@@ -3104,12 +3117,18 @@ def temporal_reach(
 
     The loop runs to FIXPOINT with no fixed round cap (the bom_rollup
     lesson): arrival times are drawn from the finite set of edge
-    timestamps and only decrease, so termination is guaranteed within
-    |distinct t| rounds; the early-exit scalar count ends it as soon
-    as a round improves nothing (a generous safety bound guards
-    against bugs, not data).  All-integer, bit-equal under any
-    relaxation order.  Returns (node, arrival) for reachable nodes;
-    the source reports arrival 0.
+    timestamps and only decrease, so the loop terminates.  The bound is
+    the graph's HOP eccentricity from the source, not |distinct t| —
+    equal-timestamp chains (a -t-> b -t-> c) propagate one hop per
+    round, so a long chain at a single timestamp still costs one round
+    per hop.  The early-exit scalar count ends the loop as soon as a
+    round improves nothing; the 10,000-round safety bound guards
+    against bugs, not data, and RAISES if ever exhausted with a
+    non-empty frontier (r11 ADVICE: a silent cap-exit would return a
+    non-converged result diverging from the oracle's uncapped
+    recursion).  All-integer, bit-equal under any relaxation order.
+    Returns (node, arrival) for reachable nodes; the source reports
+    arrival 0.
     """
     from openseize_spark.session import small_intermediate_coalesce
 
@@ -3129,7 +3148,8 @@ def temporal_reach(
             [(int(source), 0)], "node bigint, arrival bigint"
         ).localCheckpoint(eager=True)
         frontier = arr
-        for _ in range(10_000):  # safety only; fixpoint exits first
+        _SAFETY_ROUNDS = 10_000
+        for _ in range(_SAFETY_ROUNDS):  # safety only; fixpoint exits first
             cand = (
                 e.join(
                     frontier.withColumnRenamed("node", "u"), on="u"
@@ -3154,6 +3174,13 @@ def temporal_reach(
             arr = new
             if frontier.count() == 0:
                 break
+        else:
+            raise RuntimeError(
+                "temporal_reach: safety cap of "
+                f"{_SAFETY_ROUNDS} rounds exhausted with a non-empty "
+                "frontier — result has NOT converged (hop eccentricity "
+                "from the source exceeds the cap)"
+            )
         return arr
 
 

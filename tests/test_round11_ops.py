@@ -609,3 +609,18 @@ def test_bpe_learn_brute_force(spark, tmp_path):
     ]
     want = _bpe_reference(corpus, 3)
     assert got == want
+
+
+# ----------------------------------------- r11 ADVICE precondition guards
+
+
+def test_sssp_bounded_rejects_subunit_weights(spark):
+    """r11 ADVICE: w < 1 would silently hop-truncate vs the oracle's
+    weight-bounded recursion — the precondition is now enforced."""
+    from openseize_spark.llm import dedup
+
+    edf = spark.createDataFrame(
+        [(0, 1, 0), (1, 2, 3)], "u bigint, v bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="weights >= 1"):
+        dedup.sssp_bounded(edf, source=0, budget=8)

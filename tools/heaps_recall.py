@@ -25,7 +25,13 @@ in DuckDB over the generated corpus and reports pair counts,
 near-dup-pair recall, all-pair recall, and added-pair count (the cap
 can also ADD borderline pairs, because dropping a term shrinks norms).
 
-Usage: python tools/heaps_recall.py [N ...]   (default 5000 20000 50000)
+Usage: python tools/heaps_recall.py [--caps C1,C2,...] [N ...]
+       (defaults: caps 2048,1024,512,256; N 5000 20000 50000)
+
+The cap list is a CLI parameter (r11 ADVICE) so the committed tool
+reproduces the full round-11 frontier table (2048/1024/512/256) that
+justified shipping max_df_abs=512 as the default — no constant edit
+needed.  Each capped arm is compared against the shared uncapped run.
 """
 
 from __future__ import annotations
@@ -40,7 +46,8 @@ import numpy as np
 K, BETA, ZIPF_S = 12.0, 0.55, 1.05
 TOPICS, TOPIC_BAND, TOPIC_MIX = 200, 40, 0.30
 DOC_LEN, DUP_FRAC, MUT_FRAC = 100, 0.10, 0.15
-THRESHOLD, MAX_DF_PCT, CAP = 0.3, 5, 256
+THRESHOLD, MAX_DF_PCT = 0.3, 5
+DEFAULT_CAPS = [2048, 1024, 512, 256]
 
 
 def make_corpus(n: int, rng: np.random.Generator):
@@ -78,7 +85,7 @@ def make_corpus(n: int, rng: np.random.Generator):
     return v, texts, dup_pairs
 
 
-def run(n: int, workdir: str) -> dict:
+def run(n: int, workdir: str, caps: list[int]) -> dict:
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -104,7 +111,10 @@ def run(n: int, workdir: str) -> dict:
     )
     out = {"N": n, "V": v, "n_dup_pairs": len(dup_pairs)}
     pairs = {}
-    for arm, cap in (("uncapped", None), ("capped", CAP)):
+    arms = [("uncapped", None)] + [
+        (f"cap{c}", int(c)) for c in caps
+    ]
+    for arm, cap in arms:
         sql = llm_text.tfidf_cosine_pairs_oracle_sql(
             threshold=THRESHOLD, max_df_pct=MAX_DF_PCT,
             round_digits=4, max_df_abs=cap,
@@ -116,24 +126,36 @@ def run(n: int, workdir: str) -> dict:
         out[f"sec_{arm}"] = round(time.time() - t0, 2)
         pairs[arm] = set(rows)
         out[f"pairs_{arm}"] = len(rows)
-    unc, cap_ = pairs["uncapped"], pairs["capped"]
+    unc = pairs["uncapped"]
     dset = set(dup_pairs)
-    out["recall_all"] = round(len(unc & cap_) / max(1, len(unc)), 4)
-    out["added_by_cap"] = len(cap_ - unc)
     out["dup_found_uncapped"] = len(unc & dset)
-    out["dup_found_capped"] = len(cap_ & dset)
-    out["recall_dup"] = round(
-        len(cap_ & dset) / max(1, len(unc & dset)), 4
-    )
+    for arm, _cap in arms[1:]:
+        cap_ = pairs[arm]
+        out[f"recall_all_{arm}"] = round(
+            len(unc & cap_) / max(1, len(unc)), 4
+        )
+        out[f"added_by_{arm}"] = len(cap_ - unc)
+        out[f"dup_found_{arm}"] = len(cap_ & dset)
+        out[f"recall_dup_{arm}"] = round(
+            len(cap_ & dset) / max(1, len(unc & dset)), 4
+        )
     return out
 
 
 def main():
-    ns = [int(a) for a in sys.argv[1:]] or [5000, 20000, 50000]
+    argv = sys.argv[1:]
+    caps = list(DEFAULT_CAPS)
+    if "--caps" in argv:
+        i = argv.index("--caps")
+        if i + 1 >= len(argv):
+            sys.exit("usage: --caps requires a comma-separated list")
+        caps = [int(c) for c in argv[i + 1].split(",") if c]
+        argv = argv[:i] + argv[i + 2:]
+    ns = [int(a) for a in argv] or [5000, 20000, 50000]
     workdir = "/tmp/heaps_recall"
     os.makedirs(workdir, exist_ok=True)
     for n in ns:
-        print(json.dumps(run(n, workdir)), flush=True)
+        print(json.dumps(run(n, workdir, caps)), flush=True)
 
 
 if __name__ == "__main__":
