@@ -11420,6 +11420,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_learn"] = q_bpe_learn
 
+    def q_betweenness_contrib(spark, sf_dir):
+        """Brandes backward phase (llm/dedup.betweenness_contrib;
+        Brandes 2001) completing sp_counting's forward sigma: the
+        per-node dependency delta(v) = sum over DAG successors w of
+        sigma(v)/sigma(w) * (1 + delta(w)), swept level-by-level from
+        the deepest reached level back to customer #0 on the same
+        undirected customer-part purchase graph.  delta carried in
+        integer micro-units (quantize-to-integer exactness: the
+        per-edge double product is bit-identical across engines, the
+        per-node sum is then DECIMAL(38,0)/HUGEINT integer —
+        partition-invariant by construction).  Registered after the
+        round-12/13 windows; round-14 window material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        return dedup.betweenness_contrib(edges, source=0, max_hops=4)
+
+    q["betweenness_contrib"] = q_betweenness_contrib
+
+    def q_bpe_apply(spark, sf_dir):
+        """Trained-BPE corpus encode (llm/text.bpe_train_encode):
+        learn 3 merges with bpe_learn's position/run-parity trainer,
+        then encode the SAME corpus with the learned table — the
+        train→apply closure, upgrading the static-merge `bpe_encode`
+        (r05) to trained merges.  The apply phase reuses the
+        trainer's final per-word token state (the learned merge list
+        applied by the identical leftmost-non-overlapping scan), so
+        the encode is one vocab-keyed join + per-doc integer sums —
+        no second scan of the corpus.  Registered after the
+        round-12/13 windows; round-14 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.bpe_train_encode(docs, rounds=3)
+
+    q["bpe_apply"] = q_bpe_apply
+
     return _gate_order(q)
 
 
@@ -17486,7 +17528,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["bpe_learn"] = llm_text.bpe_learn_oracle_sql(rounds=3)
 
+    o["bpe_apply"] = llm_text.bpe_train_encode_oracle_sql(rounds=3)
+
     o["sp_counting"] = _dedup.sp_counting_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        source=0,
+        max_hops=4,
+    )
+
+    o["betweenness_contrib"] = _dedup.betweenness_contrib_oracle_sql(
         edges_cte="""
           SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -3099,6 +3099,256 @@ def sp_counting_oracle_sql(
         SELECT id, dist, sigma FROM d{max_hops}"""
 
 
+def betweenness_contrib(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Single-source betweenness DEPENDENCY accumulation — the
+    backward phase of Brandes' algorithm (Brandes 2001) completing
+    :func:`sp_counting`'s forward phase: over the shortest-path DAG,
+    delta(v) = sum over successors w (dist(w) = dist(v) + 1) of
+    sigma(v)/sigma(w) * (1 + delta(w)), swept level-synchronously
+    from the deepest reached level (delta = 0) back to the source.
+    Summing delta(v) over all sources yields betweenness centrality;
+    this is one source's contribution.
+
+    Exactness (the house quantize-to-integer style): delta is carried
+    in integer micro-units (``unit`` = 1e6 per 1.0).  Each edge
+    contribution round(sigma_v/sigma_w * (unit + delta_units(w))) is
+    a product of IEEE doubles both engines compute bit-identically,
+    and the per-node SUM is then integer — order- and
+    partition-invariant by construction (float sums would not be).
+    Sums run as DECIMAL(38,0) (DuckDB HUGEINT) since hub-dense DAGs
+    can exceed int64.  Exact while delta_units fits a double's 2^53
+    integer range, i.e. delta < ~9e9 — far above any realistic
+    per-source dependency at 4 hops.
+
+    Plan shape: the forward loop is :func:`sp_counting`'s (one
+    equi-join + sum-agg + anti-join per level, eager per-round
+    checkpoints); the DAG successor list is materialized ONCE
+    (und ⋈ levels ⋈ levels, repartitioned on v) and each backward
+    round is one filtered equi-join + integer sum over it.  The only
+    driver-side value is the bounded max-level scalar.
+
+    Returns (id, dist, delta_units) for every reached node.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    dec = "decimal(38,0)"
+    with small_intermediate_coalesce(spark):
+        und = (
+            edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(
+                edges.select(
+                    F.col(b_col).alias("x"), F.col(a_col).alias("y")
+                )
+            )
+            .distinct()
+            .repartition(n_part, "x")
+            .localCheckpoint(eager=True)
+        )
+        done = spark.createDataFrame(
+            [(int(source), 0, 1)], "id bigint, dist int, sigma bigint"
+        ).select(
+            "id", "dist", F.col("sigma").cast(dec).alias("sigma")
+        ).localCheckpoint(eager=True)
+        frontier = done
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                und.join(
+                    frontier.select(F.col("id").alias("x"), "sigma"),
+                    on="x",
+                )
+                .groupBy(F.col("y").alias("id"))
+                .agg(F.sum("sigma").cast(dec).alias("sigma"))
+                .join(done.select("id"), on="id", how="left_anti")
+                .select(
+                    "id", F.lit(hop).cast("int").alias("dist"), "sigma"
+                )
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            done = done.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        lmax = done.agg(F.max("dist").alias("m")).collect()[0]["m"]
+        dag = (
+            und.join(
+                done.select(
+                    F.col("id").alias("x"),
+                    F.col("dist").alias("dist_v"),
+                    F.col("sigma").alias("sigma_v"),
+                ),
+                on="x",
+            )
+            .join(
+                done.select(
+                    F.col("id").alias("y"),
+                    F.col("dist").alias("dist_w"),
+                    F.col("sigma").alias("sigma_w"),
+                ),
+                on="y",
+            )
+            .filter(F.col("dist_w") == F.col("dist_v") + 1)
+            .select(
+                F.col("x").alias("v"),
+                F.col("y").alias("w"),
+                "dist_v",
+                "sigma_v",
+                "sigma_w",
+            )
+            .repartition(n_part, "v")
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            done.filter(F.col("dist") == lmax)
+            .select(
+                "id", "dist", F.lit(0).cast(dec).alias("delta_units")
+            )
+            .localCheckpoint(eager=True)
+        )
+        level_delta = delta
+        for h in range(int(lmax) - 1, -1, -1):
+            contrib = (
+                dag.filter(F.col("dist_v") == h)
+                .join(
+                    level_delta.select(
+                        F.col("id").alias("w"),
+                        F.col("delta_units").alias("dw"),
+                    ),
+                    on="w",
+                )
+                .select(
+                    "v",
+                    F.round(
+                        (
+                            F.col("sigma_v").cast("double")
+                            / F.col("sigma_w").cast("double")
+                        )
+                        * (
+                            F.lit(float(unit))
+                            + F.col("dw").cast("double")
+                        )
+                    ).cast(dec).alias("cu"),
+                )
+                .groupBy("v")
+                .agg(F.sum("cu").cast(dec).alias("delta_units"))
+            )
+            lvl = (
+                done.filter(F.col("dist") == h)
+                .select("id", "dist")
+                .join(
+                    contrib.withColumnRenamed("v", "id"),
+                    on="id",
+                    how="left",
+                )
+                .select(
+                    "id",
+                    "dist",
+                    F.coalesce(
+                        F.col("delta_units"), F.lit(0).cast(dec)
+                    ).alias("delta_units"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            delta = delta.unionByName(lvl)
+            level_delta = lvl
+        return delta
+
+
+def betweenness_contrib_oracle_sql(
+    edges_cte: str,
+    source: int,
+    max_hops: int = 4,
+    unit: int = 1_000_000,
+) -> str:
+    """DuckDB replay of :func:`betweenness_contrib`: the
+    :func:`sp_counting_oracle_sql` forward levels, then one
+    materialized backward CTE per level (lv{h} from lv{h+1}) with the
+    identical round(sigma_v/sigma_w * (unit + delta_units)) integer
+    quantization summed as HUGEINT.  Unrolled levels past the deepest
+    reached one are empty, so the static SQL matches the engine's
+    data-dependent loop bound by construction."""
+    fwd = [
+        f"""WITH e0 AS ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT DISTINCT x, y FROM (
+            SELECT a AS x, b AS y FROM e0
+            UNION ALL SELECT b AS x, a AS y FROM e0
+          )
+        ),
+        d0 AS MATERIALIZED (
+          SELECT CAST({int(source)} AS BIGINT) AS id,
+                 CAST(0 AS INT) AS dist,
+                 CAST(1 AS DECIMAL(38,0)) AS sigma
+        )"""
+    ]
+    for h in range(1, max_hops + 1):
+        fwd.append(
+            f""", f{h} AS MATERIALIZED (
+          SELECT und.y AS id,
+                 CAST(sum(CAST(d{h-1}.sigma AS HUGEINT))
+                      AS DECIMAL(38,0)) AS sigma
+          FROM und JOIN d{h-1}
+            ON und.x = d{h-1}.id AND d{h-1}.dist = {h - 1}
+          WHERE und.y NOT IN (SELECT id FROM d{h-1})
+          GROUP BY und.y
+        ), d{h} AS MATERIALIZED (
+          SELECT id, dist, sigma FROM d{h-1}
+          UNION ALL
+          SELECT id, CAST({h} AS INT) AS dist, sigma FROM f{h}
+        )"""
+        )
+    n = max_hops
+    bwd = [
+        f""", dag AS MATERIALIZED (
+          SELECT und.x AS v, und.y AS w,
+                 dv.dist AS dist_v, dv.sigma AS sigma_v,
+                 dw.sigma AS sigma_w
+          FROM und
+          JOIN d{n} dv ON und.x = dv.id
+          JOIN d{n} dw ON und.y = dw.id
+          WHERE dw.dist = dv.dist + 1
+        ), lv{n} AS MATERIALIZED (
+          SELECT id, dist, CAST(0 AS DECIMAL(38,0)) AS delta_units
+          FROM d{n} WHERE dist = {n}
+        )"""
+    ]
+    for h in range(n - 1, -1, -1):
+        bwd.append(
+            f""", c{h} AS MATERIALIZED (
+          SELECT dag.v AS id,
+                 CAST(sum(CAST(round(
+                   (CAST(dag.sigma_v AS DOUBLE)
+                      / CAST(dag.sigma_w AS DOUBLE))
+                   * (CAST({int(unit)} AS DOUBLE)
+                        + CAST(lv{h+1}.delta_units AS DOUBLE))
+                 ) AS HUGEINT)) AS DECIMAL(38,0)) AS delta_units
+          FROM dag JOIN lv{h+1} ON dag.w = lv{h+1}.id
+          WHERE dag.dist_v = {h}
+          GROUP BY dag.v
+        ), lv{h} AS MATERIALIZED (
+          SELECT d.id, d.dist,
+                 coalesce(c{h}.delta_units,
+                          CAST(0 AS DECIMAL(38,0))) AS delta_units
+          FROM (SELECT id, dist FROM d{n} WHERE dist = {h}) d
+          LEFT JOIN c{h} ON d.id = c{h}.id
+        )"""
+        )
+    union = "\n          UNION ALL\n          ".join(
+        f"SELECT id, dist, delta_units FROM lv{h}"
+        for h in range(n + 1)
+    )
+    return "".join(fwd) + "".join(bwd) + f"""
+        {union}"""
+
+
 def temporal_reach(
     edges: DataFrame,
     source: int,

@@ -2271,6 +2271,17 @@ def bpe_learn(
     lazily checkpointed (it feeds both the merge and the output row).
     Returns ``rounds`` rows (round, pair, merged, weighted_count).
     """
+    out, _seq = _bpe_train(docs, rounds, text_col)
+    return out
+
+
+def _bpe_train(docs: DataFrame, rounds: int, text_col: str):
+    """Shared BPE training loop: returns (merge-table DataFrame, final
+    per-word token-sequence DataFrame).  :func:`bpe_learn` returns the
+    former; :func:`bpe_train_encode` consumes the latter — the
+    trainer's final state IS the learned merge list applied to the
+    training vocabulary by the same position/run-parity scan, so the
+    apply phase costs nothing extra on the train corpus."""
     spark = docs.sparkSession
     words = F.filter(
         F.split(normalize_text(F.col(text_col)), " "),
@@ -2388,7 +2399,69 @@ def bpe_learn(
     out = out_rows[0]
     for extra in out_rows[1:]:
         out = out.unionByName(extra)
-    return out
+    return out, seq
+
+
+def bpe_train_encode(
+    docs: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``rounds`` BPE merges on the corpus (:func:`bpe_learn`)
+    and ENCODE the same corpus with the learned table — the train→
+    apply closure a real tokenizer pipeline needs, upgrading the
+    static-merge-table :func:`bpe_apply` to trained merges.
+
+    The apply phase reuses the trainer's final per-word token state:
+    applying the learned merge list in order via the position/run-
+    parity leftmost-non-overlapping scan is exactly what the trainer
+    already did to its own vocabulary, so re-scanning would recompute
+    the identical sequences.  Per-doc totals come from joining the
+    per-doc term-frequency table to that encoded vocabulary on the
+    word key (a word occurring a billion times is encoded once — the
+    distinct-vocab scale shape of :func:`bpe_apply`).
+
+    Degenerate corpora with fewer than ``rounds`` distinct adjacent
+    pairs inherit :func:`bpe_learn`'s behavior (the empty winner
+    empties the state); both engines agree, but callers should train
+    only as many rounds as the corpus supports.
+
+    Returns (id, n_words, n_tokens, tokens_per_word) — the
+    :func:`bpe_apply` output contract.
+    """
+    _out, seq = _bpe_train(docs, rounds, text_col)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    dw = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), F.explode(words).alias("word"))
+        .groupBy("_id", "word")
+        .agg(F.count("*").alias("_tf"))
+    )
+    encoded = seq.select(
+        F.col("_wd").alias("word"), F.size("_toks").alias("_ntok")
+    )
+    return (
+        dw.join(encoded, on="word")
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("bigint").alias("n_words"),
+            F.sum(F.col("_tf") * F.col("_ntok"))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                9,
+            ).alias("tokens_per_word"),
+        )
+    )
 
 
 def bpe_learn_oracle_sql(rounds: int = 3) -> str:
@@ -2396,6 +2469,48 @@ def bpe_learn_oracle_sql(rounds: int = 3) -> str:
     weighted adjacent-pair counts, (count DESC, pair ASC) winner, and
     the SAME position/run-parity leftmost-non-overlapping merge,
     unrolled one materialized CTE chain per round."""
+    parts = _bpe_train_ctes(rounds)
+    finals = "\n          UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged,"
+        f" c AS weighted_count FROM top{r}"
+        for r in range(1, int(rounds) + 1)
+    )
+    return "".join(parts) + "\n        " + finals
+
+
+def bpe_train_encode_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB replay of :func:`bpe_train_encode`: the
+    :func:`bpe_learn_oracle_sql` training chain, then per-doc totals
+    from joining the per-doc term-frequency table to the final
+    encoded vocabulary (seq{rounds})."""
+    parts = _bpe_train_ctes(rounds)
+    return "".join(parts) + f""", dw AS MATERIALIZED (
+          SELECT doc_id, u.w AS word, count(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                   ) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+          GROUP BY doc_id, u.w
+        ), enc AS MATERIALIZED (
+          SELECT wd, len(string_split(sq, ' ')) AS ntok
+          FROM seq{int(rounds)}
+        )
+        SELECT dw.doc_id,
+               CAST(sum(dw.tf) AS BIGINT) AS n_words,
+               CAST(sum(dw.tf * enc.ntok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(dw.tf * enc.ntok) AS DOUBLE)
+                     / CAST(sum(dw.tf) AS DOUBLE), 9) AS tokens_per_word
+        FROM dw JOIN enc ON dw.word = enc.wd
+        GROUP BY dw.doc_id"""
+
+
+def _bpe_train_ctes(rounds: int) -> list:
+    """The shared bpe_learn/bpe_train_encode oracle CTE chain
+    (wf, seq0, then tok{r}/top{r}/kept{r}/seq{r} per round)."""
     parts = [
         """
         WITH wf AS MATERIALIZED (
@@ -2458,9 +2573,4 @@ def bpe_learn_oracle_sql(rounds: int = 3) -> str:
           GROUP BY t.wd, t.wt
         )"""
         )
-    finals = "\n          UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS round, pair, merged,"
-        f" c AS weighted_count FROM top{r}"
-        for r in range(1, int(rounds) + 1)
-    )
-    return "".join(parts) + "\n        " + finals
+    return parts

@@ -624,3 +624,145 @@ def test_sssp_bounded_rejects_subunit_weights(spark):
     )
     with pytest.raises(ValueError, match="weights >= 1"):
         dedup.sssp_bounded(edf, source=0, budget=8)
+
+
+# ------------------------------------- Brandes backward phase (round 12)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    ),
+)
+@settings(**PROP)
+def test_betweenness_contrib_vs_python_brandes(spark, edges):
+    """Engine backward sweep == a python replica of the same quantized
+    arithmetic, and ~= textbook float Brandes (BFS sigma + backward
+    dependency accumulation) on arbitrary small undirected graphs."""
+    from collections import deque
+
+    from openseize_spark.llm import dedup
+
+    UNIT = 1_000_000
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # forward BFS from 0 (<= 4 hops), sigma counting
+    dist = {0: 0}
+    sigma = {0: 1}
+    order = [0]
+    qd = deque([0])
+    while qd:
+        u = qd.popleft()
+        if dist[u] >= 4:
+            continue
+        for v in sorted(adj.get(u, ())):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                sigma[v] = 0
+                order.append(v)
+                qd.append(v)
+            if dist[v] == dist[u] + 1:
+                sigma[v] += sigma[u]
+    # backward: quantized replica (integer units, same formula)
+    lmax = max(dist.values())
+    du = {v: 0 for v in dist}
+    for v in sorted(dist, key=lambda v: -dist[v]):
+        if dist[v] == lmax:
+            continue
+        s = 0
+        for w in adj.get(v, ()):
+            if w in dist and dist[w] == dist[v] + 1:
+                s += round(
+                    (float(sigma[v]) / float(sigma[w]))
+                    * (float(UNIT) + float(du[w]))
+                )
+        du[v] = s
+    # float Brandes for the approximate sanity check
+    delta_f = {v: 0.0 for v in dist}
+    for v in sorted(dist, key=lambda v: -dist[v]):
+        for w in adj.get(v, ()):
+            if w in dist and dist[w] == dist[v] + 1:
+                delta_f[v] += (sigma[v] / sigma[w]) * (1.0 + delta_f[w])
+
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "a bigint, b bigint",
+    )
+    got = {
+        r.id: (r.dist, int(r.delta_units))
+        for r in dedup.betweenness_contrib(
+            edf, source=0, max_hops=4
+        ).collect()
+    }
+    want = {v: (dist[v], du[v]) for v in dist}
+    assert got == want
+    for v, (_, units) in got.items():
+        assert abs(units / UNIT - delta_f[v]) < 1e-3
+
+
+# ------------------------------------- BPE train→apply closure (round 12)
+
+
+def test_bpe_train_encode_brute_force(spark, tmp_path):
+    """bpe_apply (trained encode) == textbook python BPE trained and
+    applied on the same pinned corpus: per-doc token counts under the
+    3 learned merges."""
+    import __spark_entry__ as entry
+
+    corpus = {
+        "banana": 5,
+        "bandana": 3,
+        "aaaa": 4,
+        "naan": 2,
+    }
+    # python train (reuses _bpe_reference's merge semantics) + encode
+    seqs = {w: list(w) for w in corpus}
+    for _ in range(3):
+        counts: dict = {}
+        for w, toks in seqs.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                counts[p] = counts.get(p, 0) + corpus[w]
+        (p1, p2), _c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        for w, toks in seqs.items():
+            new, i = [], 0
+            while i < len(toks):
+                if (
+                    i + 1 < len(toks)
+                    and toks[i] == p1
+                    and toks[i + 1] == p2
+                ):
+                    new.append(p1 + p2)
+                    i += 2
+                else:
+                    new.append(toks[i])
+                    i += 1
+            seqs[w] = new
+
+    rows, did = [], 0
+    want = {}
+    for w, c in corpus.items():
+        for _ in range(c):
+            rows.append((did, w, "en", "s", len(w)))
+            want[did] = (1, len(seqs[w]), round(len(seqs[w]) / 1.0, 9))
+            did += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_per_word)
+        for r in entry.queries()["bpe_apply"](spark, d).collect()
+    }
+    assert got == want
