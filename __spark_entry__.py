@@ -11750,6 +11750,41 @@ _GATE_PRIORITY_R12 = [
 _GATE_PRIORITY = _GATE_PRIORITY_R12
 
 
+# READY-TO-SWAP round-13 window (execute at round-13 start, AFTER
+# CORRECTNESS_r12 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R13` —
+# one line, no list edit).  Composition (r11 verdict order #2): the 12
+# round-11-session registrations (each battery-verified at
+# registration AND independently re-run by the r11 judge — 12/12
+# match, 13/13 shuffle-invariant; never driver-checked), then the
+# remaining r04 freshness cohort (25) and the head of the r06 cohort
+# (13), in tools/freshness_queue.py order.  12 + 25 + 13 = 50.  After
+# this window lands, no driver evidence is older than r06.  The two
+# round-12-session registrations (betweenness_contrib, bpe_apply) are
+# round-14 window material and sit below this list in the queue.
+_GATE_PRIORITY_R13 = [
+    # 12 round-11-session conversions (registered round 11, never
+    # checked; judge-verified independently in the r11 session)
+    "ancestor_chain", "fastss_pairs", "apriori_triples", "sssp_delta",
+    "heaps_law_fit", "stratified_ate", "pivot_scc", "term_burstiness",
+    "ols_by_type", "temporal_reach", "sp_counting", "bpe_learn",
+    # 25 remaining r04 freshness re-gates (freshness_queue order;
+    # minhash_dedup_prod is the by-design rows-only row — its re-gate
+    # records the weaker rows check, as every round since r04)
+    "sosfiltfilt", "resample_poly", "downsample", "upsample",
+    "fir_blocks", "lfilter", "filtfilt", "minhash_dedup",
+    "dedup_clusters", "minhash_sigs", "simhash", "simhash_pairs",
+    "hilbert_envelope", "top_ngrams", "quality_filter", "hash_sample",
+    "stratified_sample", "click_attribution", "audio_features",
+    "frame_sample", "resize_images", "image_features",
+    "minhash_dedup_prod", "edf_decode", "streaming_hour",
+    # 13 r06 freshness re-gates (freshness_queue head of the r06 cohort)
+    "cohort_retention", "funnel_steps", "value_trend", "json_props",
+    "rolling_median", "skew_distinct_users", "big_orders",
+    "brand_suppliers", "canonical_docs", "snapshot_diff",
+    "split_assign", "corpus_shuffle", "multires_rollup",
+]
+
+
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}

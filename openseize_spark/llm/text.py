@@ -1246,6 +1246,14 @@ def tfidf_cosine_pairs(
     against brute-force cosine.  Choose max_df_abs >= pct% * N at
     verification scale so the capped variant is bit-identical to the
     reference semantics there.
+
+    ARM CHOICE (measured; see README "Choosing a TF-IDF pair arm" and
+    ``tools/heaps_recall.py``): 512 = near-dup contract (0.998
+    near-dup recall, 1/28 cost), 2048 = full pair fidelity (0.998
+    all-pair recall, 1/1.8 cost), None = exact, 256 = max-scale
+    candidate generation.  Above ~5k docs the near-dup and all-pair
+    contracts genuinely diverge — downstream consumers of pair output
+    must state which arm they mean.
     """
     scale = float(10**round_digits)
     norm = normalize_text(F.col(text_col))
