@@ -11462,6 +11462,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_apply"] = q_bpe_apply
 
+    def q_kn_perplexity(spark, sf_dir):
+        """Per-document perplexity under the corpus-trained
+        interpolated Kneser-Ney bigram model (llm/text.kn_perplexity)
+        — the train→apply closure for `kneser_ney_bigram`, i.e. the
+        LM-based quality filter of a pretraining pipeline.  Same
+        model float chain as the sibling; -ln(P) quantized to integer
+        nano-units per bigram TYPE before the per-doc sum, so the
+        aggregation is pure int64 and partition-invariant; one exp()
+        on exact integers per output row (diff_audit notes ~6% of ppl
+        values differ at the exp last-ulp, maxabs 3.6e-15 — the
+        woe_encode JVM-vs-libm class, far below the 12-sig-digit gate
+        normalization; nll_units is bit-exact).  Registered after the
+        round-12/13 windows; round-14 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.kn_perplexity(docs, discount=0.75)
+
+    q["kn_perplexity"] = q_kn_perplexity
+
     return _gate_order(q)
 
 
@@ -17564,6 +17582,8 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_learn"] = llm_text.bpe_learn_oracle_sql(rounds=3)
 
     o["bpe_apply"] = llm_text.bpe_train_encode_oracle_sql(rounds=3)
+
+    o["kn_perplexity"] = llm_text.kn_perplexity_oracle_sql(discount=0.75)
 
     o["sp_counting"] = _dedup.sp_counting_oracle_sql(
         edges_cte="""

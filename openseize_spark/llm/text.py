@@ -2582,3 +2582,156 @@ def _bpe_train_ctes(rounds: int) -> list:
         )"""
         )
     return parts
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under the corpus-trained interpolated
+    Kneser-Ney bigram model — the train→apply closure for the
+    `kneser_ney_bigram` model table (the LM-based quality filter a
+    pretraining pipeline runs: score every document, drop the
+    high-perplexity tail).  The model is the sibling query's exact
+    formula, P(w2|w1) = (c12 - d)/c1 + (d*N1+left/c1)*(N1+right/T),
+    trained on the scored corpus itself, so every evaluated bigram
+    has c12 >= 1 and no backoff path is needed.
+
+    Exactness: P is one mirrored IEEE float chain per bigram TYPE;
+    -ln(P) is quantized to integer nano-units per type (the
+    quantized-ln-increments house idiom) BEFORE the per-document sum,
+    so aggregation is pure int64 — order- and partition-invariant.
+    The final ppl = exp(nll/(n*1e9)) is one float op on exact
+    integers (last-ulp exp noise sits below the 12-sig-digit gate
+    normalization, the woe_encode precedent).
+
+    Scale shape: bigram occurrences checkpoint once (consumed by the
+    model aggregation AND the scoring join); the model's context
+    tables are vocabulary-sized broadcasts; per-doc totals are one
+    hash aggregation.  No UDF, no collect.
+
+    Returns (id, n_bigrams, nll_units, ppl); documents with fewer
+    than two words have no bigrams and are absent.
+    """
+    d = float(discount)
+    norm = normalize_text(F.col(text_col))
+    words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"), F.posexplode(words).alias("_pos", "_w")
+    )
+    wdoc = Window.partitionBy("_id").orderBy("_pos")
+    occ = (
+        toks.select(
+            "_id",
+            F.col("_w").alias("w1"),
+            F.lead("_w").over(wdoc).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        # two consumers: the model aggregation and the scoring join
+        .localCheckpoint(eager=False)
+    )
+    bi = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+        # four consumers: c1 / nr / T / model rows
+        .localCheckpoint(eager=False)
+    )
+    c1 = bi.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("_c1"),
+        F.count("*").cast("bigint").alias("_nl"),
+    )
+    nr = bi.groupBy("w2").agg(F.count("*").cast("bigint").alias("_nr"))
+    tt = bi.agg(F.count("*").cast("bigint").alias("_T"))
+    p = (
+        (F.col("c12").cast("double") - F.lit(d))
+        / F.col("_c1").cast("double")
+        + (F.lit(d) * F.col("_nl").cast("double") / F.col("_c1").cast("double"))
+        * (F.col("_nr").cast("double") / F.col("_T").cast("double"))
+    )
+    model = (
+        bi.join(F.broadcast(c1), on="w1")
+        .join(F.broadcast(nr), on="w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.round(-F.log(p) * F.lit(1e9))
+            .cast("bigint")
+            .alias("_nllu"),
+        )
+    )
+    return (
+        occ.join(model, on=["w1", "w2"])
+        .groupBy("_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("_nllu").cast("bigint").alias("nll_units"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_bigrams",
+            "nll_units",
+            F.exp(
+                F.col("nll_units").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1e9))
+            ).alias("ppl"),
+        )
+    )
+
+
+def kn_perplexity_oracle_sql(discount: float = 0.75) -> str:
+    """DuckDB replay of :func:`kn_perplexity`: identical tokenization,
+    the sibling kneser_ney_bigram float chain per bigram type, the
+    same round(-ln(P)*1e9) nano-unit quantization, integer per-doc
+    sums, and the one-float-op perplexity."""
+    d = f"CAST({float(discount)!r} AS DOUBLE)"
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+                 list_extract(wl, u.i) AS w
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '),
+                     x -> len(x) > 0) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(range(1, len(wl) + 1)) AS u(i)
+        ), occ AS MATERIALIZED (
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM toks
+          ) WHERE w2 IS NOT NULL
+        ), bi AS MATERIALIZED (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM occ GROUP BY w1, w2
+        ), c1 AS MATERIALIZED (
+          SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS nl
+          FROM bi GROUP BY w1
+        ), nr AS MATERIALIZED (
+          SELECT w2, CAST(count(*) AS BIGINT) AS nr FROM bi GROUP BY w2
+        ), tt AS (
+          SELECT CAST(count(*) AS BIGINT) AS T FROM bi
+        ), model AS MATERIALIZED (
+          SELECT bi.w1, bi.w2,
+                 CAST(round(
+                   (-ln(
+                     (CAST(bi.c12 AS DOUBLE) - {d}) / CAST(c1.c1 AS DOUBLE)
+                     + ({d} * CAST(c1.nl AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                       * (CAST(nr.nr AS DOUBLE) / CAST(tt.T AS DOUBLE))
+                   )) * 1e9
+                 ) AS BIGINT) AS nllu
+          FROM bi JOIN c1 USING (w1) JOIN nr USING (w2) CROSS JOIN tt
+        )
+        SELECT occ.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(m.nllu) AS BIGINT) AS nll_units,
+               exp(CAST(sum(m.nllu) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9)) AS ppl
+        FROM occ JOIN model m ON occ.w1 = m.w1 AND occ.w2 = m.w2
+        GROUP BY occ.doc_id"""

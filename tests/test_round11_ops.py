@@ -766,3 +766,73 @@ def test_bpe_train_encode_brute_force(spark, tmp_path):
         for r in entry.queries()["bpe_apply"](spark, d).collect()
     }
     assert got == want
+
+
+# ------------------------------------ KN train→score closure (round 12)
+
+
+def test_kn_perplexity_brute_force(spark, tmp_path):
+    """kn_perplexity == python replay of the same KN float chain and
+    nano-unit quantization on a pinned corpus."""
+    import math
+
+    import __spark_entry__ as entry
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat ate the rat",
+        2: "a dog sat on a log",
+        3: "the dog and the cat",
+        4: "single",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    d = str(tmp_path / "sf")
+    df.write.parquet(d + "/documents.parquet")
+
+    # python model
+    occ = []
+    for i, t in texts.items():
+        ws = t.split()
+        occ += [(i, ws[k], ws[k + 1]) for k in range(len(ws) - 1)]
+    c12: dict = {}
+    for _, a, b in occ:
+        c12[(a, b)] = c12.get((a, b), 0) + 1
+    c1: dict = {}
+    nl: dict = {}
+    nr: dict = {}
+    for (a, b), c in c12.items():
+        c1[a] = c1.get(a, 0) + c
+        nl[a] = nl.get(a, 0) + 1
+        nr[b] = nr.get(b, 0) + 1
+    T = len(c12)
+    dd = 0.75
+
+    def nllu(a, b):
+        p = (c12[(a, b)] - dd) / c1[a] + (dd * nl[a] / c1[a]) * (
+            nr[b] / T
+        )
+        return round(-math.log(p) * 1e9)
+
+    want = {}
+    for i in texts:
+        bigs = [(a, b) for (j, a, b) in occ if j == i]
+        if not bigs:
+            continue
+        units = sum(nllu(a, b) for a, b in bigs)
+        want[i] = (len(bigs), units)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_units)
+        for r in entry.queries()["kn_perplexity"](spark, d).collect()
+    }
+    assert got == want
+    for r in entry.queries()["kn_perplexity"](spark, d).collect():
+        assert abs(
+            r.ppl
+            - math.exp(r.nll_units / (r.n_bigrams * 1e9))
+        ) < 1e-9

@@ -47,10 +47,12 @@ SCALES = ["/root/testdata/sf0.1", "/tmp/sf1"]
 
 
 def run_one(spark, name: str, sf: str) -> dict:
-    from pyspark.sql import DataFrame
-
     import __spark_entry__ as e
 
+    # patch the LIVE DataFrame class (pyspark 4's classic instance
+    # class, not the unified-API parent — patching the parent is a
+    # silent no-op because the child overrides count)
+    DataFrame = type(spark.range(1))
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     orig_count = DataFrame.count
