@@ -11480,6 +11480,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kn_perplexity"] = q_kn_perplexity
 
+    def q_random_walks(spark, sf_dir):
+        """Deterministic hash-seeded random walks (llm/dedup
+        .random_walks; DeepWalk, Perozzi et al. 2014) — one 4-step
+        walk per node of the undirected customer-part purchase graph,
+        neighbor picked by a mixed integer hash of (seed, node, step)
+        mod degree: the graph-embedding corpus-generation step in the
+        replayable-pseudo-randomness style of hash_sample.  All
+        int64, bit-equal on any engine/partitioning.  Registered
+        after the round-12/13 windows; round-14 window material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        return dedup.random_walks(edges, length=4)
+
+    q["random_walks"] = q_random_walks
+
+    def q_als_user_step(spark, sf_dir):
+        """One exact ALS user-factor half-step (Hu/Koren/Volinsky
+        2008) over the customer-part rating matrix (rating = total
+        quantity): with rank-2 item factors fixed by a deterministic
+        integer hash (q1 = (i*73) mod 97 - 48, q2 = (i*151) mod 101
+        - 50, in 1/100 units), solve the per-user ridge normal
+        equations (QᵀQ + λI)x = Qᵀr in closed 2x2 form — the
+        matrix-factorization training primitive.  The five per-user
+        moments accumulate as exact DECIMAL(38,0)/HUGEINT (casts
+        before every product), det/x1/x2 are single IEEE ops on
+        identical exact operands — bit-equal under any partitioning.
+        λ = 1000 units².  Registered after the round-12/13 windows;
+        round-14 window material."""
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        dec = "decimal(38,0)"
+        r = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("u"),
+                F.col("l_partkey").alias("i"),
+            )
+            .agg(
+                F.round(F.sum("l_quantity"))
+                .cast("bigint")
+                .alias("r")
+            )
+        )
+        q1 = (F.col("i") * 73) % 97 - 48
+        q2 = (F.col("i") * 151) % 101 - 50
+        f = r.select(
+            "u",
+            "r",
+            q1.cast("bigint").alias("q1"),
+            q2.cast("bigint").alias("q2"),
+        )
+        mom = f.groupBy("u").agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum((F.col("q1").cast(dec) * F.col("q1")).cast(dec)).alias("_a11"),
+            F.sum((F.col("q1").cast(dec) * F.col("q2")).cast(dec)).alias("_a12"),
+            F.sum((F.col("q2").cast(dec) * F.col("q2")).cast(dec)).alias("_a22"),
+            F.sum((F.col("q1").cast(dec) * F.col("r")).cast(dec)).alias("_b1"),
+            F.sum((F.col("q2").cast(dec) * F.col("r")).cast(dec)).alias("_b2"),
+        )
+        lam = F.lit(1000).cast(dec)
+        a11l = (F.col("_a11") + lam).cast(dec)
+        a22l = (F.col("_a22") + lam).cast(dec)
+        det = (a11l * a22l - F.col("_a12") * F.col("_a12")).cast("double")
+        x1 = (
+            (a22l * F.col("_b1") - F.col("_a12") * F.col("_b2")).cast(
+                "double"
+            )
+            / det
+        )
+        x2 = (
+            (a11l * F.col("_b2") - F.col("_a12") * F.col("_b1")).cast(
+                "double"
+            )
+            / det
+        )
+        return mom.select(
+            "u", "n_items", x1.alias("x1"), x2.alias("x2")
+        )
+
+    q["als_user_step"] = q_als_user_step
+
     return _gate_order(q)
 
 
@@ -17584,6 +17675,44 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_apply"] = llm_text.bpe_train_encode_oracle_sql(rounds=3)
 
     o["kn_perplexity"] = llm_text.kn_perplexity_oracle_sql(discount=0.75)
+
+    o["random_walks"] = _dedup.random_walks_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        length=4,
+    )
+
+    o["als_user_step"] = """
+        WITH r AS MATERIALIZED (
+          SELECT o_custkey AS u, l_partkey AS i,
+                 CAST(round(sum(l_quantity)) AS BIGINT) AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+        ), f AS (
+          SELECT u, r,
+                 CAST((i * 73) % 97 - 48 AS BIGINT) AS q1,
+                 CAST((i * 151) % 101 - 50 AS BIGINT) AS q2
+          FROM r
+        ), mom AS (
+          SELECT u, CAST(count(*) AS BIGINT) AS n_items,
+                 sum(CAST(q1 AS HUGEINT) * q1) AS a11,
+                 sum(CAST(q1 AS HUGEINT) * q2) AS a12,
+                 sum(CAST(q2 AS HUGEINT) * q2) AS a22,
+                 sum(CAST(q1 AS HUGEINT) * r) AS b1,
+                 sum(CAST(q2 AS HUGEINT) * r) AS b2
+          FROM f GROUP BY u
+        )
+        SELECT u, n_items,
+               CAST((a22 + 1000) * b1 - a12 * b2 AS DOUBLE)
+                 / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
+                        AS DOUBLE) AS x1,
+               CAST((a11 + 1000) * b2 - a12 * b1 AS DOUBLE)
+                 / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
+                        AS DOUBLE) AS x2
+        FROM mom
+    """
 
     o["sp_counting"] = _dedup.sp_counting_oracle_sql(
         edges_cte="""

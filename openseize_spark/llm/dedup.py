@@ -3349,6 +3349,153 @@ def betweenness_contrib_oracle_sql(
         {union}"""
 
 
+def random_walks(
+    edges: DataFrame,
+    length: int = 4,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Deterministic hash-seeded random walks over an undirected pair
+    graph — the DeepWalk/node2vec corpus-generation step (Perozzi et
+    al. 2014) in the same replayable-pseudo-randomness style as the
+    registered hash_sample: one walk of ``length`` steps per node, and
+    at each step the neighbor INDEX is a mixed integer hash of (seed,
+    current node, step) modulo the current node's degree.  All
+    arithmetic is small-multiplier int64 (operands bounded ~2.5e14, no
+    overflow under ANSI even with 1e10 node ids), so the walks are
+    bit-identical on any engine and any partitioning — the property an
+    embedding-training corpus needs for reproducibility.
+
+    Scale shape: the ranked adjacency (neighbor rank via one per-node
+    window, degree via one aggregate) is checkpointed once and each
+    step is two equi-joins (degree lookup to compute the index, then
+    (node, rank) to fetch the neighbor) — no fan-out beyond the walk
+    frontier, no collect, rounds = ``length`` by construction.
+
+    Returns (seed, step, node): step 0 is the seed itself.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    M = 2147483647
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    with small_intermediate_coalesce(spark):
+        und = (
+            edges.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+            .union(
+                edges.select(
+                    F.col(b_col).alias("x"), F.col(a_col).alias("y")
+                )
+            )
+            .distinct()
+        )
+        w_adj = Window.partitionBy("x").orderBy("y")
+        # persist (not checkpoint) so the x-hash partitioning stays
+        # visible to the planner: each step's neighbor join then
+        # shuffles only the walk FRONTIER, never the adjacency —
+        # measured 117s -> much less at sf1 where |E| >> |frontier|.
+        # All steps materialize eagerly below, so the unpersist before
+        # return cannot starve a lazy consumer.
+        adj = (
+            und.select(
+                "x",
+                "y",
+                (F.row_number().over(w_adj) - 1).alias("rank"),
+            )
+            .repartition(n_part, "x")
+            .persist()
+        )
+        degs = adj.groupBy("x").agg(
+            F.count("*").cast("bigint").alias("deg")
+        ).localCheckpoint(eager=True)
+        walk = degs.select(
+            F.col("x").alias("seed"), F.col("x").alias("node")
+        )
+        out = walk.select(
+            "seed", F.lit(0).cast("int").alias("step"), "node"
+        )
+        for s in range(1, int(length) + 1):
+            h = (
+                (F.col("seed") % M) * F.lit(48271)
+                + (F.col("node") % M) * F.lit(69621)
+                + F.lit(s * 8191)
+            )
+            stepped = (
+                walk.join(
+                    degs.withColumnRenamed("x", "node"), on="node"
+                )
+                .select(
+                    "seed",
+                    F.col("node").alias("_cur"),
+                    (h % F.col("deg")).alias("_idx"),
+                )
+                .join(
+                    adj.select(
+                        F.col("x").alias("_cur"),
+                        F.col("rank").alias("_idx"),
+                        F.col("y").alias("node"),
+                    ),
+                    on=["_cur", "_idx"],
+                )
+                .select("seed", "node")
+                .localCheckpoint(eager=True)
+            )
+            out = out.unionByName(
+                stepped.select(
+                    "seed", F.lit(s).cast("int").alias("step"), "node"
+                )
+            )
+            walk = stepped
+        adj.unpersist(False)
+        return out
+
+
+def random_walks_oracle_sql(
+    edges_cte: str, length: int = 4
+) -> str:
+    """DuckDB replay of :func:`random_walks`: the ranked adjacency,
+    then one CTE per step with the identical mixed-hash index
+    arithmetic (all positive int64, both engines' % agree)."""
+    M = 2147483647
+    parts = [
+        f"""WITH e0 AS ({edges_cte}),
+        und AS MATERIALIZED (
+          SELECT DISTINCT x, y FROM (
+            SELECT a AS x, b AS y FROM e0
+            UNION ALL SELECT b AS x, a AS y FROM e0
+          )
+        ),
+        adj AS MATERIALIZED (
+          SELECT x, y,
+                 CAST(row_number() OVER (PARTITION BY x ORDER BY y) - 1
+                      AS BIGINT) AS rnk
+          FROM und
+        ),
+        degs AS MATERIALIZED (
+          SELECT x, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY x
+        ),
+        w0 AS (SELECT x AS seed, x AS node FROM degs)"""
+    ]
+    for s in range(1, int(length) + 1):
+        parts.append(
+            f""", w{s} AS MATERIALIZED (
+          SELECT w.seed, adj.y AS node
+          FROM w{s-1} w
+          JOIN degs ON degs.x = w.node
+          JOIN adj ON adj.x = w.node
+           AND adj.rnk = ((w.seed % {M}) * 48271
+                          + (w.node % {M}) * 69621
+                          + {s * 8191}) % degs.deg
+        )"""
+        )
+    union = "\n          UNION ALL\n          ".join(
+        f"SELECT seed, CAST({s} AS INT) AS step, node FROM w{s}"
+        for s in range(int(length) + 1)
+    )
+    return "".join(parts) + f"""
+        {union}"""
+
+
 def temporal_reach(
     edges: DataFrame,
     source: int,

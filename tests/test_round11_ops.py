@@ -836,3 +836,113 @@ def test_kn_perplexity_brute_force(spark, tmp_path):
             r.ppl
             - math.exp(r.nll_units / (r.n_bigrams * 1e9))
         ) < 1e-9
+
+
+# ----------------------- deterministic random walks + ALS (round 12)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(10, 19)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**PROP)
+def test_random_walks_vs_python(spark, edges):
+    """Engine walks == python replica of the same mixed-hash neighbor
+    selection on arbitrary small bipartite graphs."""
+    from openseize_spark.llm import dedup
+
+    M = 2147483647
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {u: sorted(vs) for u, vs in adj.items()}
+    want = set()
+    for seed in adj:
+        cur = seed
+        want.add((seed, 0, seed))
+        for s in range(1, 5):
+            h = (seed % M) * 48271 + (cur % M) * 69621 + s * 8191
+            cur = adj[cur][h % len(adj[cur])]
+            want.add((seed, s, cur))
+
+    edf = spark.createDataFrame(edges, "a bigint, b bigint")
+    got = {
+        (r.seed, r.step, r.node)
+        for r in dedup.random_walks(edf, length=4).collect()
+    }
+    assert got == want
+
+
+def test_als_user_step_brute_force(spark, tmp_path):
+    """als_user_step == python closed-form 2x2 ridge solve from the
+    same exact integer moments."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as entry
+
+    li = [
+        (1, 101, 5.0), (1, 102, 3.0), (1, 101, 2.0),
+        (2, 103, 7.0), (2, 104, 1.0),
+        (3, 105, 4.0),
+    ]
+    li_rows = [
+        (ok, pk, 1, j, qty, 1.0, 0.0, 0.0, "N", "O",
+         __import__("datetime").datetime(2024, 1, 1))
+        for j, (ok, pk, qty) in enumerate(
+            [(a, b, c) for a, b, c in li], start=1
+        )
+    ]
+    orders = [(1, 11), (2, 12), (3, 12)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(ok, ck, "O", 1.0, __import__("datetime").datetime(2024, 1, 1),
+          "1-URGENT", "c", 0, "x") for ok, ck in orders],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string, o_clerk string, o_shippriority int,"
+        " o_comment string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+
+    # python: ratings grouped by (custkey, partkey)
+    rat: dict = {}
+    ok2ck = dict(orders)
+    for ok, pk, qty in li:
+        key = (ok2ck[ok], pk)
+        rat[key] = rat.get(key, 0.0) + qty
+    want = {}
+    moms: dict = {}
+    for (u, i), rv in rat.items():
+        r = round(rv)
+        q1 = (i * 73) % 97 - 48
+        q2 = (i * 151) % 101 - 50
+        m = moms.setdefault(u, [0, 0, 0, 0, 0, 0])
+        m[0] += 1
+        m[1] += q1 * q1
+        m[2] += q1 * q2
+        m[3] += q2 * q2
+        m[4] += q1 * r
+        m[5] += q2 * r
+    for u, (n, a11, a12, a22, b1, b2) in moms.items():
+        det = float((a11 + 1000) * (a22 + 1000) - a12 * a12)
+        want[u] = (
+            n,
+            float((a22 + 1000) * b1 - a12 * b2) / det,
+            float((a11 + 1000) * b2 - a12 * b1) / det,
+        )
+    got = {
+        r.u: (r.n_items, r.x1, r.x2)
+        for r in entry.queries()["als_user_step"](spark, d).collect()
+    }
+    assert got == want
