@@ -11571,6 +11571,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["als_user_step"] = q_als_user_step
 
+    def q_cusum_by_type(spark, sf_dir):
+        """Exact one-sided CUSUM change detection (Page 1954) per
+        event type: S_t = max(0, S_{t-1} + (x_t - mean)), computed in
+        CLOSED FORM as P_t - min(0, running_min(P)) where P is the
+        prefix sum of deviations — the prefix-reset identity, so the
+        sequential recurrence becomes two stacked windows over one
+        type-keyed exchange.  Deviations scale by n (dev = n*x_cents -
+        sum_cents) to stay exact integers with no float mean; sums run
+        as DECIMAL(38,0)/HUGEINT.  Returns per type the peak scaled
+        CUSUM, the first event attaining it (earliest (ts, event_id)),
+        and the count of above-zero rows — the change-point report.
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        base = e.select(
+            "event_id", "ts", "event_type", cents.alias("_c")
+        )
+        tot = base.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.col("_c").cast(dec)).alias("_sv"),
+        )
+        w = W.partitionBy("event_type").orderBy("ts", "event_id")
+        d = (
+            base.join(F.broadcast(tot), on="event_type")
+            .select(
+                "event_type",
+                "event_id",
+                "ts",
+                (
+                    (F.col("_c").cast(dec) * F.col("_n")).cast(dec)
+                    - F.col("_sv")
+                ).alias("_dev"),
+            )
+            .withColumn("_p", F.sum("_dev").over(w).cast(dec))
+        )
+        wmin = W.partitionBy("event_type").orderBy("ts", "event_id")
+        s = d.withColumn(
+            "_s",
+            (
+                F.col("_p")
+                - F.least(F.lit(0).cast(dec), F.min("_p").over(wmin))
+            ).cast(dec),
+        )
+        peak = s.groupBy("event_type").agg(
+            F.max("_s").alias("peak_s"),
+            F.sum(
+                F.when(F.col("_s") > 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_above"),
+        )
+        first = (
+            s.join(F.broadcast(peak), on="event_type")
+            .filter(F.col("_s") == F.col("peak_s"))
+            .groupBy("event_type")
+            .agg(
+                F.min(F.struct("ts", "event_id")).alias("_f"),
+            )
+            .select(
+                "event_type", F.col("_f.event_id").alias("peak_event_id")
+            )
+        )
+        return (
+            peak.join(first, on="event_type")
+            .select("event_type", "peak_s", "peak_event_id", "n_above")
+        )
+
+    q["cusum_by_type"] = q_cusum_by_type
+
     return _gate_order(q)
 
 
@@ -17675,6 +17744,49 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_apply"] = llm_text.bpe_train_encode_oracle_sql(rounds=3)
 
     o["kn_perplexity"] = llm_text.kn_perplexity_oracle_sql(discount=0.75)
+
+    o["cusum_by_type"] = """
+        WITH base AS (
+          SELECT event_id, ts, event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), tot AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(c AS HUGEINT)) AS sv
+          FROM base GROUP BY 1
+        ), d AS (
+          SELECT b.event_type, b.event_id, b.ts,
+                 CAST(b.c AS HUGEINT) * t.n - t.sv AS dev
+          FROM base b JOIN tot t USING (event_type)
+        ), p AS (
+          SELECT *, sum(dev) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS pp
+          FROM d
+        ), s AS (
+          SELECT *,
+                 pp - least(CAST(0 AS HUGEINT),
+                            min(pp) OVER (PARTITION BY event_type
+                                          ORDER BY ts, event_id)) AS ss
+          FROM p
+        ), peak AS (
+          SELECT event_type,
+                 CAST(max(ss) AS DECIMAL(38,0)) AS peak_s,
+                 CAST(sum(CASE WHEN ss > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_above
+          FROM s GROUP BY 1
+        ), first AS (
+          SELECT event_type, event_id AS peak_event_id FROM (
+            SELECT s.event_type, s.event_id,
+                   row_number() OVER (PARTITION BY s.event_type
+                                      ORDER BY s.ts, s.event_id) AS rn
+            FROM s JOIN peak USING (event_type)
+            WHERE CAST(s.ss AS DECIMAL(38,0)) = peak.peak_s
+          ) WHERE rn = 1
+        )
+        SELECT peak.event_type, peak.peak_s, first.peak_event_id,
+               peak.n_above
+        FROM peak JOIN first USING (event_type)
+    """
 
     o["random_walks"] = _dedup.random_walks_oracle_sql(
         edges_cte="""

@@ -946,3 +946,52 @@ def test_als_user_step_brute_force(spark, tmp_path):
         for r in entry.queries()["als_user_step"](spark, d).collect()
     }
     assert got == want
+
+
+# --------------------------- CUSUM closed-form identity (round 12)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-50, 50), min_size=1, max_size=30
+    ),
+)
+@settings(**PROP)
+def test_cusum_by_type_vs_recurrence(spark, tmp_path_factory, vals):
+    """The two-window closed form == the sequential CUSUM recurrence
+    S_t = max(0, S_{t-1} + dev_t) on arbitrary integer series."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    n = len(vals)
+    cents = [v * 100 for v in vals]
+    sv = sum(cents)
+    devs = [c * n - sv for c in cents]
+    s, peak, n_above = 0, 0, 0
+    peak_idx = 0
+    for i, d in enumerate(devs):
+        s = max(0, s + d)
+        if s > 0:
+            n_above += 1
+        if s > peak:
+            peak, peak_idx = s, i
+    want = (peak, peak_idx + 1, n_above)  # event_id = i+1
+
+    rows = [
+        (i + 1, datetime.datetime(2024, 1, 1)
+         + datetime.timedelta(minutes=i), 1, "t", float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path_factory.mktemp("cusum"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = [
+        (int(r.peak_s), r.peak_event_id, r.n_above)
+        for r in entry.queries()["cusum_by_type"](spark, d).collect()
+    ]
+    assert got == [want]
