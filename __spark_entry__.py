@@ -11936,8 +11936,9 @@ _GATE_PRIORITY = _GATE_PRIORITY_R12
 # match, 13/13 shuffle-invariant; never driver-checked), then the
 # remaining r04 freshness cohort (25) and the head of the r06 cohort
 # (13), in tools/freshness_queue.py order.  12 + 25 + 13 = 50.  After
-# this window lands, no driver evidence is older than r06.  The two
-# round-12-session registrations (betweenness_contrib, bpe_apply) are
+# this window lands, no driver evidence is older than r06.  The six
+# round-12-session registrations (betweenness_contrib, bpe_apply,
+# kn_perplexity, random_walks, als_user_step, cusum_by_type) are
 # round-14 window material and sit below this list in the queue.
 _GATE_PRIORITY_R13 = [
     # 12 round-11-session conversions (registered round 11, never
