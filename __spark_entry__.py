@@ -11589,7 +11589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cents = F.round(F.col("value") * 100).cast("bigint")
         base = e.select(
             "event_id", "ts", "event_type", cents.alias("_c")
-        )
+        ).localCheckpoint(eager=False)  # two consumers: tot + d
         tot = base.groupBy("event_type").agg(
             F.count("*").cast("bigint").alias("_n"),
             F.sum(F.col("_c").cast(dec)).alias("_sv"),
@@ -11615,7 +11615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("_p")
                 - F.least(F.lit(0).cast(dec), F.min("_p").over(wmin))
             ).cast(dec),
-        )
+        ).localCheckpoint(eager=False)  # two consumers: peak + join-back
         peak = s.groupBy("event_type").agg(
             F.max("_s").alias("peak_s"),
             F.sum(
@@ -17747,7 +17747,7 @@ def oracle_sql() -> dict[str, str]:
     o["kn_perplexity"] = llm_text.kn_perplexity_oracle_sql(discount=0.75)
 
     o["cusum_by_type"] = """
-        WITH base AS (
+        WITH base AS MATERIALIZED (
           SELECT event_id, ts, event_type,
                  CAST(round(value * 100) AS BIGINT) AS c
           FROM events WHERE value IS NOT NULL
@@ -17763,7 +17763,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, sum(dev) OVER (PARTITION BY event_type
                                    ORDER BY ts, event_id) AS pp
           FROM d
-        ), s AS (
+        ), s AS MATERIALIZED (
           SELECT *,
                  pp - least(CAST(0 AS HUGEINT),
                             min(pp) OVER (PARTITION BY event_type
