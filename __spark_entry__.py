@@ -11640,6 +11640,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cusum_by_type"] = q_cusum_by_type
 
+    def q_did_by_type(spark, sf_dir):
+        """Difference-in-differences estimator (Card & Krueger 1994
+        design) per event type: treatment = even user_id
+        (deterministic), period split at the exact midpoint of the
+        observed time range via the subtraction form (ts - t0) <
+        (t1 - ts) — no doubling, no overflow, and scale-invariant so
+        the engine's bigint-nanos comparison and the oracle's
+        native-timestamp interval comparison decide identically.
+        Cell moments (n, sum_cents) are exact integers; the four cell
+        means and DiD = (T_post - T_pre) - (C_post - C_pre) are one
+        mirrored float chain per output row, each mean guarded by
+        nullif(n, 0).  The panel-causal complement to stratified_ate
+        (cross-sectional matching) and cuped_adjust (variance
+        reduction).  Registered after the round-12/13 windows;
+        round-14 window material."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        dec = "decimal(38,0)"
+        rng = e.agg(
+            F.min("ts").alias("_t0"), F.max("ts").alias("_t1")
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        base = e.crossJoin(F.broadcast(rng)).select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("_treat"),
+            (
+                (F.col("ts") - F.col("_t0"))
+                < (F.col("_t1") - F.col("ts"))
+            ).alias("_pre"),
+            cents.alias("_c"),
+        )
+        cell = lambda t, p: (  # noqa: E731 — paired conditional aggs
+            F.sum(
+                F.when(
+                    (F.col("_treat") == t) & (F.col("_pre") == p),
+                    F.col("_c"),
+                ).otherwise(0).cast(dec)
+            ),
+            F.sum(
+                F.when(
+                    (F.col("_treat") == t) & (F.col("_pre") == p), 1
+                ).otherwise(0).cast("bigint")
+            ),
+        )
+        stp, ntp = cell(True, False)
+        stq, ntq = cell(True, True)
+        scp, ncp = cell(False, False)
+        scq, ncq = cell(False, True)
+        agg = base.groupBy("event_type").agg(
+            stp.alias("_stp"), ntp.alias("n_t_post"),
+            stq.alias("_stq"), ntq.alias("n_t_pre"),
+            scp.alias("_scp"), ncp.alias("n_c_post"),
+            scq.alias("_scq"), ncq.alias("n_c_pre"),
+        )
+        mean = lambda s, n: (  # noqa: E731
+            F.col(s).cast("double")
+            / F.nullif(F.col(n), F.lit(0)).cast("double")
+        )
+        did = (
+            mean("_stp", "n_t_post") - mean("_stq", "n_t_pre")
+        ) - (mean("_scp", "n_c_post") - mean("_scq", "n_c_pre"))
+        return agg.select(
+            "event_type",
+            "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+            did.alias("did_cents"),
+        )
+
+    q["did_by_type"] = q_did_by_type
+
     return _gate_order(q)
 
 
@@ -17787,6 +17857,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT peak.event_type, peak.peak_s, first.peak_event_id,
                peak.n_above
         FROM peak JOIN first USING (event_type)
+    """
+
+    o["did_by_type"] = """
+        WITH rng AS (
+          SELECT min(ts) AS t0, max(ts) AS t1
+          FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), base AS (
+          SELECT event_type,
+                 (user_id % 2 = 0) AS treat,
+                 ((ts - t0) < (t1 - ts)) AS pre,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events, rng
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), agg AS (
+          SELECT event_type,
+                 sum(CASE WHEN treat AND NOT pre
+                          THEN CAST(c AS HUGEINT) ELSE 0 END) AS stp,
+                 CAST(sum(CASE WHEN treat AND NOT pre THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t_post,
+                 sum(CASE WHEN treat AND pre
+                          THEN CAST(c AS HUGEINT) ELSE 0 END) AS stq,
+                 CAST(sum(CASE WHEN treat AND pre THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t_pre,
+                 sum(CASE WHEN NOT treat AND NOT pre
+                          THEN CAST(c AS HUGEINT) ELSE 0 END) AS scp,
+                 CAST(sum(CASE WHEN NOT treat AND NOT pre THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c_post,
+                 sum(CASE WHEN NOT treat AND pre
+                          THEN CAST(c AS HUGEINT) ELSE 0 END) AS scq,
+                 CAST(sum(CASE WHEN NOT treat AND pre THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c_pre
+          FROM base GROUP BY 1
+        )
+        SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+               (CAST(stp AS DOUBLE) / CAST(nullif(n_t_post, 0) AS DOUBLE)
+                - CAST(stq AS DOUBLE) / CAST(nullif(n_t_pre, 0) AS DOUBLE))
+               - (CAST(scp AS DOUBLE) / CAST(nullif(n_c_post, 0) AS DOUBLE)
+                  - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
+                 AS did_cents
+        FROM agg
     """
 
     o["random_walks"] = _dedup.random_walks_oracle_sql(

@@ -995,3 +995,58 @@ def test_cusum_by_type_vs_recurrence(spark, tmp_path_factory, vals):
         for r in entry.queries()["cusum_by_type"](spark, d).collect()
     ]
     assert got == [want]
+
+
+# ----------------------- difference-in-differences (round 12)
+
+
+def test_did_by_type_brute_force(spark, tmp_path):
+    """DiD cells and estimate == python replay on a pinned panel with
+    a known treatment effect."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = []
+    eid = 0
+    # 4 users (2 treated: even ids), 10 ticks; treatment adds +7.0
+    # post-midpoint to treated users; base trend +0.5/tick for all
+    for u in range(4):
+        for t in range(10):
+            v = 10.0 + 0.5 * t
+            if u % 2 == 0 and t >= 5:
+                v += 7.0
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1)
+                 + datetime.timedelta(hours=t), u, "t", v, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    # python replay: pre = (ts - t0) < (t1 - ts); ticks 0..9, t0=0,
+    # t1=9h -> pre iff t < 4.5 -> t in 0..4
+    cells: dict = {}
+    for (_e, ts, u, _ty, v, _p) in rows:
+        t = (ts - datetime.datetime(2024, 1, 1)).total_seconds() / 3600
+        pre = t < 4.5
+        key = (u % 2 == 0, pre)
+        s, n = cells.get(key, (0, 0))
+        cells[key] = (s + round(v * 100), n + 1)
+    m = {k: s / n for k, (s, n) in cells.items()}
+    want_did = (m[(True, False)] - m[(True, True)]) - (
+        m[(False, False)] - m[(False, True)]
+    )
+    r = entry.queries()["did_by_type"](spark, d).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row.n_t_pre, row.n_t_post, row.n_c_pre, row.n_c_post) == (
+        10, 10, 10, 10,
+    )
+    assert row.did_cents == want_did
+    assert abs(row.did_cents - 700.0) < 1e-9  # the planted +7.00 effect
