@@ -11710,6 +11710,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["did_by_type"] = q_did_by_type
 
+    def q_ipw_ate(spark, sf_dir):
+        """Inverse-propensity-weighted ATE (Horvitz-Thompson form)
+        with the propensity estimated per stratum from the data
+        itself: treatment = even user_id, stratum = event_type,
+        e(s) = n_t(s)/n(s), so the per-stratum IPW contribution
+        collapses to the exact rational S_t(s)*n(s)/n_t(s) -
+        S_c(s)*n(s)/n_c(s).  Each stratum term is two IEEE
+        divisions/products on exact integer moments, quantized to
+        integer micro-cent units (round) so any cross-stratum
+        aggregation downstream is order-invariant — the house
+        quantize-before-sum style.  Strata with a missing arm report
+        NULL (nullif guard), mirroring did_by_type.  Completes the
+        causal family: stratified_ate (matching), did_by_type
+        (panel), ipw_ate (weighting).  Registered after the
+        round-12/13 windows; round-14 window material."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("user_id").isNotNull()
+        )
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        base = e.select(
+            "event_type",
+            (F.col("user_id") % 2 == 0).alias("_treat"),
+            cents.alias("_c"),
+        )
+        agg = base.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("_treat"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_t"),
+            F.sum(
+                F.when(F.col("_treat"), F.col("_c")).otherwise(0).cast(dec)
+            ).alias("_st"),
+            F.sum(
+                F.when(~F.col("_treat"), F.col("_c")).otherwise(0).cast(dec)
+            ).alias("_sc"),
+        )
+        n_c = F.col("n") - F.col("n_t")
+        term = (
+            F.col("_st").cast("double")
+            * F.col("n").cast("double")
+            / F.nullif(F.col("n_t"), F.lit(0)).cast("double")
+            - F.col("_sc").cast("double")
+            * F.col("n").cast("double")
+            / F.nullif(n_c, F.lit(0)).cast("double")
+        )
+        per_stratum = agg.select(
+            "n",
+            F.round(term).cast(dec).alias("_u"),  # cents*count units
+        )
+        return per_stratum.agg(
+            F.sum("n").cast("bigint").alias("n_total"),
+            F.sum("_u").cast(dec).alias("ate_num_units"),
+            (
+                F.sum("_u").cast("double")
+                / F.sum("n").cast("double")
+            ).alias("ate_cents"),
+        )
+
+    q["ipw_ate"] = q_ipw_ate
+
     return _gate_order(q)
 
 
@@ -17897,6 +17958,39 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["ipw_ate"] = """
+        WITH base AS (
+          SELECT event_type,
+                 (user_id % 2 = 0) AS treat,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+          WHERE value IS NOT NULL AND user_id IS NOT NULL
+        ), agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 sum(CASE WHEN treat THEN CAST(c AS HUGEINT)
+                          ELSE 0 END) AS st,
+                 sum(CASE WHEN NOT treat THEN CAST(c AS HUGEINT)
+                          ELSE 0 END) AS sc
+          FROM base GROUP BY 1
+        ), per AS (
+          SELECT n,
+                 CAST(round(
+                   CAST(st AS DOUBLE) * CAST(n AS DOUBLE)
+                     / CAST(nullif(n_t, 0) AS DOUBLE)
+                   - CAST(sc AS DOUBLE) * CAST(n AS DOUBLE)
+                     / CAST(nullif(n - n_t, 0) AS DOUBLE)
+                 ) AS HUGEINT) AS u
+          FROM agg
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(u) AS DECIMAL(38,0)) AS ate_num_units,
+               CAST(sum(u) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+                 AS ate_cents
+        FROM per
     """
 
     o["random_walks"] = _dedup.random_walks_oracle_sql(

@@ -1050,3 +1050,52 @@ def test_did_by_type_brute_force(spark, tmp_path):
     )
     assert row.did_cents == want_did
     assert abs(row.did_cents - 700.0) < 1e-9  # the planted +7.00 effect
+
+
+def test_ipw_ate_brute_force(spark, tmp_path):
+    """IPW/HT global estimate == python replay with per-stratum
+    saturated propensity, including the quantization step."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    rows = []
+    eid = 0
+    # two strata with DIFFERENT treatment shares (so IPW != naive
+    # mean diff): stratum A 3t/1c, stratum B 1t/3c; effect +5.00 in A,
+    # +1.00 in B over a base of 10.00
+    spec = {
+        "A": [(True, 15.0)] * 3 + [(False, 10.0)],
+        "B": [(True, 11.0)] + [(False, 10.0)] * 3,
+    }
+    cells: dict = {}
+    for ty, arms in spec.items():
+        for treat, v in arms:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 0 if treat else 1,
+                 ty, v, "{}")
+            )
+            eid += 1
+            s, nt, sc, n = cells.get(ty, (0, 0, 0, 0))
+            cells[ty] = (
+                s + (round(v * 100) if treat else 0),
+                nt + (1 if treat else 0),
+                sc + (0 if treat else round(v * 100)),
+                n + 1,
+            )
+    u_sum, n_sum = 0, 0
+    for ty, (st, nt, sc, n) in cells.items():
+        u = round(st * n / nt - sc * n / (n - nt))
+        u_sum += u
+        n_sum += n
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    r = entry.queries()["ipw_ate"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].n_total, int(r[0].ate_num_units)) == (n_sum, u_sum)
+    assert abs(r[0].ate_cents - u_sum / n_sum) < 1e-9
