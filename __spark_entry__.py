@@ -11771,6 +11771,121 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ipw_ate"] = q_ipw_ate
 
+    def q_logrank_test(spark, sf_dir):
+        """Two-sample log-rank test (Mantel-Haenszel) on the
+        kaplan_meier setting — time-to-first-big-purchase, day-level,
+        censoring only at the window end — comparing even- vs
+        odd-user_id cohorts: per death day, observed group-1 deaths
+        O1_t vs the hypergeometric expectation E1_t = d*n1/n and
+        variance V_t = d*(n1/n)*(1-n1/n)*(n-d)/(n-1); the statistic is
+        Z = (O1 - E1)/sqrt(V).  Per-day E and V are one mirrored IEEE
+        chain each, quantized to integer nano-units (round) so the
+        cross-day sums are exact integers; O1 and the risk sets are
+        pure int64 (risk set = cohort size minus prior deaths, via the
+        same <= 31-row broadcast inequality join as kaplan_meier — no
+        single-partition window).  Z is a final float chain on exact
+        integer sums.  n=1 days nullif-guard V (absent at any gate
+        scale).  Registered after the round-12/13 windows; round-14
+        window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        fe = (
+            e.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            )
+            .groupBy("user_id")
+            .agg(F.min(day).alias("day"))
+            .select(
+                "day", (F.col("user_id") % 2 == 0).alias("_g")
+            )
+        )
+        dg = (
+            fe.groupBy("day", "_g")
+            .agg(F.count("*").cast("bigint").alias("_dd"))
+            .localCheckpoint(eager=False)  # two consumers: dd + prior join
+        )
+        dd = (
+            dg.groupBy("day")
+            .agg(
+                F.sum("_dd").cast("bigint").alias("_d"),
+                F.sum(F.when(F.col("_g"), F.col("_dd")).otherwise(0))
+                .cast("bigint")
+                .alias("_d1"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ns = (
+            e.select("user_id")
+            .distinct()
+            .agg(
+                F.count("*").cast("bigint").alias("_N"),
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("_N1"),
+            )
+        )
+        b = dg.select(
+            F.col("day").alias("_bday"),
+            F.col("_g").alias("_bg"),
+            F.col("_dd").alias("_bdd"),
+        )
+        w = (
+            dd.join(F.broadcast(b), F.col("_bday") < F.col("day"), "left")
+            .groupBy("day", "_d", "_d1")
+            .agg(
+                F.coalesce(F.sum("_bdd"), F.lit(0))
+                .cast("bigint")
+                .alias("_prior"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_bg"), F.col("_bdd")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("_prior1"),
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "day",
+                "_d",
+                "_d1",
+                (F.col("_N") - F.col("_prior")).alias("_n"),
+                (F.col("_N1") - F.col("_prior1")).alias("_n1"),
+            )
+        )
+        frac = F.col("_n1").cast("double") / F.col("_n").cast("double")
+        e1u = F.round(
+            F.col("_d").cast("double") * frac * F.lit(1e9)
+        ).cast("bigint")
+        vu = F.round(
+            F.col("_d").cast("double")
+            * frac
+            * (F.lit(1.0) - frac)
+            * (
+                (F.col("_n") - F.col("_d")).cast("double")
+                / F.nullif(F.col("_n") - 1, F.lit(0)).cast("double")
+            )
+            * F.lit(1e9)
+        ).cast("bigint")
+        agg = w.agg(
+            F.sum("_d1").cast("bigint").alias("o1"),
+            F.sum(e1u).cast("bigint").alias("e1_units"),
+            F.sum(vu).cast("bigint").alias("v_units"),
+        )
+        z = (
+            F.col("o1").cast("double")
+            - F.col("e1_units").cast("double") / F.lit(1e9)
+        ) / F.sqrt(F.col("v_units").cast("double") / F.lit(1e9))
+        return agg.select("o1", "e1_units", "v_units", z.alias("z"))
+
+    q["logrank_test"] = q_logrank_test
+
     return _gate_order(q)
 
 
@@ -17958,6 +18073,64 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["logrank_test"] = """
+        WITH fe AS (
+          SELECT user_id,
+                 min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     + 1) AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            AND value > 200
+          GROUP BY user_id
+        ), fe2 AS (
+          SELECT day, (user_id % 2 = 0) AS g FROM fe
+        ), dg AS MATERIALIZED (
+          SELECT day, g, CAST(count(*) AS BIGINT) AS dd
+          FROM fe2 GROUP BY 1, 2
+        ), dd AS MATERIALIZED (
+          SELECT day, CAST(sum(dd) AS BIGINT) AS d,
+                 CAST(sum(CASE WHEN g THEN dd ELSE 0 END) AS BIGINT) AS d1
+          FROM dg GROUP BY 1
+        ), ns AS (
+          SELECT CAST(count(*) AS BIGINT) AS N,
+                 CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS N1
+          FROM (SELECT DISTINCT user_id FROM events
+                WHERE user_id IS NOT NULL)
+        ), pri AS (
+          SELECT dd.day,
+                 CAST(coalesce(sum(b.dd), 0) AS BIGINT) AS prior,
+                 CAST(coalesce(sum(CASE WHEN b.g THEN b.dd ELSE 0 END), 0)
+                      AS BIGINT) AS prior1
+          FROM dd LEFT JOIN dg b ON b.day < dd.day
+          GROUP BY dd.day
+        ), w AS (
+          SELECT dd.day, dd.d, dd.d1,
+                 ns.N - pri.prior AS n,
+                 ns.N1 - pri.prior1 AS n1
+          FROM dd JOIN pri USING (day) CROSS JOIN ns
+        ), u AS (
+          SELECT d1,
+                 CAST(round(CAST(d AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * 1e9) AS BIGINT) AS e1u,
+                 CAST(round(CAST(d AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(n - d AS DOUBLE)
+                           / CAST(nullif(n - 1, 0) AS DOUBLE))
+                        * 1e9) AS BIGINT) AS vu
+          FROM w
+        )
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(e1u) AS BIGINT) AS e1_units,
+               CAST(sum(vu) AS BIGINT) AS v_units,
+               (CAST(sum(d1) AS DOUBLE)
+                - CAST(sum(e1u) AS DOUBLE) / 1e9)
+               / sqrt(CAST(sum(vu) AS DOUBLE) / 1e9) AS z
+        FROM u
     """
 
     o["ipw_ate"] = """

@@ -1099,3 +1099,61 @@ def test_ipw_ate_brute_force(spark, tmp_path):
     assert len(r) == 1
     assert (r[0].n_total, int(r[0].ate_num_units)) == (n_sum, u_sum)
     assert abs(r[0].ate_cents - u_sum / n_sum) < 1e-9
+
+
+def test_logrank_test_brute_force(spark, tmp_path):
+    """Log-rank O/E/V and Z == python replay (textbook Mantel-
+    Haenszel over day-level risk sets with end-of-window censoring)."""
+    import datetime
+    import math
+    import os
+
+    import __spark_entry__ as entry
+
+    # 8 users; even ids (group 1) convert earlier on average
+    # (user, first-big-purchase day or None)
+    plan = {0: 1, 2: 1, 4: 3, 6: None, 1: 3, 3: 5, 5: None, 7: None}
+    rows, eid = [], 0
+    for u, d0 in plan.items():
+        # every user has a day-1 view event so all 8 are in the risk set
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1, 6), u, "view", 10.0, "{}")
+        )
+        eid += 1
+        if d0 is not None:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d0, 12), u, "purchase",
+                 250.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    # python replay
+    deaths: dict = {}
+    for u, d0 in plan.items():
+        if d0 is not None:
+            deaths.setdefault(d0, []).append(u)
+    N, N1 = 8, 4
+    o1 = e1u = vu = 0
+    prior = prior1 = 0
+    for day in sorted(deaths):
+        ds = deaths[day]
+        dt, d1t = len(ds), sum(1 for u in ds if u % 2 == 0)
+        n, n1 = N - prior, N1 - prior1
+        frac = n1 / n
+        e1u += round(dt * frac * 1e9)
+        vu += round(dt * frac * (1.0 - frac) * ((n - dt) / (n - 1)) * 1e9)
+        o1 += d1t
+        prior += dt
+        prior1 += d1t
+    want_z = (o1 - e1u / 1e9) / math.sqrt(vu / 1e9)
+
+    r = entry.queries()["logrank_test"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].o1, r[0].e1_units, r[0].v_units) == (o1, e1u, vu)
+    assert abs(r[0].z - want_z) < 1e-12
