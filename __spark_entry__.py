@@ -11886,6 +11886,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["logrank_test"] = q_logrank_test
 
+    def q_assoc_rules(spark, sf_dir):
+        """Association RULES over the apriori basket setting (Agrawal
+        & Srikant 1994, the rule-generation phase apriori_triples
+        stops short of): for every frequent brand pair (L1-pruned,
+        support >= 180 bp of orders), emit both directed rules
+        ante -> cons with confidence = supp(pair)/supp(ante) and
+        lift = confidence * n / supp(cons).  Supports and thresholds
+        are exact integer basis-point arithmetic; confidence and lift
+        are mirrored IEEE chains quantized to integer nano-units —
+        order-invariant and rankable without float compares.
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        li = _t(spark, sf_dir, "lineitem")
+        pt = _t(spark, sf_dir, "part")
+        ob = (
+            li.join(pt, li.l_partkey == pt.p_partkey)
+            .select(
+                F.col("l_orderkey").alias("o"),
+                F.col("p_brand").alias("b"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n = ob.select("o").distinct().agg(
+            F.count("*").cast("bigint").alias("_n")
+        )
+        s1 = ob.groupBy("b").agg(
+            F.count("*").cast("bigint").alias("_c")
+        ).localCheckpoint(eager=False)  # L1 + two rule-side joins
+        l1 = (
+            s1.crossJoin(F.broadcast(n))
+            .filter(F.col("_c") * 10000 >= 1000 * F.col("_n"))
+            .select("b")
+        )
+        ob1 = ob.join(F.broadcast(l1), on="b").select("o", "b")
+        ob1 = ob1.localCheckpoint(eager=False)
+        p2 = (
+            ob1.select("o", F.col("b").alias("b1"))
+            .join(ob1.select("o", F.col("b").alias("b2")), on="o")
+            .filter(F.col("b1") < F.col("b2"))
+            .groupBy("b1", "b2")
+            .agg(F.count("*").cast("bigint").alias("_cp"))
+        )
+        f2 = p2.crossJoin(F.broadcast(n)).filter(
+            F.col("_cp") * 10000 >= 180 * F.col("_n")
+        )
+        rules = f2.select(
+            F.col("b1").alias("ante"), F.col("b2").alias("cons"),
+            "_cp", "_n",
+        ).unionByName(
+            f2.select(
+                F.col("b2").alias("ante"), F.col("b1").alias("cons"),
+                "_cp", "_n",
+            )
+        )
+        ca = s1.select(F.col("b").alias("ante"), F.col("_c").alias("_ca"))
+        cc = s1.select(F.col("b").alias("cons"), F.col("_c").alias("_cc"))
+        conf = F.col("_cp").cast("double") / F.col("_ca").cast("double")
+        lift = (
+            conf * F.col("_n").cast("double") / F.col("_cc").cast("double")
+        )
+        return (
+            rules.join(F.broadcast(ca), on="ante")
+            .join(F.broadcast(cc), on="cons")
+            .select(
+                "ante",
+                "cons",
+                F.col("_cp").alias("support"),
+                F.round(conf * F.lit(1e9)).cast("bigint").alias("conf_units"),
+                F.round(lift * F.lit(1e9)).cast("bigint").alias("lift_units"),
+            )
+        )
+
+    q["assoc_rules"] = q_assoc_rules
+
     return _gate_order(q)
 
 
@@ -18073,6 +18148,41 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["assoc_rules"] = """
+        WITH ob AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), nn AS (
+          SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM ob
+        ), s1 AS MATERIALIZED (
+          SELECT b, CAST(count(*) AS BIGINT) AS c FROM ob GROUP BY b
+        ), l1 AS (
+          SELECT b FROM s1, nn WHERE c * 10000 >= 1000 * nn.n
+        ), ob1 AS MATERIALIZED (
+          SELECT o, b FROM ob WHERE b IN (SELECT b FROM l1)
+        ), p2 AS (
+          SELECT a.b AS b1, x.b AS b2, CAST(count(*) AS BIGINT) AS cp
+          FROM ob1 a JOIN ob1 x ON a.o = x.o AND a.b < x.b
+          GROUP BY 1, 2
+        ), f2 AS (
+          SELECT b1, b2, cp FROM p2, nn WHERE cp * 10000 >= 180 * nn.n
+        ), rules AS (
+          SELECT b1 AS ante, b2 AS cons, cp FROM f2
+          UNION ALL
+          SELECT b2 AS ante, b1 AS cons, cp FROM f2
+        )
+        SELECT r.ante, r.cons, r.cp AS support,
+               CAST(round((CAST(r.cp AS DOUBLE) / CAST(sa.c AS DOUBLE))
+                          * 1e9) AS BIGINT) AS conf_units,
+               CAST(round((CAST(r.cp AS DOUBLE) / CAST(sa.c AS DOUBLE))
+                          * CAST(nn.n AS DOUBLE) / CAST(sc.c AS DOUBLE)
+                          * 1e9) AS BIGINT) AS lift_units
+        FROM rules r
+        JOIN s1 sa ON sa.b = r.ante
+        JOIN s1 sc ON sc.b = r.cons
+        CROSS JOIN nn
     """
 
     o["logrank_test"] = """

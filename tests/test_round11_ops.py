@@ -1157,3 +1157,64 @@ def test_logrank_test_brute_force(spark, tmp_path):
     assert len(r) == 1
     assert (r[0].o1, r[0].e1_units, r[0].v_units) == (o1, e1u, vu)
     assert abs(r[0].z - want_z) < 1e-12
+
+
+def test_assoc_rules_brute_force(spark, tmp_path):
+    """Rule confidence/lift == brute-force python replay with the
+    same thresholds and quantization."""
+    import itertools as it
+    import os
+
+    import __spark_entry__ as entry
+
+    baskets = {}
+    for o in range(40):
+        bs = {f"B{o % 3}", f"B{(o // 2) % 4}"}
+        if o % 2 == 0:
+            bs.add("B7")
+        baskets[o] = bs
+    li, pt, pk = [], [], 0
+    for o, bs in baskets.items():
+        for b in sorted(bs):
+            li.append((o, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None))
+            pt.append((pk, f"p{pk}", b, "T", 1, 1.0))
+            pk += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        li,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(d + "/lineitem.parquet")
+    spark.createDataFrame(
+        pt,
+        "p_partkey bigint, p_name string, p_brand string,"
+        " p_type string, p_size int, p_retailprice double",
+    ).write.parquet(d + "/part.parquet")
+
+    n = len(baskets)
+    s1: dict = {}
+    for bs in baskets.values():
+        for b in bs:
+            s1[b] = s1.get(b, 0) + 1
+    l1 = {b for b, c in s1.items() if c * 10000 >= 1000 * n}
+    s2: dict = {}
+    for bs in baskets.values():
+        for a, b in it.combinations(sorted(bs & l1), 2):
+            s2[(a, b)] = s2.get((a, b), 0) + 1
+    want = {}
+    for (a, b), cp in s2.items():
+        if cp * 10000 < 180 * n:
+            continue
+        for ante, cons in ((a, b), (b, a)):
+            conf = cp / s1[ante]
+            lift = conf * n / s1[cons]
+            want[(ante, cons)] = (
+                cp, round(conf * 1e9), round(lift * 1e9)
+            )
+    got = {
+        (r.ante, r.cons): (r.support, r.conf_units, r.lift_units)
+        for r in entry.queries()["assoc_rules"](spark, d).collect()
+    }
+    assert got == want
