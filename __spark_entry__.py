@@ -11961,6 +11961,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["assoc_rules"] = q_assoc_rules
 
+    def q_anova_f(spark, sf_dir):
+        """One-way ANOVA F statistic for event value by event type:
+        between/within sums of squares from exact integer moments
+        (n, sum-cents, sum-cents² per group as DECIMAL(38,0)/HUGEINT),
+        with each group's S²/n term rounded to integer units before
+        the cross-group sum — the quantize-before-sum discipline, so
+        the only floats are per-group chains on identical exact
+        operands and the final F ratio.  The k-sample mean-comparison
+        test next to ab_test_zscore (2-sample) and dow_type_chi2
+        (categorical).  Registered after the round-12/13 windows;
+        round-14 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        g = e.select("event_type", cents.alias("_c")).groupBy(
+            "event_type"
+        ).agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.col("_c").cast(dec)).alias("_s"),
+            F.sum((F.col("_c").cast(dec) * F.col("_c")).cast(dec)).alias(
+                "_q"
+            ),
+        )
+        ug = F.round(
+            (F.col("_s") * F.col("_s")).cast("double")
+            / F.col("_n").cast("double")
+        ).cast(dec)
+        tot = g.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("_n").cast("bigint").alias("n_total"),
+            F.sum("_s").cast(dec).alias("_st"),
+            F.sum("_q").cast(dec).alias("_qt"),
+            F.sum(ug).cast(dec).alias("_ut"),
+        )
+        grand = F.round(
+            (F.col("_st") * F.col("_st")).cast("double")
+            / F.col("n_total").cast("double")
+        ).cast(dec)
+        ssb = (F.col("_ut") - grand).cast(dec)
+        ssw = (F.col("_qt") - F.col("_ut")).cast(dec)
+        f_stat = (
+            ssb.cast("double")
+            / (F.col("k") - 1).cast("double")
+        ) / (
+            ssw.cast("double")
+            / (F.col("n_total") - F.col("k")).cast("double")
+        )
+        return tot.select(
+            "k",
+            "n_total",
+            ssb.alias("ssb_units"),
+            ssw.alias("ssw_units"),
+            f_stat.alias("f_stat"),
+        )
+
+    q["anova_f"] = q_anova_f
+
+    def q_nelson_aalen(spark, sf_dir):
+        """Nelson-Aalen cumulative hazard on the kaplan_meier setting
+        — H(t) = sum over death days <= t of d/n, each per-day hazard
+        increment quantized to integer nano-units (round) so the
+        cumulative sum is exact integer arithmetic (the quantized-ln-
+        increments discipline applied to hazards); risk sets are the
+        same exact int64 broadcast-inequality-join construction.  The
+        survival family closes as estimate (kaplan_meier) + hazard
+        (nelson_aalen) + test (logrank_test).  Registered after the
+        round-12/13 windows; round-14 window material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        day = (
+            F.datediff(
+                F.to_date(F.col("ts")), F.lit("2024-01-01").cast("date")
+            )
+            + 1
+        ).cast("bigint")
+        fe = (
+            e.filter(
+                (F.col("event_type") == "purchase") & (F.col("value") > 200)
+            )
+            .groupBy("user_id")
+            .agg(F.min(day).alias("day"))
+        )
+        d = (
+            fe.groupBy("day")
+            .agg(F.count("*").cast("bigint").alias("deaths"))
+            .localCheckpoint(eager=False)
+        )
+        ntot = e.agg(
+            F.countDistinct("user_id").cast("bigint").alias("_N")
+        )
+        b = d.select(
+            F.col("day").alias("_bday"), F.col("deaths").alias("_bdeaths")
+        )
+        w = (
+            d.join(F.broadcast(b), F.col("_bday") < F.col("day"), "left")
+            .groupBy("day", "deaths")
+            .agg(
+                F.coalesce(F.sum("_bdeaths"), F.lit(0))
+                .cast("bigint")
+                .alias("_prior")
+            )
+            .crossJoin(F.broadcast(ntot))
+            .withColumn("at_risk", F.col("_N") - F.col("_prior"))
+            .localCheckpoint(eager=False)  # two consumers of the cumsum join
+        )
+        hu = F.round(
+            F.col("_bd2").cast("double")
+            / F.col("_br2").cast("double")
+            * F.lit(1e9)
+        ).cast("bigint")
+        t2 = w.select(
+            F.col("day").alias("_bday2"),
+            F.col("deaths").alias("_bd2"),
+            F.col("at_risk").alias("_br2"),
+        )
+        return (
+            w.join(F.broadcast(t2), F.col("_bday2") <= F.col("day"))
+            .groupBy("day", "at_risk", "deaths")
+            .agg(F.sum(hu).cast("bigint").alias("h_units"))
+            .select(
+                "day",
+                "at_risk",
+                "deaths",
+                "h_units",
+                (F.col("h_units").cast("double") / F.lit(1e9)).alias(
+                    "cum_hazard"
+                ),
+            )
+        )
+
+    q["nelson_aalen"] = q_nelson_aalen
+
     return _gate_order(q)
 
 
@@ -18148,6 +18279,82 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["anova_f"] = """
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                   AS s,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS q
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), gu AS (
+          SELECT n, s, q,
+                 CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS HUGEINT) AS u
+          FROM g
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(s) AS st, sum(q) AS qt, sum(u) AS ut
+          FROM gu
+        )
+        SELECT k, n_total,
+               CAST(ut - CAST(round(CAST(st * st AS DOUBLE)
+                                    / CAST(n_total AS DOUBLE))
+                              AS HUGEINT) AS DECIMAL(38,0)) AS ssb_units,
+               CAST(qt - ut AS DECIMAL(38,0)) AS ssw_units,
+               (CAST(ut - CAST(round(CAST(st * st AS DOUBLE)
+                                     / CAST(n_total AS DOUBLE))
+                               AS HUGEINT) AS DOUBLE)
+                / CAST(k - 1 AS DOUBLE))
+               / (CAST(qt - ut AS DOUBLE)
+                  / CAST(n_total - k AS DOUBLE)) AS f_stat
+        FROM tot
+    """
+
+    o["nelson_aalen"] = """
+        WITH fe AS (
+          SELECT user_id,
+                 min(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     + 1) AS day
+          FROM events
+          WHERE user_id IS NOT NULL AND event_type = 'purchase'
+            AND value > 200
+          GROUP BY user_id
+        ), d AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS deaths FROM fe
+          GROUP BY day
+        ), ntot AS (
+          SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+          WHERE user_id IS NOT NULL
+        ), w AS (
+          SELECT day, deaths,
+                 CAST(ntot.n - coalesce(
+                   sum(deaths) OVER (
+                     ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS at_risk
+          FROM d CROSS JOIN ntot
+        ), u AS (
+          SELECT day, at_risk, deaths,
+                 CAST(round(CAST(deaths AS DOUBLE)
+                            / CAST(at_risk AS DOUBLE) * 1e9)
+                      AS BIGINT) AS hu
+          FROM w
+        )
+        SELECT CAST(day AS BIGINT) AS day, at_risk, deaths,
+               CAST(sum(hu) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS h_units,
+               CAST(sum(hu) OVER (
+                 ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 1e9 AS cum_hazard
+        FROM u
     """
 
     o["assoc_rules"] = """

@@ -1218,3 +1218,91 @@ def test_assoc_rules_brute_force(spark, tmp_path):
         for r in entry.queries()["assoc_rules"](spark, d).collect()
     }
     assert got == want
+
+
+def test_anova_f_brute_force(spark, tmp_path):
+    """ANOVA moments/F == python replay with the same quantization."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    groups = {"a": [10.0, 12.0, 11.0], "b": [20.0, 22.0], "c": [15.0] * 4}
+    rows, eid = [], 0
+    for ty, vs in groups.items():
+        for v in vs:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, ty, v, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    ut = st = qt = ntot = 0
+    k = len(groups)
+    for vs in groups.values():
+        cs = [round(v * 100) for v in vs]
+        s, n = sum(cs), len(cs)
+        ut += round(s * s / n)
+        st += s
+        qt += sum(c * c for c in cs)
+        ntot += n
+    ssb = ut - round(st * st / ntot)
+    ssw = qt - ut
+    want_f = (ssb / (k - 1)) / (ssw / (ntot - k))
+    r = entry.queries()["anova_f"](spark, d).collect()
+    assert len(r) == 1
+    assert (
+        r[0].k, r[0].n_total, int(r[0].ssb_units), int(r[0].ssw_units)
+    ) == (k, ntot, ssb, ssw)
+    assert abs(r[0].f_stat - want_f) < 1e-12
+
+
+def test_nelson_aalen_brute_force(spark, tmp_path):
+    """NA cumulative hazard == python replay (quantized increments),
+    on the logrank fixture."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    plan = {0: 1, 2: 1, 4: 3, 6: None, 1: 3, 3: 5, 5: None, 7: None}
+    rows, eid = [], 0
+    for u, d0 in plan.items():
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1, 6), u, "view", 10.0, "{}")
+        )
+        eid += 1
+        if d0 is not None:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, d0, 12), u, "purchase",
+                 250.0, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    deaths: dict = {}
+    for u, d0 in plan.items():
+        if d0 is not None:
+            deaths[d0] = deaths.get(d0, 0) + 1
+    N, prior, cum = 8, 0, 0
+    want = {}
+    for day in sorted(deaths):
+        n = N - prior
+        cum += round(deaths[day] / n * 1e9)
+        want[day] = (n, deaths[day], cum)
+        prior += deaths[day]
+    got = {
+        r.day: (r.at_risk, r.deaths, r.h_units)
+        for r in entry.queries()["nelson_aalen"](spark, d).collect()
+    }
+    assert got == want
