@@ -12092,6 +12092,180 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["nelson_aalen"] = q_nelson_aalen
 
+    def q_kruskal_binned(spark, sf_dir):
+        """Binned Kruskal-Wallis H across ALL event types — the
+        k-sample generalization of mannwhitney_binned, closing the
+        rank-test family (2-sample U, k-sample H) the way anova_f
+        closes the mean-test family.  Same 1024 fixed equi-width cent
+        bins (ranks are unbounded at scale, bins are not), doubled
+        midranks keep ties integer, each group's (2R_g)²/n_g term
+        rounds to integer units before the cross-group sum
+        (quantize-before-sum), and the tie correction
+        1 - Σ(t³-t)/(N³-N) is exact int64.  H = 3·U/(4·N(N+1)) -
+        3(N+1) adjusted for the doubled-rank scaling, then H' = H /
+        correction — floats only on exact integer operands.
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        c = (
+            e.groupBy(binc.alias("bin"), F.col("event_type"))
+            .agg(F.count("*").cast("bigint").alias("cg"))
+            .localCheckpoint(eager=False)  # totals + cumulative side
+        )
+        bt = c.groupBy("bin").agg(
+            F.sum("cg").cast("bigint").alias("_t")
+        ).localCheckpoint(eager=False)
+        b2 = bt.select(
+            F.col("bin").alias("_bb"), F.col("_t").alias("_bt")
+        )
+        cum = (
+            bt.join(F.broadcast(b2), F.col("_bb") <= F.col("bin"))
+            .groupBy("bin", "_t")
+            .agg(F.sum("_bt").cast("bigint").alias("_cum_incl"))
+        )
+        two_r = (F.col("_cum_incl") - F.col("_t")) * 2 + F.col("_t") + 1
+        ranked = c.join(
+            cum.select("bin", "_t", two_r.alias("_2r")), on="bin"
+        )
+        grp = ranked.groupBy("event_type").agg(
+            F.sum("cg").cast("bigint").alias("_ng"),
+            F.sum((F.col("cg").cast(dec) * F.col("_2r")).cast(dec)).alias(
+                "_2rg"
+            ),
+        )
+        ug = F.round(
+            (F.col("_2rg") * F.col("_2rg")).cast("double")
+            / F.col("_ng").cast("double")
+        ).cast(dec)
+        ties = bt.agg(
+            F.sum(
+                (
+                    F.col("_t").cast(dec)
+                    * F.col("_t")
+                    * F.col("_t")
+                    - F.col("_t")
+                ).cast(dec)
+            ).alias("_t3t")
+        )
+        tot = grp.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("_ng").cast("bigint").alias("n_total"),
+            F.sum(ug).cast(dec).alias("_u"),
+        ).crossJoin(F.broadcast(ties))
+        n = F.col("n_total").cast("double")
+        # H = 12/(N(N+1)) * Σ R_g²/n_g − 3(N+1); R_g = 2R_g/2 so
+        # Σ R_g²/n_g = U/4 with U = Σ (2R_g)²/n_g (quantized):
+        h = (
+            F.lit(12.0)
+            * (F.col("_u").cast("double") / F.lit(4.0))
+            / (n * (n + F.lit(1.0)))
+            - F.lit(3.0) * (n + F.lit(1.0))
+        )
+        corr = F.lit(1.0) - F.col("_t3t").cast("double") / (
+            n * n * n - n
+        )
+        return tot.select(
+            "k",
+            "n_total",
+            F.col("_u").alias("u_units"),
+            F.col("_t3t").alias("sum_t3t"),
+            h.alias("h"),
+            (h / corr).alias("h_corrected"),
+        )
+
+    q["kruskal_binned"] = q_kruskal_binned
+
+    def q_mcnemar_pairs(spark, sf_dir):
+        """McNemar paired test on per-user conversion in the first vs
+        second half of the observed window (the same overflow-free
+        subtraction-form midpoint as did_by_type): b = users
+        converting pre only, c = post only; chi2 = (b-c)²/(b+c) — the
+        paired-binary complement to ab_test_zscore's unpaired test.
+        All counts exact int64; one float division (nullif-guarded).
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+        rng = e.agg(
+            F.min("ts").alias("_t0"), F.max("ts").alias("_t1")
+        )
+        conv = F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") > 200),
+            1,
+        ).otherwise(0)
+        pre = (F.col("ts") - F.col("_t0")) < (F.col("_t1") - F.col("ts"))
+        per_user = (
+            e.crossJoin(F.broadcast(rng))
+            .groupBy("user_id")
+            .agg(
+                F.max(F.when(pre, conv).otherwise(0)).alias("_p"),
+                F.max(F.when(~pre, conv).otherwise(0)).alias("_q"),
+            )
+        )
+        agg = per_user.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(
+                F.when((F.col("_p") == 1) & (F.col("_q") == 0), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("b"),
+            F.sum(
+                F.when((F.col("_p") == 0) & (F.col("_q") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("c"),
+        )
+        chi2 = (
+            (F.col("b") - F.col("c")).cast("double")
+            * (F.col("b") - F.col("c")).cast("double")
+            / F.nullif(F.col("b") + F.col("c"), F.lit(0)).cast("double")
+        )
+        return agg.select("n_users", "b", "c", chi2.alias("chi2"))
+
+    q["mcnemar_pairs"] = q_mcnemar_pairs
+
+    def q_xcorr_lags(spark, sf_dir):
+        """Cross-correlation function between signal channels 0 and 1
+        at integer lags -32..32 — the lag-estimation primitive
+        (alignment, propagation-delay measurement) next to the
+        autocorrelation (daily_acf) and coherence queries: sxy(L) =
+        Σ_t v0(t)·v1(t+L) over the overlapping support (inner join =
+        'valid' boundary).  Each product is one IEEE multiply both
+        engines compute bit-identically, quantized to integer
+        nano-units before the per-lag sum (DECIMAL(38,0)/HUGEINT —
+        order-invariant).  The 65-lag expansion is bounded in-row
+        fan-out; the join is a single t-keyed equi-join.  Registered
+        after the round-12/13 windows; round-14 window material."""
+        sf = _signal(spark, sf_dir).df
+        dec = "decimal(38,0)"
+        a = sf.filter(F.col("channel") == 0).select(
+            "t", F.col("v").alias("_v0")
+        )
+        b = sf.filter(F.col("channel") == 1).select(
+            F.col("t").alias("_t2"), F.col("v").alias("_v1")
+        )
+        lags = F.explode(
+            F.array([F.lit(l).cast("bigint") for l in range(-32, 33)])
+        ).alias("lag")
+        al = a.select("t", "_v0", lags).withColumn(
+            "_t2", F.col("t") + F.col("lag")
+        )
+        pu = F.round(
+            F.col("_v0") * F.col("_v1") * F.lit(1e9)
+        ).cast(dec)
+        return (
+            al.join(b, on="_t2")
+            .groupBy("lag")
+            .agg(
+                F.count("*").cast("bigint").alias("n_overlap"),
+                F.sum(pu).cast(dec).alias("sxy_units"),
+            )
+        )
+
+    q["xcorr_lags"] = q_xcorr_lags
+
     return _gate_order(q)
 
 
@@ -18279,6 +18453,106 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["kruskal_binned"] = """
+        WITH c AS MATERIALIZED (
+          SELECT CAST(floor(CAST(CAST(round(value * 100) AS BIGINT)
+                                 * 1024 AS DOUBLE) / 49003.0)
+                      AS BIGINT) AS bin,
+                 event_type, CAST(count(*) AS BIGINT) AS cg
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), bt AS MATERIALIZED (
+          SELECT bin, CAST(sum(cg) AS BIGINT) AS t FROM c GROUP BY 1
+        ), cum AS (
+          SELECT bin, t,
+                 CAST(sum(t) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_incl
+          FROM bt
+        ), ranked AS (
+          SELECT c.event_type, c.cg,
+                 (cum.cum_incl - cum.t) * 2 + cum.t + 1 AS two_r
+          FROM c JOIN cum USING (bin)
+        ), grp AS (
+          SELECT event_type, CAST(sum(cg) AS BIGINT) AS ng,
+                 sum(CAST(cg AS HUGEINT) * two_r) AS two_rg
+          FROM ranked GROUP BY 1
+        ), gu AS (
+          SELECT ng,
+                 CAST(round(CAST(two_rg * two_rg AS DOUBLE)
+                            / CAST(ng AS DOUBLE)) AS HUGEINT) AS u
+          FROM grp
+        ), ties AS (
+          SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS t3t FROM bt
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(ng) AS BIGINT) AS n_total,
+                 sum(u) AS u FROM gu
+        )
+        SELECT k, n_total,
+               CAST(u AS DECIMAL(38,0)) AS u_units,
+               CAST(t3t AS DECIMAL(38,0)) AS sum_t3t,
+               12.0 * (CAST(u AS DOUBLE) / 4.0)
+                 / (CAST(n_total AS DOUBLE)
+                    * (CAST(n_total AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n_total AS DOUBLE) + 1.0) AS h,
+               (12.0 * (CAST(u AS DOUBLE) / 4.0)
+                 / (CAST(n_total AS DOUBLE)
+                    * (CAST(n_total AS DOUBLE) + 1.0))
+                 - 3.0 * (CAST(n_total AS DOUBLE) + 1.0))
+               / (1.0 - CAST(t3t AS DOUBLE)
+                  / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+                     * CAST(n_total AS DOUBLE)
+                     - CAST(n_total AS DOUBLE))) AS h_corrected
+        FROM tot CROSS JOIN ties
+    """
+
+    o["mcnemar_pairs"] = """
+        WITH rng AS (
+          SELECT min(ts) AS t0, max(ts) AS t1 FROM events
+          WHERE user_id IS NOT NULL
+        ), per_user AS (
+          SELECT user_id,
+                 max(CASE WHEN (ts - t0) < (t1 - ts)
+                          AND event_type = 'purchase' AND value > 200
+                          THEN 1 ELSE 0 END) AS p,
+                 max(CASE WHEN NOT ((ts - t0) < (t1 - ts))
+                          AND event_type = 'purchase' AND value > 200
+                          THEN 1 ELSE 0 END) AS q
+          FROM events, rng WHERE user_id IS NOT NULL
+          GROUP BY user_id
+        ), agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(CASE WHEN p = 1 AND q = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN p = 0 AND q = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c
+          FROM per_user
+        )
+        SELECT n_users, b, c,
+               CAST(b - c AS DOUBLE) * CAST(b - c AS DOUBLE)
+                 / CAST(nullif(b + c, 0) AS DOUBLE) AS chi2
+        FROM agg
+    """
+
+    o["xcorr_lags"] = sig + """
+        , a AS MATERIALIZED (
+          SELECT t, v AS v0 FROM signal WHERE channel = 0
+        ), b AS MATERIALIZED (
+          SELECT t AS t2, v AS v1 FROM signal WHERE channel = 1
+        ), lags AS (
+          SELECT CAST(u.l AS BIGINT) AS lag
+          FROM range(-32, 33) AS u(l)
+        )
+        SELECT lags.lag,
+               CAST(count(*) AS BIGINT) AS n_overlap,
+               CAST(sum(CAST(round(a.v0 * b.v1 * 1e9) AS HUGEINT))
+                    AS DECIMAL(38,0)) AS sxy_units
+        FROM a CROSS JOIN lags
+        JOIN b ON b.t2 = a.t + lags.lag
+        GROUP BY lags.lag
     """
 
     o["anova_f"] = """

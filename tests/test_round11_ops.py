@@ -1306,3 +1306,138 @@ def test_nelson_aalen_brute_force(spark, tmp_path):
         for r in entry.queries()["nelson_aalen"](spark, d).collect()
     }
     assert got == want
+
+
+def test_kruskal_binned_brute_force(spark, tmp_path):
+    """Binned KW H == python replay (doubled midranks on the same
+    fixed grid, quantized per-group terms, tie correction)."""
+    import datetime
+    import math
+    import os
+
+    import __spark_entry__ as entry
+
+    groups = {"a": [1.0, 2.0, 2.0, 9.0], "b": [2.0, 5.0], "c": [7.0, 9.0, 9.0]}
+    rows, eid = [], 0
+    for ty, vs in groups.items():
+        for v in vs:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, ty, v, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    def binc(v):
+        return math.floor(round(v * 100) * 1024 / 49003.0)
+
+    cnt: dict = {}
+    for ty, vs in groups.items():
+        for v in vs:
+            key = (binc(v), ty)
+            cnt[key] = cnt.get(key, 0) + 1
+    bins = sorted({b for b, _ in cnt})
+    bt = {b: sum(c for (bb, _), c in cnt.items() if bb == b) for b in bins}
+    cum, run = {}, 0
+    for b in bins:
+        run += bt[b]
+        cum[b] = run
+    two_r = {b: (cum[b] - bt[b]) * 2 + bt[b] + 1 for b in bins}
+    ng: dict = {}
+    two_rg: dict = {}
+    for (b, ty), c in cnt.items():
+        ng[ty] = ng.get(ty, 0) + c
+        two_rg[ty] = two_rg.get(ty, 0) + c * two_r[b]
+    u = sum(round(two_rg[ty] ** 2 / ng[ty]) for ty in ng)
+    t3t = sum(t**3 - t for t in bt.values())
+    N = sum(ng.values())
+    h = 12.0 * (u / 4.0) / (N * (N + 1.0)) - 3.0 * (N + 1.0)
+    hc = h / (1.0 - t3t / (N**3 - N))
+    r = entry.queries()["kruskal_binned"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].k, r[0].n_total, int(r[0].u_units), int(r[0].sum_t3t)) == (
+        len(ng), N, u, t3t,
+    )
+    assert abs(r[0].h - h) < 1e-9 and abs(r[0].h_corrected - hc) < 1e-9
+
+
+def test_mcnemar_pairs_brute_force(spark, tmp_path):
+    """McNemar b/c cells and chi2 == hand-constructed panel."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    # users: 0 pre-only, 1 post-only, 2 both, 3 neither, 4 post-only
+    plan = {0: ("pre",), 1: ("post",), 2: ("pre", "post"), 3: (),
+            4: ("post",)}
+    rows, eid = [], 0
+    for u, marks in plan.items():
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1), u, "view", 1.0, "{}")
+        )
+        eid += 1
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 9), u, "view", 1.0, "{}")
+        )
+        eid += 1
+        for m in marks:
+            ts = (datetime.datetime(2024, 1, 2) if m == "pre"
+                  else datetime.datetime(2024, 1, 8))
+            rows.append((eid, ts, u, "purchase", 300.0, "{}"))
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    r = entry.queries()["mcnemar_pairs"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].n_users, r[0].b, r[0].c) == (5, 1, 2)
+    assert abs(r[0].chi2 - (1 - 2) ** 2 / 3) < 1e-12
+
+
+def test_xcorr_lags_brute_force(spark, tmp_path):
+    """Cross-correlation units == numpy 'valid'-support replay on the
+    gate signal fixture (first 500 samples via a tiny lineitem)."""
+    import numpy as np
+
+    import __spark_entry__ as entry
+    from __spark_entry__ import _signal
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = entry.queries()["xcorr_lags"](spark, sf_dir)
+    got = {r.lag: (r.n_overlap, int(r.sxy_units)) for r in df.collect()}
+
+    pdf = (
+        _signal(spark, sf_dir).df.filter(F.col("channel").isin(0, 1))
+        .orderBy("channel", "t")
+        .toPandas()
+    )
+    v0 = pdf[pdf.channel == 0].sort_values("t").v.to_numpy()
+    t0 = pdf[pdf.channel == 0].sort_values("t").t.to_numpy()
+    v1 = pdf[pdf.channel == 1].sort_values("t").v.to_numpy()
+    t1 = {t: i for i, t in
+          enumerate(pdf[pdf.channel == 1].sort_values("t").t.to_numpy())}
+    import math
+
+    def half_away(x):  # Spark/DuckDB round(): half AWAY from zero,
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )  # python round() is half-even — one product hits a .5 tie
+
+    want = {}
+    for L in range(-32, 33):
+        s, n = 0, 0
+        for i, t in enumerate(t0):
+            j = t1.get(t + L)
+            if j is not None:
+                s += half_away(v0[i] * v1[j] * 1e9)
+                n += 1
+        want[L] = (n, s)
+    assert got == want
