@@ -12240,27 +12240,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         after the round-12/13 windows; round-14 window material."""
         sf = _signal(spark, sf_dir).df
         dec = "decimal(38,0)"
+        # Bucketized band join (the event-window range-join house
+        # shape): shuffling a 65x-exploded probe side is superlinear
+        # at scale (measured 0.98s -> 65s at sf0.1 -> sf1); instead
+        # both sides shuffle ONCE on a 64-sample time bucket (the b
+        # side 3x for the +-1 halo buckets) and the 65-lag expansion
+        # happens AFTER the shuffle inside the join probe, collapsing
+        # immediately into a 65-key map-side-combined aggregate.
+        B = 64
         a = sf.filter(F.col("channel") == 0).select(
-            "t", F.col("v").alias("_v0")
+            "t",
+            F.col("v").alias("_v0"),
+            F.floor(F.col("t") / F.lit(B)).cast("bigint").alias("_bk"),
         )
-        b = sf.filter(F.col("channel") == 1).select(
-            F.col("t").alias("_t2"), F.col("v").alias("_v1")
+        bk2 = F.floor(F.col("_t2") / F.lit(B)).cast("bigint")
+        b = (
+            sf.filter(F.col("channel") == 1)
+            .select(F.col("t").alias("_t2"), F.col("v").alias("_v1"))
+            .select(
+                "_t2",
+                "_v1",
+                F.explode(
+                    F.array(bk2 - 1, bk2, bk2 + 1)
+                ).alias("_bk"),
+            )
         )
-        lags = F.explode(
-            F.array([F.lit(l).cast("bigint") for l in range(-32, 33)])
-        ).alias("lag")
-        al = a.select("t", "_v0", lags).withColumn(
-            "_t2", F.col("t") + F.col("lag")
-        )
+        lag = F.col("_t2") - F.col("t")
         pu = F.round(
             F.col("_v0") * F.col("_v1") * F.lit(1e9)
         ).cast(dec)
         return (
-            al.join(b, on="_t2")
+            a.join(b, on="_bk")
+            .filter((lag >= -32) & (lag <= 32))
+            .select(lag.alias("lag"), pu.alias("_pu"))
             .groupBy("lag")
             .agg(
                 F.count("*").cast("bigint").alias("n_overlap"),
-                F.sum(pu).cast(dec).alias("sxy_units"),
+                F.sum("_pu").cast(dec).alias("sxy_units"),
             )
         )
 
