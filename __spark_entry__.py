@@ -12282,6 +12282,175 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["xcorr_lags"] = q_xcorr_lags
 
+    def q_bartlett_test(spark, sf_dir):
+        """Bartlett's test of variance homogeneity across event types
+        — the variance complement to anova_f's mean test, from the
+        SAME exact integer moments (n, S, Q per group): each group's
+        biased-corrected variance s² = (nQ - S²)/(n(n-1)) is one
+        mirrored float chain on exact DECIMAL operands, ln(s²) is
+        quantized to integer nano-units per group (the quantized-ln
+        discipline) so the Σ(n_g-1)·ln(s_g²) accumulation is exact
+        integer, and the pooled-variance term is one more mirrored
+        chain.  M = (N-k)·ln(s_p²) - Σ(n_g-1)·ln(s_g²), with the
+        standard correction C = 1 + (Σ1/(n_g-1) - 1/(N-k))/(3(k-1))
+        accumulated as quantized reciprocal units.  Registered after
+        the round-12/13 windows; round-14 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        g = e.select("event_type", cents.alias("_c")).groupBy(
+            "event_type"
+        ).agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.col("_c").cast(dec)).alias("_s"),
+            F.sum((F.col("_c").cast(dec) * F.col("_c")).cast(dec)).alias(
+                "_q"
+            ),
+        )
+        s2 = (
+            (
+                F.col("_n").cast("double") * F.col("_q").cast("double")
+                - F.col("_s").cast("double") * F.col("_s").cast("double")
+            )
+            / (
+                F.col("_n").cast("double")
+                * (F.col("_n") - 1).cast("double")
+            )
+        )
+        lnu = F.round(F.log(s2) * F.lit(1e9)).cast("bigint")
+        rcu = F.round(
+            F.lit(1e9) / (F.col("_n") - 1).cast("double")
+        ).cast("bigint")
+        ug = F.round(
+            (F.col("_s") * F.col("_s")).cast("double")
+            / F.col("_n").cast("double")
+        ).cast(dec)
+        tot = g.agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.sum("_n").cast("bigint").alias("n_total"),
+            F.sum((F.col("_n") - 1).cast(dec) * lnu).cast(dec).alias(
+                "_wln"
+            ),
+            F.sum(rcu).cast("bigint").alias("_rc"),
+            F.sum("_q").cast(dec).alias("_qt"),
+            F.sum(ug).cast(dec).alias("_ut"),
+        )
+        nk = (F.col("n_total") - F.col("k")).cast("double")
+        sp2 = (
+            (F.col("_qt") - F.col("_ut")).cast("double") / nk
+        )
+        m_stat = (
+            nk * F.log(sp2)
+            - F.col("_wln").cast("double") / F.lit(1e9)
+        )
+        c_corr = F.lit(1.0) + (
+            F.col("_rc").cast("double") / F.lit(1e9)
+            - F.lit(1.0) / nk
+        ) / (F.lit(3.0) * (F.col("k") - 1).cast("double"))
+        return tot.select(
+            "k",
+            "n_total",
+            F.col("_wln").alias("wln_units"),
+            m_stat.alias("m_stat"),
+            (m_stat / c_corr).alias("chi2"),
+        )
+
+    q["bartlett_test"] = q_bartlett_test
+
+    def q_durbin_watson(spark, sf_dir):
+        """Durbin-Watson first-order residual autocorrelation per
+        event type, on ols_by_type's exact-moment fit: residuals
+        e_t = v_cents - (intercept + slope·t) are computed with the
+        closed-form slope/intercept (doubles derived from exact
+        DECIMAL moments, identical in both engines), QUANTIZED to
+        integer micro-units per row, and DW = Σ(e_t - e_{t-1})² /
+        Σe_t² runs entirely on those integers via one lag window over
+        the (ts, event_id)-ordered series — order-invariant by
+        construction.  The regression-diagnostics family next to
+        ols_by_type and daily_acf.  Registered after the round-12/13
+        windows; round-14 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        t0 = e.agg(F.min(F.unix_micros("ts")).alias("_t0"))
+        base = e.crossJoin(F.broadcast(t0)).select(
+            "event_type",
+            "event_id",
+            "ts",
+            (F.unix_micros("ts") - F.col("_t0"))
+            .cast("bigint")
+            .alias("_t"),
+            F.round(F.col("value") * 1_000_000)
+            .cast("bigint")
+            .alias("_v"),
+        ).localCheckpoint(eager=False)  # moments + residual consumers
+        mom = base.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(F.col("_t").cast(dec)).alias("_st"),
+            F.sum(F.col("_v").cast(dec)).alias("_sv"),
+            F.sum((F.col("_t").cast(dec) * F.col("_v")).cast(dec)).alias(
+                "_stv"
+            ),
+            F.sum((F.col("_t").cast(dec) * F.col("_t")).cast(dec)).alias(
+                "_stt"
+            ),
+        )
+        num = (
+            F.col("_n").cast(dec) * F.col("_stv")
+            - F.col("_st") * F.col("_sv")
+        ).cast("double")
+        den = (
+            F.col("_n").cast(dec) * F.col("_stt")
+            - F.col("_st") * F.col("_st")
+        ).cast("double")
+        slope = num / den
+        intercept = (
+            F.col("_sv").cast("double")
+            - slope * F.col("_st").cast("double")
+        ) / F.col("_n").cast("double")
+        fit = mom.select(
+            "event_type",
+            slope.alias("_b"),
+            intercept.alias("_a"),
+        )
+        resid = base.join(F.broadcast(fit), on="event_type").select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(
+                F.col("_v").cast("double")
+                - (
+                    F.col("_a")
+                    + F.col("_b") * F.col("_t").cast("double")
+                )
+            ).cast("bigint").alias("_eu"),
+        )
+        wdw = W.partitionBy("event_type").orderBy("ts", "event_id")
+        d = resid.withColumn("_prev", F.lag("_eu").over(wdw))
+        diff = F.col("_eu") - F.col("_prev")
+        return d.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("_prev").isNotNull(),
+                    (diff.cast(dec) * diff).cast(dec),
+                ).otherwise(F.lit(0).cast(dec))
+            ).cast(dec).alias("num_units"),
+            F.sum((F.col("_eu").cast(dec) * F.col("_eu")).cast(dec))
+            .cast(dec)
+            .alias("den_units"),
+        ).select(
+            "event_type",
+            "n",
+            "num_units",
+            "den_units",
+            (
+                F.col("num_units").cast("double")
+                / F.col("den_units").cast("double")
+            ).alias("dw"),
+        )
+
+    q["durbin_watson"] = q_durbin_watson
+
     return _gate_order(q)
 
 
@@ -18469,6 +18638,107 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["bartlett_test"] = """
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+                   AS s,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                     * CAST(round(value * 100) AS BIGINT)) AS q
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), per AS (
+          SELECT n, q,
+                 CAST(round(ln(
+                   (CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))
+                 ) * 1e9) AS BIGINT) AS lnu,
+                 CAST(round(1e9 / CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                   AS rcu,
+                 CAST(round(CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+                      AS HUGEINT) AS u
+          FROM g
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(n) AS BIGINT) AS n_total,
+                 sum(CAST(n - 1 AS HUGEINT) * lnu) AS wln,
+                 CAST(sum(rcu) AS BIGINT) AS rc,
+                 sum(q) AS qt, sum(u) AS ut
+          FROM per
+        )
+        SELECT k, n_total,
+               CAST(wln AS DECIMAL(38,0)) AS wln_units,
+               (CAST(n_total - k AS DOUBLE)
+                  * ln(CAST(qt - ut AS DOUBLE)
+                       / CAST(n_total - k AS DOUBLE))
+                - CAST(wln AS DOUBLE) / 1e9) AS m_stat,
+               (CAST(n_total - k AS DOUBLE)
+                  * ln(CAST(qt - ut AS DOUBLE)
+                       / CAST(n_total - k AS DOUBLE))
+                - CAST(wln AS DOUBLE) / 1e9)
+               / (1.0 + (CAST(rc AS DOUBLE) / 1e9
+                         - 1.0 / CAST(n_total - k AS DOUBLE))
+                        / (3.0 * CAST(k - 1 AS DOUBLE))) AS chi2
+        FROM tot
+    """
+
+    o["durbin_watson"] = """
+        WITH t0 AS (
+          SELECT min(epoch_us(ts)) AS t0 FROM events
+          WHERE value IS NOT NULL
+        ), base AS (
+          SELECT event_type, event_id, ts,
+                 CAST(epoch_us(ts) - t0 AS BIGINT) AS t,
+                 CAST(round(value * 1000000) AS BIGINT) AS v
+          FROM events, t0 WHERE value IS NOT NULL
+        ), mom AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(t AS HUGEINT)) AS st,
+                 sum(CAST(v AS HUGEINT)) AS sv,
+                 sum(CAST(t AS HUGEINT) * v) AS stv,
+                 sum(CAST(t AS HUGEINT) * t) AS stt
+          FROM base GROUP BY event_type
+        ), fit AS (
+          SELECT event_type,
+                 CAST(CAST(n AS HUGEINT) * stv - st * sv AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * stt - st * st AS DOUBLE)
+                   AS b,
+                 (CAST(sv AS DOUBLE)
+                  - (CAST(CAST(n AS HUGEINT) * stv - st * sv AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * stt - st * st
+                            AS DOUBLE))
+                    * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS a
+          FROM mom
+        ), resid AS (
+          SELECT base.event_type, base.ts, base.event_id,
+                 CAST(round(CAST(v AS DOUBLE)
+                            - (a + b * CAST(t AS DOUBLE)))
+                      AS BIGINT) AS eu
+          FROM base JOIN fit USING (event_type)
+        ), lagd AS (
+          SELECT event_type, eu,
+                 lag(eu) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS prev
+          FROM resid
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                             THEN CAST(eu - prev AS HUGEINT)
+                                  * (eu - prev)
+                             ELSE 0 END) AS DECIMAL(38,0)) AS num_units,
+               CAST(sum(CAST(eu AS HUGEINT) * eu) AS DECIMAL(38,0))
+                 AS den_units,
+               CAST(sum(CASE WHEN prev IS NOT NULL
+                             THEN CAST(eu - prev AS HUGEINT)
+                                  * (eu - prev)
+                             ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CAST(eu AS HUGEINT) * eu) AS DOUBLE) AS dw
+        FROM lagd GROUP BY event_type
     """
 
     o["kruskal_binned"] = """

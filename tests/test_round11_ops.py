@@ -1441,3 +1441,91 @@ def test_xcorr_lags_brute_force(spark, tmp_path):
                 n += 1
         want[L] = (n, s)
     assert got == want
+
+
+def test_bartlett_test_brute_force(spark, tmp_path):
+    """Bartlett M/C == python replay with the same quantized-ln
+    accumulation."""
+    import datetime
+    import math
+    import os
+
+    import __spark_entry__ as entry
+
+    groups = {"a": [10.0, 12.0, 11.0, 14.0], "b": [20.0, 25.0, 21.0],
+              "c": [5.0, 5.5, 6.5, 7.0, 4.0]}
+    rows, eid = [], 0
+    for ty, vs in groups.items():
+        for v in vs:
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, ty, v, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    wln = rc = qt = ut = ntot = 0
+    k = len(groups)
+    for vs in groups.values():
+        cs = [round(v * 100) for v in vs]
+        n, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+        s2 = (n * q - s * s) / (n * (n - 1))
+        wln += (n - 1) * round(math.log(s2) * 1e9)
+        rc += round(1e9 / (n - 1))
+        qt += q
+        ut += round(s * s / n)
+        ntot += n
+    nk = ntot - k
+    m = nk * math.log((qt - ut) / nk) - wln / 1e9
+    c = 1.0 + (rc / 1e9 - 1.0 / nk) / (3.0 * (k - 1))
+    r = entry.queries()["bartlett_test"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].k, r[0].n_total, int(r[0].wln_units)) == (k, ntot, wln)
+    assert abs(r[0].m_stat - m) < 1e-9
+    assert abs(r[0].chi2 - m / c) < 1e-9
+
+
+def test_durbin_watson_brute_force(spark, tmp_path):
+    """DW == python replay: exact-moment OLS fit, quantized residuals,
+    integer num/den sums."""
+    import datetime
+    import os
+
+    import __spark_entry__ as entry
+
+    vals = [10.0, 10.5, 12.0, 11.0, 14.0, 13.5, 15.0]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1)
+         + datetime.timedelta(minutes=i), 1, "t", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    ts_us = [i * 60_000_000 for i in range(len(vals))]
+    v = [round(x * 1_000_000) for x in vals]
+    n = len(v)
+    st, sv = sum(ts_us), sum(v)
+    stv = sum(t * y for t, y in zip(ts_us, v))
+    stt = sum(t * t for t in ts_us)
+    b = float(n * stv - st * sv) / float(n * stt - st * st)
+    a = (float(sv) - b * float(st)) / float(n)
+    eu = [round(float(y) - (a + b * float(t))) for t, y in zip(ts_us, v)]
+    num = sum(
+        (eu[i] - eu[i - 1]) ** 2 for i in range(1, n)
+    )
+    den = sum(x * x for x in eu)
+    r = entry.queries()["durbin_watson"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].n, int(r[0].num_units), int(r[0].den_units)) == (
+        n, num, den,
+    )
+    assert abs(r[0].dw - num / den) < 1e-12
