@@ -12451,6 +12451,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["durbin_watson"] = q_durbin_watson
 
+    def q_scene_cuts(spark, sf_dir):
+        """Video scene-cut detection (llm/multimodal.scene_cuts): per
+        video, a cut fires where consecutive frame-mean luminance
+        changes by more than the threshold — the shot-boundary pass
+        of a video-pretraining pipeline, on the same injectable
+        decode seam and SQL-replayable fake as frame_sample.  Frame
+        means round to 9 digits before the lag/diff (numpy pairwise
+        vs SQL sequential mean last-ulp), so deltas land on the 1e-9
+        grid and quantize identically in both engines.  The first
+        multimodal registration since r4 — the frame-explosion /
+        per-video-window plumbing is real; only decode is stubbed.
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
+        return multimodal.scene_cuts(
+            media, threshold=0.0002, deterministic_fake=True
+        )
+
+    q["scene_cuts"] = q_scene_cuts
+
     return _gate_order(q)
 
 
@@ -14722,6 +14744,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["image_features"] = _mm.image_features_oracle_sql(n=24)
     o["frame_sample"] = _mm.frame_sample_oracle_sql(n=24)
+
+    o["scene_cuts"] = _mm.scene_cuts_oracle_sql(n=24, threshold=0.0002)
     o["resize_images"] = _mm.resize_features_oracle_sql(n=24)
     o["audio_features"] = _mm.audio_features_oracle_sql(n=24)
 

@@ -537,3 +537,95 @@ def audio_features_oracle_sql(
         FROM rms r
         JOIN low ON low.channel = r.channel
         JOIN high ON high.channel = r.channel"""
+
+
+def scene_cuts(
+    media: DataFrame,
+    threshold: float = 0.0005,
+    deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
+) -> DataFrame:
+    """Video scene-cut detection: per-frame signature = mean luminance
+    (via :func:`frame_sample` at every_n=1), a cut fires where the
+    absolute change between consecutive frame means exceeds
+    ``threshold`` — the shot-boundary pass a video-pretraining
+    pipeline runs before frame sampling/captioning.  Decode is the
+    injectable seam shared with frame_sample (real decoder drops in
+    via ``decode_fn``; the deterministic fake keeps the full Spark
+    plumbing — explode, lag window, filter — hash-checkable).
+
+    Determinism: frame means are rounded to 9 digits FIRST (the
+    frame_sample output discipline — numpy's pairwise mean and SQL's
+    sequential avg differ at the last ulp), so the consecutive-frame
+    delta lands on the 1e-9 grid and quantizes to an exact integer in
+    both engines; the threshold compares those identical rounded
+    doubles.
+
+    Scale shape: the frame explosion happens Spark-side in
+    frame_sample (downstream shuffles frames, not videos), the lag
+    window partitions per video, and the filter prunes before any
+    further shuffle.  Returns (media_id, frame_idx, delta_units) for
+    cut frames (delta in 1e-9 units).
+    """
+    from pyspark.sql import Window
+
+    fs = frame_sample(
+        media,
+        every_n=1,
+        deterministic_fake=deterministic_fake,
+        decode_fn=decode_fn,
+    ).select(
+        "media_id",
+        "frame_idx",
+        F.round("frame_mean", 9).alias("_m"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    d = fs.withColumn("_prev", F.lag("_m").over(w))
+    delta = F.abs(F.col("_m") - F.col("_prev"))
+    return (
+        d.filter(F.col("_prev").isNotNull() & (delta > F.lit(float(threshold))))
+        .select(
+            "media_id",
+            "frame_idx",
+            F.round(delta * F.lit(1e9)).cast("bigint").alias("delta_units"),
+        )
+    )
+
+
+def scene_cuts_oracle_sql(
+    n: int = 24,
+    width: int = 60,
+    height: int = 44,
+    n_frames: int = 10,
+    threshold: float = 0.0005,
+) -> str:
+    """DuckDB replay of :func:`scene_cuts` over the sqlgen media: all
+    frames decode as byte rotations, means round to 9 digits before
+    the lag/diff (matching the engine), deltas quantize to 1e-9."""
+    npx = width * height
+    fis = ", ".join(str(f) for f in range(0, n_frames))
+    return (
+        _hx_cte(n)
+        + f"""
+        , fr AS (
+          SELECT media_id, hs, u.fi
+          FROM hx, unnest([{fis}]) AS u(fi)
+          WHERE media_id % 3 = 2
+        ), fpx AS (
+          SELECT media_id, fi,
+                 {_byte("(fi + (u.p % 256)) % 256")} / 255.0 AS v
+          FROM fr, unnest(generate_series(0, {npx - 1})) AS u(p)
+        ), fm AS (
+          SELECT media_id, fi, round(avg(v), 9) AS m
+          FROM fpx GROUP BY media_id, fi
+        ), lagd AS (
+          SELECT media_id, fi, m,
+                 lag(m) OVER (PARTITION BY media_id ORDER BY fi) AS prev
+          FROM fm
+        )
+        SELECT media_id, CAST(fi AS INTEGER) AS frame_idx,
+               CAST(round(abs(m - prev) * 1e9) AS BIGINT) AS delta_units
+        FROM lagd
+        WHERE prev IS NOT NULL
+          AND abs(m - prev) > CAST({float(threshold)!r} AS DOUBLE)"""
+    )

@@ -1529,3 +1529,43 @@ def test_durbin_watson_brute_force(spark, tmp_path):
         n, num, den,
     )
     assert abs(r[0].dw - num / den) < 1e-12
+
+
+def test_scene_cuts_brute_force(spark):
+    """scene_cuts == python replay of the fake decoder (byte-rotation
+    frames, 9-digit-rounded means, quantized deltas)."""
+    import hashlib
+
+    import numpy as np
+
+    from openseize_spark.llm import multimodal as mm
+
+    n, w, h, nf, thr = 24, 60, 44, 10, 0.0002
+    want = set()
+    for mid in range(n):
+        if mid % 3 != 2:
+            continue
+        hexchain = "".join(
+            hashlib.md5(f"{mid}:{j}".encode()).hexdigest()
+            for j in range(16)
+        )
+        payload = bytes.fromhex(hexchain)
+        prev = None
+        for fi in range(nf):
+            rot = payload[fi:] + payload[:fi]
+            arr = np.frombuffer(rot, dtype=np.uint8)
+            reps = int(np.ceil(w * h / len(arr)))
+            img = np.tile(arr, reps)[: w * h].astype(np.float64) / 255.0
+            m = round(float(img.mean()), 9)
+            if prev is not None and abs(m - prev) > thr:
+                want.add((mid, fi, round(abs(m - prev) * 1e9)))
+            prev = m
+
+    media = mm.synthetic_media_sqlgen(spark, n=n)
+    got = {
+        (r.media_id, r.frame_idx, r.delta_units)
+        for r in mm.scene_cuts(
+            media, threshold=thr, deterministic_fake=True
+        ).collect()
+    }
+    assert got == want and len(got) > 0
