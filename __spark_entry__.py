@@ -12473,6 +12473,172 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["scene_cuts"] = q_scene_cuts
 
+    def q_decision_stump(spark, sf_dir):
+        """Exact decision-stump induction (CART split search, Breiman
+        1984) for label = is-purchase on the binned value feature:
+        for every candidate split over the 1024 fixed cent bins,
+        left/right (count, positive) totals come from integer
+        cumulative sums over the ≤1024-row bin table (broadcast
+        inequality join — no unbounded window), and the weighted Gini
+        impurity N_L·gini_L + N_R·gini_R is compared in EXACT integer
+        arithmetic: impurity_units(side) = 2·pos·(n-pos)·N_other···
+        — specifically cost(split)·N_L·N_R is avoided by comparing
+        cost = 2·[posL·(nL-posL)·nR + posR·(nR-posR)·nL] over the
+        common denominator nL·nR (all DECIMAL(38,0)/HUGEINT), so the
+        argmin split is decided without a single float.  The argmin
+        tie-breaks on the split bin (ascending).  Returns one row
+        (split_bin, n_left, pos_left, n_right, pos_right, cost_units)
+        — the supervised tree-induction primitive.  Registered after
+        the round-12/13 windows; round-14 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        c = (
+            e.groupBy(binc.alias("bin"))
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).cast("bigint").alias("_p"),
+            )
+            .localCheckpoint(eager=False)  # totals + cumulative side
+        )
+        tot = c.agg(
+            F.sum("_n").cast("bigint").alias("_N"),
+            F.sum("_p").cast("bigint").alias("_P"),
+        )
+        b2 = c.select(
+            F.col("bin").alias("_bb"),
+            F.col("_n").alias("_bn"),
+            F.col("_p").alias("_bp"),
+        )
+        cum = (
+            c.join(F.broadcast(b2), F.col("_bb") <= F.col("bin"))
+            .groupBy("bin")
+            .agg(
+                F.sum("_bn").cast("bigint").alias("n_left"),
+                F.sum("_bp").cast("bigint").alias("pos_left"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "bin",
+                "n_left",
+                "pos_left",
+                (F.col("_N") - F.col("n_left")).alias("n_right"),
+                (F.col("_P") - F.col("pos_left")).alias("pos_right"),
+            )
+            .filter((F.col("n_left") > 0) & (F.col("n_right") > 0))
+        )
+        cost = (
+            F.lit(2).cast(dec)
+            * (
+                (
+                    F.col("pos_left").cast(dec)
+                    * (F.col("n_left") - F.col("pos_left"))
+                ).cast(dec)
+                * F.col("n_right")
+                + (
+                    F.col("pos_right").cast(dec)
+                    * (F.col("n_right") - F.col("pos_right"))
+                ).cast(dec)
+                * F.col("n_left")
+            ).cast(dec)
+        ).cast(dec)
+        best = cum.agg(
+            F.min(
+                F.struct(
+                    cost.alias("cost_units"),
+                    F.col("bin").alias("split_bin"),
+                    F.col("n_left").alias("n_left"),
+                    F.col("pos_left").alias("pos_left"),
+                    F.col("n_right").alias("n_right"),
+                    F.col("pos_right").alias("pos_right"),
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            F.col("_b.split_bin").alias("split_bin"),
+            F.col("_b.n_left").alias("n_left"),
+            F.col("_b.pos_left").alias("pos_left"),
+            F.col("_b.n_right").alias("n_right"),
+            F.col("_b.pos_right").alias("pos_right"),
+            F.col("_b.cost_units").alias("cost_units"),
+        )
+
+    q["decision_stump"] = q_decision_stump
+
+    def q_cochran_armitage(spark, sf_dir):
+        """Cochran-Armitage trend test: is the purchase proportion
+        trending across ordered value-quartile groups?  Groups are
+        the 4 fixed cent-range quartile bins (scores 0..3), the
+        statistic T = Σ s_i·(p_i - n_i·P/N) with variance
+        V = P/N·(1-P/N)·[Σ s_i²·n_i - (Σ s_i·n_i)²/N]: every
+        accumulation is exact int64/DECIMAL (scores are small
+        integers), T·N = Σ s_i·(p_i·N - n_i·P) stays integer over the
+        common denominator N, and Z = (T·N)/sqrt(V·N²) is one float
+        chain on exact integer operands.  The ordered-groups trend
+        complement to dow_type_chi2's unordered independence test.
+        Registered after the round-12/13 windows; round-14 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        score = F.least(
+            F.floor((cents * 4).cast("double") / F.lit(49003.0)).cast(
+                "bigint"
+            ),
+            F.lit(3),
+        )
+        g = e.groupBy(score.alias("s")).agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("bigint").alias("_p"),
+        )
+        tot = g.agg(
+            F.sum("_n").cast("bigint").alias("n_total"),
+            F.sum("_p").cast("bigint").alias("p_total"),
+            F.sum((F.col("s").cast(dec) * F.col("_n")).cast(dec)).alias(
+                "_sn"
+            ),
+            F.sum(
+                (F.col("s").cast(dec) * F.col("s") * F.col("_n")).cast(dec)
+            ).alias("_ssn"),
+            F.sum((F.col("s").cast(dec) * F.col("_p")).cast(dec)).alias(
+                "_sp"
+            ),
+        )
+        nn = F.col("n_total").cast("double")
+        pp = F.col("p_total").cast("double")
+        tn = (
+            F.col("_sp").cast("double") * nn
+            - F.col("_sn").cast("double") * pp
+        )
+        pbar = pp / nn
+        v = (
+            pbar
+            * (F.lit(1.0) - pbar)
+            * (
+                F.col("_ssn").cast("double")
+                - F.col("_sn").cast("double")
+                * F.col("_sn").cast("double")
+                / nn
+            )
+        )
+        z = tn / (nn * F.sqrt(v))
+        return tot.select(
+            "n_total",
+            "p_total",
+            F.col("_sp").alias("sp_units"),
+            F.col("_sn").alias("sn_units"),
+            z.alias("z"),
+        )
+
+    q["cochran_armitage"] = q_cochran_armitage
+
     return _gate_order(q)
 
 
@@ -18662,6 +18828,80 @@ def oracle_sql() -> dict[str, str]:
                   - CAST(scq AS DOUBLE) / CAST(nullif(n_c_pre, 0) AS DOUBLE))
                  AS did_cents
         FROM agg
+    """
+
+    o["decision_stump"] = """
+        WITH c AS MATERIALIZED (
+          SELECT CAST(floor(CAST(CAST(round(value * 100) AS BIGINT)
+                                 * 1024 AS DOUBLE) / 49003.0)
+                      AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS N,
+                 CAST(sum(p) AS BIGINT) AS P FROM c
+        ), cum AS (
+          SELECT bin,
+                 CAST(sum(n) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_left,
+                 CAST(sum(p) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS pos_left
+          FROM c
+        ), cand AS (
+          SELECT bin AS split_bin, n_left, pos_left,
+                 tot.N - n_left AS n_right,
+                 tot.P - pos_left AS pos_right
+          FROM cum CROSS JOIN tot
+          WHERE n_left > 0 AND tot.N - n_left > 0
+        ), costed AS (
+          SELECT *,
+                 2 * (CAST(pos_left AS HUGEINT)
+                        * (n_left - pos_left) * n_right
+                      + CAST(pos_right AS HUGEINT)
+                        * (n_right - pos_right) * n_left) AS cost
+          FROM cand
+        )
+        SELECT split_bin, n_left, pos_left, n_right, pos_right,
+               CAST(cost AS DECIMAL(38,0)) AS cost_units
+        FROM costed ORDER BY cost ASC, split_bin ASC LIMIT 1
+    """
+
+    o["cochran_armitage"] = """
+        WITH g AS (
+          SELECT least(CAST(floor(CAST(CAST(round(value * 100) AS BIGINT)
+                                       * 4 AS DOUBLE) / 49003.0)
+                            AS BIGINT), 3) AS s,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(sum(p) AS BIGINT) AS p_total,
+                 sum(CAST(s AS HUGEINT) * n) AS sn,
+                 sum(CAST(s AS HUGEINT) * s * n) AS ssn,
+                 sum(CAST(s AS HUGEINT) * p) AS sp
+          FROM g
+        )
+        SELECT n_total, p_total,
+               CAST(sp AS DECIMAL(38,0)) AS sp_units,
+               CAST(sn AS DECIMAL(38,0)) AS sn_units,
+               (CAST(sp AS DOUBLE) * CAST(n_total AS DOUBLE)
+                - CAST(sn AS DOUBLE) * CAST(p_total AS DOUBLE))
+               / (CAST(n_total AS DOUBLE) * sqrt(
+                   (CAST(p_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   * (1.0 - CAST(p_total AS DOUBLE)
+                            / CAST(n_total AS DOUBLE))
+                   * (CAST(ssn AS DOUBLE)
+                      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)))) AS z
+        FROM tot
     """
 
     o["bartlett_test"] = """

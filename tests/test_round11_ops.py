@@ -1569,3 +1569,105 @@ def test_scene_cuts_brute_force(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_decision_stump_brute_force(spark, tmp_path):
+    """Stump split == brute-force exact-integer Gini cost over every
+    candidate split, including the bin tie-break."""
+    import datetime
+    import math
+    import os
+
+    import __spark_entry__ as entry
+
+    # values spread across bins; purchases concentrate high
+    vals = [(10.0, "view")] * 6 + [(20.0, "purchase")] * 2 + \
+           [(300.0, "purchase")] * 5 + [(300.0, "view")] + \
+           [(120.0, "view")] * 3 + [(120.0, "purchase")]
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, ty, v, "{}")
+        for i, (v, ty) in enumerate(vals)
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    cnt: dict = {}
+    for v, ty in vals:
+        b = math.floor(round(v * 100) * 1024 / 49003.0)
+        n, p = cnt.get(b, (0, 0))
+        cnt[b] = (n + 1, p + (1 if ty == "purchase" else 0))
+    bins = sorted(cnt)
+    N = sum(n for n, _ in cnt.values())
+    P = sum(p for _, p in cnt.values())
+    best = None
+    nl = pl = 0
+    for b in bins:
+        nl += cnt[b][0]
+        pl += cnt[b][1]
+        nr, pr = N - nl, P - pl
+        if nl == 0 or nr == 0:
+            continue
+        cost = 2 * (pl * (nl - pl) * nr + pr * (nr - pr) * nl)
+        key = (cost, b)
+        if best is None or key < best[0]:
+            best = (key, (b, nl, pl, nr, pr, cost))
+    r = entry.queries()["decision_stump"](spark, d).collect()
+    assert len(r) == 1
+    got = (
+        r[0].split_bin, r[0].n_left, r[0].pos_left, r[0].n_right,
+        r[0].pos_right, int(r[0].cost_units),
+    )
+    assert got == best[1]
+
+
+def test_cochran_armitage_brute_force(spark, tmp_path):
+    """CA trend Z == python replay on a panel with a planted positive
+    trend in proportions."""
+    import datetime
+    import math
+    import os
+
+    import __spark_entry__ as entry
+
+    # score groups 0..3 with conversion rates rising with the score
+    spec = [(60.0, 10, 1), (150.0, 10, 3), (250.0, 10, 5),
+            (450.0, 10, 8)]
+    rows, eid = [], 0
+    for v, n, conv in spec:
+        for i in range(n):
+            ty = "purchase" if i < conv else "view"
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), 1, ty, v, "{}")
+            )
+            eid += 1
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    g = {}
+    for v, n, conv in spec:
+        s = min(math.floor(round(v * 100) * 4 / 49003.0), 3)
+        nn, pp = g.get(s, (0, 0))
+        g[s] = (nn + n, pp + conv)
+    N = sum(n for n, _ in g.values())
+    P = sum(p for _, p in g.values())
+    sn = sum(s * n for s, (n, _) in g.items())
+    ssn = sum(s * s * n for s, (n, _) in g.items())
+    sp = sum(s * p for s, (_, p) in g.items())
+    tn = sp * N - sn * P
+    pbar = P / N
+    var = pbar * (1.0 - pbar) * (ssn - sn * sn / N)
+    want_z = tn / (N * math.sqrt(var))
+    r = entry.queries()["cochran_armitage"](spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].n_total, r[0].p_total, int(r[0].sp_units),
+            int(r[0].sn_units)) == (N, P, sp, sn)
+    assert abs(r[0].z - want_z) < 1e-12
+    assert r[0].z > 2  # the planted trend is significant
