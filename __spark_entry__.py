@@ -12962,6 +12962,20 @@ _GATE_PRIORITY_R13 = [
     "split_assign", "corpus_shuffle", "multires_rollup",
 ]
 
+# ROUND-14 COMPOSITION NOTE (draft — compose and commit the binding
+# list in the round-13 session, AFTER CORRECTNESS_r13 lands, so the
+# freshness order reflects the r12+r13 driver results): 20 conversion
+# slots for the round-12-session registrations in registration order
+# (betweenness_contrib, bpe_apply, kn_perplexity, random_walks,
+# als_user_step, cusum_by_type, did_by_type, ipw_ate, logrank_test,
+# assoc_rules, anova_f, nelson_aalen, kruskal_binned, mcnemar_pairs,
+# xcorr_lags, bartlett_test, durbin_watson, scene_cuts,
+# decision_stump, cochran_armitage — every one battery-verified and
+# LOCALCHECK_r12-green at registration), then 30 freshness re-gates
+# from the tools/freshness_queue.py head (the r06-cohort remainder —
+# 31 rows after the r13 window converts its 13 — then the r07 head).
+# 20 + 30 = 50.
+
 
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
