@@ -12639,6 +12639,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cochran_armitage"] = q_cochran_armitage
 
+    def q_dup_substring_spans(spark, sf_dir):
+        """Maximal cross-document duplicated substring spans (llm/
+        dedup.dup_substring_spans; Lee et al. 2022 exact-substring
+        dedup) — the surgical cut list (doc, span_start, span_words)
+        a span-removal pass deletes, where dup_span_detect only
+        reports the per-doc duplicated fraction.  Word-8-gram md5
+        fingerprints, distinct-doc >= 2 semi-join, island run merge
+        per document.  All-integer output.  Registered after the
+        round-12/13 windows; round-14 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return dedup.dup_substring_spans(docs, n=8)
+
+    q["dup_substring_spans"] = q_dup_substring_spans
+
     return _gate_order(q)
 
 
@@ -18843,6 +18857,8 @@ def oracle_sql() -> dict[str, str]:
                  AS did_cents
         FROM agg
     """
+
+    o["dup_substring_spans"] = _dedup.dup_substring_spans_oracle_sql(n=8)
 
     o["decision_stump"] = """
         WITH c AS MATERIALIZED (

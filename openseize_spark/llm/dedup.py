@@ -442,6 +442,109 @@ def dup_span_detect_oracle_sql(n: int = 8) -> str:
         GROUP BY doc_id"""
 
 
+def dup_substring_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal cross-document duplicated SUBSTRING SPANS — the actual
+    cut list of exact-substring dedup (Lee et al. 2022): every word
+    position whose ``n``-gram fingerprint occurs in at least one OTHER
+    document, merged into maximal runs per document (consecutive
+    duplicated gram starts = one span of max-min+n words).  Where
+    :func:`dup_span_detect` reports the per-doc duplicated FRACTION
+    (the drop-policy input), this returns the spans themselves — what
+    a surgical span-removal pass deletes instead of dropping whole
+    documents.
+
+    Scale shape: the gram explode is the only row amplification
+    (n-fold); the per-gram distinct-doc count aggregates on a 16-byte
+    md5 with partial combine; the cross-doc filter is a semi-join on
+    that hash; the run merge is the island pattern (pos - row_number)
+    under a per-document window — no cross-document state after the
+    semi-join.  All-integer output, bit-equal on any partitioning.
+
+    Returns (id, span_start, span_words) with 1-based starts;
+    documents with no cross-doc duplicated gram are absent.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+    )
+    g = base.select(
+        "_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("_w") - (n - 1))
+        ).alias("_i"),
+        "_w",
+    ).select(
+        "_id",
+        F.col("_i").cast("bigint").alias("_i"),
+        F.md5(F.concat_ws(" ", F.expr(f"slice(_w, _i, {n})"))).alias(
+            "_g"
+        ),
+    ).localCheckpoint(eager=False)  # two consumers: counts + positions
+    gd = (
+        g.groupBy("_g")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("_g")
+    )
+    dup = g.join(gd, on="_g", how="leftsemi").select("_id", "_i")
+    w = Window.partitionBy("_id").orderBy("_i")
+    runs = dup.withColumn(
+        "_grp", F.col("_i") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("_id", "_grp")
+        .agg(
+            F.min("_i").alias("span_start"),
+            (F.max("_i") - F.min("_i") + n).alias("span_words"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_words").cast("bigint").alias("span_words"),
+        )
+    )
+
+
+def dup_substring_spans_oracle_sql(n: int = 8) -> str:
+    """DuckDB replay of :func:`dup_substring_spans`: same grams,
+    distinct-doc filter, and island run merge."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '
+                 ) AS wl
+          FROM documents WHERE text IS NOT NULL
+        ), grams AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                 md5(array_to_string(wl[u.i:(u.i + {n} - 1)], ' ')) AS g
+          FROM w, unnest(generate_series(1, len(wl) - {n} + 1)) AS u(i)
+          WHERE len(wl) >= {n}
+        ), gd AS (
+          SELECT g FROM (
+            SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+          ) WHERE nd >= 2
+        ), dup AS (
+          SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM gd)
+        ), runs AS (
+          SELECT doc_id, i,
+                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                   AS grp
+          FROM dup
+        )
+        SELECT doc_id,
+               CAST(min(i) AS BIGINT) AS span_start,
+               CAST(max(i) - min(i) + {n} AS BIGINT) AS span_words
+        FROM runs GROUP BY doc_id, grp"""
+
+
 def gram_novelty(
     docs: DataFrame,
     n: int = 8,

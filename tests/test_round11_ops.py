@@ -1671,3 +1671,56 @@ def test_cochran_armitage_brute_force(spark, tmp_path):
             int(r[0].sn_units)) == (N, P, sp, sn)
     assert abs(r[0].z - want_z) < 1e-12
     assert r[0].z > 2  # the planted trend is significant
+
+
+def test_dup_substring_spans_brute_force(spark, tmp_path):
+    """Span list == python replay: shared 8-gram runs merge into
+    maximal spans, doc-unique text yields none."""
+    import os
+
+    import __spark_entry__ as entry
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = {
+        0: f"one two {shared} three four",
+        1: f"{shared} five six seven eight nine ten eleven",
+        2: "unique words only here nothing repeats at all twelve "
+           "thirteen fourteen",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    n = 8
+    grams: dict = {}
+    pos: dict = {}
+    for i, t in texts.items():
+        ws = t.split()
+        for p in range(len(ws) - n + 1):
+            gkey = " ".join(ws[p:p + n])
+            grams.setdefault(gkey, set()).add(i)
+            pos.setdefault(i, []).append((p + 1, gkey))
+    want = set()
+    for i, pl in pos.items():
+        dup = sorted(p for p, gk in pl if len(grams[gk]) >= 2)
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] - run[0] + n))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] - run[0] + n))
+    got = {
+        (r.doc_id, r.span_start, r.span_words)
+        for r in entry.queries()["dup_substring_spans"](
+            spark, d
+        ).collect()
+    }
+    assert got == want and len(got) == 2
