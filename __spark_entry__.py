@@ -12101,8 +12101,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         midranks keep ties integer, each group's (2R_g)²/n_g term
         rounds to integer units before the cross-group sum
         (quantize-before-sum), and the tie correction
-        1 - Σ(t³-t)/(N³-N) is exact int64.  H = 3·U/(4·N(N+1)) -
-        3(N+1) adjusted for the doubled-rank scaling, then H' = H /
+        1 - Σ(t³-t)/(N³-N) is exact int64.  With U = Σ(2R_g)²/n_g the
+        doubled-rank scaling gives H = 12·(U/4)/(N(N+1)) - 3(N+1)
+        = 3·U/(N(N+1)) - 3(N+1), then H' = H /
         correction — floats only on exact integer operands.
         Registered after the round-12/13 windows; round-14 window
         material."""
@@ -12293,7 +12294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         integer, and the pooled-variance term is one more mirrored
         chain.  M = (N-k)·ln(s_p²) - Σ(n_g-1)·ln(s_g²), with the
         standard correction C = 1 + (Σ1/(n_g-1) - 1/(N-k))/(3(k-1))
-        accumulated as quantized reciprocal units.  Registered after
+        accumulated as quantized reciprocal units.  Groups with a
+        single observation are excluded identically in both engines
+        (n=1 makes s² a 0/0 NaN and 1/(n-1) an Infinity — the test is
+        undefined for them), so degenerate inputs degrade consistently
+        instead of crashing the ANSI bigint cast.  Registered after
         the round-12/13 windows; round-14 window material."""
         e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
         dec = "decimal(38,0)"
@@ -12306,7 +12311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum((F.col("_c").cast(dec) * F.col("_c")).cast(dec)).alias(
                 "_q"
             ),
-        )
+        ).filter(F.col("_n") >= 2)
         s2 = (
             (
                 F.col("_n").cast("double") * F.col("_q").cast("double")
@@ -12938,20 +12943,22 @@ _GATE_PRIORITY_R12 = [
     "sosfilt_blocks",
 ]
 
-_GATE_PRIORITY = _GATE_PRIORITY_R12
+# (Round-12 history: `_GATE_PRIORITY = _GATE_PRIORITY_R12`; rebound to
+# the pre-committed R13 window at round-13 start per the r12 verdict
+# order #1, after CORRECTNESS_r12 landed 50/50 green.)
 
 
-# READY-TO-SWAP round-13 window (execute at round-13 start, AFTER
-# CORRECTNESS_r12 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R13` —
+# Round-13 window, ACTIVE (pre-committed in round 12, activated at
+# round-13 start by rebinding `_GATE_PRIORITY = _GATE_PRIORITY_R13` —
 # one line, no list edit).  Composition (r11 verdict order #2): the 12
 # round-11-session registrations (each battery-verified at
 # registration AND independently re-run by the r11 judge — 12/12
 # match, 13/13 shuffle-invariant; never driver-checked), then the
 # remaining r04 freshness cohort (25) and the head of the r06 cohort
 # (13), in tools/freshness_queue.py order.  12 + 25 + 13 = 50.  After
-# this window lands, no driver evidence is older than r06.  The six
-# round-12-session registrations (betweenness_contrib, bpe_apply,
-# kn_perplexity, random_walks, als_user_step, cusum_by_type) are
+# this window lands, no driver evidence is older than r06.  The 21
+# round-12-session registrations (betweenness_contrib through
+# dup_substring_spans — see the ROUND-14 COMPOSITION NOTE below) are
 # round-14 window material and sit below this list in the queue.
 _GATE_PRIORITY_R13 = [
     # 12 round-11-session conversions (registered round 11, never
@@ -12976,19 +12983,23 @@ _GATE_PRIORITY_R13 = [
     "split_assign", "corpus_shuffle", "multires_rollup",
 ]
 
+_GATE_PRIORITY = _GATE_PRIORITY_R13
+
 # ROUND-14 COMPOSITION NOTE (draft — compose and commit the binding
 # list in the round-13 session, AFTER CORRECTNESS_r13 lands, so the
-# freshness order reflects the r12+r13 driver results): 20 conversion
+# freshness order reflects the r12+r13 driver results): 21 conversion
 # slots for the round-12-session registrations in registration order
 # (betweenness_contrib, bpe_apply, kn_perplexity, random_walks,
 # als_user_step, cusum_by_type, did_by_type, ipw_ate, logrank_test,
 # assoc_rules, anova_f, nelson_aalen, kruskal_binned, mcnemar_pairs,
 # xcorr_lags, bartlett_test, durbin_watson, scene_cuts,
-# decision_stump, cochran_armitage — every one battery-verified and
-# LOCALCHECK_r12-green at registration), then 30 freshness re-gates
-# from the tools/freshness_queue.py head (the r06-cohort remainder —
-# 31 rows after the r13 window converts its 13 — then the r07 head).
-# 20 + 30 = 50.
+# decision_stump, cochran_armitage, dup_substring_spans — every one
+# battery-verified and LOCALCHECK_r12-green at registration, and
+# independently re-run by the r12 judge: 21/21 match), then 29
+# freshness re-gates from the tools/freshness_queue.py head (the
+# r06-cohort remainder — 31 rows after the r13 window converts its 13
+# — then the r07 head).  21 + 29 = 50.  Round-13-session
+# registrations sit below this list in the queue (round-15 material).
 
 
 def _gate_order(q: dict) -> dict:
@@ -18943,6 +18954,7 @@ def oracle_sql() -> dict[str, str]:
                      * CAST(round(value * 100) AS BIGINT)) AS q
           FROM events WHERE value IS NOT NULL
           GROUP BY 1
+          HAVING count(*) >= 2
         ), per AS (
           SELECT n, q,
                  CAST(round(ln(

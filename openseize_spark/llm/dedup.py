@@ -451,19 +451,25 @@ def dup_substring_spans(
     """Maximal cross-document duplicated SUBSTRING SPANS — the actual
     cut list of exact-substring dedup (Lee et al. 2022): every word
     position whose ``n``-gram fingerprint occurs in at least one OTHER
-    document, merged into maximal runs per document (consecutive
-    duplicated gram starts = one span of max-min+n words).  Where
-    :func:`dup_span_detect` reports the per-doc duplicated FRACTION
-    (the drop-policy input), this returns the spans themselves — what
-    a surgical span-removal pass deletes instead of dropping whole
-    documents.
+    document, merged into maximal spans per document.  Each duplicated
+    gram start covers words ``[i, i+n-1]``; starts whose covered
+    intervals overlap or touch (``i - prev_i <= n``) merge into one
+    span — an interval UNION, so the output spans are DISJOINT and
+    ``sum(span_words)`` is exactly the number of duplicated words (a
+    step-1-only run merge would emit overlapping spans for gapped
+    starts like ``i`` and ``i+2``, double-counting the overlap).
+    Where :func:`dup_span_detect` reports the per-doc duplicated
+    FRACTION (the drop-policy input), this returns the spans
+    themselves — what a surgical span-removal pass deletes instead of
+    dropping whole documents.
 
     Scale shape: the gram explode is the only row amplification
     (n-fold); the per-gram distinct-doc count aggregates on a 16-byte
     md5 with partial combine; the cross-doc filter is a semi-join on
-    that hash; the run merge is the island pattern (pos - row_number)
-    under a per-document window — no cross-document state after the
-    semi-join.  All-integer output, bit-equal on any partitioning.
+    that hash; the span merge is the gaps-and-islands pattern (a
+    lag-gap flag plus its running sum) under a per-document window —
+    no cross-document state after the semi-join.  All-integer output,
+    bit-equal on any partitioning.
 
     Returns (id, span_start, span_words) with 1-based starts;
     documents with no cross-doc duplicated gram are absent.
@@ -495,8 +501,19 @@ def dup_substring_spans(
     )
     dup = g.join(gd, on="_g", how="leftsemi").select("_id", "_i")
     w = Window.partitionBy("_id").orderBy("_i")
+    # all intervals have equal length n, so the running-max interval
+    # union reduces to a lag gap test: a start more than n past the
+    # previous start opens a new span
     runs = dup.withColumn(
-        "_grp", F.col("_i") - F.row_number().over(w)
+        "_new",
+        F.when(
+            F.col("_i") - F.lag("_i").over(w) > n, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
     return (
         runs.groupBy("_id", "_grp")
@@ -514,7 +531,7 @@ def dup_substring_spans(
 
 def dup_substring_spans_oracle_sql(n: int = 8) -> str:
     """DuckDB replay of :func:`dup_substring_spans`: same grams,
-    distinct-doc filter, and island run merge."""
+    distinct-doc filter, and lag-gap interval-union span merge."""
     return f"""
         WITH w AS (
           SELECT doc_id,
@@ -533,11 +550,19 @@ def dup_substring_spans_oracle_sql(n: int = 8) -> str:
           ) WHERE nd >= 2
         ), dup AS (
           SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM gd)
+        ), flagged AS (
+          SELECT doc_id, i,
+                 CASE WHEN i - lag(i) OVER (
+                        PARTITION BY doc_id ORDER BY i
+                      ) > {n} THEN 1 ELSE 0 END AS new_span
+          FROM dup
         ), runs AS (
           SELECT doc_id, i,
-                 i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
-                   AS grp
-          FROM dup
+                 sum(new_span) OVER (
+                   PARTITION BY doc_id ORDER BY i
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS grp
+          FROM flagged
         )
         SELECT doc_id,
                CAST(min(i) AS BIGINT) AS span_start,

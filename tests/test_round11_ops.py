@@ -1674,18 +1674,25 @@ def test_cochran_armitage_brute_force(spark, tmp_path):
 
 
 def test_dup_substring_spans_brute_force(spark, tmp_path):
-    """Span list == python replay: shared 8-gram runs merge into
-    maximal spans, doc-unique text yields none."""
+    """Span list == python replay: shared 8-gram starts union into
+    maximal DISJOINT spans (gapped starts within n merge; a gap of
+    n+1 does not), doc-unique text yields none."""
     import os
 
     import __spark_entry__ as entry
 
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # w1..w12 vs w1..w8 q w5..w12: doc 3 has duplicated gram starts
+    # {1, 5} (gap 4 <= n -> ONE span of 12 words); doc 4 has starts
+    # {1, 10} (gap 9 = n+1 -> two disjoint 8-word spans)
+    w = [f"w{j}" for j in range(1, 13)]
     texts = {
         0: f"one two {shared} three four",
         1: f"{shared} five six seven eight nine ten eleven",
         2: "unique words only here nothing repeats at all twelve "
            "thirteen fourteen",
+        3: " ".join(w),
+        4: " ".join(w[:8]) + " q " + " ".join(w[4:]),
     }
     rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
     d = str(tmp_path / "sf")
@@ -1709,7 +1716,7 @@ def test_dup_substring_spans_brute_force(spark, tmp_path):
         dup = sorted(p for p, gk in pl if len(grams[gk]) >= 2)
         run = []
         for p in dup:
-            if run and p == run[-1] + 1:
+            if run and p - run[-1] <= n:
                 run.append(p)
             else:
                 if run:
@@ -1723,4 +1730,14 @@ def test_dup_substring_spans_brute_force(spark, tmp_path):
             spark, d
         ).collect()
     }
-    assert got == want and len(got) == 2
+    assert got == want
+    assert (3, 1, 12) in got  # gap-4 starts unioned into one span
+    assert (4, 1, 8) in got and (4, 10, 8) in got  # gap n+1 stays split
+    # spans are disjoint per doc: summed words == union cardinality
+    cover: dict = {}
+    for i, s, k in got:
+        cover.setdefault(i, set()).update(range(s, s + k))
+    assert all(
+        sum(k for j, _, k in got if j == i) == len(cov)
+        for i, cov in cover.items()
+    )
