@@ -12650,13 +12650,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup) — the surgical cut list (doc, span_start, span_words)
         a span-removal pass deletes, where dup_span_detect only
         reports the per-doc duplicated fraction.  Word-8-gram md5
-        fingerprints, distinct-doc >= 2 semi-join, island run merge
-        per document.  All-integer output.  Registered after the
-        round-12/13 windows; round-14 window material."""
+        fingerprints, distinct-doc >= 2 semi-join, interval-union
+        span merge per document (starts within n merge, so spans are
+        disjoint and sum(span_words) is the duplicated-word count).
+        All-integer output.  Registered after the round-12/13
+        windows; round-14 window material."""
         docs = _t(spark, sf_dir, "documents")
         return dedup.dup_substring_spans(docs, n=8)
 
     q["dup_substring_spans"] = q_dup_substring_spans
+
+    def q_skipgram_cooc(spark, sf_dir):
+        """Skip-gram co-occurrence + PMI over the DeepWalk corpus
+        (llm/dedup.skipgram_cooc; Levy & Goldberg 2014) — the
+        walk→embedding closure the r12 verdict ordered: window-2
+        ordered pairs over the same 4-step hash-seeded walks as the
+        random_walks registration (same customer-part purchase
+        graph), exact int64 counts/marginals, PMI as one mirrored
+        double chain with UNROUNDED ln (woe_encode precedent).
+        Registered after the round-13/14 windows; round-15 window
+        material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        return dedup.skipgram_cooc(edges, length=4, window=2)
+
+    q["skipgram_cooc"] = q_skipgram_cooc
 
     return _gate_order(q)
 
@@ -19355,6 +19381,15 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         """,
         length=4,
+    )
+
+    o["skipgram_cooc"] = _dedup.skipgram_cooc_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        length=4,
+        window=2,
     )
 
     o["als_user_step"] = """

@@ -3624,6 +3624,104 @@ def random_walks_oracle_sql(
         {union}"""
 
 
+def skipgram_cooc(
+    edges: DataFrame,
+    length: int = 4,
+    window: int = 2,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Skip-gram co-occurrence counts + PMI over the DeepWalk walk
+    corpus — the step that turns :func:`random_walks` output into
+    embedding-training pairs (word2vec's implicit matrix is the
+    shifted PMI of exactly these counts, Levy & Goldberg 2014): for
+    every walk, every ordered (center, context) node pair within
+    ``window`` steps co-occurs once; pmi(u, v) = ln(#(u,v)·T /
+    (#(u,·)·#(·,v))) over the pair total T.
+
+    Exactness: counts and marginals are exact int64; the PMI argument
+    is (cnt·T)/(cu·cv) computed as one mirrored double chain (casts
+    and one multiply/divide each side — IEEE-identical on both
+    engines, no pre-multiply overflow); ln stays UNROUNDED output (the
+    woe_encode precedent — never quantize a transcendental into an
+    exact-integer gate column, r12 ADVICE).
+
+    Scale shape: walks self-join per seed (each walk is ``length+1``
+    rows, so the join fans out at most (L+1)·2w per walk); pair counts
+    aggregate with partial combine on the (u, v) key; the two
+    marginals re-aggregate FROM the pair counts (checkpointed once —
+    never re-walk the corpus) and join back on u then v — node-key
+    shuffles that AQE skew-handles for hub nodes.  The scalar total
+    broadcasts.
+
+    Returns (u, v, cnt, pmi) for ordered pairs, u != v allowed only
+    via distinct walk positions.
+    """
+    walks = random_walks(edges, length=length, a_col=a_col, b_col=b_col)
+    w1 = walks.select("seed", F.col("step").alias("_s1"), F.col("node").alias("u"))
+    w2 = walks.select("seed", F.col("step").alias("_s2"), F.col("node").alias("v"))
+    pairs = (
+        w1.join(w2, on="seed")
+        .filter(
+            (F.col("_s2") - F.col("_s1") >= -window)
+            & (F.col("_s2") - F.col("_s1") <= window)
+            & (F.col("_s2") != F.col("_s1"))
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        # three consumers: marginals u, v and the output join
+        .localCheckpoint(eager=False)
+    )
+    cu = pairs.groupBy("u").agg(F.sum("cnt").cast("bigint").alias("_cu"))
+    cv = pairs.groupBy("v").agg(F.sum("cnt").cast("bigint").alias("_cv"))
+    tot = pairs.agg(F.sum("cnt").cast("bigint").alias("_T"))
+    return (
+        pairs.join(cu, on="u")
+        .join(cv, on="v")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "u",
+            "v",
+            "cnt",
+            F.log(
+                (F.col("cnt").cast("double") * F.col("_T").cast("double"))
+                / (F.col("_cu").cast("double") * F.col("_cv").cast("double"))
+            ).alias("pmi"),
+        )
+    )
+
+
+def skipgram_cooc_oracle_sql(
+    edges_cte: str, length: int = 4, window: int = 2
+) -> str:
+    """DuckDB replay of :func:`skipgram_cooc`: the random_walks replay
+    as a subquery, the same windowed self-join, and the identical
+    count/marginal/PMI double chain."""
+    walks = random_walks_oracle_sql(edges_cte, length=length)
+    return f"""
+        WITH walks AS MATERIALIZED (
+          {walks}
+        ), pairs AS MATERIALIZED (
+          SELECT w1.node AS u, w2.node AS v,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM walks w1 JOIN walks w2 ON w1.seed = w2.seed
+          WHERE w2.step - w1.step BETWEEN -{window} AND {window}
+            AND w2.step != w1.step
+          GROUP BY w1.node, w2.node
+        ), cu AS (
+          SELECT u, CAST(sum(cnt) AS BIGINT) AS cu FROM pairs GROUP BY u
+        ), cv AS (
+          SELECT v, CAST(sum(cnt) AS BIGINT) AS cv FROM pairs GROUP BY v
+        ), tot AS (
+          SELECT CAST(sum(cnt) AS BIGINT) AS T FROM pairs
+        )
+        SELECT pairs.u, pairs.v, pairs.cnt,
+               ln((CAST(pairs.cnt AS DOUBLE) * CAST(tot.T AS DOUBLE))
+                  / (CAST(cu.cu AS DOUBLE) * CAST(cv.cv AS DOUBLE)))
+                 AS pmi
+        FROM pairs JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN tot"""
+
+
 def temporal_reach(
     edges: DataFrame,
     source: int,
