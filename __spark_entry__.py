@@ -12684,6 +12684,163 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["skipgram_cooc"] = q_skipgram_cooc
 
+    def q_binseg_changepoints(spark, sf_dir):
+        """Binary-segmentation change-point detection (Scott & Knott
+        1974 / the binseg baseline of the PELT literature) on the
+        per-type event value series — the offline segmentation
+        complement to cusum_by_type's one-sided online detection (r12
+        verdict order #6): depth-2 recursion finds up to 3 change
+        points per event type, each maximizing the SSE reduction
+        gain(s) = n_l·n_r/n_p · (mean_l - mean_r)².
+
+        Exactness: the series is reduced to the fixed ≤1024-bin time
+        grid (integer div on non-negative µs offsets — Spark `div`
+        and DuckDB `//` agree); per-bin (n, Σcents) moments are exact
+        DECIMAL(38,0); per-split D = S_l·n_r - S_r·n_l stays exact
+        DECIMAL, and gain = D²/((n_l·n_r)·n_p) is one mirrored
+        double chain (division-derived — IEEE-identical both
+        engines); the per-segment argmax is a struct-min on
+        (-gain, bin) with ascending-bin tie-break, replayed in the
+        oracle as ORDER BY gain DESC, bin.  No float ever enters an
+        exact-integer gate column.
+
+        Scale shape: one groupBy reduces the raw events to the
+        bounded (type × 1024) bin table (map-side combine); the
+        split search — cumulative sums via broadcast inequality
+        join, segment totals, argmax — runs entirely on that
+        bounded control frame (the decision_stump precedent), so
+        depth-2 recursion costs two bounded passes regardless of
+        data size.  Registered after the round-13/14 windows;
+        round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        rng = e.agg(
+            F.min(F.unix_micros("ts")).alias("_t0"),
+            F.max(F.unix_micros("ts")).alias("_t1"),
+        )
+        b = (
+            e.crossJoin(F.broadcast(rng))
+            .select(
+                "event_type",
+                F.expr(
+                    "((unix_micros(ts) - _t0) * 1024)"
+                    " div (_t1 - _t0 + 1)"
+                ).cast("bigint").alias("bin"),
+                F.round(F.col("value") * 100).cast("bigint").alias("_c"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            # consumers: per-level cumulative joins + totals (2 levels)
+            .localCheckpoint(eager=False)
+        )
+        b2 = b.select(
+            F.col("event_type").alias("_et2"),
+            F.col("bin").alias("_b2"),
+            F.col("_n").alias("_n2"),
+            F.col("_s").alias("_s2"),
+        )
+
+        def best_splits(segs, lvl):
+            """One binseg level: per (type, lo, hi) segment, the
+            argmax-gain split over the bounded bin table."""
+            sb = b.join(F.broadcast(segs), on="event_type").filter(
+                (F.col("bin") >= F.col("lo"))
+                & (F.col("bin") <= F.col("hi"))
+            )
+            tot = sb.groupBy("event_type", "lo", "hi").agg(
+                F.sum("_n").cast("bigint").alias("_np"),
+                F.sum("_s").cast(dec).alias("_sp"),
+            )
+            cum = (
+                sb.join(
+                    F.broadcast(b2),
+                    (F.col("_et2") == F.col("event_type"))
+                    & (F.col("_b2") >= F.col("lo"))
+                    & (F.col("_b2") <= F.col("bin")),
+                )
+                .groupBy("event_type", "lo", "hi", "bin")
+                .agg(
+                    F.sum("_n2").cast("bigint").alias("n_left"),
+                    F.sum("_s2").cast(dec).alias("_sl"),
+                )
+            )
+            cand = (
+                cum.join(F.broadcast(tot), on=["event_type", "lo", "hi"])
+                .select(
+                    "event_type",
+                    "lo",
+                    "hi",
+                    "bin",
+                    "n_left",
+                    (F.col("_np") - F.col("n_left"))
+                    .cast("bigint")
+                    .alias("n_right"),
+                    "_sl",
+                    (F.col("_sp") - F.col("_sl")).cast(dec).alias("_sr"),
+                    "_np",
+                )
+                .filter(F.col("n_right") > 0)
+            )
+            d_int = (
+                F.col("_sl") * F.col("n_right").cast(dec)
+                - F.col("_sr") * F.col("n_left").cast(dec)
+            ).cast(dec).cast("double")
+            gain = (d_int * d_int) / (
+                (
+                    F.col("n_left").cast("double")
+                    * F.col("n_right").cast("double")
+                )
+                * F.col("_np").cast("double")
+            )
+            return (
+                cand.groupBy("event_type", "lo", "hi")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-gain).alias("_ng"),
+                            F.col("bin").alias("split_bin"),
+                            F.col("n_left").alias("n_left"),
+                            F.col("n_right").alias("n_right"),
+                        )
+                    ).alias("_b")
+                )
+                .select(
+                    "event_type",
+                    F.lit(lvl).cast("int").alias("level"),
+                    F.col("lo").cast("bigint").alias("lo_bin"),
+                    F.col("hi").cast("bigint").alias("hi_bin"),
+                    F.col("_b.split_bin").alias("split_bin"),
+                    F.col("_b.n_left").alias("n_left"),
+                    F.col("_b.n_right").alias("n_right"),
+                    (-F.col("_b._ng")).alias("gain"),
+                )
+            )
+
+        seg1 = b.select("event_type").distinct().select(
+            "event_type",
+            F.lit(0).cast("bigint").alias("lo"),
+            F.lit(1023).cast("bigint").alias("hi"),
+        )
+        best1 = best_splits(seg1, 1).localCheckpoint(eager=False)
+        seg2 = best1.select(
+            "event_type",
+            F.col("lo_bin").alias("lo"),
+            F.col("split_bin").alias("hi"),
+        ).unionByName(
+            best1.select(
+                "event_type",
+                (F.col("split_bin") + 1).alias("lo"),
+                F.col("hi_bin").alias("hi"),
+            )
+        )
+        best2 = best_splits(seg2, 2)
+        return best1.unionByName(best2)
+
+    q["binseg_changepoints"] = q_binseg_changepoints
+
     return _gate_order(q)
 
 
@@ -19382,6 +19539,85 @@ def oracle_sql() -> dict[str, str]:
         """,
         length=4,
     )
+
+    def _binseg_level_sql(lvl: int) -> str:
+        """One binseg level over the b bin CTE: cumulative sums,
+        segment totals, the mirrored double gain chain, and the
+        ORDER BY gain DESC, bin argmax (= the engine's struct-min)."""
+        return f"""cum{lvl} AS (
+          SELECT s.event_type, s.lo, s.hi, b1.bin,
+                 CAST(sum(b2.n) AS BIGINT) AS n_left,
+                 CAST(sum(b2.s) AS HUGEINT) AS sl
+          FROM seg{lvl} s
+          JOIN b b1 ON b1.event_type = s.event_type
+                   AND b1.bin BETWEEN s.lo AND s.hi
+          JOIN b b2 ON b2.event_type = s.event_type
+                   AND b2.bin BETWEEN s.lo AND b1.bin
+          GROUP BY 1, 2, 3, 4
+        ), tot{lvl} AS (
+          SELECT s.event_type, s.lo, s.hi,
+                 CAST(sum(b.n) AS BIGINT) AS np,
+                 CAST(sum(b.s) AS HUGEINT) AS sp
+          FROM seg{lvl} s
+          JOIN b ON b.event_type = s.event_type
+                AND b.bin BETWEEN s.lo AND s.hi
+          GROUP BY 1, 2, 3
+        ), gain{lvl} AS (
+          SELECT c.event_type, c.lo, c.hi, c.bin, c.n_left,
+                 CAST(t.np - c.n_left AS BIGINT) AS n_right,
+                 (CAST(c.sl * (t.np - c.n_left)
+                       - (t.sp - c.sl) * c.n_left AS DOUBLE)
+                  * CAST(c.sl * (t.np - c.n_left)
+                         - (t.sp - c.sl) * c.n_left AS DOUBLE))
+                 / ((CAST(c.n_left AS DOUBLE)
+                     * CAST(t.np - c.n_left AS DOUBLE))
+                    * CAST(t.np AS DOUBLE)) AS gain
+          FROM cum{lvl} c
+          JOIN tot{lvl} t USING (event_type, lo, hi)
+          WHERE t.np - c.n_left > 0
+        ), best{lvl} AS (
+          SELECT event_type, lo, hi, bin AS split_bin,
+                 n_left, n_right, gain
+          FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY event_type, lo, hi
+                     ORDER BY gain DESC, bin ASC
+                   ) AS rn
+            FROM gain{lvl}
+          ) WHERE rn = 1
+        )"""
+
+    o["binseg_changepoints"] = f"""
+        WITH rng AS (
+          SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+          FROM events WHERE value IS NOT NULL
+        ), b AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(((epoch_us(ts) - t0) * 1024)
+                      // (t1 - t0 + 1) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS HUGEINT)) AS s
+          FROM events, rng WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), seg1 AS (
+          SELECT event_type, CAST(0 AS BIGINT) AS lo,
+                 CAST(1023 AS BIGINT) AS hi
+          FROM (SELECT DISTINCT event_type FROM b)
+        ), {_binseg_level_sql(1)}, seg2 AS (
+          SELECT event_type, lo AS lo, split_bin AS hi FROM best1
+          UNION ALL
+          SELECT event_type, split_bin + 1 AS lo, hi FROM best1
+        ), {_binseg_level_sql(2)}
+        SELECT event_type, CAST(1 AS INT) AS level,
+               lo AS lo_bin, hi AS hi_bin, split_bin,
+               n_left, n_right, gain
+        FROM best1
+        UNION ALL
+        SELECT event_type, CAST(2 AS INT) AS level,
+               lo AS lo_bin, hi AS hi_bin, split_bin,
+               n_left, n_right, gain
+        FROM best2"""
 
     o["skipgram_cooc"] = _dedup.skipgram_cooc_oracle_sql(
         edges_cte="""

@@ -97,3 +97,112 @@ def test_skipgram_cooc_brute_force(spark, tmp_path):
     # information and must be non-negative
     mi = sum((k / T) * p for k, p in want.values())
     assert mi >= -1e-12
+
+
+def test_binseg_changepoints_brute_force(spark, tmp_path):
+    """Depth-2 binary segmentation == python replay: planted mean
+    shifts are found at their bin boundaries; a single-bin type
+    yields no rows."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    # type "a": 10 -> 50 -> 20 mean levels (two real change points);
+    # type "b": flat with small jitter; type "c": one event (absent)
+    vals_a = (
+        [10.0 + 0.01 * (i % 7) for i in range(100)]
+        + [50.0 + 0.01 * (i % 5) for i in range(100)]
+        + [20.0 + 0.01 * (i % 3) for i in range(100)]
+    )
+    vals_b = [30.0 + 0.01 * (i % 4) for i in range(120)]
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 1, 1)
+    for i, v in enumerate(vals_a):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1,
+                     "a", float(v), "{}"))
+    for i, v in enumerate(vals_b):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=2 * i), 1,
+                     "b", float(v), "{}"))
+    eid += 1
+    rows.append((eid, base + datetime.timedelta(minutes=17), 1,
+                 "c", 99.0, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    # python replay with the identical integer/double chain
+    us = [
+        (t, et, half_away(v * 100))
+        for (_, tsv, _, et, v, _) in rows
+        for t in [int(tsv.timestamp() * 1_000_000)]
+    ]
+    t0 = min(t for t, _, _ in us)
+    t1 = max(t for t, _, _ in us)
+    span = t1 - t0 + 1
+    bins: dict = {}
+    for t, et, c in us:
+        bn = ((t - t0) * 1024) // span
+        n, s = bins.get((et, bn), (0, 0))
+        bins[(et, bn)] = (n + 1, s + c)
+
+    def best(et, lo, hi):
+        seg = sorted(
+            (bn, n, s) for (e2, bn), (n, s) in bins.items()
+            if e2 == et and lo <= bn <= hi
+        )
+        np_ = sum(n for _, n, _ in seg)
+        sp = sum(s for _, _, s in seg)
+        out = None
+        nl = sl = 0
+        for bn, n, s in seg:
+            nl += n
+            sl += s
+            nr = np_ - nl
+            if nr <= 0:
+                continue
+            dd = float(sl * nr - (sp - sl) * nl)
+            gain = (dd * dd) / ((float(nl) * float(nr)) * float(np_))
+            if out is None or gain > out[0] or (
+                gain == out[0] and bn < out[1]
+            ):
+                out = (gain, bn, nl, nr)
+        return out
+
+    want = set()
+    for et in ("a", "b", "c"):
+        r1 = best(et, 0, 1023)
+        if r1 is None:
+            continue
+        g, bn, nl, nr = r1
+        want.add((et, 1, 0, 1023, bn, nl, nr, round(g, 6)))
+        for lo, hi in ((0, bn), (bn + 1, 1023)):
+            r2 = best(et, lo, hi)
+            if r2 is not None:
+                g2, bn2, nl2, nr2 = r2
+                want.add((et, 2, lo, hi, bn2, nl2, nr2, round(g2, 6)))
+
+    got = {
+        (r.event_type, r.level, r.lo_bin, r.hi_bin, r.split_bin,
+         r.n_left, r.n_right, round(r.gain, 6))
+        for r in entry.queries()["binseg_changepoints"](
+            spark, d
+        ).collect()
+    }
+    assert got == want
+    assert not any(k[0] == "c" for k in got)  # single-bin type absent
+    # the planted level-1 change point for "a" splits 100-vs-200 or
+    # 200-vs-100 events (the larger of the two shifts)
+    a1 = next(k for k in got if k[0] == "a" and k[1] == 1)
+    assert (a1[5], a1[6]) in {(100, 200), (200, 100)}
