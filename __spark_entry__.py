@@ -13185,6 +13185,41 @@ _GATE_PRIORITY = _GATE_PRIORITY_R13
 # registrations sit below this list in the queue (round-15 material).
 
 
+# READY-TO-SWAP round-14 window (execute at round-14 start, AFTER
+# CORRECTNESS_r13 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R14` —
+# one line, no list edit).  Composition per the note above (r12
+# verdict order #2): the 21 round-12-session registrations in
+# registration order (battery-verified, LOCALCHECK_r12-green, and
+# independently re-run by the r12 judge — 21/21 match, 9/9
+# shuffle-invariant; never driver-checked), then the first 29 of the
+# 31-row r06-cohort remainder in tools/freshness_queue.py order (the
+# last two, corpus_pipeline and pq_refine_topk, spill to round 15
+# with the r07 cohort).  21 + 29 = 50.  After this window lands, no
+# driver evidence is older than r06 except those two spill rows.
+# Round-13-session registrations (skipgram_cooc, binseg_changepoints)
+# are round-15 window material.
+_GATE_PRIORITY_R14 = [
+    # 21 round-12-session conversions (registered round 12, never
+    # checked; judge-verified independently in the r12 session)
+    "betweenness_contrib", "bpe_apply", "kn_perplexity",
+    "random_walks", "als_user_step", "cusum_by_type", "did_by_type",
+    "ipw_ate", "logrank_test", "assoc_rules", "anova_f",
+    "nelson_aalen", "kruskal_binned", "mcnemar_pairs", "xcorr_lags",
+    "bartlett_test", "durbin_watson", "scene_cuts", "decision_stump",
+    "cochran_armitage", "dup_substring_spans",
+    # 29 r06 freshness re-gates (freshness_queue order)
+    "pack_sequences", "streaming_sessionize", "streaming_enrich",
+    "tfidf_topk", "bm25_topk", "dsir_sample", "countmin_words",
+    "decontaminate", "length_quantiles", "edf_roundtrip",
+    "streaming_sosfilt", "pipeline_chain", "annotations_mask",
+    "streaming_policies", "streaming_dedup", "decontaminate_ngram",
+    "shard_assign", "quality_prune", "token_budget_subset",
+    "random_projection", "unigram_logprob", "semantic_dedup",
+    "pq_encode", "pq_adc_topk", "mixture_sample", "vocab_stats",
+    "dup_span_detect", "bpe_pair_counts", "source_divergence",
+]
+
+
 def _gate_order(q: dict) -> dict:
     head = {k: q[k] for k in _GATE_PRIORITY if k in q}
     return {**head, **{k: v for k, v in q.items() if k not in head}}
