@@ -11571,6 +11571,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["als_user_step"] = q_als_user_step
 
+    def q_als_item_step(spark, sf_dir):
+        """The ALTERNATION closure of als_user_step (Hu/Koren/
+        Volinsky 2008): one exact ALS item-factor half-step that
+        consumes the user factors the sibling half-step just solved —
+        the genuine alternating least squares loop, not a hash twin.
+        The user factors x1/x2 are division-derived doubles on exact
+        integer operands (bit-identical both engines), so quantizing
+        them to 1e-6 units (p = round(x·1e6)) is parity-safe by the
+        division-quantization idiom; the per-item ridge normal
+        equations (PᵀP + λ·1e12·I)y' = Pᵀr then accumulate as exact
+        DECIMAL(38,0)/HUGEINT moments (units² ~1e15, det ~1e31,
+        numerators ~1e27 — 7 orders inside the 38-digit budget at
+        100× the gate scale), and y = 1e6·(num/det) is one mirrored
+        float chain.  λ = 1000 as in the user step.  Returns
+        (i, n_users, y1, y2).  Registered after the round-13/14
+        windows; round-15 window material."""
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        dec = "decimal(38,0)"
+        r = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("u"),
+                F.col("l_partkey").alias("i"),
+            )
+            .agg(
+                F.round(F.sum("l_quantity"))
+                .cast("bigint")
+                .alias("r")
+            )
+        )
+        uf = q_als_user_step(spark, sf_dir).select(
+            "u",
+            F.round(F.col("x1") * 1e6).cast("bigint").alias("p1"),
+            F.round(F.col("x2") * 1e6).cast("bigint").alias("p2"),
+        )
+        f = r.join(uf, on="u")
+        mom = f.groupBy("i").agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum((F.col("p1").cast(dec) * F.col("p1")).cast(dec)).alias("_a11"),
+            F.sum((F.col("p1").cast(dec) * F.col("p2")).cast(dec)).alias("_a12"),
+            F.sum((F.col("p2").cast(dec) * F.col("p2")).cast(dec)).alias("_a22"),
+            F.sum((F.col("p1").cast(dec) * F.col("r")).cast(dec)).alias("_b1"),
+            F.sum((F.col("p2").cast(dec) * F.col("r")).cast(dec)).alias("_b2"),
+        )
+        lam = F.lit(10**15).cast(dec)
+        a11l = (F.col("_a11") + lam).cast(dec)
+        a22l = (F.col("_a22") + lam).cast(dec)
+        det = (a11l * a22l - F.col("_a12") * F.col("_a12")).cast("double")
+        y1 = F.lit(1e6) * (
+            (a22l * F.col("_b1") - F.col("_a12") * F.col("_b2")).cast(
+                "double"
+            )
+            / det
+        )
+        y2 = F.lit(1e6) * (
+            (a11l * F.col("_b2") - F.col("_a12") * F.col("_b1")).cast(
+                "double"
+            )
+            / det
+        )
+        return mom.select(
+            "i", "n_users", y1.alias("y1"), y2.alias("y2")
+        )
+
+    q["als_item_step"] = q_als_item_step
+
     def q_cusum_by_type(spark, sf_dir):
         """Exact one-sided CUSUM change detection (Page 1954) per
         event type: S_t = max(0, S_{t-1} + (x_t - mean)), computed in
@@ -12840,6 +12909,156 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return best1.unionByName(best2)
 
     q["binseg_changepoints"] = q_binseg_changepoints
+
+    def q_seq_rules(spark, sf_dir):
+        """Sequential-pattern rules a→b over per-user event streams
+        (the length-2 PrefixSpan/GSP case, Srikant & Agrawal 1996) —
+        the SEQUENTIAL complement to assoc_rules' unordered baskets:
+        a user supports a→b iff some occurrence of type a precedes
+        some occurrence of type b in their (ts, event_id)-ordered
+        stream, which reduces to first_pos(a) < last_pos(b) — so the
+        whole search needs only the per-(user, type) min/max position
+        table.  Confidence = supp(a→b)/supp(a) is quantized to
+        integer nano-units (division-derived — IEEE-identical both
+        engines, ties round half-away identically).
+
+        Scale shape: one window ranks each user's stream; the
+        per-(user, type) aggregate is bounded at (#types) rows per
+        user; the within-user type-pair self-join fans out at most
+        #types² per user (≤25 here); supports aggregate with partial
+        combine on the tiny (a, b) key space.  No collect, no UDF.
+        Returns (ante, cons, n_seq, n_ante, conf_units).  Registered
+        after the round-13/14 windows; round-15 window material."""
+        e = _events(spark, sf_dir)
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        pos = e.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("_p"),
+        )
+        ut = pos.groupBy("user_id", "event_type").agg(
+            F.min("_p").alias("_first"),
+            F.max("_p").alias("_last"),
+        )
+        a = ut.select(
+            "user_id",
+            F.col("event_type").alias("ante"),
+            F.col("_first").alias("_fa"),
+        )
+        b = ut.select(
+            "user_id",
+            F.col("event_type").alias("cons"),
+            F.col("_last").alias("_lb"),
+        )
+        seq = (
+            a.join(b, on="user_id")
+            .filter(
+                (F.col("ante") != F.col("cons"))
+                & (F.col("_fa") < F.col("_lb"))
+            )
+            .groupBy("ante", "cons")
+            .agg(F.count("*").cast("bigint").alias("n_seq"))
+        )
+        supp = ut.groupBy(F.col("event_type").alias("ante")).agg(
+            F.count("*").cast("bigint").alias("n_ante")
+        )
+        return seq.join(F.broadcast(supp), on="ante").select(
+            "ante",
+            "cons",
+            "n_seq",
+            "n_ante",
+            F.round(
+                F.lit(1e9)
+                * (
+                    F.col("n_seq").cast("double")
+                    / F.col("n_ante").cast("double")
+                )
+            )
+            .cast("bigint")
+            .alias("conf_units"),
+        )
+
+    q["seq_rules"] = q_seq_rules
+
+    def q_rake_keywords(spark, sf_dir):
+        """RAKE keyword extraction (llm/text.rake_keywords; Rose et
+        al. 2010): top-3 stopword-free phrases per document by the
+        summed deg/freq member-word score, quantized to exact
+        integer nano-units so the ranking never compares floats.
+        Per-document independent — embarrassingly partition-
+        parallel.  Registered after the round-13/14 windows;
+        round-15 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        return llm_text.rake_keywords(docs, k=3)
+
+    q["rake_keywords"] = q_rake_keywords
+
+    def q_mantel_haenszel(spark, sf_dir):
+        """Mantel-Haenszel pooled odds ratio (Mantel & Haenszel 1959)
+        for outcome = purchase vs exposure = high value (cents ≥
+        24502, the fixed grid midpoint), stratified by day-of-week —
+        the stratified-confounding complement to the did_by_type/
+        ipw_ate causal family: OR_MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i)
+        over the 7 per-stratum 2×2 tables.  Cell counts are exact
+        int64; each a·d/n and b·c/n term is quantized to integer
+        nano-units (division-derived — IEEE-identical both engines),
+        so the cross-stratum sums are exact integers and only the
+        final ratio re-enters floats.  Scale shape: one groupBy on
+        the 7-key dow grid (map-side combine), then a 7-row scalar
+        aggregate.  Returns one row (k_strata, n_total, ad_units,
+        bc_units, or_mh).  Registered after the round-13/14 windows;
+        round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        exp = F.when(cents >= 24502, 1).otherwise(0)
+        out = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        g = e.select(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            exp.alias("_e"),
+            out.alias("_o"),
+        ).groupBy("dow").agg(
+            F.sum(F.col("_e") * F.col("_o")).cast("bigint").alias("_a"),
+            F.sum(F.col("_e") * (1 - F.col("_o"))).cast("bigint").alias("_b"),
+            F.sum((1 - F.col("_e")) * F.col("_o")).cast("bigint").alias("_c"),
+            F.sum((1 - F.col("_e")) * (1 - F.col("_o")))
+            .cast("bigint")
+            .alias("_d"),
+        )
+        n = (F.col("_a") + F.col("_b") + F.col("_c") + F.col("_d")).cast(
+            "bigint"
+        )
+        ad_u = F.round(
+            F.lit(1e9)
+            * (
+                (F.col("_a") * F.col("_d")).cast("double")
+                / n.cast("double")
+            )
+        ).cast("bigint")
+        bc_u = F.round(
+            F.lit(1e9)
+            * (
+                (F.col("_b") * F.col("_c")).cast("double")
+                / n.cast("double")
+            )
+        ).cast("bigint")
+        per = g.select(n.alias("_n"), ad_u.alias("_adu"), bc_u.alias("_bcu"))
+        return per.agg(
+            F.count("*").cast("bigint").alias("k_strata"),
+            F.sum("_n").cast("bigint").alias("n_total"),
+            F.sum("_adu").cast("bigint").alias("ad_units"),
+            F.sum("_bcu").cast("bigint").alias("bc_units"),
+        ).select(
+            "k_strata",
+            "n_total",
+            "ad_units",
+            "bc_units",
+            (
+                F.col("ad_units").cast("double")
+                / F.col("bc_units").cast("double")
+            ).alias("or_mh"),
+        )
+
+    q["mantel_haenszel"] = q_mantel_haenszel
 
     return _gate_order(q)
 
@@ -15018,6 +15237,7 @@ def oracle_sql() -> dict[str, str]:
     o["bpe_pair_counts"] = llm_text.bpe_pair_counts_oracle_sql(top_k=50)
 
     o["source_divergence"] = llm_text.source_divergence_oracle_sql()
+    o["rake_keywords"] = llm_text.rake_keywords_oracle_sql(k=3)
 
     # corpus_pipeline: the composed stages replayed as a CTE chain —
     # the quality CTE is the standalone quality_score oracle verbatim,
@@ -19690,6 +19910,124 @@ def oracle_sql() -> dict[str, str]:
                CAST((a11 + 1000) * b2 - a12 * b1 AS DOUBLE)
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
+        FROM mom
+    """
+
+    o["mantel_haenszel"] = """
+        WITH cells AS (
+          SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 CASE WHEN CAST(round(value * 100) AS BIGINT) >= 24502
+                      THEN 1 ELSE 0 END AS e,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS o
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT dow,
+                 CAST(sum(e * o) AS BIGINT) AS a,
+                 CAST(sum(e * (1 - o)) AS BIGINT) AS b,
+                 CAST(sum((1 - e) * o) AS BIGINT) AS c,
+                 CAST(sum((1 - e) * (1 - o)) AS BIGINT) AS d
+          FROM cells GROUP BY 1
+        ), per AS (
+          SELECT CAST(a + b + c + d AS BIGINT) AS n,
+                 CAST(round(1e9 * (CAST(a * d AS DOUBLE)
+                                   / CAST(a + b + c + d AS DOUBLE)))
+                      AS BIGINT) AS adu,
+                 CAST(round(1e9 * (CAST(b * c AS DOUBLE)
+                                   / CAST(a + b + c + d AS DOUBLE)))
+                      AS BIGINT) AS bcu
+          FROM g
+        )
+        SELECT CAST(count(*) AS BIGINT) AS k_strata,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(adu) AS BIGINT) AS ad_units,
+               CAST(sum(bcu) AS BIGINT) AS bc_units,
+               CAST(sum(adu) AS DOUBLE) / CAST(sum(bcu) AS DOUBLE)
+                 AS or_mh
+        FROM per
+    """
+
+    o["seq_rules"] = """
+        WITH pos AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS p
+          FROM events
+        ), ut AS MATERIALIZED (
+          SELECT user_id, event_type,
+                 min(p) AS first_p, max(p) AS last_p
+          FROM pos GROUP BY 1, 2
+        ), seq AS (
+          SELECT a.event_type AS ante, b.event_type AS cons,
+                 CAST(count(*) AS BIGINT) AS n_seq
+          FROM ut a JOIN ut b ON a.user_id = b.user_id
+          WHERE a.event_type != b.event_type
+            AND a.first_p < b.last_p
+          GROUP BY 1, 2
+        ), supp AS (
+          SELECT event_type AS ante, CAST(count(*) AS BIGINT) AS n_ante
+          FROM ut GROUP BY 1
+        )
+        SELECT ante, cons, n_seq, n_ante,
+               CAST(round(1e9 * (CAST(n_seq AS DOUBLE)
+                                 / CAST(n_ante AS DOUBLE)))
+                    AS BIGINT) AS conf_units
+        FROM seq JOIN supp USING (ante)
+    """
+
+    o["als_item_step"] = """
+        WITH r AS MATERIALIZED (
+          SELECT o_custkey AS u, l_partkey AS i,
+                 CAST(round(sum(l_quantity)) AS BIGINT) AS r
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY 1, 2
+        ), fu AS (
+          SELECT u, r,
+                 CAST((i * 73) % 97 - 48 AS BIGINT) AS q1,
+                 CAST((i * 151) % 101 - 50 AS BIGINT) AS q2
+          FROM r
+        ), umom AS (
+          SELECT u,
+                 sum(CAST(q1 AS HUGEINT) * q1) AS a11,
+                 sum(CAST(q1 AS HUGEINT) * q2) AS a12,
+                 sum(CAST(q2 AS HUGEINT) * q2) AS a22,
+                 sum(CAST(q1 AS HUGEINT) * r) AS b1,
+                 sum(CAST(q2 AS HUGEINT) * r) AS b2
+          FROM fu GROUP BY u
+        ), uf AS MATERIALIZED (
+          SELECT u,
+                 CAST(round(
+                   CAST((a22 + 1000) * b1 - a12 * b2 AS DOUBLE)
+                   / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
+                          AS DOUBLE) * 1e6) AS BIGINT) AS p1,
+                 CAST(round(
+                   CAST((a11 + 1000) * b2 - a12 * b1 AS DOUBLE)
+                   / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
+                          AS DOUBLE) * 1e6) AS BIGINT) AS p2
+          FROM umom
+        ), f AS (
+          SELECT r.i, r.r, uf.p1, uf.p2 FROM r JOIN uf USING (u)
+        ), mom AS (
+          SELECT i, CAST(count(*) AS BIGINT) AS n_users,
+                 sum(CAST(p1 AS HUGEINT) * p1) AS a11,
+                 sum(CAST(p1 AS HUGEINT) * p2) AS a12,
+                 sum(CAST(p2 AS HUGEINT) * p2) AS a22,
+                 sum(CAST(p1 AS HUGEINT) * r) AS b1,
+                 sum(CAST(p2 AS HUGEINT) * r) AS b2
+          FROM f GROUP BY i
+        )
+        SELECT i, n_users,
+               1e6 * (CAST((a22 + 1000000000000000) * b1 - a12 * b2
+                           AS DOUBLE)
+                      / CAST((a11 + 1000000000000000)
+                             * (a22 + 1000000000000000) - a12 * a12
+                             AS DOUBLE)) AS y1,
+               1e6 * (CAST((a11 + 1000000000000000) * b2 - a12 * b1
+                           AS DOUBLE)
+                      / CAST((a11 + 1000000000000000)
+                             * (a22 + 1000000000000000) - a12 * a12
+                             AS DOUBLE)) AS y2
         FROM mom
     """
 

@@ -835,6 +835,171 @@ def source_divergence_oracle_sql(
         GROUP BY sw.grp"""
 
 
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal stopword-free word runs of each document; every
+    word scores deg(w)/freq(w) within its document (deg = summed
+    length of the phrases containing each occurrence, freq =
+    occurrence count), a phrase scores the sum of its member-word
+    scores, and the top-``k`` phrases per document are returned —
+    the unsupervised keyphrase primitive of corpus exploration.
+
+    Exactness: deg/freq are exact int64; each word score is quantized
+    to integer nano-units (round(1e9·deg/freq) — division-derived,
+    IEEE-identical both engines, half-away ties identical), so the
+    per-phrase sum is exact integer and the top-k ordering
+    (score_units DESC, phrase ASC, phrase_id ASC) never compares
+    floats.
+
+    Scale shape: documents are independent — every window and
+    aggregate keys on the doc id (plus word/phrase), so the whole op
+    is embarrassingly partition-parallel with map-side combine; the
+    top-k is a per-doc WindowGroupLimit, never a global sort.
+
+    Returns (id, phrase, n_words, score_units, rank), rank 1..k.
+    """
+    words = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "),
+        lambda s: F.length(s) > 0,
+    )
+    toks = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(words).alias("_pos", "_w"),
+    )
+    w = Window.partitionBy("_id").orderBy("_pos")
+    flagged = toks.withColumn(
+        "_st", F.when(F.col("_w").isin(*STOPWORDS), 1).otherwise(0)
+    ).withColumn(
+        "_pid",
+        F.sum("_st").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ns = (
+        flagged.filter(F.col("_st") == 0)
+        .select("_id", "_pos", "_w", "_pid")
+        # three consumers: phrase table, word stats, phrase scores
+        .localCheckpoint(eager=False)
+    )
+    ph = ns.groupBy("_id", "_pid").agg(
+        F.count("*").cast("bigint").alias("_len"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_w"))),
+                lambda s: s["_w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    ).localCheckpoint(eager=False)  # two consumers: deg join + output
+    ws = (
+        ns.join(ph.select("_id", "_pid", "_len"), on=["_id", "_pid"])
+        .groupBy("_id", "_w")
+        .agg(
+            F.count("*").cast("bigint").alias("_freq"),
+            F.sum("_len").cast("bigint").alias("_deg"),
+        )
+    )
+    wu = ws.select(
+        "_id",
+        "_w",
+        F.round(
+            F.lit(1e9)
+            * (F.col("_deg").cast("double") / F.col("_freq").cast("double"))
+        )
+        .cast("bigint")
+        .alias("_wu"),
+    )
+    sc = (
+        ns.join(wu, on=["_id", "_w"])
+        .groupBy("_id", "_pid")
+        .agg(F.sum("_wu").cast("bigint").alias("score_units"))
+        .join(ph, on=["_id", "_pid"])
+    )
+    wr = Window.partitionBy("_id").orderBy(
+        F.col("score_units").desc(), F.col("phrase").asc(), F.col("_pid").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "phrase",
+            F.col("_len").alias("n_words"),
+            "score_units",
+            "rank",
+        )
+    )
+
+
+def rake_keywords_oracle_sql(k: int = 3) -> str:
+    """DuckDB replay of :func:`rake_keywords`: identical tokenization,
+    stopword islands, deg/freq nano-unit quantization, and top-k
+    ordering."""
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS pos,
+                 list_extract(wl, u.i) AS w
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '),
+                     x -> len(x) > 0) AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(range(1, len(wl) + 1)) AS u(i)
+        ), flagged AS (
+          SELECT doc_id, pos, w,
+                 CASE WHEN w IN ({stop}) THEN 1 ELSE 0 END AS st
+          FROM toks
+        ), ns AS MATERIALIZED (
+          SELECT doc_id, pos, w, pid FROM (
+            SELECT doc_id, pos, w, st,
+                   sum(st) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS pid
+            FROM flagged
+          ) WHERE st = 0
+        ), ph AS MATERIALIZED (
+          SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len,
+                 string_agg(w, ' ' ORDER BY pos) AS phrase
+          FROM ns GROUP BY 1, 2
+        ), ws AS (
+          SELECT ns.doc_id, ns.w,
+                 CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(ph.len) AS BIGINT) AS deg
+          FROM ns JOIN ph USING (doc_id, pid)
+          GROUP BY 1, 2
+        ), wu AS (
+          SELECT doc_id, w,
+                 CAST(round(1e9 * (CAST(deg AS DOUBLE)
+                                   / CAST(freq AS DOUBLE)))
+                      AS BIGINT) AS wu
+          FROM ws
+        ), sc AS (
+          SELECT ns.doc_id, ns.pid,
+                 CAST(sum(wu.wu) AS BIGINT) AS score_units
+          FROM ns JOIN wu ON ns.doc_id = wu.doc_id AND ns.w = wu.w
+          GROUP BY 1, 2
+        )
+        SELECT doc_id, phrase, len AS n_words, score_units,
+               CAST(rank AS INT) AS rank
+        FROM (
+          SELECT sc.doc_id, ph.phrase, ph.len, sc.score_units,
+                 row_number() OVER (
+                   PARTITION BY sc.doc_id
+                   ORDER BY sc.score_units DESC, ph.phrase ASC,
+                            sc.pid ASC
+                 ) AS rank
+          FROM sc JOIN ph USING (doc_id, pid)
+        ) WHERE rank <= {k}"""
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stable document fingerprint: md5 of the normalized text (exact-dedup
     key; engine-portable since md5 is standardized)."""

@@ -206,3 +206,246 @@ def test_binseg_changepoints_brute_force(spark, tmp_path):
     # 200-vs-100 events (the larger of the two shifts)
     a1 = next(k for k in got if k[0] == "a" and k[1] == 1)
     assert (a1[5], a1[6]) in {(100, 200), (200, 100)}
+
+
+def test_als_item_step_brute_force(spark, tmp_path):
+    """Item half-step == python replay of the full alternation:
+    hash item factors -> exact user solve -> 1e-6 quantization ->
+    exact item solve."""
+    import __spark_entry__ as entry
+
+    edges = [
+        (1, 1, 5.0), (1, 2, 3.0), (2, 1, 4.0), (2, 3, 7.0),
+        (3, 2, 2.0), (3, 3, 6.0), (4, 1, 1.0), (4, 4, 9.0),
+    ]
+    li = [(i, p, q) for i, (_, p, q) in enumerate(edges)]
+    od = [(i, c) for i, (c, _, _) in enumerate(edges)]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        li, "l_orderkey bigint, l_partkey bigint, l_quantity double"
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        od, "o_orderkey bigint, o_custkey bigint"
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+
+    r: dict = {}
+    for c, p, q in edges:
+        r[(c, p)] = r.get((c, p), 0) + q
+    r = {k: int(round(v)) for k, v in r.items()}
+
+    # user half-step (hash item factors, lambda=1000, 1/100 units)
+    um: dict = {}
+    for (u, i), rv in r.items():
+        q1 = (i * 73) % 97 - 48
+        q2 = (i * 151) % 101 - 50
+        a11, a12, a22, b1, b2 = um.get(u, (0, 0, 0, 0, 0))
+        um[u] = (a11 + q1 * q1, a12 + q1 * q2, a22 + q2 * q2,
+                 b1 + q1 * rv, b2 + q2 * rv)
+    pu: dict = {}
+    for u, (a11, a12, a22, b1, b2) in um.items():
+        det = float((a11 + 1000) * (a22 + 1000) - a12 * a12)
+        x1 = float((a22 + 1000) * b1 - a12 * b2) / det
+        x2 = float((a11 + 1000) * b2 - a12 * b1) / det
+        pu[u] = (int(round(x1 * 1e6)), int(round(x2 * 1e6)))
+
+    # item half-step (quantized user factors, lambda_u = 1e15)
+    im: dict = {}
+    cnt: dict = {}
+    for (u, i), rv in r.items():
+        p1, p2 = pu[u]
+        a11, a12, a22, b1, b2 = im.get(i, (0, 0, 0, 0, 0))
+        im[i] = (a11 + p1 * p1, a12 + p1 * p2, a22 + p2 * p2,
+                 b1 + p1 * rv, b2 + p2 * rv)
+        cnt[i] = cnt.get(i, 0) + 1
+    lam = 10 ** 15
+    want = {}
+    for i, (a11, a12, a22, b1, b2) in im.items():
+        det = float((a11 + lam) * (a22 + lam) - a12 * a12)
+        y1 = 1e6 * (float((a22 + lam) * b1 - a12 * b2) / det)
+        y2 = 1e6 * (float((a11 + lam) * b2 - a12 * b1) / det)
+        want[i] = (cnt[i], y1, y2)
+
+    got = {
+        r2.i: (r2.n_users, r2.y1, r2.y2)
+        for r2 in entry.queries()["als_item_step"](spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for i, (n, y1, y2) in want.items():
+        gn, gy1, gy2 = got[i]
+        assert gn == n
+        assert abs(gy1 - y1) < 1e-9 * max(1.0, abs(y1))
+        assert abs(gy2 - y2) < 1e-9 * max(1.0, abs(y2))
+
+
+def test_seq_rules_brute_force(spark, tmp_path):
+    """a->b support == #users whose first a precedes some later b;
+    confidence units == round(1e9 * n_seq/n_ante)."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 3, 1)
+    # user 1: a b a c   user 2: b a     user 3: a a b   user 4: c
+    streams = {1: "abac", 2: "ba", 3: "aab", 4: "c"}
+    rows = []
+    eid = 0
+    for u, s in streams.items():
+        for i, t in enumerate(s):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(minutes=i), u,
+                         t, 1.0, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    want = set()
+    types = set("abc")
+    supp = {
+        t: sum(1 for s in streams.values() if t in s) for t in types
+    }
+    for a in types:
+        for b in types:
+            if a == b:
+                continue
+            n_seq = sum(
+                1 for s in streams.values()
+                if a in s and b in s and s.index(a) < len(s) - 1 - s[::-1].index(b)
+            )
+            if n_seq:
+                cu = int(round(1e9 * n_seq / supp[a]))
+                want.add((a, b, n_seq, supp[a], cu))
+    got = {
+        (r2.ante, r2.cons, r2.n_seq, r2.n_ante, r2.conf_units)
+        for r2 in entry.queries()["seq_rules"](spark, d).collect()
+    }
+    assert got == want
+    assert ("a", "b", 2, 3, int(round(1e9 * 2 / 3))) in got
+
+
+def test_rake_keywords_brute_force(spark, tmp_path):
+    """Top-3 RAKE phrases == python replay (stopword islands,
+    deg/freq nano-units, score-desc phrase-asc ordering)."""
+    import __spark_entry__ as entry
+
+    texts = {
+        0: "deep learning of deep networks and the deep learning "
+           "stack for robust systems",
+        1: "the quick brown fox and the lazy dog",
+        2: "and of the to in",  # all stopwords -> no phrases
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    STOP = {"the", "and", "of", "to", "in", "is", "that", "for",
+            "with", "as"}
+    want = set()
+    for did, t in texts.items():
+        ws = t.split()
+        phrases = []  # (pid, [words])
+        pid = 0
+        cur = []
+        for w in ws:
+            if w in STOP:
+                pid += 1
+                if cur:
+                    phrases.append((pid_start, cur))
+                cur = []
+            else:
+                if not cur:
+                    pid_start = pid
+                cur.append(w)
+        if cur:
+            phrases.append((pid_start, cur))
+        freq: dict = {}
+        deg: dict = {}
+        for _, pw in phrases:
+            for w in pw:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(pw)
+        wu = {w: int(round(1e9 * deg[w] / freq[w])) for w in freq}
+        scored = sorted(
+            (
+                (-sum(wu[w] for w in pw), " ".join(pw), pid, len(pw))
+                for pid, pw in phrases
+            ),
+            key=lambda x: (x[0], x[1], x[2]),
+        )
+        for rank, (negs, phrase, pid, ln) in enumerate(scored[:3], 1):
+            want.add((did, phrase, ln, -negs, rank))
+
+    got = {
+        (r2.doc_id, r2.phrase, r2.n_words, r2.score_units, r2.rank)
+        for r2 in entry.queries()["rake_keywords"](spark, d).collect()
+    }
+    assert got == want
+    assert not any(k[0] == 2 for k in got)  # all-stopword doc absent
+    # "deep learning" must outrank single words in doc 0
+    top0 = next(k for k in got if k[0] == 0 and k[4] == 1)
+    assert "deep" in top0[1] and top0[2] >= 2
+
+
+def test_mantel_haenszel_brute_force(spark, tmp_path):
+    """Pooled OR == python replay over planted per-dow 2x2 tables."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    # two strata (Mon, Tue) with different exposure/outcome mixes
+    plan = [
+        (0, "purchase", 300.0, 8), (0, "purchase", 100.0, 2),
+        (0, "view", 300.0, 4), (0, "view", 100.0, 6),
+        (1, "purchase", 300.0, 3), (1, "purchase", 100.0, 5),
+        (1, "view", 300.0, 7), (1, "view", 100.0, 1),
+    ]
+    for day, et, v, k in plan:
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(days=day,
+                                                        minutes=eid),
+                         1, et, v, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    adu = bcu = ntot = 0
+    for day in (0, 1):
+        a = sum(k for dy, et, v, k in plan
+                if dy == day and et == "purchase" and v >= 245.02)
+        b = sum(k for dy, et, v, k in plan
+                if dy == day and et != "purchase" and v >= 245.02)
+        c = sum(k for dy, et, v, k in plan
+                if dy == day and et == "purchase" and v < 245.02)
+        dd = sum(k for dy, et, v, k in plan
+                 if dy == day and et != "purchase" and v < 245.02)
+        n = a + b + c + dd
+        ntot += n
+        adu += half_away(1e9 * (a * dd) / n)
+        bcu += half_away(1e9 * (b * c) / n)
+    want_or = adu / bcu
+
+    r2 = entry.queries()["mantel_haenszel"](spark, d).collect()
+    assert len(r2) == 1
+    r0 = r2[0]
+    assert (r0.k_strata, r0.n_total, int(r0.ad_units),
+            int(r0.bc_units)) == (2, ntot, adu, bcu)
+    assert abs(r0.or_mh - want_or) < 1e-12
