@@ -13060,6 +13060,228 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mantel_haenszel"] = q_mantel_haenszel
 
+    def q_page_hinkley(spark, sf_dir):
+        """Page-Hinkley drift detection (Page 1954; the Gama et al.
+        2014 streaming formulation) per event type — the RUNNING-mean
+        complement to cusum_by_type's global-mean CUSUM: m_t =
+        Σ_{i≤t}(x_i − x̄_i − δ) with x̄_i the mean of the first i
+        observations, excursion = m_t − min_{s≤t} m_s, alarm when the
+        excursion exceeds λ.  Each term's running-mean deviation is
+        (i·c_i − S_i)/i — a division on exact integers, quantized to
+        nano-units (division-derived — IEEE-identical both engines) —
+        so the m cumsum, running min, and excursion are exact
+        DECIMAL(38,0)/HUGEINT integers.  δ = 5 cents, λ = 1e6 cents.
+
+        Scale shape: one type-keyed exchange carries all four stacked
+        windows (row_number, prefix sum, m cumsum, running min) —
+        the cusum_by_type shape.  Returns per type (n_obs,
+        peak_exc_units, n_alarms, first_alarm_id — NULL when the
+        excursion never crosses λ).  Registered after the round-13/14
+        windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        delta_u = 5 * 10**9
+        lam_u = 10**6 * 10**9
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = (
+            W.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        base = e.select(
+            "event_type", "event_id", "ts", cents.alias("_c")
+        )
+        d = base.withColumn(
+            "_i", F.row_number().over(
+                W.partitionBy("event_type").orderBy("ts", "event_id")
+            ).cast("bigint")
+        ).withColumn("_s", F.sum(F.col("_c").cast(dec)).over(w).cast(dec))
+        u = d.select(
+            "event_type",
+            "event_id",
+            "ts",
+            (
+                F.round(
+                    F.lit(1e9)
+                    * (
+                        (
+                            (F.col("_i").cast(dec) * F.col("_c")).cast(dec)
+                            - F.col("_s")
+                        ).cast("double")
+                        / F.col("_i").cast("double")
+                    )
+                ).cast("bigint")
+                - F.lit(delta_u)
+            ).alias("_u"),
+        )
+        m = u.withColumn(
+            "_m", F.sum(F.col("_u").cast(dec)).over(w).cast(dec)
+        ).withColumn(
+            "_exc", (F.col("_m") - F.min("_m").over(w)).cast(dec)
+        ).localCheckpoint(eager=False)  # two consumers: agg + first-alarm
+        agg = m.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.max("_exc").alias("peak_exc_units"),
+            F.sum(F.when(F.col("_exc") > lam_u, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_alarms"),
+        )
+        first = (
+            m.filter(F.col("_exc") > lam_u)
+            .groupBy("event_type")
+            .agg(F.min(F.struct("ts", "event_id")).alias("_f"))
+            .select(
+                "event_type",
+                F.col("_f.event_id").alias("first_alarm_id"),
+            )
+        )
+        return agg.join(first, on="event_type", how="left").select(
+            "event_type",
+            "n_obs",
+            "peak_exc_units",
+            "n_alarms",
+            "first_alarm_id",
+        )
+
+    q["page_hinkley"] = q_page_hinkley
+
+    def q_friedman_test(spark, sf_dir):
+        """Friedman blocked rank test (Friedman 1937): do the event
+        types differ in mean value CONSISTENTLY across day-of-week
+        blocks?  Treatments = event types ranked within each complete
+        dow block by mean cents; χ²_F = 3·ΣR2²/(b·k(k+1)) − 3b(k+1)
+        on DOUBLED midranks (R2 = 2R keeps tie midranks integer, the
+        kruskal_binned discipline).  Ranking compares the rational
+        means EXACTLY by cross-multiplication (S_j·n_l vs S_l·n_j on
+        exact DECIMAL operands — no float mean ever exists), so ranks
+        are exact integers; only the final χ² re-enters floats on
+        exact operands.  Blocks missing any treatment are dropped
+        (classic complete-block design).
+
+        Scale shape: one groupBy reduces events to the ≤(7·#types)
+        cell table; the within-block pairwise compare, completeness
+        filter, and rank rollup all run on that bounded control
+        frame via broadcast joins.  Returns one row (k_treat,
+        b_blocks, sum_r2_sq, chi2_f).  Registered after the
+        round-13/14 windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        cells = (
+            e.select(
+                F.dayofweek("ts").cast("bigint").alias("dow"),
+                "event_type",
+                cents.alias("_c"),
+            )
+            .groupBy("dow", "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            .localCheckpoint(eager=False)  # k, blocks, both join sides
+        )
+        k = cells.agg(
+            F.count_distinct("event_type").cast("bigint").alias("_k")
+        )
+        blocks = (
+            cells.groupBy("dow")
+            .agg(F.count("*").cast("bigint").alias("_bk"))
+            .crossJoin(F.broadcast(k))
+            .filter(F.col("_bk") == F.col("_k"))
+            .select("dow")
+        )
+        c1 = cells.join(F.broadcast(blocks), on="dow")
+        c2 = cells.select(
+            F.col("dow").alias("_dw2"),
+            F.col("_n").alias("_n2"),
+            F.col("_s").alias("_s2"),
+        )
+        # exact rational compare: mean2 < mean1  <=>  s2*n1 < s1*n2
+        ranked = (
+            c1.join(F.broadcast(c2), F.col("_dw2") == F.col("dow"))
+            .groupBy("dow", "event_type")
+            .agg(
+                (
+                    F.lit(2)
+                    * F.sum(
+                        F.when(
+                            F.col("_s2") * F.col("_n")
+                            < F.col("_s") * F.col("_n2"),
+                            1,
+                        ).otherwise(0)
+                    )
+                    + F.sum(
+                        F.when(
+                            F.col("_s2") * F.col("_n")
+                            == F.col("_s") * F.col("_n2"),
+                            1,
+                        ).otherwise(0)
+                    )
+                    + 1
+                )
+                .cast("bigint")
+                .alias("_r2")
+            )
+        )
+        rj = ranked.groupBy("event_type").agg(
+            F.sum("_r2").cast("bigint").alias("_rj")
+        )
+        return (
+            rj.agg(
+                F.count("*").cast("bigint").alias("k_treat"),
+                F.sum(
+                    (F.col("_rj").cast(dec) * F.col("_rj")).cast(dec)
+                ).cast(dec).alias("sum_r2_sq"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    blocks.agg(
+                        F.count("*").cast("bigint").alias("b_blocks")
+                    )
+                )
+            )
+            .select(
+                "k_treat",
+                "b_blocks",
+                "sum_r2_sq",
+                (
+                    (F.lit(3).cast(dec) * F.col("sum_r2_sq")).cast(
+                        "double"
+                    )
+                    / (
+                        F.col("b_blocks")
+                        * F.col("k_treat")
+                        * (F.col("k_treat") + 1)
+                    ).cast("double")
+                    - (
+                        F.lit(3)
+                        * F.col("b_blocks")
+                        * (F.col("k_treat") + 1)
+                    ).cast("double")
+                ).alias("chi2_f"),
+            )
+        )
+
+    q["friedman_test"] = q_friedman_test
+
+    def q_audio_vad(spark, sf_dir):
+        """Voice-activity segments (llm/multimodal.audio_vad):
+        200-sample frame energies over the fake-decoded waveform as
+        EXACT integer byte-lattice sums Σ(2b-255)², division-derived
+        energy units, per-media integer activity threshold
+        (u·n_frames > Σu), lag-gap island merge into segments — the
+        speech-span pre-filter before ASR.  Same injectable decode
+        seam as audio_features/scene_cuts.  Registered after the
+        round-13/14 windows; round-15 window material."""
+        from openseize_spark.llm import multimodal
+
+        media = multimodal.synthetic_media_sqlgen(spark, n=24)
+        return multimodal.audio_vad(
+            media, frame_len=200, deterministic_fake=True
+        )
+
+    q["audio_vad"] = q_audio_vad
+
     return _gate_order(q)
 
 
@@ -15389,6 +15611,7 @@ def oracle_sql() -> dict[str, str]:
     o["frame_sample"] = _mm.frame_sample_oracle_sql(n=24)
 
     o["scene_cuts"] = _mm.scene_cuts_oracle_sql(n=24, threshold=0.0002)
+    o["audio_vad"] = _mm.audio_vad_oracle_sql(n=24, frame_len=200)
     o["resize_images"] = _mm.resize_features_oracle_sql(n=24)
     o["audio_features"] = _mm.audio_features_oracle_sql(n=24)
 
@@ -19911,6 +20134,108 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    o["friedman_test"] = """
+        WITH cells AS MATERIALIZED (
+          SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS HUGEINT)) AS s
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), k AS (
+          SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+          FROM cells
+        ), blocks AS MATERIALIZED (
+          SELECT dow FROM cells, k GROUP BY dow, k.k
+          HAVING count(*) = any_value(k.k)
+        ), ranked AS (
+          SELECT c1.dow, c1.event_type,
+                 CAST(2 * sum(CASE WHEN c2.s * c1.n < c1.s * c2.n
+                              THEN 1 ELSE 0 END)
+                      + sum(CASE WHEN c2.s * c1.n = c1.s * c2.n
+                            THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2
+          FROM cells c1
+          JOIN blocks USING (dow)
+          JOIN cells c2 ON c2.dow = c1.dow
+          GROUP BY 1, 2
+        ), rj AS (
+          SELECT event_type, CAST(sum(r2) AS BIGINT) AS rj
+          FROM ranked GROUP BY 1
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_treat,
+                 sum(CAST(rj AS HUGEINT) * rj) AS sum_r2_sq
+          FROM rj
+        ), b AS (
+          SELECT CAST(count(*) AS BIGINT) AS b_blocks FROM blocks
+        )
+        SELECT k_treat, b_blocks,
+               CAST(sum_r2_sq AS DECIMAL(38,0)) AS sum_r2_sq,
+               CAST(3 * sum_r2_sq AS DOUBLE)
+                 / CAST(b_blocks * k_treat * (k_treat + 1) AS DOUBLE)
+               - CAST(3 * b_blocks * (k_treat + 1) AS DOUBLE)
+                 AS chi2_f
+        FROM tot, b
+    """
+
+    o["page_hinkley"] = """
+        WITH base AS (
+          SELECT event_type, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), d AS (
+          SELECT event_type, event_id, ts, c,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS i,
+                 sum(CAST(c AS HUGEINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS s
+          FROM base
+        ), u AS (
+          SELECT event_type, event_id, ts,
+                 CAST(round(1e9 * (CAST(CAST(i AS HUGEINT) * c - s
+                                        AS DOUBLE)
+                                   / CAST(i AS DOUBLE)))
+                      AS BIGINT) - 5000000000 AS u
+          FROM d
+        ), m AS MATERIALIZED (
+          SELECT event_type, event_id, ts,
+                 mm - min(mm) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS exc
+          FROM (
+            SELECT event_type, event_id, ts,
+                   sum(CAST(u AS HUGEINT)) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS mm
+            FROM u
+          )
+        ), agg AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_obs,
+                 CAST(max(exc) AS DECIMAL(38,0)) AS peak_exc_units,
+                 CAST(sum(CASE WHEN exc > 1000000000000000
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarms
+          FROM m GROUP BY 1
+        ), fst AS (
+          SELECT event_type, event_id AS first_alarm_id
+          FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS rn
+            FROM m WHERE exc > 1000000000000000
+          ) WHERE rn = 1
+        )
+        SELECT agg.event_type, agg.n_obs, agg.peak_exc_units,
+               agg.n_alarms, fst.first_alarm_id
+        FROM agg LEFT JOIN fst USING (event_type)
     """
 
     o["mantel_haenszel"] = """

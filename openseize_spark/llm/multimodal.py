@@ -539,6 +539,164 @@ def audio_features_oracle_sql(
         JOIN high ON high.channel = r.channel"""
 
 
+def audio_vad(
+    media: DataFrame,
+    frame_len: int = 200,
+    deterministic_fake: bool = True,
+    decode_fn: Callable | None = None,
+) -> DataFrame:
+    """Energy-threshold voice-activity detection: frame the decoded
+    waveform into ``frame_len``-sample windows, mark frames whose
+    mean-square energy exceeds the media's own mean frame energy, and
+    merge consecutive active frames into segments — the speech-span
+    pre-filter an audio-pretraining pipeline runs before transcription
+    (only active segments reach the expensive ASR stage).  Decode is
+    the injectable seam shared with audio_features.
+
+    Exactness: the fake waveform is (2b - 255)/255 per byte, so each
+    frame's Σ(2b-255)² is an EXACT int64 the kernel emits raw —
+    energy units round(1e9·ssq/(frame_len·255²)) are division-derived
+    (IEEE-identical both engines) and the per-media activity
+    threshold u·n_frames > Σu is a pure integer compare.  No float
+    sum anywhere, unlike the rounded-mean discipline scene_cuts
+    needs.
+
+    Scale shape: the frame explosion happens kernel-side (downstream
+    shuffles frames, not media blobs); the activity threshold is one
+    per-media aggregate broadcast back; segment merge is the lag-gap
+    islands pattern per media.  Returns (media_id, seg_start,
+    n_frames, peak_units) per active segment.
+    """
+    from pyspark.sql import Window
+
+    schema = "media_id long, frame_idx int, ssq long"
+    decoder = _resolve_decoder(
+        decode_fn, deterministic_fake, _fake_audio_decoder, "audio"
+    )
+
+    def _frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if row.kind != "audio":
+                    continue
+                wave = np.asarray(
+                    decoder(row.payload, dict(row.meta)), dtype=np.float64
+                )
+                # recover the integer byte lattice: wave = b/127.5 - 1
+                # => 2b - 255 = wave * 255 (exactly representable ints)
+                lat = np.rint(wave * 255.0).astype(np.int64)
+                nf = len(lat) // frame_len
+                for f in range(nf):
+                    seg = lat[f * frame_len : (f + 1) * frame_len]
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": f,
+                            "ssq": int(np.sum(seg * seg)),
+                        }
+                    )
+            yield pd.DataFrame(out) if out else pd.DataFrame(
+                {
+                    "media_id": pd.Series(dtype="int64"),
+                    "frame_idx": pd.Series(dtype="int32"),
+                    "ssq": pd.Series(dtype="int64"),
+                }
+            )
+
+    den = float(frame_len * 255 * 255)
+    fr = media.mapInPandas(_frames, schema)
+    u = fr.select(
+        "media_id",
+        "frame_idx",
+        F.round(
+            F.lit(1e9) * (F.col("ssq").cast("double") / F.lit(den))
+        )
+        .cast("bigint")
+        .alias("_u"),
+    ).localCheckpoint(eager=False)  # two consumers: threshold + islands
+    tot = u.groupBy("media_id").agg(
+        F.sum("_u").cast("bigint").alias("_su"),
+        F.count("*").cast("bigint").alias("_nf"),
+    )
+    act = u.join(tot, on="media_id").filter(
+        F.col("_u") * F.col("_nf") > F.col("_su")
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = act.withColumn(
+        "_new",
+        F.when(
+            F.col("frame_idx") - F.lag("frame_idx").over(w) > 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "_grp",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return runs.groupBy("media_id", "_grp").agg(
+        F.min("frame_idx").cast("int").alias("seg_start"),
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.max("_u").alias("peak_units"),
+    ).select("media_id", "seg_start", "n_frames", "peak_units")
+
+
+def audio_vad_oracle_sql(
+    n: int = 24, frame_len: int = 200, sample_rate: int = 16000
+) -> str:
+    """DuckDB replay of :func:`audio_vad` over the sqlgen media:
+    byte-lattice Σ(2b-255)² per frame, the same division-derived
+    energy units, integer activity threshold, and lag-gap islands."""
+    den = float(frame_len * 255 * 255)
+    nf = sample_rate // frame_len
+    return (
+        _hx_cte(n)
+        + f"""
+        , fr AS (
+          SELECT media_id,
+                 CAST(u.s // {frame_len} AS INT) AS frame_idx,
+                 sum(CAST((2 * {_byte("u.s % 256")} - 255)
+                          * (2 * {_byte("u.s % 256")} - 255)
+                          AS HUGEINT)) AS ssq
+          FROM hx,
+               unnest(generate_series(0, {nf * frame_len - 1})) AS u(s)
+          WHERE media_id % 3 = 1
+          GROUP BY 1, 2
+        ), u AS MATERIALIZED (
+          SELECT media_id, frame_idx,
+                 CAST(round(1e9 * (CAST(ssq AS DOUBLE)
+                                   / CAST({den!r} AS DOUBLE)))
+                      AS BIGINT) AS u
+          FROM fr
+        ), tot AS (
+          SELECT media_id, CAST(sum(u) AS BIGINT) AS su,
+                 CAST(count(*) AS BIGINT) AS nf
+          FROM u GROUP BY 1
+        ), act AS (
+          SELECT u.media_id, u.frame_idx, u.u
+          FROM u JOIN tot USING (media_id)
+          WHERE u.u * tot.nf > tot.su
+        ), flg AS (
+          SELECT media_id, frame_idx, u,
+                 CASE WHEN frame_idx - lag(frame_idx) OVER (
+                        PARTITION BY media_id ORDER BY frame_idx
+                      ) > 1 THEN 1 ELSE 0 END AS ns
+          FROM act
+        ), runs AS (
+          SELECT media_id, frame_idx, u,
+                 sum(ns) OVER (
+                   PARTITION BY media_id ORDER BY frame_idx
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS grp
+          FROM flg
+        )
+        SELECT media_id, CAST(min(frame_idx) AS INT) AS seg_start,
+               CAST(count(*) AS BIGINT) AS n_frames,
+               CAST(max(u) AS BIGINT) AS peak_units
+        FROM runs GROUP BY media_id, grp"""
+    )
+
+
 def scene_cuts(
     media: DataFrame,
     threshold: float = 0.0005,

@@ -449,3 +449,166 @@ def test_mantel_haenszel_brute_force(spark, tmp_path):
     assert (r0.k_strata, r0.n_total, int(r0.ad_units),
             int(r0.bc_units)) == (2, ntot, adu, bcu)
     assert abs(r0.or_mh - want_or) < 1e-12
+
+
+def test_page_hinkley_brute_force(spark, tmp_path):
+    """PH excursion/alarms == python replay with a planted drift;
+    a drift-free type never alarms (NULL first_alarm_id)."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    # type "a": flat 100.00 then jumps to 30100.00 (clear drift);
+    # type "b": constant (excursion stays ~0, no alarm)
+    vals_a = [100.0] * 200 + [30100.0] * 200
+    vals_b = [55.0] * 150
+    rows = []
+    eid = 0
+    base = datetime.datetime(2024, 5, 1)
+    for et, vs in (("a", vals_a), ("b", vals_b)):
+        for i, v in enumerate(vs):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(minutes=i), 1,
+                         et, float(v), "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    DELTA_U, LAM_U = 5 * 10**9, 10**6 * 10**9
+    want = {}
+    for et, vs in (("a", vals_a), ("b", vals_b)):
+        ids = [eid2 for eid2, r in enumerate(rows, 1)
+               if r[3] == et]
+        s = m = 0
+        runmin = 0
+        peak = 0
+        n_alarms = 0
+        first_id = None
+        for i, v in enumerate(vs, 1):
+            c = half_away(v * 100)
+            s += c
+            u = half_away(1e9 * float(i * c - s) / float(i)) - DELTA_U
+            m += u
+            runmin = min(runmin, m) if i > 1 else m
+            exc = m - runmin
+            peak = max(peak, exc)
+            if exc > LAM_U:
+                n_alarms += 1
+                if first_id is None:
+                    first_id = ids[i - 1]
+        want[et] = (len(vs), peak, n_alarms, first_id)
+
+    got = {
+        r2.event_type: (r2.n_obs, int(r2.peak_exc_units),
+                        r2.n_alarms, r2.first_alarm_id)
+        for r2 in entry.queries()["page_hinkley"](spark, d).collect()
+    }
+    assert got == want
+    assert got["a"][2] > 0 and got["a"][3] is not None
+    assert got["b"][2] == 0 and got["b"][3] is None
+
+
+def test_friedman_test_brute_force(spark, tmp_path):
+    """Friedman chi2 == python replay; incomplete blocks dropped."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    # 3 treatments over 3 complete Mon/Tue/Wed blocks with a strict
+    # within-block ordering, plus one incomplete Thursday block
+    base = datetime.datetime(2024, 3, 4)  # Monday
+    plan = [
+        (0, "a", 10.0), (0, "b", 20.0), (0, "c", 30.0),
+        (1, "a", 15.0), (1, "c", 25.0), (1, "b", 35.0),
+        (2, "b", 12.0), (2, "a", 22.0), (2, "c", 32.0),
+        (3, "a", 99.0),  # incomplete block -> dropped
+    ]
+    rows = []
+    for eid, (day, et, v) in enumerate(plan, 1):
+        rows.append((eid, base + datetime.timedelta(days=day,
+                                                    minutes=eid),
+                     1, et, v, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    # python replay: one obs per cell -> rank by value within block
+    k, b = 3, 3
+    r2 = {"a": 0, "b": 0, "c": 0}
+    for day in range(3):
+        cell = sorted(
+            ((v, et) for dy, et, v in plan if dy == day)
+        )
+        for pos, (_, et) in enumerate(cell, 1):
+            r2[et] += 2 * pos  # doubled ranks, no ties here
+    sum_r2_sq = sum(x * x for x in r2.values())
+    chi2 = (3.0 * sum_r2_sq) / (b * k * (k + 1)) - 3.0 * b * (k + 1)
+
+    out = entry.queries()["friedman_test"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert (r0.k_treat, r0.b_blocks, int(r0.sum_r2_sq)) == (
+        k, b, sum_r2_sq
+    )
+    assert abs(r0.chi2_f - chi2) < 1e-12
+
+
+def test_audio_vad_brute_force(spark):
+    """VAD segments == python replay of the byte-lattice energies,
+    integer threshold, and island merge over the sqlgen media."""
+    import hashlib
+
+    import __spark_entry__ as entry
+    from openseize_spark.session import get_spark
+
+    FRAME, FS = 200, 16000
+    want = set()
+    for mid in range(24):
+        if mid % 3 != 1:
+            continue
+        hx = "".join(
+            hashlib.md5(f"{mid}:{j}".encode()).hexdigest()
+            for j in range(16)
+        )
+        byts = bytes.fromhex(hx)
+        nf = FS // FRAME
+        units = []
+        for f in range(nf):
+            ssq = sum(
+                (2 * byts[s % 256] - 255) ** 2
+                for s in range(f * FRAME, (f + 1) * FRAME)
+            )
+            x = 1e9 * (float(ssq) / float(FRAME * 255 * 255))
+            units.append(int(x + 0.5))  # positive: half-away == floor+.5
+        su = sum(units)
+        act = [f for f, u in enumerate(units) if u * nf > su]
+        run = []
+        for f in act:
+            if run and f - run[-1] == 1:
+                run.append(f)
+            else:
+                if run:
+                    want.add((mid, run[0], len(run),
+                              max(units[x] for x in run)))
+                run = [f]
+        if run:
+            want.add((mid, run[0], len(run),
+                      max(units[x] for x in run)))
+
+    got = {
+        (r.media_id, r.seg_start, r.n_frames, r.peak_units)
+        for r in entry.queries()["audio_vad"](spark, "").collect()
+    }
+    assert got == want and len(got) > 0
