@@ -13282,6 +13282,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["audio_vad"] = q_audio_vad
 
+    def q_theil_sen(spark, sf_dir):
+        """Theil-Sen robust trend slope (Theil 1950 / Sen 1968) per
+        event type on the 1024-bin time grid — the outlier-robust
+        complement to ols_by_type's least-squares fit: the estimator
+        is the MEDIAN of all pairwise bin-mean slopes.  Each slope
+        (mean_j − mean_i)/(bin_j − bin_i) is one division of exact
+        integers — numerator (S_j·n_i − S_i·n_j), denominator
+        (bin_j − bin_i)·n_i·n_j, both DECIMAL-exact then cast — so
+        every slope is bit-identical across engines, and the median
+        is the deterministic lower order statistic under the total
+        order (slope, i, j) — never a float interpolation.
+
+        Scale shape: the events reduce to the bounded ≤1024-bin
+        table per type (binseg_changepoints' grid); the pair frame
+        is a broadcast self-join on that control frame (≤ k·1024²/2
+        rows regardless of data size); the median is one per-type
+        rank window on the bounded frame.  Returns (event_type,
+        n_bins, n_pairs, slope — cents per bin).  Registered after
+        the round-13/14 windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        rng = e.agg(
+            F.min(F.unix_micros("ts")).alias("_t0"),
+            F.max(F.unix_micros("ts")).alias("_t1"),
+        )
+        b = (
+            e.crossJoin(F.broadcast(rng))
+            .select(
+                "event_type",
+                F.expr(
+                    "((unix_micros(ts) - _t0) * 1024)"
+                    " div (_t1 - _t0 + 1)"
+                ).cast("bigint").alias("bin"),
+                F.round(F.col("value") * 100).cast("bigint").alias("_c"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            .localCheckpoint(eager=False)  # both self-join sides
+        )
+        b2 = b.select(
+            F.col("event_type").alias("_et2"),
+            F.col("bin").alias("_b2"),
+            F.col("_n").alias("_n2"),
+            F.col("_s").alias("_s2"),
+        )
+        pairs = (
+            b.join(
+                F.broadcast(b2),
+                (F.col("_et2") == F.col("event_type"))
+                & (F.col("_b2") > F.col("bin")),
+            )
+            .select(
+                "event_type",
+                "bin",
+                "_b2",
+                (
+                    (F.col("_s2") * F.col("_n") - F.col("_s") * F.col("_n2"))
+                    .cast(dec)
+                    .cast("double")
+                    / (
+                        (F.col("_b2") - F.col("bin")).cast(dec)
+                        * F.col("_n")
+                        * F.col("_n2")
+                    ).cast(dec).cast("double")
+                ).alias("_slope"),
+            )
+        )
+        wr = W.partitionBy("event_type").orderBy(
+            F.col("_slope").asc(), F.col("bin").asc(), F.col("_b2").asc()
+        )
+        ranked = pairs.withColumn(
+            "_rk", F.row_number().over(wr).cast("bigint")
+        ).localCheckpoint(eager=False)  # count + median pick
+        cnt = ranked.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_pairs")
+        )
+        nb = b.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_bins")
+        )
+        med = (
+            ranked.join(F.broadcast(cnt), on="event_type")
+            .filter(F.col("_rk") == F.expr("(n_pairs + 1) div 2"))
+            .select("event_type", F.col("_slope").alias("slope"))
+        )
+        return (
+            nb.join(F.broadcast(cnt), on="event_type")
+            .join(med, on="event_type")
+            .select("event_type", "n_bins", "n_pairs", "slope")
+        )
+
+    q["theil_sen"] = q_theil_sen
+
+    def q_gini_by_type(spark, sf_dir):
+        """Gini coefficient of the value distribution per event type
+        (the order-statistics identity G = (2·Σi·x_(i) − (n+1)·Σx) /
+        (n·Σx)) — the inequality/concentration measure a spend or
+        engagement analysis reports next to the mean.  Ranks are a
+        per-type window ordered by (cents, event_id); Σi·x_i is
+        invariant to tie order, so the value is deterministic.  All
+        moments are exact DECIMAL(38,0)/HUGEINT; G is one float
+        division of exact operands.  Returns (event_type, n, gini).
+        Registered after the round-13/14 windows; round-15 window
+        material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("event_type").orderBy("_c", "event_id")
+        d = e.select(
+            "event_type", "event_id", cents.alias("_c")
+        ).withColumn("_i", F.row_number().over(w).cast("bigint"))
+        g = d.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("_c").cast(dec)).alias("_sx"),
+            F.sum((F.col("_i").cast(dec) * F.col("_c")).cast(dec)).alias(
+                "_six"
+            ),
+        )
+        num = (
+            F.lit(2).cast(dec) * F.col("_six")
+            - (F.col("n") + 1).cast(dec) * F.col("_sx")
+        ).cast(dec)
+        den = (F.col("n").cast(dec) * F.col("_sx")).cast(dec)
+        return g.select(
+            "event_type",
+            "n",
+            (num.cast("double") / den.cast("double")).alias("gini"),
+        )
+
+    q["gini_by_type"] = q_gini_by_type
+
+    def q_trimmed_mean(spark, sf_dir):
+        """5%-trimmed mean of value per event type — the robust
+        location estimate next to gini_by_type's dispersion: drop the
+        lowest and highest floor(n/20) observations by the
+        deterministic (cents, event_id) order, average the rest.
+        The trim bounds are pure integer arithmetic (rk > n div 20
+        and rk <= n − n div 20), the kept sum is exact DECIMAL, and
+        the mean is one float division — bit-equal on any
+        partitioning.  Returns (event_type, n, n_kept,
+        trimmed_mean_cents).  Registered after the round-13/14
+        windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("event_type").orderBy("_c", "event_id")
+        d = e.select(
+            "event_type", "event_id", cents.alias("_c")
+        ).withColumn("_i", F.row_number().over(w).cast("bigint"))
+        tot = d.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        kept = (
+            d.join(F.broadcast(tot), on="event_type")
+            .filter(
+                (F.col("_i") > F.expr("n div 20"))
+                & (F.col("_i") <= F.col("n") - F.expr("n div 20"))
+            )
+            .groupBy("event_type", "n")
+            .agg(
+                F.count("*").cast("bigint").alias("n_kept"),
+                F.sum(F.col("_c").cast(dec)).alias("_sk"),
+            )
+        )
+        return kept.select(
+            "event_type",
+            "n",
+            "n_kept",
+            (
+                F.col("_sk").cast("double") / F.col("n_kept").cast("double")
+            ).alias("trimmed_mean_cents"),
+        )
+
+    q["trimmed_mean"] = q_trimmed_mean
+
     return _gate_order(q)
 
 
@@ -20134,6 +20311,97 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    o["gini_by_type"] = """
+        WITH d AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT),
+                            event_id
+                 ) AS i
+          FROM events WHERE value IS NOT NULL
+        ), g AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(c AS HUGEINT)) AS sx,
+                 sum(CAST(i AS HUGEINT) * c) AS six
+          FROM d GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(2 * six - (n + 1) * sx AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * sx AS DOUBLE) AS gini
+        FROM g
+    """
+
+    o["trimmed_mean"] = """
+        WITH d AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT),
+                            event_id
+                 ) AS i
+          FROM events WHERE value IS NOT NULL
+        ), tot AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1
+        ), kept AS (
+          SELECT d.event_type, tot.n,
+                 CAST(count(*) AS BIGINT) AS n_kept,
+                 sum(CAST(d.c AS HUGEINT)) AS sk
+          FROM d JOIN tot USING (event_type)
+          WHERE d.i > tot.n // 20 AND d.i <= tot.n - tot.n // 20
+          GROUP BY 1, 2
+        )
+        SELECT event_type, n, n_kept,
+               CAST(sk AS DOUBLE) / CAST(n_kept AS DOUBLE)
+                 AS trimmed_mean_cents
+        FROM kept
+    """
+
+    o["theil_sen"] = """
+        WITH rng AS (
+          SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+          FROM events WHERE value IS NOT NULL
+        ), b AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(((epoch_us(ts) - t0) * 1024)
+                      // (t1 - t0 + 1) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS HUGEINT)) AS s
+          FROM events, rng WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT b1.event_type, b1.bin AS i, b2.bin AS j,
+                 CAST(b2.s * b1.n - b1.s * b2.n AS DOUBLE)
+                 / CAST(CAST(b2.bin - b1.bin AS HUGEINT)
+                        * b1.n * b2.n AS DOUBLE) AS slope
+          FROM b b1 JOIN b b2 ON b2.event_type = b1.event_type
+                             AND b2.bin > b1.bin
+        ), ranked AS MATERIALIZED (
+          SELECT event_type, slope,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY slope ASC, i ASC, j ASC
+                 ) AS rk
+          FROM pairs
+        ), cnt AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM ranked GROUP BY 1
+        ), nb AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins
+          FROM b GROUP BY 1
+        )
+        SELECT nb.event_type, nb.n_bins, cnt.n_pairs, r.slope
+        FROM nb
+        JOIN cnt USING (event_type)
+        JOIN ranked r ON r.event_type = nb.event_type
+                     AND r.rk = (cnt.n_pairs + 1) // 2
     """
 
     o["friedman_test"] = """

@@ -612,3 +612,105 @@ def test_audio_vad_brute_force(spark):
         for r in entry.queries()["audio_vad"](spark, "").collect()
     }
     assert got == want and len(got) > 0
+
+
+def _events_fixture(spark, d, plan):
+    """plan: list of (event_type, value); minute-spaced timestamps."""
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (i + 1, base + datetime.timedelta(minutes=i), 1, et, float(v),
+         "{}")
+        for i, (et, v) in enumerate(plan)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    return rows
+
+
+def test_theil_sen_brute_force(spark, tmp_path):
+    """Median pairwise bin slope == python replay with a planted
+    linear trend plus one gross outlier the median ignores."""
+    import __spark_entry__ as entry
+
+    # type "a": value = 10 + 2*i with one wild outlier at i=25
+    plan = [("a", 10.0 + 2.0 * i if i != 25 else 9999.0)
+            for i in range(60)]
+    d = str(tmp_path / "sf")
+    rows = _events_fixture(spark, d, plan)
+
+    t0 = min(int(r[1].timestamp() * 1e6) for r in rows)
+    t1 = max(int(r[1].timestamp() * 1e6) for r in rows)
+    span = t1 - t0 + 1
+    bins: dict = {}
+    for r in rows:
+        bn = ((int(r[1].timestamp() * 1e6) - t0) * 1024) // span
+        c = int(round(r[4] * 100))
+        n, s = bins.get(bn, (0, 0))
+        bins[bn] = (n + 1, s + c)
+    bs = sorted(bins.items())
+    slopes = []
+    for x, (i, (ni, si)) in enumerate(bs):
+        for j, (nj, sj) in bs[x + 1:]:
+            slopes.append(
+                (float(sj * ni - si * nj)
+                 / float((j - i) * ni * nj), i, j)
+            )
+    slopes.sort()
+    n_pairs = len(slopes)
+    want_slope = slopes[(n_pairs + 1) // 2 - 1][0]
+
+    out = entry.queries()["theil_sen"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert (r0.n_bins, r0.n_pairs) == (len(bs), n_pairs)
+    assert r0.slope == want_slope
+    # the outlier bin cannot drag the median: true slope is ~2 cents
+    # per event = 200 cents per value-step; sanity: positive, finite
+    assert 0 < r0.slope < 10000
+
+
+def test_gini_trimmed_brute_force(spark, tmp_path):
+    """Gini and 5%-trimmed mean == python replays; uniform values
+    give gini ~ (n-1)/(3n... ) exact replay, constants give 0."""
+    import __spark_entry__ as entry
+
+    plan = (
+        [("a", float(v)) for v in (10, 20, 30, 40, 50, 60, 70, 80,
+                                   90, 100) * 4]
+        + [("b", 25.0)] * 30
+    )
+    d = str(tmp_path / "sf")
+    _events_fixture(spark, d, plan)
+
+    want_g = {}
+    want_t = {}
+    for et in ("a", "b"):
+        cs = sorted(
+            int(round(v * 100)) for e2, v in plan if e2 == et
+        )
+        n = len(cs)
+        sx = sum(cs)
+        six = sum((i + 1) * c for i, c in enumerate(cs))
+        want_g[et] = float(2 * six - (n + 1) * sx) / float(n * sx)
+        t = n // 20
+        kept = cs[t: n - t]
+        want_t[et] = (n, len(kept), float(sum(kept)) / len(kept))
+
+    got_g = {
+        r.event_type: (r.n, r.gini)
+        for r in entry.queries()["gini_by_type"](spark, d).collect()
+    }
+    got_t = {
+        r.event_type: (r.n, r.n_kept, r.trimmed_mean_cents)
+        for r in entry.queries()["trimmed_mean"](spark, d).collect()
+    }
+    for et in ("a", "b"):
+        assert got_g[et][0] == len([1 for e2, _ in plan if e2 == et])
+        assert abs(got_g[et][1] - want_g[et]) < 1e-15
+        assert got_t[et] == want_t[et]
+    assert got_g["b"][1] == 0.0  # constant values -> zero inequality
