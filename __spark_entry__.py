@@ -13459,6 +13459,136 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trimmed_mean"] = q_trimmed_mean
 
+    def q_kendall_tau_binned(spark, sf_dir):
+        """Kendall rank correlation τ-b between time and value per
+        event type on the 1024-bin grid (Kendall 1938) — the
+        rank-correlation complement to spearman_binned and the
+        concordance view of theil_sen's slope: over bin pairs i < j,
+        concordant iff mean_j > mean_i, discordant iff <, tied iff =,
+        with the mean comparison done EXACTLY by cross-multiplication
+        (S_j·n_i vs S_i·n_j, DECIMAL operands — no float mean).
+        τ-b = (nc − nd)/sqrt((N0 − T_v)·N0) with N0 = n(n−1)/2 and
+        T_v the value-tie pair count — all exact int64, one sqrt
+        chain at the end (sqrt is IEEE-correctly-rounded, not a
+        transcendental approximation).
+
+        Scale shape: bounded ≤1024-bin control frame per type; the
+        pair count aggregates the broadcast self-join
+        (decision_stump/theil_sen precedent).  Returns (event_type,
+        n_bins, nc, nd, n_tied, tau_b).  Registered after the
+        round-13/14 windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        rng = e.agg(
+            F.min(F.unix_micros("ts")).alias("_t0"),
+            F.max(F.unix_micros("ts")).alias("_t1"),
+        )
+        b = (
+            e.crossJoin(F.broadcast(rng))
+            .select(
+                "event_type",
+                F.expr(
+                    "((unix_micros(ts) - _t0) * 1024)"
+                    " div (_t1 - _t0 + 1)"
+                ).cast("bigint").alias("bin"),
+                F.round(F.col("value") * 100).cast("bigint").alias("_c"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            .localCheckpoint(eager=False)  # both self-join sides
+        )
+        b2 = b.select(
+            F.col("event_type").alias("_et2"),
+            F.col("bin").alias("_b2"),
+            F.col("_n").alias("_n2"),
+            F.col("_s").alias("_s2"),
+        )
+        m1 = F.col("_s") * F.col("_n2")
+        m2 = F.col("_s2") * F.col("_n")
+        g = (
+            b.join(
+                F.broadcast(b2),
+                (F.col("_et2") == F.col("event_type"))
+                & (F.col("_b2") > F.col("bin")),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.when(m2 > m1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("nc"),
+                F.sum(F.when(m2 < m1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("nd"),
+                F.sum(F.when(m2 == m1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_tied"),
+            )
+        )
+        nb = b.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_bins")
+        )
+        n0 = (F.col("nc") + F.col("nd") + F.col("n_tied")).cast("bigint")
+        tau = (F.col("nc") - F.col("nd")).cast("double") / F.sqrt(
+            ((n0 - F.col("n_tied")).cast(dec) * n0).cast("double")
+        )
+        return (
+            nb.join(g, on="event_type")
+            .select(
+                "event_type", "n_bins", "nc", "nd", "n_tied",
+                tau.alias("tau_b"),
+            )
+        )
+
+    q["kendall_tau_binned"] = q_kendall_tau_binned
+
+    def q_brier_score(spark, sf_dir):
+        """Brier score of the day-of-week purchase-rate predictor
+        (Brier 1950) — the calibration-eval closed form: with
+        p̂(dow) = purchases_d/n_d and y ∈ {0,1},
+        Σ(p̂ − y)² = Σ_d (pos_d − pos_d²/n_d), so the whole score
+        reduces to the 7-row dow table: each pos²/n term is
+        quantized to integer nano-units (division-derived), the
+        cross-dow sum is exact int64, and Brier = units/(N·1e9) is
+        one float chain.  Returns one row (n_total, brier_units,
+        brier).  Registered after the round-13/14 windows; round-15
+        window material."""
+        e = _events(spark, sf_dir)
+        g = e.select(
+            F.dayofweek("ts").cast("bigint").alias("dow"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("_y"),
+        ).groupBy("dow").agg(
+            F.count("*").cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_p"),
+        )
+        u = (
+            F.col("_p") * F.lit(10**9).cast("bigint")
+            - F.round(
+                F.lit(1e9)
+                * (
+                    (F.col("_p") * F.col("_p")).cast("double")
+                    / F.col("_n").cast("double")
+                )
+            ).cast("bigint")
+        )
+        return g.agg(
+            F.sum("_n").cast("bigint").alias("n_total"),
+            F.sum(u).cast("bigint").alias("brier_units"),
+        ).select(
+            "n_total",
+            "brier_units",
+            (
+                F.col("brier_units").cast("double")
+                / (F.col("n_total").cast("double") * F.lit(1e9))
+            ).alias("brier"),
+        )
+
+    q["brier_score"] = q_brier_score
+
     return _gate_order(q)
 
 
@@ -20311,6 +20441,65 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    o["kendall_tau_binned"] = """
+        WITH rng AS (
+          SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+          FROM events WHERE value IS NOT NULL
+        ), b AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(((epoch_us(ts) - t0) * 1024)
+                      // (t1 - t0 + 1) AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS HUGEINT)) AS s
+          FROM events, rng WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), g AS (
+          SELECT b1.event_type,
+                 CAST(sum(CASE WHEN b2.s * b1.n > b1.s * b2.n
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                 CAST(sum(CASE WHEN b2.s * b1.n < b1.s * b2.n
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+                 CAST(sum(CASE WHEN b2.s * b1.n = b1.s * b2.n
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_tied
+          FROM b b1 JOIN b b2 ON b2.event_type = b1.event_type
+                             AND b2.bin > b1.bin
+          GROUP BY 1
+        ), nb AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins
+          FROM b GROUP BY 1
+        )
+        SELECT nb.event_type, nb.n_bins, g.nc, g.nd, g.n_tied,
+               CAST(g.nc - g.nd AS DOUBLE)
+               / sqrt(CAST(CAST(g.nc + g.nd + g.n_tied - g.n_tied
+                                AS HUGEINT)
+                           * (g.nc + g.nd + g.n_tied) AS DOUBLE))
+                 AS tau_b
+        FROM nb JOIN g USING (event_type)
+    """
+
+    o["brier_score"] = """
+        WITH g AS (
+          SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS p
+          FROM events GROUP BY 1
+        ), u AS (
+          SELECT n,
+                 p * 1000000000
+                 - CAST(round(1e9 * (CAST(p * p AS DOUBLE)
+                                     / CAST(n AS DOUBLE)))
+                        AS BIGINT) AS bu
+          FROM g
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(bu) AS BIGINT) AS brier_units,
+               CAST(sum(bu) AS DOUBLE)
+                 / (CAST(sum(n) AS DOUBLE) * 1e9) AS brier
+        FROM u
     """
 
     o["gini_by_type"] = """

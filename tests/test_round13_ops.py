@@ -714,3 +714,105 @@ def test_gini_trimmed_brute_force(spark, tmp_path):
         assert abs(got_g[et][1] - want_g[et]) < 1e-15
         assert got_t[et] == want_t[et]
     assert got_g["b"][1] == 0.0  # constant values -> zero inequality
+
+
+def test_kendall_tau_binned_brute_force(spark, tmp_path):
+    """tau-b == python replay: a monotone series gives tau 1, a
+    planted tie is counted, and the cross-multiplication compare
+    matches exact rational ordering."""
+    import math
+
+    import __spark_entry__ as entry
+
+    # increasing means with one tied pair of bins (same mean 30.0)
+    plan = (
+        [("a", 10.0)] * 5 + [("a", 20.0)] * 5 + [("a", 30.0)] * 5
+        + [("a", 30.0)] * 5 + [("a", 50.0)] * 5
+    )
+    d = str(tmp_path / "sf")
+    rows = _events_fixture(spark, d, plan)
+
+    t0 = min(int(r[1].timestamp() * 1e6) for r in rows)
+    t1 = max(int(r[1].timestamp() * 1e6) for r in rows)
+    span = t1 - t0 + 1
+    bins: dict = {}
+    for r in rows:
+        bn = ((int(r[1].timestamp() * 1e6) - t0) * 1024) // span
+        c = int(round(r[4] * 100))
+        n, s = bins.get(bn, (0, 0))
+        bins[bn] = (n + 1, s + c)
+    bs = sorted(bins.items())
+    nc = nd = nt = 0
+    for x, (i, (ni, si)) in enumerate(bs):
+        for j, (nj, sj) in bs[x + 1:]:
+            lhs, rhs = sj * ni, si * nj
+            if lhs > rhs:
+                nc += 1
+            elif lhs < rhs:
+                nd += 1
+            else:
+                nt += 1
+    n0 = nc + nd + nt
+    tau = (nc - nd) / math.sqrt(float((n0 - nt) * n0))
+
+    out = entry.queries()["kendall_tau_binned"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert (r0.n_bins, r0.nc, r0.nd, r0.n_tied) == (
+        len(bs), nc, nd, nt
+    )
+    assert abs(r0.tau_b - tau) < 1e-15
+    assert nt > 0 and r0.tau_b > 0.8  # tie counted; strong trend
+
+
+def test_brier_score_brute_force(spark, tmp_path):
+    """Closed-form Brier == per-event replay Σ(p_hat - y)^2 / N."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    base = datetime.datetime(2024, 3, 4)  # Monday
+    plan = [(0, "purchase", 6), (0, "view", 4),
+            (1, "purchase", 2), (1, "view", 8)]
+    rows = []
+    eid = 0
+    for day, et, k in plan:
+        for _ in range(k):
+            eid += 1
+            rows.append((eid, base + datetime.timedelta(days=day,
+                                                        minutes=eid),
+                         1, et, 1.0, "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    want_units = 0
+    N = 0
+    for day in (0, 1):
+        n = sum(k for dy, _, k in plan if dy == day)
+        p = sum(k for dy, et, k in plan
+                if dy == day and et == "purchase")
+        N += n
+        want_units += p * 10**9 - half_away(1e9 * float(p * p) / n)
+    # per-event check: sum (p_hat - y)^2 == units/1e9 up to rounding
+    direct = 0.0
+    for day in (0, 1):
+        n = sum(k for dy, _, k in plan if dy == day)
+        p = sum(k for dy, et, k in plan
+                if dy == day and et == "purchase")
+        ph = p / n
+        direct += p * (ph - 1) ** 2 + (n - p) * ph**2
+    out = entry.queries()["brier_score"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert (r0.n_total, int(r0.brier_units)) == (N, want_units)
+    assert abs(r0.brier - direct / N) < 1e-9
