@@ -211,6 +211,75 @@ def sites() -> dict[str, str]:
         SELECT ln(CAST(greatest(vocab, 1) AS DOUBLE)) * 1000000000 AS x
         FROM ten"""
 
+    # llm/text.py tfidf-family idf quantization (round(ln(N/df)·1e9)
+    # per word; sites text.py:1093/:1435/:1693 share the chain).
+    s["tfidf.idf"] = """
+        WITH toks AS (
+          SELECT doc_id, u.w AS w
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT DISTINCT doc_id, w FROM toks
+        ), dfreq AS (
+          SELECT w, count(*) AS df FROM dw GROUP BY w
+        ), n AS (
+          SELECT count(DISTINCT doc_id) AS n FROM dw
+        )
+        SELECT ln(CAST(n.n AS DOUBLE) / CAST(dfreq.df AS DOUBLE))
+               * 1000000000.0 AS x
+        FROM dfreq, n"""
+
+    # llm/text.py bm25_topk per-(query-term, doc) score quantization
+    # (round(idf·tf_factor·1e9)); registered queries/k1/b literals.
+    qvals = (
+        "(1, 'fast'), (1, 'hash'), (1, 'join'), (2, 'window'),"
+        " (2, 'agg'), (2, 'stream'), (3, 'customer'), (3, 'query'),"
+        " (3, 'scan')"
+    )
+    s["bm25.term_score"] = f"""
+        WITH toks AS (
+          SELECT doc_id, u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), dw AS (
+          SELECT doc_id, word, count(*) AS tf FROM toks
+          GROUP BY doc_id, word
+        ), dl AS (
+          SELECT doc_id, sum(tf) AS dl FROM dw GROUP BY doc_id
+        ), dfreq AS (
+          SELECT word, count(*) AS df FROM dw GROUP BY word
+        ), stats AS (
+          SELECT count(*) AS n, sum(dl) AS tot FROM dl
+        ), qt (query_id, word) AS (VALUES {qvals})
+        SELECT ln((CAST(stats.n - dfreq.df AS DOUBLE)
+                   + CAST(0.5 AS DOUBLE))
+                  / (CAST(dfreq.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+               * (CAST(dw.tf AS DOUBLE) * 2.2
+                  / (CAST(dw.tf AS DOUBLE) + 1.2
+                     * (0.25 + 0.75
+                        * (CAST(dl.dl AS DOUBLE)
+                           / (CAST(stats.tot AS DOUBLE)
+                              / CAST(stats.n AS DOUBLE))))))
+               * 1000000000.0 AS x
+        FROM dw
+        JOIN qt USING (word)
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (word)
+        CROSS JOIN stats"""
+
     return s
 
 
