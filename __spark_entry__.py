@@ -13589,6 +13589,151 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["brier_score"] = q_brier_score
 
+    def q_pinball_quantile(spark, sf_dir):
+        """Exact τ=0.9 quantile via pinball-loss minimization
+        (Koenker & Bassett 1978) per event type — quantile estimation
+        as an ARGMIN the decision_stump way, not an order statistic:
+        over the 1024 fixed cent-bin candidates q, 10·loss(q) =
+        1·Σ_{x<q}(q−x) + 9·Σ_{x≥q}(x−q) is exact integer arithmetic
+        from cumulative (n, S) bin moments (τ=0.9 scaled by 10), and
+        the argmin is a struct-min with ascending-bin tie-break — no
+        float ever enters the decision.  Cross-checks the sort-based
+        quantile family (rolling_median / length_quantiles) with an
+        optimization-based estimator.
+
+        Scale shape: one groupBy to the ≤1024-row cent-bin table per
+        type; cumulative moments via the bounded broadcast inequality
+        join; candidate loss and argmin on the control frame.
+        Returns (event_type, q_bin, n_below, loss_units).  Registered
+        after the round-13/14 windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        dec = "decimal(38,0)"
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        binc = F.floor(
+            (cents * 1024).cast("double") / F.lit(49003.0)
+        ).cast("bigint")
+        # bin value representative: the bin's lower cent edge
+        # q(bin) = ceil(bin * 49003 / 1024) — integer, identical both
+        # engines on non-negative operands
+        b = (
+            e.select("event_type", binc.alias("bin"), cents.alias("_c"))
+            .groupBy("event_type", "bin")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            .localCheckpoint(eager=False)  # cum join both sides + tot
+        )
+        tot = b.groupBy("event_type").agg(
+            F.sum("_n").cast("bigint").alias("_nt"),
+            F.sum("_s").cast(dec).alias("_st"),
+        )
+        b2 = b.select(
+            F.col("event_type").alias("_et2"),
+            F.col("bin").alias("_b2"),
+            F.col("_n").alias("_n2"),
+            F.col("_s").alias("_s2"),
+        )
+        # strictly-below cumulative: bins < candidate bin
+        cum = (
+            b.join(
+                F.broadcast(b2),
+                (F.col("_et2") == F.col("event_type"))
+                & (F.col("_b2") < F.col("bin")),
+                "left",
+            )
+            .groupBy("event_type", "bin")
+            .agg(
+                F.coalesce(F.sum("_n2"), F.lit(0))
+                .cast("bigint")
+                .alias("n_below"),
+                F.coalesce(F.sum("_s2"), F.lit(0).cast(dec))
+                .cast(dec)
+                .alias("_sb"),
+            )
+        )
+        # ceil(bin*49003/1024) on non-negative operands: (a + 1023) div 1024
+        qv = F.expr("(bin * 49003 + 1023) div 1024").cast(dec)
+        loss = (
+            (
+                qv * F.col("n_below").cast(dec) - F.col("_sb")
+            ).cast(dec)
+            + F.lit(9).cast(dec)
+            * (
+                (F.col("_st") - F.col("_sb"))
+                - qv * (F.col("_nt") - F.col("n_below")).cast(dec)
+            ).cast(dec)
+        ).cast(dec)
+        best = (
+            cum.join(F.broadcast(tot), on="event_type")
+            .groupBy("event_type")
+            .agg(
+                F.min(
+                    F.struct(
+                        loss.alias("loss_units"),
+                        F.col("bin").alias("q_bin"),
+                        F.col("n_below").alias("n_below"),
+                    )
+                ).alias("_b")
+            )
+        )
+        return best.select(
+            "event_type",
+            F.col("_b.q_bin").alias("q_bin"),
+            F.col("_b.n_below").alias("n_below"),
+            F.col("_b.loss_units").alias("loss_units"),
+        )
+
+    q["pinball_quantile"] = q_pinball_quantile
+
+    def q_mad_by_type(spark, sf_dir):
+        """Median absolute deviation per event type (the robust scale
+        estimate next to trimmed_mean's location and gini's
+        concentration): med = lower-median cents by the deterministic
+        (cents, event_id) rank, then MAD = lower median of |x − med|
+        under the same rank discipline — two rank windows, all exact
+        int64, zero floats.  Returns (event_type, n, median_cents,
+        mad_cents).  Registered after the round-13/14 windows;
+        round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        w = W.partitionBy("event_type").orderBy("_c", "event_id")
+        d = e.select(
+            "event_type", "event_id", cents.alias("_c")
+        ).withColumn(
+            "_i", F.row_number().over(w).cast("bigint")
+        ).localCheckpoint(eager=False)  # median pick + deviation pass
+        tot = d.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n")
+        )
+        med = (
+            d.join(F.broadcast(tot), on="event_type")
+            .filter(F.col("_i") == F.expr("(n + 1) div 2"))
+            .select("event_type", "n", F.col("_c").alias("median_cents"))
+        )
+        dev = d.join(F.broadcast(med), on="event_type").select(
+            "event_type",
+            "n",
+            "median_cents",
+            "event_id",
+            F.abs(F.col("_c") - F.col("median_cents")).alias("_a"),
+        )
+        w2 = W.partitionBy("event_type").orderBy("_a", "event_id")
+        return (
+            dev.withColumn(
+                "_j", F.row_number().over(w2).cast("bigint")
+            )
+            .filter(F.col("_j") == F.expr("(n + 1) div 2"))
+            .select(
+                "event_type",
+                "n",
+                "median_cents",
+                F.col("_a").alias("mad_cents"),
+            )
+        )
+
+    q["mad_by_type"] = q_mad_by_type
+
     return _gate_order(q)
 
 
@@ -13916,9 +14061,9 @@ _GATE_PRIORITY_R13 = [
 
 _GATE_PRIORITY = _GATE_PRIORITY_R13
 
-# ROUND-14 COMPOSITION NOTE (draft — compose and commit the binding
-# list in the round-13 session, AFTER CORRECTNESS_r13 lands, so the
-# freshness order reflects the r12+r13 driver results): 21 conversion
+# ROUND-14 COMPOSITION NOTE (EXECUTED in the round-13 session — the
+# binding `_GATE_PRIORITY_R14` list below follows this note and was
+# replica-proven 50/50 green at composition): 21 conversion
 # slots for the round-12-session registrations in registration order
 # (betweenness_contrib, bpe_apply, kn_perplexity, random_walks,
 # als_user_step, cusum_by_type, did_by_type, ipw_ate, logrank_test,
@@ -20441,6 +20586,80 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    o["pinball_quantile"] = """
+        WITH b AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(floor(CAST(CAST(round(value * 100) AS BIGINT)
+                                 * 1024 AS DOUBLE) / 49003.0)
+                      AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(CAST(CAST(round(value * 100) AS BIGINT)
+                          AS HUGEINT)) AS s
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), tot AS (
+          SELECT event_type, CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(s) AS HUGEINT) AS st
+          FROM b GROUP BY 1
+        ), cum AS (
+          SELECT b1.event_type, b1.bin,
+                 CAST(COALESCE(sum(b2.n), 0) AS BIGINT) AS n_below,
+                 CAST(COALESCE(sum(b2.s), 0) AS HUGEINT) AS sb
+          FROM b b1
+          LEFT JOIN b b2 ON b2.event_type = b1.event_type
+                        AND b2.bin < b1.bin
+          GROUP BY 1, 2
+        ), loss AS (
+          SELECT cum.event_type, cum.bin, cum.n_below,
+                 CAST(((cum.bin * 49003 + 1023) // 1024)
+                      AS HUGEINT) * cum.n_below - cum.sb
+                 + 9 * ((tot.st - cum.sb)
+                        - CAST(((cum.bin * 49003 + 1023) // 1024)
+                               AS HUGEINT)
+                          * (tot.nt - cum.n_below)) AS lu
+          FROM cum JOIN tot USING (event_type)
+        )
+        SELECT event_type, bin AS q_bin, n_below,
+               CAST(lu AS DECIMAL(38,0)) AS loss_units
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_type ORDER BY lu ASC, bin ASC
+                 ) AS rn
+          FROM loss
+        ) WHERE rn = 1
+    """
+
+    o["mad_by_type"] = """
+        WITH d AS MATERIALIZED (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT),
+                            event_id
+                 ) AS i
+          FROM events WHERE value IS NOT NULL
+        ), tot AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1
+        ), med AS (
+          SELECT d.event_type, tot.n, d.c AS median_cents
+          FROM d JOIN tot USING (event_type)
+          WHERE d.i = (tot.n + 1) // 2
+        ), dev AS (
+          SELECT d.event_type, med.n, med.median_cents,
+                 abs(d.c - med.median_cents) AS a,
+                 row_number() OVER (
+                   PARTITION BY d.event_type
+                   ORDER BY abs(d.c - med.median_cents), d.event_id
+                 ) AS j
+          FROM d JOIN med USING (event_type)
+        )
+        SELECT event_type, n, median_cents,
+               CAST(a AS BIGINT) AS mad_cents
+        FROM dev WHERE j = (n + 1) // 2
     """
 
     o["kendall_tau_binned"] = """

@@ -816,3 +816,64 @@ def test_brier_score_brute_force(spark, tmp_path):
     r0 = out[0]
     assert (r0.n_total, int(r0.brier_units)) == (N, want_units)
     assert abs(r0.brier - direct / N) < 1e-9
+
+
+def test_pinball_mad_brute_force(spark, tmp_path):
+    """Pinball-quantile argmin and MAD == python replays; the
+    pinball winner brackets the true 0.9 quantile bin."""
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    plan = [("a", float(v)) for v in range(1, 201)] + [
+        ("b", 42.0)
+    ] * 25
+    d = str(tmp_path / "sf")
+    _events_fixture(spark, d, plan)
+
+    want_p = {}
+    want_m = {}
+    for et in ("a", "b"):
+        cs = [half_away(v * 100) for e2, v in plan if e2 == et]
+        bins: dict = {}
+        for c in cs:
+            bn = int(math.floor((c * 1024) / 49003.0))
+            n, s = bins.get(bn, (0, 0))
+            bins[bn] = (n + 1, s + c)
+        nt, st = len(cs), sum(cs)
+        best = None
+        for bn in sorted(bins):
+            nb = sum(n for b2, (n, _) in bins.items() if b2 < bn)
+            sb = sum(s for b2, (_, s) in bins.items() if b2 < bn)
+            qv = (bn * 49003 + 1023) // 1024
+            lu = (qv * nb - sb) + 9 * ((st - sb) - qv * (nt - nb))
+            if best is None or (lu, bn) < best[:2]:
+                best = (lu, bn, nb)
+        want_p[et] = (best[1], best[2], best[0])
+        srt = sorted(cs)
+        med = srt[(nt + 1) // 2 - 1]
+        devs = sorted(abs(c - med) for c in cs)
+        want_m[et] = (nt, med, devs[(nt + 1) // 2 - 1])
+
+    got_p = {
+        r.event_type: (r.q_bin, r.n_below, int(r.loss_units))
+        for r in entry.queries()["pinball_quantile"](
+            spark, d
+        ).collect()
+    }
+    got_m = {
+        r.event_type: (r.n, r.median_cents, r.mad_cents)
+        for r in entry.queries()["mad_by_type"](spark, d).collect()
+    }
+    assert got_p == want_p
+    assert got_m == want_m
+    # uniform 1..200: 0.9 quantile ~ 180.00 => winner bin near
+    # floor(18000*1024/49003) = 376 (lower-edge representative can
+    # land a couple of bins short)
+    assert abs(got_p["a"][0] - 376) <= 3
+    assert got_m["b"] == (25, 4200, 0)  # constants: MAD 0
