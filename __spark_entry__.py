@@ -13734,6 +13734,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mad_by_type"] = q_mad_by_type
 
+    def q_bootstrap_ci(spark, sf_dir):
+        """Poisson bootstrap 90% CI for the mean value per event type
+        (Efron 1979; the Poisson(1)-weight formulation is THE
+        distributed bootstrap — no per-replicate resample pass, one
+        weight per (row, replicate)): 32 replicates, each row's
+        replicate weight w = inverse-CDF lookup of a salted integer
+        hash against DRIVER-SIDE Poisson(1) cumulative cutoffs scaled
+        to the 2^32 hash space — pure integer compares, no float u
+        ever exists.  Replicate means are division-derived nano-units
+        (exact operands Σw·c / Σw), and the CI is the (2nd, 31st)
+        order statistic of the 32 means — deterministic, no
+        interpolation.
+
+        Scale shape: the 32× replicate explode happens on the scan
+        and feeds straight into a map-side-combined (type, replicate)
+        aggregate — no join ever sees the exploded rows (the
+        xcorr_lags lesson); the 32-row-per-type mean table then takes
+        one bounded rank window.  Returns (event_type, n_reps,
+        mean_lo_units, mean_hi_units).  Registered after the
+        round-13/14 windows; round-15 window material."""
+        import math as _math
+
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        # Poisson(1) CDF cutoffs scaled to the 2^32 hash space —
+        # driver-side constants embedded identically in both engines
+        cuts = []
+        acc = 0.0
+        for k in range(9):
+            acc += _math.exp(-1.0) / _math.factorial(k)
+            cuts.append(int(_math.floor(acc * 4294967296.0)))
+        reps = F.explode(
+            F.array(*[F.lit(r).cast("bigint") for r in range(32)])
+        )
+        d = e.select(
+            "event_type", "event_id", cents.alias("_c")
+        ).withColumn("_r", reps)
+        h = sampling.salted_hash(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("_r").cast("string"),
+            ),
+            "boot",
+        )
+        w = F.when(h < cuts[0], 0)
+        for k in range(1, 9):
+            w = w.when(h < cuts[k], k)
+        w = w.otherwise(9)
+        m = (
+            d.withColumn("_w", w.cast("bigint"))
+            .groupBy("event_type", "_r")
+            .agg(
+                F.sum("_w").cast("bigint").alias("_n"),
+                F.sum(F.col("_w") * F.col("_c"))
+                .cast("bigint")
+                .alias("_s"),
+            )
+            .filter(F.col("_n") > 0)
+            .select(
+                "event_type",
+                "_r",
+                F.round(
+                    F.lit(1e9)
+                    * (F.col("_s").cast("double") / F.col("_n").cast("double"))
+                )
+                .cast("bigint")
+                .alias("_mu"),
+            )
+        )
+        wr = W.partitionBy("event_type").orderBy("_mu", "_r")
+        ranked = m.withColumn("_rk", F.row_number().over(wr))
+        return ranked.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_reps"),
+            F.max(F.when(F.col("_rk") == 2, F.col("_mu"))).alias(
+                "mean_lo_units"
+            ),
+            F.max(F.when(F.col("_rk") == 31, F.col("_mu"))).alias(
+                "mean_hi_units"
+            ),
+        )
+
+    q["bootstrap_ci"] = q_bootstrap_ci
+
     return _gate_order(q)
 
 
@@ -20586,6 +20670,53 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    import math as _math
+
+    _boot_cuts = []
+    _acc = 0.0
+    for _k in range(9):
+        _acc += _math.exp(-1.0) / _math.factorial(_k)
+        _boot_cuts.append(int(_math.floor(_acc * 4294967296.0)))
+    _boot_h = _sampling.salted_hash_sql(
+        "CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)", "boot"
+    )
+    _boot_case = " ".join(
+        f"WHEN ({_boot_h}) < {c} THEN {k}"
+        for k, c in enumerate(_boot_cuts)
+    )
+    o["bootstrap_ci"] = f"""
+        WITH d AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 CAST(u.r AS BIGINT) AS r
+          FROM events, unnest(range(0, 32)) AS u(r)
+          WHERE value IS NOT NULL
+        ), wt AS (
+          SELECT event_type, r,
+                 CAST(CASE {_boot_case} ELSE 9 END AS BIGINT) AS w,
+                 c
+          FROM d
+        ), m AS (
+          SELECT event_type, r,
+                 CAST(round(1e9 * (CAST(sum(w * c) AS DOUBLE)
+                                   / CAST(sum(w) AS DOUBLE)))
+                      AS BIGINT) AS mu
+          FROM wt GROUP BY 1, 2
+          HAVING sum(w) > 0
+        ), ranked AS (
+          SELECT event_type, mu,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY mu, r
+                 ) AS rk
+          FROM m
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_reps,
+               max(CASE WHEN rk = 2 THEN mu END) AS mean_lo_units,
+               max(CASE WHEN rk = 31 THEN mu END) AS mean_hi_units
+        FROM ranked GROUP BY 1
     """
 
     o["pinball_quantile"] = """

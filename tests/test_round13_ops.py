@@ -877,3 +877,58 @@ def test_pinball_mad_brute_force(spark, tmp_path):
     # land a couple of bins short)
     assert abs(got_p["a"][0] - 376) <= 3
     assert got_m["b"] == (25, 4200, 0)  # constants: MAD 0
+
+
+def test_bootstrap_ci_brute_force(spark, tmp_path):
+    """Hash-Poisson bootstrap CI == python replay; the CI brackets
+    the true mean of an i.i.d.-ish planted series."""
+    import hashlib
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    plan = [("a", 50.0 + (i % 11)) for i in range(300)]
+    d = str(tmp_path / "sf")
+    rows = _events_fixture(spark, d, plan)
+
+    cuts = []
+    acc = 0.0
+    for k in range(9):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cuts.append(int(math.floor(acc * 4294967296.0)))
+
+    def weight(eid, r):
+        h = int(
+            hashlib.md5(f"boot:{eid}:{r}".encode()).hexdigest()[:8], 16
+        )
+        for k, c in enumerate(cuts):
+            if h < c:
+                return k
+        return 9
+
+    mus = []
+    for r in range(32):
+        n = s = 0
+        for row in rows:
+            w = weight(row[0], r)
+            n += w
+            s += w * half_away(row[4] * 100)
+        assert n > 0
+        mus.append((half_away(1e9 * float(s) / float(n)), r))
+    mus.sort()
+    want = (32, mus[1][0], mus[30][0])
+
+    out = entry.queries()["bootstrap_ci"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert (r0.n_reps, int(r0.mean_lo_units),
+            int(r0.mean_hi_units)) == want
+    true_mean_units = 1e9 * sum(
+        half_away(v * 100) for _, v in plan
+    ) / len(plan)
+    assert r0.mean_lo_units <= true_mean_units <= r0.mean_hi_units
