@@ -13818,6 +13818,153 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bootstrap_ci"] = q_bootstrap_ci
 
+    def q_term_drift(spark, sf_dir):
+        """Top-20 terms by corpus-composition DRIFT between the first
+        and second half of the ingestion order (doc_id midpoint) —
+        the "did the crawl mix change" monitor a continuously-fed
+        training corpus runs next to gram_novelty's saturation
+        signal: per half, term rate = round(1e9·k/N_half) nano-units
+        (division-derived — IEEE-identical), drift = |rate₁ − rate₂|
+        exact int64, top-20 via orderBy().limit() —
+        TakeOrderedAndProject, per-partition top-k, never a global
+        sort.  Ties break on the term.  Returns (word, k_first,
+        k_second, drift_units, rank).  Registered after the
+        round-13/14 windows; round-15 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        mid = docs.filter(F.col("text").isNotNull()).agg(
+            F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+        )
+        t = (
+            docs.filter(F.col("text").isNotNull())
+            .crossJoin(F.broadcast(mid))
+            .select(
+                # first half: doc_id - lo < hi - doc_id (subtraction
+                # form, the did_by_type midpoint discipline)
+                (
+                    (F.col("doc_id") - F.col("_lo"))
+                    < (F.col("_hi") - F.col("doc_id"))
+                ).alias("_first"),
+                F.explode(words).alias("word"),
+            )
+            .groupBy("word")
+            .agg(
+                F.sum(F.when(F.col("_first"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("k_first"),
+                F.sum(F.when(F.col("_first"), 0).otherwise(1))
+                .cast("bigint")
+                .alias("k_second"),
+            )
+            .localCheckpoint(eager=False)  # totals + rate consumers
+        )
+        tot = t.agg(
+            F.sum("k_first").cast("bigint").alias("_n1"),
+            F.sum("k_second").cast("bigint").alias("_n2"),
+        )
+        r1 = F.round(
+            F.lit(1e9)
+            * (F.col("k_first").cast("double") / F.col("_n1").cast("double"))
+        ).cast("bigint")
+        r2 = F.round(
+            F.lit(1e9)
+            * (
+                F.col("k_second").cast("double")
+                / F.col("_n2").cast("double")
+            )
+        ).cast("bigint")
+        scored = t.crossJoin(F.broadcast(tot)).select(
+            "word",
+            "k_first",
+            "k_second",
+            F.abs(r1 - r2).alias("drift_units"),
+        )
+        w = W.orderBy(F.col("drift_units").desc(), F.col("word").asc())
+        return (
+            scored.orderBy(
+                F.col("drift_units").desc(), F.col("word").asc()
+            )
+            .limit(20)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+        )
+
+    q["term_drift"] = q_term_drift
+
+    def q_forecast_mae(spark, sf_dir):
+        """Forecast-baseline evaluation per event type: MAE of the
+        naive (yesterday's value) vs seasonal-naive (same weekday
+        last week) predictors on the DAILY mean value series — the
+        backtest harness that decides whether holt_forecast's
+        smoothing earns its keep (Hyndman & Athanasopoulos'
+        benchmark discipline: a model that cannot beat
+        seasonal-naive is noise).  Daily means quantize to
+        nano-units (division-derived); lag-1 and lag-7 errors are
+        exact integer |diffs| via two per-type lag windows over the
+        bounded daily table; each MAE is one final division.
+        Returns (event_type, n_days, mae_naive_units,
+        mae_seasonal_units).  Registered after the round-13/14
+        windows; round-15 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        dec = "decimal(38,0)"
+        # TZ-free day index: integer div of non-negative epoch micros
+        # (cast-through-date is session-timezone-dependent — the
+        # vanilla-probe trap)
+        day = F.expr("unix_micros(ts) div 86400000000")
+        daily = (
+            e.select(
+                "event_type",
+                day.cast("bigint").alias("_d"),
+                cents.alias("_c"),
+            )
+            .groupBy("event_type", "_d")
+            .agg(
+                F.count("*").cast("bigint").alias("_n"),
+                F.sum(F.col("_c").cast(dec)).alias("_s"),
+            )
+            .select(
+                "event_type",
+                "_d",
+                F.round(
+                    F.lit(1e9)
+                    * (
+                        F.col("_s").cast("double")
+                        / F.col("_n").cast("double")
+                    )
+                ).cast("bigint").alias("_mu"),
+            )
+        )
+        w = W.partitionBy("event_type").orderBy("_d")
+        lagged = daily.select(
+            "event_type",
+            "_d",
+            "_mu",
+            F.lag("_mu", 1).over(w).alias("_p1"),
+            F.lag("_mu", 7).over(w).alias("_p7"),
+            F.lag("_d", 1).over(w).alias("_d1"),
+            F.lag("_d", 7).over(w).alias("_d7"),
+        ).filter(
+            F.col("_p1").isNotNull()
+            & F.col("_p7").isNotNull()
+            # contiguity: the lag-1 row is yesterday, lag-7 a week ago
+            & (F.col("_d") - F.col("_d1") == 1)
+            & (F.col("_d") - F.col("_d7") == 7)
+        )
+        return lagged.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            (
+                F.sum(F.abs(F.col("_mu") - F.col("_p1"))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mae_naive_units"),
+            (
+                F.sum(F.abs(F.col("_mu") - F.col("_p7"))).cast("double")
+                / F.count("*").cast("double")
+            ).alias("mae_seasonal_units"),
+        )
+
+    q["forecast_mae"] = q_forecast_mae
+
     return _gate_order(q)
 
 
@@ -20670,6 +20817,86 @@ def oracle_sql() -> dict[str, str]:
                  / CAST((a11 + 1000) * (a22 + 1000) - a12 * a12
                         AS DOUBLE) AS x2
         FROM mom
+    """
+
+    o["term_drift"] = """
+        WITH mid AS (
+          SELECT min(doc_id) AS lo, max(doc_id) AS hi
+          FROM documents WHERE text IS NOT NULL
+        ), toks AS (
+          SELECT (doc_id - lo) < (hi - doc_id) AS first_half,
+                 u.w AS word
+          FROM (
+            SELECT doc_id,
+                   string_split(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     ' ') AS wl
+            FROM documents WHERE text IS NOT NULL
+          ), mid, unnest(wl) AS u(w)
+          WHERE len(u.w) > 0
+        ), t AS MATERIALIZED (
+          SELECT word,
+                 CAST(sum(CASE WHEN first_half THEN 1 ELSE 0 END)
+                      AS BIGINT) AS k_first,
+                 CAST(sum(CASE WHEN first_half THEN 0 ELSE 1 END)
+                      AS BIGINT) AS k_second
+          FROM toks GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(k_first) AS BIGINT) AS n1,
+                 CAST(sum(k_second) AS BIGINT) AS n2
+          FROM t
+        ), scored AS (
+          SELECT word, k_first, k_second,
+                 abs(CAST(round(1e9 * (CAST(k_first AS DOUBLE)
+                                       / CAST(n1 AS DOUBLE)))
+                          AS BIGINT)
+                     - CAST(round(1e9 * (CAST(k_second AS DOUBLE)
+                                         / CAST(n2 AS DOUBLE)))
+                            AS BIGINT)) AS drift_units
+          FROM t, tot
+        )
+        SELECT word, k_first, k_second,
+               CAST(drift_units AS BIGINT) AS drift_units,
+               CAST(row_number() OVER (
+                 ORDER BY drift_units DESC, word ASC
+               ) AS INT) AS rank
+        FROM scored
+        ORDER BY drift_units DESC, word ASC
+        LIMIT 20
+    """
+
+    o["forecast_mae"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                 CAST(round(1e9 * (
+                   CAST(sum(CAST(CAST(round(value * 100) AS BIGINT)
+                                 AS HUGEINT)) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE))) AS BIGINT) AS mu
+          FROM events WHERE value IS NOT NULL
+          GROUP BY 1, 2
+        ), lagged AS (
+          SELECT event_type, d, mu,
+                 lag(mu, 1) OVER (
+                   PARTITION BY event_type ORDER BY d) AS p1,
+                 lag(mu, 7) OVER (
+                   PARTITION BY event_type ORDER BY d) AS p7,
+                 lag(d, 1) OVER (
+                   PARTITION BY event_type ORDER BY d) AS d1,
+                 lag(d, 7) OVER (
+                   PARTITION BY event_type ORDER BY d) AS d7
+          FROM daily
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(abs(mu - p1)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mae_naive_units,
+               CAST(sum(abs(mu - p7)) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mae_seasonal_units
+        FROM lagged
+        WHERE p1 IS NOT NULL AND p7 IS NOT NULL
+          AND d - d1 = 1 AND d - d7 = 7
+        GROUP BY 1
     """
 
     import math as _math

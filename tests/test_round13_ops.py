@@ -932,3 +932,94 @@ def test_bootstrap_ci_brute_force(spark, tmp_path):
         half_away(v * 100) for _, v in plan
     ) / len(plan)
     assert r0.mean_lo_units <= true_mean_units <= r0.mean_hi_units
+
+
+def test_term_drift_forecast_mae_brute_force(spark, tmp_path):
+    """term_drift == replay with a planted vocabulary shift;
+    forecast_mae == replay where seasonal-naive beats naive on a
+    planted weekly cycle."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    # --- term_drift fixture: word "old" dominates the first half,
+    # "new" the second; "stable" constant throughout
+    texts = {}
+    for i in range(20):
+        texts[i] = ("old stable " * 3).strip()
+    for i in range(20, 40):
+        texts[i] = ("new stable " * 3).strip()
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    lo, hi = 0, 39
+    cnt: dict = {}
+    for i, t in texts.items():
+        first = (i - lo) < (hi - i)
+        for w in t.split():
+            a, b = cnt.get(w, (0, 0))
+            cnt[w] = (a + first, b + (not first))
+    n1 = sum(a for a, _ in cnt.values())
+    n2 = sum(b for _, b in cnt.values())
+    scored = sorted(
+        (
+            -abs(half_away(1e9 * a / n1) - half_away(1e9 * b / n2)),
+            w, a, b,
+        )
+        for w, (a, b) in cnt.items()
+    )
+    want = {
+        (w, a, b, -negd, rk)
+        for rk, (negd, w, a, b) in enumerate(scored[:20], 1)
+    }
+    got = {
+        (r.word, r.k_first, r.k_second, r.drift_units, r.rank)
+        for r in entry.queries()["term_drift"](spark, d).collect()
+    }
+    assert got == want
+    top = next(k for k in got if k[4] == 1)
+    assert top[0] in ("old", "new")
+    stable = next((k for k in got if k[0] == "stable"), None)
+    assert stable is None or stable[3] <= 1  # stable word ~no drift
+
+    # --- forecast_mae fixture: period-7 cycle -> seasonal wins
+    de = str(tmp_path / "ev")
+    base = datetime.datetime(2024, 1, 1)
+    cyc = [10.0, 40.0, 20.0, 50.0, 30.0, 60.0, 25.0]
+    plan = []
+    for day in range(28):
+        plan.append(("a", cyc[day % 7]))
+    rows2 = [
+        (i + 1, base + datetime.timedelta(days=i), 1, et, v, "{}")
+        for i, (et, v) in enumerate(plan)
+    ]
+    spark.createDataFrame(
+        rows2,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(de, "events.parquet"))
+
+    mus = [half_away(1e9 * half_away(v * 100)) for _, v in plan]
+    n = e1 = e7 = 0
+    for i in range(7, 28):
+        n += 1
+        e1 += abs(mus[i] - mus[i - 1])
+        e7 += abs(mus[i] - mus[i - 7])
+    out = entry.queries()["forecast_mae"](spark, de).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    assert r0.n_days == n
+    assert abs(r0.mae_naive_units - e1 / n) < 1e-6
+    assert abs(r0.mae_seasonal_units - e7 / n) < 1e-6
+    assert r0.mae_seasonal_units < r0.mae_naive_units  # cycle found
