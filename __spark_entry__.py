@@ -13965,6 +13965,168 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["forecast_mae"] = q_forecast_mae
 
+    def q_dedup_eval(spark, sf_dir):
+        """Precision/recall of the MinHash-LSH candidate stage against
+        the EXACT-duplicate ground truth — the dedup family's own
+        quality gate (the eval a pipeline runs before trusting a
+        banding config): ground truth is fingerprint equality (md5 of
+        normalized text); a candidate pair is a true positive iff its
+        two fingerprints match, checked by JOINING the fingerprint
+        table twice — no pair enumeration of the truth set; the truth
+        pair COUNT is Σ m(m−1)/2 over fingerprint group sizes, also
+        enumeration-free.  The headline metric is the BANDING
+        PRECISION — what fraction of candidates survive exact-Jaccard
+        verification at 0.8 (the banding-config selectivity a dedup
+        operator tunes); exact-duplicate recall is reported NULL-safe
+        (exact dups have identical signatures and always band-collide,
+        so when the corpus has any, recall is structurally 1.0; the
+        gate corpora have none and both engines agree on NULL).  All
+        ratios are division-derived nano-units on exact counts.  Same
+        banding config as the registered minhash_dedup (k=5, 64
+        hashes, 8 bands, portable).  Returns one row (n_cand,
+        n_verified, n_true_pairs, tp_exact, band_precision_units,
+        exact_recall_units).  Registered after the round-13/14
+        windows; round-15 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dedup.minhash_signatures(
+            docs, k=5, num_hashes=64, portable=True
+        )
+        cand = dedup.minhash_lsh_pairs(
+            sigs, bands=8, portable=True
+        ).localCheckpoint(eager=False)  # verify + fp joins + count
+        ver = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
+        nver = ver.agg(
+            F.count("*").cast("bigint").alias("n_verified")
+        )
+        fp = llm_text.fingerprint(
+            docs.filter(F.col("text").isNotNull())
+        ).select(
+            F.col("doc_id").alias("_fid"), F.col("fingerprint").alias("_fp")
+        ).localCheckpoint(eager=False)  # pair join x2 + group sizes
+        tp = (
+            cand.join(fp, cand["a"] == F.col("_fid"))
+            .select("a", "b", F.col("_fp").alias("_fpa"))
+            .join(
+                fp.select(
+                    F.col("_fid").alias("_fid2"),
+                    F.col("_fp").alias("_fpb"),
+                ),
+                F.col("b") == F.col("_fid2"),
+            )
+            .agg(
+                F.count("*").cast("bigint").alias("n_cand"),
+                F.sum(
+                    F.when(F.col("_fpa") == F.col("_fpb"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("tp_exact"),
+            )
+        )
+        truth = (
+            fp.groupBy("_fp")
+            .agg(F.count("*").cast("bigint").alias("_m"))
+            .agg(
+                F.sum(F.expr("(_m * (_m - 1)) div 2"))
+                .cast("bigint")
+                .alias("n_true_pairs")
+            )
+        )
+        return (
+            tp.crossJoin(F.broadcast(nver))
+            .crossJoin(F.broadcast(truth))
+            .select(
+                "n_cand",
+                "n_verified",
+                "n_true_pairs",
+                "tp_exact",
+                F.round(
+                    F.lit(1e9)
+                    * (
+                        F.col("n_verified").cast("double")
+                        / F.col("n_cand").cast("double")
+                    )
+                ).cast("bigint").alias("band_precision_units"),
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.round(
+                        F.lit(1e9)
+                        * (
+                            F.col("tp_exact").cast("double")
+                            / F.col("n_true_pairs").cast("double")
+                        )
+                    ).cast("bigint"),
+                ).alias("exact_recall_units"),
+            )
+        )
+
+    q["dedup_eval"] = q_dedup_eval
+
+    def q_ranking_inversions(spark, sf_dir):
+        """Pairwise ranking agreement between the BM25 and TF-IDF
+        retrievers (the two rankers rrf_fusion merges): over each
+        query's docs ranked by BOTH, count discordant pairs — the
+        Kendall-style inter-ranker agreement that tells a hybrid-
+        search operator whether fusion is even needed (full agreement
+        makes RRF a no-op).  Ranks are exact integers from the fused
+        table; the pair scan is bounded at top-k² per query;
+        agreement = 1 − 2·inv/pairs is one float chain on exact
+        counts.  Returns (query_id, n_common, n_pairs, n_inversions,
+        agreement).  Registered after the round-13/14 windows;
+        round-15 window material."""
+        docs = _t(spark, sf_dir, "documents")
+        r = llm_text.rrf_fusion(docs, queries=_BM25_QUERIES, k=10)
+        both = r.filter(
+            F.col("rank_bm25").isNotNull()
+            & F.col("rank_tfidf").isNotNull()
+        ).select(
+            "query_id",
+            F.col("doc_id").alias("_d"),
+            F.col("rank_bm25").alias("_r1"),
+            F.col("rank_tfidf").alias("_r2"),
+        ).localCheckpoint(eager=False)  # both pair-join sides + count
+        b2 = both.select(
+            F.col("query_id").alias("_q2"),
+            F.col("_d").alias("_d2"),
+            F.col("_r1").alias("_r1b"),
+            F.col("_r2").alias("_r2b"),
+        )
+        pairs = both.join(
+            F.broadcast(b2),
+            (F.col("_q2") == F.col("query_id"))
+            & (F.col("_d2") > F.col("_d")),
+        )
+        inv = pairs.groupBy("query_id").agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("_r1") < F.col("_r1b"))
+                    != (F.col("_r2") < F.col("_r2b")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_inversions"),
+        )
+        cnt = both.groupBy("query_id").agg(
+            F.count("*").cast("bigint").alias("n_common")
+        )
+        return cnt.join(inv, on="query_id").select(
+            "query_id",
+            "n_common",
+            "n_pairs",
+            "n_inversions",
+            (
+                F.lit(1.0)
+                - F.lit(2.0)
+                * (
+                    F.col("n_inversions").cast("double")
+                    / F.col("n_pairs").cast("double")
+                )
+            ).alias("agreement"),
+        )
+
+    q["ranking_inversions"] = q_ranking_inversions
+
     return _gate_order(q)
 
 
@@ -20818,6 +20980,72 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS x2
         FROM mom
     """
+
+    o["dedup_eval"] = (
+        _dedup._vpairs_ctes(k=5, num_hashes=64, bands=8, threshold=0.8)
+        + """, fpt AS MATERIALIZED (
+          SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+          FROM documents WHERE text IS NOT NULL
+        ), tp AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_cand,
+                 CAST(sum(CASE WHEN fa.fp = fb.fp THEN 1 ELSE 0 END)
+                      AS BIGINT) AS tp_exact
+          FROM cand
+          JOIN fpt fa ON fa.doc_id = cand.a
+          JOIN fpt fb ON fb.doc_id = cand.b
+        ), nver AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_verified FROM vp
+        ), truth AS (
+          SELECT CAST(COALESCE(sum((m * (m - 1)) // 2), 0) AS BIGINT)
+                   AS n_true_pairs
+          FROM (SELECT count(*) AS m FROM fpt GROUP BY fp)
+        )
+        SELECT n_cand, n_verified, n_true_pairs, tp_exact,
+               CAST(round(1e9 * (CAST(n_verified AS DOUBLE)
+                                 / CAST(n_cand AS DOUBLE)))
+                    AS BIGINT) AS band_precision_units,
+               CASE WHEN n_true_pairs > 0 THEN
+                 CAST(round(1e9 * (CAST(tp_exact AS DOUBLE)
+                                   / CAST(n_true_pairs AS DOUBLE)))
+                      AS BIGINT)
+               END AS exact_recall_units
+        FROM tp, nver, truth
+    """
+    )
+
+    o["ranking_inversions"] = (
+        """
+        WITH r AS MATERIALIZED (
+        """
+        + llm_text.rrf_fusion_oracle_sql(queries=_BM25_QUERIES, k=10)
+        + """
+        ), bb AS MATERIALIZED (
+          SELECT query_id, doc_id AS d, rank_bm25 AS r1,
+                 rank_tfidf AS r2
+          FROM r
+          WHERE rank_bm25 IS NOT NULL AND rank_tfidf IS NOT NULL
+        ), inv AS (
+          SELECT a.query_id,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN (a.r1 < b.r1) != (a.r2 < b.r2)
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inversions
+          FROM bb a JOIN bb b ON b.query_id = a.query_id
+                                 AND b.d > a.d
+          GROUP BY 1
+        ), cnt AS (
+          SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+          FROM bb GROUP BY 1
+        )
+        SELECT cnt.query_id, cnt.n_common, inv.n_pairs,
+               inv.n_inversions,
+               1.0 - 2.0 * (CAST(inv.n_inversions AS DOUBLE)
+                            / CAST(inv.n_pairs AS DOUBLE)) AS agreement
+        FROM cnt JOIN inv USING (query_id)
+    """
+    )
 
     o["term_drift"] = """
         WITH mid AS (

@@ -1023,3 +1023,101 @@ def test_term_drift_forecast_mae_brute_force(spark, tmp_path):
     assert abs(r0.mae_naive_units - e1 / n) < 1e-6
     assert abs(r0.mae_seasonal_units - e7 / n) < 1e-6
     assert r0.mae_seasonal_units < r0.mae_naive_units  # cycle found
+
+
+def test_dedup_eval_brute_force(spark, tmp_path):
+    """Banding precision and exact recall == replay on a corpus with
+    planted exact dups (recall exactly 1.0) and near-dup noise."""
+    import __spark_entry__ as entry
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    texts = {
+        0: dup, 1: dup, 2: dup,                      # 3 exact copies
+        3: dup + " tail", 4: "completely different words here now",
+        5: "another unrelated document body of text",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = entry.queries()["dedup_eval"](spark, d).collect()
+    assert len(out) == 1
+    r0 = out[0]
+    # 3 exact copies -> 3 true pairs, all band-collide (identical
+    # signatures) and all verify at jaccard 1.0
+    assert r0.n_true_pairs == 3
+    assert r0.tp_exact == 3
+    assert int(r0.exact_recall_units) == 10**9  # recall exactly 1.0
+    assert r0.n_cand >= 3 and r0.n_verified >= 3
+    assert 0 < r0.band_precision_units <= 10**9
+
+
+def test_ranking_inversions_brute_force(spark, tmp_path):
+    """Inversion counts == python replay over the fused rank table."""
+    import __spark_entry__ as entry
+
+    # corpus where the three registered queries retrieve overlapping
+    # doc sets with differing orders across bm25/tfidf
+    base_words = ["fast", "hash", "join", "window", "agg", "stream",
+                  "customer", "query", "scan"]
+    texts = {}
+    for i in range(24):
+        ws = []
+        for j, w in enumerate(base_words):
+            ws += [w] * (1 + ((i * (j + 3)) % 5))
+        ws += [f"filler{i}"] * (i % 7)
+        texts[i] = " ".join(ws)
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    import __spark_entry__ as e2
+    from openseize_spark.llm import text as llm_text
+
+    fused = llm_text.rrf_fusion(
+        e2._t(spark, d, "documents"), queries=e2._BM25_QUERIES, k=10
+    ).collect()
+    want = {}
+    for qid in {r.query_id for r in fused}:
+        rows2 = [
+            (r.doc_id, r.rank_bm25, r.rank_tfidf)
+            for r in fused
+            if r.query_id == qid
+            and r.rank_bm25 is not None
+            and r.rank_tfidf is not None
+        ]
+        m = len(rows2)
+        inv = 0
+        np_ = 0
+        for x in range(m):
+            for y in range(m):
+                if rows2[y][0] > rows2[x][0]:
+                    np_ += 1
+                    if (rows2[x][1] < rows2[y][1]) != (
+                        rows2[x][2] < rows2[y][2]
+                    ):
+                        inv += 1
+        if m >= 2:
+            want[qid] = (m, np_, inv,
+                         1.0 - 2.0 * (float(inv) / float(np_)))
+
+    got = {
+        r.query_id: (r.n_common, r.n_pairs, r.n_inversions,
+                     r.agreement)
+        for r in entry.queries()["ranking_inversions"](
+            spark, d
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for qid, (m, np_, inv, ag) in want.items():
+        gm, gnp, ginv, gag = got[qid]
+        assert (gm, gnp, ginv) == (m, np_, inv)
+        assert abs(gag - ag) < 1e-15
