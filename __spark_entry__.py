@@ -14467,8 +14467,9 @@ _GATE_PRIORITY = _GATE_PRIORITY_R13
 # independently re-run by the r12 judge: 21/21 match), then 29
 # freshness re-gates from the tools/freshness_queue.py head (the
 # r06-cohort remainder — 31 rows after the r13 window converts its 13
-# — then the r07 head).  21 + 29 = 50.  Round-13-session
-# registrations sit below this list in the queue (round-15 material).
+# — then the r07 head).  21 + 29 = 50.  The 21 round-13-session
+# registrations sit below this list in the queue (round-15 material;
+# see the ROUND-15 COMPOSITION NOTE above the R14 list).
 
 
 # READY-TO-SWAP round-14 window (execute at round-14 start, AFTER
@@ -14482,8 +14483,23 @@ _GATE_PRIORITY = _GATE_PRIORITY_R13
 # last two, corpus_pipeline and pq_refine_topk, spill to round 15
 # with the r07 cohort).  21 + 29 = 50.  After this window lands, no
 # driver evidence is older than r06 except those two spill rows.
-# Round-13-session registrations (skipgram_cooc, binseg_changepoints)
-# are round-15 window material.
+#
+# ROUND-15 COMPOSITION NOTE (draft — compose and commit the binding
+# list in the round-14 session): 21 conversion slots for the
+# round-13-session registrations in registration order
+# (als_item_step — registered next to its als_user_step sibling —
+# then skipgram_cooc, binseg_changepoints, seq_rules, rake_keywords,
+# mantel_haenszel, page_hinkley, friedman_test, audio_vad,
+# theil_sen, gini_by_type, trimmed_mean, kendall_tau_binned,
+# brier_score, pinball_quantile, mad_by_type, bootstrap_ci,
+# term_drift, forecast_mae, dedup_eval, ranking_inversions — every
+# one battery-verified at registration:
+# oracle green at sf0.01+sf0.001, type/plan/diff/pushdown/
+# float-order audits, 32/7 shuffle invariance, vanilla probe, and a
+# brute-force python-replay pytest; all in LOCALCHECK_r13.json),
+# then the 2 r06 spill rows (corpus_pipeline, pq_refine_topk) and 27
+# freshness re-gates from the r07-cohort head in
+# tools/freshness_queue.py order.  21 + 2 + 27 = 50.
 _GATE_PRIORITY_R14 = [
     # 21 round-12-session conversions (registered round 12, never
     # checked; judge-verified independently in the r12 session)
