@@ -14127,6 +14127,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ranking_inversions"] = q_ranking_inversions
 
+    def q_snippet_extract(spark, sf_dir):
+        """Best-passage extraction for the BM25 top-3 documents per
+        query — the snippet generator of a search stack: over each
+        (query, doc), the 10-token window starting at a query-term
+        position that contains the MOST query-term occurrences
+        (ties: earliest start).  Window counting is a bounded band
+        self-join over the query-term POSITIONS only (never all
+        tokens): positions come from one posexplode over just the
+        ≤ 3·|queries| ranked documents (broadcast semi-join before
+        the explode — the full corpus is never tokenized here), and
+        the per-window count is exact int64 with a struct-min argmax.
+        Returns (query_id, doc_id, rank, best_start, n_in_window).
+        Registered after the round-13/14 windows; round-15 window
+        material."""
+        docs = _t(spark, sf_dir, "documents")
+        ranked = llm_text.bm25_topk(
+            docs, queries=_BM25_QUERIES, k=3
+        ).select("query_id", "doc_id", "rank")
+        rdocs = ranked.select("doc_id").distinct()
+        norm = dedup.normalize_text(F.col("text"))
+        words = F.filter(F.split(norm, " "), lambda s: F.length(s) > 0)
+        toks = (
+            docs.join(F.broadcast(rdocs), on="doc_id")
+            .select(
+                "doc_id", F.posexplode(words).alias("_pos", "word")
+            )
+        )
+        qrows = [
+            (int(qid), w)
+            for qid, text in _BM25_QUERIES.items()
+            for w in dict.fromkeys(text.lower().split())
+        ]
+        qt = spark.createDataFrame(qrows, "query_id long, word string")
+        qp = (
+            toks.join(F.broadcast(qt), on="word")
+            .join(F.broadcast(ranked), on=["query_id", "doc_id"])
+            .select(
+                "query_id",
+                "doc_id",
+                "rank",
+                F.col("_pos").cast("bigint").alias("_p"),
+            )
+            .localCheckpoint(eager=False)  # both band-join sides
+        )
+        qp2 = qp.select(
+            F.col("query_id").alias("_q2"),
+            F.col("doc_id").alias("_d2"),
+            F.col("_p").alias("_p2"),
+        )
+        win = (
+            qp.join(
+                F.broadcast(qp2),
+                (F.col("_q2") == F.col("query_id"))
+                & (F.col("_d2") == F.col("doc_id"))
+                & (F.col("_p2") >= F.col("_p"))
+                & (F.col("_p2") <= F.col("_p") + 9),
+            )
+            .groupBy("query_id", "doc_id", "rank", "_p")
+            .agg(F.count("*").cast("bigint").alias("_k"))
+        )
+        best = win.groupBy("query_id", "doc_id", "rank").agg(
+            F.min(
+                F.struct(
+                    (-F.col("_k")).alias("_nk"),
+                    F.col("_p").alias("best_start"),
+                )
+            ).alias("_b")
+        )
+        return best.select(
+            "query_id",
+            "doc_id",
+            "rank",
+            F.col("_b.best_start").alias("best_start"),
+            (-F.col("_b._nk")).cast("bigint").alias("n_in_window"),
+        )
+
+    q["snippet_extract"] = q_snippet_extract
+
+    def q_streaming_page_hinkley(spark, sf_dir):
+        """Streaming Page-Hinkley drift detection per event type
+        (streaming/stateful.streaming_page_hinkley) — the
+        running-mean drift twin of streaming_cusum, carried
+        (i, S, m, runmin) int64 state across three sequential
+        ts-range micro-batch files: per-event excursion
+        m − min(m) and the λ alarm, where each increment is the
+        identical IEEE chain the batch page_hinkley query runs
+        JVM-side (half-away rounding in the kernel), so
+        stream == batch == SQL replay bit-for-bit.  Registered after
+        the round-13/14 windows; round-15 window material."""
+        import os
+        import shutil
+
+        from openseize_spark.streaming.stateful import (
+            streaming_page_hinkley,
+        )
+
+        e = (
+            _events(spark, sf_dir)
+            .filter(
+                F.col("value").isNotNull() & F.col("ts").isNotNull()
+            )
+            .select("event_type", "event_id", "ts", "value")
+        )
+        d = _gate_tmp(
+            spark, "ph_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        lo, hi = e.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = (hi - lo) / 3
+        cuts = [lo, lo + span, lo + 2 * span]
+        conds = [
+            F.col("ts") < cuts[1],
+            (F.col("ts") >= cuts[1]) & (F.col("ts") < cuts[2]),
+            F.col("ts") >= cuts[2],
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_page_hinkley(stream)
+        qname = "gate_streaming_ph"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.sql(
+            f"SELECT event_type, event_id, exc_units, alarm"
+            f" FROM {qname}"
+        )
+
+    q["streaming_page_hinkley"] = q_streaming_page_hinkley
+
     return _gate_order(q)
 
 
@@ -20996,6 +21137,102 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS x2
         FROM mom
     """
+
+    o["streaming_page_hinkley"] = """
+        WITH base AS (
+          SELECT event_type, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), d AS (
+          SELECT event_type, event_id, ts, c,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) AS i,
+                 sum(CAST(c AS HUGEINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS s
+          FROM base
+        ), u AS (
+          SELECT event_type, event_id, ts,
+                 CAST(round(1e9 * (CAST(CAST(i AS HUGEINT) * c - s
+                                        AS DOUBLE)
+                                   / CAST(i AS DOUBLE)))
+                      AS BIGINT) - 5000000000 AS u
+          FROM d
+        ), m AS (
+          SELECT event_type, event_id,
+                 mm - min(mm) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS exc
+          FROM (
+            SELECT event_type, event_id, ts,
+                   sum(CAST(u AS HUGEINT)) OVER (
+                     PARTITION BY event_type ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING
+                   ) AS mm
+            FROM u
+          )
+        )
+        SELECT event_type, event_id,
+               CAST(exc AS BIGINT) AS exc_units,
+               exc > 1000000000000000 AS alarm
+        FROM m
+    """
+
+    o["snippet_extract"] = (
+        """
+        WITH bm AS MATERIALIZED (
+        """
+        + llm_text.bm25_topk_oracle_sql(queries=_BM25_QUERIES, k=3)
+        + """
+        ), toks AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) - 1 AS p,
+                 list_extract(wl, u.i) AS word
+          FROM (
+            SELECT doc_id,
+                   list_filter(
+                     string_split(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                       ' '),
+                     x -> len(x) > 0) AS wl
+            FROM documents
+            WHERE text IS NOT NULL
+              AND doc_id IN (SELECT doc_id FROM bm)
+          ), unnest(range(1, len(wl) + 1)) AS u(i)
+        ), qt (query_id, word) AS (VALUES """
+        + ", ".join(
+            f"({int(qid)}, '{w}')"
+            for qid, text in _BM25_QUERIES.items()
+            for w in dict.fromkeys(text.lower().split())
+        )
+        + """
+        ), qp AS MATERIALIZED (
+          SELECT bm.query_id, toks.doc_id, bm.rank, toks.p
+          FROM toks
+          JOIN qt USING (word)
+          JOIN bm ON bm.query_id = qt.query_id
+                 AND bm.doc_id = toks.doc_id
+        ), win AS (
+          SELECT a.query_id, a.doc_id, a.rank, a.p,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM qp a JOIN qp b ON b.query_id = a.query_id
+                             AND b.doc_id = a.doc_id
+                             AND b.p BETWEEN a.p AND a.p + 9
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT query_id, doc_id, rank, p AS best_start,
+               k AS n_in_window
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY query_id, doc_id
+                   ORDER BY k DESC, p ASC
+                 ) AS rn
+          FROM win
+        ) WHERE rn = 1
+    """
+    )
 
     o["dedup_eval"] = (
         _dedup._vpairs_ctes(k=5, num_hashes=64, bands=8, threshold=0.8)

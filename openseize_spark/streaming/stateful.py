@@ -291,3 +291,82 @@ def streaming_hll(events_stream, b: int = 5, seed: str = "hll"):
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_PH_OUT = "event_type string, event_id long, exc_units bigint, alarm boolean"
+_PH_STATE = "i bigint, s bigint, m bigint, runmin bigint"
+
+
+def make_stateful_page_hinkley(
+    delta_units: int = 5 * 10**9, lambda_units: int = 10**6 * 10**9
+):
+    """Build the applyInPandasWithState function for Page-Hinkley
+    drift detection from the RUNNING mean (the streaming twin of the
+    batch ``page_hinkley`` query): per key, i ← i+1; S ← S+c;
+    u = round(1e9·(i·c − S)/i) − δ (half-AWAY, matching Spark/DuckDB
+    round — numpy/python round are half-even and would diverge the
+    carried state); m ← m+u; runmin ← min(runmin, m); emit
+    exc = m − runmin and the λ alarm per event.
+
+    Exactness: i·c − S is exact python int; the division and the
+    1e9·(...) product are the identical IEEE chain the batch query
+    runs JVM-side, so stream == batch == SQL replay bit-for-bit.
+    State is four int64s; |m| grows as Σ|u| ≲ n·5e13, so the stored
+    state column is safe to n ≈ 1.8e5 rows per key per the int64
+    bound — beyond that, re-key by (type, era) the way the CUSUM
+    family shards long histories.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            i, s, m, runmin = (int(x) for x in state.get)
+        else:
+            i, s, m, runmin = 0, 0, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            raw = pdf["value"].to_numpy() * 100
+            cents = (
+                np.floor(np.abs(raw) + 0.5) * np.sign(raw)
+            ).astype("int64")
+            out_e, out_a = [], []
+            for c in cents:
+                i += 1
+                s += int(c)
+                x = 1e9 * (float(i * int(c) - s) / float(i))
+                u = int(np.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
+                u -= delta_units
+                m += u
+                runmin = m if i == 1 else min(runmin, m)
+                exc = m - runmin
+                out_e.append(exc)
+                out_a.append(exc > lambda_units)
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "exc_units": out_e,
+                    "alarm": out_a,
+                }
+            )
+        state.update((i, s, m, runmin))
+
+    return fn
+
+
+def streaming_page_hinkley(
+    events_stream,
+    delta_units: int = 5 * 10**9,
+    lambda_units: int = 10**6 * 10**9,
+):
+    """Per-type Page-Hinkley drift detection over a live event stream
+    with carried (i, S, m, runmin) integer state across micro-batches
+    — the running-mean drift complement to streaming_cusum's
+    fixed-target detector.  Micro-batches must arrive in
+    non-decreasing ts order per key; each batch sorts internally."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        make_stateful_page_hinkley(delta_units, lambda_units),
+        outputStructType=_PH_OUT,
+        stateStructType=_PH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

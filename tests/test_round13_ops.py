@@ -496,7 +496,9 @@ def test_page_hinkley_brute_force(spark, tmp_path):
         for i, v in enumerate(vs, 1):
             c = half_away(v * 100)
             s += c
-            u = half_away(1e9 * float(i * c - s) / float(i)) - DELTA_U
+            u = half_away(
+                1e9 * (float(i * c - s) / float(i))
+            ) - DELTA_U  # engine parens: 1e9 * (num/den)
             m += u
             runmin = min(runmin, m) if i > 1 else m
             exc = m - runmin
@@ -1121,3 +1123,112 @@ def test_ranking_inversions_brute_force(spark, tmp_path):
         gm, gnp, ginv, gag = got[qid]
         assert (gm, gnp, ginv) == (m, np_, inv)
         assert abs(gag - ag) < 1e-15
+
+
+def test_snippet_extract_brute_force(spark, tmp_path):
+    """Best 10-token window == python replay over the engine's own
+    BM25 top-3; a doc with a dense term cluster snips there."""
+    import __spark_entry__ as entry
+    from openseize_spark.llm import text as llm_text
+
+    texts = {
+        0: "filler one two three fast hash join fast hash join "
+           "four five six seven eight nine ten",
+        1: "fast alpha beta gamma delta epsilon zeta eta theta "
+           "iota kappa hash join mu nu",
+        2: "window agg stream repeated window agg stream here",
+        3: "customer query scan words customer again query scan",
+        4: "nothing relevant at all in this document text",
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    ranked = llm_text.bm25_topk(
+        entry._t(spark, d, "documents"), queries=entry._BM25_QUERIES,
+        k=3,
+    ).collect()
+    qterms = {
+        qid: set(t.split()) for qid, t in entry._BM25_QUERIES.items()
+    }
+    want = {}
+    for r in ranked:
+        ws = texts[r.doc_id].split()
+        qpos = [
+            p for p, w in enumerate(ws) if w in qterms[r.query_id]
+        ]
+        best = None
+        for p in qpos:
+            k = sum(1 for p2 in qpos if p <= p2 <= p + 9)
+            if best is None or (-k, p) < best[:2]:
+                best = (-k, p)
+        if best is not None:
+            want[(r.query_id, r.doc_id)] = (r.rank, best[1], -best[0])
+
+    got = {
+        (r.query_id, r.doc_id): (r.rank, r.best_start, r.n_in_window)
+        for r in entry.queries()["snippet_extract"](
+            spark, d
+        ).collect()
+    }
+    assert got == want
+    # doc 0's dense "fast hash join fast hash join" cluster: any
+    # query-1 snippet of it must cover all 6 occurrences
+    if (1, 0) in got:
+        assert got[(1, 0)][2] == 6
+
+
+def test_streaming_page_hinkley_brute_force(spark, tmp_path):
+    """Streaming PH excursions == the batch python replay (stream
+    state carries across the three staged micro-batches)."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    vals = [100.0] * 60 + [5100.0] * 60
+    rows = []
+    base = datetime.datetime(2024, 7, 1)
+    for i, v in enumerate(vals):
+        rows.append((i + 1, base + datetime.timedelta(minutes=i), 1,
+                     "a", float(v), "{}"))
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    DELTA, LAM = 5 * 10**9, 10**6 * 10**9
+    want = {}
+    i = s = m = 0
+    runmin = 0
+    for eid, v in enumerate(vals, 1):
+        c = half_away(v * 100)
+        i += 1
+        s += c
+        # parens matter: the engine computes 1e9 * (num/den), and at
+        # ~1e15 magnitudes (1e9*num)/den rounds differently
+        u = half_away(1e9 * (float(i * c - s) / float(i))) - DELTA
+        m += u
+        runmin = m if i == 1 else min(runmin, m)
+        exc = m - runmin
+        want[eid] = (exc, exc > LAM)
+
+    got = {
+        r.event_id: (int(r.exc_units), r.alarm)
+        for r in entry.queries()["streaming_page_hinkley"](
+            spark, d
+        ).collect()
+    }
+    assert got == want
+    assert any(a for _, a in got.values())  # the planted drift alarms
