@@ -14268,6 +14268,193 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["streaming_page_hinkley"] = q_streaming_page_hinkley
 
+    def q_mmr_diversify(spark, sf_dir):
+        """Maximal Marginal Relevance diversified top-4 (Carbonell &
+        Goldstein 1998) over the embedding corpus — the
+        redundancy-aware re-ranker between ANN retrieval and a RAG
+        context window: candidates are the brute-force top-12 by
+        cosine to the vec_id=0 probe, then 4 unrolled greedy rounds
+        pick argmax 0.7·rel − 0.3·max_{s∈S} sim(d, s).  Relevance and
+        pairwise similarities are rounded to 9 digits FIRST (the
+        scene_cuts discipline — Spark's fold and DuckDB's
+        list_cosine_similarity agree to ~1e-16, the 1e-9 grid makes
+        the argmax inputs identical), so every selection compares
+        identical doubles with vec_id tie-break.  All joins are over
+        the bounded 12-row candidate frame; rounds are unrolled, not
+        iterative.  Returns (sel_rank, vec_id, mmr_score).
+        Registered after the round-13/14 windows; round-15 window
+        material."""
+        emb = _t(spark, sf_dir, "embeddings")
+        probe = emb.filter(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        corpus = emb.filter(F.col("vec_id") >= 3)
+        cand = (
+            similarity.cosine_topk(corpus, probe, k=12)
+            .select("vec_id", F.round("cosine", 9).alias("_rel"))
+            .localCheckpoint(eager=False)  # rounds + pair sims
+        )
+        cv = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        ).join(F.broadcast(cand.select("vec_id")), on="vec_id")
+        cv2 = cv.select(
+            F.col("vec_id").alias("_vid2"), F.col("_v").alias("_v2")
+        )
+        from openseize_spark.llm.similarity import _dot, _norm
+
+        psim = (
+            cv.join(
+                F.broadcast(cv2), F.col("_vid2") != F.col("vec_id")
+            )
+            .select(
+                F.col("vec_id").alias("_da"),
+                F.col("_vid2").alias("_db"),
+                F.round(
+                    _dot(F.col("_v"), F.col("_v2"))
+                    / (_norm(F.col("_v")) * _norm(F.col("_v2"))),
+                    9,
+                ).alias("_s"),
+            )
+            .localCheckpoint(eager=False)  # consumed by rounds 2..4
+        )
+        lam, oml = F.lit(0.7), F.lit(0.3)
+
+        def pick(selected, rnd):
+            """One MMR round: argmax 0.7·rel − 0.3·maxsim over the
+            unselected candidates (selected is a bounded id frame)."""
+            if selected is None:
+                scored = cand.select(
+                    "vec_id",
+                    (lam * F.col("_rel") - oml * F.lit(0.0)).alias("_sc"),
+                )
+            else:
+                sel_ids = selected.select(
+                    F.col("vec_id").alias("_sid")
+                )
+                ms = (
+                    psim.join(
+                        F.broadcast(sel_ids),
+                        psim["_db"] == F.col("_sid"),
+                    )
+                    .groupBy("_da")
+                    .agg(F.max("_s").alias("_ms"))
+                )
+                scored = (
+                    cand.join(
+                        F.broadcast(selected.select("vec_id")),
+                        on="vec_id",
+                        how="left_anti",
+                    )
+                    .join(
+                        F.broadcast(ms),
+                        cand["vec_id"] == ms["_da"],
+                    )
+                    .select(
+                        "vec_id",
+                        (lam * F.col("_rel") - oml * F.col("_ms")).alias(
+                            "_sc"
+                        ),
+                    )
+                )
+            best = scored.agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_sc")).alias("_nsc"),
+                        F.col("vec_id").alias("vec_id"),
+                    )
+                ).alias("_b")
+            ).select(
+                F.lit(rnd).cast("int").alias("sel_rank"),
+                F.col("_b.vec_id").alias("vec_id"),
+                (-F.col("_b._nsc")).alias("mmr_score"),
+            )
+            return best.localCheckpoint(eager=False)
+
+        s1 = pick(None, 1)
+        s2 = pick(s1, 2)
+        s3 = pick(s1.unionByName(s2), 3)
+        s4 = pick(s1.unionByName(s2).unionByName(s3), 4)
+        return (
+            s1.unionByName(s2).unionByName(s3).unionByName(s4)
+        )
+
+    q["mmr_diversify"] = q_mmr_diversify
+
+    def q_graph_assortativity(spark, sf_dir):
+        """Degree assortativity coefficient (Newman 2002) of the
+        undirected customer-part purchase graph — does high degree
+        attach to high degree?  The Pearson correlation of endpoint
+        degrees over the DIRECTED edge list (each undirected edge
+        counted both ways, the standard convention): all five moments
+        (Σdx, Σdy, Σdx·dy, Σdx², Σdy²) accumulate as exact
+        DECIMAL(38,0)/HUGEINT; numerator M·Σxy − Σx·Σy stays exact
+        DECIMAL; the two variance factors cast to double BEFORE their
+        product (their exact product would need ~52 digits) in the
+        identical order both engines.  Bipartite graphs skew negative
+        — the sign itself is the structure check.  Returns one row
+        (m_edges, assortativity).  Registered after the round-13/14
+        windows; round-15 window material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        dec = "decimal(38,0)"
+        und = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        edges = und.select("a", "b").unionByName(
+            und.select(
+                F.col("b").alias("a"), F.col("a").alias("b")
+            )
+        ).localCheckpoint(eager=False)  # degree agg + moment join
+        deg = edges.groupBy("a").agg(
+            F.count("*").cast("bigint").alias("_d")
+        )
+        j = (
+            edges.join(deg, on="a")
+            .withColumnRenamed("_d", "_dx")
+            .join(
+                deg.select(
+                    F.col("a").alias("b"), F.col("_d").alias("_dy")
+                ),
+                on="b",
+            )
+        )
+        mom = j.agg(
+            F.count("*").cast("bigint").alias("m_edges"),
+            F.sum(F.col("_dx").cast(dec)).alias("_sx"),
+            F.sum(F.col("_dy").cast(dec)).alias("_sy"),
+            F.sum((F.col("_dx").cast(dec) * F.col("_dy")).cast(dec)).alias(
+                "_sxy"
+            ),
+            F.sum((F.col("_dx").cast(dec) * F.col("_dx")).cast(dec)).alias(
+                "_sxx"
+            ),
+            F.sum((F.col("_dy").cast(dec) * F.col("_dy")).cast(dec)).alias(
+                "_syy"
+            ),
+        )
+        m = F.col("m_edges").cast(dec)
+        num = (m * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+            "double"
+        )
+        vx = (m * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+            "double"
+        )
+        vy = (m * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(
+            "double"
+        )
+        return mom.select(
+            "m_edges",
+            (num / F.sqrt(vx * vy)).alias("assortativity"),
+        )
+
+    q["graph_assortativity"] = q_graph_assortativity
+
     return _gate_order(q)
 
 
@@ -21137,6 +21324,106 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS x2
         FROM mom
     """
+
+    o["graph_assortativity"] = """
+        WITH und AS (
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ), edges AS MATERIALIZED (
+          SELECT a, b FROM und
+          UNION ALL SELECT b AS a, a AS b FROM und
+        ), deg AS MATERIALIZED (
+          SELECT a, CAST(count(*) AS BIGINT) AS d
+          FROM edges GROUP BY 1
+        ), j AS (
+          SELECT dx.d AS dxv, dy.d AS dyv
+          FROM edges
+          JOIN deg dx ON dx.a = edges.a
+          JOIN deg dy ON dy.a = edges.b
+        ), mom AS (
+          SELECT CAST(count(*) AS BIGINT) AS m_edges,
+                 sum(CAST(dxv AS HUGEINT)) AS sx,
+                 sum(CAST(dyv AS HUGEINT)) AS sy,
+                 sum(CAST(dxv AS HUGEINT) * dyv) AS sxy,
+                 sum(CAST(dxv AS HUGEINT) * dxv) AS sxx,
+                 sum(CAST(dyv AS HUGEINT) * dyv) AS syy
+          FROM j
+        )
+        SELECT m_edges,
+               CAST(CAST(m_edges AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(CAST(m_edges AS HUGEINT) * sxx - sx * sx
+                           AS DOUBLE)
+                      * CAST(CAST(m_edges AS HUGEINT) * syy - sy * sy
+                             AS DOUBLE)) AS assortativity
+        FROM mom
+    """
+
+    _mmr_rounds = []
+    for _r in range(2, 5):
+        _prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{_j}" for _j in range(1, _r)
+        )
+        _mmr_rounds.append(f""", p{_r} AS ({_prev}
+        ), m{_r} AS (
+          SELECT p.da AS vec_id, max(p.s) AS ms
+          FROM psim p WHERE p.db IN (SELECT vec_id FROM p{_r})
+          GROUP BY 1
+        ), s{_r} AS (
+          SELECT {_r} AS sel_rank, c2.vec_id,
+                 CAST(0.7 AS DOUBLE) * c2.rel
+                 - CAST(0.3 AS DOUBLE) * m.ms AS mmr_score
+          FROM cand c2 JOIN m{_r} m ON m.vec_id = c2.vec_id
+          WHERE c2.vec_id NOT IN (SELECT vec_id FROM p{_r})
+          ORDER BY CAST(0.7 AS DOUBLE) * c2.rel
+                   - CAST(0.3 AS DOUBLE) * m.ms DESC, c2.vec_id
+          LIMIT 1
+        )""")
+    o["mmr_diversify"] = (
+        """
+        WITH q AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), c AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 3
+        ), cand AS MATERIALIZED (
+          SELECT vec_id, round(s, 9) AS rel FROM (
+            SELECT vec_id, list_cosine_similarity(cv, qv) AS s,
+                   row_number() OVER (
+                     ORDER BY list_cosine_similarity(cv, qv) DESC,
+                              vec_id
+                   ) AS rk
+            FROM c CROSS JOIN q
+          ) WHERE rk <= 12
+        ), psim AS MATERIALIZED (
+          SELECT a.vec_id AS da, b.vec_id AS db,
+                 round(list_cosine_similarity(ca.cv, cb.cv), 9) AS s
+          FROM cand a
+          JOIN c ca ON ca.vec_id = a.vec_id
+          JOIN cand b ON b.vec_id != a.vec_id
+          JOIN c cb ON cb.vec_id = b.vec_id
+        ), s1 AS (
+          SELECT 1 AS sel_rank, vec_id,
+                 CAST(0.7 AS DOUBLE) * rel
+                 - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE)
+                   AS mmr_score
+          FROM cand
+          ORDER BY CAST(0.7 AS DOUBLE) * rel
+                   - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) DESC,
+                   vec_id
+          LIMIT 1
+        )"""
+        + "".join(_mmr_rounds)
+        + """
+        SELECT CAST(sel_rank AS INT) AS sel_rank, vec_id, mmr_score
+        FROM (
+          SELECT * FROM s1
+          UNION ALL SELECT * FROM s2
+          UNION ALL SELECT * FROM s3
+          UNION ALL SELECT * FROM s4
+        )
+    """
+    )
 
     o["streaming_page_hinkley"] = """
         WITH base AS (

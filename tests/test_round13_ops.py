@@ -1232,3 +1232,110 @@ def test_streaming_page_hinkley_brute_force(spark, tmp_path):
     }
     assert got == want
     assert any(a for _, a in got.values())  # the planted drift alarms
+
+
+def test_mmr_diversify_brute_force(spark, tmp_path):
+    """MMR picks == python replay; a near-duplicate of the top hit
+    is demoted below a less-relevant-but-diverse candidate."""
+    import math
+
+    import __spark_entry__ as entry
+
+    # probe = e0; candidates 3..8 (vec_id >= 3), 4-dim exact-ish
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],    # probe
+        1: [9.0, 9.0, 9.0, 9.0],    # excluded (vec_id < 3)
+        2: [8.0, 8.0, 8.0, 8.0],    # excluded
+        3: [4.0, 3.0, 0.0, 0.0],    # rel 0.8
+        4: [4.0, 2.9999, 0.0, 0.0], # near-dup of 3, rel ~0.8
+        5: [3.0, 4.0, 0.0, 0.0],    # rel 0.6
+        6: [0.0, 1.0, 0.0, 0.0],    # rel 0, orthogonal
+        7: [1.0, 1.0, 1.0, 1.0],    # rel 0.5
+        8: [8.0, 0.0, 6.0, 0.0],    # rel 0.8 but DIVERSE from 3/4
+    }
+    rows = [(i, [float(x) for x in v], 0) for i, v in vecs.items()]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+
+    def cos(a, b):
+        # float32 storage first (the parquet column is float[])
+        import numpy as np
+
+        a = np.asarray(a, dtype=np.float32).astype(np.float64)
+        b = np.asarray(b, dtype=np.float32).astype(np.float64)
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 9)
+
+    cand_ids = [i for i in vecs if i >= 3]
+    rel = {i: cos(vecs[0], vecs[i]) for i in cand_ids}
+    # top-12 keeps all 6 candidates
+    sel = []
+    want = []
+    for rnd in range(1, 5):
+        best = None
+        for i in cand_ids:
+            if i in sel:
+                continue
+            ms = max((cos(vecs[i], vecs[j]) for j in sel), default=0.0)
+            sc = 0.7 * rel[i] - 0.3 * ms
+            if best is None or (-sc, i) < best[:2]:
+                best = (-sc, i)
+        sel.append(best[1])
+        want.append((rnd, best[1], -best[0]))
+
+    got = sorted(
+        (r.sel_rank, r.vec_id, r.mmr_score)
+        for r in entry.queries()["mmr_diversify"](spark, d).collect()
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 1e-9
+    # diversity: whichever of the near-twins (3, 4) wins round 1,
+    # the DIVERSE equal-relevance candidate 8 beats the twin to
+    # round 2 (0.7*0.8 - 0.3*0.64 > 0.7*0.8 - 0.3*~1.0)
+    order = [b for _, b, _ in got]
+    assert order[0] in (3, 4)
+    assert order[1] == 8
+
+
+def test_graph_assortativity_brute_force(spark, tmp_path):
+    """Assortativity == python replay; a bipartite star is strongly
+    disassortative (r < 0)."""
+    import math
+
+    import __spark_entry__ as entry
+
+    # star: customer 1 buys parts 1..6; customer 2 buys part 1
+    edges = [(1, p) for p in range(1, 7)] + [(2, 1)]
+    d = str(tmp_path / "sf")
+    _write_edges_tables(spark, d, edges)
+
+    und = set()
+    for c, p in edges:
+        und.add((c * 2, p * 2 + 1))
+    dirs = list(und) + [(b, a) for a, b in und]
+    deg: dict = {}
+    for a, _ in dirs:
+        deg[a] = deg.get(a, 0) + 1
+    m = len(dirs)
+    sx = sum(deg[a] for a, _ in dirs)
+    sy = sum(deg[b] for _, b in dirs)
+    sxy = sum(deg[a] * deg[b] for a, b in dirs)
+    sxx = sum(deg[a] ** 2 for a, _ in dirs)
+    syy = sum(deg[b] ** 2 for _, b in dirs)
+    num = float(m * sxy - sx * sy)
+    r = num / math.sqrt(
+        float(m * sxx - sx * sx) * float(m * syy - sy * sy)
+    )
+
+    out = entry.queries()["graph_assortativity"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].m_edges == m
+    assert abs(out[0].assortativity - r) < 1e-12
+    assert out[0].assortativity < 0  # star graph: disassortative
