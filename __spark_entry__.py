@@ -14813,21 +14813,22 @@ _GATE_PRIORITY = _GATE_PRIORITY_R13
 # driver evidence is older than r06 except those two spill rows.
 #
 # ROUND-15 COMPOSITION NOTE (draft — compose and commit the binding
-# list in the round-14 session): 21 conversion slots for the
+# list in the round-14 session): 25 conversion slots for the
 # round-13-session registrations in registration order
 # (als_item_step — registered next to its als_user_step sibling —
 # then skipgram_cooc, binseg_changepoints, seq_rules, rake_keywords,
 # mantel_haenszel, page_hinkley, friedman_test, audio_vad,
 # theil_sen, gini_by_type, trimmed_mean, kendall_tau_binned,
 # brier_score, pinball_quantile, mad_by_type, bootstrap_ci,
-# term_drift, forecast_mae, dedup_eval, ranking_inversions — every
-# one battery-verified at registration:
-# oracle green at sf0.01+sf0.001, type/plan/diff/pushdown/
-# float-order audits, 32/7 shuffle invariance, vanilla probe, and a
-# brute-force python-replay pytest; all in LOCALCHECK_r13.json),
-# then the 2 r06 spill rows (corpus_pipeline, pq_refine_topk) and 27
-# freshness re-gates from the r07-cohort head in
-# tools/freshness_queue.py order.  21 + 2 + 27 = 50.
+# term_drift, forecast_mae, dedup_eval, ranking_inversions, plus
+# the close-amendment four: snippet_extract, streaming_page_hinkley,
+# mmr_diversify, graph_assortativity — every one battery-verified at
+# registration: oracle green at sf0.01+sf0.001, type/plan/diff/
+# pushdown/float-order audits, 32/7 shuffle invariance, vanilla
+# probe, and a brute-force python-replay pytest; all in
+# LOCALCHECK_r13.json), then the 2 r06 spill rows (corpus_pipeline,
+# pq_refine_topk) and 23 freshness re-gates from the r07-cohort head
+# in tools/freshness_queue.py order.  25 + 2 + 23 = 50.
 _GATE_PRIORITY_R14 = [
     # 21 round-12-session conversions (registered round 12, never
     # checked; judge-verified independently in the r12 session)
