@@ -1339,3 +1339,42 @@ def test_graph_assortativity_brute_force(spark, tmp_path):
     assert out[0].m_edges == m
     assert abs(out[0].assortativity - r) < 1e-12
     assert out[0].assortativity < 0  # star graph: disassortative
+
+
+def test_guard_band_audit_tool(tmp_path):
+    """The guard-band audit runs clean at the small gate scale and
+    computes margins correctly on a synthetic boundary case."""
+    import math
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/guard_band_audit.py",
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "all sites clear" in r.stdout
+    # every audited site line reports a margin above the 16-ulp bar
+    ok_lines = [ln for ln in r.stdout.splitlines()
+                if ln.startswith("ok")]
+    assert len(ok_lines) == 8
+
+    # margin math sanity: a value exactly at x.5 has distance 0
+    sys.path.insert(0, "/root/repo/tools")
+    import guard_band_audit as gba
+
+    class FakeCon:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def execute(self, _sql):
+            return self
+
+        def fetchall(self):
+            return [(v,) for v in self.vals]
+
+    r0 = gba.audit_one(FakeCon([100.5]), "t", "SELECT 1")
+    assert r0["min_margin_ulps"] == 0.0
+    r1 = gba.audit_one(FakeCon([100.25]), "t", "SELECT 1")
+    assert r1["min_margin_ulps"] == 0.25 / math.ulp(100.25)
