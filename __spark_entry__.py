@@ -105,6 +105,28 @@ def _gate_tmp(spark, name: str) -> str:
     )
 
 
+def _stamp_batch_mtimes(d: str, n_batches: int) -> None:
+    """Force strictly increasing mtimes across the batch_0..batch_{n-1}
+    fixture directories (r14, per ADVICE): Spark's FileStreamSource
+    orders files by modification timestamp, and on a filesystem with
+    coarse mtime granularity three sequentially-written batch files can
+    TIE and be picked up out of ts order — diverging any carried-state
+    stream from its batch/oracle replay.  One second of separation per
+    batch, anchored at each file's own mtime, makes the intended
+    processing order deterministic everywhere."""
+    import os
+
+    base = None
+    for i in range(n_batches):
+        bdir = os.path.join(d, f"batch_{i}")
+        for root, _dirs, files in os.walk(bdir):
+            for fn in files:
+                p = os.path.join(root, fn)
+                if base is None:
+                    base = os.stat(p).st_mtime
+                os.utime(p, (base + i, base + i))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -3677,6 +3699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .write.mode("overwrite")
                 .parquet(os.path.join(d, f"batch_{i}"))
             )
+        _stamp_batch_mtimes(d, 3)
         stream = (
             spark.readStream.schema(sig.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3738,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(d, f"batch_{i}")
             )
+        _stamp_batch_mtimes(d, 3)
         stream = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3809,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(d, f"batch_{i}")
             )
+        _stamp_batch_mtimes(d, 3)
         stream = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -7303,6 +7328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(d, f"batch_{i}")
             )
+        _stamp_batch_mtimes(d, 3)
         stream = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -14246,6 +14272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(d, f"batch_{i}")
             )
+        _stamp_batch_mtimes(d, 3)
         stream = (
             spark.readStream.schema(e.schema)
             .option("maxFilesPerTrigger", 1)
@@ -14273,7 +14300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Goldstein 1998) over the embedding corpus — the
         redundancy-aware re-ranker between ANN retrieval and a RAG
         context window: candidates are the brute-force top-12 by
-        cosine to the vec_id=0 probe, then 4 unrolled greedy rounds
+        9-digit-ROUNDED cosine to the vec_id=0 probe (the cut itself
+        ranks on the rounded value with vec_id tie-break, so the
+        candidate SET is cross-engine deterministic — r14 ADVICE
+        hardening), then 4 unrolled greedy rounds
         pick argmax 0.7·rel − 0.3·max_{s∈S} sim(d, s).  Relevance and
         pairwise similarities are rounded to 9 digits FIRST (the
         scene_cuts discipline — Spark's fold and DuckDB's
@@ -14290,9 +14320,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("embedding").alias("q_vec"),
         )
         corpus = emb.filter(F.col("vec_id") >= 3)
+        # r14 (ADVICE): the top-12 candidate CUT itself ranks on the
+        # 9-digit-ROUNDED cosine with vec_id tie-break — the same
+        # discipline already applied to rel and the pairwise sims —
+        # so a ~1e-16 cross-engine cosine difference at the 12/13
+        # boundary cannot select different candidate sets.  (The
+        # previous cosine_topk call ranked on the unrounded value.)
+        from openseize_spark.llm.similarity import _dot, _norm
+
+        _qv = probe.select(
+            F.col("q_id"),
+            F.col("q_vec").cast("array<double>").alias("_qv"),
+        )
+        _scored = (
+            corpus.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("_cv"),
+            )
+            .crossJoin(F.broadcast(_qv))
+            .select(
+                "vec_id",
+                "q_id",
+                F.round(
+                    _dot(F.col("_cv"), F.col("_qv"))
+                    / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+                    9,
+                ).alias("_rel"),
+            )
+        )
+        _wc = W.partitionBy("q_id").orderBy(
+            F.desc("_rel"), F.col("vec_id")
+        )
         cand = (
-            similarity.cosine_topk(corpus, probe, k=12)
-            .select("vec_id", F.round("cosine", 9).alias("_rel"))
+            _scored.withColumn("_rk", F.row_number().over(_wc))
+            .filter(F.col("_rk") <= 12)
+            .select("vec_id", "_rel")
             .localCheckpoint(eager=False)  # rounds + pair sims
         )
         cv = emb.select(
@@ -14455,6 +14517,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_assortativity"] = q_graph_assortativity
 
+    # ---- round-14 gate hardening shim (see _GATE_DECIMAL_CASTS) ----
+    # Every decimal-typed output column gets an explicit final cast;
+    # the oracle_sql() shim applies the byte-identical cast on the
+    # DuckDB side.  Wrappers preserve the registered docstring.
+    for _name, (_cols, _casts) in _GATE_DECIMAL_CASTS.items():
+        _base = q[_name]
+
+        def _gate_cast(spark, sf_dir, _b=_base, _c=_casts):
+            df = _b(spark, sf_dir)
+            return df.select(
+                *[
+                    F.col(c).cast(_c[c]).alias(c) if c in _c else F.col(c)
+                    for c in df.columns
+                ]
+            )
+
+        _gate_cast.__doc__ = _base.__doc__
+        q[_name] = _gate_cast
+
+    # Canonical-order hardening (r13 verdict fix (i)): the red
+    # sp_counting row is one of the few registry queries returning an
+    # unordered frame — return it canonically ordered.  The driver's
+    # hash is order-insensitive, so this is insurance, not a
+    # semantics change.  Declarative like the cast table above; the
+    # oracle_sql() shim appends the matching ORDER BY.
+    for _name, _ocols in _GATE_CANONICAL_ORDER.items():
+        _base = q[_name]
+
+        def _ordered(spark, sf_dir, _b=_base, _oc=tuple(_ocols)):
+            return _b(spark, sf_dir).orderBy(*_oc)
+
+        _ordered.__doc__ = _base.__doc__
+        q[_name] = _ordered
+
     return _gate_order(q)
 
 
@@ -14549,6 +14645,101 @@ _BM25_QUERIES = {
 # conversion slot, not a re-gate.)  The 9 entries below the boundary
 # spill to round 10, where they join the committed re-gate batch —
 # see the ROUND-10 RE-GATE HEAD comment at the boundary.
+
+# ROUND-14 GATE HARDENING: no raw DECIMAL(38,0) column leaves the
+# registry surface.  Rationale (r13 verdict, What's-wrong #1):
+# `sp_counting` — the FIRST query emitting a raw DECIMAL(38,0)
+# column ever driver-checked — came back hash-FAIL with rows and
+# schema green, unreproducible in five local runs on the same head
+# and parquet, with every sigma verified a small exact integer
+# (max 2671).  The one mechanism consistent with all of that is the
+# driver's DECIMAL cell rendering differing between the Spark and
+# DuckDB fetch paths (e.g. Decimal('123') vs 123.0 — invisible to
+# tools/check_oracle.py, whose own norm_cell sees Decimal on both
+# sides).  A registry sweep found 18 decimal-typed output columns
+# across exactly 13 queries: sp_counting (r13-checked, red) and 12
+# never-driver-checked r12/r13 registrations — 10 of them in the
+# committed R14 window, which would have bled red wholesale if the
+# hypothesis holds.  Fix: every such column gets an EXPLICIT final
+# cast in BOTH engines — BIGINT where sf0.01 magnitudes leave >=100x
+# int64 headroom (all verified; max is bartlett's 1.7e14), DOUBLE for
+# durbin_watson's two ~1e19 sums (BIGINT would ANSI-overflow at the
+# sf1 scale probe; the decimal->double cast is gate-safe under the
+# 12-sig-digit float normalization, see the als_item_step precedent).
+# Engine internals keep DECIMAL(38,0)/HUGEINT end to end — the
+# overflow discipline is unchanged; only the registry's final
+# projection casts.  Applied uniformly by the shims at the bottoms of
+# queries() and oracle_sql() so the policy is one auditable block.
+_GATE_DECIMAL_CASTS = {
+    # name: (oracle column order, {decimal column: gate type})
+    "sp_counting": (["id", "dist", "sigma"], {"sigma": "bigint"}),
+    "betweenness_contrib": (
+        ["id", "dist", "delta_units"],
+        {"delta_units": "bigint"},
+    ),
+    "cusum_by_type": (
+        ["event_type", "peak_s", "peak_event_id", "n_above"],
+        {"peak_s": "bigint"},
+    ),
+    "ipw_ate": (
+        ["n_total", "ate_num_units", "ate_cents"],
+        {"ate_num_units": "bigint"},
+    ),
+    "anova_f": (
+        ["k", "n_total", "ssb_units", "ssw_units", "f_stat"],
+        {"ssb_units": "bigint", "ssw_units": "bigint"},
+    ),
+    "kruskal_binned": (
+        ["k", "n_total", "u_units", "sum_t3t", "h", "h_corrected"],
+        {"u_units": "bigint", "sum_t3t": "bigint"},
+    ),
+    "xcorr_lags": (
+        ["lag", "n_overlap", "sxy_units"],
+        {"sxy_units": "bigint"},
+    ),
+    "bartlett_test": (
+        ["k", "n_total", "wln_units", "m_stat", "chi2"],
+        {"wln_units": "bigint"},
+    ),
+    "durbin_watson": (
+        ["event_type", "n", "num_units", "den_units", "dw"],
+        {"num_units": "double", "den_units": "double"},
+    ),
+    "decision_stump": (
+        [
+            "split_bin", "n_left", "pos_left", "n_right", "pos_right",
+            "cost_units",
+        ],
+        {"cost_units": "bigint"},
+    ),
+    "cochran_armitage": (
+        ["n_total", "p_total", "sp_units", "sn_units", "z"],
+        {"sp_units": "bigint", "sn_units": "bigint"},
+    ),
+    "page_hinkley": (
+        [
+            "event_type", "n_obs", "peak_exc_units", "n_alarms",
+            "first_alarm_id",
+        ],
+        {"peak_exc_units": "bigint"},
+    ),
+    "friedman_test": (
+        ["k_treat", "b_blocks", "sum_r2_sq", "chi2_f"],
+        {"sum_r2_sq": "bigint"},
+    ),
+    "pinball_quantile": (
+        ["event_type", "q_bin", "n_below", "loss_units"],
+        {"loss_units": "bigint"},
+    ),
+}
+
+# Queries returning an otherwise-unordered frame that the round-14
+# hardening returns canonically ordered in both engines (r13 verdict
+# fix (i) for the red sp_counting row).
+_GATE_CANONICAL_ORDER = {
+    "sp_counting": ["dist", "id"],
+}
+
 _GATE_PRIORITY = [
     # R10-BATCH STAGING NOTE: this branch pre-stages the round-10
     # plan-change batch.  When it merges in round 10 (after
@@ -14780,7 +14971,12 @@ _GATE_PRIORITY_R13 = [
     "split_assign", "corpus_shuffle", "multires_rollup",
 ]
 
-_GATE_PRIORITY = _GATE_PRIORITY_R13
+# (Round-13 history: `_GATE_PRIORITY = _GATE_PRIORITY_R13`; rebound
+# to the R14 list at round-14 start after CORRECTNESS_r13 landed,
+# exactly as the ready-to-swap note below prescribes — plus the
+# single named sp_counting amendment documented at the R14 list
+# head.  The binding assignment sits directly below the R14 list,
+# which is defined further down this file.)
 
 # ROUND-14 COMPOSITION NOTE (EXECUTED in the round-13 session — the
 # binding `_GATE_PRIORITY_R14` list below follows this note and was
@@ -14830,6 +15026,18 @@ _GATE_PRIORITY = _GATE_PRIORITY_R13
 # pq_refine_topk) and 23 freshness re-gates from the r07-cohort head
 # in tools/freshness_queue.py order.  25 + 2 + 23 = 50.
 _GATE_PRIORITY_R14 = [
+    # ROUND-14 AMENDMENT (one named slot, per the r13 verdict's
+    # explicit What's-wrong-#1 order): "sp_counting" — the round's
+    # only red driver row (hash-only mismatch, rows/schema green,
+    # unreproducible in five local runs) — takes the head slot for
+    # its re-gate, now hardened with an explicit BIGINT final cast +
+    # canonical ORDER BY in both engines (see _GATE_DECIMAL_CASTS:
+    # it was the first raw-DECIMAL(38,0) emitter ever driver-checked,
+    # and the decimal-rendering hypothesis also covers the 10 decimal
+    # emitters in this very window, all now cast).  To keep the
+    # window at 50, the last freshness re-gate ("source_divergence")
+    # spills to the round-15 head.
+    "sp_counting",
     # 21 round-12-session conversions (registered round 12, never
     # checked; judge-verified independently in the r12 session)
     "betweenness_contrib", "bpe_apply", "kn_perplexity",
@@ -14847,8 +15055,13 @@ _GATE_PRIORITY_R14 = [
     "shard_assign", "quality_prune", "token_budget_subset",
     "random_projection", "unigram_logprob", "semantic_dedup",
     "pq_encode", "pq_adc_topk", "mixture_sample", "vocab_stats",
-    "dup_span_detect", "bpe_pair_counts", "source_divergence",
+    "dup_span_detect", "bpe_pair_counts",
+    # ("source_divergence" spilled to the round-15 head by the
+    # round-14 amendment above — the sp_counting re-gate took its
+    # slot)
 ]
+
+_GATE_PRIORITY = _GATE_PRIORITY_R14
 
 
 def _gate_order(q: dict) -> dict:
@@ -21388,11 +21601,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
           FROM embeddings WHERE vec_id >= 3
         ), cand AS MATERIALIZED (
-          SELECT vec_id, round(s, 9) AS rel FROM (
-            SELECT vec_id, list_cosine_similarity(cv, qv) AS s,
+          -- r14 (ADVICE): the cut ranks on the ROUNDED cosine with
+          -- vec_id tie-break, mirroring the engine exactly
+          SELECT vec_id, rel FROM (
+            SELECT vec_id,
+                   round(list_cosine_similarity(cv, qv), 9) AS rel,
                    row_number() OVER (
-                     ORDER BY list_cosine_similarity(cv, qv) DESC,
-                              vec_id
+                     ORDER BY round(list_cosine_similarity(cv, qv), 9)
+                              DESC, vec_id
                    ) AS rk
             FROM c CROSS JOIN q
           ) WHERE rk <= 12
@@ -22219,5 +22435,22 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(n AS DOUBLE) AS intercept_units
         FROM mom
     """
+
+    # ---- round-14 gate hardening shim (see _GATE_DECIMAL_CASTS) ----
+    # Mirror of the queries() shim: wrap each decimal-emitting oracle
+    # in a final projection with the same explicit casts, preserving
+    # column order.  DuckDB accepts WITH-bearing subqueries, so the
+    # wrap is mechanical.
+    for _name, (_cols, _casts) in _GATE_DECIMAL_CASTS.items():
+        _sel = ", ".join(
+            f"CAST({c} AS {_casts[c].upper()}) AS {c}" if c in _casts else c
+            for c in _cols
+        )
+        o[_name] = (
+            f"SELECT {_sel} FROM (\n{o[_name]}\n) AS __gate_cast"
+        )
+    # canonical ordering (matches the queries() wrapper)
+    for _name, _ocols in _GATE_CANONICAL_ORDER.items():
+        o[_name] += " ORDER BY " + ", ".join(_ocols)
 
     return {k: v.strip() for k, v in o.items()}

@@ -39,7 +39,14 @@ def make_stateful_sosfilt(sos: np.ndarray):
             zi = np.asarray(zi_flat, dtype=np.float64).reshape(ns, 2)
         else:
             zi = np.zeros((ns, 2))
-        for pdf in pdfs:
+        # r14 (ADVICE, applied family-wide): a key's micro-batch rows
+        # can span multiple Arrow record batches; the IIR recurrence
+        # is order-sensitive, so concat and sort ONCE per micro-batch
+        # instead of per chunk.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values("t")
             y, zi = kernels.sosfilt(sos, pdf["v"].to_numpy(), zi)
             yield pd.DataFrame(
@@ -80,7 +87,14 @@ def make_stateful_cusum(target_cents: int, slack_cents: int, h_cents: int):
 
     def fn(key, pdfs, state: GroupState):
         s = state.get[0] if state.exists else 0
-        for pdf in pdfs:
+        # r14 (ADVICE, family-wide): concat + sort once per
+        # micro-batch — the CUSUM recurrence is order-sensitive and
+        # per-chunk sorting is not a global sort when a key spans
+        # multiple Arrow record batches.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["ts", "event_id"])
             # half-AWAY rounding: numpy's .round() is half-to-even, but
             # the SQL replay (DuckDB round) and the batch queries
@@ -153,7 +167,12 @@ def make_stateful_rate_limit(
             started = True
         else:
             tokens, last, started = 0, 0, False
-        for pdf in pdfs:
+        # r14 (ADVICE, family-wide): concat + sort once per
+        # micro-batch (order-sensitive token-refill recurrence).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["ts", "event_id"])
             us = (
                 pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
@@ -237,7 +256,15 @@ def make_stateful_hll(b: int = 5, seed: str = "hll"):
             regs = list(regs_list)
         else:
             regs, nb = [0] * m, 0
-        for pdf in pdfs:
+        # r14 (ADVICE, family-wide): the register merge is
+        # order-INSENSITIVE (commutative max), but the per-chunk yield
+        # would emit one estimate row PER ARROW CHUNK — concat so a
+        # micro-batch emits exactly one row per key regardless of
+        # Arrow batching.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             for val in pdf["user_id"].tolist():
                 h = int(
                     hashlib.md5(f"{seed}:{val}".encode()).hexdigest()[:8],
@@ -322,7 +349,20 @@ def make_stateful_page_hinkley(
             i, s, m, runmin = (int(x) for x in state.get)
         else:
             i, s, m, runmin = 0, 0, 0, 0
-        for pdf in pdfs:
+        # r14 (ADVICE): one key's rows within a single micro-batch can
+        # span MULTIPLE Arrow record batches (whenever the group
+        # exceeds spark.sql.execution.arrow.maxRecordsPerBatch,
+        # default 10k rows).  Sorting each chunk independently would
+        # feed the order-sensitive running-mean recurrence
+        # non-globally-sorted data and silently break the documented
+        # stream == batch == oracle bit-for-bit contract.  Drain,
+        # concat, and sort ONCE per key per micro-batch — per-key
+        # micro-batch volumes here are the bounded event-stream
+        # fixtures, so the concat is small by construction.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["ts", "event_id"])
             raw = pdf["value"].to_numpy() * 100
             cents = (

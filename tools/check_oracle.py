@@ -6,6 +6,13 @@ order-insensitive value hash with float rounding.  Also reports the max
 float deviation so near-misses are visible before the real gate runs.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+``--dump`` (round 14, per the r13 verdict's sp_counting order): on any
+value-hash mismatch, write the full sorted normalized line sets of
+BOTH engines to ``/tmp/oracle_dump_<name>.{spark,duckdb}.txt`` and
+print a per-cell diff (column name, spark cell, duckdb cell) for the
+first mismatching rows — so a future hash-fail localizes to cells,
+not just a digest.
 """
 
 from __future__ import annotations
@@ -52,6 +59,9 @@ def table_hash(rows, cols):
 def main():
     args = sys.argv[1:]
     json_out = None
+    dump = "--dump" in args
+    if dump:
+        args.remove("--dump")
     if "--json" in args:
         i = args.index("--json")
         if i + 1 >= len(args):
@@ -138,6 +148,7 @@ def main():
                 ss = sorted(srows, key=lambda r: key(r, order_s))
                 oo = sorted(orows, key=lambda r: key(r, order_o))
                 shown = 0
+                cols_sorted = sorted(scols)
                 for a, b in zip(ss, oo):
                     ra = [a[i] for i in order_s]
                     rb = [b[i] for i in order_o]
@@ -145,6 +156,40 @@ def main():
                         print(f"        spark : {ra}")
                         print(f"        duckdb: {rb}")
                         shown += 1
+                if dump:
+                    for side, rows_, order in (
+                        ("spark", ss, order_s),
+                        ("duckdb", oo, order_o),
+                    ):
+                        path = f"/tmp/oracle_dump_{name}.{side}.txt"
+                        with open(path, "w") as f:
+                            f.write("|".join(cols_sorted) + "\n")
+                            for r in rows_:
+                                f.write(
+                                    "|".join(
+                                        norm_cell(r[i]) for i in order
+                                    )
+                                    + "\n"
+                                )
+                        print(f"        dumped {path}")
+                    # per-cell diff on the aligned sorted rows: name the
+                    # column AND show the raw (pre-normalization) repr,
+                    # so a rendering-vs-value divergence is
+                    # distinguishable at a glance
+                    ndiff = 0
+                    for ri, (a, b) in enumerate(zip(ss, oo)):
+                        for ci, (ia, ib) in enumerate(
+                            zip(order_s, order_o)
+                        ):
+                            if norm_cell(a[ia]) != norm_cell(b[ib]):
+                                ndiff += 1
+                                if ndiff <= 20:
+                                    print(
+                                        f"        cell[{ri}].{cols_sorted[ci]}"
+                                        f": spark={a[ia]!r} "
+                                        f"duckdb={b[ib]!r}"
+                                    )
+                    print(f"        {ndiff} differing cells (aligned rows)")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             failures.append(name)
