@@ -14517,6 +14517,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_assortativity"] = q_graph_assortativity
 
+    def q_sppmi_embed(spark, sf_dir):
+        """Dominant-eigenvector SPPMI embedding (llm/dedup
+        .sppmi_embed; Levy & Goldberg 2014) over the same DeepWalk
+        corpus as skipgram_cooc — the final step of the
+        walk→embedding closure the r13 verdict ordered: word2vec SGNS
+        implicitly factorizes the shifted positive PMI of the
+        skip-gram counts, so the leading eigenvector of that matrix
+        (6 exact-integer power-iteration rounds, the
+        pca_power_iteration discipline kept DISTRIBUTED — the matrix
+        is node×node and never collected) is the 1-d SGNS-equivalent
+        embedding.  One quantized-transcendental site (SPPMI units,
+        guard-band audited at both gate scales); everything after it
+        is int64/DECIMAL(38,0) — bit-equal under any partitioning at
+        any round count.  Registered after the round-14/15 windows;
+        round-16 window material."""
+        li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        edges = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).cast("bigint").alias("a"),
+                (F.col("l_partkey") * 2 + 1).cast("bigint").alias("b"),
+            )
+            .distinct()
+        )
+        return dedup.sppmi_embed(edges, length=4, window=2, rounds=6)
+
+    q["sppmi_embed"] = q_sppmi_embed
+
     # ---- round-14 gate hardening shim (see _GATE_DECIMAL_CASTS) ----
     # Every decimal-typed output column gets an explicit final cast;
     # the oracle_sql() shim applies the byte-identical cast on the
@@ -15062,6 +15091,42 @@ _GATE_PRIORITY_R14 = [
 ]
 
 _GATE_PRIORITY = _GATE_PRIORITY_R14
+
+# READY-TO-SWAP round-15 window (execute at round-15 start, AFTER
+# CORRECTNESS_r14 lands: rebind `_GATE_PRIORITY = _GATE_PRIORITY_R15`
+# — one line, no list edit).  Composition per the ROUND-15 COMPOSITION
+# NOTE above the R14 list, adjusted for the round-14 amendment: the
+# 25 round-13-session registrations in registration order (each
+# battery-verified at registration and LOCALCHECK_r13-green; the r13
+# judge independently re-ran 12 of them — 12/12 match, 6/6
+# shuffle-invariant), then the THREE r06 spill rows
+# ("source_divergence" — displaced from the R14 window by the
+# sp_counting re-gate amendment — plus the two long-planned spills
+# "corpus_pipeline" and "pq_refine_topk"), then the first 22 of the
+# r07 cohort in tools/freshness_queue.py order.  25 + 3 + 22 = 50.
+# Replica-proven 50/50 green at composition (round-14 session,
+# post-hardening head).
+_GATE_PRIORITY_R15 = [
+    # 25 round-13-session conversions (registration order)
+    "als_item_step", "skipgram_cooc", "binseg_changepoints",
+    "seq_rules", "rake_keywords", "mantel_haenszel", "page_hinkley",
+    "friedman_test", "audio_vad", "theil_sen", "gini_by_type",
+    "trimmed_mean", "kendall_tau_binned", "brier_score",
+    "pinball_quantile", "mad_by_type", "bootstrap_ci", "term_drift",
+    "forecast_mae", "dedup_eval", "ranking_inversions",
+    "snippet_extract", "streaming_page_hinkley", "mmr_diversify",
+    "graph_assortativity",
+    # 3 r06 spill rows (freshness_queue order)
+    "source_divergence", "corpus_pipeline", "pq_refine_topk",
+    # 22 r07 freshness re-gates (freshness_queue order)
+    "label_centroids", "minhash_estimate", "embedding_quality",
+    "lev_verify", "cluster_purity", "coherence", "promo_revenue",
+    "priority_late_orders", "sole_late_supplier", "important_parts",
+    "top_revenue_supplier", "pagerank_sim", "temperature_sample",
+    "streaming_join", "rrf_fusion", "streaming_cusum", "chunk_dedup",
+    "nation_volume", "market_share", "profit_by_nation",
+    "returned_customers", "order_count_dist",
+]
 
 
 def _gate_order(q: dict) -> dict:
@@ -21507,6 +21572,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         length=4,
         window=2,
+    )
+
+    o["sppmi_embed"] = _dedup.sppmi_embed_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        length=4,
+        window=2,
+        rounds=6,
     )
 
     o["als_user_step"] = """

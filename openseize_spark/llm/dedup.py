@@ -3722,6 +3722,168 @@ def skipgram_cooc_oracle_sql(
         FROM pairs JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN tot"""
 
 
+def sppmi_embed(
+    edges: DataFrame,
+    length: int = 4,
+    window: int = 2,
+    rounds: int = 6,
+    unit: int = 10**6,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Dominant-eigenvector node embedding of the SPPMI matrix — the
+    step that closes the walk→embedding loop: :func:`random_walks`
+    makes the corpus, :func:`skipgram_cooc` its PMI matrix, and SGNS
+    word2vec implicitly FACTORIZES the shifted positive PMI of exactly
+    those counts (Levy & Goldberg 2014; shift ln(k)=0 here, i.e. the
+    classic PPMI), so the leading eigenvector of that matrix is the
+    1-d SGNS-equivalent embedding.  Power iteration in EXACT integer
+    arithmetic (the pca_power_iteration discipline distributed): the
+    matrix quantizes to ``unit`` SPPMI units (round-half-away — the
+    one quantized-transcendental site, guard-band audited), the
+    iterate is an integer vector renormalized by sign·(|x|·unit div
+    max|x|) each round, and every product sums as DECIMAL(38,0) —
+    bit-equal on any engine and any partitioning at ANY round count,
+    converged or not.
+
+    Scale shape: unlike pca_power_iteration's 8×8 collect, the matrix
+    here is node×node and stays DISTRIBUTED — each round is one
+    equi-join of the (u, v, su) matrix against the N-row iterate on
+    the v key plus one map-side-combined sum by u (the
+    pagerank/frontier shape), with the round state eagerly
+    checkpointed because it feeds two consumers (the max-abs scalar
+    and the renormalization — the twice-consumed-state discipline).
+    The max-abs scalar rides a broadcast crossJoin, never a driver
+    round-trip.  Rows with quantized SPPMI 0 drop in BOTH engines
+    (they contribute nothing and sparsify hub rows).
+
+    Returns (node, vu) — the embedding in ``unit`` units.
+    """
+    from openseize_spark.session import small_intermediate_coalesce
+
+    spark = edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    dec = "decimal(38,0)"
+    with small_intermediate_coalesce(spark):
+        coo = skipgram_cooc(
+            edges, length=length, window=window, a_col=a_col, b_col=b_col
+        )
+        m = (
+            coo.select(
+                "u",
+                "v",
+                F.round(
+                    F.greatest(F.col("pmi"), F.lit(0.0))
+                    * F.lit(float(unit))
+                )
+                .cast("bigint")
+                .alias("su"),
+            )
+            .filter(F.col("su") > 0)
+            .repartition(n_part, "v")
+            # persist, NOT localCheckpoint: checkpoint erases the hash
+            # partitioning from the planner and the loop would
+            # re-shuffle the whole matrix every round; persist keeps
+            # the repartition node visible so only the N-row iterate
+            # shuffles per round (the random_walks precedent).
+            # Unpersisted before return once every round has
+            # materialized eagerly.
+            .persist()
+        )
+        state = (
+            m.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.lit(unit).cast("bigint").alias("vu"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            raw = (
+                m.join(
+                    state.select(
+                        F.col("node").alias("v"), "vu"
+                    ),
+                    on="v",
+                )
+                .groupBy(F.col("u").alias("node"))
+                .agg(
+                    F.sum((F.col("su") * F.col("vu")).cast(dec)).alias(
+                        "raw"
+                    )
+                )
+                .localCheckpoint(eager=True)  # max + renorm consumers
+            )
+            mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
+            state = (
+                raw.crossJoin(F.broadcast(mx))
+                .select(
+                    "node",
+                    F.expr(
+                        f"CASE WHEN raw < 0 THEN "
+                        f"-CAST(abs(raw) * {unit} div mx AS BIGINT) "
+                        f"ELSE CAST(abs(raw) * {unit} div mx AS BIGINT) "
+                        f"END"
+                    ).alias("vu"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        m.unpersist()
+        return state
+
+
+def sppmi_embed_oracle_sql(
+    edges_cte: str,
+    length: int = 4,
+    window: int = 2,
+    rounds: int = 6,
+    unit: int = 10**6,
+) -> str:
+    """DuckDB replay of :func:`sppmi_embed`: the skipgram_cooc replay
+    as a materialized CTE, the identical quantize-and-filter, and the
+    power iteration unrolled one materialized CTE pair per round with
+    HUGEINT sums and the same sign·(|x|·unit // max) renormalization
+    (`//` floors where Spark `div` truncates — operands are split by
+    sign so both see non-negative quotients)."""
+    coo = skipgram_cooc_oracle_sql(edges_cte, length=length, window=window)
+    parts = [
+        f"""WITH coo AS MATERIALIZED (
+          {coo}
+        ), m AS MATERIALIZED (
+          SELECT u, v,
+                 CAST(round(greatest(pmi, CAST(0.0 AS DOUBLE))
+                            * {float(unit)}) AS BIGINT) AS su
+          FROM coo
+          WHERE CAST(round(greatest(pmi, CAST(0.0 AS DOUBLE))
+                           * {float(unit)}) AS BIGINT) > 0
+        ), s0 AS MATERIALIZED (
+          SELECT DISTINCT u AS node, CAST({unit} AS BIGINT) AS vu
+          FROM m
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", raw{r} AS MATERIALIZED (
+          SELECT m.u AS node,
+                 sum(CAST(m.su AS HUGEINT) * s{r-1}.vu) AS raw
+          FROM m JOIN s{r-1} ON m.v = s{r-1}.node
+          GROUP BY m.u
+        ), s{r} AS MATERIALIZED (
+          SELECT node,
+                 CASE WHEN raw < 0 THEN
+                   -CAST((abs(raw) * {unit})
+                         // (SELECT max(abs(raw)) FROM raw{r})
+                         AS BIGINT)
+                 ELSE
+                   CAST((abs(raw) * {unit})
+                        // (SELECT max(abs(raw)) FROM raw{r})
+                        AS BIGINT)
+                 END AS vu
+          FROM raw{r}
+        )"""
+        )
+    return "".join(parts) + f"""
+        SELECT node, vu FROM s{rounds}"""
+
+
 def temporal_reach(
     edges: DataFrame,
     source: int,

@@ -280,6 +280,27 @@ def sites() -> dict[str, str]:
         JOIN dfreq USING (word)
         CROSS JOIN stats"""
 
+    # llm/dedup.py sppmi_embed (round-14 registration): the SPPMI
+    # units quantization round(greatest(pmi, 0)*1e6) — the single
+    # quantized-transcendental site of the embedding closure; clamped
+    # zeros sit exactly 0.5 from the nearest half-integer and are
+    # margin-safe by construction.  Probe mirrors the registered
+    # oracle with the round() stripped (same purchase-graph edges).
+    from openseize_spark.llm.dedup import skipgram_cooc_oracle_sql
+
+    _coo = skipgram_cooc_oracle_sql(
+        edges_cte="""
+          SELECT DISTINCT o_custkey * 2 AS a, l_partkey * 2 + 1 AS b
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        length=4,
+        window=2,
+    )
+    s["sppmi_embed.units"] = f"""
+        SELECT greatest(pmi, CAST(0.0 AS DOUBLE)) * 1000000.0 AS x
+        FROM ({_coo})
+    """
+
     return s
 
 
