@@ -14546,6 +14546,347 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sppmi_embed"] = q_sppmi_embed
 
+    def q_conformal_threshold(spark, sf_dir):
+        """Split-conformal calibration threshold per event type
+        (Vovk et al. 2005; Lei et al. 2018) — the
+        distribution-free prediction-interval primitive an eval
+        pipeline hangs on model scores: the even-event_id half trains
+        a mean predictor, the odd half calibrates, and the threshold
+        is the ceil((n_cal+1)(1−α))-th smallest nonconformity with
+        α=0.1.  Exactness: the nonconformity |c·n_tr − s_tr| clears
+        the mean's division entirely (exact int64 — the predicted
+        mean is s_tr/n_tr, so |c − mean|·n_tr needs no float); the
+        quantile index is exact integer ceil via (9·(n_cal+1)+9) div
+        10 on non-negative operands; the pick is a deterministic
+        (a, event_id) rank.  Scale: one grouped agg + one broadcast
+        join + one per-type rank window.  Returns (event_type,
+        n_train, n_cal, k_idx, q_units) where q_units is in
+        cents·n_train units.  Registered after the round-14/15
+        windows; round-16 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        d = e.select(
+            "event_type",
+            "event_id",
+            cents.alias("_c"),
+            (F.col("event_id") % 2 == 0).alias("_tr"),
+        )
+        tr = d.filter("_tr").groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_train"),
+            F.sum(F.col("_c").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("_s_tr"),
+        )
+        cal = (
+            d.filter(~F.col("_tr"))
+            .join(F.broadcast(tr), on="event_type")
+            .select(
+                "event_type",
+                "n_train",
+                "event_id",
+                F.abs(
+                    F.col("_c") * F.col("n_train") - F.col("_s_tr")
+                ).alias("_a"),
+            )
+        )
+        wr = W.partitionBy("event_type").orderBy("_a", "event_id")
+        ranked = cal.withColumn(
+            "_i", F.row_number().over(wr).cast("bigint")
+        )
+        nc = ranked.groupBy("event_type", "n_train").agg(
+            F.count("*").cast("bigint").alias("n_cal")
+        )
+        return (
+            ranked.join(F.broadcast(nc), on=["event_type", "n_train"])
+            .filter(
+                F.col("_i")
+                == F.expr("(9 * (n_cal + 1) + 9) div 10")
+            )
+            .select(
+                "event_type",
+                "n_train",
+                "n_cal",
+                F.col("_i").alias("k_idx"),
+                F.col("_a").alias("q_units"),
+            )
+        )
+
+    q["conformal_threshold"] = q_conformal_threshold
+
+    def q_psi_drift(spark, sf_dir):
+        """Population stability index terms per event type — the
+        standard production drift metric on a numeric feature
+        (banking scorecard lineage; the numeric-feature complement to
+        term_drift's vocabulary JS): the time range splits at its
+        midpoint, values bin into 10 equal-width cents bins over the
+        per-type full range, and each present bin emits its add-one-
+        smoothed PSI term (p̂−q̂)·ln(p̂/q̂).  Exactness: bin = ((c −
+        cmin)·10) div (cmax − cmin + 1) on non-negative operands
+        (Spark div == DuckDB // there); counts exact int64; p̂, q̂,
+        and the ratio argument ((p+1)·(nq+10))/((q+1)·(np+10)) are
+        division-derived doubles (IEEE-identical) and ln stays
+        UNROUNDED output (woe_encode precedent).  Terms are emitted
+        PER BIN — never float-summed across bins — so no
+        order-sensitive float aggregation exists.  Scale: two grouped
+        aggs + broadcast joins; bins bounded at 10.  Returns
+        (event_type, bin, p_cnt, q_cnt, psi_term).  Registered after
+        the round-14/15 windows; round-16 window material."""
+        e = _events(spark, sf_dir).filter(
+            F.col("value").isNotNull() & F.col("ts").isNotNull()
+        )
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        us = F.expr("unix_micros(ts)")
+        d = e.select(
+            "event_type", us.alias("_us"), cents.alias("_c")
+        )
+        rng = d.groupBy("event_type").agg(
+            F.min("_us").alias("_lo"),
+            F.max("_us").alias("_hi"),
+            F.min("_c").alias("_cmin"),
+            F.max("_c").alias("_cmax"),
+        )
+        binned = d.join(F.broadcast(rng), on="event_type").select(
+            "event_type",
+            F.expr(
+                "((_c - _cmin) * 10) div (_cmax - _cmin + 1)"
+            ).alias("bin"),
+            # 2·offset < span+1 keeps the half-split comparison in
+            # exact integers (a `/ 2` would go through double)
+            (
+                (F.col("_us") - F.col("_lo")) * 2
+                < F.col("_hi") - F.col("_lo") + 1
+            ).alias("_first_half"),
+        )
+        counts = binned.groupBy("event_type", "bin").agg(
+            F.sum(F.when(F.col("_first_half"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("p_cnt"),
+            F.sum(F.when(~F.col("_first_half"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("q_cnt"),
+        )
+        tots = counts.groupBy("event_type").agg(
+            F.sum("p_cnt").cast("bigint").alias("_np"),
+            F.sum("q_cnt").cast("bigint").alias("_nq"),
+        )
+        ph = (F.col("p_cnt") + 1).cast("double") / (
+            F.col("_np") + 10
+        ).cast("double")
+        qh = (F.col("q_cnt") + 1).cast("double") / (
+            F.col("_nq") + 10
+        ).cast("double")
+        ratio = (
+            (F.col("p_cnt") + 1) * (F.col("_nq") + 10)
+        ).cast("double") / (
+            (F.col("q_cnt") + 1) * (F.col("_np") + 10)
+        ).cast("double")
+        return (
+            counts.join(F.broadcast(tots), on="event_type")
+            .select(
+                "event_type",
+                "bin",
+                "p_cnt",
+                "q_cnt",
+                ((ph - qh) * F.log(ratio)).alias("psi_term"),
+            )
+        )
+
+    q["psi_drift"] = q_psi_drift
+
+    def q_ess_weights(spark, sf_dir):
+        """Effective sample size of per-document importance weights by
+        source (Kish 1965; the weight-degeneracy diagnostic every
+        importance-weighted corpus mix needs next to dsir_sample):
+        with w = n_chars, ESS = (Σw)²/Σw² and the ratio ESS/n says
+        how much of the nominal sample the weighting keeps.  Sums are
+        exact int64 via DECIMAL(38,0) accumulation (w² ~ 1e8 · 1e6
+        docs at sf1 stays far under the 38-digit bound, and the gate
+        casts to BIGINT with >=100x headroom); the two ESS divisions
+        are division-derived doubles.  One grouped agg, no joins.
+        Returns (source, n_docs, sum_w, sum_w2, ess, ess_ratio).
+        Registered after the round-14/15 windows; round-16 window
+        material."""
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+        )
+        dec = "decimal(38,0)"
+        agg = docs.groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast(dec)).cast("bigint").alias("sum_w"),
+            F.sum(
+                (F.col("n_chars") * F.col("n_chars")).cast(dec)
+            )
+            .cast("bigint")
+            .alias("sum_w2"),
+        )
+        ess = (
+            F.col("sum_w").cast("double") * F.col("sum_w").cast("double")
+        ) / F.col("sum_w2").cast("double")
+        return agg.select(
+            "source",
+            "n_docs",
+            "sum_w",
+            "sum_w2",
+            ess.alias("ess"),
+            (ess / F.col("n_docs").cast("double")).alias("ess_ratio"),
+        )
+
+    q["ess_weights"] = q_ess_weights
+
+    def q_hodges_lehmann_binned(spark, sf_dir):
+        """Binned Hodges-Lehmann location estimate per event type (the
+        pseudo-median — median of Walsh pair averages, Hodges &
+        Lehmann 1963; the binned-statistic discipline of
+        kendall_tau_binned/kruskal_binned): cents bin to a fixed
+        512-cell grid per type, Walsh pairs (i ≤ j) enumerate over
+        the BOUNDED 512×512 bin-combo frame with exact integer
+        weights n_i·n_j (i<j) and n_i·(n_i+1)/2 (i=j), and the
+        estimate is the weighted lower-median pair BIN-SUM via a
+        cumulative window — never an O(n²) row explosion.  All
+        integers end to end.  Returns (event_type, n, p_pairs,
+        hl_binsum).  Registered after the round-14/15 windows;
+        round-16 window material."""
+        e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        d = e.select("event_type", cents.alias("_c"))
+        rng = d.groupBy("event_type").agg(
+            F.min("_c").alias("_cmin"),
+            F.max("_c").alias("_cmax"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        hist = (
+            d.join(F.broadcast(rng), on="event_type")
+            .select(
+                "event_type",
+                "n",
+                F.expr(
+                    "((_c - _cmin) * 512) div (_cmax - _cmin + 1)"
+                ).alias("_b"),
+            )
+            .groupBy("event_type", "n", "_b")
+            .agg(F.count("*").cast("bigint").alias("_nb"))
+            .localCheckpoint(eager=False)  # self-joined pair combos
+        )
+        h2 = hist.select(
+            "event_type",
+            F.col("_b").alias("_b2"),
+            F.col("_nb").alias("_nb2"),
+        )
+        combos = (
+            hist.join(h2, on="event_type")
+            .filter(F.col("_b") <= F.col("_b2"))
+            .select(
+                "event_type",
+                "n",
+                (F.col("_b") + F.col("_b2")).alias("binsum"),
+                F.when(
+                    F.col("_b") == F.col("_b2"),
+                    F.expr("(_nb * (_nb + 1)) div 2"),
+                )
+                .otherwise(F.col("_nb") * F.col("_nb2"))
+                .cast("bigint")
+                .alias("_w"),
+            )
+            .groupBy("event_type", "n", "binsum")
+            .agg(F.sum("_w").cast("bigint").alias("_wb"))
+        )
+        wcum = W.partitionBy("event_type").orderBy("binsum").rowsBetween(
+            W.unboundedPreceding, W.currentRow
+        )
+        tot = combos.groupBy("event_type").agg(
+            F.sum("_wb").cast("bigint").alias("_P")
+        )
+        ranked = (
+            combos.join(F.broadcast(tot), on="event_type")
+            .withColumn("_cum", F.sum("_wb").over(wcum).cast("bigint"))
+            .filter(
+                F.col("_cum") >= F.expr("(_P + 1) div 2")
+            )
+        )
+        wpick = W.partitionBy("event_type").orderBy("binsum")
+        return (
+            ranked.withColumn("_r", F.row_number().over(wpick))
+            .filter(F.col("_r") == 1)
+            .select(
+                "event_type",
+                "n",
+                F.col("_P").alias("p_pairs"),
+                F.col("binsum").alias("hl_binsum"),
+            )
+        )
+
+    q["hodges_lehmann_binned"] = q_hodges_lehmann_binned
+
+    def q_streaming_topk(spark, sf_dir):
+        """Streaming bottom-k/KMV sampler per event type
+        (streaming/stateful.streaming_topk) — the seventh
+        applyInPandasWithState operator: keep the k=8 smallest
+        portable salted-md5 priorities per key across micro-batches
+        (keeping the k smallest hash priorities IS a deterministic
+        uniform-without-replacement sample of the distinct stream —
+        the KMV construction on the streaming surface), emitting the
+        running snapshot after each of three sequential ts-range
+        batch files.  The same ts-cut and present-prefix discipline
+        as streaming_hll; the oracle ranks each present prefix with
+        the identical (priority, event_id) order.  All integers; the
+        python, Spark, and DuckDB md5 paths produce the same 32-bit
+        priority by construction.  Registered after the round-14/15
+        windows; round-16 window material."""
+        import os
+        import shutil
+
+        from openseize_spark.streaming.stateful import streaming_topk
+
+        e = (
+            _events(spark, sf_dir)
+            .filter(
+                F.col("event_id").isNotNull()
+                & F.col("ts").isNotNull()
+                & F.col("event_type").isNotNull()
+            )
+            .select(
+                "event_type", "event_id", F.unix_micros("ts").alias("_us")
+            )
+        )
+        d = _gate_tmp(
+            spark, "stopk_" + os.path.basename(os.path.normpath(sf_dir))
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        row = e.agg(
+            F.min("_us").alias("lo"), F.max("_us").alias("hi")
+        ).collect()[0]
+        lo, span = row.lo, (row.hi - row.lo) // 3
+        conds = [
+            F.col("_us") < lo + span,
+            (F.col("_us") >= lo + span) & (F.col("_us") < lo + 2 * span),
+            F.col("_us") >= lo + 2 * span,
+        ]
+        for i, cond in enumerate(conds):
+            e.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"batch_{i}")
+            )
+        _stamp_batch_mtimes(d, 3)
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(d, "batch_*"))
+        )
+        out = streaming_topk(stream, k=8, seed="tk")
+        qname = "gate_streaming_topk"
+        sq = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .start()
+        )
+        sq.processAllAvailable()
+        sq.stop()
+        return spark.table(qname).select(
+            "event_type", "batch_idx", "rank", "event_id", "priority"
+        )
+
+    q["streaming_topk"] = q_streaming_topk
+
     # ---- round-14 gate hardening shim (see _GATE_DECIMAL_CASTS) ----
     # Every decimal-typed output column gets an explicit final cast;
     # the oracle_sql() shim applies the byte-identical cast on the
@@ -21573,6 +21914,171 @@ def oracle_sql() -> dict[str, str]:
         length=4,
         window=2,
     )
+
+    o["streaming_topk"] = f"""
+        WITH e AS (
+          SELECT event_type, event_id, epoch_us(ts) AS us
+          FROM events
+          WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ), bounds AS (
+          SELECT min(us) AS lo, (max(us) - min(us)) // 3 AS span FROM e
+        ), tagged AS (
+          SELECT e.event_type, e.event_id,
+                 {_sampling.salted_hash_sql("e.event_id", "tk")}
+                   AS priority,
+                 CASE WHEN us < lo + span THEN 0
+                      WHEN us < lo + 2 * span THEN 1
+                      ELSE 2 END AS gb
+          FROM e CROSS JOIN bounds
+        ), present AS (
+          SELECT event_type, gb,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY gb
+                 ) - 1 AS BIGINT) AS batch_idx
+          FROM (SELECT DISTINCT event_type, gb FROM tagged)
+        ), ranked AS (
+          SELECT p.event_type, p.batch_idx, t.event_id, t.priority,
+                 CAST(row_number() OVER (
+                   PARTITION BY p.event_type, p.batch_idx
+                   ORDER BY t.priority, t.event_id
+                 ) AS BIGINT) AS rank
+          FROM present p
+          JOIN tagged t ON t.event_type = p.event_type
+                       AND t.gb <= p.gb
+        )
+        SELECT event_type, batch_idx, rank, event_id, priority
+        FROM ranked WHERE rank <= 8
+    """
+
+    o["conformal_threshold"] = """
+        WITH d AS MATERIALIZED (
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS c,
+                 event_id % 2 = 0 AS tr
+          FROM events WHERE value IS NOT NULL
+        ), trn AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_train,
+                 CAST(sum(CAST(c AS HUGEINT)) AS BIGINT) AS s_tr
+          FROM d WHERE tr GROUP BY 1
+        ), cal AS (
+          SELECT d.event_type, trn.n_train, d.event_id,
+                 abs(d.c * trn.n_train - trn.s_tr) AS a
+          FROM d JOIN trn USING (event_type) WHERE NOT d.tr
+        ), ranked AS (
+          SELECT event_type, n_train, a,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY a, event_id
+                 ) AS i,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_cal
+          FROM cal
+        )
+        SELECT event_type, n_train, n_cal,
+               CAST(i AS BIGINT) AS k_idx,
+               CAST(a AS BIGINT) AS q_units
+        FROM ranked
+        WHERE i = (9 * (n_cal + 1) + 9) // 10
+    """
+
+    o["psi_drift"] = """
+        WITH d AS MATERIALIZED (
+          SELECT event_type, epoch_us(ts) AS us,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        ), rng AS (
+          SELECT event_type, min(us) AS lo, max(us) AS hi,
+                 min(c) AS cmin, max(c) AS cmax
+          FROM d GROUP BY 1
+        ), counts AS (
+          SELECT d.event_type,
+                 ((d.c - rng.cmin) * 10) // (rng.cmax - rng.cmin + 1)
+                   AS bin,
+                 CAST(sum(CASE WHEN (d.us - rng.lo) * 2
+                                    < rng.hi - rng.lo + 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS p_cnt,
+                 CAST(sum(CASE WHEN (d.us - rng.lo) * 2
+                                    < rng.hi - rng.lo + 1
+                               THEN 0 ELSE 1 END) AS BIGINT) AS q_cnt
+          FROM d JOIN rng USING (event_type)
+          GROUP BY 1, 2
+        ), tots AS (
+          SELECT event_type,
+                 CAST(sum(p_cnt) AS BIGINT) AS np,
+                 CAST(sum(q_cnt) AS BIGINT) AS nq
+          FROM counts GROUP BY 1
+        )
+        SELECT counts.event_type, CAST(counts.bin AS BIGINT) AS bin,
+               counts.p_cnt, counts.q_cnt,
+               (CAST(counts.p_cnt + 1 AS DOUBLE)
+                  / CAST(tots.np + 10 AS DOUBLE)
+                - CAST(counts.q_cnt + 1 AS DOUBLE)
+                  / CAST(tots.nq + 10 AS DOUBLE))
+               * ln(CAST((counts.p_cnt + 1) * (tots.nq + 10) AS DOUBLE)
+                    / CAST((counts.q_cnt + 1) * (tots.np + 10) AS DOUBLE))
+                 AS psi_term
+        FROM counts JOIN tots USING (event_type)
+    """
+
+    o["ess_weights"] = """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(n_chars AS HUGEINT)) AS BIGINT) AS sum_w,
+               CAST(sum(CAST(n_chars * n_chars AS HUGEINT)) AS BIGINT)
+                 AS sum_w2,
+               (CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                * CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE))
+                 / CAST(sum(CAST(n_chars * n_chars AS HUGEINT)) AS DOUBLE)
+                 AS ess,
+               ((CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE)
+                 * CAST(sum(CAST(n_chars AS HUGEINT)) AS DOUBLE))
+                  / CAST(sum(CAST(n_chars * n_chars AS HUGEINT)) AS DOUBLE))
+                 / CAST(count(*) AS DOUBLE) AS ess_ratio
+        FROM documents
+        WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        GROUP BY source
+    """
+
+    o["hodges_lehmann_binned"] = """
+        WITH d AS MATERIALIZED (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL
+        ), rng AS (
+          SELECT event_type, min(c) AS cmin, max(c) AS cmax,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY 1
+        ), hist AS MATERIALIZED (
+          SELECT d.event_type, rng.n,
+                 ((d.c - rng.cmin) * 512) // (rng.cmax - rng.cmin + 1)
+                   AS b,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM d JOIN rng USING (event_type)
+          GROUP BY 1, 2, 3
+        ), combos AS (
+          SELECT h1.event_type, h1.n, h1.b + h2.b AS binsum,
+                 CAST(sum(CASE WHEN h1.b = h2.b
+                               THEN (h1.nb * (h1.nb + 1)) // 2
+                               ELSE h1.nb * h2.nb END) AS BIGINT) AS wb
+          FROM hist h1
+          JOIN hist h2 ON h1.event_type = h2.event_type
+                      AND h1.b <= h2.b
+          GROUP BY 1, 2, 3
+        ), ranked AS (
+          SELECT event_type, n, binsum, wb,
+                 CAST(sum(wb) OVER (
+                   PARTITION BY event_type ORDER BY binsum
+                   ROWS UNBOUNDED PRECEDING
+                 ) AS BIGINT) AS cum,
+                 CAST(sum(wb) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS P
+          FROM combos
+        )
+        SELECT event_type, n, P AS p_pairs,
+               CAST(min(binsum) AS BIGINT) AS hl_binsum
+        FROM ranked
+        WHERE cum >= (P + 1) // 2
+        GROUP BY event_type, n, P
+    """
 
     o["sppmi_embed"] = _dedup.sppmi_embed_oracle_sql(
         edges_cte="""

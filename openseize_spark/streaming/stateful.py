@@ -410,3 +410,84 @@ def streaming_page_hinkley(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TOPK_OUT = (
+    "event_type string, batch_idx bigint, rank bigint, "
+    "event_id long, priority bigint"
+)
+_TOPK_STATE = "prios array<long>, ids array<long>, nb bigint"
+
+
+def make_stateful_topk(k: int = 8, seed: str = "tk"):
+    """Build the applyInPandasWithState function for a deterministic
+    hash-priority streaming top-k per key — the bounded-state
+    reservoir a live sampler needs (keeping the k smallest salted-md5
+    priorities of a stream IS a uniform-without-replacement sample of
+    its distinct keys, the classic bottom-k/KMV construction): per
+    key, merge the batch's (priority, event_id) pairs into the
+    carried k-smallest set (ties broken by event_id) and emit the
+    running top-k after each micro-batch.
+
+    Exactness: the priority is the portable 32-bit salted md5
+    (``int(md5(f"{seed}:{id}").hexdigest()[:8], 16)`` — the same
+    integer Spark's ``conv(substring(md5(..),1,8),16,10)`` and
+    DuckDB's ``('0x' || substr(md5(..),1,8))::BIGINT`` produce), so
+    the stream, the batch query, and the SQL replay agree exactly;
+    state is two bounded k-length int64 arrays plus a batch counter.
+    """
+    import hashlib
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            prios, ids, nb = state.get
+            best = sorted(zip(prios, ids))
+        else:
+            best, nb = [], 0
+        # family-wide r14 discipline: concat chunks so one micro-batch
+        # emits exactly one top-k snapshot per key regardless of Arrow
+        # batching (the merge itself is order-insensitive)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
+            for eid in pdf["event_id"].tolist():
+                p = int(
+                    hashlib.md5(
+                        f"{seed}:{eid}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                best.append((p, int(eid)))
+            best = sorted(set(best))[:k]
+            nb += 1
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(best),
+                    "batch_idx": [nb - 1] * len(best),
+                    "rank": list(range(1, len(best) + 1)),
+                    "event_id": [i for _, i in best],
+                    "priority": [p for p, _ in best],
+                }
+            )
+        state.update(
+            ([p for p, _ in best], [i for _, i in best], int(nb))
+        )
+
+    return fn
+
+
+def streaming_topk(events_stream, k: int = 8, seed: str = "tk"):
+    """Per-type deterministic hash-priority top-k over a live event
+    stream with carried bounded state — the seventh
+    applyInPandasWithState operator (the streaming bottom-k/KMV
+    sampler beside streaming_hll's register sketch).  Emits the
+    running top-k snapshot per key after every micro-batch the key
+    appears in."""
+    return events_stream.groupBy("event_type").applyInPandasWithState(
+        make_stateful_topk(k, seed),
+        outputStructType=_TOPK_OUT,
+        stateStructType=_TOPK_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

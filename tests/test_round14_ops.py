@@ -218,3 +218,240 @@ def test_gate_decimal_casts_cover_registry_surface(spark, tmp_path):
             if "decimal" in f.dataType.simpleString()
         ]
         assert decs == [], f"{name} leaks decimal columns: {decs}"
+
+
+def _write_events(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+
+def _us(dt):
+    import datetime
+
+    return (dt - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+
+
+def test_conformal_threshold_brute_force(spark, tmp_path):
+    """Threshold == python replay: |c*n_tr - s_tr| nonconformity on
+    the odd half, exact-int ceil((n_cal+1)*0.9) order statistic."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 3, 1)
+    vals = [100.0 + 7.13 * i - 3.0 * (i % 5) for i in range(41)]
+    rows = [
+        (i + 1, base + datetime.timedelta(minutes=i), 1, "a",
+         float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "sf")
+    _write_events(spark, d, rows)
+
+    cents = {i + 1: half_away(v * 100) for i, v in enumerate(vals)}
+    tr = {k: c for k, c in cents.items() if k % 2 == 0}
+    cal = {k: c for k, c in cents.items() if k % 2 == 1}
+    n_tr, s_tr = len(tr), sum(tr.values())
+    a = sorted((abs(c * n_tr - s_tr), k) for k, c in cal.items())
+    n_cal = len(cal)
+    k_idx = (9 * (n_cal + 1) + 9) // 10
+    want = a[k_idx - 1][0]
+
+    got = entry.queries()["conformal_threshold"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_train, r.n_cal, r.k_idx, r.q_units) == (
+        n_tr, n_cal, k_idx, want,
+    )
+
+
+def test_psi_drift_brute_force(spark, tmp_path):
+    """Per-bin PSI terms == python replay with a planted mean shift
+    between halves (and the shifted type's terms dominate)."""
+    import datetime
+    import math
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    # type "a" drifts +50 in the second half; type "b" is stable
+    for i in range(60):
+        eid += 1
+        v = 100.0 + (i % 10) + (50.0 if i >= 30 else 0.0)
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1,
+                     "a", float(v), "{}"))
+    for i in range(60):
+        eid += 1
+        rows.append((eid, base + datetime.timedelta(minutes=i), 1,
+                     "b", float(20.0 + (i % 7)), "{}"))
+    d = str(tmp_path / "sf")
+    _write_events(spark, d, rows)
+
+    want = {}
+    for et in ("a", "b"):
+        ev = [(r[0], _us(r[1]), half_away(r[4] * 100))
+              for r in rows if r[3] == et]
+        lo = min(u for _, u, _c in ev)
+        hi = max(u for _, u, _c in ev)
+        cmin = min(c for _, _u, c in ev)
+        cmax = max(c for _, _u, c in ev)
+        counts = {}
+        for _, u, c in ev:
+            b = ((c - cmin) * 10) // (cmax - cmin + 1)
+            first = (u - lo) * 2 < hi - lo + 1
+            p, q = counts.get(b, (0, 0))
+            counts[b] = (p + (1 if first else 0), q + (0 if first else 1))
+        np_ = sum(p for p, _ in counts.values())
+        nq_ = sum(q for _, q in counts.values())
+        for b, (p, q) in counts.items():
+            ph = (p + 1) / (np_ + 10)
+            qh = (q + 1) / (nq_ + 10)
+            term = (ph - qh) * math.log(
+                ((p + 1) * (nq_ + 10)) / ((q + 1) * (np_ + 10))
+            )
+            want[(et, b)] = (p, q, term)
+
+    got = {
+        (r.event_type, r.bin): (r.p_cnt, r.q_cnt, r.psi_term)
+        for r in entry.queries()["psi_drift"](spark, d).collect()
+    }
+    assert set(got) == set(want)
+    for k, (p, q, t) in want.items():
+        gp, gq, gt = got[k]
+        assert (gp, gq) == (p, q)
+        assert abs(gt - t) < 1e-12
+    # the drifted type's total PSI dwarfs the stable type's
+    psi_a = sum(t for (et, _), (_, _, t) in want.items() if et == "a")
+    psi_b = sum(t for (et, _), (_, _, t) in want.items() if et == "b")
+    assert psi_a > 10 * max(psi_b, 1e-9)
+
+
+def test_ess_weights_brute_force(spark, tmp_path):
+    """ESS == (sum w)^2 / sum w^2 python replay; equal weights give
+    ESS == n (ratio 1), one dominant weight collapses the ratio."""
+    import __spark_entry__ as entry
+
+    docs = (
+        [(i, "t", "en", "flat", 100) for i in range(10)]
+        + [(100, "t", "en", "spiky", 10000)]
+        + [(101 + i, "t", "en", "spiky", 10) for i in range(9)]
+    )
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    got = {
+        r.source: r
+        for r in entry.queries()["ess_weights"](spark, d).collect()
+    }
+    for src in ("flat", "spiky"):
+        ws = [w for _, _, _, s, w in docs if s == src]
+        sw, sw2 = sum(ws), sum(w * w for w in ws)
+        r = got[src]
+        assert (r.n_docs, r.sum_w, r.sum_w2) == (len(ws), sw, sw2)
+        ess = (float(sw) * float(sw)) / float(sw2)
+        assert abs(r.ess - ess) < 1e-9
+    assert abs(got["flat"].ess_ratio - 1.0) < 1e-12
+    assert got["spiky"].ess_ratio < 0.2
+
+
+def test_hodges_lehmann_binned_brute_force(spark, tmp_path):
+    """Weighted bin-combo median == brute-force enumeration of ALL
+    Walsh position pairs (i <= j) over the binned values."""
+    import datetime
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 3, 1)
+    vals = [3.0, 3.0, 5.5, 9.25, 9.25, 9.25, 12.0, 40.0, 41.5, 2.25,
+            7.75, 7.75]
+    rows = [
+        (i + 1, base + datetime.timedelta(minutes=i), 1, "a",
+         float(v), "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = str(tmp_path / "sf")
+    _write_events(spark, d, rows)
+
+    cs = [half_away(v * 100) for v in vals]
+    cmin, cmax = min(cs), max(cs)
+    bs = [((c - cmin) * 512) // (cmax - cmin + 1) for c in cs]
+    n = len(bs)
+    pairs = sorted(
+        bs[i] + bs[j] for i in range(n) for j in range(i, n)
+    )
+    P = len(pairs)
+    want = pairs[(P + 1) // 2 - 1]
+
+    got = entry.queries()["hodges_lehmann_binned"](spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n, r.p_pairs, r.hl_binsum) == (n, P, want)
+
+
+def test_streaming_topk_matches_prefix_replay(spark, tmp_path):
+    """The carried bottom-k state across three ts-cut micro-batches ==
+    a python prefix replay with the portable salted-md5 priority."""
+    import datetime
+    import hashlib
+
+    import __spark_entry__ as entry
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for third in range(3):
+        for i in range(12):
+            eid += 1
+            # type "b" is absent from the middle third: its second
+            # snapshot must come from prefix (0, 2) — the present-
+            # prefix discipline
+            if third == 1 and i % 2 == 1:
+                et = "a"
+            else:
+                et = "a" if i % 2 == 0 else "b"
+            rows.append(
+                (eid, base + datetime.timedelta(hours=third, minutes=i),
+                 1, et, 1.0, "{}")
+            )
+    d = str(tmp_path / "sf")
+    _write_events(spark, d, rows)
+
+    def prio(e):
+        return int(
+            hashlib.md5(f"tk:{e}".encode()).hexdigest()[:8], 16
+        )
+
+    us = [_us(r[1]) for r in rows]
+    lo, span = min(us), (max(us) - min(us)) // 3
+    want = set()
+    for et in ("a", "b"):
+        cuts = []
+        for r, u in zip(rows, us):
+            if r[3] != et:
+                continue
+            gb = 0 if u < lo + span else (1 if u < lo + 2 * span else 2)
+            cuts.append((gb, r[0]))
+        present = sorted({gb for gb, _ in cuts})
+        for bi, gb_cap in enumerate(present):
+            pref = sorted(
+                (prio(e), e) for gb, e in cuts if gb <= gb_cap
+            )[:8]
+            for rk, (p, e) in enumerate(pref, 1):
+                want.add((et, bi, rk, e, p))
+
+    got = {
+        (r.event_type, r.batch_idx, r.rank, r.event_id, r.priority)
+        for r in entry.queries()["streaming_topk"](spark, d).collect()
+    }
+    assert got == want
