@@ -1356,9 +1356,11 @@ def test_guard_band_audit_tool(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "all sites clear" in r.stdout
     # every audited site line reports a margin above the 16-ulp bar
+    # (8 round-13 sites + the round-14 sppmi_embed.units site)
     ok_lines = [ln for ln in r.stdout.splitlines()
                 if ln.startswith("ok")]
-    assert len(ok_lines) == 8
+    assert len(ok_lines) == 9
+    assert any("sppmi_embed.units" in ln for ln in ok_lines)
 
     # margin math sanity: a value exactly at x.5 has distance 0
     sys.path.insert(0, "/root/repo/tools")
