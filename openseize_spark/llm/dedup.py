@@ -1519,18 +1519,23 @@ def jaccard_verify(
     norm = normalize_text(F.col(text_col))
     # `pairs` feeds THREE consumers below (the semi-join id list twice —
     # once under sh_a, once under sh_b — plus the verify join itself).
-    # Without a persist each consumer re-executes the entire upstream
-    # candidate pipeline (shingle explode + 64 min-aggs + banding: the
-    # dominant pass, 3x at any scale — observed 8 parquet scans and zero
-    # ReusedExchange in the physical plan).  Candidates are tiny relative
-    # to the corpus, so MEMORY_AND_DISK is safe; the first stage to touch
-    # it materializes, the rest read cache within the same action.  The
-    # cache is released when the returned DataFrame is dropped (see
-    # _release_cache_with) — it cannot be released inside this function
-    # because the returned plan is lazy and still reads it.
-    from pyspark import StorageLevel
-
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # Without materialization each consumer re-executes the entire
+    # upstream candidate pipeline (shingle explode + 64 min-aggs +
+    # banding: the dominant pass, 3x at any scale — observed 8 parquet
+    # scans and zero ReusedExchange in the physical plan).  Candidates
+    # are tiny relative to the corpus, so one eager localCheckpoint is
+    # safe; every consumer — inside this plan or in whatever larger lazy
+    # plan a caller folds the result into — then reads the materialized
+    # blocks, whose lifetime is the plan reference's.  The round-8..13
+    # persist + finalizer version released the cache when the VERIFY
+    # RESULT was dropped, which for callers that compose the result into
+    # a larger lazy plan and drop the intermediate at return (
+    # minhash_dedup, triangle_count/k_core/label_propagation builders)
+    # fired before the outer action ever ran — measured 3 full candidate
+    # pipeline executions and 24 parquet scans in minhash_dedup's plan
+    # (round-14 optimization, guide §2.4: remove repeated subtree
+    # execution outright rather than refcounting a cache around it).
+    pairs = pairs.localCheckpoint(eager=True)
     # Restrict the shingle-set build to docs that appear in a candidate
     # pair BEFORE building arrays: candidates << corpus at scale, and
     # this subtree executes once per join side below — filtering makes
@@ -1560,7 +1565,7 @@ def jaccard_verify(
             *(("inter", "union_sz") if with_counts else ()),
         )
     )
-    return _release_cache_with(j.filter(F.col("jaccard") >= threshold), pairs)
+    return j.filter(F.col("jaccard") >= threshold)
 
 
 def containment_verify(
@@ -1585,11 +1590,9 @@ def containment_verify(
     one exact-int64 division — order-invariant.
     """
     norm = normalize_text(F.col(text_col))
-    from pyspark import StorageLevel
-
-    # multi-consumer cache, released when the returned plan is dropped
-    # (same lifecycle as jaccard_verify — see _release_cache_with)
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    # multi-consumer candidate table materialized once, composition-safe
+    # (same round-14 rationale as jaccard_verify)
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("a").alias(id_col))
         .union(pairs.select(F.col("b").alias(id_col)))
@@ -1631,7 +1634,7 @@ def containment_verify(
             ).alias("cont_b"),
         )
     )
-    return _release_cache_with(out, pairs)
+    return out
 
 
 def containment_verify_oracle_sql(k: int = 5) -> str:

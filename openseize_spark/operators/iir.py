@@ -162,7 +162,16 @@ def _blocks_state_scan(
     """Shared 3-stage parallel-in-time engine (see sosfilt_blocks):
     zero-state filter per block -> per-channel affine state scan ->
     seeded re-filter.  ``filt(x, z_flat|None) -> (y, z_flat')`` must be
-    linear in (state, input); ``d`` is the flat state dimension."""
+    linear in (state, input); ``d`` is the flat state dimension.
+
+    The block table feeds TWO consumers — the state pass and the seeded
+    re-filter join — as structurally identical subtrees, so exchange
+    reuse covers the to_blocks shuffle as long as the join does not
+    wrap one copy in a BroadcastExchange; see the join-side note below.
+    (A localCheckpoint here measures WORSE: its materialization runs
+    outside the exchange-reuse machinery and the join then re-shuffles
+    the ExistingRDD side — 6.3 s vs 3.1 s on sosfilt_blocks_full at
+    sf0.1.)"""
     bdf = B.to_blocks(sf.df, block_size)
 
     st_schema = (
@@ -224,14 +233,16 @@ def _blocks_state_scan(
     zin = states.groupBy("recording_id", "channel").applyInPandas(_scan, scan_schema)
 
     out_schema = "recording_id string, channel int, t0 long, vs array<double>"
-    # zin is one tiny row per block.  Join on the to_blocks grouping keys
-    # (recording_id, channel, block_id) with no hint: AQE broadcasts zin
-    # while it fits (the common case) and falls back to a shuffle join at
-    # block counts where a broadcast would fail (the 100-TB path, where
-    # #blocks outgrows the broadcast limit).  Matching the join keys to
-    # bdf's groupBy output partitioning lets Catalyst reuse that
-    # partitioning in the fallback, so only the tiny zin rows move.
-    j = bdf.join(zin, on=["recording_id", "channel", "block_id"])
+    # zin is one tiny row per block (d+3 values vs block_size samples),
+    # so it is ALWAYS the side to build from: the shuffle_hash hint pins
+    # the hash build on zin — never a broadcast or sort of the block
+    # arrays — and AQE may still upgrade the tiny zin side to a runtime
+    # broadcast.  At block counts where zin itself is large (the 100-TB
+    # path) the shuffled-hash join moves only the zin rows plus one
+    # pass of the checkpointed block table.
+    j = bdf.join(
+        zin.hint("shuffle_hash"), on=["recording_id", "channel", "block_id"]
+    )
 
     def _seeded(it):
         for pdf in it:
