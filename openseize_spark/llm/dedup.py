@@ -1083,7 +1083,10 @@ def personalized_pagerank(
     ).union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     with small_intermediate_coalesce(edges.sparkSession):
-        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        # persist, NOT localCheckpoint (round-14, cf. pagerank): keeps
+        # the repartition visible so the per-round contribution join
+        # leaves the edge list stationary.  Released in-call below.
+        und = und.repartition(n_part, "x").persist()
         deg = und.groupBy("x").agg(
             F.count("*").alias("deg")
         ).localCheckpoint(eager=True)
@@ -1141,6 +1144,7 @@ def personalized_pagerank(
                 .filter(F.col("u") > 0)
                 .localCheckpoint(eager=True)
             )
+        und.unpersist(blocking=False)
     return ranks.select(
         F.col("x").alias("id"),
         F.col("deg").cast("bigint").alias("degree"),
@@ -2381,7 +2385,12 @@ def label_propagation(
     )
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     with small_intermediate_coalesce(edges.sparkSession):
-        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        # persist keyed on the JOIN key y — the old checkpoint both
+        # erased the partitioning from the planner AND keyed it on x
+        # while every round joins on y, so each of the `rounds` vote
+        # joins re-shuffled the full edge list (round-14).  Released
+        # in-call below.
+        und = und.repartition(n_part, "y").persist()
         labels = (
             und.select(F.col("x").alias("id"))
             .distinct()
@@ -2411,6 +2420,7 @@ def label_propagation(
                 .select("id", (-F.col("_m._nl")).alias("label"))
                 .localCheckpoint(eager=True)
             )
+        und.unpersist(blocking=False)
     return labels
 
 
@@ -2651,13 +2661,17 @@ def pagerank(
         # list and degree table, and without this the (possibly
         # expensive) upstream pair-generation plan is re-executed per
         # reference and the composed plan grows superlinearly — same
-        # discipline as connected_components.  Pre-partition the
-        # checkpointed edge list on the join key so every iteration's
-        # contribution join reuses the stored hash partitioning and only
-        # the |V|-row rank table moves per round — one |E| shuffle total
-        # instead of one per iteration (measured 2x on the loop at
-        # sf0.1; at cluster scale it removes iters-1 full edge shuffles)
-        und = und.repartition(n_part, "x").localCheckpoint(eager=True)
+        # discipline as connected_components.  persist, NOT
+        # localCheckpoint (round-14 fix): a checkpoint ERASES the hash
+        # partitioning from the planner (the random_walks gotcha), so
+        # every iteration's contribution join was re-shuffling the full
+        # edge list; the persisted repartition node stays visible and
+        # only the |V|-row rank table moves per round — one |E| shuffle
+        # total instead of one per iteration.  The cache is released
+        # in-call after the last round materializes (every round's
+        # state is an EAGER checkpoint), so no CacheManager entry
+        # outlives the call and bench reps can never reuse it.
+        und = und.repartition(n_part, "x").persist()
         deg = und.groupBy("x").agg(F.count("*").alias("deg")).localCheckpoint(
             eager=True
         )
@@ -2686,6 +2700,7 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
+        und.unpersist(blocking=False)
     return ranks.select(
         F.col("x").alias("id"),
         F.col("deg").cast("bigint").alias("degree"),
@@ -2787,13 +2802,14 @@ def hits(
     with small_intermediate_coalesce(spark):
         # store the edge list hash-partitioned on each round's join key
         # (src for the auth step, dst for the hub step) so only |V|-row
-        # score tables move per round
+        # score tables move per round.  persist, NOT localCheckpoint
+        # (round-14, cf. pagerank): the checkpoint erased the
+        # partitioning and every half-round re-shuffled the edges.
+        # Released in-call below.
         e_src = edges.select(src_col, dst_col).repartition(
             n_part, src_col
-        ).localCheckpoint(eager=True)
-        e_dst = e_src.repartition(n_part, dst_col).localCheckpoint(
-            eager=True
-        )
+        ).persist()
+        e_dst = e_src.repartition(n_part, dst_col).persist()
         hubs = e_src.select(F.col(src_col).alias("id")).distinct().select(
             "id", F.lit(S).cast("bigint").alias("u")
         ).localCheckpoint(eager=True)
@@ -2835,6 +2851,8 @@ def hits(
                 )
                 .localCheckpoint(eager=True)
             )
+        e_src.unpersist(blocking=False)
+        e_dst.unpersist(blocking=False)
     out = hubs.select(
         F.lit("hub").alias("node_type"),
         F.col("id").cast("bigint").alias("id"),
@@ -2941,8 +2959,11 @@ def bfs_distances(
                     F.col(b_col).alias("x"), F.col(a_col).alias("y")
                 )
             )
+            # persist, NOT localCheckpoint (round-14, cf. pagerank):
+            # keeps the repartition visible so each hop's frontier join
+            # leaves the edge list stationary.  Released in-call.
             .repartition(n_part, "x")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         dist = (
             seeds.select(F.col(seed_col).alias("id"))
@@ -2966,6 +2987,7 @@ def bfs_distances(
             )
             dist = dist.unionByName(nxt).localCheckpoint(eager=True)
             frontier = dist.filter(F.col("dist") == hop)
+        und.unpersist(blocking=False)
     return dist
 
 
@@ -3051,8 +3073,11 @@ def sssp_bounded(
                 F.col(v_col).alias("v"),
                 F.col(w_col).cast("bigint").alias("w"),
             )
+            # persist, NOT localCheckpoint (round-14, cf. pagerank):
+            # keeps the repartition visible so each relaxation round's
+            # join leaves the edge list stationary.  Released in-call.
             .repartition(n_part, "u")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         min_w = e.agg(F.min("w").alias("m")).collect()[0]["m"]
         if min_w is not None and min_w < 1:
@@ -3091,6 +3116,7 @@ def sssp_bounded(
             dist = new
             if frontier.count() == 0:
                 break
+        e.unpersist(blocking=False)
         return dist
 
 
@@ -3158,8 +3184,13 @@ def sp_counting(
                 )
             )
             .distinct()
+            # persist, NOT localCheckpoint (round-14): the checkpoint
+            # erased the repartition from the planner, so every level's
+            # frontier join re-shuffled the full edge list; the cached
+            # repartition node keeps und stationary and only the
+            # frontier moves per level.  Released in-call below.
             .repartition(n_part, "x")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         done = spark.createDataFrame(
             [(int(source), 0, 1)], "id bigint, dist int, sigma bigint"
@@ -3185,8 +3216,14 @@ def sp_counting(
             )
             if nxt.count() == 0:
                 break
-            done = done.unionByName(nxt).localCheckpoint(eager=True)
+            # done stays a LAZY union of the per-level checkpoints: the
+            # anti-join and the returned frame read the small
+            # materialized levels directly, saving one
+            # re-materialization job of the whole visited set per level
+            # (round-14; the union tree depth is bounded by max_hops)
+            done = done.unionByName(nxt)
             frontier = nxt
+        und.unpersist(blocking=False)
         return done
 
 
@@ -3281,8 +3318,11 @@ def betweenness_contrib(
                 )
             )
             .distinct()
+            # persist, NOT localCheckpoint (round-14, cf. sp_counting):
+            # keeps the repartition visible so the per-level frontier
+            # join leaves the edge list stationary.  Released in-call.
             .repartition(n_part, "x")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         done = spark.createDataFrame(
             [(int(source), 0, 1)], "id bigint, dist int, sigma bigint"
@@ -3306,7 +3346,10 @@ def betweenness_contrib(
             )
             if nxt.count() == 0:
                 break
-            done = done.unionByName(nxt).localCheckpoint(eager=True)
+            # lazy union of per-level checkpoints (round-14, cf.
+            # sp_counting): saves one visited-set re-materialization
+            # job per level
+            done = done.unionByName(nxt)
             frontier = nxt
         lmax = done.agg(F.max("dist").alias("m")).collect()[0]["m"]
         dag = (
@@ -3334,8 +3377,12 @@ def betweenness_contrib(
                 "sigma_v",
                 "sigma_w",
             )
+            # persist (round-14): the v-hash partitioning stays visible,
+            # so each backward round — a broadcastable per-level join on
+            # w followed by groupBy(v) — aggregates in place with no
+            # exchange of the DAG.  Released in-call below.
             .repartition(n_part, "v")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         delta = (
             done.filter(F.col("dist") == lmax)
@@ -3390,6 +3437,8 @@ def betweenness_contrib(
             )
             delta = delta.unionByName(lvl)
             level_delta = lvl
+        und.unpersist(blocking=False)
+        dag.unpersist(blocking=False)
         return delta
 
 
@@ -3929,8 +3978,11 @@ def temporal_reach(
                 F.col(v_col).alias("v"),
                 F.col(t_col).cast("bigint").alias("t"),
             )
+            # persist, NOT localCheckpoint (round-14, cf. pagerank):
+            # keeps the repartition visible so each relaxation round's
+            # join leaves the edge list stationary.  Released in-call.
             .repartition(n_part, "u")
-            .localCheckpoint(eager=True)
+            .persist()
         )
         arr = spark.createDataFrame(
             [(int(source), 0)], "node bigint, arrival bigint"
@@ -3961,6 +4013,7 @@ def temporal_reach(
             ).select("node", "arrival").localCheckpoint(eager=True)
             arr = new
             if frontier.count() == 0:
+                e.unpersist(blocking=False)
                 break
         else:
             raise RuntimeError(
