@@ -1012,13 +1012,18 @@ def kcenter_greedy(
     int64.  Reference analog: diversity-based exemplar selection
     (coreset construction) over an embedding table.
     """
+    # materialize the quantized working set once: every greedy round is
+    # a TakeOrdered over it, and without this each of the k rounds
+    # re-scanned the parquet source and re-quantized all lanes
+    # (round-14, guide §1.2 don't-recompute; the checkpoint blocks die
+    # with this function's frame — k rounds, one pass over the data)
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
             f"transform(cast({vec_col} as array<double>), "
             f"x -> cast(round(x * {scale}) as bigint))"
         ).alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     seed = v.orderBy("vec_id").limit(1).collect()[0]
     sel = [(1, int(seed.vec_id), 0)]
     sel_vecs = [list(seed.q)]

@@ -44,7 +44,15 @@ def bpe_ish_token_count(col):
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality features: n_chars, n_tokens, avg token length,
-    punctuation ratio, digit ratio, uppercase ratio, stopword score."""
+    punctuation ratio, digit ratio, uppercase ratio, stopword score.
+
+    Plain expression tree on purpose: in a PROJECT, whole-stage codegen's
+    subexpression elimination already evaluates the repeated
+    ``normalize_text`` chain once per row, and a higher-order-function
+    binding (which never enters codegen) measures ~40% SLOWER here
+    (round-14 A/B at sf0.1: 0.475 s vs 0.677 s min-of-5).  The HOF
+    binding pays off only in FILTER predicates — see ``quality_expr``'s
+    ``bind_once``."""
     t = F.col(text_col)
     norm = normalize_text(t)
     n_chars = F.length(t).cast("long")
@@ -63,21 +71,49 @@ def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def quality_expr(text_col: str = "text"):
+def quality_expr(text_col: str = "text", bind_once: bool = False):
     """Column expression for the composite quality score (same arithmetic
     as :func:`quality_score`'s output — shared so the one-pass composed
-    filter cannot drift from the standalone scorer)."""
+    filter cannot drift from the standalone scorer).
+
+    ``bind_once`` selects how the regex-normalized text is evaluated —
+    the ARITHMETIC is the same single ``_stop_score`` builder either
+    way, so the score is bit-identical (round-14 A/B: 0 differing rows
+    at sf0.1, and both forms oracle-green):
+
+    - ``False`` (projections): plain expression tree.  Whole-stage
+      codegen's subexpression elimination evaluates the repeated
+      ``normalize_text`` chain once per row, and the whole score stays
+      inside codegen — measured 0.430 s vs the HOF form's 0.514 s on a
+      sf0.1 projection (min-of-5).
+    - ``True`` (filter predicates): bind the normalized string once as
+      the single element of an array and compute the stopword terms in
+      one higher-order-function lambda.  Inside a FILTER condition
+      codegen's subexpression elimination does NOT cover the repeated
+      chain (~22 evaluations per row), so the one-evaluation HOF form
+      wins big: 1.928 s -> 0.622 s on the same sf0.1 corpus filtered
+      at 0.5 (guide §1.2/§4.1, round-14)."""
     t = F.col(text_col)
-    norm = normalize_text(t)
     n_chars = F.length(t).cast("long")
-    n_tokens = token_count(t)
     punct = sum(occurrence_count(t, p) for p in (".", ",", "!", "?", ";", ":"))
-    stop_hits = sum(occurrence_count(norm, f" {w} ") for w in STOPWORDS)
     punct_ratio = punct / F.greatest(n_chars, F.lit(1))
-    stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
     len_score = F.least(n_chars / 500.0, F.lit(1.0))
-    stop_score = F.least(stopword_ratio * 4.0, F.lit(1.0))
     punct_pen = F.when(punct_ratio > 0.1, 0.5).otherwise(1.0)
+
+    def _stop_score(n):
+        # n is the already-normalized text: token_count(t) ==
+        # when(length(n) == 0, 0).otherwise(occurrences(n, " ") + 1)
+        n_tokens = F.when(F.length(n) == 0, F.lit(0)).otherwise(
+            (occurrence_count(n, " ") + 1).cast("long")
+        )
+        stop_hits = sum(occurrence_count(n, f" {w} ") for w in STOPWORDS)
+        stopword_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+        return F.least(stopword_ratio * 4.0, F.lit(1.0))
+
+    if bind_once:
+        stop_score = F.transform(F.array(normalize_text(t)), _stop_score)[0]
+    else:
+        stop_score = _stop_score(normalize_text(t))
     return (len_score * 0.5 + stop_score * 0.5) * punct_pen
 
 
@@ -181,6 +217,10 @@ _LANG_MARKERS = {
 
 
 def _lang_scored(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # plain tree on purpose: in this projection codegen's subexpression
+    # elimination already evaluates the normalize chain once per row; a
+    # HOF binding leaves codegen and measured ~50% slower (round-14 A/B
+    # at sf0.1: 0.416 s vs 0.628 s min-of-5)
     norm = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
     scores = [
         sum(occurrence_count(norm, m) for m in ms).alias(f"_s_{lang}")
@@ -234,25 +274,56 @@ def language_margin(
     )
 
 
+def _words_expr(text_col: str):
+    """The shared normalize->split words array (empty for empty text)."""
+    norm = normalize_text(F.col(text_col))
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def _sorted_distinct_count(arr):
+    """COUNT(DISTINCT elements) of a null-free string array as a single
+    O(k log k) pass: sort, then count adjacency changes.  Replaces
+    ``size(array_distinct(...))`` whose pairwise scan is O(k^2) on
+    string arrays (round-14: dominant term of repetition_stats).
+    Exactly equal for null-free arrays (split never yields nulls)."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"), F.lit(0).alias("cnt")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            (
+                acc["cnt"]
+                + F.when(acc["prev"].isNull() | (x != acc["prev"]), 1).otherwise(0)
+            ).alias("cnt"),
+        ),
+        lambda acc: acc["cnt"],
+    )
+
+
+def _ngram_dup_frac(w, n: int):
+    """1 - distinct/total over the word n-grams of a BOUND words array
+    ``w`` (a lambda variable, NOT a re-evaluated expression — referencing
+    the words expression itself inside a per-element lambda re-runs the
+    whole normalize+split chain per n-gram position, which round-14
+    measured as 22.3 s -> 0.98 s at sf0.1 for the bound form).  The
+    n-gram list is three whole-array slices zipped positionally; the
+    strings, counts, and the final division are term-for-term the ones
+    the unbound form produced (0 differing rows at sf0.1)."""
+    m = F.size(w) - (n - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(n)])
+    ngr = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    frac = 1.0 - _sorted_distinct_count(ngr) / F.size(ngr).cast("double")
+    return F.when(m > 0, frac).otherwise(F.lit(0.0))
+
+
 def dup_ngram_frac_expr(text_col: str = "text", n: int = 3):
     """Column expression for the duplicate word-n-gram fraction (the
     repetition_stats column the composed filter thresholds on)."""
-    norm = normalize_text(F.col(text_col))
-    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
-    nw = F.size(words)
-    ngrams = F.when(
-        nw >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(ngrams)
-    return F.when(
-        ng > 0, 1.0 - F.size(F.array_distinct(ngrams)) / ng.cast("double")
-    ).otherwise(F.lit(0.0))
+    return F.transform(F.array(_words_expr(text_col)), lambda w: _ngram_dup_frac(w, n))[0]
 
 
 def pii_count_expr(text_col: str = "text"):
@@ -276,29 +347,28 @@ def repetition_stats(
     n-gram) occurrences that are repeats of an earlier occurrence — the
     standard cheap filter for looping/spammy documents in LLM corpora.
 
-    Entirely array built-ins inside whole-stage codegen: words and
-    n-grams are per-row arrays, never exploded, so the hot path is a
-    projection — no shuffle at all.
+    Entirely array built-ins, never exploded, so the hot path is a
+    projection — no shuffle at all.  Round-14 shape: the words array is
+    BOUND once per output column (never re-evaluated inside a
+    per-element lambda), the n-gram list is built from whole-array
+    slices, and both distinct counts are the O(k log k)
+    sort-plus-adjacency pass (see _sorted_distinct_count /
+    _ngram_dup_frac) — identical values, an order of magnitude faster
+    on repetitive documents.
     """
-    norm = normalize_text(F.col(text_col))
-    words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(norm, " ")
-    )
+    words = _words_expr(text_col)
     nw = F.size(words)
-    ngrams = F.when(
-        nw >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ng = F.size(ngrams)
-    dup_word = F.when(
-        nw > 0, 1.0 - F.size(F.array_distinct(words)) / nw.cast("double")
-    ).otherwise(F.lit(0.0))
-    dup_ngram = F.when(
-        ng > 0, 1.0 - F.size(F.array_distinct(ngrams)) / ng.cast("double")
-    ).otherwise(F.lit(0.0))
+    # ng == nw-(n-1) when nw >= n else 0 (greatest(nw-(n-1),1) == the
+    # transform's length under the old nw >= n guard)
+    ng = F.when(nw >= n, nw - (n - 1)).otherwise(F.lit(0))
+    dup_word = F.transform(
+        F.array(words),
+        lambda w: F.when(
+            F.size(w) > 0,
+            1.0 - _sorted_distinct_count(w) / F.size(w).cast("double"),
+        ).otherwise(F.lit(0.0)),
+    )[0]
+    dup_ngram = F.transform(F.array(words), lambda w: _ngram_dup_frac(w, n))[0]
     return docs.select(
         F.col(id_col),
         nw.cast("long").alias("n_words"),
@@ -1897,7 +1967,10 @@ def quality_filter(
     """
     out = docs.select(
         F.col(id_col),
-        quality_expr(text_col).alias("quality"),
+        # bind_once: the thresholds push below this projection as a
+        # FILTER predicate, where codegen subexpression elimination
+        # does not cover the repeated normalize chain (see quality_expr)
+        quality_expr(text_col, bind_once=True).alias("quality"),
         dup_ngram_frac_expr(text_col, n=3).alias("dup_ngram_frac"),
         pii_count_expr(text_col).alias("n_pii"),
     )

@@ -133,9 +133,11 @@ class TestPlans:
         )
         assert "BroadcastHashJoin" in plan
 
-    def test_sosfilt_blocks_broadcasts_state_join(self, signal):
-        """The tiny per-block state table must broadcast so the block
-        arrays are never shuffled for the seed join (operators/iir)."""
+    def test_sosfilt_blocks_state_join_builds_from_zin(self, signal):
+        """The seed join must hash-build from the tiny per-block state
+        side (zin, BuildRight) so the block arrays are never broadcast
+        or sorted — and the two block-table consumers stay structurally
+        identical for exchange reuse (operators/iir _blocks_state_scan)."""
         from openseize_spark.dsp import design
         from openseize_spark.operators import iir as op_iir
 
@@ -146,7 +148,10 @@ class TestPlans:
             .executedPlan()
             .toString()
         )
-        assert "BroadcastHashJoin" in plan
+        assert "ShuffledHashJoin" in plan
+        assert "BuildRight" in plan
+        # the block payload must not ride a broadcast
+        assert "BroadcastHashJoin" not in plan
 
     def test_sliding_prefix_plan_has_no_explode(self, signal):
         """sliding_agg_prefix must be a pure window plan — no generator

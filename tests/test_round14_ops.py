@@ -455,3 +455,96 @@ def test_streaming_topk_matches_prefix_replay(spark, tmp_path):
         for r in entry.queries()["streaming_topk"](spark, d).collect()
     }
     assert got == want
+
+
+class TestTextExprRewrites:
+    """Round-14 optimization invariants for llm/text.py: the two
+    quality_expr forms and the bound/sorted n-gram rewrite must be
+    value-identical to the naive trees they replaced."""
+
+    CORPUS = [
+        (0, ""),
+        (1, "word"),
+        (2, "the the the the the the"),
+        (3, "a b a b a b a b a b a b"),
+        (4, "The quick brown fox, with the lazy dog; is that for real!"),
+        (5, "x " * 400),
+        (6, "one two three four five six seven eight nine ten " * 30),
+        (7, "  spaced   out\ttokens\nand the  rest  "),
+        (8, None),
+    ]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+
+    def test_quality_expr_forms_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from openseize_spark.llm import text as T
+
+        docs = self._docs(spark)
+        a = docs.select(
+            "doc_id", T.quality_expr("text", bind_once=False).alias("q")
+        )
+        b = docs.select(
+            "doc_id", T.quality_expr("text", bind_once=True).alias("q")
+        )
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_dup_ngram_matches_naive_tree(self, spark):
+        from pyspark.sql import functions as F
+
+        from openseize_spark.llm import text as T
+        from openseize_spark.llm.dedup import normalize_text
+
+        n = 3
+        norm = normalize_text(F.col("text"))
+        words = F.when(
+            F.length(norm) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(norm, " "))
+        nw = F.size(words)
+        ngrams = F.when(
+            nw >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nw - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        ng = F.size(ngrams)
+        naive = F.when(
+            ng > 0, 1.0 - F.size(F.array_distinct(ngrams)) / ng.cast("double")
+        ).otherwise(F.lit(0.0))
+
+        docs = self._docs(spark)
+        a = docs.select("doc_id", naive.alias("d"))
+        b = docs.select("doc_id", T.dup_ngram_frac_expr("text", n=n).alias("d"))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    def test_repetition_stats_sorted_distinct(self, spark):
+        from pyspark.sql import functions as F
+
+        from openseize_spark.llm import text as T
+
+        docs = self._docs(spark)
+        got = {
+            r.doc_id: (r.n_words, r.n_ngrams, r.dup_word_frac, r.dup_ngram_frac)
+            for r in T.repetition_stats(docs, n=3).collect()
+        }
+        # python replay of the documented semantics
+        import re
+
+        for doc_id, text in self.CORPUS:
+            if text is None:
+                assert got[doc_id][0] is None
+                continue
+            s = re.sub(r"\s+", " ", text.strip().lower())
+            ws = s.split(" ") if s else []
+            grams = (
+                [" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)]
+                if len(ws) >= 3
+                else []
+            )
+            dw = 1.0 - len(set(ws)) / len(ws) if ws else 0.0
+            dg = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+            exp = (len(ws), len(grams), dw, dg)
+            assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
