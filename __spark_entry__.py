@@ -6391,9 +6391,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         binc = F.floor(
             (cents * nb).cast("double") / F.lit(float(hi))
         ).cast("bigint")
-        bins = e.groupBy(
-            F.col("event_type"), binc.alias("bin")
-        ).agg(F.count("*").cast("bigint").alias("cnt"))
+        # three consumers (cum's probe side, the broadcast b2 copy, tot)
+        # — materialize the <= types*64-row aggregate once or each
+        # consumer rebuilds it from a full events scan (round-14 plan
+        # audit: 4 parquet scans -> 2; GC-released with the frame)
+        bins = (
+            e.groupBy(F.col("event_type"), binc.alias("bin"))
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
         tot = bins.groupBy("event_type").agg(
             F.sum("cnt").cast("bigint").alias("n")
         )

@@ -277,18 +277,30 @@ def chunk_dedup(
     words = F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
-    nw = F.size(words)
-    # tumbling windows: chunk i covers words [i*c+1, i*c+c], 0-indexed count
-    nchunks = F.ceil(nw / F.lit(float(chunk_words))).cast("int")
-    idx = F.when(nw > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    chunks = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.slice(words, i * chunk_words + 1, chunk_words)
-        ),
-    )
+
+    # tumbling windows: chunk i covers words [i*c+1, i*c+c], 0-indexed
+    # count.  The words array is BOUND once through the outer lambda
+    # (round-14): referencing the normalize+split expression inside the
+    # per-chunk lambda re-ran the whole chain once per chunk position
+    # (plus 3 more evaluations for nw/nchunks/idx) — same trap class as
+    # llm/text._ngram_dup_frac; identical strings either way.
+    def _chunks(w):
+        nw = F.size(w)
+        nchunks = F.ceil(nw / F.lit(float(chunk_words))).cast("int")
+        idx = F.when(nw > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * chunk_words + 1, chunk_words)
+            ),
+        )
+
+    chunks = F.transform(F.array(words), _chunks)[0]
+    # per-doc chunk count for the reassembly join's second docs pass
+    # (one words evaluation in that projection)
+    nchunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     exploded = (
         docs.filter(F.col(text_col).isNotNull())
