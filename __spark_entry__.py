@@ -7710,27 +7710,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
         h = sampling.salted_hash(F.col("user_id"), "kmv6")
 
-        def kset(t):
+        # one events scan per type: the distinct user sets feed BOTH the
+        # sketch legs and the exact legs (round-14 plan sweep: ~10
+        # events scans -> 2; every derived frame below is <= 32 rows or
+        # an aggregate, so the lazy checkpoints are bounded and
+        # GC-released with the result)
+        pa = (
+            e.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        pv = (
+            e.filter(F.col("event_type") == "view")
+            .select("user_id")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+
+        def kset(src):
             # distinct hashes -> TakeOrdered top-32 (per-partition
             # partial top-k + merge; no global window)
             return (
-                e.filter(F.col("event_type") == t)
-                .select("user_id")
-                .distinct()
-                .select(h.alias("_h"))
+                src.select(h.alias("_h"))
                 .distinct()
                 .orderBy("_h")
                 .limit(32)
+                .localCheckpoint(eager=False)
             )
 
-        sa = kset("purchase").withColumnRenamed("_h", "_ha")
-        sb = kset("view").withColumnRenamed("_h", "_hb")
+        sa = kset(pa).withColumnRenamed("_h", "_ha")
+        sb = kset(pv).withColumnRenamed("_h", "_hb")
         merged = (
             sa.select(F.col("_ha").alias("_h"))
             .union(sb.select(F.col("_hb").alias("_h")))
             .distinct()
             .orderBy("_h")
             .limit(32)
+            .localCheckpoint(eager=False)
         )
         theta = merged.agg(F.max("_h").cast("bigint").alias("_theta"))
         both = (
@@ -7742,15 +7759,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .agg(F.count("*").cast("bigint").alias("_m"))
         )
-        pa = e.filter(F.col("event_type") == "purchase").select("user_id")
-        pv = e.filter(F.col("event_type") == "view").select("user_id")
         exact_u = pa.union(pv).distinct().agg(
             F.count("*").cast("bigint").alias("u_exact")
         )
-        exact_i = (
-            pa.distinct()
-            .join(pv.distinct(), on="user_id")
-            .agg(F.count("*").cast("bigint").alias("i_exact"))
+        exact_i = pa.join(pv, on="user_id").agg(
+            F.count("*").cast("bigint").alias("i_exact")
         )
         u_est = (
             F.lit(31.0)

@@ -2121,8 +2121,14 @@ def rouge_n(
         F.explode(bi_arr).alias("gram"),
     )
     grams = uni.unionByName(bi)
-    gc = grams.groupBy("_id", "n", "gram").agg(
-        F.count("*").cast("bigint").alias("cnt")
+    # three consumers (overlap ref side, overlap cand side, totals) —
+    # materialize the per-doc gram counts once or each consumer rebuilds
+    # the full corpus explode+aggregate (round-14 plan sweep: 12 doc
+    # scans in rouge_pairs -> 4); GC-released with the frame
+    gc = (
+        grams.groupBy("_id", "n", "gram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
     )
     tot = gc.groupBy("_id", "n").agg(
         F.sum("cnt").cast("bigint").alias("total")

@@ -298,8 +298,10 @@ def filtfilt_blocks(
     zi = kernels.lfilter_zi(b, a)
     span = _channel_span(sf.df)
     fwd = lfilter_blocks(sf, b, a, block_size, zi_unit=zi)
+    # one boundary between the passes — see sosfiltfilt_blocks
+    fwd_df = fwd.df.localCheckpoint(eager=False)
     bwd = lfilter_blocks(
-        sf.with_df(_reverse_time(fwd.df, span)), b, a, block_size, zi_unit=zi
+        sf.with_df(_reverse_time(fwd_df, span)), b, a, block_size, zi_unit=zi
     )
     return sf.with_df(_reverse_time(bwd.df, span))
 
@@ -322,8 +324,15 @@ def sosfiltfilt_blocks(
     zi = kernels.sosfilt_zi(sos)
     span = _channel_span(sf.df)
     fwd = sosfilt_blocks(sf, sos, block_size, zi_unit=zi)
+    # materialize the forward output once: the backward state-scan
+    # consumes its input twice (zero-state pass + seeded-refilter join),
+    # and without a boundary each consumer re-inlines the ENTIRE forward
+    # pipeline — the round-14 plan sweep counted 14 source scans / 29
+    # exchanges for this query vs 4/8 for one pass (multiplicative
+    # re-inlining through composition).  GC-released with the frame.
+    fwd_df = fwd.df.localCheckpoint(eager=False)
     bwd = sosfilt_blocks(
-        sf.with_df(_reverse_time(fwd.df, span)), sos, block_size, zi_unit=zi
+        sf.with_df(_reverse_time(fwd_df, span)), sos, block_size, zi_unit=zi
     )
     return sf.with_df(_reverse_time(bwd.df, span))
 
