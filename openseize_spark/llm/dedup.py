@@ -3110,21 +3110,29 @@ def sssp_bounded(
                 )
                 .filter(F.col("dist") <= F.lit(int(budget)))
             )
-            new = (
-                dist.unionByName(cand)
+            # One aggregation computes BOTH the merged distance table and
+            # the improvement test: candidate rows carry _old = null,
+            # existing rows carry their distance, so per node
+            # min(dist) is the new tentative distance and min(_old) the
+            # previous one (null for first-seen nodes).  A single eager
+            # checkpoint materializes it; `new` and `frontier` are plain
+            # in-memory filters — one shuffle pipeline per round instead
+            # of the two this loop ran before (round-14, guide §1.2).
+            merged = (
+                dist.select("node", "dist", F.col("dist").alias("_old"))
+                .unionByName(
+                    cand.select(
+                        "node", "dist", F.lit(None).cast("bigint").alias("_old")
+                    )
+                )
                 .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
+                .agg(F.min("dist").alias("dist"), F.min("_old").alias("_old"))
                 .localCheckpoint(eager=True)
             )
-            frontier = new.join(
-                dist.select(
-                    "node", F.col("dist").alias("_old")
-                ),
-                on="node",
-                how="left",
-            ).filter(
+            new = merged.select("node", "dist")
+            frontier = merged.filter(
                 F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
-            ).select("node", "dist").localCheckpoint(eager=True)
+            ).select("node", "dist")
             dist = new
             if frontier.count() == 0:
                 break
