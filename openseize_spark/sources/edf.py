@@ -437,11 +437,16 @@ def write_edf_from_df(
     chans = sorted(r[0] for r in df.select("channel").distinct().collect())
     data = {}
     for ch in chans:
-        it = (
+        # one Arrow-batched job per channel: toLocalIterator after an
+        # orderBy launches a job per sort partition and ships rows one
+        # Py4J round-trip at a time — ~100 sequential mini-jobs for a
+        # 4-channel file; a per-channel toPandas is a single job with a
+        # columnar transfer and the same O(one channel) driver memory
+        pdf = (
             df.filter(F.col("channel") == ch)
             .orderBy("t")
             .select("v")
-            .toLocalIterator()
+            .toPandas()
         )
-        data[ch] = np.fromiter((r[0] for r in it), dtype=np.float64)
+        data[ch] = pdf["v"].to_numpy(dtype=np.float64)
     return write_edf(path, data, fs, physical_range, record_duration)
