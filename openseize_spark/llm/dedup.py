@@ -3825,8 +3825,11 @@ def sppmi_embed(
     pagerank/frontier shape), with the round state eagerly
     checkpointed because it feeds two consumers (the max-abs scalar
     and the renormalization — the twice-consumed-state discipline).
-    The max-abs scalar rides a broadcast crossJoin, never a driver
-    round-trip.  Rows with quantized SPPMI 0 drop in BOTH engines
+    The max-abs renormalizer is one exact decimal scalar per round,
+    fetched as control flow and inlined as a typed literal (the
+    kmeans-centroid precedent) so the renormalized state is a lazy
+    projection of the checkpointed round state — two jobs per round,
+    not three.  Rows with quantized SPPMI 0 drop in BOTH engines
     (they contribute nothing and sparsify hub rows).
 
     Returns (node, vu) — the embedding in ``unit`` units.
@@ -3884,19 +3887,30 @@ def sppmi_embed(
                 )
                 .localCheckpoint(eager=True)  # max + renorm consumers
             )
-            mx = raw.agg(F.max(F.abs(F.col("raw"))).alias("mx"))
-            state = (
-                raw.crossJoin(F.broadcast(mx))
-                .select(
-                    "node",
-                    F.expr(
-                        f"CASE WHEN raw < 0 THEN "
-                        f"-CAST(abs(raw) * {unit} div mx AS BIGINT) "
-                        f"ELSE CAST(abs(raw) * {unit} div mx AS BIGINT) "
-                        f"END"
-                    ).alias("vu"),
-                )
-                .localCheckpoint(eager=True)
+            # the max-abs renormalizer is ONE exact decimal scalar per
+            # round — fetch it as control flow (the kmeans-centroid
+            # precedent) instead of a broadcast crossJoin + a third
+            # materialization job: with the literal inlined, the
+            # renormalized state is a cheap projection of the
+            # checkpointed `raw` and its single consumer (next round's
+            # join / the final action) evaluates it in place.  The
+            # literal is CAST from a decimal string, so the `div`
+            # operand types — and therefore the integer-division
+            # semantics — are identical to the column form.
+            mxv = raw.agg(F.max(F.abs(F.col("raw"))).alias("mx")).first()["mx"]
+            mx_sql = (
+                f"CAST(NULL AS {dec})"
+                if mxv is None
+                else f"CAST('{int(mxv)}' AS {dec})"
+            )
+            state = raw.select(
+                "node",
+                F.expr(
+                    f"CASE WHEN raw < 0 THEN "
+                    f"-CAST(abs(raw) * {unit} div {mx_sql} AS BIGINT) "
+                    f"ELSE CAST(abs(raw) * {unit} div {mx_sql} AS BIGINT) "
+                    f"END"
+                ).alias("vu"),
             )
         m.unpersist()
         return state
