@@ -4031,21 +4031,32 @@ def temporal_reach(
                 .filter(F.col("t") >= F.col("arrival"))
                 .select(F.col("v").alias("node"), F.col("t").alias("arrival"))
             )
-            new = (
-                arr.unionByName(cand)
+            # one aggregation computes BOTH the merged arrival table and
+            # the improvement test (the sssp_bounded round fusion):
+            # existing rows carry _old = arrival, candidates null, so
+            # min(_old) is the previous arrival (null for first-seen
+            # nodes) — one eager checkpoint per round, `arr` and
+            # `frontier` are in-memory filters of it.
+            merged = (
+                arr.select("node", "arrival", F.col("arrival").alias("_old"))
+                .unionByName(
+                    cand.select(
+                        "node",
+                        "arrival",
+                        F.lit(None).cast("bigint").alias("_old"),
+                    )
+                )
                 .groupBy("node")
-                .agg(F.min("arrival").alias("arrival"))
+                .agg(
+                    F.min("arrival").alias("arrival"),
+                    F.min("_old").alias("_old"),
+                )
                 .localCheckpoint(eager=True)
             )
-            frontier = new.join(
-                arr.select("node", F.col("arrival").alias("_old")),
-                on="node",
-                how="left",
-            ).filter(
-                F.col("_old").isNull()
-                | (F.col("arrival") < F.col("_old"))
-            ).select("node", "arrival").localCheckpoint(eager=True)
-            arr = new
+            frontier = merged.filter(
+                F.col("_old").isNull() | (F.col("arrival") < F.col("_old"))
+            ).select("node", "arrival")
+            arr = merged.select("node", "arrival")
             if frontier.count() == 0:
                 e.unpersist(blocking=False)
                 break
