@@ -4750,7 +4750,19 @@ def dag_layers(edges: DataFrame, rounds: int = 8) -> DataFrame:
     (the stationary_markov fixed-rounds discipline).  Each round is one
     equi-join + one max-aggregate; the edge set is the only large
     input and should be checkpointed by the caller when it feeds all
-    rounds.  Returns the level histogram (lv, n_docs)."""
+    rounds.  Returns the level histogram (lv, n_docs).
+
+    The edge list is STATIONARY across all ``rounds`` joins, so it is
+    repartitioned on the join key and persisted (round-14: the
+    pagerank/temporal_reach discipline — a caller's localCheckpoint
+    ERASES partitioning from the planner, so every round was
+    re-shuffling the full edge list; the persisted repartition node
+    stays visible and only the |V|-row level table moves per round).
+    The rounds are lazy (zero in-call jobs), so the cache is released
+    with the returned result, not in-call.
+    """
+    n_part = edges.sparkSession.sparkContext.defaultParallelism
+    edges = edges.repartition(n_part, "a").persist()
     nodes = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))
@@ -4771,9 +4783,10 @@ def dag_layers(edges: DataFrame, rounds: int = 8) -> DataFrame:
             .groupBy("v")
             .agg(F.max("lv").alias("lv"))
         )
-    return lv.groupBy("lv").agg(
+    result = lv.groupBy("lv").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    return release_cache_with(result, edges)
 
 
 def dag_layers_oracle_sql(
