@@ -6894,38 +6894,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("a", "b")
         )
         sigs = dedup.minhash_signatures(docs, k=5, num_hashes=64, portable=True)
-        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True).select(
-            F.col("a").alias("_ca"), F.col("b").alias("_cb")
+        cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
+        # single-pass tagged union (round-14): the previous
+        # truth-LEFT-JOIN-candidates + separate n_cand aggregate
+        # consumed the candidate frame twice with incompatible
+        # exchanges, so the WHOLE sigs+banding pipeline executed twice
+        # (the executed plan held two identical 64-permutation
+        # signature aggregates).  Both truth and cand are distinct
+        # (a, b) sets by construction (truth via its groupBy, cand via
+        # minhash_lsh_pairs' trailing .distinct()), so tagging each
+        # side and max-merging on (a, b) yields n_true = Σ_t,
+        # n_cand = Σ_c and n_found = Σ_t·_c in ONE aggregation pass —
+        # candidates computed once, no pair join at all.  Exact int64
+        # counts; identical values for every input.
+        truth_t = truth.select(
+            "a", "b", F.lit(1).alias("_t"), F.lit(0).alias("_c")
         )
-        jt = truth.join(
-            cand,
-            (F.col("a") == F.col("_ca")) & (F.col("b") == F.col("_cb")),
-            "left",
+        cand_t = cand.select(
+            "a", "b", F.lit(0).alias("_t"), F.lit(1).alias("_c")
         )
-        hits = jt.agg(
-            F.count("*").cast("bigint").alias("n_true"),
-            F.sum(F.col("_ca").isNotNull().cast("bigint"))
-            .cast("bigint")
-            .alias("n_found"),
+        tagged = (
+            truth_t.unionByName(cand_t)
+            .groupBy("a", "b")
+            .agg(F.max("_t").alias("_t"), F.max("_c").alias("_c"))
         )
-        ncand = cand.agg(F.count("*").cast("bigint").alias("n_cand"))
-        return (
-            hits.crossJoin(F.broadcast(ncand))
-            .select(
-                "n_true",
-                "n_found",
-                "n_cand",
-                F.round(
-                    F.col("n_found").cast("double")
-                    / F.col("n_true").cast("double"),
-                    9,
-                ).alias("recall"),
-                F.round(
-                    F.col("n_found").cast("double")
-                    / F.col("n_cand").cast("double"),
-                    9,
-                ).alias("candidate_precision"),
-            )
+        return tagged.agg(
+            F.sum("_t").cast("bigint").alias("n_true"),
+            F.sum(F.col("_t") * F.col("_c")).cast("bigint").alias("n_found"),
+            F.sum("_c").cast("bigint").alias("n_cand"),
+        ).select(
+            "n_true",
+            "n_found",
+            "n_cand",
+            F.round(
+                F.col("n_found").cast("double")
+                / F.col("n_true").cast("double"),
+                9,
+            ).alias("recall"),
+            F.round(
+                F.col("n_found").cast("double")
+                / F.col("n_cand").cast("double"),
+                9,
+            ).alias("candidate_precision"),
         )
 
     q["lsh_recall"] = q_lsh_recall
