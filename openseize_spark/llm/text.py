@@ -2133,9 +2133,16 @@ def rouge_n(
     tot = gc.groupBy("_id", "n").agg(
         F.sum("cnt").cast("bigint").alias("total")
     )
+    # TWO consumers of the pair table (the overlap join and the
+    # pair×n skeleton), so without a checkpoint the whole upstream
+    # pair pipeline is planned twice — for the LSH-candidate callers
+    # (rouge_verify / bleu_verify) that re-executed the full
+    # signature+banding stack per consumer (round-14 plan sweep: the
+    # 64-permutation signature aggregate appeared twice).  The pair
+    # table is bounded by contract, so the lazy checkpoint is cheap.
     p = pairs.select(
         F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
-    )
+    ).localCheckpoint(eager=False)
     ov = (
         p.join(
             gc.select(
