@@ -2654,7 +2654,11 @@ def pagerank(
 
     Scale shape per iteration: one equi-join of the edge list against
     the rank table plus one short-key sum — the textbook distributed
-    PageRank step; the one-row node count rides broadcast cross joins.
+    PageRank step.  The node count is fetched once as a driver scalar
+    (control flow, the sppmi_embed/kmeans-centroid precedent) and the
+    two per-round constants ``S div n`` / ``(3S) div (20n)`` are inlined
+    as exact int64 literals — Python ``//`` on non-negative ints equals
+    Spark's ``div`` — so no broadcast join rides any round.
     Returns (id, degree, pagerank) with pagerank = units / scale.
     """
     from openseize_spark.session import small_intermediate_coalesce
@@ -2665,8 +2669,9 @@ def pagerank(
     ).union(edges.select(F.col(b_col).alias("x"), F.col(a_col).alias("y")))
     # the per-round intermediates are rank tables of |V| short rows —
     # coalesce them to advisory size (1-2 tasks) instead of 32-64
-    # near-empty tasks per round; checkpoints are EAGER so every round
-    # materializes inside this scope (AQE reads the conf at action time)
+    # near-empty tasks per round; the FINAL checkpoint below is the
+    # eager action that materializes every round inside this scope
+    # (AQE reads the conf at action time)
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     with small_intermediate_coalesce(edges.sparkSession):
         # cut the lineage once: every iteration re-references the edge
@@ -2676,21 +2681,27 @@ def pagerank(
         # discipline as connected_components.  persist, NOT
         # localCheckpoint (round-14 fix): a checkpoint ERASES the hash
         # partitioning from the planner (the random_walks gotcha), so
-        # every iteration's contribution join was re-shuffling the full
+        # every iteration's contribution join would re-shuffle the full
         # edge list; the persisted repartition node stays visible and
         # only the |V|-row rank table moves per round — one |E| shuffle
-        # total instead of one per iteration.  The cache is released
-        # in-call after the last round materializes (every round's
-        # state is an EAGER checkpoint), so no CacheManager entry
+        # total.  The cache is released in-call after the final
+        # checkpoint materializes every round, so no CacheManager entry
         # outlives the call and bench reps can never reuse it.
         und = und.repartition(n_part, "x").persist()
         deg = und.groupBy("x").agg(F.count("*").alias("deg")).localCheckpoint(
             eager=True
         )
-        n_df = deg.agg(F.count("*").alias("n"))
-        ranks = deg.crossJoin(F.broadcast(n_df)).select(
-            "x", "deg", F.expr(f"{S} div n").alias("u")
-        )
+        n = deg.count()
+        # iters is fixed and the state chain is LINEAR (each round's
+        # ranks feeds exactly the next round; und/deg are materialized
+        # leaves), so the rounds stay LAZY and ONE eager checkpoint at
+        # the end executes all of them in a single multi-stage job —
+        # round-15 change: the former per-round eager checkpoint +
+        # per-round 1-row broadcast cost ~4 scheduler round-trips per
+        # iteration (43 -> 27 jobs at sf0.1, value-identical).
+        u0 = S // n if n else 0
+        base = (3 * S) // (20 * n) if n else 0
+        ranks = deg.select("x", "deg", F.lit(u0).cast("bigint").alias("u"))
         for _ in range(iters):
             contrib = (
                 und.join(
@@ -2699,19 +2710,14 @@ def pagerank(
                 .groupBy("y")
                 .agg(F.sum("c").alias("s"))
             )
-            ranks = (
-                deg.join(contrib, deg.x == contrib.y)
-                .crossJoin(F.broadcast(n_df))
-                .select(
-                    "x",
-                    "deg",
-                    (
-                        F.expr(f"(3 * {S}) div (20 * n)")
-                        + F.expr("(17 * s) div 20")
-                    ).alias("u"),
-                )
-                .localCheckpoint(eager=True)
+            ranks = deg.join(contrib, deg.x == contrib.y).select(
+                "x",
+                "deg",
+                (F.lit(base).cast("bigint") + F.expr("(17 * s) div 20")).alias(
+                    "u"
+                ),
             )
+        ranks = ranks.localCheckpoint(eager=True)
         und.unpersist(blocking=False)
     return ranks.select(
         F.col("x").alias("id"),
