@@ -34,18 +34,29 @@ def phase_events(
 ) -> DataFrame:
     """Samples where phase is within tol of target (rising alignment).
 
-    analytic_phase: (recording_id, channel, t, phase).  Keeps the first
-    sample of each contiguous within-tolerance run (the crossing), via a
-    lag on the in-tolerance flag."""
-    from pyspark.sql import Window
+    analytic_phase: (recording_id, channel, t, phase) with ``t`` the
+    DENSE, UNIQUE per-(recording, channel) sample index (the contract
+    every sampled-signal frame in this engine satisfies).  Keeps the
+    first sample of each contiguous within-tolerance run (the
+    crossing): a run's first sample is exactly an in-tolerance sample
+    whose predecessor ``t - 1`` is not in tolerance (or absent — the
+    stream edge, matching the old lag default).
 
-    w = Window.partitionBy("recording_id", "channel").orderBy("t")
-    inside = (F.abs(F.col("phase") - target) <= tol)
-    df = analytic_phase.withColumn("_in", inside)
-    first = df.withColumn("_prev", F.lag("_in", 1, False).over(w)).filter(
-        F.col("_in") & ~F.col("_prev")
+    Round-15 shape change (same values): the former lag window sorted
+    and shuffled the ENTIRE series; with dense t the predecessor test
+    is membership of ``t - 1`` in the in-tolerance set, so only the
+    in-tolerance rows (a tol-sized fraction of the corpus) ever reach
+    a shuffle — a filter plus a self anti-join on tiny sets instead of
+    a full-series sort."""
+    intol = analytic_phase.filter(
+        F.abs(F.col("phase") - target) <= tol
+    ).select("recording_id", "channel", "t")
+    succ = intol.select(
+        "recording_id", "channel", (F.col("t") + 1).alias("t")
     )
-    return first.select("recording_id", "channel", F.col("t").alias("event_t"))
+    return intol.join(
+        succ, on=["recording_id", "channel", "t"], how="left_anti"
+    ).select("recording_id", "channel", F.col("t").alias("event_t"))
 
 
 def event_window_gather(
@@ -104,23 +115,35 @@ def pac_estimate(
 ) -> DataFrame:
     """Phase-locked mean squared amplitude per within-window offset
     (reference: estimators.py:200-230).  Windows clipped by stream edges
-    are discarded (reference discards short windows)."""
-    from pyspark.sql import Window
+    are discarded (reference discards short windows).
 
-    g = event_window_gather(amplitude, events, window)
-    # completeness via an analytic count — one pass over the gathered
-    # rows instead of a groupBy + semi-join re-derivation of the subtree.
-    # event_window_gather spans [event_t - window//2, event_t + window//2),
-    # which holds 2*(window//2) samples — for odd window that is window-1,
-    # so the filter must use the span size, not `window`, or every odd-
-    # window estimate would be discarded as incomplete.
-    full_span = 2 * (window // 2)
-    wn = Window.partitionBy("recording_id", "channel", "event_t")
-    gc = g.withColumn("_n", F.count("*").over(wn)).filter(
-        F.col("_n") == full_span
+    ``amplitude.t`` must be the DENSE, UNIQUE per-(recording, channel)
+    sample index (every sampled-signal frame here is).  Under that
+    contract a window [event_t - w/2, event_t + w/2) gathers its full
+    2*(w//2) samples — for odd window that is window-1, so the span
+    size, not ``window``, is the completeness bar — exactly when it
+    lies inside the channel's [min(t), max(t)] range, so edge-clipped
+    events are dropped BEFORE the gather by a broadcast join against
+    the per-channel t-bounds (one map-side-combined agg).  The former
+    shape counted gathered rows per event through an analytic window —
+    a full shuffle+sort of the gathered stream (|events| x window
+    rows), replaced here by a tiny bounds table and a pre-filter that
+    also shrinks the gather itself (round 15, same values)."""
+    half = window // 2
+    bounds = amplitude.groupBy("recording_id", "channel").agg(
+        F.min("t").alias("_tmin"), F.max("t").alias("_tmax")
     )
+    complete = (
+        events.join(F.broadcast(bounds), on=["recording_id", "channel"])
+        .filter(
+            (F.col("event_t") - half >= F.col("_tmin"))
+            & (F.col("event_t") + half - 1 <= F.col("_tmax"))
+        )
+        .select("recording_id", "channel", "event_t")
+    )
+    g = event_window_gather(amplitude, complete, window)
     return (
-        gc.groupBy("recording_id", "channel", "offset")
+        g.groupBy("recording_id", "channel", "offset")
         .agg(
             F.avg(F.col("v") * F.col("v")).alias("mean_sq_amp"),
             F.count("*").alias("n_events"),
