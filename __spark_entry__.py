@@ -10722,11 +10722,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         cand = dedup.minhash_lsh_pairs(sigs, bands=8, portable=True)
         dup = dedup.jaccard_verify(docs, cand, k=5, threshold=0.8)
-        edges = (
-            dup.select("a", "b")
-            .filter(F.col("a") < F.col("b"))
-            .localCheckpoint(eager=True)
-        )
+        # no caller-side checkpoint: dag_layers owns edge
+        # materialization (repartition + persist) since round 14; an
+        # eager checkpoint here would both run a redundant in-builder
+        # job and ERASE the partitioning dag_layers establishes
+        edges = dup.select("a", "b").filter(F.col("a") < F.col("b"))
         return dedup.dag_layers(edges, rounds=8)
 
     q["dag_layers"] = q_dag_layers
@@ -19113,19 +19113,30 @@ def oracle_sql() -> dict[str, str]:
           JOIN sz2 zb ON zb.doc_id = i2.b
           WHERE CAST(i2.i AS DOUBLE)
                 / CAST(za.n + zb.n - i2.i AS DOUBLE) >= 0.8
+        ), tagged AS (
+          -- mirror of the engine's single-pass tagged union (round 15,
+          -- per ADVICE): identical to the former truth-LEFT-JOIN-cand +
+          -- separate n_cand count on every non-degenerate input, and
+          -- identical on the degenerate zero-truth corpus too (the old
+          -- left-join form read n_found = NULL there while the engine
+          -- reads 0)
+          SELECT a, b, max(_t) AS _t, max(_c) AS _c FROM (
+            SELECT a, b, 1 AS _t, 0 AS _c FROM truth
+            UNION ALL
+            SELECT a, b, 0 AS _t, 1 AS _c FROM cand
+          ) GROUP BY a, b
         ), hits AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_true,
-                 CAST(sum(CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_found
-          FROM truth t
-          LEFT JOIN cand c ON c.a = t.a AND c.b = t.b
-        ), nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand)
+          SELECT CAST(sum(_t) AS BIGINT) AS n_true,
+                 CAST(sum(_t * _c) AS BIGINT) AS n_found,
+                 CAST(sum(_c) AS BIGINT) AS n_cand
+          FROM tagged
+        )
         SELECT n_true, n_found, n_cand,
                round(CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE), 9)
                  AS recall,
                round(CAST(n_found AS DOUBLE) / CAST(n_cand AS DOUBLE), 9)
                  AS candidate_precision
-        FROM hits CROSS JOIN nc"""
+        FROM hits"""
     )
 
     o["dim_truncation_recall"] = """

@@ -4754,9 +4754,12 @@ def dag_layers(edges: DataFrame, rounds: int = 8) -> DataFrame:
     ``rounds`` — a chain deeper than that reports ``rounds`` — which
     makes the result a deterministic spec independent of convergence
     (the stationary_markov fixed-rounds discipline).  Each round is one
-    equi-join + one max-aggregate; the edge set is the only large
-    input and should be checkpointed by the caller when it feeds all
-    rounds.  Returns the level histogram (lv, n_docs).
+    equi-join + one max-aggregate; the edge set is the only large input
+    and THIS function owns its materialization (repartition + persist
+    below) — callers should pass the raw lazy edge plan, not a
+    checkpoint (a caller-side localCheckpoint wastes a job and erases
+    the partitioning re-established here).  Returns the level
+    histogram (lv, n_docs).
 
     The edge list is STATIONARY across all ``rounds`` joins, so it is
     repartitioned on the join key and persisted (round-14: the
@@ -4765,7 +4768,12 @@ def dag_layers(edges: DataFrame, rounds: int = 8) -> DataFrame:
     re-shuffling the full edge list; the persisted repartition node
     stays visible and only the |V|-row level table moves per round).
     The rounds are lazy (zero in-call jobs), so the cache is released
-    with the returned result, not in-call.
+    with the returned result, not in-call.  A consumer that folds the
+    result into a larger lazy plan and drops the intermediate at
+    return should anchor it with ``tie_lifetime`` (see
+    release_cache_with's composition nuance), or the edge cache can
+    release before the outer action runs and the rounds recompute the
+    edge plan per join.
     """
     n_part = edges.sparkSession.sparkContext.defaultParallelism
     edges = edges.repartition(n_part, "a").persist()

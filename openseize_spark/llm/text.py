@@ -2140,6 +2140,10 @@ def rouge_n(
     # signature+banding stack per consumer (round-14 plan sweep: the
     # 64-permutation signature aggregate appeared twice).  The pair
     # table is bounded by contract, so the lazy checkpoint is cheap.
+    # Caveat (ADVICE r14): a localCheckpoint pins the pair table
+    # unreplicated on executors and truncates lineage — executor loss
+    # after materialization fails the job instead of recomputing; fine
+    # for a bounded control table, part of the documented trade.
     p = pairs.select(
         F.col(ref_col).alias("ref_id"), F.col(cand_col).alias("cand_id")
     ).localCheckpoint(eager=False)
