@@ -792,20 +792,22 @@ def kmeans_fit(
 
     for _ in range(n_iter):
         a = _assign(cents)
+        # collect the k*dim (cell, pos, avg) rows straight from the
+        # first-level aggregate and assemble vectors driver-side: the
+        # former second groupBy (collect_list + array_sort per cell)
+        # added one exchange per iteration purely to reshape k*dim rows
+        # the driver was about to collect anyway (round 15; the avg
+        # values are the identical partial/final aggregate either way)
         newc = (
             a.select("cell_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
             .agg(F.avg("val").alias("val"))
-            .groupBy("cell_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s["val"],
-                ).alias("cvec")
-            )
         )
+        bycell: dict[int, dict[int, float]] = {}
+        for r in newc.collect():
+            bycell.setdefault(r.cell_id, {})[r.pos] = r.val
         cents = sorted(
-            ((r.cell_id, list(r.cvec)) for r in newc.collect()), key=lambda t: t[0]
+            (cid, [d[p] for p in sorted(d)]) for cid, d in bycell.items()
         )
 
     spark = emb.sparkSession
