@@ -131,6 +131,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _drain_stream(spark, out, qname: str, available_now: bool = False):
+    """Run a bounded gate stream to completion into a memory sink under
+    fixture-sized state partitioning (streaming/windows.py
+    bounded_state_partitions): stateful operators commit one state
+    store per shuffle partition per micro-batch, so the session/driver
+    default (32/200 partitions) pays 8-50x the fixed commit cost these
+    few-thousand-row fixtures need — measured 9.3 s -> 2.7 s on
+    streaming_join at sf0.01.  Values are partition-count invariant
+    (hash-partitioned state; the invariance probe covers the float
+    aggs).  Trigger semantics are the caller's and unchanged."""
+    from openseize_spark.streaming.windows import bounded_state_partitions
+
+    with bounded_state_partitions(spark):
+        w = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        sq = w.start()
+        sq.processAllAvailable()
+        sq.stop()
+
+
 def _ring_vnodes(n_shards: int, vnodes_per_shard: int):
     """Consistent-hash ring constants for q_consistent_hash_ring:
     (vnode_hash, shard) sorted by hash, computed driver-side with the
@@ -3475,15 +3500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.unix_micros("c_ts") - F.unix_micros("v_ts")).alias("gap_us"),
         )
         qname = "gate_streaming_join"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname, available_now=True)
         return spark.sql(f"SELECT * FROM {qname}")
 
     q["streaming_join"] = q_streaming_join
@@ -3707,14 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_sosfilt(stream, sosd.sos)
         qname = "gate_streaming_sosfilt"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.sql(f"SELECT channel, t, v FROM {qname}")
 
     q["streaming_sosfilt"] = q_streaming_sosfilt
@@ -3771,14 +3781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream, target_cents=10000, slack_cents=2000, h_cents=100000
         )
         qname = "gate_streaming_cusum"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.sql(f"SELECT user_id, event_id, s, alarm FROM {qname}")
 
     q["streaming_cusum"] = q_streaming_cusum
@@ -3841,14 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_hll(stream, b=b)
         qname = "gate_streaming_hll"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         res = spark.table(qname)
         raw = F.lit(alpha * m * m * float(1 << 32)) / F.col("sum_units")
         est = F.when(
@@ -4014,14 +4010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = spark.readStream.schema(staged.schema).parquet(d)
         out = streaming_exact_dedup(stream, watermark="30 days")
         qname = "gate_streaming_dedup"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.sql(f"SELECT text FROM {qname}").select(
             F.md5(dedup.normalize_text(F.col("text"))).alias("fp")
         )
@@ -7357,14 +7346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             stream, capacity_tokens=5, us_per_microtoken=60
         )
         qname = "gate_streaming_rate_limit"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.sql(
             f"SELECT user_id, event_id, tokens_after, accepted FROM {qname}"
         )
@@ -14312,14 +14294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_page_hinkley(stream)
         qname = "gate_streaming_ph"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.sql(
             f"SELECT event_type, event_id, exc_units, alarm"
             f" FROM {qname}"
@@ -14905,14 +14880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = streaming_topk(stream, k=8, seed="tk")
         qname = "gate_streaming_topk"
-        sq = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .start()
-        )
-        sq.processAllAvailable()
-        sq.stop()
+        _drain_stream(spark, out, qname)
         return spark.table(qname).select(
             "event_type", "batch_idx", "rank", "event_id", "priority"
         )
