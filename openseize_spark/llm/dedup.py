@@ -3224,6 +3224,19 @@ def sp_counting(
             "id", "dist", F.col("sigma").cast(dec).alias("sigma")
         ).localCheckpoint(eager=True)
         frontier = done
+        # round 15: the levels run LAZY — each per-level checkpoint is
+        # eager=False (still a persist, so within the one closing job a
+        # level computes once and its anti-join/union consumers read the
+        # stored blocks) and ALL max_hops levels are built
+        # unconditionally: past the graph's reach a frontier is empty,
+        # every later level joins/aggregates empty frames, and the
+        # union is row-identical to the early-exited one — so the
+        # per-level count() action (whose only job was the early exit)
+        # and the per-level eager materialization both disappear.  One
+        # eager checkpoint at the end executes the whole BFS as a
+        # single multi-stage job (2*max_hops+1 -> 1 actions), and must
+        # run BEFORE the edge cache releases or the returned plan would
+        # recompute und from `edges` per level.
         for hop in range(1, max_hops + 1):
             nxt = (
                 und.join(
@@ -3238,17 +3251,11 @@ def sp_counting(
                 .select(
                     "id", F.lit(hop).cast("int").alias("dist"), "sigma"
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.count() == 0:
-                break
-            # done stays a LAZY union of the per-level checkpoints: the
-            # anti-join and the returned frame read the small
-            # materialized levels directly, saving one
-            # re-materialization job of the whole visited set per level
-            # (round-14; the union tree depth is bounded by max_hops)
             done = done.unionByName(nxt)
             frontier = nxt
+        done = done.localCheckpoint(eager=True)
         und.unpersist(blocking=False)
         return done
 
@@ -3322,11 +3329,13 @@ def betweenness_contrib(
     per-source dependency at 4 hops.
 
     Plan shape: the forward loop is :func:`sp_counting`'s (one
-    equi-join + sum-agg + anti-join per level, eager per-round
-    checkpoints); the DAG successor list is materialized ONCE
-    (und ⋈ levels ⋈ levels, repartitioned on v) and each backward
-    round is one filtered equi-join + integer sum over it.  The only
-    driver-side value is the bounded max-level scalar.
+    equi-join + sum-agg + anti-join per level, lazy per-round
+    checkpoints executed as one job at the lmax aggregate); the DAG
+    successor list is materialized ONCE (und ⋈ levels ⋈ levels,
+    repartitioned on v) and each backward round is one filtered
+    equi-join + integer sum over it, the rounds lazy with one closing
+    checkpoint.  The only driver-side value is the bounded max-level
+    scalar.
 
     Returns (id, dist, delta_units) for every reached node.
     """
@@ -3356,6 +3365,14 @@ def betweenness_contrib(
             "id", "dist", F.col("sigma").cast(dec).alias("sigma")
         ).localCheckpoint(eager=True)
         frontier = done
+        # round 15 (cf. sp_counting): lazy per-level checkpoints, all
+        # max_hops levels built unconditionally (empty frontiers past
+        # the graph's reach contribute empty frames — row-identical to
+        # the early-exited union), so the forward BFS executes as ONE
+        # job at the lmax aggregate below instead of two actions per
+        # level; the lazy checkpoints persist each level on first
+        # compute, so the anti-joins and the dag build read stored
+        # blocks, never recompute
         for hop in range(1, max_hops + 1):
             nxt = (
                 und.join(
@@ -3368,13 +3385,8 @@ def betweenness_contrib(
                 .select(
                     "id", F.lit(hop).cast("int").alias("dist"), "sigma"
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.count() == 0:
-                break
-            # lazy union of per-level checkpoints (round-14, cf.
-            # sp_counting): saves one visited-set re-materialization
-            # job per level
             done = done.unionByName(nxt)
             frontier = nxt
         lmax = done.agg(F.max("dist").alias("m")).collect()[0]["m"]
@@ -3415,9 +3427,16 @@ def betweenness_contrib(
             .select(
                 "id", "dist", F.lit(0).cast(dec).alias("delta_units")
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         level_delta = delta
+        # the backward sweep is a FIXED linear chain once lmax is known
+        # (level h depends only on level h+1), so the rounds stay lazy
+        # (each level's checkpoint persists on first compute, serving
+        # both its union arm and the next round) and the single eager
+        # checkpoint after the loop executes the whole sweep in one
+        # job — it must materialize before und/dag unpersist or the
+        # returned plan would recompute them per level (round 15)
         for h in range(int(lmax) - 1, -1, -1):
             contrib = (
                 dag.filter(F.col("dist_v") == h)
@@ -3459,10 +3478,11 @@ def betweenness_contrib(
                         F.col("delta_units"), F.lit(0).cast(dec)
                     ).alias("delta_units"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             delta = delta.unionByName(lvl)
             level_delta = lvl
+        delta = delta.localCheckpoint(eager=True)
         und.unpersist(blocking=False)
         dag.unpersist(blocking=False)
         return delta
