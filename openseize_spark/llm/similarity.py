@@ -318,7 +318,20 @@ def ivf_assign(
     IVF index).  Centroids are tiny and broadcast; distance is squared L2
     via the dot-product identity d2 = <v,v> - 2<v,c> + <c,c> so both the
     Spark and the SQL-oracle sides accumulate in identical order.
-    Returns the input plus (cell_id, _v, _n) columns."""
+    Returns the input plus (_v, cell_id) columns.
+
+    Round-15 shape change (same values): the former row_number window
+    over the ncells-way crossJoin SHUFFLED AND SORTED the ncells-times-
+    amplified corpus just to pick each vector's minimum.  The argmin is
+    now ``min(struct(_d2, cell_id, <payload>))`` — struct ordering
+    compares d2 first, then cell_id, exactly the old ``orderBy(_d2,
+    cell_id) rk = 1`` rule, and (d2, cell_id) is unique per vector so
+    the payload fields are never compared — whose partial aggregation
+    collapses the amplification MAP-SIDE (the crossJoin keeps each
+    vector's ncells rows consecutive in one partition), so the exchange
+    moves one row per vector instead of ncells sorted rows.  Caveat
+    inherited from min(): every carried input column must be an
+    orderable type (arrays/atomics are; maps are not)."""
     e = emb.withColumn("_v", F.col(vec_col).cast("array<double>"))
     c = centroids.select(
         F.col(cell_id_col), F.col(cvec_col).cast("array<double>").alias("_c")
@@ -329,11 +342,14 @@ def ivf_assign(
         - 2 * _dot(F.col("_v"), F.col("_c"))
         + _dot(F.col("_c"), F.col("_c")),
     )
-    w = Window.partitionBy(id_col).orderBy("_d2", cell_id_col)
-    return (
-        j.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_d2", "_c")
+    payload = [x for x in emb.columns if x != id_col] + ["_v"]
+    ag = j.groupBy(id_col).agg(
+        F.min(F.struct("_d2", cell_id_col, *payload)).alias("_b")
+    )
+    return ag.select(
+        id_col,
+        *[F.col(f"_b.{x}").alias(x) for x in payload],
+        F.col(f"_b.{cell_id_col}").alias(cell_id_col),
     )
 
 
