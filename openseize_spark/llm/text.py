@@ -1665,7 +1665,6 @@ def bm25_topk(
         .localCheckpoint(eager=False)
     )
     dl = dw.groupBy("_id").agg(F.sum("tf").alias("_dl"))
-    df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
     stats = dl.agg(
         F.count("*").alias("_n"), F.sum("_dl").alias("_tot")
     )
@@ -1675,6 +1674,19 @@ def bm25_topk(
         for w in dict.fromkeys(text.lower().split())
     ]
     qt = spark.createDataFrame(qrows, "query_id long, word string")
+    # df only for QUERY-TERM words (round 15, guide "aggregate what you
+    # need"): the scored join consumes df solely through the qt join,
+    # so pre-filtering dw by the query vocabulary — a codegen isin over
+    # the tiny driver-side word list, no extra join or broadcast —
+    # before the word-keyed aggregation shrinks it from the full corpus
+    # vocabulary to the posting lists actually touched; df values for
+    # those words are unchanged (the filter is on the group key)
+    qword_list = sorted({w for _, w in qrows})
+    df_tbl = (
+        dw.filter(F.col("word").isin(qword_list))
+        .groupBy("word")
+        .agg(F.count("*").alias("_df"))
+    )
     avgdl = F.col("_tot").cast("double") / F.col("_n").cast("double")
     idf = F.log(
         ((F.col("_n") - F.col("_df")).cast("double") + F.lit(0.5))
@@ -1752,7 +1764,6 @@ def rrf_fusion(
         .agg(F.count("*").alias("tf"))
         .localCheckpoint(eager=False)
     )
-    df_tbl = dw.groupBy("word").agg(F.count("*").alias("_df"))
     n_docs = dw.select("_id").distinct().agg(F.count("*").alias("_n"))
     qrows = [
         (int(qid), w)
@@ -1760,6 +1771,15 @@ def rrf_fusion(
         for w in dict.fromkeys(qtext.lower().split())
     ]
     qt = spark.createDataFrame(qrows, "query_id long, word string")
+    # df only for query-term words (round 15, same as bm25_topk: the
+    # tf_scored join consumes df solely through the qt join; codegen
+    # isin over the tiny driver-side word list)
+    qword_list = sorted({w for _, w in qrows})
+    df_tbl = (
+        dw.filter(F.col("word").isin(qword_list))
+        .groupBy("word")
+        .agg(F.count("*").alias("_df"))
+    )
     idf_units = F.round(
         F.log(F.col("_n").cast("double") / F.col("_df").cast("double")) * scale,
         0,
