@@ -1361,6 +1361,26 @@ def source_overlap_oracle_sql(n: int = 8) -> str:
         JOIN tot tb ON shared.source_b = tb.source"""
 
 
+def _fanout_by_id(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition ``df`` on its id ONLY when the incoming plan is
+    under-parallel (fewer partitions than defaultParallelism).
+
+    The shingle/verify builders need their row-amplified explode spread
+    across the cluster, and a COMPACT local scan (one file, few row
+    groups) otherwise funnels it into a handful of tasks — but the
+    repartition moves the full TEXT payload, and at 100 TB the scan
+    already carries thousands of splits, so an unconditional shuffle
+    of the corpus bytes is pure waste (round 15; the guide's "keep
+    scale-dependent partitioning adaptive, not tuned for local").
+    Values are partitioning-invariant downstream (exact-integer min
+    aggs / set ops — the 32/7 invariance probes pin this), so the
+    branch is plan-only."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n_part:
+        return df
+    return df.repartition(n_part, F.col(id_col))
+
+
 def _shingle_expr(text_norm, k: int):
     n = F.length(text_norm)
     return F.array_distinct(
@@ -1410,19 +1430,19 @@ def minhash_signatures(
     """
     a, b = _perm_params(num_hashes)
     norm = normalize_text(F.col(text_col))
-    # Repartition BEFORE the shingle explode: a compact documents scan
-    # (one file / few row groups) otherwise leaves the ~text_len×
-    # row-amplified explode and the 64 min-aggregations in a handful of
-    # tasks.  The count must be explicit — AQE sizes partitions by the
-    # pre-explode bytes (tiny) and would coalesce right back to one task.
-    # Keying by id makes the groupBy's partial agg the final agg
-    # (rows for one doc never split), so the explode output itself never
-    # shuffles.  The null filter must be this cheap column test: a
-    # size(shingles) > 0 predicate gets pushed below the repartition and
-    # re-runs the whole shingle build single-task.
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.filter(F.col(text_col).isNotNull()).repartition(
-        n_part, F.col(id_col)
+    # Fan out BEFORE the shingle explode (conditional — see
+    # _fanout_by_id): a compact documents scan (one file / few row
+    # groups) otherwise leaves the ~text_len× row-amplified explode and
+    # the 64 min-aggregations in a handful of tasks.  The count must be
+    # explicit — AQE sizes partitions by the pre-explode bytes (tiny)
+    # and would coalesce right back to one task.  Keying by id makes
+    # the groupBy's partial agg the final agg (rows for one doc never
+    # split), so the explode output itself never shuffles.  The null
+    # filter must be this cheap column test: a size(shingles) > 0
+    # predicate gets pushed below the repartition and re-runs the whole
+    # shingle build single-task.
+    docs = _fanout_by_id(
+        docs.filter(F.col(text_col).isNotNull()), id_col
     )
     # Shingles as explode(index range) + substring-per-row: no per-doc
     # array materialization, no array_distinct — MIN over duplicate
@@ -1563,10 +1583,8 @@ def jaccard_verify(
     )
     docs = docs.join(cand_ids, on=id_col, how="left_semi")
     # fan the per-doc shingle-set build out of the compact scan's few
-    # input partitions (same rationale as minhash_signatures)
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    # input partitions when under-parallel (see _fanout_by_id)
+    docs = _fanout_by_id(docs, id_col)
     sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
         "sh", _shingle_expr(F.col("_txt"), k)
     ).select(id_col, "sh")
@@ -1615,9 +1633,7 @@ def containment_verify(
         .distinct()
     )
     docs = docs.join(cand_ids, on=id_col, how="left_semi")
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    docs = _fanout_by_id(docs, id_col)
     sh = docs.select(F.col(id_col), norm.alias("_txt")).withColumn(
         "sh", _shingle_expr(F.col("_txt"), k)
     ).select(id_col, "sh")
@@ -1847,9 +1863,7 @@ def simhash(
     norm = normalize_text(F.col(text_col))
     # same compact-scan fan-out as minhash_signatures: spread the token
     # explode + 32 sum-aggregations across tasks, partial agg == final
-    docs = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    docs = _fanout_by_id(docs, id_col)
     toks = docs.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("tok")).filter(
         F.length("tok") > 0
     )
