@@ -471,10 +471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is a conditional min-timestamp aggregate joined on the user key;
         the one-row step counts combine via broadcast cross joins."""
         e = _events(spark, sf_dir)
+        # v and c each feed TWO consumers (the next funnel stage and
+        # their step count), so without checkpoints the events scan +
+        # per-step aggregation chain re-executed per consumer — 6
+        # events scans in the plan (round 15; lazy, GC-released,
+        # per-user aggregates far smaller than the events table)
         v = (
             e.filter(F.col("event_type") == "view")
             .groupBy("user_id")
             .agg(F.min("ts").alias("v_ts"))
+            .localCheckpoint(eager=False)
         )
         c = (
             e.filter(F.col("event_type") == "click")
@@ -482,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("ts") > F.col("v_ts"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("c_ts"))
+            .localCheckpoint(eager=False)
         )
         p = (
             e.filter(F.col("event_type") == "purchase")
@@ -1752,7 +1759,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _t(spark, sf_dir, "orders")
         hi = o.filter(F.col("o_totalprice") > 200000).select("o_custkey")
         urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
-        both = hi.intersect(urgent)
+        # `both` (a shuffle-produced intersect) feeds the exceptAll AND
+        # the output union — checkpoint or the whole intersect re-runs
+        # per consumer (round 15; lazy, GC-released, tiny)
+        both = hi.intersect(urgent).localCheckpoint(eager=False)
         only_hi = hi.distinct().exceptAll(both)
         return both.withColumn("kind", F.lit("both")).unionByName(
             only_hi.withColumn("kind", F.lit("only_hi"))
@@ -2357,7 +2367,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.select(F.col("vec_id").alias("_vid"), "label"),
             assign.id == F.col("_vid"),
         )
-        hist = j.groupBy("cell_id", "label").agg(F.count("*").alias("_n"))
+        # hist (<= k x n_labels rows) feeds the argmax window AND the
+        # per-cell total — checkpoint or the assignment+join subtree
+        # re-executes per consumer (round 15; lazy, GC-released)
+        hist = (
+            j.groupBy("cell_id", "label")
+            .agg(F.count("*").alias("_n"))
+            .localCheckpoint(eager=False)
+        )
         win = W.partitionBy("cell_id").orderBy(
             F.col("_n").desc(), F.col("label").asc()
         )

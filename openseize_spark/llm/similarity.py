@@ -426,9 +426,19 @@ def semantic_dedup(
 
     Returns the surviving (id, cell_id) rows.
     """
-    assigned = ivf_assign(emb, centroids, vec_col, id_col).select(
-        "cell_id", F.col(id_col), "_v"
-    ).withColumn("_n", _norm(F.col("_v")))
+    assigned = (
+        ivf_assign(emb, centroids, vec_col, id_col)
+        .select("cell_id", F.col(id_col), "_v")
+        .withColumn("_n", _norm(F.col("_v")))
+        # THREE consumers below (both pair-join sides + the survivor
+        # anti-join's left side) each re-executed the whole
+        # scan+assignment pipeline (6 corpus scans in the plan, zero
+        # ReusedExchange).  One lazy checkpoint materializes the
+        # assignment once; blocks are GC-released with the plan
+        # (round 15; the sosfiltfilt forward-output precedent for
+        # corpus-sized intermediates — MEMORY_AND_DISK, spills safely)
+        .localCheckpoint(eager=False)
+    )
     a = assigned.select(
         "cell_id",
         F.col(id_col).alias("a"),
